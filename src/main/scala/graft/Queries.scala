@@ -1,0 +1,330 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Analytics
+import graft.etl.{EnvelopeGen, EventEtl}
+
+/** The driver-facing query catalog: one entry per implemented operator
+  * (SURVEY.md §2), plus the analytics and LLM-pipeline layers. Each
+  * oracle-able query has DuckDB SQL in [[Queries.oracles]] with identical
+  * column names/aliases and a total deterministic ORDER BY.
+  *
+  * ETL queries use the round-trip oracle pattern: the envelope branch taken
+  * by a row is a pure function of `event_id` (see [[graft.etl.EnvelopeGen]]),
+  * so DuckDB can predict the pipeline's output arithmetically without
+  * implementing any of the pipeline. The shared predicates below are quoted
+  * verbatim in the SQL.
+  */
+object Queries {
+
+  import SparkEntry.HmacKey
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    graft.sources.Tables.load(s, dir, n)
+
+  /** Raw envelopes + the chain up to each stage (shared by the ETL queries).
+    *
+    * `localCheckpoint` cuts the synthetic-envelope lineage: EnvelopeGen's
+    * `value` is a ~150-node concat tree, and Catalyst's filter pushdown
+    * (`PushPredicateThroughNonJoin`) substitutes referenced aliases into the
+    * predicate at every Project it crosses — without the cut, the validate
+    * predicate inflates to ~10^5 nodes by the time it reaches the events
+    * scan and optimization takes minutes. A real deployment reads envelopes
+    * from storage (parquet/Kafka), where the scan itself is the lineage
+    * barrier; the checkpoint just restores that shape for the synthetic
+    * test source. */
+  private def envelopes(s: SparkSession, dir: String): DataFrame =
+    EnvelopeGen.fromEvents(t(s, dir, "events")).localCheckpoint()
+  private def unwrapped(s: SparkSession, dir: String): DataFrame =
+    EventEtl.unwrapEnvelope(EventEtl.decode(envelopes(s, dir)))
+  private def validated(s: SparkSession, dir: String): DataFrame =
+    EventEtl.validOnly(EventEtl.parseStringifiedProps(unwrapped(s, dir)))
+  private def flat(s: SparkSession, dir: String): DataFrame =
+    EventEtl.pipeline(envelopes(s, dir), HmacKey)
+
+  // --- shared SQL fragments (must mirror EnvelopeGen's branch rules) ---
+  private val uidAbsentSql = "(event_id % 7 = 0 OR event_id % 19 = 0)"
+  private val devAbsentSql = "(event_id % 5 = 0 OR event_id % 19 = 0)"
+  private val validSql =
+    s"NOT (event_id % 13 = 0) AND NOT (event_id % 17 = 0) AND NOT ($uidAbsentSql AND $devAbsentSql)"
+  /** identify split triggers: signup AND user_properties actually parsed to
+    * an object (stringified+op/data rows — id%6=0 — stay strings, B3). */
+  private val trigSql = "(event_type = 'signup' AND event_id % 6 <> 0)"
+  private val tsFmtSql = "'%Y-%m-%dT%H:%M:%S.%gZ'"
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- ETL chain: O2-O5 decode/unwrap (round-trip identity) ----
+    "q_etl_decode" -> ((s, dir) => {
+      val un = unwrapped(s, dir)
+      val et = variant_get(col("_g_event"), "$.event_type", "variant")
+      un.select(
+        col("event_id"),
+        when(schema_of_variant(et) === "STRING", variant_get(et, "$", "string"))
+          .as("event_type"),
+        variant_get(col("_g_event"), "$.time", "long").as("time_ms"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- O6 validation gate ----
+    "q_etl_validate" -> ((s, dir) =>
+      validated(s, dir)
+        .select(col("event_id"), col("_g_user_id").as("user_id"),
+          col("_g_device_id").as("device_id"))
+        .orderBy(col("event_id"))),
+
+    // ---- O7 session_id repair (parseInt / -1 / numeric passthrough) ----
+    "q_etl_repair_session" -> ((s, dir) =>
+      EventEtl.repairSessionId(validated(s, dir))
+        .select(col("event_id"), col("_g_session").as("session_id"))
+        .orderBy(col("event_id"))),
+
+    // ---- O10 identify split: arity + ordering ----
+    "q_etl_split_identify" -> ((s, dir) =>
+      flat(s, dir)
+        .select(col("event_id"), col("event_type"), col("is_identify"), col("seq"))
+        .orderBy(col("event_id"), col("seq"))),
+
+    // ---- O10 verb/non-verb map partition fidelity ----
+    "q_etl_user_props" -> ((s, dir) =>
+      flat(s, dir)
+        .filter(!col("is_identify"))
+        .select(col("event_id"), col("user_properties"))
+        .orderBy(col("event_id"))),
+
+    // ---- O8 pseudonymize (HMAC — no SQL oracle; golden-vector tested) ----
+    "q_etl_pseudonymize" -> ((s, dir) =>
+      flat(s, dir)
+        .filter(!col("is_identify"))
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))),
+
+    // ---- O9 insert_id (HMAC-of-HMAC — no SQL oracle) ----
+    "q_etl_insert_id" -> ((s, dir) =>
+      flat(s, dir)
+        .filter(!col("is_identify"))
+        .select(col("event_id"), col("insert_id"))
+        .orderBy(col("event_id"))),
+
+    // ---- O12-adjacent: effectively-once dedup of a redelivered batch ----
+    "q_etl_dedup" -> ((s, dir) => {
+      val env = envelopes(s, dir)
+      val doubled = env.unionByName(env) // simulated Pub/Sub redelivery
+      EventEtl.dedupByInsertId(EventEtl.pipeline(doubled, HmacKey))
+        .select(col("event_id"), col("event_type"), col("is_identify"))
+        .orderBy(col("event_id"), col("is_identify").desc)
+    }),
+
+    // ---- O11+O14 batch metrics ----
+    "q_etl_metrics" -> ((s, dir) => {
+      val env = envelopes(s, dir)
+      EventEtl.batchMetrics(env, EventEtl.pipeline(env, HmacKey))
+    }),
+
+    // ---- analytics: aggregations ----
+    "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(t(s, dir, "lineitem"))),
+    "q_top_customers" -> ((s, dir) =>
+      Analytics.topCustomers(t(s, dir, "orders"), t(s, dir, "customer"), 10)),
+    "q_region_revenue" -> ((s, dir) =>
+      Analytics.regionRevenue(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
+    "q_rollup_revenue" -> ((s, dir) =>
+      Analytics.rollupRevenue(t(s, dir, "orders"), t(s, dir, "customer"),
+        t(s, dir, "nation"), t(s, dir, "region"))),
+    "q_segment_revenue" -> ((s, dir) =>
+      Analytics.segmentRevenue(t(s, dir, "orders"), t(s, dir, "customer"))),
+    "q_daily_active" -> ((s, dir) => Analytics.dailyActive(t(s, dir, "events"))),
+    "q_topk_events" -> ((s, dir) => Analytics.topkEvents(t(s, dir, "events"), 5)),
+    "q_uniques_hll" -> ((s, dir) => Analytics.uniques(t(s, dir, "events"))),
+
+    // ---- analytics: windows / sessionization / funnels ----
+    "q_session_stats" -> ((s, dir) => Analytics.sessionStats(t(s, dir, "events"))),
+    "q_session_durations" -> ((s, dir) => Analytics.sessionDurations(t(s, dir, "events"))),
+    "q_funnel" -> ((s, dir) =>
+      Analytics.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))),
+    "q_retention" -> ((s, dir) => Analytics.retention(t(s, dir, "events"))),
+    "q_tumbling_hour" -> ((s, dir) => Analytics.tumblingCounts(t(s, dir, "events"))),
+  )
+
+  private val decSum = (c: String) => s"CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
+
+  val oracles: Map[String, String] = Map(
+    "q_etl_decode" ->
+      s"""SELECT event_id,
+         |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS event_type,
+         |  CASE WHEN event_id % 17 = 0 THEN 0 ELSE epoch_ms(ts) END AS time_ms
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_etl_validate" ->
+      s"""SELECT event_id,
+         |  CASE WHEN $uidAbsentSql THEN NULL ELSE CAST(user_id AS VARCHAR) END AS user_id,
+         |  CASE WHEN $devAbsentSql THEN NULL ELSE 'dev-' || CAST(user_id AS VARCHAR) END AS device_id
+         |FROM events WHERE $validSql ORDER BY event_id""".stripMargin,
+
+    "q_etl_repair_session" ->
+      s"""SELECT event_id,
+         |  CAST(CASE event_id % 4
+         |    WHEN 0 THEN epoch_ms(ts) - 5000
+         |    WHEN 1 THEN epoch_ms(ts) - 5000
+         |    WHEN 2 THEN -1
+         |    ELSE 0 END AS DOUBLE) AS session_id
+         |FROM events WHERE $validSql ORDER BY event_id""".stripMargin,
+
+    "q_etl_split_identify" ->
+      s"""WITH valid AS (
+         |  SELECT event_id, event_type, $trigSql AS trig
+         |  FROM events WHERE $validSql)
+         |SELECT event_id, '$$identify' AS event_type, TRUE AS is_identify, 0 AS seq
+         |FROM valid WHERE trig
+         |UNION ALL
+         |SELECT event_id, event_type, FALSE AS is_identify,
+         |  CASE WHEN trig THEN 1 ELSE 0 END AS seq
+         |FROM valid
+         |ORDER BY event_id, seq""".stripMargin,
+
+    "q_etl_user_props" ->
+      s"""SELECT event_id,
+         |  CASE
+         |    WHEN event_type = 'signup' AND event_id % 6 <> 0
+         |      THEN '{"flow_id":"f' || CAST(event_id AS VARCHAR) || '"}'
+         |    WHEN event_type = 'signup'
+         |      THEN '"{\\"$$set\\":{\\"plan\\":\\"pro\\"},\\"flow_id\\":\\"f' || CAST(event_id AS VARCHAR) || '\\"}"'
+         |    WHEN event_type = 'error' AND event_id % 6 <> 0
+         |      THEN '{"$$unset":null,"ok":true}'
+         |    WHEN event_type = 'error'
+         |      THEN '"{\\"$$unset\\":null,\\"ok\\":true}"'
+         |    ELSE NULL END AS user_properties
+         |FROM events WHERE $validSql ORDER BY event_id""".stripMargin,
+
+    "q_etl_dedup" ->
+      s"""WITH valid AS (
+         |  SELECT event_id, event_type, $trigSql AS trig
+         |  FROM events WHERE $validSql)
+         |SELECT event_id, '$$identify' AS event_type, TRUE AS is_identify
+         |FROM valid WHERE trig
+         |UNION ALL
+         |SELECT event_id, event_type, FALSE AS is_identify FROM valid
+         |ORDER BY event_id, is_identify DESC""".stripMargin,
+
+    "q_etl_metrics" ->
+      s"""SELECT count(*) AS input_count,
+         |  (SELECT count(*) FROM events WHERE $validSql)
+         |    + (SELECT count(*) FROM events WHERE $validSql AND $trigSql) AS output_count,
+         |  strftime(min(ts), $tsFmtSql) AS min_publish_time,
+         |  strftime(max(ts), $tsFmtSql) AS max_publish_time
+         |FROM events""".stripMargin,
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${decSum("l_quantity")} AS sum_qty,
+         |  ${decSum("l_extendedprice")} AS sum_base_price,
+         |  CAST(sum($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  count(*) AS count_order,
+         |  ${decSum("l_quantity")} / count(*) AS avg_qty,
+         |  ${decSum("l_extendedprice")} / count(*) AS avg_price
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_top_customers" ->
+      s"""SELECT c_custkey, c_name,
+         |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_custkey, c_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q_region_revenue" ->
+      s"""SELECT r_name, CAST(sum($discPrice) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_rollup_revenue" ->
+      s"""SELECT r_name, n_name,
+         |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_segment_revenue" ->
+      s"""SELECT c_mktsegment, o_orderpriority,
+         |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment, o_orderpriority
+         |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    "q_daily_active" ->
+      """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk_events" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
+
+    "q_session_stats" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_session_durations" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+        |    THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+        |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY user_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_step1_view,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_view < t_click
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_step2_click,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_view < t_click
+        |    AND t_purchase IS NOT NULL AND t_click < t_purchase
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_step3_purchase
+        |FROM f""".stripMargin,
+
+    "q_retention" ->
+      """WITH fd AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT cohort_day, date_diff('day', cohort_day, day) AS offset_days,
+        |  count(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN fd USING (user_id)
+        |WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_tumbling_hour" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -1,0 +1,210 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Amplitude-style analytics over the event stream plus TPC-H-style OLAP
+  * over the star schema — the query layer the reference lacks entirely
+  * (SURVEY.md §2.4: joins/aggs/windows "absent" → built here Spark-first).
+  *
+  * Oracle-parity discipline (SURVEY.md §7.4.4): money aggregates are summed
+  * in DECIMAL (exact, order-independent — safe under any shuffle/partition
+  * order) and cast to double ONCE at the end; every query imposes a total
+  * deterministic ORDER BY.
+  *
+  * Scale notes are per-operator; the common theme: aggregations are
+  * partial-agg friendly (map-side combine), dimension joins broadcast, and
+  * window functions partition by high-cardinality keys (user_id), never a
+  * global unpartitioned window.
+  */
+object Analytics {
+
+  /** Exact-decimal view of a double money column. (18,6) keeps all digits
+    * the ~2-dp synthetic data carries without engine-dependent rounding. */
+  private def dec(c: Column): Column = c.cast("decimal(18,6)")
+  private def d(c: Column): Column = c.cast("double")
+
+  /** TPC-H Q1-style pricing summary. Pure partial-aggregatable groupBy on a
+    * 6-value grouping key — at 100 TB this is a map-side-combined scan with
+    * a tiny final shuffle (6 groups × partitions). */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        d(sum(dec(col("l_quantity")))).as("sum_qty"),
+        d(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        d(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Top-N customers by order revenue. customer is a dimension →
+    * broadcast; the agg shuffles on o_custkey (uniform). */
+  def topCustomers(orders: DataFrame, customer: DataFrame, n: Int): DataFrame =
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(d(sum(dec(col("o_totalprice")))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(n)
+
+  /** Revenue per region: the full star join. All four dimension tables are
+    * broadcast (region/nation/customer are tiny at any SF; orders is the
+    * fact-side key carrier, joined via shuffle on l_orderkey only when
+    * too big to broadcast — Catalyst/AQE decides from stats). */
+  def regionRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(d(sum(rev)).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  /** ROLLUP region → nation revenue (grouping-sets family; reference has
+    * none — SURVEY.md §2.4). Null-position pinned for oracle parity. */
+  def rollupRevenue(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(d(sum(dec(col("o_totalprice")))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** Market-segment revenue by order priority (broadcast dim + two-key agg). */
+  def segmentRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(d(sum(dec(col("o_totalprice")))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+
+  /** Daily active users — countDistinct shuffles (day, user) then reduces;
+    * at 100 TB prefer [[dailyActiveApprox]] (HLL, one pass, no exact-distinct
+    * expansion). */
+  def dailyActive(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("day"))
+
+  /** HLL flavor of DAU — single aggregation pass, mergeable sketches, the
+    * 100 TB default. Not oracle-able (approximate). */
+  def dailyActiveApprox(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(approx_count_distinct(col("user_id")).as("dau_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("day"))
+
+  /** Top-k event types. Partial agg collapses to |event_type| rows per
+    * partition before the shuffle; the sort is over a tiny aggregate. */
+  def topkEvents(events: DataFrame, k: Int): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(k)
+
+  /** Sessionization: 30-minute-gap sessions via lag + gap-flag + running sum
+    * — one shuffle on user_id, then two window passes over the same
+    * partitioning (Catalyst reuses the sort). Partition key is user_id:
+    * high cardinality in production, no global window anywhere. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = gapMinutes * 60L * 1000L
+    val prev = lag(col("ts"), 1).over(w)
+    val isNew = when(prev.isNull ||
+      (unix_millis(col("ts")) - unix_millis(prev)) > gapMs, 1L).otherwise(0L)
+    events
+      .withColumn("is_new", isNew)
+      .withColumn("session_idx", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-user session stats from [[sessionize]]. */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy(col("user_id"))
+      .agg(max(col("session_idx")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Session-level durations: events per session + span millis. */
+  def sessionDurations(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))).as("span_ms"))
+      .orderBy(col("user_id"), col("session_idx"))
+
+  /** Ordered funnel over per-user first-touch times: users whose first
+    * `steps(0)` precedes their first `steps(1)` precedes … One agg on
+    * user_id (min per step via conditional agg — no self-joins, no N-pass),
+    * then a tiny count. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val aggCols = steps.map(s =>
+      min(when(col("event_type") === s, col("ts"))).as(s"t_$s"))
+    val firsts = events
+      .filter(col("event_type").isin(steps: _*))
+      .groupBy(col("user_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val reached: Seq[Column] = steps.indices.map { i =>
+      steps.take(i + 1).indices.drop(1).foldLeft(
+        col(s"t_${steps.head}").isNotNull) { (acc, j) =>
+        acc && col(s"t_${steps(j)}").isNotNull &&
+          col(s"t_${steps(j - 1)}") < col(s"t_${steps(j)}")
+      }
+    }
+    firsts.select(
+      reached.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"n_step${i + 1}_${steps(i)}")
+      }: _*)
+  }
+
+  /** Day-1..N retention: cohort users by first-seen day, count returns at
+    * each day offset. Two aggs on user_id/day — shuffle keys are uniform. */
+  def retention(events: DataFrame, maxOffsetDays: Int = 7): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    activity
+      .join(firstDay, "user_id")
+      .withColumn("offset_days", datediff(col("day"), col("cohort_day")))
+      .filter(col("offset_days").between(0, maxOffsetDays))
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
+  /** Tumbling-window event counts (streaming-window analog in batch form:
+    * same `window()` expression Structured Streaming uses). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("value")))).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Global distinct-user estimate, exact + HLL side by side. */
+  def uniques(events: DataFrame): DataFrame =
+    events.agg(
+      countDistinct(col("user_id")).as("exact_users"),
+      approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+}

@@ -1,0 +1,156 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All are expressed with native
+  * codegen'd Spark SQL functions (no UDFs, no Python) and are
+  * shuffle-structured for the 100 TB path:
+  *
+  *   - exact dedup: one hash-partitioned aggregation on a 128-bit digest —
+  *     uniform keys, map-side partial agg collapses duplicates early.
+  *   - MinHash LSH: signatures are computed scan-side (narrow), then the
+  *     candidate generation is an equi-join on (band, band_hash) — a uniform
+  *     shuffle key; no O(n²) anywhere. Bucket skew (a viral duplicate
+  *     cluster) is bounded because identical docs produce identical digests
+  *     and can be exact-deduped FIRST (cheaper), leaving near-dup detection
+  *     to genuinely-distinct texts.
+  *   - SimHash: 64-bit signature via bit-voting; candidate pairs from 4×16-bit
+  *     band equality (Hamming ≤ 3 ⇒ at least one band equal by pigeonhole),
+  *     verified with bit_count(xor).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest. Survivor = min doc_id.
+    * (`md5` not for security — just a 128-bit content key; collision odds at
+    * 100 TB doc counts are negligible.) */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep one row per distinct text (the min-id survivor). */
+  def exactSurvivors(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+
+  /** Word w-shingles of lowercased text, distinct. */
+  def shingles(text: Column, w: Int): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      when(size(words) >= w,
+        transform(sequence(lit(0), size(words) - w),
+          i => concat_ws(" ", slice(words, i + lit(1), lit(w)))))
+        .otherwise(array(concat_ws(" ", words))))
+  }
+
+  /** k-permutation MinHash signature over a shingle array. Permutation i is
+    * xxhash64 with seed column i (64-bit universal-enough family); the
+    * signature element is the min hash under that permutation. Computed
+    * entirely scan-side — narrow, codegen'd. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
+
+  /** LSH banding: emit (band_idx, band_hash) keys for a signature of
+    * `bands` bands × `rowsPerBand` rows. Standard S-curve: two docs collide
+    * in ≥1 band with probability 1-(1-J^r)^b. */
+  private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("array<string>")), lit(b))
+          .as("band_hash"))): _*)
+
+  /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
+    * Jaccard over the shingle sets. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b, jaccard >= threshold.
+    *
+    * Plan shape: scan→signature (narrow) → explode bands (×bands) →
+    * self-equi-join on (band, band_hash) (shuffle on uniform 64-bit keys) →
+    * distinct pairs → verify join back to shingle arrays. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.6,
+      w: Int = 3, k: Int = 64, bands: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rowsPerBand = k / bands
+    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+    val sig = withSh.withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = sig
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cands
+      .join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash: per-token xxhash64, per-bit ±1 voting, sign → bit.
+    * Pure higher-order-function pipeline — no UDF. */
+  def simhash(text: Column): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("getbit", h, i) === 1, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v >= 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (default 3).
+    * Candidates from 4×16-bit band equality (pigeonhole-complete for
+    * Hamming ≤ 3), verified by bit_count(xor). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xffffL).as("chunk"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-n-gram Jaccard similarity for all pairs within a blocking
+    * key (e.g. `source`) — the quadratic term is bounded by the largest
+    * block, not the corpus. For unblocked corpora use [[minhashNearDups]]. */
+  def ngramJaccardPairs(docs: DataFrame, blockCol: String, n: Int = 3,
+      threshold: Double = 0.3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withSh = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+    withSh.as("a")
+      .join(withSh.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed batch-at-a-time inside partitions.
+  *
+  * The Spark-side contract is real and tested — schema, partition-iterator
+  * batching, deterministic output shape; only the *codec* is a stub
+  * (`FakeCodec`): the container ships no image/audio libraries, so decode is
+  * a deterministic byte-level fake with the same signature a real codec
+  * (e.g. a JNI JPEG decoder) would have. Swap [[MediaCodec]] implementations
+  * to go real — nothing else changes.
+  *
+  * Scale notes: `mapPartitions` keeps one codec instance per task (the
+  * expensive-init analog of a per-executor model), media bytes never pass
+  * through a shuffle (features are extracted scan-side and are ~10³× smaller
+  * than the media), and batches are size-bounded by the source's
+  * `maxPartitionBytes`, not row counts.
+  */
+object Multimodal {
+
+  /** A media row: opaque bytes + typed metadata. */
+  case class MediaRow(media_id: Long, media: Array[Byte], format: String,
+      width: Int, height: Int)
+
+  /** Extracted features: fixed-dim vector + shape metadata. */
+  case class MediaFeatures(media_id: Long, n_bytes: Long, format: String,
+      features: Array[Double])
+
+  /** The pluggable codec boundary. Implementations must be deterministic
+    * per input bytes. */
+  trait MediaCodec extends Serializable {
+    def decodeToFeatures(bytes: Array[Byte], dim: Int): Array[Double]
+  }
+
+  /** STUB codec — deterministic byte-bucket histogram, normalized. Stands in
+    * for a real decode+embed (no media libs in this container). */
+  object FakeCodec extends MediaCodec {
+    def decodeToFeatures(bytes: Array[Byte], dim: Int): Array[Double] = {
+      val hist = new Array[Double](dim)
+      var i = 0
+      while (i < bytes.length) {
+        hist((bytes(i) & 0xff) % dim) += 1.0
+        i += 1
+      }
+      val n = math.max(bytes.length, 1).toDouble
+      hist.map(_ / n)
+    }
+  }
+
+  /** Wrap a text corpus as a fake media table (binary = utf8 bytes) — the
+    * harness has no binary tables, so tests/queries synthesize one. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("media"),
+      lit("utf8").as("format"),
+      col("n_chars").cast("int").as("width"),
+      lit(1).as("height"))
+
+  /** Feature extraction over media batches: one codec per partition,
+    * iterator-to-iterator (no materialization of the whole partition). */
+  def extractFeatures(media: DataFrame, dim: Int = 16,
+      codec: MediaCodec = FakeCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[MediaRow] = media.as[MediaRow]
+    ds.mapPartitions { it =>
+      // per-task codec init happens here (real codecs are expensive to open)
+      it.map { r =>
+        MediaFeatures(r.media_id, r.media.length.toLong, r.format,
+          codec.decodeToFeatures(r.media, dim))
+      }
+    }.toDF()
+  }
+
+  /** Frame sampling for "video" media: every nth fixed-size byte window as a
+    * frame (a real implementation would seek keyframes; the batch shape —
+    * one input row → array of frame structs → explode — is the real part). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64, everyNth: Int = 4): DataFrame = {
+    val nFrames = (length(col("media")) / lit(frameBytes)).cast("int")
+    media
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+          i => i % everyNth === 0)))
+      .select(col("media_id"), col("frame_idx"),
+        col("media").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame"))
+  }
+}

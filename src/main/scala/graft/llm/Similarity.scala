@@ -1,0 +1,112 @@
+package graft.llm
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`): brute-force
+  * cosine top-k as the exact baseline, and a random-hyperplane-LSH bucketed
+  * variant as the scale path.
+  *
+  * Scale structure:
+  *   - brute force broadcasts the (small) query set against the (huge)
+  *     corpus — a broadcast nested-loop with a narrow scoring projection and
+  *     a per-query top-k window; corpus is never shuffled, only the
+  *     (queries × corpus) score stream reduced per partition.
+  *   - LSH assigns every vector a bucket from m hyperplane sign bits; the
+  *     join is then bucket-equi (shuffle on uniform keys), turning O(Q×N)
+  *     into O(Q×N/2^m) expected. Recall is tunable via m / multi-probe.
+  *
+  * All arithmetic is double (floats cast once) with sequential left-to-right
+  * array folds — deterministic across partitionings.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def toD(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Cosine similarity between two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toD(a); val bd = toD(b)
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Exact top-k cosine neighbors for the query rows (`queryPred` selects
+    * them, e.g. vec_id < 10). Returns (qid, neighbor_id, score, rank). */
+  def bruteForceKnn(emb: DataFrame, queryPred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = emb
+      .join(broadcast(queries), col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("neighbor_id"),
+        cosine(col("qvec"), col(vecCol)).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes (fixed seed) as literal arrays. */
+  private def hyperplanes(m: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(m)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bucket id from m hyperplane sign bits. */
+  def lshBucket(vec: Column, m: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(m, dim, seed)
+    val vd = toD(vec)
+    planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit(_)): _*)
+      when(dot(vd, pl) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket,
+    * then exact cosine + per-query top-k. `m` sign bits ⇒ ~N/2^m candidates
+    * per query. Queries whose bucket has < k neighbors return fewer rows
+    * (standard ANN recall trade-off; lower m or multi-probe to raise it). */
+  def lshKnn(emb: DataFrame, queryPred: Column, k: Int, m: Int = 8,
+      dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), m, dim))
+    val queries = bucketed.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("bucket"))
+    val scored = bucketed
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("neighbor_id"),
+        cosine(col("qvec"), col(vecCol)).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold among bucket-mates
+    * (LSH-blocked, so no O(n²)). id_a < id_b. */
+  def cosineNearDups(emb: DataFrame, threshold: Double = 0.95, m: Int = 8,
+      dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = emb.withColumn("bucket", lshBucket(col(vecCol), m, dim))
+      .select(col("bucket"), col(idCol).as("id"), col(vecCol).as("v"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("score", cosine(col("a.v"), col("b.v")))
+      .filter(col("score") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("score"), 6).as("score"))
+  }
+}

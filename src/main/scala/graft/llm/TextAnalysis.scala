@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language identification (n-gram/stopword heuristic),
+  * and document fingerprinting. All native Spark SQL expressions — narrow,
+  * codegen'd, embarrassingly parallel at any scale. */
+object TextAnalysis {
+
+  /** Whitespace token count (0 for blank/empty text). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword proxy: letter runs, digit runs, or single
+    * non-alphanumeric glyphs — the standard pre-tokenizer regex shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+        length(text).cast("double"))
+
+  /** Tiny high-frequency function-word sets per language — enough signal for
+    * a deterministic n-gram-free heuristic language ID. */
+  val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  val StopwordsFr = Seq("le", "la", "de", "et", "un", "une", "est", "dans", "pour", "sur")
+  val StopwordsEs = Seq("el", "la", "de", "y", "un", "una", "es", "en", "para", "con")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ein", "eine", "ist", "in", "mit", "auf")
+
+  private def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Fraction of tokens that are in the given stopword set. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column = {
+    val w = words(text)
+    when(size(w) === 0, 0.0).otherwise(
+      size(filter(w, t => t.isin(stopwords: _*))).cast("double") /
+        size(w).cast("double"))
+  }
+
+  /** Heuristic language ID: CJK codepoint share decides zh; otherwise the
+    * argmax of per-language stopword hit counts, 'und' when all zero.
+    * Deterministic tie-break by fixed language order. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val w = words(text)
+    val scores = Seq(
+      "en" -> size(filter(w, t => t.isin(StopwordsEn: _*))),
+      "fr" -> size(filter(w, t => t.isin(StopwordsFr: _*))),
+      "es" -> size(filter(w, t => t.isin(StopwordsEs: _*))),
+      "de" -> size(filter(w, t => t.isin(StopwordsDe: _*))))
+    val best = scores.tail.foldLeft(struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+      case (acc, (lang, s)) =>
+        when(s > acc.getField("s"), struct(s.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    when(cjk > 0 && cjk * 5 > length(text), lit("zh"))
+      .when(best.getField("s") > 0, best.getField("l"))
+      .otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, moderate
+    * punctuation, low digit share, healthy stopword presence. Weights are
+    * heuristic; the operator contract is determinism + monotonicity in each
+    * component. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val lenScore = least(len / 200.0, lit(1.0)) * when(len > 2000, 0.5).otherwise(1.0)
+    val punctRatio = punctCount(text).cast("double") / greatest(len, lit(1.0))
+    val punctScore = when(punctRatio > 0.2, 0.3).otherwise(lit(1.0) - punctRatio)
+    val digitScore = lit(1.0) - least(digitRatio(text) * 2.0, lit(1.0))
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round(lenScore * 0.3 + punctScore * 0.3 + digitScore * 0.2 + swScore * 0.2, 6)
+  }
+
+  /** Winnowing-style document fingerprint: xxhash64 of each word 5-gram,
+    * keep the k smallest distinct hashes (a k-min sketch — stable under
+    * permutation, linear-time, fixed output size). */
+  def fingerprint(text: Column, w: Int = 5, k: Int = 8): Column =
+    slice(array_sort(array_distinct(
+      transform(Dedup.shingles(text, w), s => xxhash64(s)))), 1, k)
+
+  /** Per-document stats projection over a corpus. */
+  def docStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_computed"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      bpeishTokenCount(col(textCol)).as("n_bpeish_tokens"),
+      punctCount(col(textCol)).as("n_punct"),
+      round(stopwordRatio(col(textCol)), 6).as("stopword_ratio"),
+      qualityScore(col(textCol)).as("quality"),
+      langId(col(textCol)).as("lang_pred"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}
