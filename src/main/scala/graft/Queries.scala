@@ -24,23 +24,19 @@ object Queries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     graft.sources.Tables.load(s, dir, n)
 
-  /** Raw envelopes + the chain up to each stage (shared by the ETL queries).
-    *
-    * `localCheckpoint` cuts the synthetic-envelope lineage: EnvelopeGen's
-    * `value` is a ~150-node concat tree, and Catalyst's filter pushdown
-    * (`PushPredicateThroughNonJoin`) substitutes referenced aliases into the
-    * predicate at every Project it crosses — without the cut, the validate
-    * predicate inflates to ~10^5 nodes by the time it reaches the events
-    * scan and optimization takes minutes. A real deployment reads envelopes
-    * from storage (parquet/Kafka), where the scan itself is the lineage
-    * barrier; the checkpoint just restores that shape for the synthetic
-    * test source. */
+  /** Raw synthetic envelopes, materialized once per (session, dir):
+    * `localCheckpoint` + cache because every ETL query shares this source —
+    * in a real deployment the envelopes are a parquet/Kafka scan, and the
+    * checkpoint restores that one-materialization shape for the synthetic
+    * generator. The engine work itself ([[EventEtl.parsed]] onward) is NOT
+    * cached — each query pays its own transform cost. */
+  private val envCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def envelopes(s: SparkSession, dir: String): DataFrame =
-    EnvelopeGen.fromEvents(t(s, dir, "events")).localCheckpoint()
-  private def unwrapped(s: SparkSession, dir: String): DataFrame =
-    EventEtl.unwrapEnvelope(EventEtl.decode(envelopes(s, dir)))
-  private def validated(s: SparkSession, dir: String): DataFrame =
-    EventEtl.validOnly(EventEtl.parseStringifiedProps(unwrapped(s, dir)))
+    envCache.getOrElseUpdate((s, dir),
+      EnvelopeGen.fromEvents(t(s, dir, "events")).localCheckpoint())
+  private def parsedDf(s: SparkSession, dir: String): DataFrame =
+    EventEtl.parsed(envelopes(s, dir), HmacKey)
   private def flat(s: SparkSession, dir: String): DataFrame =
     EventEtl.pipeline(envelopes(s, dir), HmacKey)
 
@@ -56,28 +52,22 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ETL chain: O2-O5 decode/unwrap (round-trip identity) ----
-    "q_etl_decode" -> ((s, dir) => {
-      val un = unwrapped(s, dir)
-      val et = variant_get(col("_g_event"), "$.event_type", "variant")
-      un.select(
-        col("event_id"),
-        when(schema_of_variant(et) === "STRING", variant_get(et, "$", "string"))
-          .as("event_type"),
-        variant_get(col("_g_event"), "$.time", "long").as("time_ms"))
-        .orderBy(col("event_id"))
-    }),
+    "q_etl_decode" -> ((s, dir) =>
+      parsedDf(s, dir)
+        .select(col("event_id"), col("event_type"), col("time_ms"))
+        .orderBy(col("event_id"))),
 
     // ---- O6 validation gate ----
     "q_etl_validate" -> ((s, dir) =>
-      validated(s, dir)
-        .select(col("event_id"), col("_g_user_id").as("user_id"),
-          col("_g_device_id").as("device_id"))
+      parsedDf(s, dir).filter(col("valid"))
+        .select(col("event_id"), col("user_id_raw").as("user_id"),
+          col("device_id_raw").as("device_id"))
         .orderBy(col("event_id"))),
 
     // ---- O7 session_id repair (parseInt / -1 / numeric passthrough) ----
     "q_etl_repair_session" -> ((s, dir) =>
-      EventEtl.repairSessionId(validated(s, dir))
-        .select(col("event_id"), col("_g_session").as("session_id"))
+      parsedDf(s, dir).filter(col("valid"))
+        .select(col("event_id"), col("session_id"))
         .orderBy(col("event_id"))),
 
     // ---- O10 identify split: arity + ordering ----
@@ -111,7 +101,7 @@ object Queries {
     "q_etl_dedup" -> ((s, dir) => {
       val env = envelopes(s, dir)
       val doubled = env.unionByName(env) // simulated Pub/Sub redelivery
-      EventEtl.dedupByInsertId(EventEtl.pipeline(doubled, HmacKey))
+      EventEtl.pipelineDedup(doubled, HmacKey)
         .select(col("event_id"), col("event_type"), col("is_identify"))
         .orderBy(col("event_id"), col("is_identify").desc)
     }),

@@ -150,7 +150,7 @@ class EventEtlSpec extends SparkTestBase {
   test("dedup of a redelivered batch is effectively-once") {
     val rows = Seq((1L, b64(s"""{"jsonPayload":$flatEvent}"""))).toDF("fixture_id", "value")
     val doubled = rows.union(rows)
-    val out = EventEtl.dedupByInsertId(EventEtl.pipeline(doubled, Key))
+    val out = EventEtl.pipelineDedup(doubled, Key)
     assert(out.count() === 2) // one identify + one event
   }
 
