@@ -137,7 +137,13 @@ object Queries {
     "q_tumbling_hour" -> ((s, dir) => Analytics.tumblingCounts(t(s, dir, "events"))),
   )
 
-  private val decSum = (c: String) => s"CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+  /** DuckDB's direct decimal→double cast converts the int128 unscaled value
+    * to double and divides by 10^scale — two roundings, up to 1 ulp off the
+    * correctly-rounded value. Spark (java.math.BigDecimal.doubleValue) is
+    * correctly rounded. Round-tripping through VARCHAR forces DuckDB's
+    * strtod, which is also correctly rounded → bit-exact parity. */
+  private def viaStr(expr: String) = s"CAST(CAST($expr AS VARCHAR) AS DOUBLE)"
+  private val decSum = (c: String) => viaStr(s"sum(CAST($c AS DECIMAL(18,6)))")
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
 
@@ -211,7 +217,7 @@ object Queries {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${decSum("l_quantity")} AS sum_qty,
          |  ${decSum("l_extendedprice")} AS sum_base_price,
-         |  CAST(sum($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  ${viaStr("sum(" + discPrice + ")")} AS sum_disc_price,
          |  count(*) AS count_order,
          |  ${decSum("l_quantity")} / count(*) AS avg_qty,
          |  ${decSum("l_extendedprice")} / count(*) AS avg_price
@@ -226,7 +232,7 @@ object Queries {
          |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
 
     "q_region_revenue" ->
-      s"""SELECT r_name, CAST(sum($discPrice) AS DOUBLE) AS revenue, count(*) AS n_items
+      s"""SELECT r_name, ${viaStr("sum(" + discPrice + ")")} AS revenue, count(*) AS n_items
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -313,8 +319,8 @@ object Queries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_tumbling_hour" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+         |  ${viaStr("sum(CAST(value AS DECIMAL(18,6)))")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
