@@ -135,6 +135,71 @@ object Queries {
       Analytics.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))),
     "q_retention" -> ((s, dir) => Analytics.retention(t(s, dir, "events"))),
     "q_tumbling_hour" -> ((s, dir) => Analytics.tumblingCounts(t(s, dir, "events"))),
+
+    // ---- LLM data pipeline: deduplication ----
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.Dedup.exact(docs.unionByName(docs)) // doubled corpus: every text ×2
+        .orderBy(col("keep_id"))
+    }),
+    "q_dedup_minhash" -> ((s, dir) =>
+      llm.Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_simhash" -> ((s, dir) =>
+      llm.Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      llm.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "source", n = 3,
+          threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_embed_near_dups" -> ((s, dir) =>
+      llm.Similarity.cosinePairsBlocked(t(s, dir, "embeddings"), "label", 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- LLM data pipeline: similarity search ----
+    "q_knn_brute" -> ((s, dir) =>
+      llm.Similarity.bruteForceKnn(t(s, dir, "embeddings"),
+        col("vec_id") < 10, k = 5)),
+    "q_knn_lsh" -> ((s, dir) =>
+      llm.Similarity.lshKnn(t(s, dir, "embeddings"),
+        col("vec_id") < 10, k = 5)),
+
+    // ---- LLM data pipeline: text analysis ----
+    "q_text_stats" -> ((s, dir) => {
+      import llm.TextAnalysis._
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(txt).as("n_chars_computed"),
+        tokenCount(txt).as("n_tokens"),
+        bpeishTokenCount(txt).as("n_bpeish_tokens"),
+        punctCount(txt).as("n_punct"),
+        langId(txt).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_lang_breakdown" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(llm.TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_pred"))),
+    "q_text_quality" -> ((s, dir) =>
+      llm.TextAnalysis.docStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("stopword_ratio"), col("quality"),
+          col("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // ---- LLM data pipeline: multimodal columns ----
+    "q_media_features" -> ((s, dir) =>
+      llm.Multimodal.extractFeatures(
+        llm.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .orderBy(col("media_id"))),
+    // frame emitted as hex text: binary column comparators differ across
+    // engines/arrow readers (bytes vs bytearray); hex is unambiguous.
+    "q_media_frames" -> ((s, dir) =>
+      llm.Multimodal.sampleFrames(
+        llm.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .select(col("media_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
+        .orderBy(col("media_id"), col("frame_idx"))),
   )
 
   /** DuckDB's direct decimal→double cast converts the int128 unscaled value
@@ -146,6 +211,39 @@ object Queries {
   private val decSum = (c: String) => viaStr(s"sum(CAST($c AS DECIMAL(18,6)))")
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
+
+  // --- LLM-layer shared fragments (mirror graft.llm column semantics) ---
+  private val wordsSql = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+  /** Distinct word 3-shingles — DuckDB list comprehension mirroring
+    * [[llm.Dedup.shingles]] (slice [i+1, i+w], i ∈ [0, n-w]). */
+  private val shingleSql =
+    s"""CASE WHEN len($wordsSql) >= 3
+       |    THEN [array_to_string(($wordsSql)[i:i+2], ' ')
+       |          FOR i IN range(1, len($wordsSql) - 1)]
+       |    ELSE [array_to_string($wordsSql, ' ')] END""".stripMargin
+  /** Sequential left-to-right double dot product (list_reduce, NOT list_sum,
+    * so the fold order matches Spark's aggregate()). */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), t -> t[1]::DOUBLE * t[2]::DOUBLE), (x, y) -> x + y)"
+  private val dotQv = dotSql("qv", "embedding")
+  private val dotQq = dotSql("qv", "qv")
+  private val dotVv = dotSql("embedding", "embedding")
+  private def hitSql(words: Seq[String]) =
+    s"len(list_filter($wordsSql, x -> list_contains([${words.map("'" + _ + "'").mkString(", ")}], x)))"
+  private val langScoresSql = Seq(
+    "en" -> llm.TextAnalysis.StopwordsEn, "fr" -> llm.TextAnalysis.StopwordsFr,
+    "es" -> llm.TextAnalysis.StopwordsEs, "de" -> llm.TextAnalysis.StopwordsDe)
+    .map { case (l, ws) => s"${hitSql(ws)} AS s_$l" }.mkString(",\n    ")
+  private val cjkSql = """len(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))"""
+  /** Mirrors [[llm.TextAnalysis.langId]]'s fold: earliest language in
+    * (en,fr,es,de) order wins ties. */
+  private val langCaseSql =
+    s"""CASE WHEN $cjkSql > 0 AND $cjkSql * 5 > len(text) THEN 'zh'
+       |    WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+       |    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+       |    WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+       |    WHEN s_es >= s_de THEN 'es'
+       |    ELSE 'de' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_etl_decode" ->
@@ -322,5 +420,85 @@ object Queries {
       s"""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
          |  ${viaStr("sum(CAST(value AS DECIMAL(18,6)))")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH d AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM d GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, list_distinct($shingleSql) AS sh
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
+         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // list_reduce (not list_sum) pins sequential left-to-right summation —
+    // bit-exact parity with Spark's aggregate() fold.
+    "q_knn_brute" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT qid, vec_id AS neighbor_id,
+         |    $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score
+         |  FROM embeddings, q WHERE qid <> vec_id),
+         |ranked AS (
+         |  SELECT qid, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, neighbor_id, score FROM ranked
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_text_stats" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, text, $langScoresSql
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(text) AS n_chars_computed,
+         |  CASE WHEN len(trim(text)) = 0 THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |  len(regexp_extract_all(text,
+         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish_tokens,
+         |  len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))
+         |    AS n_punct,
+         |  $langCaseSql AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_lang_breakdown" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, text, $langScoresSql
+         |  FROM documents),
+         |p AS (SELECT $langCaseSql AS lang_pred FROM sc)
+         |SELECT lang_pred, count(*) AS n_docs FROM p
+         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "q_media_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, greatest(len(text) // 64, 1))) AS i
+        |  FROM documents)
+        |SELECT doc_id AS media_id, i AS frame_idx,
+        |  hex(encode(substring(text, CAST(i * 64 + 1 AS INT), 64))) AS frame_hex
+        |FROM f WHERE i % 4 = 0 ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_embed_near_dups" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${dotSql("a.embedding", "b.embedding")} /
+         |    (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+         |     sqrt(${dotSql("b.embedding", "b.embedding")})) AS score
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} /
+         |    (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+         |     sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -93,7 +93,7 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** 64-bit SimHash: per-token xxhash64, per-bit ±1 voting, sign → bit.
@@ -150,7 +150,8 @@ object Dedup {
         size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
           size(array_union(col("a.sh"), col("b.sh"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+      // raw int/int division — bit-exact across engines (no round() parity
+      // trap: HALF_UP-on-BigDecimal vs double-math rounding can differ)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
 }

@@ -52,7 +52,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor_id"),
-        round(col("score"), 6).as("score"))
+        col("score"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -92,8 +92,22 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor_id"),
-        round(col("score"), 6).as("score"))
+        col("score"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Exact embedding near-dup pairs within a blocking key (e.g. a cluster
+    * label or coarse quantizer cell): the quadratic term is bounded by the
+    * largest block, not the corpus — the IVF-style scale path when a
+    * partitioner/label already exists. id_a < id_b, cosine >= threshold. */
+  def cosinePairsBlocked(emb: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+    b.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("score", cosine(col("a.v"), col("b.v")))
+      .filter(col("score") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold among bucket-mates
@@ -107,6 +121,6 @@ object Similarity {
       .withColumn("score", cosine(col("a.v"), col("b.v")))
       .filter(col("score") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("score"), 6).as("score"))
+        col("score"))
   }
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-pipeline operators not covered by a SQL oracle (hash-based and
+  * LSH-based paths): planted duplicates must be found, non-duplicates must
+  * not, and the multimodal plumbing must be deterministic. */
+class LlmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+  private val nearDup = // one word changed → high word-3-shingle overlap
+    "the quick brown fox jumps over the lazy cat and runs far away home tonight"
+  private val unrelated =
+    "completely different sentence about spark query engines and shuffles everywhere"
+
+  private def docs = Seq(
+    (0L, base, "s0"), (1L, nearDup, "s0"), (2L, unrelated, "s0"),
+    (3L, base, "s1") // exact copy of 0, different block
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical texts across blocks") {
+    val groups = Dedup.exact(docs).collect()
+    assert(groups.length === 3)
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") === 0L)
+    assert(Dedup.exactSurvivors(docs).as[Long].collect().toSet === Set(0L, 1L, 2L))
+  }
+
+  test("minhash LSH finds the planted near-dup and the exact dup, not the unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // near-dup
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated stays out
+  }
+
+  test("simhash: exact dup at hamming 0; unrelated beyond threshold") {
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 3L)
+    assert(exact.exists(_._3 === 0))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ngram jaccard blocks by key: cross-block exact dup not compared") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "source", n = 3, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L))) // different block — by design
+  }
+
+  private def vec(xs: Double*) = xs.toArray.map(_.toFloat)
+  // planted near-dup pair is COLINEAR (cosine 1.0): sign(dot) equal under
+  // every hyperplane, so the LSH bucket match is seed-independent.
+  private def embs = Seq(
+    (0L, vec(1, 0, 0, 0), 0), (1L, vec(2, 0, 0, 0), 0),
+    (2L, vec(0, 1, 0, 0), 1), (3L, vec(0, 0, 1, 0), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force knn ranks the near-dup first") {
+    val out = Similarity.bruteForceKnn(embs, $"vec_id" === 0, k = 2)
+      .select($"rank", $"neighbor_id").as[(Int, Long)].collect()
+    assert(out.head === ((1, 1L)))
+  }
+
+  test("lsh knn: bucket-mates found; cosine matches brute force for them") {
+    val brute = Similarity.bruteForceKnn(embs, $"vec_id" === 0, k = 3)
+      .select($"neighbor_id", $"score").as[(Long, Double)].collect().toMap
+    val lsh = Similarity.lshKnn(embs, $"vec_id" === 0, k = 3, m = 4, dim = 4)
+      .select($"neighbor_id", $"score").as[(Long, Double)].collect()
+    assert(lsh.nonEmpty) // vec 1 is colinear with vec 0 — same bucket always
+    lsh.foreach { case (id, s) => assert(s === brute(id)) }
+  }
+
+  test("lsh near-dups finds the planted pair") {
+    val pairs = Similarity.cosineNearDups(embs, threshold = 0.95, m = 4, dim = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("blocked cosine pairs stay within the label block") {
+    val pairs = Similarity.cosinePairsBlocked(embs, "label", threshold = -1.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("text stats: token counts, langId, quality bounds, fingerprint size") {
+    val out = TextAnalysis.docStats(
+      Seq((0L, "The quick brown fox is on the hill"),
+          (1L, "le chat est dans la maison pour un moment"),
+          (2L, ""),
+          (3L, "xyzzy plugh 12345"))
+        .toDF("doc_id", "text")).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Int]("n_tokens") === 8)
+    assert(out(0L).getAs[String]("lang_pred") === "en")
+    assert(out(1L).getAs[String]("lang_pred") === "fr")
+    assert(out(2L).getAs[Int]("n_tokens") === 0)
+    assert(out(3L).getAs[String]("lang_pred") === "und")
+    out.values.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+    assert(out(0L).getSeq[Long](out(0L).fieldIndex("fingerprint")).nonEmpty)
+  }
+
+  test("multimodal: feature extraction is deterministic, unit-normalized-ish") {
+    val media = Multimodal.mediaFromDocuments(
+      Seq((0L, "hello world", "en", "s", 11L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val f1 = Multimodal.extractFeatures(media, dim = 8).collect().head
+    val f2 = Multimodal.extractFeatures(media, dim = 8).collect().head
+    assert(f1.getAs[Long]("n_bytes") === 11L)
+    val feats = f1.getSeq[Double](f1.fieldIndex("features"))
+    assert(feats === f2.getSeq[Double](f2.fieldIndex("features")))
+    assert(math.abs(feats.sum - 1.0) < 1e-9) // histogram normalized by n_bytes
+  }
+
+  test("multimodal: frame sampling covers the media with the right stride") {
+    val media = Multimodal.mediaFromDocuments(
+      Seq((0L, "a" * 300, "en", "s", 300L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 2)
+      .select($"frame_idx", length($"frame").as("len")).as[(Int, Int)].collect().sortBy(_._1)
+    // 300 bytes → frames 0..3 (idx 4 past end), stride 2 → idx 0, 2
+    assert(frames.map(_._1).toSeq === Seq(0, 2))
+    assert(frames.forall(_._2 == 64))
+  }
+}

@@ -16,6 +16,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64[ns,"):
             df[c] = df[c].dt.tz_localize(None)
+        if df[c].dtype == object:
+            # duckdb yields bytearray, pyarrow yields bytes — unify so the
+            # astype(str) compare doesn't see b'..' vs bytearray(b'..')
+            df[c] = df[c].map(lambda v: bytes(v) if isinstance(v, bytearray) else v)
         # decimal/object numeric → leave; floats rounded at compare time
     return df.reset_index(drop=True)
 
