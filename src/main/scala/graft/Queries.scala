@@ -177,9 +177,13 @@ object Queries {
         langId(txt).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
+    // lang_pred is projected BEFORE the groupBy: a complex expression as a
+    // grouping key disables whole-stage codegen for the aggregate and
+    // re-evaluates the regex/array pipeline per comparison.
     "q_lang_breakdown" -> ((s, dir) =>
       t(s, dir, "documents")
-        .groupBy(llm.TextAnalysis.langId(col("text")).as("lang_pred"))
+        .select(llm.TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang_pred"))),
     "q_text_quality" -> ((s, dir) =>

@@ -44,13 +44,23 @@ object Dedup {
         .otherwise(array(concat_ws(" ", words))))
   }
 
-  /** k-permutation MinHash signature over a shingle array. Permutation i is
-    * xxhash64 with seed column i (64-bit universal-enough family); the
-    * signature element is the min hash under that permutation. Computed
-    * entirely scan-side — narrow, codegen'd. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
+  /** Shingle strings hashed once to 64-bit keys (xxhash64): every
+    * downstream minhash/jaccard op then works on primitive longs instead of
+    * re-hashing/comparing ~30-byte strings. Collision odds across a
+    * two-document comparison (~10³ elements) are ~10⁻¹⁴ — far below any
+    * near-dup threshold's sensitivity. */
+  def hashedShingles(shingleCol: Column): Column =
+    transform(shingleCol, s => xxhash64(s))
+
+  /** k-permutation MinHash signature over a hashed-shingle array.
+    * Permutation i re-hashes the 8-byte key with a distinct seed column
+    * (xxhash64 of a fixed-width long is far cheaper than k string hashes;
+    * an affine map would be cheaper still but ANSI mode forbids wrapping
+    * long arithmetic). Computed entirely scan-side — narrow. */
+  def minhashSignature(hashedCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(hashedCol, h => xxhash64(h, lit(i))))
+    }: _*)
 
   /** LSH banding: emit (band_idx, band_hash) keys for a signature of
     * `bands` bands × `rowsPerBand` rows. Standard S-curve: two docs collide
@@ -73,7 +83,8 @@ object Dedup {
       w: Int = 3, k: Int = 64, bands: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val rowsPerBand = k / bands
-    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+    val withSh = docs.select(col(idCol).as("id"),
+      hashedShingles(shingles(col(textCol), w)).as("sh"))
     val sig = withSh.withColumn("sig", minhashSignature(col("sh"), k))
     val banded = sig
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -141,8 +152,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, n: Int = 3,
       threshold: Double = 0.3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // hashed shingles: set sizes (and thus jaccard) are identical to the
+    // string sets absent 64-bit collisions (~10⁻¹⁴/pair), at a fraction of
+    // the intersect/union cost.
     val withSh = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
+      hashedShingles(shingles(col(textCol), n)).as("sh"))
     withSh.as("a")
       .join(withSh.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))

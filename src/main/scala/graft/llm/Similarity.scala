@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expr.DotProduct
+
 /** Similarity search over embedding columns (`array<float>`): brute-force
   * cosine top-k as the exact baseline, and a random-hyperplane-LSH bucketed
   * variant as the scale path.
@@ -18,41 +20,47 @@ import org.apache.spark.sql.functions._
   *   - LSH assigns every vector a bucket from m hyperplane sign bits; the
   *     join is then bucket-equi (shuffle on uniform keys), turning O(Q×N)
   *     into O(Q×N/2^m) expected. Recall is tunable via m / multi-probe.
+  *   - norms are computed ONCE per row in a projection before any pairwise
+  *     join, so the per-pair cost is a single [[graft.expr.DotProduct]]
+  *     (codegen'd primitive loop), not three interpreted HOF folds.
   *
-  * All arithmetic is double (floats cast once) with sequential left-to-right
-  * array folds — deterministic across partitionings.
+  * All arithmetic is double (floats widened exactly) with sequential
+  * left-to-right summation — deterministic across partitionings and
+  * bit-identical to the DuckDB `list_reduce` oracles.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product (codegen'd custom expression). */
+  private def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
-  private def toD(a: Column): Column = transform(a, _.cast("double"))
+  private def norm(v: Column): Column = sqrt(DotProduct(v, v))
 
-  /** Cosine similarity between two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = toD(a); val bd = toD(b)
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  /** Cosine similarity between two float/double-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors for the query rows (`queryPred` selects
-    * them, e.g. vec_id < 10). Returns (qid, neighbor_id, score, rank). */
+    * them, e.g. vec_id < 10). Returns (qid, rank, neighbor_id, score). */
   def bruteForceKnn(emb: DataFrame, queryPred: Column, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val queries = emb.filter(queryPred)
-      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val scored = emb
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"))
+    val corpus = emb.select(col(idCol), col(vecCol), norm(col(vecCol)).as("vnorm"))
+    val scored = corpus
       .join(broadcast(queries), col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol).as("neighbor_id"),
-        cosine(col("qvec"), col(vecCol)).as("score"))
+        (dot(col("qvec"), col(vecCol)) / (col("qnorm") * col("vnorm"))).as("score"))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("neighbor_id"),
-        col("score"))
+      .select(col("qid"), col("rank"), col("neighbor_id"), col("score"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -65,10 +73,9 @@ object Similarity {
   /** LSH bucket id from m hyperplane sign bits. */
   def lshBucket(vec: Column, m: Int, dim: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(m, dim, seed)
-    val vd = toD(vec)
     planes.zipWithIndex.map { case (p, i) =>
       val pl = array(p.map(lit(_)): _*)
-      when(dot(vd, pl) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+      when(dot(vec, pl) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
@@ -78,22 +85,18 @@ object Similarity {
     * (standard ANN recall trade-off; lower m or multi-probe to raise it). */
   def lshKnn(emb: DataFrame, queryPred: Column, k: Int, m: Int = 8,
       dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), m, dim))
+    val bucketed = emb
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("vnorm"),
+        lshBucket(col(vecCol), m, dim).as("bucket"))
     val queries = bucketed.filter(queryPred)
-      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("bucket"))
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        col("vnorm").as("qnorm"), col("bucket"))
     val scored = bucketed
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol).as("neighbor_id"),
-        cosine(col("qvec"), col(vecCol)).as("score"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("neighbor_id"),
-        col("score"))
-      .orderBy(col("qid"), col("rank"))
+        (dot(col("qvec"), col(vecCol)) / (col("qnorm") * col("vnorm"))).as("score"))
+    topK(scored, k)
   }
 
   /** Exact embedding near-dup pairs within a blocking key (e.g. a cluster
@@ -102,10 +105,11 @@ object Similarity {
     * partitioner/label already exists. id_a < id_b, cosine >= threshold. */
   def cosinePairsBlocked(emb: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("n"))
     b.as("a").join(b.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("score", cosine(col("a.v"), col("b.v")))
+      .withColumn("score", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
       .filter(col("score") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
   }
@@ -114,13 +118,12 @@ object Similarity {
     * (LSH-blocked, so no O(n²)). id_a < id_b. */
   def cosineNearDups(emb: DataFrame, threshold: Double = 0.95, m: Int = 8,
       dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = emb.withColumn("bucket", lshBucket(col(vecCol), m, dim))
-      .select(col("bucket"), col(idCol).as("id"), col(vecCol).as("v"))
+    val b = emb.select(lshBucket(col(vecCol), m, dim).as("bucket"),
+      col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("score", cosine(col("a.v"), col("b.v")))
+      .withColumn("score", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
       .filter(col("score") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("score"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
   }
 }

@@ -1,0 +1,126 @@
+package graft
+
+import java.util.Base64
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.etl.EventEtl
+import graft.sink.AmplitudeSink
+import graft.streaming.StreamingPipeline
+
+/** M3 coverage: the Amplitude sink contract (batch shape, retry, intra-pair
+  * order, terminal failure) against an injected recording transport, and the
+  * Structured-Streaming pipeline (micro-batches, watermarked message-level
+  * dedup across redelivery). */
+class StreamingSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Key = "graft-test-key"
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  private def envelope(uid: String, et: String, time: Long,
+      withIdentify: Boolean = false): String = {
+    val up = if (withIdentify)
+      ""","user_properties":{"$set":{"plan":"pro"},"keep":"me"}""" else ""
+    b64(s"""{"jsonPayload":{"user_id":"$uid","device_id":"d-$uid","event_type":"$et","time":$time$up},""" +
+      s""""attributes":{"logging.googleapis.com/timestamp":"2024-01-01T00:00:00.000Z"}}""")
+  }
+
+  test("sink posts {api_key, events} batches, preserving intra-pair order") {
+    RecordingPoster.reset()
+    val flat = EventEtl.pipeline(
+      Seq(envelope("u1", "login", 1000, withIdentify = true)).toDF("value"), Key)
+    AmplitudeSink.send(flat, AmplitudeSink.Config(
+      url = "http://stub/batch", apiKey = "k123", poster = RecordingPoster))
+    val bodies = RecordingPoster.bodies
+    assert(bodies.size === 1)
+    val body = bodies.head
+    assert(body.startsWith("""{"api_key":"k123","events":["""))
+    // identify first, original second, verb keys split (SURVEY §2.3.3-5)
+    val iIdent = body.indexOf("\"$identify\"")
+    val iLogin = body.indexOf("\"login\"")
+    assert(iIdent >= 0 && iLogin >= 0 && iIdent < iLogin)
+    assert(body.contains(""""user_properties":{"$set":{"plan":"pro"}}"""))
+    assert(body.contains(""""user_properties":{"keep":"me"}"""))
+    // props embedded as objects, not double-encoded strings
+    assert(!body.contains("""\"$set\""""))
+  }
+
+  test("sink groups a partition into maxPerRequest batches") {
+    RecordingPoster.reset()
+    val rows = (1 to 25).map(i => envelope(s"u$i", "e", 1000L + i)).toDF("value")
+    val flat = EventEtl.pipeline(rows, Key).coalesce(1)
+    AmplitudeSink.send(flat, AmplitudeSink.Config(
+      url = "http://stub/batch", apiKey = "k", maxPerRequest = 10,
+      poster = RecordingPoster))
+    assert(RecordingPoster.bodies.size === 3) // 10 + 10 + 5
+  }
+
+  test("sink retries transient failures, then succeeds") {
+    FlakyPoster.reset(failures = 2)
+    val flat = EventEtl.pipeline(Seq(envelope("u1", "e", 5)).toDF("value"), Key)
+    AmplitudeSink.send(flat, AmplitudeSink.Config(
+      url = "http://stub/batch", apiKey = "k", maxRetries = 3,
+      backoffMs = 1L, poster = FlakyPoster))
+    assert(FlakyPoster.attempts === 3) // 2 failures + 1 success
+  }
+
+  test("sink throws after maxRetries — batch not committed (redelivery path)") {
+    FlakyPoster.reset(failures = 100)
+    val flat = EventEtl.pipeline(Seq(envelope("u1", "e", 5)).toDF("value"), Key)
+    val e = intercept[Exception] {
+      AmplitudeSink.send(flat, AmplitudeSink.Config(
+        url = "http://stub/batch", apiKey = "k", maxRetries = 2,
+        backoffMs = 1L, poster = FlakyPoster))
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("streaming: micro-batches flow, redelivered message deduped in-watermark") {
+    val input = MemoryStream[String](spark)
+    val flat = StreamingPipeline.transform(
+      input.toDF().withColumnRenamed("value", "value"), Key,
+      watermarkDelay = "1 hour")
+    // each addData is its own micro-batch offset; batch 3 redelivers batch 1's
+    // message. Data must be queued before an AvailableNow query starts.
+    input.addData(envelope("u1", "login", 1000, withIdentify = true))
+    input.addData(envelope("u2", "click", 2000))
+    input.addData(envelope("u1", "login", 1000, withIdentify = true)) // dup
+    val q = flat.writeStream
+      .format("memory").queryName("graft_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_stream_test")
+      .select($"event_type", $"is_identify").as[(String, Boolean)].collect()
+    // u1 login emits identify+event ONCE (dup dropped), u2 click once
+    assert(out.count(_._1 == "login") === 1)
+    assert(out.count(_._1 == "$identify") === 1)
+    assert(out.count(_._1 == "click") === 1)
+  }
+}
+
+/** Serializable recording transport (local-mode tests share the JVM). */
+object RecordingPoster extends AmplitudeSink.Poster {
+  val bodies: mutable.Buffer[String] = mutable.Buffer.empty
+  def reset(): Unit = synchronized { bodies.clear() }
+  def post(url: String, body: String, timeoutMs: Int): Int =
+    synchronized { bodies += body; 200 }
+}
+
+object FlakyPoster extends AmplitudeSink.Poster {
+  @volatile var failuresLeft = 0
+  @volatile var attempts = 0
+  def reset(failures: Int): Unit = synchronized { failuresLeft = failures; attempts = 0 }
+  def post(url: String, body: String, timeoutMs: Int): Int = synchronized {
+    attempts += 1
+    if (failuresLeft > 0) { failuresLeft -= 1; 500 } else 200
+  }
+}
