@@ -103,3 +103,72 @@ object DotProduct {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", { exprs => DotProduct(exprs(0), exprs(1)) }, "built-in")
 }
+
+/** 64-bit SimHash over an `array<long>` of token hashes: per-bit ±1 voting,
+  * sign → bit. Custom expression because the composable form (an
+  * `aggregate` whose accumulator is a 64-element array rebuilt per token)
+  * allocates O(64·tokens) and runs through interpreted lambda dispatch;
+  * this is two nested primitive loops. Null array → null; null elements are
+  * skipped (a missing token casts no votes). */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<bigint>, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    SimHash64.compute(a)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expr.SimHash64$$.MODULE$$.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
+object SimHash64 {
+  /** Shared eval/codegen kernel. */
+  def compute(a: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val h = a.getLong(i)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (((h >>> b) & 1L).toInt << 1) - 1 // bit → +1 / -1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  def apply(tokenHashes: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokenHashes)))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", { exprs => SimHash64(exprs.head) }, "built-in")
+}

@@ -100,30 +100,23 @@ object Dedup {
     val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cands
       .join(shA, "id_a").join(shB, "id_b")
+      // |A∪B| = |A|+|B|−|A∩B| on distinct arrays: one array op per pair
+      // instead of two, identical integers → identical double division.
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("n_common") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash: per-token xxhash64, per-bit ±1 voting, sign → bit.
-    * Pure higher-order-function pipeline — no UDF. */
-  def simhash(text: Column): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
-    val votes = aggregate(
-      tokens,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("getbit", h, i) === 1, 1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v >= 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
-      lit(0L), (a, x) => a.bitwiseOR(x))
-  }
+  /** 64-bit SimHash: per-token xxhash64, per-bit ±1 voting, sign → bit —
+    * via the codegen'd [[graft.expr.SimHash64]] kernel (the composable
+    * aggregate/zip_with form allocates a 64-element accumulator per token
+    * and runs interpreted). */
+  def simhash(text: Column): Column =
+    graft.expr.SimHash64(transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t)))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (default 3).
     * Candidates from 4×16-bit band equality (pigeonhole-complete for
@@ -160,12 +153,15 @@ object Dedup {
     withSh.as("a")
       .join(withSh.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      // |A∪B| = |A|+|B|−|A∩B|: one array op per pair instead of two;
+      // identical integers → identical raw double division (no round()
+      // parity trap: HALF_UP-on-BigDecimal vs double rounding can differ).
+      .withColumn("n_common",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh"))).cast("double"))
+        col("n_common") /
+          (size(col("a.sh")) + size(col("b.sh")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
-      // raw int/int division — bit-exact across engines (no round() parity
-      // trap: HALF_UP-on-BigDecimal vs double-math rounding can differ)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
 }
