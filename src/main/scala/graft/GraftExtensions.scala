@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expr.{DotProduct, HmacSha256, MinHashSig, SimHash64}
+
+/** Library SQL surface: the engine's custom expressions as SQL functions.
+  *
+  * Two registration paths:
+  *   - `GraftFunctions.registerAll(spark)` for an existing session;
+  *   - `spark.sql.extensions=graft.GraftExtensions` for injection at session
+  *     build time (the standard extension-library pattern — works for SQL
+  *     clients like spark-sql/JDBC that never touch Scala).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  /** (name, usage, builder) for every custom expression. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("hmac_sha256",
+      "hmac_sha256(key, props...) - keyed HMAC-SHA256 hex over the " +
+        "delimiter-free concat of the JS-stringified non-falsy args " +
+        "(reference utils.js:16-26 semantics)",
+      exprs => HmacSha256(exprs)),
+    ("vec_dot",
+      "vec_dot(a, b) - sequential dot product of two float/double arrays",
+      exprs => expr.DotProduct(exprs(0), exprs(1))),
+    ("simhash64",
+      "simhash64(token_hashes) - 64-bit SimHash over an array<bigint>",
+      exprs => expr.SimHash64(exprs.head)),
+    ("minhash_sig",
+      "minhash_sig(hashes, k) - k-permutation MinHash signature over an array<bigint>",
+      exprs => expr.MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+}
+
+object GraftFunctions {
+  /** Register every graft SQL function on an existing session. */
+  def registerAll(spark: SparkSession): Unit = {
+    HmacSha256.register(spark)
+    DotProduct.register(spark)
+    SimHash64.register(spark)
+    MinHashSig.register(spark)
+  }
+}

@@ -24,6 +24,14 @@ object Queries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     graft.sources.Tables.load(s, dir, n)
 
+  /** CPU-heavy LLM operators over the single-file documents/embeddings
+    * tables: one parquet file = one input split = one task, serializing the
+    * whole shingle/hash/score pipeline. A tiny repartition shuffle (~5 MB)
+    * buys full-core parallelism; at production scale the source would
+    * already arrive in many splits and this becomes a no-op choice. */
+  private def tWide(s: SparkSession, dir: String, n: String): DataFrame =
+    t(s, dir, n).repartition(s.sparkContext.defaultParallelism)
+
   /** Raw synthetic envelopes, materialized once per (session, dir):
     * `localCheckpoint` + cache because every ETL query shares this source —
     * in a real deployment the envelopes are a parquet/Kafka scan, and the
@@ -143,32 +151,32 @@ object Queries {
         .orderBy(col("keep_id"))
     }),
     "q_dedup_minhash" -> ((s, dir) =>
-      llm.Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.6)
+      llm.Dedup.minhashNearDups(tWide(s, dir, "documents"), threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),
     "q_dedup_simhash" -> ((s, dir) =>
-      llm.Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 3)
+      llm.Dedup.simhashNearDups(tWide(s, dir, "documents"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
     "q_ngram_jaccard" -> ((s, dir) =>
-      llm.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "source", n = 3,
+      llm.Dedup.ngramJaccardPairs(tWide(s, dir, "documents"), "source", n = 3,
           threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
     "q_embed_near_dups" -> ((s, dir) =>
-      llm.Similarity.cosinePairsBlocked(t(s, dir, "embeddings"), "label", 0.4)
+      llm.Similarity.cosinePairsBlocked(tWide(s, dir, "embeddings"), "label", 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- LLM data pipeline: similarity search ----
     "q_knn_brute" -> ((s, dir) =>
-      llm.Similarity.bruteForceKnn(t(s, dir, "embeddings"),
+      llm.Similarity.bruteForceKnn(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5)),
     "q_knn_lsh" -> ((s, dir) =>
-      llm.Similarity.lshKnn(t(s, dir, "embeddings"),
+      llm.Similarity.lshKnn(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5)),
 
     // ---- LLM data pipeline: text analysis ----
     "q_text_stats" -> ((s, dir) => {
       import llm.TextAnalysis._
       val txt = col("text")
-      t(s, dir, "documents").select(
+      tWide(s, dir, "documents").select(
         col("doc_id"),
         length(txt).as("n_chars_computed"),
         tokenCount(txt).as("n_tokens"),
@@ -181,13 +189,13 @@ object Queries {
     // grouping key disables whole-stage codegen for the aggregate and
     // re-evaluates the regex/array pipeline per comparison.
     "q_lang_breakdown" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tWide(s, dir, "documents")
         .select(llm.TextAnalysis.langId(col("text")).as("lang_pred"))
         .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang_pred"))),
     "q_text_quality" -> ((s, dir) =>
-      llm.TextAnalysis.docStats(t(s, dir, "documents"))
+      llm.TextAnalysis.docStats(tWide(s, dir, "documents"))
         .select(col("doc_id"), col("stopword_ratio"), col("quality"),
           col("fingerprint"))
         .orderBy(col("doc_id"))),
@@ -195,13 +203,13 @@ object Queries {
     // ---- LLM data pipeline: multimodal columns ----
     "q_media_features" -> ((s, dir) =>
       llm.Multimodal.extractFeatures(
-        llm.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        llm.Multimodal.mediaFromDocuments(tWide(s, dir, "documents")))
         .orderBy(col("media_id"))),
     // frame emitted as hex text: binary column comparators differ across
     // engines/arrow readers (bytes vs bytearray); hex is unambiguous.
     "q_media_frames" -> ((s, dir) =>
       llm.Multimodal.sampleFrames(
-        llm.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        llm.Multimodal.mediaFromDocuments(tWide(s, dir, "documents")))
         .select(col("media_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
         .orderBy(col("media_id"), col("frame_idx"))),
   )

@@ -52,15 +52,12 @@ object Dedup {
   def hashedShingles(shingleCol: Column): Column =
     transform(shingleCol, s => xxhash64(s))
 
-  /** k-permutation MinHash signature over a hashed-shingle array.
-    * Permutation i re-hashes the 8-byte key with a distinct seed column
-    * (xxhash64 of a fixed-width long is far cheaper than k string hashes;
-    * an affine map would be cheaper still but ANSI mode forbids wrapping
-    * long arithmetic). Computed entirely scan-side — narrow. */
+  /** k-permutation MinHash signature over a hashed-shingle array — the
+    * one-pass codegen'd [[graft.expr.MinHashSig]] kernel (k running minima
+    * per element; the k × array_min(transform(…)) form evaluates k
+    * interpreted HOF lambdas with k intermediate arrays per row). */
   def minhashSignature(hashedCol: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(hashedCol, h => xxhash64(h, lit(i))))
-    }: _*)
+    graft.expr.MinHashSig(hashedCol, k)
 
   /** LSH banding: emit (band_idx, band_hash) keys for a signature of
     * `bands` bands × `rowsPerBand` rows. Standard S-curve: two docs collide
@@ -68,8 +65,9 @@ object Dedup {
   private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map(b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("array<string>")), lit(b))
+        // xxhash64 hashes the long-array slice structurally — no string
+        // materialization per band.
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))
           .as("band_hash"))): _*)
 
   /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
@@ -83,8 +81,14 @@ object Dedup {
       w: Int = 3, k: Int = 64, bands: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val rowsPerBand = k / bands
+    // The shingle set feeds FOUR plan branches (both self-join sides, both
+    // verify sides); without materialization each branch recomputes the
+    // shingle+hash pipeline (alias-renamed branches don't canonicalize to
+    // a reusable exchange). Same pattern as MLlib's LSH internals; the
+    // ContextCleaner drops the block once the DataFrame is unreachable.
     val withSh = docs.select(col(idCol).as("id"),
       hashedShingles(shingles(col(textCol), w)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = withSh.withColumn("sig", minhashSignature(col("sh"), k))
     val banded = sig
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -124,6 +128,7 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -141,27 +146,40 @@ object Dedup {
 
   /** Exact word-n-gram Jaccard similarity for all pairs within a blocking
     * key (e.g. `source`) — the quadratic term is bounded by the largest
-    * block, not the corpus. For unblocked corpora use [[minhashNearDups]]. */
+    * block, not the corpus. For unblocked corpora use [[minhashNearDups]].
+    *
+    * Shape: explode hashed shingles → self-equi-join on (block, shingle) →
+    * count per pair = |A∩B| → join |A|,|B| → J = c/(|A|+|B|−c). Pairs with
+    * no overlap never materialize, the intersection count comes out of an
+    * aggregation (computed once — a per-pair array_intersect gets inlined
+    * into both the filter predicate and the projection by Catalyst), and
+    * every step is an equi-shuffle — no per-pair array traffic at scale. */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, n: Int = 3,
       threshold: Double = 0.3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // hashed shingles: set sizes (and thus jaccard) are identical to the
-    // string sets absent 64-bit collisions (~10⁻¹⁴/pair), at a fraction of
-    // the intersect/union cost.
-    val withSh = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      hashedShingles(shingles(col(textCol), n)).as("sh"))
-    withSh.as("a")
-      .join(withSh.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      // |A∪B| = |A|+|B|−|A∩B|: one array op per pair instead of two;
-      // identical integers → identical raw double division (no round()
-      // parity trap: HALF_UP-on-BigDecimal vs double rounding can differ).
-      .withColumn("n_common",
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
+    // string sets absent 64-bit collisions (~10⁻¹⁴/pair).
+    val sh = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      explode(hashedShingles(shingles(col(textCol), n))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.blk") === col("b.blk") && col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(broadcast(sizes).withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(broadcast(sizes).withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      // raw int/int-derived double division — bit-exact vs the oracle (no
+      // round() parity trap: HALF_UP-on-BigDecimal vs double rounding).
       .withColumn("jaccard",
-        col("n_common") /
-          (size(col("a.sh")) + size(col("b.sh")) - col("n_common")))
+        col("c").cast("double") /
+          (col("sz_a") + col("sz_b") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }
