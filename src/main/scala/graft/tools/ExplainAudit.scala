@@ -1,0 +1,20 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Plan audit: print formatted plans for key catalog queries so scan
+  * pruning (ReadSchema), pushed filters, broadcast joins, and
+  * whole-stage-codegen coverage are reviewable per round. */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    for (q <- Seq("q1_pricing_summary", "q_region_revenue", "q_top_customers",
+        "q_knn_brute", "q_dedup_minhash")) {
+      println(s"==== $q")
+      graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
