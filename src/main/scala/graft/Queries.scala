@@ -194,17 +194,24 @@ object Queries {
         .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang_pred"))),
+    // fingerprint emitted as a comma-joined scalar string: the driver's
+    // compare sorts columns with pandas, which cannot hash array cells.
     "q_text_quality" -> ((s, dir) =>
       llm.TextAnalysis.docStats(tWide(s, dir, "documents"))
         .select(col("doc_id"), col("stopword_ratio"), col("quality"),
-          col("fingerprint"))
+          array_join(col("fingerprint"), ",").as("fingerprint"))
         .orderBy(col("doc_id"))),
 
     // ---- LLM data pipeline: multimodal columns ----
+    // features exploded to (bucket, feature) scalar rows — same pandas
+    // array-cell constraint as q_text_quality, and count/n double division
+    // is bit-exact cross-engine where a JSON float rendering is not.
     "q_media_features" -> ((s, dir) =>
       llm.Multimodal.extractFeatures(
         llm.Multimodal.mediaFromDocuments(tWide(s, dir, "documents")))
-        .orderBy(col("media_id"))),
+        .select(col("media_id"), col("n_bytes"), col("format"),
+          posexplode(col("features")).as(Seq("bucket", "feature")))
+        .orderBy(col("media_id"), col("bucket"))),
     // frame emitted as hex text: binary column comparators differ across
     // engines/arrow readers (bytes vs bytearray); hex is unambiguous.
     "q_media_frames" -> ((s, dir) =>
@@ -226,13 +233,14 @@ object Queries {
 
   // --- LLM-layer shared fragments (mirror graft.llm column semantics) ---
   private val wordsSql = """regexp_split_to_array(lower(trim(text)), '\s+')"""
-  /** Distinct word 3-shingles — DuckDB list comprehension mirroring
+  /** Distinct word w-shingles — DuckDB list comprehension mirroring
     * [[llm.Dedup.shingles]] (slice [i+1, i+w], i ∈ [0, n-w]). */
-  private val shingleSql =
-    s"""CASE WHEN len($wordsSql) >= 3
-       |    THEN [array_to_string(($wordsSql)[i:i+2], ' ')
-       |          FOR i IN range(1, len($wordsSql) - 1)]
+  private def shingleWSql(w: Int): String =
+    s"""CASE WHEN len($wordsSql) >= $w
+       |    THEN [array_to_string(($wordsSql)[i:i+${w - 1}], ' ')
+       |          FOR i IN range(1, len($wordsSql) - ${w - 2})]
        |    ELSE [array_to_string($wordsSql, ' ')] END""".stripMargin
+  private val shingleSql = shingleWSql(3)
   /** Sequential left-to-right double dot product (list_reduce, NOT list_sum,
     * so the fold order matches Spark's aggregate()). */
   private def dotSql(a: String, b: String) =
@@ -491,6 +499,62 @@ object Queries {
          |p AS (SELECT $langCaseSql AS lang_pred FROM sc)
          |SELECT lang_pred, count(*) AS n_docs FROM p
          |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    // Mirrors TextAnalysis.docStats: every score is raw int-derived IEEE
+    // double arithmetic in the same evaluation order as the Spark columns —
+    // bit-exact, no round() anywhere (HALF_UP parity trap). Fingerprint is
+    // the k-min md5 sketch, portable by construction.
+    "q_text_quality" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, text, $wordsSql AS words, ${shingleWSql(5)} AS sh5
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN len(words) = 0 THEN 0.0
+         |      ELSE len(list_filter(words, x -> list_contains([${llm.TextAnalysis.StopwordsEn.map("'" + _ + "'").mkString(", ")}], x)))::DOUBLE
+         |        / len(words)::DOUBLE END AS stopword_ratio,
+         |    len(text)::DOUBLE AS len_d,
+         |    (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS punct_d,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |      ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+         |        / len(text)::DOUBLE END AS digit_ratio,
+         |    array_to_string(list_sort(list_distinct(list_transform(sh5, s -> md5(s))))[1:8], ',') AS fingerprint
+         |  FROM w),
+         |q AS (
+         |  SELECT doc_id, stopword_ratio, fingerprint,
+         |    least(len_d / 200.0, 1.0) * (CASE WHEN len_d > 2000 THEN 0.5 ELSE 1.0 END) AS len_score,
+         |    CASE WHEN punct_d / greatest(len_d, 1.0) > 0.2 THEN 0.3
+         |      ELSE 1.0 - punct_d / greatest(len_d, 1.0) END AS punct_score,
+         |    1.0 - least(digit_ratio * 2.0, 1.0) AS digit_score,
+         |    least(stopword_ratio * 5.0, 1.0) AS sw_score
+         |  FROM c)
+         |SELECT doc_id, stopword_ratio,
+         |  len_score * 0.3 + punct_score * 0.3 + digit_score * 0.2 + sw_score * 0.2 AS quality,
+         |  fingerprint
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Byte-bucket histogram over the utf8 bytes: bytes recovered from
+    // hex(encode(text)) two chars at a time; count/greatest(n,1) double
+    // division is bit-exact vs the FakeCodec's JVM arithmetic.
+    "q_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |e AS (
+        |  SELECT media_id, unnest(range(0, n_bytes)) AS i, hx FROM b),
+        |h AS (
+        |  SELECT media_id,
+        |    ((strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1)) % 16 AS bucket,
+        |    count(*) AS c
+        |  FROM e GROUP BY 1, 2),
+        |g AS (
+        |  SELECT media_id, n_bytes, CAST(unnest(range(0, 16)) AS INT) AS bucket FROM b)
+        |SELECT g.media_id, g.n_bytes, 'utf8' AS format, g.bucket,
+        |  COALESCE(h.c, 0)::DOUBLE / greatest(g.n_bytes, 1)::DOUBLE AS feature
+        |FROM g LEFT JOIN h ON g.media_id = h.media_id AND g.bucket = h.bucket
+        |ORDER BY g.media_id, g.bucket""".stripMargin,
 
     "q_media_frames" ->
       """WITH f AS (

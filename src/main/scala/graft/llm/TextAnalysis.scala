@@ -67,7 +67,10 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: length sweet-spot, moderate
     * punctuation, low digit share, healthy stopword presence. Weights are
     * heuristic; the operator contract is determinism + monotonicity in each
-    * component. */
+    * component. Raw IEEE-double arithmetic, deliberately NOT rounded:
+    * identical int-derived expressions are bit-exact across engines, while
+    * `round()` semantics differ (Spark HALF_UP on BigDecimal vs native
+    * double rounding elsewhere). */
   def qualityScore(text: Column): Column = {
     val len = length(text).cast("double")
     val lenScore = least(len / 200.0, lit(1.0)) * when(len > 2000, 0.5).otherwise(1.0)
@@ -75,15 +78,17 @@ object TextAnalysis {
     val punctScore = when(punctRatio > 0.2, 0.3).otherwise(lit(1.0) - punctRatio)
     val digitScore = lit(1.0) - least(digitRatio(text) * 2.0, lit(1.0))
     val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round(lenScore * 0.3 + punctScore * 0.3 + digitScore * 0.2 + swScore * 0.2, 6)
+    lenScore * 0.3 + punctScore * 0.3 + digitScore * 0.2 + swScore * 0.2
   }
 
-  /** Winnowing-style document fingerprint: xxhash64 of each word 5-gram,
-    * keep the k smallest distinct hashes (a k-min sketch — stable under
-    * permutation, linear-time, fixed output size). */
+  /** Winnowing-style document fingerprint: md5 of each word 5-gram, keep
+    * the k lexicographically-smallest distinct digests (a k-min sketch —
+    * stable under permutation, linear-time, fixed output size). md5 rather
+    * than xxhash64 so the fingerprint is portable: any engine (DuckDB,
+    * Trino, Python) reproduces it for cross-system dedup audits. */
   def fingerprint(text: Column, w: Int = 5, k: Int = 8): Column =
     slice(array_sort(array_distinct(
-      transform(Dedup.shingles(text, w), s => xxhash64(s)))), 1, k)
+      transform(Dedup.shingles(text, w), s => md5(s)))), 1, k)
 
   /** Per-document stats projection over a corpus. */
   def docStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -93,7 +98,7 @@ object TextAnalysis {
       tokenCount(col(textCol)).as("n_tokens"),
       bpeishTokenCount(col(textCol)).as("n_bpeish_tokens"),
       punctCount(col(textCol)).as("n_punct"),
-      round(stopwordRatio(col(textCol)), 6).as("stopword_ratio"),
+      stopwordRatio(col(textCol)).as("stopword_ratio"),
       qualityScore(col(textCol)).as("quality"),
       langId(col(textCol)).as("lang_pred"),
       fingerprint(col(textCol)).as("fingerprint"))

@@ -104,7 +104,8 @@ class LlmSpec extends SparkTestBase {
       val q = r.getAs[Double]("quality")
       assert(q >= 0.0 && q <= 1.0)
     }
-    assert(out(0L).getSeq[Long](out(0L).fieldIndex("fingerprint")).nonEmpty)
+    val fp = out(0L).getSeq[String](out(0L).fieldIndex("fingerprint"))
+    assert(fp.nonEmpty && fp.forall(_.matches("[0-9a-f]{32}")) && fp == fp.sorted)
   }
 
   test("multimodal: feature extraction is deterministic, unit-normalized-ish") {
