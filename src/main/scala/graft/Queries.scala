@@ -50,12 +50,18 @@ object Queries {
 
   // --- shared SQL fragments (must mirror EnvelopeGen's branch rules) ---
   private val uidAbsentSql = "(event_id % 7 = 0 OR event_id % 19 = 0)"
+  /** numeric-uid rows fail `is.nonEmptyString` — no user_id for validation */
+  private val uidNonStringSql = s"($uidAbsentSql OR event_id % 23 = 0)"
   private val devAbsentSql = "(event_id % 5 = 0 OR event_id % 19 = 0)"
   private val validSql =
-    s"NOT (event_id % 13 = 0) AND NOT (event_id % 17 = 0) AND NOT ($uidAbsentSql AND $devAbsentSql)"
+    s"NOT (event_id % 13 = 0) AND NOT (event_id % 17 = 0) AND NOT ($uidNonStringSql AND $devAbsentSql)"
+  /** user_properties stays a STRING (no identify split possible): op/data +
+    * stringified (id%6=0, B3) or bare + stringified (id%18=13, O5 gated on
+    * Fields). */
+  private val upStringSql = "(event_id % 6 = 0 OR event_id % 18 = 13)"
   /** identify split triggers: signup AND user_properties actually parsed to
-    * an object (stringified+op/data rows — id%6=0 — stay strings, B3). */
-  private val trigSql = "(event_type = 'signup' AND event_id % 6 <> 0)"
+    * an object. */
+  private val trigSql = s"(event_type = 'signup' AND NOT $upStringSql)"
   private val tsFmtSql = "'%Y-%m-%dT%H:%M:%S.%gZ'"
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -114,11 +120,9 @@ object Queries {
         .orderBy(col("event_id"), col("is_identify").desc)
     }),
 
-    // ---- O11+O14 batch metrics ----
-    "q_etl_metrics" -> ((s, dir) => {
-      val env = envelopes(s, dir)
-      EventEtl.batchMetrics(env, EventEtl.pipeline(env, HmacKey))
-    }),
+    // ---- O11+O14 batch metrics + error side-channels (utils.js:66) ----
+    "q_etl_metrics" -> ((s, dir) =>
+      EventEtl.pipelineMetrics(parsedDf(s, dir))),
 
     // ---- analytics: aggregations ----
     "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(t(s, dir, "lineitem"))),
@@ -274,7 +278,7 @@ object Queries {
 
     "q_etl_validate" ->
       s"""SELECT event_id,
-         |  CASE WHEN $uidAbsentSql THEN NULL ELSE CAST(user_id AS VARCHAR) END AS user_id,
+         |  CASE WHEN $uidNonStringSql THEN NULL ELSE CAST(user_id AS VARCHAR) END AS user_id,
          |  CASE WHEN $devAbsentSql THEN NULL ELSE 'dev-' || CAST(user_id AS VARCHAR) END AS device_id
          |FROM events WHERE $validSql ORDER BY event_id""".stripMargin,
 
@@ -302,11 +306,11 @@ object Queries {
     "q_etl_user_props" ->
       s"""SELECT event_id,
          |  CASE
-         |    WHEN event_type = 'signup' AND event_id % 6 <> 0
+         |    WHEN event_type = 'signup' AND NOT $upStringSql
          |      THEN '{"flow_id":"f' || CAST(event_id AS VARCHAR) || '"}'
          |    WHEN event_type = 'signup'
          |      THEN '"{\\"$$set\\":{\\"plan\\":\\"pro\\"},\\"flow_id\\":\\"f' || CAST(event_id AS VARCHAR) || '\\"}"'
-         |    WHEN event_type = 'error' AND event_id % 6 <> 0
+         |    WHEN event_type = 'error' AND NOT $upStringSql
          |      THEN '{"$$unset":null,"ok":true}'
          |    WHEN event_type = 'error'
          |      THEN '"{\\"$$unset\\":null,\\"ok\\":true}"'
@@ -323,10 +327,15 @@ object Queries {
          |SELECT event_id, event_type, FALSE AS is_identify FROM valid
          |ORDER BY event_id, is_identify DESC""".stripMargin,
 
+    // repaired ⇔ valid AND session_id arrived as a string (id%4 in {1,2});
+    // the reference logs the repair only after the validity gate passes.
     "q_etl_metrics" ->
       s"""SELECT count(*) AS input_count,
          |  (SELECT count(*) FROM events WHERE $validSql)
          |    + (SELECT count(*) FROM events WHERE $validSql AND $trigSql) AS output_count,
+         |  count(*) - (SELECT count(*) FROM events WHERE $validSql) AS invalid_count,
+         |  (SELECT count(*) FROM events WHERE $validSql AND event_id % 4 IN (1, 2))
+         |    AS repaired_count,
          |  strftime(min(ts), $tsFmtSql) AS min_publish_time,
          |  strftime(max(ts), $tsFmtSql) AS max_publish_time
          |FROM events""".stripMargin,

@@ -14,25 +14,32 @@ import org.apache.spark.sql.functions._
   * oracle computes the expected fixed point directly from the source table.
   *
   * Branch rules (id = event_id, uid = user_id, tms = epoch millis of ts):
-  *   - user_id absent   when id%7==0 or id%19==0; else String(uid)
+  *   - user_id absent   when id%7==0 or id%19==0; emitted as a bare NUMBER
+  *     when id%23==0 (fails `is.nonEmptyString` for validation but IS
+  *     hashed — JS truthiness, `utils.js:70`); else String(uid)
   *   - device_id absent when id%5==0 or id%19==0; else "dev-"+uid
   *   - event_type absent when id%13==0                      → invalid (O6)
   *   - time = 0         when id%17==0                       → invalid (O6)
-  *   - valid  ⇔  event_type present AND time>0 AND (user_id or device_id)
+  *   - valid  ⇔  event_type present AND time>0 AND (string user_id or
+  *     device_id) — numeric-uid rows (id%23==0) need the device_id
   *   - session_id by id%4: 0 → number (tms-5000); 1 → string "tms-5000"
   *     (parseInt repair path); 2 → string "oops" (→ -1); 3 → number 0
   *     (numeric passthrough; falsy-skipped in the insert_id preimage)
-  *   - event_properties: the `props` JSON column — stringified when id%2==0
-  *     (exercises O5), inline object otherwise
+  *   - event_properties: the `props` JSON column — stringified when
+  *     `strf` = (id%2==0 or id%9==4), inline object otherwise
   *   - user_properties: signup → {"$set":{"plan":"pro"},"flow_id":"f<id>"}
   *     (identify trigger); error → {"$unset":null,"ok":true} (JSON-null verb
   *     — must NOT trigger identify, `is.assigned` fails); others absent.
-  *     Stringified when id%2==0, object otherwise.
+  *     Stringified when `strf`, object otherwise.
   *   - envelope: id%3==0 → op/data inside Fields (no prop re-parse — B3!);
-  *     else id%2==0 → Fields-wrapped flat; else bare payload.
-  *     Consequence the oracle must replicate: signup rows with id%6==0 are
+  *     else id%2==0 → Fields-wrapped flat; else bare payload. Bare rows with
+  *     id%9==2 (≡ id%18==11) additionally carry decoy "op"/"data" keys that
+  *     must be IGNORED (the unwrap is gated on Fields, `utils.js:38-51`).
+  *     Consequences the oracle must replicate: signup rows with id%6==0 are
   *     op/data AND stringified → user_properties stays a string → NO
-  *     identify split (faithful B3 behavior).
+  *     identify split (faithful B3); bare rows with id%9==4 (≡ id%18==13)
+  *     are stringified and NOT re-parsed (O5 gated on Fields) → string
+  *     user_properties, NO identify split either.
   */
 object EnvelopeGen {
 
@@ -52,10 +59,16 @@ object EnvelopeGen {
     val sess = (tms - 5000).cast("string")
 
     val uidAbsent = id % 7 === 0 || id % 19 === 0
+    val uidNumeric = id % 23 === 0
     val devAbsent = id % 5 === 0 || id % 19 === 0
     val etAbsent = id % 13 === 0
     val timeZero = id % 17 === 0
-    val stringified = id % 2 === 0
+    // id%9==4 adds stringified props to BARE rows (id ≡ 13 mod 18 is odd and
+    // ≢ 0 mod 3) — the O5-gating probe; on even ids it is a no-op subset.
+    val stringified = id % 2 === 0 || id % 9 === 4
+    // decoy op/data keys inside a BARE payload (id ≡ 11 mod 18): a faithful
+    // parser must treat them as ordinary event fields, not an unwrap.
+    val bareOpData = id % 2 === 1 && id % 9 === 2
 
     val upJson = when(col("event_type") === "signup",
         concat(lit("{\"$set\":{\"plan\":\"pro\"},\"flow_id\":\"f"), idS, lit("\"}")))
@@ -67,7 +80,10 @@ object EnvelopeGen {
       .otherwise(lit("\"session_id\":0"))
 
     val parts = array(
-      when(!uidAbsent, concat(lit("\"user_id\":\""), uid, lit("\""))),
+      when(!uidAbsent,
+        when(uidNumeric, concat(lit("\"user_id\":"), uid))
+          .otherwise(concat(lit("\"user_id\":\""), uid, lit("\"")))),
+      when(bareOpData, lit("\"op\":\"decoy\",\"data\":\"not-json\"")),
       when(!devAbsent, concat(lit("\"device_id\":\"dev-"), uid, lit("\""))),
       when(!etAbsent, concat(lit("\"event_type\":\""), col("event_type"), lit("\""))),
       concat(lit("\"time\":"),

@@ -39,7 +39,9 @@ object EventEtl {
     StructField("event_properties", StringType),
     StructField("user_properties", StringType),
     StructField("identify_props", StringType),
-    StructField("has_identify", BooleanType, nullable = false))
+    StructField("has_identify", BooleanType, nullable = false),
+    StructField("session_repaired", BooleanType, nullable = false),
+    StructField("session_id_old", StringType))
 
   private val parsedFieldNames = parsedFields.map(_.name).toSet
 
@@ -143,4 +145,25 @@ object EventEtl {
       .select(col("input_count"), col("output_count"),
         col("min_publish_time"), col("max_publish_time"))
   }
+
+  /** Superset of [[batchMetrics]] computed in ONE pass over the parsed
+    * stream (no second scan of the raw input): input/output counts, min/max
+    * publish time over ALL messages (valid or not), plus the error
+    * side-channels the reference logs per record — `invalid_count` (O6
+    * drops, silent in the reference) and `repaired_count`
+    * (`amplitude.validation.error`, `utils.js:66`; the reference logs only
+    * for records that survive the validity gate, so the count is gated on
+    * `valid` here too). The output arity is derived, not measured:
+    * valid messages emit 1 + has_identify records ([[flatten]]). */
+  def pipelineMetrics(parsedDf: DataFrame): DataFrame =
+    parsedDf.agg(
+      count(lit(1)).as("input_count"),
+      sum(when(col("valid"),
+          when(col("has_identify"), 2L).otherwise(1L)).otherwise(0L))
+        .as("output_count"),
+      sum(when(!col("valid"), 1L).otherwise(0L)).as("invalid_count"),
+      sum(when(col("valid") && col("session_repaired"), 1L).otherwise(0L))
+        .as("repaired_count"),
+      min(col("publish_time")).as("min_publish_time"),
+      max(col("publish_time")).as("max_publish_time"))
 }

@@ -38,7 +38,11 @@ object EventParser {
   private val Verbs = AmplitudeEvent.IdentifyVerbs.toSet
 
   /** Parsed per-message diagnostic record; `rows` arity is derived by
-    * [[EventEtl.flatten]] from (valid, has_identify). */
+    * [[EventEtl.flatten]] from (valid, has_identify). `sessionRepaired` /
+    * `sessionIdOld` are the engine form of the reference's
+    * `amplitude.validation.error` per-record repair log (`utils.js:66`):
+    * instead of a driver-side log line per record, the repair is a column —
+    * aggregable into metrics, filterable into a quarantine sink. */
   final case class Parsed(
       publishTime: String,
       eventType: String,
@@ -52,14 +56,17 @@ object EventParser {
       eventProperties: String,
       userProperties: String,
       identifyProps: String,
-      hasIdentify: Boolean) {
+      hasIdentify: Boolean,
+      sessionRepaired: Boolean,
+      sessionIdOld: String) {
     def toSeq: Seq[Any] = Seq(publishTime, eventType, timeMs, userIdRaw,
       deviceIdRaw, valid, sessionId, userId, insertId, eventProperties,
-      userProperties, identifyProps, hasIdentify)
+      userProperties, identifyProps, hasIdentify, sessionRepaired,
+      sessionIdOld)
   }
 
   private val invalid = Parsed(null, null, null, null, null, false, null,
-    null, null, null, null, null, false)
+    null, null, null, null, null, false, false, null)
 
   /** JS truthiness of a JSON value (`if (event.Fields)`, `utils.js:38`). */
   private def truthy(n: JsonNode): Boolean =
@@ -74,6 +81,30 @@ object EventParser {
     * (a numeric user_id fails the probe, exactly as `check-types` does). */
   private def textOrNull(n: JsonNode): String =
     if (n != null && n.isTextual) n.asText else null
+
+  /** The JS value of a JSON node, typed for [[HmacSha256.digest]]'s
+    * JS-stringification (`String(x)` semantics, falsy-skip applied there):
+    * strings as-is, numbers as doubles (JS numbers), booleans boxed.
+    * Objects stringify to `"[object Object]"`; arrays comma-join their
+    * members' JVM renderings (close enough to `String([...])` — integral
+    * doubles inside arrays print "5.0" not "5", a corner the reference's
+    * event data cannot reach). */
+  private def jsVal(n: JsonNode): Any =
+    if (n == null || n.isNull) null
+    else if (n.isTextual) n.asText
+    else if (n.isNumber) java.lang.Double.valueOf(n.doubleValue)
+    else if (n.isBoolean) java.lang.Boolean.valueOf(n.booleanValue)
+    else if (n.isArray) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < n.size()) {
+        if (i > 0) sb.append(',')
+        val v = jsVal(n.get(i))
+        if (v != null) sb.append(v.toString)
+        i += 1
+      }
+      sb.toString
+    } else "[object Object]"
 
   /** JS `parseInt(s, 10)` (`utils.js:61`): leading whitespace, optional
     * sign, longest leading digit run; anything else → NaN (None). */
@@ -122,38 +153,60 @@ object EventParser {
     var event = env.get("jsonPayload")
     if (event == null || !event.isObject) return invalid.copy(publishTime = publishTime)
 
-    // O3 — Fields envelope (`utils.js:38-39`)
-    val fields = event.get("Fields")
-    if (truthy(fields)) event = fields
-
-    // O4 — op/data form (`utils.js:41-42`)
-    val op = if (event.isObject) event.get("op") else null
-    val data = if (event.isObject) event.get("data") else null
-    val opData = nonEmptyText(op) && nonEmptyText(data)
+    // O3 — Fields envelope (`utils.js:38-39`). O4 (op/data unwrap) and O5
+    // (stringified-prop re-parse) are BOTH scoped inside the Fields branch —
+    // a bare payload gets neither (`utils.js:38-52`): its op/data keys are
+    // ordinary event fields and its stringified props stay strings (so a
+    // bare stringified `$set` never triggers an identify split).
     var epNode: JsonNode = null
     var upNode: JsonNode = null
-    if (opData) {
-      event = try mapper.readTree(data.asText)
-        catch { case _: Exception => return invalid.copy(publishTime = publishTime) }
-      if (event == null) return invalid.copy(publishTime = publishTime)
-      // B3: op/data payload props are NOT re-parsed (`utils.js:41-51`)
+    val fields = event.get("Fields")
+    if (truthy(fields)) {
+      event = fields
+
+      // O4 — op/data form (`utils.js:41-42`): JS truthiness on BOTH keys
+      // (a numeric op or data qualifies, not just non-empty strings).
+      val op = if (event.isObject) event.get("op") else null
+      val data = if (event.isObject) event.get("data") else null
+      if (truthy(op) && truthy(data)) {
+        // JS `JSON.parse(event.data)` coerces data with String(): text
+        // parses as JSON; scalar numbers/booleans round-trip to themselves;
+        // objects ("[object Object]") and arrays throw — the reference
+        // would kill the batch, the engine degrades to an invalid record.
+        event =
+          if (data.isTextual)
+            try mapper.readTree(data.asText)
+            catch { case _: Exception => return invalid.copy(publishTime = publishTime) }
+          else if (data.isNumber || data.isBoolean) data
+          else return invalid.copy(publishTime = publishTime)
+        if (event == null) return invalid.copy(publishTime = publishTime)
+        // B3: op/data payload props are NOT re-parsed (`utils.js:41-51`)
+        epNode = event.get("event_properties")
+        upNode = event.get("user_properties")
+      } else {
+        // O5 — stringified props parsed in place (`utils.js:44-50`)
+        def parsedProp(name: String): JsonNode = {
+          val n = event.get(name)
+          if (nonEmptyText(n))
+            try mapper.readTree(n.asText) catch { case _: Exception => n }
+          else n
+        }
+        epNode = parsedProp("event_properties")
+        upNode = parsedProp("user_properties")
+      }
+    } else {
+      // bare payload: props forwarded exactly as they arrived
       epNode = event.get("event_properties")
       upNode = event.get("user_properties")
-    } else {
-      // O5 — stringified props parsed in place (`utils.js:44-50`)
-      def parsedProp(name: String): JsonNode = {
-        val n = event.get(name)
-        if (nonEmptyText(n))
-          try mapper.readTree(n.asText) catch { case _: Exception => n }
-        else n
-      }
-      epNode = parsedProp("event_properties")
-      upNode = parsedProp("user_properties")
     }
 
-    // O6 — validation gate (`utils.js:28-35`)
-    val userIdRaw = textOrNull(event.get("user_id"))
-    val deviceIdRaw = textOrNull(event.get("device_id"))
+    // O6 — validation gate (`utils.js:28-35`): only non-empty STRINGS count
+    // as ids here (`is.nonEmptyString`) — a numeric user_id does not make an
+    // event valid, but it IS hashed below if the event is otherwise valid.
+    val userNode = event.get("user_id")
+    val deviceNode = event.get("device_id")
+    val userIdRaw = textOrNull(userNode)
+    val deviceIdRaw = textOrNull(deviceNode)
     val eventType = textOrNull(event.get("event_type"))
     val timeNode = event.get("time")
     val timeOk = timeNode != null && timeNode.isNumber && timeNode.doubleValue > 0
@@ -164,23 +217,42 @@ object EventParser {
       timeMs = timeMs, userIdRaw = userIdRaw, deviceIdRaw = deviceIdRaw)
     if (!valid) return diag
 
-    // O7 — session_id repair (`utils.js:58-68`): strings get parseInt with
-    // NaN → -1; numbers (incl. floats) pass through; absent stays absent.
+    // O7 — session_id repair (`utils.js:58-68`): ANY string (is.string, even
+    // empty) gets parseInt with NaN → -1, and the repair is recorded
+    // (`amplitude.validation.error`, old value preserved); numbers (incl.
+    // floats) pass through; absent stays absent. A non-string non-number
+    // (bool/array/object) is forwarded untouched by the reference — it can't
+    // live in this Double column (recorded null) but its JS stringification
+    // still reaches the insert_id preimage below.
     val sessionNode = event.get("session_id")
+    val sessionRepaired = sessionNode != null && sessionNode.isTextual
+    val sessionIdOld = if (sessionRepaired) sessionNode.asText else null
     val sessionId: java.lang.Double =
       if (sessionNode == null) null
       else if (sessionNode.isTextual)
         java.lang.Double.valueOf(jsParseInt(sessionNode.asText).map(_.toDouble).getOrElse(-1.0))
       else if (sessionNode.isNumber) java.lang.Double.valueOf(sessionNode.doubleValue)
       else null
+    val sessionPreimage: Any =
+      if (sessionNode == null) null
+      else if (sessionNode.isTextual) sessionId
+      else jsVal(sessionNode)
 
-    // O8 — pseudonymize, only when a non-empty string (`utils.js:70-72`)
-    val userId = if (nn(userIdRaw)) hmac(hmacKey, userIdRaw) else userIdRaw
+    // O8 — pseudonymize on JS truthiness (`utils.js:70-72`): a NUMERIC
+    // user_id is hashed too (the HMAC stringifies it as JS `String(n)`);
+    // falsy values (absent, '', 0) pass through unhashed. A falsy non-string
+    // can't be represented in this String column (null) — it contributes
+    // nothing to the insert_id preimage either way.
+    val userId =
+      if (truthy(userNode)) hmac(hmacKey, jsVal(userNode))
+      else userIdRaw
 
     // O9 — hash-of-hash insert_id (`utils.js:74`); falsy components skipped
-    // inside the digest (session 0, absent device — SURVEY.md §2.3.2)
-    val insertId = hmac(hmacKey, userId, deviceIdRaw, sessionId, eventType,
-      java.lang.Double.valueOf(timeNode.doubleValue))
+    // inside the digest (session 0, absent device — SURVEY.md §2.3.2).
+    // device_id enters as its JS value (a numeric device_id contributes
+    // String(n), not nothing).
+    val insertId = hmac(hmacKey, userId, jsVal(deviceNode), sessionPreimage,
+      eventType, java.lang.Double.valueOf(timeNode.doubleValue))
 
     // O10 — identify split trigger + disjoint verb partition
     // (`utils.js:76-84,105-116`): triggers iff some verb key is *assigned*
@@ -218,7 +290,9 @@ object EventParser {
       eventProperties = if (epNode == null) null else mapper.writeValueAsString(epNode),
       userProperties = httpapiUp,
       identifyProps = identifyProps,
-      hasIdentify = hasIdentify)
+      hasIdentify = hasIdentify,
+      sessionRepaired = sessionRepaired,
+      sessionIdOld = sessionIdOld)
   }
 
   @inline private def nn(s: String): Boolean = s != null && s.nonEmpty

@@ -63,11 +63,30 @@ object AmplitudeSink {
       backoffMs: Long = 200L,
       poster: Poster = HttpPoster)
 
-  /** JSON-escape (reference relies on JSON.stringify; we escape by hand to
-    * avoid pulling a JSON writer into the hot loop for pre-serialized rows). */
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Minimal JSON string-escape (quote/backslash/control chars) — the event
+    * rows are pre-serialized JSON, but the api key is raw config text. */
+  private[sink] def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The reference relies on JSON.stringify for the whole body; here the
+    * events are pre-serialized rows, so only the api key needs escaping. */
   private def postWithRetry(cfg: Config, events: Seq[String]): Unit = {
     val body = events.mkString(
-      s"""{"api_key":"${cfg.apiKey}","events":[""", ",", "]}")
+      s"""{"api_key":"${jsonEscape(cfg.apiKey)}","events":[""", ",", "]}")
     var attempt = 0
     var done = false
     while (!done) {
@@ -80,7 +99,12 @@ object AmplitudeSink {
         if (attempt > cfg.maxRetries)
           throw new RuntimeException(
             s"amplitude batch failed after ${cfg.maxRetries} retries (status $status)")
-        Thread.sleep(cfg.backoffMs << (attempt - 1)) // exponential backoff
+        val backoff = cfg.backoffMs << (attempt - 1) // exponential backoff
+        // per-retry telemetry, the reference's `amplitude.batch.error` log
+        // (`synchronous-pull.js:78-80`) — structured so a 100 TB operator
+        // can alert on retry rates, not grep free text
+        log.warn(s"""{"type":"amplitude.batch.error","status":$status,"attempt":$attempt,"max_retries":${cfg.maxRetries},"backoff_ms":$backoff,"n_events":${events.size}}""")
+        Thread.sleep(backoff)
       }
     }
   }

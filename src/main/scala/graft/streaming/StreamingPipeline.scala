@@ -40,10 +40,20 @@ object StreamingPipeline {
   }
 
   /** The full transform: parse → watermarked message-level dedup → flatten.
-    * `publish_time` (RFC-3339 text) supplies event time for the watermark. */
+    * `publish_time` (RFC-3339 text) supplies event time for the watermark.
+    * The parse stage carries `observe("parse", ...)` counters — the
+    * engine form of the reference's per-record error logs
+    * (`amplitude.validation.error`, `utils.js:66`; silent O6 drops):
+    * input/invalid/repaired counts surface per micro-batch through
+    * `StreamingQueryProgress.observedMetrics("parse")`. */
   def transform(raw: DataFrame, hmacKey: String,
       watermarkDelay: String = "1 hour", dedup: Boolean = true): DataFrame = {
     val parsed = EventEtl.parsed(raw, hmacKey)
+      .observe("parse",
+        count(lit(1)).as("input_count"),
+        sum(when(!col("valid"), 1L).otherwise(0L)).as("invalid_count"),
+        sum(when(col("valid") && col("session_repaired"), 1L).otherwise(0L))
+          .as("repaired_count"))
       .withColumn("publish_ts",
         coalesce(to_timestamp(col("publish_time")), current_timestamp()))
     val deduped =

@@ -76,6 +76,52 @@ class EventEtlSpec extends SparkTestBase {
     assert(out.head.getAs[String]("event_type") === "e")
   }
 
+  test("bare + stringified props NOT re-parsed, no identify (O5 gated on Fields)") {
+    // reference scopes the re-parse inside `if (event.Fields)` (utils.js:38-51):
+    // a bare stringified $set stays a string and must NOT trigger a split
+    val out = run(
+      """{"user_id":"u","event_type":"e","time":1,
+        |"user_properties":"{\"$set\":{\"a\":1},\"k\":\"v\"}",
+        |"event_properties":"{\"svc\":\"sync\"}"}""".stripMargin.replace("\n", ""))
+      .collect()
+    assert(out.length === 1)
+    assert(!out.head.getAs[Boolean]("is_identify"))
+    assert(out.head.getAs[String]("user_properties") ===
+      "\"{\\\"$set\\\":{\\\"a\\\":1},\\\"k\\\":\\\"v\\\"}\"")
+    assert(out.head.getAs[String]("event_properties") === "\"{\\\"svc\\\":\\\"sync\\\"}\"")
+  }
+
+  test("bare + op/data keys are ordinary fields, NOT an unwrap (O4 gated on Fields)") {
+    val out = run(
+      """{"op":"decoy","data":"not-json","user_id":"u","event_type":"outer","time":9}""")
+      .collect()
+    assert(out.length === 1) // pre-fix parsers would JSON.parse("not-json") and drop the row
+    assert(out.head.getAs[String]("event_type") === "outer")
+    assert(out.head.getAs[Long]("time") === 9L)
+  }
+
+  test("op/data unwrap accepts JS-truthy non-string op (utils.js:41)") {
+    val inner = """{\"user_id\":\"u\",\"event_type\":\"in\",\"time\":3}"""
+    val out = run(s"""{"Fields":{"op":1,"data":"$inner"}}""").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("event_type") === "in")
+  }
+
+  test("numeric user_id: fails validation probe but IS hashed (utils.js:70)") {
+    val out = run(
+      """{"user_id":42,"device_id":"d","event_type":"e","time":1}""",
+      """{"user_id":"42","device_id":"d","event_type":"e","time":1}""",
+      """{"user_id":42,"event_type":"e","time":1}""") // no device → invalid
+      .collect()
+    assert(out.map(_.getAs[Long]("fixture_id")).toSet === Set(0L, 1L))
+    val byFix = out.map(r => r.getAs[Long]("fixture_id") -> r).toMap
+    // String(42) and "42" hash identically
+    assert(byFix(0L).getAs[String]("user_id") === byFix(1L).getAs[String]("user_id"))
+    assert(byFix(0L).getAs[String]("user_id").length === 64)
+    // and the insert_id preimages agree too (user_id digest + same rest)
+    assert(byFix(0L).getAs[String]("insert_id") === byFix(1L).getAs[String]("insert_id"))
+  }
+
   test("validation: missing event_type / non-positive time / no ids drop") {
     val out = run(
       """{"user_id":"u","time":1}""",
@@ -152,6 +198,34 @@ class EventEtlSpec extends SparkTestBase {
     val doubled = rows.union(rows)
     val out = EventEtl.pipelineDedup(doubled, Key)
     assert(out.count() === 2) // one identify + one event
+  }
+
+  test("pipeline metrics: invalid + repaired side-channel counts (utils.js:66)") {
+    val rows = Seq(
+      s"""{"jsonPayload":$flatEvent,"attributes":{"logging.googleapis.com/timestamp":"2024-01-01T00:00:05.000Z"}}""",
+      """{"jsonPayload":{"event_type":"bad","time":0},"attributes":{"logging.googleapis.com/timestamp":"2024-01-01T00:00:01.000Z"}}""",
+      """{"jsonPayload":{"user_id":"u","event_type":"e","time":1,"session_id":"oops"}}""",
+      // invalid AND string session: repair is logged only past the gate → not counted
+      """{"jsonPayload":{"user_id":"u","time":1,"session_id":"77"}}""")
+      .zipWithIndex.map { case (p, i) => (i.toLong, b64(p)) }
+      .toDF("fixture_id", "value")
+    val m = EventEtl.pipelineMetrics(EventEtl.parsed(rows, Key)).head()
+    assert(m.getAs[Long]("input_count") === 4L)
+    assert(m.getAs[Long]("output_count") === 3L) // identify + event + repaired event
+    assert(m.getAs[Long]("invalid_count") === 2L)
+    assert(m.getAs[Long]("repaired_count") === 1L)
+    assert(m.getAs[String]("min_publish_time") === "2024-01-01T00:00:01.000Z")
+    assert(m.getAs[String]("max_publish_time") === "2024-01-01T00:00:05.000Z")
+  }
+
+  test("session repair records old value in the side-channel columns") {
+    val rows = Seq((0L, b64(
+      """{"jsonPayload":{"user_id":"u","event_type":"e","time":1,"session_id":"  42abc"}}""")))
+      .toDF("fixture_id", "value")
+    val p = EventEtl.parsed(rows, Key).head()
+    assert(p.getAs[Boolean]("session_repaired"))
+    assert(p.getAs[String]("session_id_old") === "  42abc")
+    assert(p.getAs[Double]("session_id") === 42.0)
   }
 
   test("batch metrics: counts and true min/max publish time") {

@@ -81,6 +81,41 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("sink body stays valid JSON when api key contains quotes/backslashes") {
+    RecordingPoster.reset()
+    val flat = EventEtl.pipeline(Seq(envelope("u1", "e", 5)).toDF("value"), Key)
+    AmplitudeSink.send(flat, AmplitudeSink.Config(
+      url = "http://stub/batch", apiKey = "k\"quote\\slash", poster = RecordingPoster))
+    val body = RecordingPoster.bodies.head
+    // must parse cleanly and round-trip the key
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(node.get("api_key").asText === "k\"quote\\slash")
+    assert(node.get("events").size === 1)
+  }
+
+  test("streaming: parse-stage observed metrics expose invalid/repaired counts") {
+    val input = MemoryStream[String](spark)
+    val flat = StreamingPipeline.transform(
+      input.toDF(), Key, watermarkDelay = "1 hour")
+    input.addData(
+      envelope("u1", "login", 1000),
+      b64("""{"jsonPayload":{"user_id":"u2","event_type":"e","time":2,"session_id":"oops"}}"""),
+      b64("""{"jsonPayload":{"event_type":"bad","time":0}}"""))
+    val q = flat.writeStream
+      .format("memory").queryName("graft_observe_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val parse = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("parse"))).toSeq
+    assert(parse.nonEmpty)
+    assert(parse.map(_.getAs[Long]("input_count")).sum === 3L)
+    assert(parse.map(_.getAs[Long]("invalid_count")).sum === 1L)
+    assert(parse.map(_.getAs[Long]("repaired_count")).sum === 1L)
+  }
+
   test("streaming: micro-batches flow, redelivered message deduped in-watermark") {
     val input = MemoryStream[String](spark)
     val flat = StreamingPipeline.transform(
