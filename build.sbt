@@ -34,4 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs driver + 32 executor threads in ONE JVM; 8g thrashes GC
   // on the array-heavy LLM operators (measured: 10x run-to-run variance).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A 34-query suite JIT-churns far past the default 240m reserved code
+  // cache (Janino classes per stage + Jackson + Spark); when it fills, the
+  // JVM silently stops compiling and random queries run interpreted at
+  // ~100x (measured: 2.9s -> 121s on an identical plan mid-suite).
+  "-XX:ReservedCodeCacheSize=512m",
+  // The same suite floods the C2 queue with large Janino methods; while it
+  // is backed up, fresh per-query generated stages run interpreted (minutes
+  // for a Jackson-heavy 100k-row stage). Extra compiler threads drain it.
+  "-XX:CICompilerCount=12",
 )

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{DotProduct, HmacSha256, MinHashSig, SimHash64}
+import graft.expr.{DotProduct, HmacSha256, MinHashSig, SimHash64, TextProfile}
 
 /** Library SQL surface: the engine's custom expressions as SQL functions.
   *
@@ -42,8 +42,24 @@ object GraftExtensions {
       exprs => expr.SimHash64(exprs.head)),
     ("minhash_sig",
       "minhash_sig(hashes, k) - k-permutation MinHash signature over an array<bigint>",
-      exprs => expr.MinHashSig(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+      exprs => expr.MinHashSig(exprs.head, foldableInt(exprs, 1, "minhash_sig", "k"))),
+    ("text_profile",
+      "text_profile(text) - one-pass array<int> of text counters " +
+        "(stopword hits per language, cjk/punct/digit counts, token counts)",
+      exprs => TextProfile(exprs.head)))
+
+  /** Resolve argument `i` as a foldable integer literal, or raise a clean,
+    * descriptive error (a column reference there would otherwise surface as
+    * an unevaluable/ClassCastException internal error at resolution time). */
+  private def foldableInt(exprs: Seq[Expression], i: Int, fn: String, arg: String): Int = {
+    val e = exprs(i)
+    val v = if (e.foldable) e.eval() else null
+    v match {
+      case n: Number => n.intValue()
+      case _ => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer literal, got ${e.sql}")
+    }
+  }
 }
 
 object GraftFunctions {
@@ -53,5 +69,6 @@ object GraftFunctions {
     DotProduct.register(spark)
     SimHash64.register(spark)
     MinHashSig.register(spark)
+    TextProfile.register(spark)
   }
 }

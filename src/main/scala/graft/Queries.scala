@@ -36,13 +36,19 @@ object Queries {
     * `localCheckpoint` + cache because every ETL query shares this source —
     * in a real deployment the envelopes are a parquet/Kafka scan, and the
     * checkpoint restores that one-materialization shape for the synthetic
-    * generator. The engine work itself ([[EventEtl.parsed]] onward) is NOT
-    * cached — each query pays its own transform cost. */
+    * generator. Repartitioned to full parallelism first: the events table is
+    * a single parquet file = one input split, and without the exchange EVERY
+    * ETL query's parse stage would run as one task (a Pub/Sub/Kafka source
+    * arrives many-partitioned; this restores that shape too). The engine
+    * work itself ([[EventEtl.parsed]] onward) is NOT cached — each query
+    * pays its own transform cost. */
   private val envCache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def envelopes(s: SparkSession, dir: String): DataFrame =
     envCache.getOrElseUpdate((s, dir),
-      EnvelopeGen.fromEvents(t(s, dir, "events")).localCheckpoint())
+      EnvelopeGen.fromEvents(t(s, dir, "events"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint())
   private def parsedDf(s: SparkSession, dir: String): DataFrame =
     EventEtl.parsed(envelopes(s, dir), HmacKey)
   private def flat(s: SparkSession, dir: String): DataFrame =

@@ -85,6 +85,11 @@ object MinHashSig {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", { exprs =>
-        MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+        val k = if (exprs(1).foldable) exprs(1).eval() else null
+        k match {
+          case n: Number => MinHashSig(exprs.head, n.intValue())
+          case _ => throw new IllegalArgumentException(
+            s"minhash_sig: argument 'k' must be an integer literal, got ${exprs(1).sql}")
+        }
       }, "built-in")
 }

@@ -3,58 +3,75 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expr.TextProfile
+
 /** Text-analysis operators for training-data curation: token counting,
-  * quality scoring, language identification (n-gram/stopword heuristic),
-  * and document fingerprinting. All native Spark SQL expressions — narrow,
-  * codegen'd, embarrassingly parallel at any scale. */
+  * quality scoring, language identification (stopword heuristic), and
+  * document fingerprinting. All scalar counters come from ONE pass of the
+  * codegen'd [[graft.expr.TextProfile]] kernel (HOF/regex pipelines never
+  * enter whole-stage codegen — see the kernel's scaladoc for the measured
+  * cost); the arithmetic on top stays in Column space, where Catalyst's
+  * subexpression elimination dedups the shared kernel call within a
+  * projection. Narrow, embarrassingly parallel at any scale. */
 object TextAnalysis {
 
+  import TextProfile.{IBpeish, ICjk, IDe, IDigit, IEn, IEs, IFr, INWords, IPunct, ITrimLen}
+
+  /** Tiny high-frequency function-word sets per language (canonical copies
+    * live next to the kernel that matches them — [[TextProfile]]). */
+  val StopwordsEn: Seq[String] = TextProfile.StopwordsEn
+  val StopwordsFr: Seq[String] = TextProfile.StopwordsFr
+  val StopwordsEs: Seq[String] = TextProfile.StopwordsEs
+  val StopwordsDe: Seq[String] = TextProfile.StopwordsDe
+
+  /** The 10-int profile array (see [[TextProfile]] index map). */
+  def profile(text: Column): Column = TextProfile(text)
+
   /** Whitespace token count (0 for blank/empty text). */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  def tokenCount(text: Column): Column = {
+    val p = profile(text)
+    when(p.getItem(ITrimLen) === 0, lit(0)).otherwise(p.getItem(INWords))
+  }
 
   /** BPE-ish subword proxy: letter runs, digit runs, or single
     * non-alphanumeric glyphs — the standard pre-tokenizer regex shape. */
-  def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+  def bpeishTokenCount(text: Column): Column = profile(text).getItem(IBpeish)
 
-  def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+  def punctCount(text: Column): Column = profile(text).getItem(IPunct)
 
   def digitRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
-        length(text).cast("double"))
-
-  /** Tiny high-frequency function-word sets per language — enough signal for
-    * a deterministic n-gram-free heuristic language ID. */
-  val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
-  val StopwordsFr = Seq("le", "la", "de", "et", "un", "une", "est", "dans", "pour", "sur")
-  val StopwordsEs = Seq("el", "la", "de", "y", "un", "una", "es", "en", "para", "con")
-  val StopwordsDe = Seq("der", "die", "das", "und", "ein", "eine", "ist", "in", "mit", "auf")
+      profile(text).getItem(IDigit).cast("double") / length(text).cast("double"))
 
   private def words(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Fraction of tokens that are in the given stopword set. */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column = {
-    val w = words(text)
-    when(size(w) === 0, 0.0).otherwise(
-      size(filter(w, t => t.isin(stopwords: _*))).cast("double") /
-        size(w).cast("double"))
-  }
+  /** Fraction of tokens that are in the given stopword set. The default
+    * (English) set rides the kernel; a custom set falls back to the
+    * composable HOF form. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column =
+    if (stopwords == StopwordsEn) {
+      val p = profile(text)
+      // split() never yields an empty array (empty text → one empty token),
+      // so the guard is vestigial but kept for shape parity with the
+      // composable form and its oracle.
+      when(p.getItem(INWords) === 0, 0.0).otherwise(
+        p.getItem(IEn).cast("double") / p.getItem(INWords).cast("double"))
+    } else {
+      val w = words(text)
+      when(size(w) === 0, 0.0).otherwise(
+        size(filter(w, t => t.isin(stopwords: _*))).cast("double") /
+          size(w).cast("double"))
+    }
 
   /** Heuristic language ID: CJK codepoint share decides zh; otherwise the
     * argmax of per-language stopword hit counts, 'und' when all zero.
     * Deterministic tie-break by fixed language order. */
   def langId(text: Column): Column = {
-    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
-    val w = words(text)
+    val p = profile(text)
+    val cjk = p.getItem(ICjk)
     val scores = Seq(
-      "en" -> size(filter(w, t => t.isin(StopwordsEn: _*))),
-      "fr" -> size(filter(w, t => t.isin(StopwordsFr: _*))),
-      "es" -> size(filter(w, t => t.isin(StopwordsEs: _*))),
-      "de" -> size(filter(w, t => t.isin(StopwordsDe: _*))))
+      "en" -> p.getItem(IEn), "fr" -> p.getItem(IFr),
+      "es" -> p.getItem(IEs), "de" -> p.getItem(IDe))
     val best = scores.tail.foldLeft(struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
       case (acc, (lang, s)) =>
         when(s > acc.getField("s"), struct(s.as("s"), lit(lang).as("l"))).otherwise(acc)
