@@ -145,6 +145,10 @@ object Queries {
     "q_daily_active" -> ((s, dir) => Analytics.dailyActive(t(s, dir, "events"))),
     "q_topk_events" -> ((s, dir) => Analytics.topkEvents(t(s, dir, "events"), 5)),
     "q_uniques_hll" -> ((s, dir) => Analytics.uniques(t(s, dir, "events"))),
+    // the exact half of uniques() split out so it gets an oracle row (the
+    // HLL estimate column keeps q_uniques_hll itself rows-only)
+    "q_uniques_exact" -> ((s, dir) =>
+      t(s, dir, "events").agg(count_distinct(col("user_id")).as("exact_users"))),
 
     // ---- analytics: windows / sessionization / funnels ----
     "q_session_stats" -> ((s, dir) => Analytics.sessionStats(t(s, dir, "events"))),
@@ -166,9 +170,11 @@ object Queries {
     "q_dedup_simhash" -> ((s, dir) =>
       llm.Dedup.simhashNearDups(tWide(s, dir, "documents"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
+    // maxDf=2 exercises the high-DF pruning path through the oracle (the
+    // sf corpus' max block-level DF is 3, so ≥3 would be a no-op here).
     "q_ngram_jaccard" -> ((s, dir) =>
       llm.Dedup.ngramJaccardPairs(tWide(s, dir, "documents"), "source", n = 3,
-          threshold = 0.3)
+          threshold = 0.3, maxDf = 2)
         .orderBy(col("id_a"), col("id_b"))),
     "q_embed_near_dups" -> ((s, dir) =>
       llm.Similarity.cosinePairsBlocked(tWide(s, dir, "embeddings"), "label", 0.4)
@@ -398,6 +404,9 @@ object Queries {
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
 
+    "q_uniques_exact" ->
+      "SELECT count(DISTINCT user_id) AS exact_users FROM events",
+
     "q_session_stats" ->
       """WITH g AS (
         |  SELECT user_id,
@@ -462,16 +471,27 @@ object Queries {
         |  count(*) AS n_copies
         |FROM d GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
+    // posting-list mirror of ngramJaccardPairs incl. the DF-pruned shingle
+    // universe (HAVING count <= maxDf) — J over pruned sets, maxDf=2.
     "q_ngram_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, source, list_distinct($shingleSql) AS sh
-         |  FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  len(list_intersect(a.sh, b.sh))::DOUBLE
-         |    / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
-         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-         |    / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.3
+      s"""WITH e AS (
+         |  SELECT doc_id, source, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents),
+         |keep AS (
+         |  SELECT source, h FROM e GROUP BY source, h HAVING count(*) <= 2),
+         |p AS (SELECT e.doc_id, e.source, e.h FROM e JOIN keep USING (source, h)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id),
+         |c AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM p a JOIN p b ON a.source = b.source AND a.h = b.h
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
+         |FROM c
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
     // list_reduce (not list_sum) pins sequential left-to-right summation —

@@ -16,10 +16,16 @@ import org.apache.spark.sql.functions._
   *     cluster) is bounded because identical docs produce identical digests
   *     and can be exact-deduped FIRST (cheaper), leaving near-dup detection
   *     to genuinely-distinct texts.
-  *   - SimHash: 64-bit signature via bit-voting; candidate pairs from 4×16-bit
-  *     band equality (Hamming ≤ 3 ⇒ at least one band equal by pigeonhole),
-  *     verified with bit_count(xor).
-  */
+  *   - SimHash: 64-bit signature via bit-voting; candidate pairs from a
+  *     Manku-style multi-table combination-block index (see
+  *     [[Dedup.simhashCandidates]]), verified with bit_count(xor).
+  *
+  * Operators that persist a shared intermediate (shingle/signature frames
+  * feed multiple plan branches) MATERIALIZE their small pair output eagerly
+  * (`localCheckpoint`) and unpersist the intermediate before returning —
+  * `Dataset.persist` registers in the CacheManager, which holds the blocks
+  * until an explicit unpersist; returning a lazy plan over a persisted
+  * input would leak the cache in long-lived sessions. */
 object Dedup {
 
   /** Exact duplicate groups by content digest. Survivor = min doc_id.
@@ -84,8 +90,7 @@ object Dedup {
     // The shingle set feeds FOUR plan branches (both self-join sides, both
     // verify sides); without materialization each branch recomputes the
     // shingle+hash pipeline (alias-renamed branches don't canonicalize to
-    // a reusable exchange). Same pattern as MLlib's LSH internals; the
-    // ContextCleaner drops the block once the DataFrame is unreachable.
+    // a reusable exchange). Same pattern as MLlib's LSH internals.
     val withSh = docs.select(col(idCol).as("id"),
       hashedShingles(shingles(col(textCol), w)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -102,7 +107,7 @@ object Dedup {
       .distinct()
     val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    cands
+    val out = cands
       .join(shA, "id_a").join(shB, "id_b")
       // |A∪B| = |A|+|B|−|A∩B| on distinct arrays: one array op per pair
       // instead of two, identical integers → identical double division.
@@ -113,6 +118,15 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializedWithout(out, withSh)
+  }
+
+  /** Eagerly materialize the (small) pair output, then release the persisted
+    * intermediate — see the class doc on cache lifetime. */
+  private def materializedWithout(out: DataFrame, cached: DataFrame): DataFrame = {
+    val mat = out.localCheckpoint() // eager: computes `out` now
+    cached.unpersist()
+    mat
   }
 
   /** 64-bit SimHash: per-token xxhash64, per-bit ±1 voting, sign → bit —
@@ -122,45 +136,98 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.expr.SimHash64(transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t)))
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming (default 3).
-    * Candidates from 4×16-bit band equality (pigeonhole-complete for
-    * Hamming ≤ 3), verified by bit_count(xor). */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 16).bitwiseAND(0xffffL).as("chunk"))): _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+  /** Candidate keys for SimHash near-dup search: a Manku-style multi-table
+    * combination-block index (Manku/Jain/Das Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW'07 §3).
+    *
+    * The 64-bit signature splits into `m = maxHamming + 3` blocks. A pair at
+    * Hamming ≤ d differs in ≤ d blocks, so ≥ m−d = 3 blocks agree — keying
+    * each table on a distinct COMBINATION of 3 blocks is pigeonhole-complete,
+    * with C(m,3) tables. For d=3: 6 blocks of ~11 bits, C(6,3)=20 tables,
+    * each key ≥ 31 bits.
+    *
+    * WHY over single-block banding (4×16 bits): expected accidental
+    * collisions per table fall from N²/2¹⁶ to N²/2³¹ — at N=10⁹ docs the
+    * single-block scheme generates ~10¹⁴ candidate pairs per band (a
+    * scale-killer the verify step cannot absorb), the combination scheme
+    * ~10⁴·20. The cost is explode ×20 instead of ×4 — linear, shuffled on
+    * uniform keys. */
+  private[graft] def simhashCandidates(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val m = maxHamming + 3
+    // block b covers bits [b*64/m, (b+1)*64/m) — widths differ by ≤1 bit
+    val bounds = (0 to m).map(b => b * 64 / m)
+    def block(sig: Column, b: Int): Column = {
+      val lo = bounds(b)
+      val width = bounds(b + 1) - lo
+      shiftright(sig, lo).bitwiseAND((1L << width) - 1L)
+    }
+    val triples = (0 until m).combinations(3).toSeq
+    val keyed = sigs.select(col("id"), col("sig"),
+      explode(array(triples.zipWithIndex.map { case (t, ti) =>
+        struct(lit(ti).as("table"),
+          // pack the 3 agreeing blocks into one long key (disjoint bit
+          // ranges — OR, no arithmetic, no ANSI overflow to think about)
+          block(col("sig"), t(0))
+            .bitwiseOR(shiftleft(block(col("sig"), t(1)), 22))
+            .bitwiseOR(shiftleft(block(col("sig"), t(2)), 44)).as("key"))
+      }: _*)).as("tk"))
+      .select(col("id"), col("sig"),
+        col("tk.table").as("table"), col("tk.key").as("key"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.table") === col("b.table") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (default 3).
+    * Candidates from the combination-block index ([[simhashCandidates]] —
+    * pigeonhole-complete for the given distance), verified by
+    * bit_count(xor). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = simhashCandidates(sigs, maxHamming)
       .filter(col("hamming") <= maxHamming)
+    materializedWithout(out, sigs)
   }
 
   /** Exact word-n-gram Jaccard similarity for all pairs within a blocking
     * key (e.g. `source`) — the quadratic term is bounded by the largest
     * block, not the corpus. For unblocked corpora use [[minhashNearDups]].
     *
-    * Shape: explode hashed shingles → self-equi-join on (block, shingle) →
-    * count per pair = |A∩B| → join |A|,|B| → J = c/(|A|+|B|−c). Pairs with
-    * no overlap never materialize, the intersection count comes out of an
-    * aggregation (computed once — a per-pair array_intersect gets inlined
-    * into both the filter predicate and the projection by Catalyst), and
-    * every step is an equi-shuffle — no per-pair array traffic at scale. */
+    * Shape: explode hashed shingles → drop high-document-frequency shingles
+    * → self-equi-join on (block, shingle) → count per pair = |A∩B| → join
+    * |A|,|B| → J = c/(|A|+|B|−c). Pairs with no overlap never materialize,
+    * the intersection count comes out of an aggregation, and every step is
+    * an equi-shuffle — no per-pair array traffic at scale.
+    *
+    * `maxDf`: a shingle present in k documents of a block contributes
+    * C(k,2) join rows — one stopword-phrase shingle in a million-doc block
+    * is quadratic on its own. Shingles with block-level document frequency
+    * > maxDf are removed from the universe BEFORE the join (both from the
+    * intersection counting and from the set sizes, so the result is the
+    * exact Jaccard over the pruned shingle space — near-ubiquitous shingles
+    * carry ~zero discrimination anyway). Pass Int.MaxValue for the unpruned
+    * exact semantics. */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, n: Int = 3,
-      threshold: Double = 0.3,
+      threshold: Double = 0.3, maxDf: Int = 1000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // hashed shingles: set sizes (and thus jaccard) are identical to the
     // string sets absent 64-bit collisions (~10⁻¹⁴/pair).
-    val sh = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+    val exploded = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
       explode(hashedShingles(shingles(col(textCol), n))).as("h"))
+    // DF pruning: shingles are distinct per doc, so count(*) per (blk, h)
+    // IS the document frequency; the semi-join shuffles on the same
+    // (blk, h) key the main self-join uses.
+    val keep = exploded.groupBy(col("blk"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("blk"), col("h"))
+    val sh = exploded.join(keep, Seq("blk", "h"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = sh.as("a")
@@ -169,7 +236,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("c"))
-    common
+    val out = common
       .join(broadcast(sizes).withColumnRenamed("id", "id_a")
         .withColumnRenamed("sz", "sz_a"), "id_a")
       .join(broadcast(sizes).withColumnRenamed("id", "id_b")
@@ -181,5 +248,6 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializedWithout(out, sh)
   }
 }

@@ -70,13 +70,19 @@ object Similarity {
     Seq.fill(m)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** LSH bucket id from m hyperplane sign bits. */
+  /** LSH bucket id from m hyperplane sign bits. Fails fast on a dimension
+    * mismatch: `vec_dot` yields NULL for unequal lengths, and without the
+    * guard `when(NULL >= 0)` would silently map EVERY vector to bucket 0 —
+    * a full quadratic join wearing an LSH costume. */
   def lshBucket(vec: Column, m: Int, dim: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(m, dim, seed)
-    planes.zipWithIndex.map { case (p, i) =>
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
       val pl = array(p.map(lit(_)): _*)
       when(dot(vec, pl) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
+    // assert_true returns NULL when the predicate holds, throws otherwise
+    when(assert_true(size(vec) === dim,
+      lit(s"lshBucket: embedding length does not match dim=$dim")).isNull, bucket)
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket,

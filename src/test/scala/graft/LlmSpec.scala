@@ -46,6 +46,25 @@ class LlmSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("simhash candidates bounded under single-band skew (Manku tables)") {
+    // 120 signatures that all share the same low 16 bits but are otherwise
+    // far apart (hamming >> 3). The old 4x16-bit single-band scheme makes
+    // every pair a candidate (C(120,2) = 7140 join rows); the
+    // combination-block index needs >= 3 agreeing ~11-bit blocks, so the
+    // shared 16 bits alone can't create a candidate. Deterministic seed.
+    val rnd = new scala.util.Random(7L)
+    val sigs = (0 until 120).map { i =>
+      (i.toLong, (rnd.nextLong() << 16) | 0xBEEFL)
+    }.toDF("id", "sig")
+    val nCands = Dedup.simhashCandidates(sigs, maxHamming = 3).count()
+    assert(nCands <= 10, s"skewed band produced $nCands candidates")
+    // and completeness still holds: a genuinely close pair IS a candidate
+    val close = Seq((0L, 0x0123456789abcdefL), (1L, 0x0123456789abcdccL)) // hamming 3
+      .toDF("id", "sig")
+    val found = Dedup.simhashCandidates(close, maxHamming = 3).collect()
+    assert(found.length === 1 && found.head.getAs[Int]("hamming") === 3)
+  }
+
   test("ngram jaccard blocks by key: cross-block exact dup not compared") {
     val pairs = Dedup.ngramJaccardPairs(docs, "source", n = 3, threshold = 0.5)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
@@ -80,6 +99,22 @@ class LlmSpec extends SparkTestBase {
     val pairs = Similarity.cosineNearDups(embs, threshold = 0.95, m = 4, dim = 4)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L)))
+  }
+
+  test("lsh bucket fails fast on embedding/dim mismatch") {
+    val e = intercept[Exception] {
+      embs.select(Similarity.lshBucket($"embedding", m = 4, dim = 64)).collect()
+    }
+    assert(e.getMessage.contains("does not match dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("does not match dim")))
+  }
+
+  test("hll uniques tracks exact within the configured rsd") {
+    val df = (1 to 5000).map(i => (i.toLong, s"u${i % 700}")).toDF("event_id", "user_id")
+    val r = graft.analytics.Analytics.uniques(df).head()
+    val exact = r.getAs[Long]("exact_users").toDouble
+    val approx = r.getAs[Long]("approx_users").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05) // rsd 0.01, generous margin
   }
 
   test("blocked cosine pairs stay within the label block") {
