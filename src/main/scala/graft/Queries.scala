@@ -150,7 +150,21 @@ object Queries {
     "q_uniques_exact" -> ((s, dir) =>
       t(s, dir, "events").agg(count_distinct(col("user_id")).as("exact_users"))),
 
+    // ---- analytics: grouping sets / joins beyond inner / set ops ----
+    "q_cube_revenue" -> ((s, dir) =>
+      Analytics.cubeRevenue(t(s, dir, "orders"), t(s, dir, "customer"))),
+    "q_join_semi_anti" -> ((s, dir) =>
+      Analytics.customerOrderPresence(t(s, dir, "orders"), t(s, dir, "customer"))),
+    "q_set_cohorts" -> ((s, dir) =>
+      Analytics.viewPurchaseCohorts(t(s, dir, "events"))),
+
+    // ---- analytics: JSON / map scalar functions ----
+    "q_json_props" -> ((s, dir) => Analytics.propsJson(t(s, dir, "events"))),
+    "q_map_ops" -> ((s, dir) => Analytics.propsMapOps(t(s, dir, "events"))),
+
     // ---- analytics: windows / sessionization / funnels ----
+    "q_session_window" -> ((s, dir) =>
+      Analytics.sessionWindowStats(t(s, dir, "events"))),
     "q_session_stats" -> ((s, dir) => Analytics.sessionStats(t(s, dir, "events"))),
     "q_session_durations" -> ((s, dir) => Analytics.sessionDurations(t(s, dir, "events"))),
     "q_funnel" -> ((s, dir) =>
@@ -406,6 +420,64 @@ object Queries {
 
     "q_uniques_exact" ->
       "SELECT count(DISTINCT user_id) AS exact_users FROM events",
+
+    "q_cube_revenue" ->
+      s"""SELECT c_mktsegment, o_orderpriority,
+         |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+         |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_join_semi_anti" ->
+      """SELECT c_custkey,
+        |  c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_set_cohorts" ->
+      """SELECT 'view_and_purchase' AS cohort, user_id FROM
+        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |   INTERSECT
+        |   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT 'view_only' AS cohort, user_id FROM
+        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |   EXCEPT
+        |   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY cohort, user_id""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_by_path,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // props is always a 1-entry {"k": n} object; to_json(map_filter(...))
+    // renders {} or {"k":n} with no spaces — mirrored by string concat.
+    "q_map_ops" ->
+      """SELECT event_id,
+        |  1 AS m_size,
+        |  'k' AS m_keys,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0
+        |    THEN '{"k":' || json_extract_string(props, '$.k') || '}'
+        |    ELSE '{}' END AS even_entries
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // session_window merges while gap < 30min STRICTLY (new session at
+    // diff >= gap) — note the >= vs the lag-sessionization queries' >.
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000
+        |    THEN 1 ELSE 0 END AS is_new, event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "q_session_stats" ->
       """WITH g AS (

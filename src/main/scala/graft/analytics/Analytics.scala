@@ -207,4 +207,76 @@ object Analytics {
     events.agg(
       countDistinct(col("user_id")).as("exact_users"),
       approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+
+  /** Full CUBE over (segment, priority): all four grouping sets in one
+    * pass — Spark expands the cube BEFORE the shuffle, so partial
+    * aggregation still applies per grouping set (2^k × map-side rows, k=2
+    * here; use explicit grouping sets for high-k cubes at scale). */
+  def cubeRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(d(sum(dec(col("o_totalprice")))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Semi/anti join pair: which customers have orders, which don't. The
+    * orders side reduces to its join key before the shuffle (semi/anti
+    * never multiply rows — at scale this is the idiom for existence
+    * filtering, NOT a join + distinct). */
+  def customerOrderPresence(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val semi = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("has_orders"))
+    val anti = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(false).as("has_orders"))
+    semi.unionByName(anti).orderBy(col("c_custkey"))
+  }
+
+  /** Set operators over behavior cohorts: viewers ∩ purchasers and
+    * viewers ∖ purchasers. INTERSECT/EXCEPT plan as aggregations over a
+    * shared shuffle on user_id — no pairwise comparison. */
+  def viewPurchaseCohorts(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view").select(col("user_id")).distinct()
+    val p = events.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+    v.intersect(p).withColumn("cohort", lit("view_and_purchase"))
+      .unionByName(v.except(p).withColumn("cohort", lit("view_only")))
+      .select(col("cohort"), col("user_id"))
+      .orderBy(col("cohort"), col("user_id"))
+  }
+
+  /** JSON scalar functions over the stringly-typed props column: path
+    * extraction (get_json_object) and schema'd parse (from_json). Both are
+    * scan-side projections — pushdown-friendly, no shuffle. */
+  def propsJson(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_by_path"),
+      from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("k INT")).getField("k").as("k_typed"))
+      .orderBy(col("event_id"))
+
+  /** Map-typed column operations: parse props to map<string,int>, then
+    * size/keys/lookup/filter. The map value is emitted re-serialized
+    * (to_json) — map cells don't sort/hash portably across engines. */
+  def propsMapOps(events: DataFrame): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))
+    events.select(
+      col("event_id"),
+      size(m).as("m_size"),
+      array_join(map_keys(m), ",").as("m_keys"),
+      coalesce(element_at(m, "k"), lit(-1)).as("k_val"),
+      to_json(map_filter(m, (_, v) => v % 2 === 0)).as("even_entries"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Native session_window aggregation (the batch form of the streaming
+    * session operator): sessions merge while the gap stays strictly under
+    * `gap`. Same partial-agg + merge structure streaming uses; the window
+    * start is the session's first event time. */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
 }

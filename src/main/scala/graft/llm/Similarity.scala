@@ -87,16 +87,29 @@ object Similarity {
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine + per-query top-k. `m` sign bits ⇒ ~N/2^m candidates
-    * per query. Queries whose bucket has < k neighbors return fewer rows
-    * (standard ANN recall trade-off; lower m or multi-probe to raise it). */
+    * per query. Queries whose bucket has < k neighbors return fewer rows.
+    *
+    * `probes` > 0 enables multi-probe: each query additionally searches the
+    * buckets at Hamming distance 1 in its first `probes` sign bits — the
+    * standard recall lever at scale (a near neighbor that falls on the
+    * other side of ONE hyperplane is found without halving m). Candidate
+    * cost grows linearly in probes (×(1+probes) query rows, still
+    * broadcast); a corpus vector lives in exactly one bucket, so no
+    * (query, neighbor) pair can duplicate. */
   def lshKnn(emb: DataFrame, queryPred: Column, k: Int, m: Int = 8,
-      dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      dim: Int = 64, probes: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = emb
       .select(col(idCol), col(vecCol), norm(col(vecCol)).as("vnorm"),
         lshBucket(col(vecCol), m, dim).as("bucket"))
-    val queries = bucketed.filter(queryPred)
+    val queries0 = bucketed.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         col("vnorm").as("qnorm"), col("bucket"))
+    val queries =
+      if (probes <= 0) queries0
+      else queries0.withColumn("bucket", explode(array(
+        col("bucket") +: (0 until math.min(probes, m)).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i))): _*)))
     val scored = bucketed
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("qid") =!= col(idCol))

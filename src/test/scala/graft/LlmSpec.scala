@@ -101,6 +101,20 @@ class LlmSpec extends SparkTestBase {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("multi-probe lsh recovers neighbors across one hyperplane, scores exact") {
+    val brute = Similarity.bruteForceKnn(embs, $"vec_id" === 0, k = 3)
+      .select($"neighbor_id", $"score").as[(Long, Double)].collect().toMap
+    val single = Similarity.lshKnn(embs, $"vec_id" === 0, k = 3, m = 4, dim = 4)
+      .select($"neighbor_id").as[Long].collect().toSet
+    val probed = Similarity.lshKnn(embs, $"vec_id" === 0, k = 3, m = 4, dim = 4,
+        probes = 4)
+      .select($"neighbor_id", $"score").as[(Long, Double)].collect()
+    // probing can only widen the candidate set, never change a score
+    assert(single.subsetOf(probed.map(_._1).toSet))
+    assert(probed.length >= single.size)
+    probed.foreach { case (id, s) => assert(s === brute(id)) }
+  }
+
   test("lsh bucket fails fast on embedding/dim mismatch") {
     val e = intercept[Exception] {
       embs.select(Similarity.lshBucket($"embedding", m = 4, dim = 64)).collect()

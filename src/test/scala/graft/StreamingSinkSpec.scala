@@ -116,6 +116,33 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(parse.map(_.getAs[Long]("repaired_count")).sum === 1L)
   }
 
+  test("streaming: stateful sessionization emits finalized sessions on watermark") {
+    import java.sql.Timestamp
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val ms = (m: Long) => new Timestamp(m)
+    val sessions = graft.streaming.StreamingSessions.sessionize(
+      input.toDF().toDF("user_id", "ts"),
+      gapMs = 60_000L, watermarkDelay = "0 seconds")
+    // user 1: burst at t=1..30s (one session), then t=200s (second session).
+    // (t=0 would collide with the INITIAL watermark and be dropped as late.)
+    // user 99's late event at t=600s advances the watermark past both.
+    input.addData((1L, ms(1_000)), (1L, ms(10_000)), (1L, ms(30_000)))
+    input.addData((1L, ms(200_000)))
+    input.addData((99L, ms(600_000)))
+    input.addData((99L, ms(700_000))) // one more batch so 99's timeout fires too
+    val q = sessions.writeStream
+      .format("memory").queryName("graft_sessions_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_sessions_test")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().sorted
+    // user 1: sessions of 3 events and 1 event, both finalized
+    assert(out.toSeq.take(2) === Seq((1L, 1L), (1L, 3L)).sorted)
+  }
+
   test("streaming: micro-batches flow, redelivered message deduped in-watermark") {
     val input = MemoryStream[String](spark)
     val flat = StreamingPipeline.transform(
