@@ -46,7 +46,11 @@ object GraftExtensions {
     ("text_profile",
       "text_profile(text) - one-pass array<int> of text counters " +
         "(stopword hits per language, cjk/punct/digit counts, token counts)",
-      exprs => TextProfile(exprs.head)))
+      exprs => TextProfile(exprs.head)),
+    ("shingle_hashes",
+      "shingle_hashes(text, w) - distinct xxhash64 keys of the word " +
+        "w-shingles of lowercased text, one pass",
+      exprs => expr.ShingleHashes(exprs.head, foldableInt(exprs, 1, "shingle_hashes", "w"))))
 
   /** Resolve argument `i` as a foldable integer literal, or raise a clean,
     * descriptive error (a column reference there would otherwise surface as
@@ -70,5 +74,6 @@ object GraftFunctions {
     SimHash64.register(spark)
     MinHashSig.register(spark)
     TextProfile.register(spark)
+    expr.ShingleHashes.register(spark)
   }
 }

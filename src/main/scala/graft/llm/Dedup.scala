@@ -58,6 +58,13 @@ object Dedup {
   def hashedShingles(shingleCol: Column): Column =
     transform(shingleCol, s => xxhash64(s))
 
+  /** `hashedShingles(shingles(text, w))` fused into the one-pass codegen'd
+    * [[graft.expr.ShingleHashes]] kernel (bit-identical output; the
+    * composable form is two interpreted HOF lambdas per row). This is the
+    * scan-side projection every dedup operator starts from. */
+  def shingleHashes(text: Column, w: Int): Column =
+    graft.expr.ShingleHashes(text, w)
+
   /** k-permutation MinHash signature over a hashed-shingle array — the
     * one-pass codegen'd [[graft.expr.MinHashSig]] kernel (k running minima
     * per element; the k × array_min(transform(…)) form evaluates k
@@ -92,7 +99,7 @@ object Dedup {
     // shingle+hash pipeline (alias-renamed branches don't canonicalize to
     // a reusable exchange). Same pattern as MLlib's LSH internals.
     val withSh = docs.select(col(idCol).as("id"),
-      hashedShingles(shingles(col(textCol), w)).as("sh"))
+      shingleHashes(col(textCol), w).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = withSh.withColumn("sig", minhashSignature(col("sh"), k))
     val banded = sig
@@ -219,7 +226,7 @@ object Dedup {
     // hashed shingles: set sizes (and thus jaccard) are identical to the
     // string sets absent 64-bit collisions (~10⁻¹⁴/pair).
     val exploded = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      explode(hashedShingles(shingles(col(textCol), n))).as("h"))
+      explode(shingleHashes(col(textCol), n)).as("h"))
     // DF pruning: shingles are distinct per doc, so count(*) per (blk, h)
     // IS the document frequency; the semi-join shuffles on the same
     // (blk, h) key the main self-join uses.

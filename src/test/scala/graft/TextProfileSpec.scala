@@ -100,6 +100,37 @@ class TextProfileSpec extends SparkTestBase {
     checkParity(Seq.fill(300)(randText()))
   }
 
+  test("shingle_hashes kernel matches the composable shingle+hash chain") {
+    val fixtures = Seq(
+      "", " ", "a", "a b", "a b c", "a b c d e",
+      "The Quick BROWN fox", "  padded   with   spaces  ",
+      "tab\tand\nnewline separated words here",
+      "répété répété açaí Ümlaut WORDS", "中文 mixed 中文 tokens more",
+      "dup dup dup dup dup dup", // repeated shingles → distinct collapses
+      "one") ++ (0 until 100).map { i =>
+      val rnd = new scala.util.Random(i)
+      (0 until rnd.nextInt(30)).map(_ =>
+        Seq("the", "fox", "Ran", "9", "a-b", "x", "\t", "日本")(rnd.nextInt(8)))
+        .mkString(" ")
+    }
+    for (w <- Seq(1, 3, 5)) {
+      val composed = transform(array_distinct(
+        when(size(split(lower(trim(col("t"))), "\\s+")) >= w,
+          transform(sequence(lit(0), size(split(lower(trim(col("t"))), "\\s+")) - w),
+            i => concat_ws(" ", slice(split(lower(trim(col("t"))), "\\s+"), i + lit(1), lit(w)))))
+          .otherwise(array(concat_ws(" ", split(lower(trim(col("t"))), "\\s+"))))),
+        s => xxhash64(s))
+      val rows = fixtures.toDF("t")
+        .select(col("t"), graft.expr.ShingleHashes(col("t"), w).as("k"),
+          composed.as("o"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"w=$w diverges on '${r.getString(0)}'")
+      }
+    }
+  }
+
   test("SQL registration works") {
     graft.GraftFunctions.registerAll(spark)
     val r = Seq("the fox in the hole").toDF("t")
