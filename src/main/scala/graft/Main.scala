@@ -36,12 +36,55 @@ object Main {
     sys.env.get("GRAFT_MASTER").orElse(Some("local[*]"))
       .foreach(m => if (!sys.props.contains("spark.master")) b.master(m))
     val spark = b.getOrCreate()
-    val query = start(spark, cfg)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    runSupervised(spark, cfg)
+  }
+
+  @volatile private var shuttingDown = false
+
+  /** The reference's error-and-continue loop (`pubsub.pull.error`,
+    * `synchronous-pull.js:45-51`: a failed pull is logged and the loop
+    * continues): a failed stream is logged and restarted from the
+    * checkpoint after a backoff — unsent batches were never committed, so
+    * the source redelivers and insert_id dedup neutralizes any partial
+    * delivery. `maxRestarts < 0` = restart forever (the daemon form);
+    * tests pass a bound. Returns the number of restarts consumed. */
+  def runSupervised(spark: SparkSession, cfg: GraftConfig,
+      poster: AmplitudeSink.Poster = AmplitudeSink.HttpPoster,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxRestarts: Int = -1, restartBackoffMs: Long = 5000L): Int = {
+    var restarts = 0
+    var query = start(spark, cfg, poster, trigger)
+    val hook = new Thread(() => {
+      shuttingDown = true
       log.info("""{"type":"shutdown","msg":"stopping stream"}""")
       try query.stop() catch { case _: Exception => () }
-    }))
-    query.awaitTermination()
+    })
+    Runtime.getRuntime.addShutdownHook(hook)
+    try {
+      var done = false
+      while (!done) {
+        try {
+          query.awaitTermination() // normal stop or AvailableNow completion
+          done = true
+        } catch {
+          case e: Exception if !shuttingDown &&
+              (maxRestarts < 0 || restarts < maxRestarts) =>
+            restarts += 1
+            // first line only: Spark appends the full logical plan to
+            // streaming exceptions — that belongs in debug logs, not the
+            // structured error channel
+            val msg = String.valueOf(e.getMessage).takeWhile(_ != '\n').take(400)
+            log.warn(s"""{"type":"stream.error","restart":$restarts,"error":${
+              "\"" + msg.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}}""")
+            Thread.sleep(restartBackoffMs)
+            query = start(spark, cfg, poster, trigger)
+        }
+      }
+      restarts
+    } finally {
+      try Runtime.getRuntime.removeShutdownHook(hook)
+      catch { case _: IllegalStateException => () } // JVM already exiting
+    }
   }
 
   /** Compose config → source → transform → sink and start the stream.

@@ -33,7 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     are Spark's `xxhash64` (seed 42) over the shingle's UTF-8 bytes —
   *     distinct-by-string equals distinct-by-hash absent 64-bit
   *     collisions (~1e-14 per document). */
-case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, w: Int,
+    distinct: Boolean = true) extends UnaryExpression {
 
   require(w > 0, "shingle width must be positive")
 
@@ -51,10 +52,11 @@ case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
     }
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[UTF8String], w)
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], w, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, s => s"graft.expr.ShingleHashes$$.MODULE$$.compute($s, $w)")
+    defineCodeGen(ctx, ev,
+      s => s"graft.expr.ShingleHashes$$.MODULE$$.compute($s, $w, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -65,8 +67,11 @@ object ShingleHashes {
   @inline private def isSep(c: Char): Boolean = // Java regex \s
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  /** Shared eval/codegen kernel. */
-  def compute(input: UTF8String, w: Int): ArrayData = {
+  /** Shared eval/codegen kernel. `distinct=false` keeps every shingle
+    * occurrence (the token-multiset view SimHash's weighted voting needs
+    * at w=1 — `transform(split(lower(trim(text)),"\\s+"), xxhash64)`
+    * exactly). */
+  def compute(input: UTF8String, w: Int, distinct: Boolean): ArrayData = {
     // trim ASCII spaces, then lowercase once (Locale.ROOT — the same
     // mapping UTF8String.toLowerCase applies)
     val raw = input.toString
@@ -108,7 +113,7 @@ object ShingleHashes {
       }
       val h = java.lang.Long.valueOf(XxHash64Function.hash(
         UTF8String.fromString(sb.toString), StringType, 42L))
-      if (seen.add(h)) out.add(h)
+      if (!distinct || seen.add(h)) out.add(h)
       start += 1
     }
     val arr = new Array[Long](out.size)
@@ -119,6 +124,9 @@ object ShingleHashes {
 
   def apply(text: Column, w: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), w))
+
+  def apply(text: Column, w: Int, distinct: Boolean): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(text), w, distinct))
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -139,9 +139,11 @@ object Dedup {
   /** 64-bit SimHash: per-token xxhash64, per-bit ±1 voting, sign → bit —
     * via the codegen'd [[graft.expr.SimHash64]] kernel (the composable
     * aggregate/zip_with form allocates a 64-element accumulator per token
-    * and runs interpreted). */
+    * and runs interpreted). Token hashes come from the non-distinct w=1
+    * [[graft.expr.ShingleHashes]] kernel: repeated tokens must vote
+    * repeatedly, so the multiset is preserved. */
   def simhash(text: Column): Column =
-    graft.expr.SimHash64(transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t)))
+    graft.expr.SimHash64(graft.expr.ShingleHashes(text, 1, distinct = false))
 
   /** Candidate keys for SimHash near-dup search: a Manku-style multi-table
     * combination-block index (Manku/Jain/Das Sarma, "Detecting

@@ -27,6 +27,25 @@ class MainSpec extends SparkTestBase {
     assert(!e.getMessage.contains("HMAC_KEY"))
   }
 
+  test("supervisor restarts a failed stream; redelivery completes the send") {
+    val src = Files.createTempDirectory("graft-sv-src").toFile
+    val ckpt = Files.createTempDirectory("graft-sv-ckpt").toFile
+    val cfg = GraftConfig(
+      amplitudeApiKey = "key-sv", hmacKey = "graft-test-key",
+      maxEventsPerBatch = 10, sourceDir = src.getAbsolutePath,
+      checkpointDir = ckpt.getAbsolutePath, maxRetries = 0)
+    Files.writeString(new java.io.File(src, "b.txt").toPath, envelope("u9", 900) + "\n")
+    // first POST fails terminally (maxRetries=0) -> query fails -> the
+    // supervisor restarts from the uncommitted checkpoint -> redelivery
+    // succeeds on the now-healthy transport
+    FlakyPoster.reset(failures = 1)
+    val restarts = Main.runSupervised(spark, cfg, poster = FlakyPoster,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxRestarts = 3, restartBackoffMs = 50L)
+    assert(restarts === 1)
+    assert(FlakyPoster.attempts === 2) // the failed POST + the redelivered one
+  }
+
   test("daemon end-to-end: reads, transforms, posts, acks via checkpoint") {
     val src = Files.createTempDirectory("graft-src").toFile
     val ckpt = Files.createTempDirectory("graft-ckpt").toFile

@@ -131,6 +131,23 @@ class TextProfileSpec extends SparkTestBase {
     }
   }
 
+  test("non-distinct w=1 shingle_hashes equals the token-multiset hash chain") {
+    val fixtures = Seq("", "a", "dup dup dup", "The the THE x", " lead trail ",
+      "a\tb\nc", "日本 日本 mixed")
+    val rows = fixtures.toDF("t").select(
+      col("t"),
+      graft.expr.ShingleHashes(col("t"), 1, distinct = false).as("k"),
+      transform(split(lower(trim(col("t"))), "\\s+"), x => xxhash64(x)).as("o"),
+      graft.llm.Dedup.simhash(col("t")).as("sig"),
+      graft.expr.SimHash64(
+        transform(split(lower(trim(col("t"))), "\\s+"), x => xxhash64(x))).as("sig_o"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"tokens diverge on '${r.getString(0)}'")
+      assert(r.getLong(3) === r.getLong(4), s"simhash diverges on '${r.getString(0)}'")
+    }
+  }
+
   test("SQL registration works") {
     graft.GraftFunctions.registerAll(spark)
     val r = Seq("the fox in the hole").toDF("t")
