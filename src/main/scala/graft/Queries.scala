@@ -201,6 +201,11 @@ object Queries {
     "q_knn_lsh" -> ((s, dir) =>
       llm.Similarity.lshKnn(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5)),
+    // full-probe IVF is exact ⇒ shares the brute-force oracle; the plan is
+    // the scale path (cell equi-join), the answer provably unchanged.
+    "q_knn_ivf" -> ((s, dir) =>
+      llm.Similarity.ivfKnn(tWide(s, dir, "embeddings"),
+        col("vec_id") < 10, k = 5, nCells = 4, nprobe = 4)),
 
     // ---- LLM data pipeline: text analysis ----
     "q_text_stats" -> ((s, dir) => {
@@ -569,6 +574,23 @@ object Queries {
     // list_reduce (not list_sum) pins sequential left-to-right summation —
     // bit-exact parity with Spark's aggregate() fold.
     "q_knn_brute" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT qid, vec_id AS neighbor_id,
+         |    $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score
+         |  FROM embeddings, q WHERE qid <> vec_id),
+         |ranked AS (
+         |  SELECT qid, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, neighbor_id, score FROM ranked
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // identical to q_knn_brute: full-probe IVF is exact by construction
+    "q_knn_ivf" ->
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |  WHERE vec_id < 10),

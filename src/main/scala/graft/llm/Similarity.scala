@@ -133,6 +133,57 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
   }
 
+  /** IVF (inverted-file) top-k: a k-means coarse quantizer splits the
+    * corpus into `nCells` cells; each query probes only its `nprobe`
+    * nearest cells, then scores exactly. The standard ANN scale path when
+    * recall needs to be tunable independently of a hash family:
+    * candidates/query ≈ nprobe·N/nCells, recall → 1 as nprobe → nCells.
+    *
+    * Scale structure: the quantizer trains ONCE (on a sample at 100 TB —
+    * `trainFraction`), producing tiny model state (nCells × dim doubles).
+    * Cell assignment is a scan-side projection; the probe join is an
+    * equi-join on cell id (shuffle on a small uniform key), queries
+    * broadcast. MLlib's KMeans does the training (its per-row UDF cost is
+    * index-BUILD time, not query time); ranking/scoring stay in codegen'd
+    * Column space. */
+  def ivfKnn(emb: DataFrame, queryPred: Column, k: Int, nCells: Int = 16,
+      nprobe: Int = 2, seed: Long = 42L, maxIter: Int = 10,
+      trainFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fv = emb.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol)).as("fv"))
+    val train = if (trainFraction >= 1.0) fv else fv.sample(trainFraction, seed)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
+    val corpus = model.transform(fv)
+      .select(col(idCol), col(vecCol), col("cell"), norm(col(vecCol)).as("vnorm"))
+
+    // query-side probe list: rank cells by ||c||^2 - 2 q·c (equivalent to
+    // squared L2, the query's own norm is constant per row) — centers as
+    // literal arrays, ranking fully in Column space
+    val centers = model.clusterCenters
+    val cellRank = array(centers.zipWithIndex.map { case (c, i) =>
+      val ca = array(c.toArray.map(lit(_)): _*)
+      val c2 = c.toArray.map(x => x * x).sum
+      struct((lit(c2) - dot(col(vecCol), ca) * 2.0).as("d"), lit(i).as("cell"))
+    }: _*)
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"),
+        explode(slice(array_sort(cellRank), 1, math.min(nprobe, nCells)))
+          .as("probe"))
+      .select(col("qid"), col("qvec"), col("qnorm"), col("probe.cell").as("cell"))
+
+    val scored = corpus
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("neighbor_id"),
+        (dot(col("qvec"), col(vecCol)) / (col("qnorm") * col("vnorm"))).as("score"))
+    topK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among bucket-mates
     * (LSH-blocked, so no O(n²)). id_a < id_b. */
   def cosineNearDups(emb: DataFrame, threshold: Double = 0.95, m: Int = 8,

@@ -115,6 +115,24 @@ class LlmSpec extends SparkTestBase {
     probed.foreach { case (id, s) => assert(s === brute(id)) }
   }
 
+  test("ivf knn: full probe equals brute force; partial probe finds cell-mates") {
+    val brute = Similarity.bruteForceKnn(embs, $"vec_id" === 0, k = 3)
+      .select($"neighbor_id", $"score").as[(Long, Double)].collect().toMap
+    // nprobe == nCells ⇒ every cell searched ⇒ exact
+    val full = Similarity.ivfKnn(embs, $"vec_id" === 0, k = 3, nCells = 2,
+        nprobe = 2)
+      .select($"neighbor_id", $"score").as[(Long, Double)].collect()
+    assert(full.map(_._1).toSet === brute.keySet)
+    full.foreach { case (id, s) => assert(s === brute(id)) }
+    // nprobe=1: the colinear near-dup shares vec 0's cell (k-means cannot
+    // split two identical directions at opposite corners), so it is found
+    val partial = Similarity.ivfKnn(embs, $"vec_id" === 0, k = 3, nCells = 2,
+        nprobe = 1)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(partial.contains(1L))
+    assert(partial.subsetOf(brute.keySet))
+  }
+
   test("lsh bucket fails fast on embedding/dim mismatch") {
     val e = intercept[Exception] {
       embs.select(Similarity.lshBucket($"embedding", m = 4, dim = 64)).collect()

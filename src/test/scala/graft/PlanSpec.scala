@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Analytics
+
+/** Plan-shape contracts — the 100 TB claims, asserted against Catalyst
+  * output so they can't silently regress:
+  *   - dimension joins broadcast (no sort-merge on the star join)
+  *   - scans prune to the referenced columns
+  *   - bucketed tables co-locate an equi-join with NO shuffle on either
+  *     side (the pre-partitioned-source pattern a production deployment
+  *     uses for repeated fact-fact joins)
+  */
+class PlanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def t(n: String) = graft.sources.Tables.load(spark, sf, n)
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("star join broadcasts every dimension; fact scan prunes columns") {
+    val plan = formatted(Analytics.regionRevenue(
+      t("lineitem"), t("orders"), t("customer"), t("nation"), t("region")))
+    // each operator appears once in the tree and once as a "(n) Op" detail
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).size === 4, plan)
+    assert(!plan.contains("SortMergeJoin"))
+    // lineitem: 16 columns in the table, 3 referenced
+    val readSchema = "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"
+    assert(plan.contains(readSchema), plan)
+  }
+
+  test("semi/anti joins reduce the probe side to its key column") {
+    val plan = formatted(Analytics.customerOrderPresence(t("orders"), t("customer")))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("ReadSchema: struct<o_custkey:bigint>"), plan)
+  }
+
+  test("bucketed tables join with no shuffle on either side") {
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    // a crashed prior run can orphan the managed locations (the catalog is
+    // per-session in-memory, the warehouse dir is not)
+    for (d <- Seq("orders_bkt", "customer_bkt")) {
+      val p = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, d)
+      if (p.exists) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete()
+        }
+        rm(p)
+      }
+    }
+    t("orders").write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_bkt")
+    t("customer").write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_bkt")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the non-broadcast path — the point is shuffle avoidance
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_name")
+      val plan = formatted(j)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // bucketing pre-partitions both sides: no exchange anywhere
+      assert(!plan.contains("Exchange"), plan)
+      assert(j.count() === t("orders").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
