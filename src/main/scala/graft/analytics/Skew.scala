@@ -1,0 +1,53 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle operators. AQE's skew-join splits oversized
+  * SORT-MERGE partitions at runtime, but it cannot help when the operator
+  * is an aggregation with one hot key, or when a map-side combine still
+  * leaves one reducer with the hot key's whole stream. Explicit salting
+  * spreads a hot key over `saltFactor` sub-keys at the cost of replicating
+  * the (small) other side / a second aggregation pass. */
+object Skew {
+
+  /** Inner equi-join with a salted left side: the large/skewed `left` gets
+    * a deterministic uniform salt, the small `right` is replicated once per
+    * salt value, so every (key, salt) pair still meets its match — result
+    * row set is EXACTLY the plain inner join's.
+    *
+    * The salt derives from `monotonically_increasing_id` (stable under task
+    * retry for a given input split), not from the key — identical hot-key
+    * rows spread across all `saltFactor` reducers.
+    *
+    * Cost model: right side grows ×saltFactor before its shuffle — use for
+    * big-skewed ⋈ small-but-over-broadcast-threshold. If right fits a
+    * broadcast, `broadcast(right)` beats salting outright. */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, saltFactor: Int = 16): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val salted = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated,
+        salted("__salt") === replicated("__salt") &&
+          salted(leftKey) === replicated(rightKey))
+      .drop("__salt")
+  }
+
+  /** Two-phase aggregation for a skewed grouping key: partial-aggregate on
+    * (key, salt) first — the hot key's stream splits across saltFactor
+    * reducers — then merge the partials per key. `aggs` must be
+    * decomposable (sum/count/min/max: merge with the same fn; avg must be
+    * expressed as sum+count by the caller). */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+      saltFactor: Int = 16): DataFrame =
+    df.withColumn("__salt",
+        pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("__psum")).as("sum_" + valueCol),
+        sum(col("__pcnt")).as("n_rows"))
+}

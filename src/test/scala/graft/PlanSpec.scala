@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.analytics.Analytics
+import graft.analytics.{Analytics, Skew}
 
 /** Plan-shape contracts — the 100 TB claims, asserted against Catalyst
   * output so they can't silently regress:
@@ -39,6 +39,29 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("LeftSemi"), plan)
     assert(plan.contains("LeftAnti"), plan)
     assert(plan.contains("ReadSchema: struct<o_custkey:bigint>"), plan)
+  }
+
+  test("salted join/agg equal their plain forms on a 90%-hot-key input") {
+    val left = ((1 to 900).map(_ => (7L, "hot")) ++ (1 to 100).map(i => (i.toLong % 50, "cold")))
+      .toDF("k", "tag")
+    val right = (0L to 60L).map(i => (i, s"dim$i")).toDF("rk", "name")
+    val plain = left.join(right, $"k" === $"rk")
+      .select($"k", $"tag", $"name").collect().map(_.toString).sorted
+    val salted = Skew.saltedEquiJoin(left, right, "k", "rk", saltFactor = 8)
+      .select($"k", $"tag", $"name").collect().map(_.toString).sorted
+    assert(salted === plain)
+    // the hot key really spreads: >1 distinct salt among k=7 rows
+    val hotSalts = left.withColumn("s",
+        pmod(hash(monotonically_increasing_id()), lit(8)))
+      .filter($"k" === 7).select($"s").distinct().count()
+    assert(hotSalts > 4)
+
+    val plainAgg = left.groupBy($"k").agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val saltedAgg = Skew.saltedSumCount(left, "k", "k", saltFactor = 8)
+      .select($"k", $"n_rows")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(saltedAgg === plainAgg)
   }
 
   test("bucketed tables join with no shuffle on either side") {
