@@ -158,6 +158,21 @@ object Queries {
     "q_set_cohorts" -> ((s, dir) =>
       Analytics.viewPurchaseCohorts(t(s, dir, "events"))),
 
+    // ---- analytics: as-of join (event enrichment with latest state) ----
+    // each event picks up its user's latest daily-snapshot value at or
+    // before the event time — the classic as-of enrichment, via the
+    // union+last_value composition (no range join)
+    "q_asof_enrich" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val snap = ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("rts"))
+        .agg(max(col("value")).as("day_max"))
+      Analytics.asofJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")), snap,
+        "user_id", "ts", "rts", Seq("day_max"))
+        .select(col("event_id"), col("day_max"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- analytics: JSON / map scalar functions ----
     "q_json_props" -> ((s, dir) => Analytics.propsJson(t(s, dir, "events"))),
     "q_map_ops" -> ((s, dir) => Analytics.propsMapOps(t(s, dir, "events"))),
@@ -449,6 +464,15 @@ object Queries {
         |   EXCEPT
         |   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
         |ORDER BY cohort, user_id""".stripMargin,
+
+    "q_asof_enrich" ->
+      """WITH snap AS (
+        |  SELECT user_id, date_trunc('day', ts) AS rts, max(value) AS day_max
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, s.day_max
+        |FROM events e ASOF LEFT JOIN snap s
+        |  ON e.user_id = s.user_id AND e.ts >= s.rts
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_id,

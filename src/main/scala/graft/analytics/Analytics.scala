@@ -269,6 +269,43 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** AS-OF join — for each left row, the single latest right row with the
+    * same key and `rightTime <= leftTime`. Spark has no native as-of
+    * operator; the naive form (range theta-join + per-pair max) explodes
+    * quadratically per key. This is the scalable composition: UNION both
+    * sides tagged, one shuffle+sort per key, running `last(_, ignoreNulls)`
+    * carries the right side's values forward, then keep only left rows —
+    * O(n log n) per key, no range join, no explosion. Right rows sort
+    * before left rows at equal timestamps, so an exactly-simultaneous
+    * snapshot is visible (`<=` semantics, matching SQL ASOF JOIN).
+    *
+    * `right` must be unique per (key, rightTime) — pre-aggregate if not.
+    * Returns left columns + `valueCols` (null when no right row precedes). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1))
+      .select(Seq(col(key).as("__k"), col("__t"), col("__is_left")) ++
+        leftCols.map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__is_left", lit(0))
+      .select(Seq(col(key).as("__k"), col("__t"), col("__is_left")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(Seq(col("__is_left")) ++ leftCols.map(col) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__is_left") === 1)
+      .drop("__is_left")
+  }
+
   /** Native session_window aggregation (the batch form of the streaming
     * session operator): sessions merge while the gap stays strictly under
     * `gap`. Same partial-agg + merge structure streaming uses; the window

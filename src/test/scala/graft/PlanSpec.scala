@@ -41,6 +41,23 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("ReadSchema: struct<o_custkey:bigint>"), plan)
   }
 
+  test("asof join: latest state at-or-before, null before first snapshot") {
+    import java.sql.Timestamp
+    val ms = (m: Long) => new Timestamp(m)
+    val left = Seq((1L, "u", ms(50)), (2L, "u", ms(100)), (3L, "u", ms(150)),
+      (4L, "u", ms(20)), (5L, "v", ms(100)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(("u", ms(30), 1.0), ("u", ms(100), 2.0), ("w", ms(10), 9.0))
+      .toDF("user_id", "rts", "v")
+    val out = Analytics.asofJoin(left, right, "user_id", "ts", "rts", Seq("v"))
+      .select($"event_id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(1.0)) // 50 -> snapshot at 30
+    assert(out(2L) === Some(2.0)) // boundary: 100 sees the ts=100 snapshot
+    assert(out(3L) === Some(2.0)) // carry forward
+    assert(out(4L) === None)      // before any snapshot
+    assert(out(5L) === None)      // no snapshots for v at all
+  }
+
   test("salted join/agg equal their plain forms on a 90%-hot-key input") {
     val left = ((1 to 900).map(_ => (7L, "hot")) ++ (1 to 100).map(i => (i.toLong % 50, "cold")))
       .toDF("k", "tag")
