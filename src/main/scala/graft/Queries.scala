@@ -173,6 +173,25 @@ object Queries {
         .orderBy(col("event_id"))
     }),
 
+    // ---- analytics: range (interval-containment) join ----
+    // events matched into their user's 6-hour daily window via the
+    // bucketized range join (equi-join on (key, hour-bucket) + residual)
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val win = ev.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+        .select(col("user_id"),
+          timestamp_millis(unix_millis(col("day")) + (col("user_id") % 12) * 3600000L)
+            .as("w_start"),
+          timestamp_millis(unix_millis(col("day")) + (col("user_id") % 12 + 6) * 3600000L)
+            .as("w_end"))
+      Analytics.rangeJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")), win,
+        "user_id", "ts", "w_start", "w_end", bucketWidth = 3600000L)
+        .select(col("event_id"), col("w_start"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- analytics: JSON / map scalar functions ----
     "q_json_props" -> ((s, dir) => Analytics.propsJson(t(s, dir, "events"))),
     "q_map_ops" -> ((s, dir) => Analytics.propsMapOps(t(s, dir, "events"))),
@@ -472,6 +491,19 @@ object Queries {
         |SELECT e.event_id, s.day_max
         |FROM events e ASOF LEFT JOIN snap s
         |  ON e.user_id = s.user_id AND e.ts >= s.rts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH win AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    day + INTERVAL (user_id % 12) HOUR AS w_start,
+        |    day + INTERVAL ((user_id % 12) + 6) HOUR AS w_end
+        |  FROM win)
+        |SELECT e.event_id, w.w_start
+        |FROM events e JOIN w ON e.user_id = w.user_id
+        |  AND e.ts >= w.w_start AND e.ts < w.w_end
         |ORDER BY e.event_id""".stripMargin,
 
     "q_json_props" ->

@@ -306,6 +306,37 @@ object Analytics {
       .drop("__is_left")
   }
 
+  /** Range (interval-containment) join — left rows matched to right
+    * intervals `[rStart, rEnd)` on the same key. The naive theta-join
+    * (`lt >= rStart && lt < rEnd`) is a per-key cartesian filtered late —
+    * quadratic per key. This bucketizes time: an interval registers in
+    * every `bucketWidth`-wide bucket it overlaps, a point lives in exactly
+    * one, and the join becomes an equi-join on (key, bucket) with the
+    * exact range predicate as a residual filter. Candidates per point =
+    * intervals overlapping its bucket, not all intervals of the key.
+    *
+    * `bucketWidth` (ms) tunes replication: intervals replicate
+    * ceil(len/bucketWidth)+1 times. Pick ≈ the typical interval length. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lb = left.withColumn("__bucket",
+      floor(unix_millis(col(leftTime)) / bucketWidth))
+    val rb = right
+      .filter(col(rEnd) > col(rStart)) // empty intervals match nothing;
+      // dropping them also keeps the bucket sequence ascending
+      .withColumn("__bucket", explode(sequence(
+        floor(unix_millis(col(rStart)) / bucketWidth),
+        // end is exclusive, but an interval touching a bucket's first ms
+        // must still register there
+        floor((unix_millis(col(rEnd)) - 1) / bucketWidth))))
+    lb.join(rb,
+        lb(key) === rb(key) && lb("__bucket") === rb("__bucket") &&
+          col(leftTime) >= col(rStart) && col(leftTime) < col(rEnd))
+      .drop(rb(key)).drop("__bucket")
+  }
+
   /** Native session_window aggregation (the batch form of the streaming
     * session operator): sessions merge while the gap stays strictly under
     * `gap`. Same partial-agg + merge structure streaming uses; the window

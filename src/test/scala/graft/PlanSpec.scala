@@ -58,6 +58,33 @@ class PlanSpec extends SparkTestBase {
     assert(out(5L) === None)      // no snapshots for v at all
   }
 
+  test("range join equals the theta join; boundaries are [start, end)") {
+    import java.sql.Timestamp
+    val ms = (m: Long) => new Timestamp(m)
+    val rnd = new scala.util.Random(3L)
+    val points = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", ms(rnd.nextInt(100000).toLong)))
+      .toDF("pid", "k", "t")
+    val intervals = (1 to 40).map { i =>
+      val s = rnd.nextInt(90000).toLong
+      (s"k${rnd.nextInt(5)}", ms(s), ms(s + 1 + rnd.nextInt(20000)), i.toLong)
+    }.toDF("k", "ws", "we", "wid")
+    val naive = points.join(intervals,
+        points("k") === intervals("k") && $"t" >= $"ws" && $"t" < $"we")
+      .select($"pid", $"wid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val bucketed = Analytics.rangeJoin(points, intervals, "k", "t", "ws", "we",
+        bucketWidth = 7000L)
+      .select($"pid", $"wid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(bucketed === naive)
+    // explicit boundary pins
+    val p2 = Seq((1L, "x", ms(1000)), (2L, "x", ms(1999)), (3L, "x", ms(2000)))
+      .toDF("pid", "k", "t")
+    val i2 = Seq(("x", ms(1000), ms(2000), 7L)).toDF("k", "ws", "we", "wid")
+    val hits = Analytics.rangeJoin(p2, i2, "k", "t", "ws", "we", 500L)
+      .select($"pid").as[Long].collect().toSet
+    assert(hits === Set(1L, 2L)) // start inclusive, end exclusive
+  }
+
   test("salted join/agg equal their plain forms on a 90%-hot-key input") {
     val left = ((1 to 900).map(_ => (7L, "hot")) ++ (1 to 100).map(i => (i.toLong % 50, "cold")))
       .toDF("k", "tag")
