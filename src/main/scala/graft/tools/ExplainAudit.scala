@@ -11,7 +11,7 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     for (q <- Seq("q1_pricing_summary", "q_region_revenue", "q_top_customers",
-        "q_knn_brute", "q_dedup_minhash", "q_cube_revenue", "q_join_semi_anti", "q_session_window", "q_ngram_jaccard", "q_lang_breakdown")) {
+        "q_knn_brute", "q_dedup_minhash", "q_cube_revenue", "q_join_semi_anti", "q_session_window", "q_ngram_jaccard", "q_lang_breakdown", "q_asof_enrich", "q_range_join", "q_knn_ivf")) {
       println(s"==== $q")
       graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

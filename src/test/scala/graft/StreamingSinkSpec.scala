@@ -5,6 +5,7 @@ import java.util.Base64
 import scala.collection.mutable
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.etl.EventEtl
@@ -141,6 +142,36 @@ class StreamingSinkSpec extends SparkTestBase {
       .select($"user_id", $"n_events").as[(Long, Long)].collect().sorted
     // user 1: sessions of 3 events and 1 event, both finalized
     assert(out.toSeq.take(2) === Seq((1L, 1L), (1L, 3L)).sorted)
+  }
+
+  test("streaming: watermarked tumbling-window aggregation finalizes on watermark") {
+    import java.sql.Timestamp
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val ms = (m: Long) => new Timestamp(m)
+    val minute = 60_000L
+    val counts = input.toDF().toDF("event_type", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window($"ts", "1 minute"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w_start"), $"event_type", $"n")
+    // two windows of data, then a far-future event to advance the watermark
+    input.addData(("click", ms(minute + 1000)), ("click", ms(minute + 2000)),
+      ("view", ms(minute + 3000)))
+    input.addData(("click", ms(2 * minute + 1000)))
+    input.addData(("late", ms(60 * minute)))
+    val q = counts.writeStream
+      .format("memory").queryName("graft_window_test")
+      .outputMode("append") // append emits a window only once it is FINAL
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_window_test")
+      .select($"w_start", $"event_type", $"n")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(out.contains((ms(minute), "click", 2L)))
+    assert(out.contains((ms(minute), "view", 1L)))
+    assert(out.contains((ms(2 * minute), "click", 1L)))
   }
 
   test("streaming: micro-batches flow, redelivered message deduped in-watermark") {
