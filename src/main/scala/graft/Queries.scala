@@ -212,6 +212,12 @@ object Queries {
       llm.Dedup.exact(docs.unionByName(docs)) // doubled corpus: every text ×2
         .orderBy(col("keep_id"))
     }),
+    // ---- LLM data pipeline: the composed curation recipe ----
+    "q_curation" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Curation.curate(docs.unionByName(docs)) // doubled: dedup is real
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       llm.Dedup.minhashNearDups(tWide(s, dir, "documents"), threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),
@@ -597,6 +603,39 @@ object Queries {
       s"""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
          |  ${viaStr("sum(CAST(value AS DECIMAL(18,6)))")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the composed pipeline: same language + quality formulas as
+    // q_lang_breakdown / q_text_quality, over the doubled corpus, then the
+    // exact-dedup group-by — all shared fragments, bit-exact arithmetic.
+    "q_curation" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM documents),
+         |sc AS (SELECT doc_id, text, $langScoresSql FROM d),
+         |l AS (SELECT doc_id, text, $langCaseSql AS lang_pred FROM sc),
+         |c AS (
+         |  SELECT doc_id, text, lang_pred,
+         |    CASE WHEN len($wordsSql) = 0 THEN 0.0
+         |      ELSE len(list_filter($wordsSql, x -> list_contains([${llm.TextAnalysis.StopwordsEn.map("'" + _ + "'").mkString(", ")}], x)))::DOUBLE
+         |        / len($wordsSql)::DOUBLE END AS stopword_ratio,
+         |    len(text)::DOUBLE AS len_d,
+         |    (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS punct_d,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |      ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+         |        / len(text)::DOUBLE END AS digit_ratio
+         |  FROM l),
+         |q AS (
+         |  SELECT doc_id, text, lang_pred,
+         |    least(len_d / 200.0, 1.0) * (CASE WHEN len_d > 2000 THEN 0.5 ELSE 1.0 END) * 0.3
+         |    + (CASE WHEN punct_d / greatest(len_d, 1.0) > 0.2 THEN 0.3
+         |        ELSE 1.0 - punct_d / greatest(len_d, 1.0) END) * 0.3
+         |    + (1.0 - least(digit_ratio * 2.0, 1.0)) * 0.2
+         |    + least(stopword_ratio * 5.0, 1.0) * 0.2 AS quality
+         |  FROM c),
+         |k AS (SELECT * FROM q WHERE lang_pred = 'en' AND quality >= 0.5)
+         |SELECT min(doc_id) AS doc_id, min(quality) AS quality,
+         |  count(*) AS n_copies
+         |FROM k GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH d AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)

@@ -1,0 +1,39 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The standard corpus-curation recipe, composed from the library's
+  * operators: language filter → quality floor → exact dedup (min-id
+  * survivor wins; duplicate count retained for weighting/inspection).
+  *
+  * Plan shape at 100 TB: ONE narrow scan-side projection computes language
+  * and quality off the shared one-pass [[graft.expr.TextProfile]] kernel
+  * (Catalyst subexpression elimination dedups the kernel call), the filter
+  * prunes before any shuffle, and the only wide operator is the dedup's
+  * hash aggregation on a uniform 128-bit digest. Near-dup passes
+  * ([[Dedup.minhashNearDups]] etc.) slot in AFTER the exact pass — they
+  * then run on the (much smaller) distinct corpus. */
+object Curation {
+
+  /** Curate: keep `lang` documents with quality ≥ `minQuality`, collapse
+    * exact duplicates to their min-id survivor. Returns
+    * (doc_id, quality, n_copies) — one row per surviving document. */
+  def curate(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = docs.select(
+      col(idCol), col(textCol),
+      TextAnalysis.langId(col(textCol)).as("lang_pred"),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"))
+    val kept = scored
+      .filter(col("lang_pred") === lang && col("quality") >= minQuality)
+    kept
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol),
+        // survivor's quality: identical text ⇒ identical quality — min is
+        // a deterministic way to say "the value", oracle-mirrorable
+        min(col("quality")).as("quality"),
+        count(lit(1)).as("n_copies"))
+      .drop("text_hash")
+  }
+}

@@ -155,6 +155,18 @@ class LlmSpec extends SparkTestBase {
     assert(pairs === Set((0L, 1L), (2L, 3L)))
   }
 
+  test("curation: language + quality gates, exact dup collapsed to survivor") {
+    val en = "the quick brown fox is on the hill and it runs for the trees " * 3
+    val fr = "le chat est dans la maison pour un moment et le chien dort sur le tapis " * 3
+    val junk = "@@@@ #### 1234 5678 !!!! $$$$ %%%% ^^^^ &&&& ****"
+    val rows = Seq((0L, en), (1L, fr), (2L, junk), (3L, en)).toDF("doc_id", "text")
+    val out = graft.llm.Curation.curate(rows, lang = "en", minQuality = 0.4)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("doc_id") === 0L) // min-id survivor
+    assert(out.head.getAs[Long]("n_copies") === 2L) // 0 and 3 collapsed
+  }
+
   test("text stats: token counts, langId, quality bounds, fingerprint size") {
     val out = TextAnalysis.docStats(
       Seq((0L, "The quick brown fox is on the hill"),
