@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point. Prints ONE compact JSON metric line on stdout
+  * (the driver tail-greps it; keep it SHORT — round-2's line embedded all
+  * raw passes inline and outgrew the driver's tail window, so the artifact
+  * came back `parsed: null`). Full per-pass detail goes to a side file.
+  *
+  * Queries are consumed with a `noop`-format write, which evaluates every
+  * output column — `count()` lets Catalyst prune projection-only queries
+  * down to a row count and flatters them.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,12 +24,13 @@ object Bench {
     // shows intermittent external contention that can inflate a single
     // CPU-bound task 10-100x at random (identical plans measured
     // 0.3s <-> 215s across runs), and pass 1 additionally pays JIT/codegen
-    // warmup. All raw passes are kept in the artifact for transparency.
+    // warmup. All raw passes are kept in the side file for transparency.
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     def onePass(tag: String): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $tag $name $dt%.1fs")
         name -> dt
@@ -28,19 +39,21 @@ object Bench {
     val results = passes.head.indices.map { i =>
       passes.head(i)._1 -> passes.map(_(i)._2).min
     }
+    def jnum(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec",""" +
+      s""""queries":${jmap(results)},"sf":"$sfDir"}"""
     val passFields = passes.zipWithIndex
       .map { case (p, i) => s""""pass${i + 1}":${jmap(p)}""" }.mkString(",")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
-      s"""$passFields,"sf":"$sfDir"}"""
-    println(line)
-    // Belt-and-braces for the driver's parse: the metric line also lands in
-    // a file, immune to any log decoration on stdout.
+    val detail = line.dropRight(1) + s""","passes":{$passFields}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), detail + "\n")
     catch { case _: Throwable => () }
+    // The metric line is the LAST stdout write, maximizing the odds it lands
+    // inside whatever tail window the driver captures.
+    println(line)
     spark.stop()
   }
 }
