@@ -152,23 +152,33 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val fv = emb.select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol)).as("fv"))
-    val train = if (trainFraction >= 1.0) fv else fv.sample(trainFraction, seed)
+    // Lloyd's iterates over its input once per iteration; an uncached train
+    // set re-pays the upstream scan/shuffle/array_to_vector every pass, which
+    // dominated the query's measured cost. Cache exactly the training
+    // projection (tiny: nothing but id-less vectors after sampling) and
+    // release it as soon as the model exists.
+    val train = (if (trainFraction >= 1.0) emb else emb.sample(trainFraction, seed))
+      .select(array_to_vector(col(vecCol)).as("fv")).cache()
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
-    val corpus = model.transform(fv)
-      .select(col(idCol), col(vecCol), col("cell"), norm(col(vecCol)).as("vnorm"))
+    train.unpersist()
 
-    // query-side probe list: rank cells by ||c||^2 - 2 q·c (equivalent to
-    // squared L2, the query's own norm is constant per row) — centers as
-    // literal arrays, ranking fully in Column space
+    // Both cell assignment (corpus side, argmin) and probe ranking (query
+    // side, top-nprobe) use the same Column-space ranking of
+    // ||c||^2 - 2 v·c (squared L2 minus the row's own constant norm),
+    // with centers inlined as literal arrays: the scan-side projection stays
+    // in codegen instead of MLlib's per-row prediction UDF, and ties break
+    // on cell id exactly as KMeans' argmin does.
     val centers = model.clusterCenters
     val cellRank = array(centers.zipWithIndex.map { case (c, i) =>
       val ca = array(c.toArray.map(lit(_)): _*)
       val c2 = c.toArray.map(x => x * x).sum
       struct((lit(c2) - dot(col(vecCol), ca) * 2.0).as("d"), lit(i).as("cell"))
     }: _*)
+    val corpus = emb
+      .select(col(idCol), col(vecCol),
+        array_sort(cellRank).getItem(0).getField("cell").as("cell"),
+        norm(col(vecCol)).as("vnorm"))
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qnorm"),
