@@ -277,6 +277,17 @@ object Queries {
           array_join(col("fingerprint"), ",").as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // ---- LLM data pipeline: repetition quality signals (Gopher-style) ----
+    // The synthetic docs are single-line, so the line metrics are degenerate
+    // here (pinned by RepetitionSpec's multi-line fixtures); the oracle's
+    // teeth are the n-gram fractions and the deterministic top-gram pick.
+    "q_repetition" -> ((s, dir) =>
+      llm.Repetition.profile(tWide(s, dir, "documents"))
+        .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+          col("dup_line_char_frac"), col("top2_gram"), col("top2_char_frac"),
+          col("top3_char_frac"), col("dup5_char_frac"))
+        .orderBy(col("doc_id"))),
+
     // ---- LLM data pipeline: multimodal columns ----
     // features exploded to (bucket, feature) scalar rows — same pandas
     // array-cell constraint as q_text_quality, and count/n double division
@@ -756,6 +767,59 @@ object Queries {
          |  len_score * 0.3 + punct_score * 0.3 + digit_score * 0.2 + sw_score * 0.2 AS quality,
          |  fingerprint
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Repetition.profile: non-blank lines via string_split(chr(10)),
+    // non-distinct word n-grams via the shared shingle fragment, top-gram
+    // tie-break pinned to (count DESC, gram DESC) — identical to Spark's
+    // max over (cnt, gram) structs. All fractions are int-derived double
+    // divisions: bit-exact cross-engine.
+    "q_repetition" ->
+      s"""WITH ln AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0)) AS line
+         |  FROM documents),
+         |lc AS (SELECT doc_id, line, count(*) AS cnt FROM ln GROUP BY 1, 2),
+         |ls AS (
+         |  SELECT doc_id, sum(cnt) AS n_lines,
+         |    (sum(cnt) - count(*))::DOUBLE / sum(cnt)::DOUBLE AS dup_line_frac,
+         |    sum(CASE WHEN cnt > 1 THEN cnt * len(line) ELSE 0 END)::DOUBLE
+         |      / sum(cnt * len(line))::DOUBLE AS dup_line_char_frac
+         |  FROM lc GROUP BY 1),
+         |g2 AS (
+         |  SELECT doc_id, len(trim(text)) AS n_chars, unnest(${shingleWSql(2)}) AS gram
+         |  FROM documents),
+         |c2 AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2, 3),
+         |t2 AS (
+         |  SELECT doc_id, gram AS top2_gram,
+         |    least(1.0, (cnt * len(gram))::DOUBLE / greatest(n_chars, 1)::DOUBLE) AS top2_char_frac,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+         |  FROM c2),
+         |g3 AS (
+         |  SELECT doc_id, len(trim(text)) AS n_chars, unnest(${shingleWSql(3)}) AS gram
+         |  FROM documents),
+         |c3 AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2, 3),
+         |t3 AS (
+         |  SELECT doc_id,
+         |    least(1.0, (cnt * len(gram))::DOUBLE / greatest(n_chars, 1)::DOUBLE) AS top3_char_frac,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+         |  FROM c3),
+         |g5 AS (SELECT doc_id, unnest(${shingleWSql(5)}) AS gram FROM documents),
+         |c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+         |d5 AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN cnt > 1 THEN cnt * len(gram) ELSE 0 END)::DOUBLE
+         |      / greatest(sum(cnt * len(gram)), 1)::DOUBLE AS dup5_char_frac
+         |  FROM c5 GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ls.n_lines, 0) AS n_lines,
+         |  coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+         |  coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+         |  t2.top2_gram, t2.top2_char_frac, t3.top3_char_frac, d5.dup5_char_frac
+         |FROM documents d
+         |LEFT JOIN ls USING (doc_id)
+         |JOIN (SELECT doc_id, top2_gram, top2_char_frac FROM t2 WHERE rn = 1) t2 USING (doc_id)
+         |JOIN (SELECT doc_id, top3_char_frac FROM t3 WHERE rn = 1) t3 USING (doc_id)
+         |JOIN d5 USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Byte-bucket histogram over the utf8 bytes: bytes recovered from
     // hex(encode(text)) two chars at a time; count/greatest(n,1) double
