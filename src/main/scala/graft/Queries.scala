@@ -288,6 +288,31 @@ object Queries {
           col("top3_char_frac"), col("dup5_char_frac"))
         .orderBy(col("doc_id"))),
 
+    // ---- LLM data pipeline: PII audit + redaction ----
+    // The synthetic corpus is PII-free, so the query PLANTS deterministic
+    // PII (same construction in the oracle SQL): docs with id % 3 == 2 stay
+    // clean — the false-positive half of the check. Counts cast to long for
+    // cross-engine schema parity.
+    "q_pii_scrub" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 2, substring(col("text"), 1, 60))
+          .otherwise(concat(
+            substring(col("text"), 1, 60),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com via 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".7 or tel +1415555"),
+            ((col("doc_id") % 9000) + 1000).cast("string"))).as("text"))
+      llm.Pii.scrub(planted)
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_ips").cast("long").as("n_ips"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("has_pii"), col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LLM data pipeline: multimodal columns ----
     // features exploded to (bucket, feature) scalar rows — same pandas
     // array-cell constraint as q_text_quality, and count/n double division
@@ -820,6 +845,34 @@ object Queries {
          |JOIN (SELECT doc_id, top3_char_frac FROM t3 WHERE rn = 1) t3 USING (doc_id)
          |JOIN d5 USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors Pii.scrub over the same planted-PII construction. The regex
+    // patterns are byte-identical to Pii.{Email,Ipv4,Phone}Pattern — they
+    // live in the dialect-portable subset (no lookaround/backrefs/
+    // alternation) so Java regex and RE2 match identically; 'g' flag makes
+    // DuckDB's replace global like Spark's.
+    "q_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 2 THEN substr(text, 1, 60)
+         |    ELSE substr(text, 1, 60) || ' contact user' || doc_id::VARCHAR
+         |      || '@example.com via 10.0.' || (doc_id % 256)::VARCHAR
+         |      || '.7 or tel +1415555' || ((doc_id % 9000) + 1000)::VARCHAR
+         |    END AS text
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text,
+         |    len(regexp_extract_all(text, '${llm.Pii.EmailPattern}')) AS n_emails,
+         |    len(regexp_extract_all(text, '${llm.Pii.Ipv4Pattern}')) AS n_ips,
+         |    len(regexp_extract_all(text, '${llm.Pii.PhonePattern}')) AS n_phones
+         |  FROM p)
+         |SELECT doc_id, n_emails, n_ips, n_phones,
+         |  n_emails + n_ips + n_phones > 0 AS has_pii,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${llm.Pii.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${llm.Pii.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${llm.Pii.PhonePattern}', '<PHONE>', 'g') AS redacted
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // Byte-bucket histogram over the utf8 bytes: bytes recovered from
     // hex(encode(text)) two chars at a time; count/greatest(n,1) double

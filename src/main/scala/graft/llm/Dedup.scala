@@ -40,6 +40,27 @@ object Dedup {
   def exactSurvivors(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
 
+  /** Incremental-ingest dedup: collapse the incoming batch to its min-id
+    * survivors, then anti-join against the existing corpus by content
+    * digest — only genuinely new texts survive. Returns (idCol, n_copies)
+    * where n_copies counts the batch-internal duplicates.
+    *
+    * Scale structure: both sides hash-partition on the uniform 128-bit
+    * digest; the anti-join is co-partitioned with the batch-side
+    * aggregation, and at a steady-state ingest (batch ≪ corpus) the
+    * corpus-side scan is the dominant cost — keep the corpus as a
+    * digest-bucketed table so the shuffle amortizes to zero across runs. */
+  def incrementalNew(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val batch = newDocs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+    batch
+      .join(corpus.select(md5(col(textCol)).as("text_hash")),
+        Seq("text_hash"), "left_anti")
+      .select(col(idCol), col("n_copies"))
+  }
+
   /** Word w-shingles of lowercased text, distinct. */
   def shingles(text: Column, w: Int): Column = {
     val words = split(lower(trim(text)), "\\s+")

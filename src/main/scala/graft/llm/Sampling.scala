@@ -1,0 +1,46 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for corpus curation.
+  *
+  * `df.sample()` is seeded per-partition: the kept set changes whenever the
+  * partitioning does, which makes curation runs non-reproducible across
+  * cluster sizes and unverifiable across engines. Here the keep decision is
+  * a pure function of the ROW KEY: hash the key with md5 and keep rows
+  * whose 16-bit digest prefix falls below round(fraction · 2¹⁶). Any
+  * engine that can md5 a string reproduces the exact sample — the property
+  * a 100 TB curation audit actually needs — and the sample is stable under
+  * repartitioning, retries, and incremental reruns (a row's fate never
+  * changes, so downstream caches stay valid).
+  *
+  * Pure narrow projection/filter — no shuffle, no RNG state. */
+object Sampling {
+
+  /** 4-hex-digit keep threshold for a fraction in [0, 1). 16-bit
+    * granularity: the realized rate is exact at multiples of 1/65536. */
+  def digestThreshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction < 1, s"fraction must be in [0,1): $fraction")
+    f"${math.round(fraction * 65536)}%04x"
+  }
+
+  /** Keep predicate for a key column at the given fraction. */
+  def keepByDigest(key: Column, fraction: Double): Column =
+    substring(md5(key.cast("string")), 1, 4) < lit(digestThreshold(fraction))
+
+  /** Deterministic Bernoulli sample keyed on `key`. */
+  def sampleByKey(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(keepByDigest(key, fraction))
+
+  /** Deterministic stratified sample: per-stratum fractions; strata absent
+    * from the map are dropped. Thresholds are inlined as a CASE over the
+    * stratum column — still a pure scan-side filter. */
+  def stratified(df: DataFrame, strata: Column, key: Column,
+      fractions: Map[String, Double]): DataFrame = {
+    val thresh = fractions.toSeq.sortBy(_._1).foldLeft(lit("0000")) {
+      case (acc, (s, f)) => when(strata === s, lit(digestThreshold(f))).otherwise(acc)
+    }
+    df.filter(substring(md5(key.cast("string")), 1, 4) < thresh)
+  }
+}
