@@ -835,7 +835,7 @@ object Queries {
          |    sum(CASE WHEN cnt > 1 THEN cnt * len(gram) ELSE 0 END)::DOUBLE
          |      / greatest(sum(cnt * len(gram)), 1)::DOUBLE AS dup5_char_frac
          |  FROM c5 GROUP BY 1)
-         |SELECT d.doc_id, coalesce(ls.n_lines, 0) AS n_lines,
+         |SELECT d.doc_id, coalesce(ls.n_lines, 0)::BIGINT AS n_lines,
          |  coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
          |  coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
          |  t2.top2_gram, t2.top2_char_frac, t3.top3_char_frac, d5.dup5_char_frac
