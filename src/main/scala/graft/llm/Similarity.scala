@@ -133,48 +133,101 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
   }
 
+  /** Driver-local Lloyd's over a bounded sample: argmin squared-L2
+    * assignment (ties → lowest cell id), mean update, empty cells keep
+    * their previous center, early exit when centers stop moving. Init is
+    * the first k DISTINCT sample vectors (the sample arrives hash-ordered,
+    * so this is a seeded random pick); fewer distinct vectors than k just
+    * yields fewer cells. Sequential fold over a pinned order ⇒ bit-exact
+    * reproducible across runs and cluster layouts. */
+  private[llm] def localLloyd(sample: Array[Array[Double]], k: Int,
+      maxIter: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "ivf quantizer: empty training sample")
+    val dim = sample.head.length
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    var i = 0
+    while (i < sample.length && init.length < k) {
+      val v = sample(i)
+      if (v.length == dim && seen.add(v.toSeq)) init += v.clone()
+      i += 1
+    }
+    var centers = init.toArray
+    val m = centers.length
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(m)(new Array[Double](dim))
+      val counts = new Array[Long](m)
+      for (v <- sample if v.length == dim) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < m) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best); var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+      }
+      moved = false
+      val next = Array.tabulate(m) { c =>
+        if (counts(c) == 0) centers(c)
+        else {
+          val nc = sums(c).map(_ / counts(c))
+          if (!java.util.Arrays.equals(nc, centers(c))) moved = true
+          nc
+        }
+      }
+      centers = next
+      iter += 1
+    }
+    centers
+  }
+
   /** IVF (inverted-file) top-k: a k-means coarse quantizer splits the
     * corpus into `nCells` cells; each query probes only its `nprobe`
     * nearest cells, then scores exactly. The standard ANN scale path when
     * recall needs to be tunable independently of a hash family:
     * candidates/query ≈ nprobe·N/nCells, recall → 1 as nprobe → nCells.
     *
-    * Scale structure: the quantizer trains ONCE (on a sample at 100 TB —
-    * `trainFraction`), producing tiny model state (nCells × dim doubles).
-    * Cell assignment is a scan-side projection; the probe join is an
-    * equi-join on cell id (shuffle on a small uniform key), queries
-    * broadcast. MLlib's KMeans does the training (its per-row UDF cost is
-    * index-BUILD time, not query time); ranking/scoring stay in codegen'd
-    * Column space. */
+    * Scale structure: the quantizer trains ONCE on a BOUNDED sample
+    * (`trainSampleRows`, the FAISS recipe — IVF centroids never need the
+    * full corpus), producing tiny model state (nCells × dim doubles).
+    * The sample is drawn as the top rows by a seeded hash of the id — a
+    * per-partition top-k heap + driver merge (TakeOrdered), one scan, no
+    * shuffle — and Lloyd's runs ON THE DRIVER over that array: at most
+    * sample × nCells × dim × maxIter flops, no per-iteration Spark jobs.
+    * (MLlib KMeans cost ~25 scheduled jobs — kmeans|| init plus one per
+    * Lloyd iteration — which dominated the whole query's wall clock at
+    * every scale; the model it produced is 4 KB.) Cell assignment is a
+    * scan-side projection; the probe join is an equi-join on cell id
+    * (shuffle on a small uniform key), queries broadcast; ranking/scoring
+    * stay in codegen'd Column space. Deterministic end-to-end: hash-order
+    * sample, sequential driver fold, id-ordered tie-breaks. */
   def ivfKnn(emb: DataFrame, queryPred: Column, k: Int, nCells: Int = 16,
       nprobe: Int = 2, seed: Long = 42L, maxIter: Int = 10,
-      trainFraction: Double = 1.0,
+      trainSampleRows: Int = 65536,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // Lloyd's iterates over its input once per iteration; an uncached train
-    // set re-pays the upstream scan/shuffle/array_to_vector every pass, which
-    // dominated the query's measured cost. Cache exactly the training
-    // projection (tiny: nothing but id-less vectors after sampling) and
-    // release it as soon as the model exists.
-    val train = (if (trainFraction >= 1.0) emb else emb.sample(trainFraction, seed))
-      .select(array_to_vector(col(vecCol)).as("fv")).cache()
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
-    train.unpersist()
+    val sample = emb
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(trainSampleRows)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = localLloyd(sample, nCells, maxIter)
 
     // Both cell assignment (corpus side, argmin) and probe ranking (query
     // side, top-nprobe) use the same Column-space ranking of
     // ||c||^2 - 2 v·c (squared L2 minus the row's own constant norm),
     // with centers inlined as literal arrays: the scan-side projection stays
-    // in codegen instead of MLlib's per-row prediction UDF, and ties break
-    // on cell id exactly as KMeans' argmin does.
-    val centers = model.clusterCenters
+    // in codegen, and ties break on cell id exactly as Lloyd's argmin does.
     val cellRank = array(centers.zipWithIndex.map { case (c, i) =>
-      val ca = array(c.toArray.map(lit(_)): _*)
-      val c2 = c.toArray.map(x => x * x).sum
+      val ca = array(c.map(lit(_)).toIndexedSeq: _*)
+      val c2 = c.map(x => x * x).sum
       struct((lit(c2) - dot(col(vecCol), ca) * 2.0).as("d"), lit(i).as("cell"))
-    }: _*)
+    }.toIndexedSeq: _*)
     val corpus = emb
       .select(col(idCol), col(vecCol),
         array_sort(cellRank).getItem(0).getField("cell").as("cell"),
@@ -182,7 +235,7 @@ object Similarity {
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qnorm"),
-        explode(slice(array_sort(cellRank), 1, math.min(nprobe, nCells)))
+        explode(slice(array_sort(cellRank), 1, math.min(nprobe, centers.length)))
           .as("probe"))
       .select(col("qid"), col("qvec"), col("qnorm"), col("probe.cell").as("cell"))
 
