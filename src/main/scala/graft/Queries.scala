@@ -144,9 +144,18 @@ object Queries {
       Analytics.segmentRevenue(t(s, dir, "orders"), t(s, dir, "customer"))),
     "q_daily_active" -> ((s, dir) => Analytics.dailyActive(t(s, dir, "events"))),
     "q_topk_events" -> ((s, dir) => Analytics.topkEvents(t(s, dir, "events"), 5)),
-    "q_uniques_hll" -> ((s, dir) => Analytics.uniques(t(s, dir, "events"))),
-    // the exact half of uniques() split out so it gets an oracle row (the
-    // HLL estimate column keeps q_uniques_hll itself rows-only)
+    // HLL's raw estimate can't be oracled (DuckDB's sketch differs), but
+    // its ERROR CONTRACT can: emit the exact count plus a boolean asserting
+    // the estimate landed within 5× the requested rsd — the oracle predicts
+    // TRUE, so a broken sketch (or a silently-exact fallback emitting
+    // nonsense) fails the hash compare. approx_users is still computed (the
+    // boolean forces the HLL+exact two-agg plan).
+    "q_uniques_hll" -> ((s, dir) =>
+      Analytics.uniques(t(s, dir, "events"))
+        .select(col("exact_users"),
+          (abs(col("approx_users").cast("double") / col("exact_users").cast("double")
+            - 1.0) <= 0.05).as("hll_within_5pct"))),
+    // the exact half of uniques() split out so it gets a value-level oracle
     "q_uniques_exact" -> ((s, dir) =>
       t(s, dir, "events").agg(count_distinct(col("user_id")).as("exact_users"))),
 
@@ -218,6 +227,25 @@ object Queries {
       llm.Curation.curate(docs.unionByName(docs)) // doubled: dedup is real
         .orderBy(col("doc_id"))
     }),
+    // ---- LLM data pipeline: deterministic sampling ----
+    // keep/drop is a pure function of md5(doc_id) — reproducible across
+    // engines, partitionings, and retries (see graft.llm.Sampling). The
+    // oracle recomputes the digest predicate verbatim.
+    "q_sample_docs" -> ((s, dir) =>
+      llm.Sampling.sampleByKey(t(s, dir, "documents"), col("doc_id"), 0.25)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+    // per-stratum rates; strata absent from the map are dropped entirely
+    "q_sample_stratified" -> ((s, dir) =>
+      llm.Sampling.stratified(t(s, dir, "documents"), col("source"), col("doc_id"),
+          Map("src0" -> 0.75, "src1" -> 0.5, "src2" -> 0.125))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // Oracled against ALL-PAIRS exact Jaccard: the output is the exact-
+    // Jaccard-verified pair set, so the comparison asserts LSH recall = 1
+    // on this corpus (its true-pair similarities sit far above the 16-band
+    // S-curve's high-recall zone) AND the verify join's arithmetic.
     "q_dedup_minhash" -> ((s, dir) =>
       llm.Dedup.minhashNearDups(tWide(s, dir, "documents"), threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),
@@ -502,6 +530,12 @@ object Queries {
     "q_uniques_exact" ->
       "SELECT count(DISTINCT user_id) AS exact_users FROM events",
 
+    // the HLL error-contract oracle: the estimate must land within 5% of
+    // exact (rsd=0.01 requested; 5× margin), predicted as a literal TRUE
+    "q_uniques_hll" ->
+      """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS hll_within_5pct
+        |FROM events""".stripMargin,
+
     "q_cube_revenue" ->
       s"""SELECT c_mktsegment, o_orderpriority,
          |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders
@@ -678,6 +712,43 @@ object Queries {
         |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM d GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    // digest-predicate mirror of Sampling.sampleByKey: md5 prefix < '4000'
+    // (= round(0.25 * 2^16) as 4 hex digits)
+    "q_sample_docs" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |ORDER BY doc_id""".stripMargin,
+
+    // per-stratum thresholds: 0.75→'c000', 0.5→'8000', 0.125→'2000',
+    // unlisted strata dropped ('0000')
+    "q_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE source WHEN 'src0' THEN 'c000' WHEN 'src1' THEN '8000'
+        |              WHEN 'src2' THEN '2000' ELSE '0000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // all-pairs exact-Jaccard truth for the LSH-candidate + verify pipeline:
+    // matching asserts recall = 1 on this corpus and the verify arithmetic.
+    // Jaccard over shingle STRINGS here vs distinct xxhash64 keys in Spark —
+    // identical set sizes absent 64-bit collisions (none in this corpus).
+    "q_dedup_minhash" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+         |c AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
+         |FROM c
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // posting-list mirror of ngramJaccardPairs incl. the DF-pruned shingle
     // universe (HAVING count <= maxDf) — J over pruned sets, maxDf=2.
