@@ -227,6 +227,35 @@ object Queries {
       llm.Curation.curate(docs.unionByName(docs)) // doubled: dedup is real
         .orderBy(col("doc_id"))
     }),
+    // ---- LLM data pipeline: near-dup clustering (pairs -> components) ----
+    // Connected components over the minhash near-dup pairs; the oracle
+    // recomputes the pair graph as all-pairs exact Jaccard and labels
+    // components with a recursive CTE — fully independent algorithm, same
+    // fixpoint.
+    "q_dedup_clusters" -> ((s, dir) =>
+      llm.Dedup.clusters(
+        llm.Dedup.minhashNearDups(tWide(s, dir, "documents"), threshold = 0.6))
+        .orderBy(col("doc_id"))),
+
+    // ---- LLM data pipeline: sequence packing (corpus -> training shards) ----
+    // 4096-token budget over doc_id order; the two-phase distributed prefix
+    // sum must agree with the oracle's single global window cumsum.
+    "q_pack_sequences" -> ((s, dir) =>
+      llm.Packing.packByBudget(tWide(s, dir, "documents"),
+          col("doc_id"), llm.TextAnalysis.tokenCount(col("text")), budget = 4096L)
+        .withColumnRenamed("pack_key", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // ---- LLM data pipeline: embedding quantization ----
+    // codes emitted comma-joined (pandas array-cell constraint, as
+    // q_text_quality); vmin/vmax round-trip bit-exact via the VARCHAR cast
+    // convention on the oracle side.
+    "q_embed_quantize" -> ((s, dir) =>
+      llm.Quantize.scalarQuantize(tWide(s, dir, "embeddings"))
+        .select(col("vec_id"), col("vmin"), col("vmax"),
+          array_join(col("codes"), ",").as("codes"))
+        .orderBy(col("vec_id"))),
+
     // ---- LLM data pipeline: deterministic sampling ----
     // keep/drop is a pure function of md5(doc_id) — reproducible across
     // engines, partitionings, and retries (see graft.llm.Sampling). The
@@ -749,6 +778,66 @@ object Queries {
          |JOIN sz sb ON sb.doc_id = id_b
          |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // independent reconstruction of the component labeling: same pair graph
+    // (all-pairs exact Jaccard), transitive closure via recursive CTE,
+    // label = min reachable id — vs Spark's iterated label propagation
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+         |c AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM c
+         |  JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT reach.id, e2.d FROM reach JOIN edges e2 ON e2.s = reach.r)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // single global window cumsum — the semantics the distributed two-phase
+    // prefix sum must reproduce exactly
+    "q_pack_sequences" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+        |    / 4096) AS BIGINT) AS shard
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
+    // per-vector min/max codebook mirror; expression tree order pinned
+    // ((x - vmin) * 255) / (vmax - vmin), floor, clamp — float->double
+    // widening is exact on both engines
+    "q_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(embedding, 'min')::DOUBLE AS vmin,
+        |    list_aggregate(embedding, 'max')::DOUBLE AS vmax
+        |  FROM embeddings)
+        |SELECT vec_id, vmin, vmax,
+        |  CASE WHEN vmax = vmin
+        |    THEN array_to_string([0 FOR x IN embedding], ',')
+        |    ELSE array_to_string(list_transform(embedding,
+        |      x -> CAST(least(floor(((x::DOUBLE - vmin) * 255) / (vmax - vmin)),
+        |        255) AS BIGINT)), ',')
+        |  END AS codes
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     // posting-list mirror of ngramJaccardPairs incl. the DF-pruned shingle
     // universe (HAVING count <= maxDf) — J over pruned sets, maxDf=2.

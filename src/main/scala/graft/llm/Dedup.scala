@@ -280,4 +280,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
     materializedWithout(out, sh)
   }
+
+  /** Connected components over a near-duplicate pair list: the step that
+    * turns PAIRS (from [[minhashNearDups]] / [[simhashNearDups]] /
+    * [[ngramJaccardPairs]]) into dedup GROUPS — near-duplication is
+    * transitive in practice (A≈B≈C ⇒ keep one of {A,B,C}), so the keep/drop
+    * decision needs the component, not the pair.
+    *
+    * Returns (doc_id, cluster_id) for every doc appearing in a pair, where
+    * cluster_id = the minimum doc id reachable in the pair graph.
+    *
+    * Algorithm: iterated min-label propagation. Each round every node
+    * replaces its label with the min over {itself} ∪ neighbors' labels; a
+    * fixpoint is a valid component labeling. Each round is one equi-join +
+    * one aggregation (both hash-partitioned on node id — uniform keys), and
+    * rounds needed = graph diameter. Near-dup graphs are unions of small
+    * dense clusters (diameter ≤ ~3), so this settles in 2-4 rounds; for
+    * adversarial long-chain graphs switch to the large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce"),
+    * which converges in O(log n) rounds on any graph. `localCheckpoint`
+    * per round cuts the exponentially-growing lineage — standard for any
+    * iterate-on-DataFrame loop. */
+  def clusters(pairs: DataFrame, maxIter: Int = 20,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    // Symmetric edge list; (id, id) self-edges seed the labels and let the
+    // propagation step be a single join+agg over one frame.
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .unionByName(pairs.select(col(aCol).as("src"), col(aCol).as("dst")))
+      .unionByName(pairs.select(col(bCol).as("src"), col(bCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"), col("src").as("lbl")).distinct()
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("lbl")).as("lbl"))
+        .withColumnRenamed("id2", "id")
+        .localCheckpoint()
+      // Fixpoint test: sum of labels strictly decreases until convergence
+      // (labels only ever decrease), so one scalar compare suffices — no
+      // row-level diff join.
+      val sumNow = next.agg(sum(col("lbl"))).head().getLong(0)
+      val sumPrev = labels.agg(sum(col("lbl"))).head().getLong(0)
+      labels = next
+      converged = sumNow == sumPrev
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Canonical survivors from a pair list: one row per component, keeping
+    * the min-id member — `clusters` folded to the keep set. */
+  def clusterSurvivors(pairs: DataFrame): DataFrame =
+    clusters(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster_id").as("keep_id"), col("n_members"))
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, Quantize, Similarity, TextAnalysis}
 
 /** LLM-pipeline operators not covered by a SQL oracle (hash-based and
   * LSH-based paths): planted duplicates must be found, non-duplicates must
@@ -206,5 +206,44 @@ class LlmSpec extends SparkTestBase {
     // 300 bytes → frames 0..3 (idx 4 past end), stride 2 → idx 0, 2
     assert(frames.map(_._1).toSeq === Seq(0, 2))
     assert(frames.forall(_._2 == 64))
+  }
+
+  test("clusters: chain merges transitively, disjoint pairs stay separate") {
+    // chain 1-2, 2-3 (diameter 2) + disjoint pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val keep = Dedup.clusterSurvivors(pairs).as[(Long, Long)].collect().toMap
+    assert(keep === Map(1L -> 3L, 10L -> 2L)) // keep_id -> n_members
+  }
+
+  test("packing: two-phase prefix sum equals the naive global cumsum") {
+    // 100 docs, token counts 1..100, budget 50 — shard boundaries interior
+    // to partitions AND straddling them (nParts=7 forces uneven ranges)
+    val docs = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "n")
+    val got = Packing.packByBudget(docs, $"id", $"n", budget = 50L, nParts = 7)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    val want = (1 to 100).map { i =>
+      val shard = cum / 50; cum += i; (i.toLong, i.toLong, shard)
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("quantize: codes clamp to [0,255], degenerate vector is all zeros") {
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.5f, 1.0f)),   // spread: min→0, max→255
+      (1L, Seq(2.0f, 2.0f, 2.0f))    // degenerate: vmax == vmin
+    ).toDF("vec_id", "embedding")
+    val q = Quantize.scalarQuantize(emb).orderBy($"vec_id")
+      .select($"vmin", $"vmax", $"codes").as[(Double, Double, Seq[Int])].collect()
+    assert(q(0) === ((0.0, 1.0, Seq(0, 127, 255))))
+    assert(q(1) === ((2.0, 2.0, Seq(0, 0, 0))))
+    // dequantized midpoints stay within half a bucket of the original
+    val approx = Quantize.dequantize(Quantize.scalarQuantize(emb))
+      .filter($"vec_id" === 0L).select($"approx").as[Seq[Double]].head()
+    Seq(0.0, 0.5, 1.0).zip(approx).foreach { case (x, a) =>
+      assert(math.abs(x - a) <= 0.5 / 255 + 1e-12)
+    }
   }
 }
