@@ -201,6 +201,15 @@ object Queries {
         .orderBy(col("event_id"))
     }),
 
+    // ---- analytics: ranking-function family ----
+    "q_window_rank" -> ((s, dir) =>
+      Analytics.orderRanks(t(s, dir, "orders"))
+        .orderBy(col("o_custkey"), col("rn"))),
+
+    // ---- analytics: exact percentiles ----
+    "q_percentiles" -> ((s, dir) =>
+      Analytics.quantitySpread(t(s, dir, "lineitem"))),
+
     // ---- analytics: JSON / map scalar functions ----
     "q_json_props" -> ((s, dir) => Analytics.propsJson(t(s, dir, "events"))),
     "q_map_ops" -> ((s, dir) => Analytics.propsMapOps(t(s, dir, "events"))),
@@ -278,6 +287,14 @@ object Queries {
     "q_dedup_minhash" -> ((s, dir) =>
       llm.Dedup.minhashNearDups(tWide(s, dir, "documents"), threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),
+    // incremental-ingest dedup: docs >= 250 arrive as the new batch against
+    // the < 250 corpus; only texts unseen in the corpus survive
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.Dedup.incrementalNew(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_simhash" -> ((s, dir) =>
       llm.Dedup.simhashNearDups(tWide(s, dir, "documents"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
@@ -741,6 +758,40 @@ object Queries {
         |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM d GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    // dense integer duplicates pin the interpolation to exact values —
+    // quantile_cont and Spark's exact percentile agree bit-for-bit here
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity::DOUBLE, 0.25) AS p25,
+        |  quantile_cont(l_quantity::DOUBLE, 0.5) AS p50,
+        |  quantile_cont(l_quantity::DOUBLE, 0.75) AS p75,
+        |  quantile_cont(l_quantity::DOUBLE, 0.95) AS p95,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
+        |    count(*) AS n_copies
+        |  FROM documents WHERE doc_id >= 250 GROUP BY md5(text))
+        |SELECT doc_id, n_copies FROM batch
+        |WHERE text_hash NOT IN (
+        |  SELECT md5(text) FROM documents WHERE doc_id < 250)
+        |ORDER BY doc_id""".stripMargin,
 
     // digest-predicate mirror of Sampling.sampleByKey: md5 prefix < '4000'
     // (= round(0.25 * 2^16) as 4 hex digits)

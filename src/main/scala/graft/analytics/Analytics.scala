@@ -361,4 +361,40 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
+
+  /** The full ranking-function family over one window: row_number / rank /
+    * dense_rank / ntile / lag / lead. The window ORDER BY carries an id
+    * tiebreak so every output column is deterministic under value ties.
+    * Scale: one hash shuffle on the (uniform) partition key; each partition
+    * sorts locally — no global sort, no single-partition window. */
+  def orderRanks(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+      lead(col("o_orderkey"), 1).over(w).as("next_key"))
+  }
+
+  /** Exact interpolated percentiles of a LOW-CARDINALITY integral column
+    * (l_quantity: 50 distinct values). Spark's exact `percentile` holds a
+    * value→count map per group — O(distinct) memory, safe at any row count
+    * for bounded domains; for unbounded ones use approx_percentile (same
+    * query shape, sketch-mergeable). Dense integer duplicates also make the
+    * interpolation land on exact values, so the result is engine-portable. */
+  def quantitySpread(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))").as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("qs").getItem(0).as("p25"), col("qs").getItem(1).as("p50"),
+        col("qs").getItem(2).as("p75"), col("qs").getItem(3).as("p95"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
 }

@@ -10,8 +10,13 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    for (q <- Seq("q1_pricing_summary", "q_region_revenue", "q_top_customers",
-        "q_knn_brute", "q_dedup_minhash", "q_cube_revenue", "q_join_semi_anti", "q_session_window", "q_ngram_jaccard", "q_lang_breakdown", "q_asof_enrich", "q_range_join", "q_knn_ivf")) {
+    val qs = if (args.length > 1) args(1).split(",").toSeq
+      else Seq("q1_pricing_summary", "q_region_revenue", "q_top_customers",
+        "q_knn_brute", "q_dedup_minhash", "q_cube_revenue", "q_join_semi_anti",
+        "q_session_window", "q_ngram_jaccard", "q_lang_breakdown",
+        "q_asof_enrich", "q_range_join", "q_knn_ivf",
+        "q_pack_sequences", "q_embed_quantize", "q_sample_docs")
+    for (q <- qs) {
       println(s"==== $q")
       graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
