@@ -201,6 +201,10 @@ object Queries {
         .orderBy(col("event_id"))
     }),
 
+    // ---- analytics: explicit grouping sets (beyond rollup/cube) ----
+    "q_grouping_sets" -> ((s, dir) =>
+      Analytics.groupingSetsRevenue(t(s, dir, "orders"), t(s, dir, "customer"))),
+
     // ---- analytics: ranking-function family ----
     "q_window_rank" -> ((s, dir) =>
       Analytics.orderRanks(t(s, dir, "orders"))
@@ -249,8 +253,11 @@ object Queries {
     // ---- LLM data pipeline: sequence packing (corpus -> training shards) ----
     // 4096-token budget over doc_id order; the two-phase distributed prefix
     // sum must agree with the oracle's single global window cumsum.
+    // no tWide here: packByBudget's own repartitionByRange is the
+    // parallelism-restoring exchange (an extra round-robin first would
+    // just add a shuffle)
     "q_pack_sequences" -> ((s, dir) =>
-      llm.Packing.packByBudget(tWide(s, dir, "documents"),
+      llm.Packing.packByBudget(t(s, dir, "documents"),
           col("doc_id"), llm.TextAnalysis.tokenCount(col("text")), budget = 4096L)
         .withColumnRenamed("pack_key", "doc_id")
         .orderBy(col("doc_id"))),
@@ -345,6 +352,19 @@ object Queries {
         .orderBy(col("lang_pred"))),
     // fingerprint emitted as a comma-joined scalar string: the driver's
     // compare sorts columns with pandas, which cannot hash array cells.
+    // ---- LLM data pipeline: vocabulary + TF-IDF ----
+    "q_vocab_topk" -> ((s, dir) =>
+      llm.TextAnalysis.vocabTopK(tWide(s, dir, "documents"), k = 50)),
+    // nDocs passed as the corpus-size snapshot; vocab = top-20 terms.
+    // ln() parity: both engines' log is correctly rounded on these args
+    // (verified at sf0.01) — the idf expression tree is pinned either side.
+    "q_tfidf" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val n = docs.count()
+      llm.TextAnalysis.tfidf(docs, llm.TextAnalysis.vocabTopK(docs, k = 20), n)
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
     "q_text_quality" -> ((s, dir) =>
       llm.TextAnalysis.docStats(tWide(s, dir, "documents"))
         .select(col("doc_id"), col("stopword_ratio"), col("quality"),
@@ -759,6 +779,14 @@ object Queries {
         |  count(*) AS n_copies
         |FROM d GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
+    "q_grouping_sets" ->
+      s"""SELECT c_mktsegment, o_orderpriority,
+         |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders,
+         |  GROUPING(c_mktsegment, o_orderpriority) AS gid
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+         |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey,
         |  row_number() OVER w AS rn,
@@ -947,6 +975,33 @@ object Queries {
          |  FROM scored)
          |SELECT qid, rank, neighbor_id, score FROM ranked
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_vocab_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |ww AS (SELECT * FROM w WHERE term <> '')
+        |SELECT term, count(*) AS tf_total, count(DISTINCT doc_id) AS df
+        |FROM ww GROUP BY term ORDER BY tf_total DESC, term LIMIT 50""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |ww AS (SELECT * FROM w WHERE term <> ''),
+        |vocab AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df
+        |  FROM ww GROUP BY term
+        |  ORDER BY count(*) DESC, term LIMIT 20),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM ww GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, vocab.df,
+        |  tf.tf::DOUBLE * (ln((n.n_docs + 1.0) / (vocab.df + 1.0)) + 1.0)
+        |    AS tfidf
+        |FROM tf JOIN vocab USING (term), n
+        |ORDER BY doc_id, term""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH sc AS (

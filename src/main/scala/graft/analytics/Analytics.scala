@@ -362,6 +362,22 @@ object Analytics {
       .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize
+    * (here: each single dimension + the grand total, NO cross cell).
+    * Spark expands the sets BEFORE the shuffle (Expand operator), so
+    * map-side partial aggregation still applies per set; `grouping_id()`
+    * disambiguates the null-as-total rows from genuine nulls. */
+  def groupingSetsRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment")), Seq(col("o_orderpriority")), Seq()),
+        col("c_mktsegment"), col("o_orderpriority"))
+      .agg(d(sum(dec(col("o_totalprice")))).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("c_mktsegment"), col("o_orderpriority"))
+
   /** The full ranking-function family over one window: row_number / rank /
     * dense_rank / ntile / lag / lead. The window ORDER BY carries an id
     * tiebreak so every output column is deterministic under value ties.

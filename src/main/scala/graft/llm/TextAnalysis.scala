@@ -107,6 +107,43 @@ object TextAnalysis {
     slice(array_sort(array_distinct(
       transform(Dedup.shingles(text, w), s => md5(s)))), 1, k)
 
+  /** Corpus vocabulary: top-k terms by total frequency, with document
+    * frequency alongside. Deterministic tie-break on the term itself.
+    * Scale: explode → hash-aggregate on the term (uniform after
+    * lowercasing; a handful of stopword heavy-hitters are absorbed by
+    * map-side partial agg), then TakeOrdered for the top-k — no global
+    * sort materializes. */
+  def vocabTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf_total"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf_total").desc, col("term"))
+      .limit(k)
+
+  /** Per-document TF and smoothed TF-IDF restricted to a vocabulary (pass
+    * [[vocabTopK]]'s output). idf = ln((N+1)/(df+1)) + 1 — the standard
+    * smooth variant; `nDocs` is passed explicitly so the caller controls
+    * the corpus-size snapshot (no hidden action here). The vocab join is
+    * broadcast: TF rows never shuffle. */
+  def tfidf(docs: DataFrame, vocab: DataFrame, nDocs: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(vocab.select(col("term"), col("df"))), Seq("term"))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          (log(lit(nDocs + 1.0) / (col("df") + lit(1.0))) + lit(1.0)))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Per-document stats projection over a corpus. */
   def docStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
