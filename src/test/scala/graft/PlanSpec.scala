@@ -142,4 +142,35 @@ class PlanSpec extends SparkTestBase {
       assert(j.count() === t("orders").count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("packing: no global (empty-partition-spec) window in the plan") {
+    val plan = formatted(graft.llm.Packing.packByBudget(
+      t("documents"), $"doc_id", length($"text"), budget = 4096L, nParts = 4))
+    // a Window whose detail section shows no partition spec would mean the
+    // single-partition cumsum; ours must window on the range-partition id
+    val winDetails = """\(\d+\) Window\b[\s\S]*?(?=\n\(\d+\) )""".r
+      .findAllIn(plan).toSeq
+    assert(winDetails.nonEmpty, plan)
+    assert(winDetails.forall(_.contains("pid")), plan)
+  }
+
+  test("quantize: scan-side only — no exchange, codes match per-row min/max") {
+    val q = graft.llm.Quantize.scalarQuantize(t("embeddings"))
+    assert(!formatted(q).contains("Exchange"), formatted(q))
+    val row = q.filter($"vec_id" === 7L).select($"vmin", $"vmax").head()
+    assert(row.getDouble(0) <= row.getDouble(1))
+  }
+
+  test("vocab top-k plans as TakeOrdered, not a global sort") {
+    val plan = formatted(graft.llm.TextAnalysis.vocabTopK(t("documents"), 10))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("grouping sets expand before the shuffle (partial agg per set)") {
+    val plan = formatted(Analytics.groupingSetsRevenue(t("orders"), t("customer")))
+    assert(plan.contains("Expand"), plan)
+    // partial aggregation below the exchange: HashAggregate appears both
+    // sides of the shuffle
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(plan).size >= 2, plan)
+  }
 }
