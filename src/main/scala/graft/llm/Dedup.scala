@@ -290,17 +290,21 @@ object Dedup {
     * Returns (doc_id, cluster_id) for every doc appearing in a pair, where
     * cluster_id = the minimum doc id reachable in the pair graph.
     *
-    * Algorithm: iterated min-label propagation. Each round every node
-    * replaces its label with the min over {itself} ∪ neighbors' labels; a
-    * fixpoint is a valid component labeling. Each round is one equi-join +
-    * one aggregation (both hash-partitioned on node id — uniform keys), and
-    * rounds needed = graph diameter. Near-dup graphs are unions of small
-    * dense clusters (diameter ≤ ~3), so this settles in 2-4 rounds; for
-    * adversarial long-chain graphs switch to the large-star/small-star
-    * alternation (Kiveris et al., "Connected Components in MapReduce"),
-    * which converges in O(log n) rounds on any graph. `localCheckpoint`
-    * per round cuts the exponentially-growing lineage — standard for any
-    * iterate-on-DataFrame loop. */
+    * Algorithm: iterated min-label propagation with pointer doubling.
+    * Each round (a) every node takes the min over {itself} ∪ neighbors'
+    * labels — one equi-join + one aggregation, both hash-partitioned on
+    * node id (uniform keys); then (b) labels are compressed through
+    * themselves (lbl ← lbl(lbl), one more equi-join) — the doubling step
+    * that turns diameter-bound convergence into O(log n) even on
+    * adversarial path graphs (same acceleration family as the
+    * large-star/small-star alternation of Kiveris et al., "Connected
+    * Components in MapReduce"). Near-dup graphs (small dense clusters)
+    * settle in 2-3 rounds either way. A fixpoint of (a) is constant per
+    * component (= the component min, since labels start at ids and never
+    * pass the min), and (b) only accelerates, so the sum-stable test below
+    * certifies correctness. `localCheckpoint` per round cuts the
+    * exponentially-growing lineage — standard for any iterate-on-DataFrame
+    * loop. */
   def clusters(pairs: DataFrame, maxIter: Int = 20,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     // Symmetric edge list; (id, id) self-edges seed the labels and let the
@@ -315,20 +319,27 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 0
+    // Fixpoint test: labels only ever decrease, so the label SUM strictly
+    // decreases until convergence and one scalar per round suffices (no
+    // row-level diff join). Carried across rounds — one action per round.
+    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
     while (!converged && iter < maxIter) {
-      val next = edges
+      val propagated = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("lbl")).as("lbl"))
         .withColumnRenamed("id2", "id")
+      // pointer doubling: every label is itself a node id, so one self-join
+      // rewrites lbl -> lbl(lbl), halving chain depth per round
+      val next = propagated.as("x")
+        .join(propagated.select(col("id").as("pid"), col("lbl").as("plbl")).as("y"),
+          col("x.lbl") === col("y.pid"))
+        .select(col("x.id").as("id"), col("y.plbl").as("lbl"))
         .localCheckpoint()
-      // Fixpoint test: sum of labels strictly decreases until convergence
-      // (labels only ever decrease), so one scalar compare suffices — no
-      // row-level diff join.
       val sumNow = next.agg(sum(col("lbl"))).head().getLong(0)
-      val sumPrev = labels.agg(sum(col("lbl"))).head().getLong(0)
       labels = next
-      converged = sumNow == sumPrev
+      converged = sumNow == prevSum
+      prevSum = sumNow
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))

@@ -217,6 +217,28 @@ class LlmSpec extends SparkTestBase {
     assert(keep === Map(1L -> 3L, 10L -> 2L)) // keep_id -> n_members
   }
 
+  test("clusters: 64-node path converges within doubling bound; random graph matches union-find") {
+    // worst case for plain propagation (diameter 63); pointer doubling
+    // must close it comfortably inside maxIter = 10
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainLbls = Dedup.clusters(chain, maxIter = 10).as[(Long, Long)].collect()
+    assert(chainLbls.length === 64 && chainLbls.forall(_._2 === 0L))
+
+    // seeded random graph vs a driver-side union-find oracle
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val parent = scala.collection.mutable.Map((0L until 80L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(i => i -> find(i)).toMap
+    val got = Dedup.clusters(pairs.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("packing: two-phase prefix sum equals the naive global cumsum") {
     // 100 docs, token counts 1..100, budget 50 — shard boundaries interior
     // to partitions AND straddling them (nParts=7 forces uneven ranges)
