@@ -291,6 +291,10 @@ object Queries {
     // Jaccard-verified pair set, so the comparison asserts LSH recall = 1
     // on this corpus (its true-pair similarities sit far above the 16-band
     // S-curve's high-recall zone) AND the verify join's arithmetic.
+    // the full recipe: exact survivors then near-dup cluster canonicals
+    "q_curation_neardup" -> ((s, dir) =>
+      llm.Curation.curateNearDup(tWide(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     "q_dedup_minhash" -> ((s, dir) =>
       llm.Dedup.minhashNearDups(tWide(s, dir, "documents"), threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),
@@ -469,6 +473,33 @@ object Queries {
        |    WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
        |    WHEN s_es >= s_de THEN 'es'
        |    ELSE 'de' END""".stripMargin
+
+  /** The curation pipeline's CTE chain (language scores → langId → quality
+    * signals → quality score → keep filter) over a given base relation.
+    * Shared by q_curation (doubled corpus) and q_curation_neardup. */
+  private def curatedCtes(fromRel: String): String =
+    s"""sc AS (SELECT doc_id, text, $langScoresSql FROM $fromRel),
+       |l AS (SELECT doc_id, text, $langCaseSql AS lang_pred FROM sc),
+       |c AS (
+       |  SELECT doc_id, text, lang_pred,
+       |    CASE WHEN len($wordsSql) = 0 THEN 0.0
+       |      ELSE len(list_filter($wordsSql, x -> list_contains([${llm.TextAnalysis.StopwordsEn.map("'" + _ + "'").mkString(", ")}], x)))::DOUBLE
+       |        / len($wordsSql)::DOUBLE END AS stopword_ratio,
+       |    len(text)::DOUBLE AS len_d,
+       |    (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS punct_d,
+       |    CASE WHEN len(text) = 0 THEN 0.0
+       |      ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+       |        / len(text)::DOUBLE END AS digit_ratio
+       |  FROM l),
+       |q AS (
+       |  SELECT doc_id, text, lang_pred,
+       |    least(len_d / 200.0, 1.0) * (CASE WHEN len_d > 2000 THEN 0.5 ELSE 1.0 END) * 0.3
+       |    + (CASE WHEN punct_d / greatest(len_d, 1.0) > 0.2 THEN 0.3
+       |        ELSE 1.0 - punct_d / greatest(len_d, 1.0) END) * 0.3
+       |    + (1.0 - least(digit_ratio * 2.0, 1.0)) * 0.2
+       |    + least(stopword_ratio * 5.0, 1.0) * 0.2 AS quality
+       |  FROM c),
+       |k AS (SELECT * FROM q WHERE lang_pred = 'en' AND quality >= 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_etl_decode" ->
@@ -747,31 +778,42 @@ object Queries {
       s"""WITH d AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id, text FROM documents),
-         |sc AS (SELECT doc_id, text, $langScoresSql FROM d),
-         |l AS (SELECT doc_id, text, $langCaseSql AS lang_pred FROM sc),
-         |c AS (
-         |  SELECT doc_id, text, lang_pred,
-         |    CASE WHEN len($wordsSql) = 0 THEN 0.0
-         |      ELSE len(list_filter($wordsSql, x -> list_contains([${llm.TextAnalysis.StopwordsEn.map("'" + _ + "'").mkString(", ")}], x)))::DOUBLE
-         |        / len($wordsSql)::DOUBLE END AS stopword_ratio,
-         |    len(text)::DOUBLE AS len_d,
-         |    (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS punct_d,
-         |    CASE WHEN len(text) = 0 THEN 0.0
-         |      ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-         |        / len(text)::DOUBLE END AS digit_ratio
-         |  FROM l),
-         |q AS (
-         |  SELECT doc_id, text, lang_pred,
-         |    least(len_d / 200.0, 1.0) * (CASE WHEN len_d > 2000 THEN 0.5 ELSE 1.0 END) * 0.3
-         |    + (CASE WHEN punct_d / greatest(len_d, 1.0) > 0.2 THEN 0.3
-         |        ELSE 1.0 - punct_d / greatest(len_d, 1.0) END) * 0.3
-         |    + (1.0 - least(digit_ratio * 2.0, 1.0)) * 0.2
-         |    + least(stopword_ratio * 5.0, 1.0) * 0.2 AS quality
-         |  FROM c),
-         |k AS (SELECT * FROM q WHERE lang_pred = 'en' AND quality >= 0.5)
+         |${curatedCtes("d")}
          |SELECT min(doc_id) AS doc_id, min(quality) AS quality,
          |  count(*) AS n_copies
          |FROM k GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    // curate + near-dup clustering: exact survivors, then the all-pairs
+    // Jaccard graph over them, recursive-CTE components, and only each
+    // component's min-id member kept
+    "q_curation_neardup" ->
+      s"""WITH RECURSIVE ${curatedCtes("documents")},
+         |surv AS (
+         |  SELECT min(doc_id) AS doc_id, min(quality) AS quality,
+         |    count(*) AS n_copies, min(text) AS text
+         |  FROM k GROUP BY md5(text)),
+         |se AS (SELECT doc_id, unnest(list_distinct($shingleSql)) AS h FROM surv),
+         |ssz AS (SELECT doc_id, count(*) AS sz FROM se GROUP BY doc_id),
+         |pc AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
+         |  FROM se a JOIN se b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT id_a, id_b FROM pc
+         |  JOIN ssz sa ON sa.doc_id = id_a
+         |  JOIN ssz sb ON sb.doc_id = id_b
+         |  WHERE cnt::DOUBLE / (sa.sz + sb.sz - cnt)::DOUBLE >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS dd FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT reach.id, e2.dd FROM reach JOIN edges e2 ON e2.s = reach.r)
+         |SELECT doc_id, quality, n_copies FROM surv
+         |WHERE doc_id NOT IN (
+         |  SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH d AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)

@@ -36,4 +36,24 @@ object Curation {
         count(lit(1)).as("n_copies"))
       .drop("text_hash")
   }
+
+  /** The full recipe: [[curate]] (language → quality → exact dedup), then
+    * NEAR-duplicate clustering over the exact survivors — each MinHash
+    * cluster keeps only its canonical (min-id) member. Near-dup detection
+    * runs after the exact pass on purpose: the distinct corpus is the
+    * small side, and viral exact duplicates never reach the LSH join.
+    * Returns the same (doc_id, quality, n_copies) shape as [[curate]]. */
+  def curateNearDup(docs: DataFrame, lang: String = "en",
+      minQuality: Double = 0.5, threshold: Double = 0.6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exact = curate(docs, lang, minQuality, idCol, textCol)
+    val survivorDocs = docs.dropDuplicates(Seq(idCol))
+      .join(exact.select(col(idCol)), Seq(idCol), "left_semi")
+    val pairs = Dedup.minhashNearDups(survivorDocs, threshold,
+      idCol = idCol, textCol = textCol)
+    val nonCanonical = Dedup.clusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    exact.join(nonCanonical, Seq(idCol), "left_anti")
+  }
 }
