@@ -252,6 +252,41 @@ class LlmSpec extends SparkTestBase {
     assert(got.toSeq === want)
   }
 
+  test("packing property: random sizes/budgets/partitionings match the naive pack") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 50 + rnd.nextInt(150)
+      val toks = (0 until n).map(i => (i.toLong, rnd.nextInt(300).toLong))
+      val budget = 100L + rnd.nextInt(900)
+      val parts = 1 + rnd.nextInt(9)
+      val got = Packing.packByBudget(toks.toDF("id", "nt"), $"id", $"nt", budget, parts)
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      var cum = 0L
+      toks.zip(got).foreach { case ((id, t), (gid, gt, shard)) =>
+        assert(gid === id && gt === t && shard === cum / budget)
+        cum += t
+      }
+    }
+  }
+
+  test("quantize property: random vectors — code range, endpoints, error bound") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 20f - 10f)))
+    val rows = Quantize.dequantize(Quantize.scalarQuantize(vecs.toDF("vec_id", "embedding")))
+      .select($"vec_id", $"vmin", $"vmax", $"codes", $"approx")
+      .as[(Long, Double, Double, Seq[Int], Seq[Double])].collect()
+    for ((id, vmin, vmax, codes, approx) <- rows) {
+      val orig = vecs(id.toInt)._2.map(_.toDouble)
+      assert(vmin === orig.min && vmax === orig.max)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      assert(codes(orig.indexOf(orig.min)) === 0)
+      assert(codes(orig.indexOf(orig.max)) === 255)
+      val bound = (vmax - vmin) / 510.0 + 1e-9
+      orig.zip(approx).foreach { case (x, a) => assert(math.abs(x - a) <= bound) }
+    }
+  }
+
   test("quantize: codes clamp to [0,255], degenerate vector is all zeros") {
     val emb = Seq(
       (0L, Seq(0.0f, 0.5f, 1.0f)),   // spread: min→0, max→255
