@@ -110,11 +110,61 @@ object Repetition {
   }
 
   /** The composed per-document repetition profile: line stats + top-2/3
-    * gram fractions + duplicated-5-gram fraction. One row per document. */
+    * gram fractions + duplicated-5-gram fraction. One row per document.
+    *
+    * FUSED: the four signals share one tagged explode — each (line | 2-gram
+    * | 3-gram | 5-gram) occurrence becomes a (kind, gram) row — then ONE
+    * (id, kind, gram) count, ONE (id, kind) stats aggregation, and a
+    * per-id pivot. Versus composing the public per-signal functions
+    * (4 scans, 8 aggregations, 3 joins) this is 1 scan and 3 aggregations;
+    * the formulas are expression-identical per kind, so results are
+    * bit-equal to the composed form (the oracle pins this). Keys still
+    * carry the doc id — skew stays bounded by the largest document. */
   def profile(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    lineStats(docs, idCol, textCol)
-      .join(topNgram(docs, 2, idCol, textCol), Seq(idCol))
-      .join(topNgram(docs, 3, idCol, textCol).drop("top3_gram"), Seq(idCol))
-      .join(dupNgramCharFrac(docs, 5, idCol, textCol), Seq(idCol))
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def tag(kind: String, arr: Column): Column =
+      transform(arr, g => struct(lit(kind).as("kind"), g.as("gram")))
+    val tagged = docs.select(
+      col(idCol), length(trim(t)).as("n_chars"),
+      explode(concat(
+        tag("line", lines(t)), tag("g2", ngrams(t, 2)),
+        tag("g3", ngrams(t, 3)), tag("g5", ngrams(t, 5)))).as("kg"))
+      .select(col(idCol), col("n_chars"),
+        col("kg.kind").as("kind"), col("kg.gram").as("gram"))
+    val perGram = tagged
+      .groupBy(col(idCol), col("kind"), col("gram"))
+      .agg(max(col("n_chars")).as("n_chars"), count(lit(1)).as("cnt"))
+    val perKind = perGram
+      .groupBy(col(idCol), col("kind"))
+      .agg(
+        max(col("n_chars")).as("n_chars"),
+        sum(col("cnt")).as("occ"),
+        count(lit(1)).as("uniq"),
+        sum(col("cnt") * length(col("gram"))).as("chars_all"),
+        sum(when(col("cnt") > 1, col("cnt") * length(col("gram"))).otherwise(0L))
+          .as("chars_dup"),
+        max(struct(col("cnt"), col("gram"))).as("top"))
+    def topFrac = least(lit(1.0),
+      (col("top.cnt") * length(col("top.gram"))).cast("double")
+        / greatest(col("n_chars"), lit(1)).cast("double"))
+    perKind.groupBy(col(idCol)).agg(
+      // line-less documents have no 'line' rows → zeros, as lineStats' left
+      // join produced
+      coalesce(max(when(col("kind") === "line", col("occ"))), lit(0L))
+        .as("n_lines"),
+      coalesce(max(when(col("kind") === "line",
+        (col("occ") - col("uniq")).cast("double") / col("occ").cast("double"))),
+        lit(0.0)).as("dup_line_frac"),
+      coalesce(max(when(col("kind") === "line",
+        col("chars_dup").cast("double") / col("chars_all").cast("double"))),
+        lit(0.0)).as("dup_line_char_frac"),
+      max(when(col("kind") === "g2", col("top.gram"))).as("top2_gram"),
+      max(when(col("kind") === "g2", topFrac)).as("top2_char_frac"),
+      max(when(col("kind") === "g3", topFrac)).as("top3_char_frac"),
+      max(when(col("kind") === "g5",
+        col("chars_dup").cast("double")
+          / greatest(col("chars_all"), lit(1L)).cast("double")))
+        .as("dup5_char_frac"))
+  }
 }
