@@ -201,6 +201,19 @@ object Queries {
         .orderBy(col("event_id"))
     }),
 
+    // ---- analytics: skew mitigation, oracled against plain semantics ----
+    // the salted two-phase aggregation must equal the plain groupBy — the
+    // oracle IS the plain SQL, so the hot-key path can't drift
+    "q_salted_agg" -> ((s, dir) =>
+      analytics.Skew.saltedSumCount(
+        t(s, dir, "orders").select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,6)").as("price")),
+        "o_custkey", "price")
+        .select(col("o_custkey"),
+          col("sum_price").cast("string").cast("double").as("sum_price"),
+          col("n_rows"))
+        .orderBy(col("o_custkey"))),
+
     // ---- analytics: explicit grouping sets (beyond rollup/cube) ----
     "q_grouping_sets" -> ((s, dir) =>
       Analytics.groupingSetsRevenue(t(s, dir, "orders"), t(s, dir, "customer"))),
@@ -850,8 +863,15 @@ object Queries {
         |  quantile_cont(l_quantity::DOUBLE, 0.5) AS p50,
         |  quantile_cont(l_quantity::DOUBLE, 0.75) AS p75,
         |  quantile_cont(l_quantity::DOUBLE, 0.95) AS p95,
+        |  TRUE AS approx_close,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the salted two-phase agg's oracle is the PLAIN aggregation
+    "q_salted_agg" ->
+      s"""SELECT o_custkey, ${decSum("o_totalprice")} AS sum_price,
+         |  count(*) AS n_rows
+         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH batch AS (

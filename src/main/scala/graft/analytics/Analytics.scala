@@ -407,10 +407,16 @@ object Analytics {
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))").as("qs"),
+        // the sketch twin, published as an error-contract boolean (the
+        // KLL/GK sketch value itself is engine-specific): rank error at
+        // accuracy 1000 is ~0.1% of the group, ≤ 2 quantity units here
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50a"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
         col("qs").getItem(0).as("p25"), col("qs").getItem(1).as("p50"),
         col("qs").getItem(2).as("p75"), col("qs").getItem(3).as("p95"),
+        (abs(col("p50a").cast("double") - col("qs").getItem(1)) <= 2.0)
+          .as("approx_close"),
         col("n"))
       .orderBy(col("l_returnflag"))
 }
