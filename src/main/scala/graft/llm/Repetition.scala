@@ -49,6 +49,14 @@ object Repetition {
   def lines(text: Column): Column =
     filter(split(text, "\n"), l => length(trim(l)) > 0)
 
+  /** The HOF composition [[graft.expr.RepetitionGrams]] replaces — kept as
+    * the executable spec of the kernel's semantics (parity-pinned). */
+  def taggedHof(text: Column, ns: Seq[Int]): Column = {
+    def tag(kind: String, arr: Column): Column =
+      transform(arr, g => struct(lit(kind).as("kind"), g.as("gram")))
+    concat(tag("line", lines(text)) +: ns.map(n => tag(s"g$n", ngrams(text, n))): _*)
+  }
+
   /** Per-document duplicate-line stats: (idCol, n_lines, dup_line_frac,
     * dup_line_char_frac). Documents with no non-blank lines get zeros. */
   def lineStats(docs: DataFrame, idCol: String = "doc_id",
@@ -123,13 +131,11 @@ object Repetition {
   def profile(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    def tag(kind: String, arr: Column): Column =
-      transform(arr, g => struct(lit(kind).as("kind"), g.as("gram")))
+    // one-pass codegen'd kernel; taggedHof below is the reference
+    // composition it must stay bit-equal to (pinned by RepetitionSpec)
     val tagged = docs.select(
       col(idCol), length(trim(t)).as("n_chars"),
-      explode(concat(
-        tag("line", lines(t)), tag("g2", ngrams(t, 2)),
-        tag("g3", ngrams(t, 3)), tag("g5", ngrams(t, 5)))).as("kg"))
+      explode(graft.expr.RepetitionGrams(t, Seq(2, 3, 5))).as("kg"))
       .select(col(idCol), col("n_chars"),
         col("kg.kind").as("kind"), col("kg.gram").as("gram"))
     val perGram = tagged

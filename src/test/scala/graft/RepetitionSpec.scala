@@ -72,4 +72,23 @@ class RepetitionSpec extends SparkTestBase {
       "dup_line_char_frac", "top2_gram", "top2_char_frac", "top3_char_frac",
       "dup5_char_frac"))
   }
+
+  test("RepetitionGrams kernel is bit-equal to the HOF composition") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val edge = Seq(
+      (0L, "a b\nc d  e\na b\n\n   \nf"),   // dup lines, blank + space-only lines
+      (1L, "one"),                           // fewer tokens than every n
+      (2L, ""),                              // empty text
+      (3L, "  Tabs\tand  Runs   x  "),       // mixed separators, edge spaces
+      (4L, "x y x y x y x y z"),             // heavy 2-gram repetition
+      (5L, "line one\nline one\nline two")
+    ).toDF("doc_id", "text")
+    val ns = Seq(2, 3, 5)
+    def dump(c: org.apache.spark.sql.Column) = edge
+      .select(col("doc_id"), explode(c).as("kg"))
+      .select(col("doc_id"), col("kg.kind"), col("kg.gram"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(dump(graft.expr.RepetitionGrams(col("text"), ns))
+      === dump(Repetition.taggedHof(col("text"), ns)))
+  }
 }
