@@ -50,7 +50,12 @@ object GraftExtensions {
     ("shingle_hashes",
       "shingle_hashes(text, w) - distinct xxhash64 keys of the word " +
         "w-shingles of lowercased text, one pass",
-      exprs => expr.ShingleHashes(exprs.head, foldableInt(exprs, 1, "shingle_hashes", "w"))))
+      exprs => expr.ShingleHashes(exprs.head, foldableInt(exprs, 1, "shingle_hashes", "w"))),
+    ("repetition_grams",
+      "repetition_grams(text, n...) - tagged (kind, gram) occurrence list: " +
+        "non-blank lines plus every word n-gram for each n, one pass",
+      exprs => expr.RepetitionGrams(exprs.head,
+        exprs.indices.drop(1).map(i => foldableInt(exprs, i, "repetition_grams", s"n$i")))))
 
   /** Resolve argument `i` as a foldable integer literal, or raise a clean,
     * descriptive error (a column reference there would otherwise surface as
@@ -75,5 +80,6 @@ object GraftFunctions {
     MinHashSig.register(spark)
     TextProfile.register(spark)
     expr.ShingleHashes.register(spark)
+    expr.RepetitionGrams.register(spark)
   }
 }

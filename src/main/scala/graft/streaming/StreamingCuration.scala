@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextAnalysis
+
+/** Streaming form of the curation recipe ([[graft.llm.Curation]]): an
+  * unbounded document stream is scored, gated, and deduplicated with
+  * bounded state — the shape an always-on ingest (crawl feed, upload
+  * queue) runs, versus the batch recipe's full-corpus pass.
+  *
+  * Stage mapping:
+  *   - language/quality gates are pure scan-side projections off the
+  *     one-pass [[graft.expr.TextProfile]] kernel — stateless, identical
+  *     expressions to the batch path (same columns, same thresholds);
+  *   - exact dedup becomes `dropDuplicatesWithinWatermark` on the content
+  *     digest: state is bounded by the watermark horizon instead of the
+  *     corpus (the batch min-id survivor rule needs the whole corpus; a
+  *     stream keeps the FIRST arrival inside the horizon — the natural
+  *     streaming analog);
+  *   - near-dup clustering stays a periodic batch job over the curated
+  *     store ([[graft.llm.Curation.curateNearDup]]): LSH banding needs
+  *     corpus-wide joins no bounded-state streaming operator expresses.
+  */
+object StreamingCuration {
+
+  /** docs stream → curated stream. Expects (doc_id, text, event time
+    * `ingest_ts`); emits (doc_id, quality, text) for kept documents. */
+  def curate(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), col("ingest_ts"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .filter(col("lang_pred") === lang && col("quality") >= minQuality)
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .select(col("doc_id"), col("quality"), col("text"))
+}

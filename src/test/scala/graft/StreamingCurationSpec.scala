@@ -1,0 +1,42 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingCuration
+
+/** The curation recipe on an unbounded stream: same gates as the batch
+  * path, watermark-bounded exact dedup. */
+class StreamingCurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming curate: gates filter, watermark dedup keeps first arrival") {
+    val en = "the quick brown fox is on the hill and it runs for the trees " * 3
+    val fr = "le chat est dans la maison pour un moment et le chien dort sur le tapis " * 3
+    val junk = "@@@@ #### 1234 5678 !!!! $$$$ %%%% ^^^^ &&&& ****"
+    val ms = (m: Long) => new Timestamp(m)
+
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val curated = StreamingCuration.curate(
+      input.toDF().toDF("doc_id", "text", "ingest_ts"),
+      lang = "en", minQuality = 0.4)
+    input.addData(
+      (0L, en, ms(1_000)),    // kept
+      (1L, fr, ms(2_000)),    // language gate
+      (2L, junk, ms(3_000)),  // quality gate
+      (3L, en, ms(4_000)))    // exact dup of 0 inside the horizon → dropped
+    val q = curated.writeStream
+      .format("memory").queryName("graft_stream_curate")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_stream_curate")
+      .select($"doc_id", $"quality").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(0L))
+    assert(got.head._2 >= 0.4)
+  }
+}
