@@ -319,6 +319,15 @@ object Queries {
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
         .orderBy(col("doc_id"))
     }),
+    // incremental NEAR-dup: batch-vs-corpus + batch-internal LSH candidates,
+    // exact-verified; oracle = the partitioned all-pairs Jaccard truth
+    "q_dedup_incr_near" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        threshold = 0.6)
+        .orderBy(col("id_new"), col("id_other"))
+    }),
     "q_dedup_simhash" -> ((s, dir) =>
       llm.Dedup.simhashNearDups(tWide(s, dir, "documents"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
@@ -872,6 +881,29 @@ object Queries {
       s"""SELECT o_custkey, ${decSum("o_totalprice")} AS sum_price,
          |  count(*) AS n_rows
          |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // same all-pairs truth as q_dedup_minhash, restricted to pairs whose
+    // left member is in the batch (id >= 250): batch-vs-corpus in (new,
+    // other) orientation plus batch-internal with new < other
+    "q_dedup_incr_near" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+         |c AS (
+         |  SELECT a.doc_id AS id_new, b.doc_id AS id_other, count(*) AS c
+         |  FROM e a JOIN e b ON a.h = b.h
+         |    AND a.doc_id >= 250
+         |    AND (b.doc_id < 250 OR a.doc_id < b.doc_id)
+         |    AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_new, id_other,
+         |  c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
+         |FROM c
+         |JOIN sz sa ON sa.doc_id = id_new
+         |JOIN sz sb ON sb.doc_id = id_other
+         |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6
+         |ORDER BY id_new, id_other""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH batch AS (

@@ -149,6 +149,59 @@ object Dedup {
     materializedWithout(out, withSh)
   }
 
+  /** Incremental-ingest NEAR-dup detection: LSH candidates for the new
+    * batch against the existing corpus AND within the batch itself, exact-
+    * Jaccard verified. Returns (id_new, id_other, jaccard ≥ threshold)
+    * where id_new is always from the batch (for batch-internal pairs,
+    * id_new < id_other).
+    *
+    * The scale point: the corpus side is touched ONCE per ingest to build
+    * its band table — in production that table is precomputed and stored
+    * bucketed by (band, band_hash), so a steady-state ingest shuffles only
+    * the (small) batch side; nothing here is quadratic in the corpus. */
+  def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.6, w: Int = 3, k: Int = 64, bands: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rowsPerBand = k / bands
+    def prep(docs: DataFrame): DataFrame = docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), w).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(sh: DataFrame): DataFrame = sh
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val shNew = prep(newDocs)
+    val shCor = prep(corpus)
+    val bNew = banded(shNew)
+    // b side = corpus bands ∪ batch bands, tagged: batch-internal pairs
+    // keep only the (smaller, larger) orientation, batch-vs-corpus pairs
+    // keep the batch id on the left
+    val bSide = banded(shCor).withColumn("from_batch", lit(false))
+      .unionByName(bNew.withColumn("from_batch", lit(true)))
+    val cands = bNew.as("a")
+      .join(bSide.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          (!col("b.from_batch") || col("a.id") < col("b.id")) &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_other"))
+      .distinct()
+    val shAll = shNew.unionByName(shCor)
+    val out = cands
+      .join(shAll.select(col("id").as("id_new"), col("sh").as("sh_a")), "id_new")
+      .join(shAll.select(col("id").as("id_other"), col("sh").as("sh_b")), "id_other")
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("n_common") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_other"), col("jaccard"))
+    val mat = out.localCheckpoint()
+    shNew.unpersist(); shCor.unpersist()
+    mat
+  }
+
   /** Eagerly materialize the (small) pair output, then release the persisted
     * intermediate — see the class doc on cache lifetime. */
   private def materializedWithout(out: DataFrame, cached: DataFrame): DataFrame = {

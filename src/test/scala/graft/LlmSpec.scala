@@ -208,6 +208,16 @@ class LlmSpec extends SparkTestBase {
     assert(frames.forall(_._2 == 64))
   }
 
+  test("incremental near-dups: batch-vs-corpus and batch-internal, oriented") {
+    // batch = {1 (near-dup of 0), 3 (exact copy of 0)}, corpus = {0, 2}
+    val batch = docs.filter($"doc_id".isin(1L, 3L))
+    val corpus = docs.filter($"doc_id".isin(0L, 2L))
+    val got = Dedup.incrementalNearDups(batch, corpus, threshold = 0.6)
+      .select($"id_new", $"id_other").as[(Long, Long)].collect().toSet
+    // batch id left for cross pairs; (smaller, larger) for internal pairs
+    assert(got === Set((1L, 0L), (3L, 0L), (1L, 3L)))
+  }
+
   test("clusters: chain merges transitively, disjoint pairs stay separate") {
     // chain 1-2, 2-3 (diameter 2) + disjoint pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
