@@ -353,6 +353,13 @@ object Queries {
     "q_knn_ivf" -> ((s, dir) =>
       llm.Similarity.ivfKnn(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5, nCells = 4, nprobe = 4)),
+    // PQ kNN publishes its RECALL CONTRACT (the approximate list is
+    // codebook-specific); oracle predicts TRUE per query. m=32 × 256
+    // codes = 8x compression at measured per-query recall ≥ 0.8 on this
+    // (near-unclusterable) synthetic corpus — bound 0.6 leaves margin.
+    "q_knn_pq" -> ((s, dir) =>
+      llm.Similarity.pqKnnRecall(tWide(s, dir, "embeddings"),
+        col("vec_id") < 10, k = 5, m = 32, kCodes = 256, recallBound = 0.6)),
 
     // ---- LLM data pipeline: text analysis ----
     "q_text_stats" -> ((s, dir) => {
@@ -1096,6 +1103,10 @@ object Queries {
         |    AS tfidf
         |FROM tf JOIN vocab USING (term), n
         |ORDER BY doc_id, term""".stripMargin,
+
+    "q_knn_pq" ->
+      """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH sc AS (

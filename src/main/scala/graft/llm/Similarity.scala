@@ -247,6 +247,46 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** PQ-compressed kNN with an ERROR-CONTRACT output: per query, whether
+    * the top-k ranked against PQ RECONSTRUCTIONS achieves recall ≥
+    * `recallBound` vs the exact top-k. The contract (not the approximate
+    * neighbor list, which is codebook-specific) is the cross-engine-stable
+    * fact — same publishing pattern as the HLL and approx-percentile
+    * queries.
+    *
+    * Scale shape: codebooks are KBs (driver-trained, literal-inlined);
+    * encoding and reconstruction are scan-side projections; scoring is the
+    * same broadcast-queries × corpus pass as [[bruteForceKnn]] but reading
+    * m bytes + codebook lookups per vector instead of the full floats —
+    * at 100 TB the corpus scan shrinks ~dim·4/m-fold. Pair with [[ivfKnn]]
+    * cells to also cut the candidate count. */
+  def pqKnnRecall(emb: DataFrame, queryPred: Column, k: Int, m: Int = 8,
+      kCodes: Int = 16, recallBound: Double = 0.6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cbs = Quantize.pqTrain(emb, m, kCodes, idCol = idCol, vecCol = vecCol)
+    val approx = Quantize.pqEncode(emb, cbs, idCol, vecCol)
+      .withColumn("avec", Quantize.pqDecode(col("codes"), cbs))
+      .select(col(idCol), col("avec"), norm(col("avec")).as("anorm"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"))
+    val scored = approx
+      .join(broadcast(queries), col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("neighbor_id"),
+        (dot(col("qvec"), col("avec")) / (col("qnorm") * col("anorm"))).as("score"))
+    val pqTop = topK(scored, k).select(col("qid"), col("neighbor_id"))
+    val exactTop = bruteForceKnn(emb, queryPred, k, idCol, vecCol)
+      .select(col("qid"), col("neighbor_id"))
+    val hits = pqTop.join(exactTop, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exactTop.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double") >= recallBound).as("recall_ok"))
+      .orderBy(col("qid"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among bucket-mates
     * (LSH-blocked, so no O(n²)). id_a < id_b. */
   def cosineNearDups(emb: DataFrame, threshold: Double = 0.95, m: Int = 8,

@@ -297,6 +297,27 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("pq: encode kernel matches the Column-space argmin; recall contract holds") {
+    val rnd = new scala.util.Random(17)
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val cbs = Quantize.pqTrain(emb, m = 4, kCodes = 8)
+    val fast = Quantize.pqEncode(emb, cbs).orderBy($"vec_id")
+      .as[(Long, Seq[Int])].collect().toSeq
+    val slow = Quantize.pqEncodeColumns(emb, cbs).orderBy($"vec_id")
+      .as[(Long, Seq[Int])].collect().toSeq
+    assert(fast === slow)
+    // decode round-trip: reconstruction has the right shape
+    val dec = Quantize.pqEncode(emb, cbs)
+      .select(Quantize.pqDecode($"codes", cbs).as("a")).as[Seq[Double]].head()
+    assert(dec.length === 16)
+    // recall contract with a bound of 0: every query row must appear TRUE
+    val rec = Similarity.pqKnnRecall(emb, $"vec_id" < 5, k = 3,
+      m = 4, kCodes = 8, recallBound = 0.0)
+      .as[(Long, Boolean)].collect().toSeq
+    assert(rec.map(_._1) === Seq(0L, 1L, 2L, 3L, 4L) && rec.forall(_._2))
+  }
+
   test("quantize: codes clamp to [0,255], degenerate vector is all zeros") {
     val emb = Seq(
       (0L, Seq(0.0f, 0.5f, 1.0f)),   // spread: min→0, max→255
