@@ -360,6 +360,12 @@ object Queries {
     "q_knn_pq" -> ((s, dir) =>
       llm.Similarity.pqKnnRecall(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5, m = 32, kCodes = 256, recallBound = 0.6)),
+    // the composed billion-scale layout: IVF cells prune candidates, PQ
+    // codes stand in for vectors; full probe ⇒ same contract as q_knn_pq
+    "q_knn_ivfpq" -> ((s, dir) =>
+      llm.Similarity.ivfPqKnnRecall(tWide(s, dir, "embeddings"),
+        col("vec_id") < 10, k = 5, nCells = 4, nprobe = 4,
+        m = 32, kCodes = 256, recallBound = 0.6)),
 
     // ---- LLM data pipeline: text analysis ----
     "q_text_stats" -> ((s, dir) => {
@@ -1105,6 +1111,10 @@ object Queries {
         |ORDER BY doc_id, term""".stripMargin,
 
     "q_knn_pq" ->
+      """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+
+    "q_knn_ivfpq" ->
       """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
 

@@ -287,6 +287,59 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** IVF + PQ composed — the standard billion-scale ANN layout: the coarse
+    * quantizer prunes the corpus to `nprobe` cells (candidate count ÷
+    * nCells/nprobe), PQ codes stand in for the vectors inside those cells
+    * (bytes ÷ ~dim·4/m). Published as the same per-query recall contract
+    * as [[pqKnnRecall]]; with full probe the only recall loss is PQ
+    * reconstruction, so the two contracts coincide there. */
+  def ivfPqKnnRecall(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 4, nprobe: Int = 4, m: Int = 32, kCodes: Int = 256,
+      recallBound: Double = 0.6, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sample = emb
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(65536)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = localLloyd(sample, nCells, maxIter = 10)
+    val cellRank = array(centers.zipWithIndex.map { case (c, i) =>
+      val ca = array(c.map(lit(_)).toIndexedSeq: _*)
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - dot(col(vecCol), ca) * 2.0).as("d"), lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+
+    val cbs = Quantize.pqTrain(emb, m, kCodes, idCol = idCol, vecCol = vecCol)
+    val corpus = emb.select(col(idCol),
+        array_sort(cellRank).getItem(0).getField("cell").as("cell"),
+        graft.expr.PqEncode(col(vecCol), cbs).as("codes"))
+      .withColumn("avec", Quantize.pqDecode(col("codes"), cbs))
+      .select(col(idCol), col("cell"), col("avec"), norm(col("avec")).as("anorm"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"),
+        explode(slice(array_sort(cellRank), 1, math.min(nprobe, centers.length)))
+          .as("probe"))
+      .select(col("qid"), col("qvec"), col("qnorm"), col("probe.cell").as("cell"))
+
+    val scored = corpus
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("neighbor_id"),
+        (dot(col("qvec"), col("avec")) / (col("qnorm") * col("anorm"))).as("score"))
+    val approxTop = topK(scored, k).select(col("qid"), col("neighbor_id"))
+    val exactTop = bruteForceKnn(emb, queryPred, k, idCol, vecCol)
+      .select(col("qid"), col("neighbor_id"))
+    val hits = approxTop.join(exactTop, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exactTop.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double") >= recallBound).as("recall_ok"))
+      .orderBy(col("qid"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among bucket-mates
     * (LSH-blocked, so no O(n²)). id_a < id_b. */
   def cosineNearDups(emb: DataFrame, threshold: Double = 0.95, m: Int = 8,
