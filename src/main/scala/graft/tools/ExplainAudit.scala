@@ -15,7 +15,9 @@ object ExplainAudit {
         "q_knn_brute", "q_dedup_minhash", "q_cube_revenue", "q_join_semi_anti",
         "q_session_window", "q_ngram_jaccard", "q_lang_breakdown",
         "q_asof_enrich", "q_range_join", "q_knn_ivf",
-        "q_pack_sequences", "q_embed_quantize", "q_sample_docs")
+        "q_pack_sequences", "q_embed_quantize", "q_sample_docs",
+        "q_repetition", "q_window_rank", "q_grouping_sets", "q_salted_agg",
+        "q_vocab_topk", "q_tfidf")
     for (q <- qs) {
       println(s"==== $q")
       graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
