@@ -218,6 +218,11 @@ object Queries {
     "q_grouping_sets" -> ((s, dir) =>
       Analytics.groupingSetsRevenue(t(s, dir, "orders"), t(s, dir, "customer"))),
 
+    // ---- analytics: pivot (explicit value set — no discovery pass) ----
+    "q_pivot_revenue" -> ((s, dir) =>
+      Analytics.pivotRevenue(t(s, dir, "orders"), t(s, dir, "customer"),
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))),
+
     // ---- analytics: ranking-function family ----
     "q_window_rank" -> ((s, dir) =>
       Analytics.orderRanks(t(s, dir, "orders"))
@@ -391,6 +396,24 @@ object Queries {
         .orderBy(col("lang_pred"))),
     // fingerprint emitted as a comma-joined scalar string: the driver's
     // compare sorts columns with pandas, which cannot hash array cells.
+    // ---- LLM data pipeline: bigram LM quality score (CCNet-style) ----
+    // V passed as the corpus-vocab snapshot (one count-distinct action,
+    // like q_tfidf's nDocs); fold order pinned by sorted grams. Published
+    // at fixed micro precision: ln() is 1-2 ulp engine-specific (Java
+    // intrinsic vs libm), so the raw double hash-mismatches on ~2% of
+    // docs; the 1e-6 grid is ~9 orders above that noise (measured min
+    // boundary distance 3e-3 grid units on this corpus).
+    "q_lm_score" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val v = docs.select(
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .distinct().count()
+      llm.TextAnalysis.bigramLmScore(docs, v)
+        .select(col("doc_id"), col("n_bigrams"),
+          floor(col("lm_score") * 1e6).cast("long").as("lm_score_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LLM data pipeline: vocabulary + TF-IDF ----
     "q_vocab_topk" -> ((s, dir) =>
       llm.TextAnalysis.vocabTopK(tWide(s, dir, "documents"), k = 50)),
@@ -856,6 +879,16 @@ object Queries {
         |  count(*) AS n_copies
         |FROM d GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
+    "q_pivot_revenue" ->
+      s"""SELECT c_mktsegment,
+         |  ${decSum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS "1-URGENT",
+         |  ${decSum("CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END")} AS "2-HIGH",
+         |  ${decSum("CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END")} AS "3-MEDIUM",
+         |  ${decSum("CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END")} AS "4-NOT SPECIFIED",
+         |  ${decSum("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END")} AS "5-LOW"
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_grouping_sets" ->
       s"""SELECT c_mktsegment, o_orderpriority,
          |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders,
@@ -1082,6 +1115,36 @@ object Queries {
          |  FROM scored)
          |SELECT qid, rank, neighbor_id, score FROM ranked
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // bigram LM mirror: add-one-smoothed P over corpus counts; the per-doc
+    // mean folds ln terms in sorted-gram order with a 0.0-prepended
+    // list_reduce — exactly Spark's aggregate(terms, 0.0, +) fold
+    "q_lm_score" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w1
+         |  FROM documents),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM w GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM w),
+         |b AS (
+         |  SELECT doc_id, unnest(${shingleWSql(2)}) AS gram
+         |  FROM documents WHERE len($wordsSql) >= 2),
+         |c2 AS (SELECT gram, count(*) AS c2 FROM b GROUP BY gram),
+         |t AS (
+         |  SELECT doc_id, b.gram,
+         |    ln((c2.c2 + 1.0) / (c1.c1 + v.v::DOUBLE)) AS lnp
+         |  FROM b
+         |  JOIN c2 USING (gram)
+         |  JOIN c1 ON c1.w1 = split_part(b.gram, ' ', 1), v),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    list(lnp ORDER BY gram) AS lnps
+         |  FROM t GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  CAST(floor(list_reduce(list_prepend(0.0::DOUBLE, lnps),
+         |    (x, y) -> x + y) / n_bigrams::DOUBLE * 1e6) AS BIGINT)
+         |    AS lm_score_micro
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH w AS (

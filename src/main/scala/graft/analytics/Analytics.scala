@@ -378,6 +378,20 @@ object Analytics {
         grouping_id().as("gid"))
       .orderBy(col("gid"), col("c_mktsegment"), col("o_orderpriority"))
 
+  /** Pivot: one row per segment, one revenue column per order priority.
+    * The value set is passed EXPLICITLY — the two-pass "discover distinct
+    * values first" form adds a full extra job and makes the output schema
+    * data-dependent, both wrong at scale. Expands to CASE-aggregations
+    * before the shuffle, so partial aggregation applies as usual. */
+  def pivotRevenue(orders: DataFrame, customer: DataFrame,
+      priorities: Seq[String]): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderpriority", priorities)
+      .agg(d(sum(dec(col("o_totalprice")))))
+      .orderBy(col("c_mktsegment"))
+
   /** The full ranking-function family over one window: row_number / rank /
     * dense_rank / ntile / lag / lead. The window ORDER BY carries an id
     * tiebreak so every output column is deterministic under value ties.

@@ -144,6 +144,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** CCNet-style bigram language-model quality score: the corpus trains a
+    * bigram LM (add-one smoothing), every document is scored by its mean
+    * bigram log-probability — boilerplate and gibberish sit far from the
+    * corpus distribution and score low.
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V),   score = mean ln P
+    *
+    * `nVocab` (V = distinct unigrams) is passed explicitly like
+    * [[tfidf]]'s nDocs — the caller controls the corpus-size snapshot.
+    * Only documents with ≥ 2 tokens have bigrams; others are dropped.
+    *
+    * Scale shape: count tables are hash aggregations on uniform gram keys;
+    * scoring joins per-doc bigram occurrences against them (shuffle
+    * equi-joins — at real scale the bigram table is far over broadcast
+    * size). The per-doc mean folds ln terms in SORTED gram order
+    * (sort_array + aggregate), so the double summation is deterministic
+    * under any partitioning — same fold-order pinning as the kNN dot
+    * products. */
+  def bigramLmScore(docs: DataFrame, nVocab: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val g2 = Repetition.ngrams(col(textCol), 2)
+    val docBigrams = docs
+      .filter(size(words) >= 2)
+      .select(col(idCol).as("doc_id"), explode(g2).as("gram"))
+    val c2 = docBigrams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+    val c1 = docs
+      .select(explode(words).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val scoredGrams = docBigrams
+      .join(c2, Seq("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"), col("gram"),
+        log((col("c2") + lit(1.0)) / (col("c1") + lit(nVocab.toDouble)))
+          .as("lnp"))
+    scoredGrams
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("gram"), col("lnp")))).as("terms"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (aggregate(col("terms"), lit(0.0), (acc, t) => acc + t.getField("lnp"))
+          / col("n_bigrams").cast("double")).as("lm_score"))
+  }
+
   /** Per-document stats projection over a corpus. */
   def docStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
