@@ -223,6 +223,10 @@ object Queries {
       Analytics.pivotRevenue(t(s, dir, "orders"), t(s, dir, "customer"),
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))),
 
+    // ---- analytics: unpivot/melt (inverse of pivot, shuffle-free) ----
+    "q_unpivot" -> ((s, dir) =>
+      Analytics.unpivotPartMeasures(t(s, dir, "part"))),
+
     // ---- analytics: ranking-function family ----
     "q_window_rank" -> ((s, dir) =>
       Analytics.orderRanks(t(s, dir, "orders"))
@@ -888,6 +892,13 @@ object Queries {
          |  ${decSum("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END")} AS "5-LOW"
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size', p_size::DOUBLE FROM part
+        |ORDER BY p_partkey, measure""".stripMargin,
 
     "q_grouping_sets" ->
       s"""SELECT c_mktsegment, o_orderpriority,

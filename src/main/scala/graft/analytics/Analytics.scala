@@ -392,6 +392,17 @@ object Analytics {
       .agg(d(sum(dec(col("o_totalprice")))))
       .orderBy(col("c_mktsegment"))
 
+  /** Unpivot (melt): wide per-part measure columns back to (part, measure,
+    * value) rows — the inverse of [[pivotRevenue]], a pure narrow
+    * projection+expand (no shuffle; Spark's Expand emits one row per
+    * measure before any exchange). */
+  def unpivotPartMeasures(part: DataFrame): DataFrame =
+    part.select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")),
+        "measure", "value")
+      .orderBy(col("p_partkey"), col("measure"))
+
   /** The full ranking-function family over one window: row_number / rank /
     * dense_rank / ntile / lag / lead. The window ORDER BY carries an id
     * tiebreak so every output column is deterministic under value ties.

@@ -69,4 +69,19 @@ object Packing {
       .withColumn("shard", floor((col("intra") + offCol) / budget))
       .select(col("pack_key"), col("n_tokens"), col("shard"))
   }
+
+  /** The end-to-end export: curated corpus → token-budget shards → one
+    * parquet directory per shard (hive-partitioned on `shard`, so a
+    * training loader reads shard k with partition pruning, no full-corpus
+    * listing). This is the last step of the pipeline: curation decides
+    * WHAT trains, packing decides WHERE it lands. */
+  def exportShards(curated: DataFrame, outPath: String, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val shards = packByBudget(curated,
+      col(idCol), TextAnalysis.tokenCount(col(textCol)), budget)
+      .withColumnRenamed("pack_key", idCol)
+    graft.sources.Io.writePartitioned(
+      curated.join(shards.select(col(idCol), col("shard")), Seq(idCol)),
+      outPath, "shard")
+  }
 }

@@ -34,6 +34,25 @@ class IoSpec extends SparkTestBase {
     assert(back.join(docs, Seq("doc_id"), "left_anti").count() === 0)
   }
 
+  test("exportShards: shard partitions on disk, budget respected, prunable") {
+    val out = tmp("graft-shards")
+    graft.llm.Packing.exportShards(docs, out, budget = 2048L)
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    // every shard's token total stays under budget + its last doc's tokens
+    val tk = graft.llm.TextAnalysis.tokenCount($"text").cast("long")
+    val perShard = back.groupBy($"shard")
+      .agg(sum(tk).as("toks"), max(tk).as("max_doc"))
+      .select($"toks", $"max_doc").as[(Long, Long)].collect()
+    assert(perShard.nonEmpty)
+    perShard.foreach { case (toks, maxDoc) => assert(toks <= 2048L + maxDoc) }
+    // loader-side pruning on the shard column
+    val one = spark.read.parquet(out).filter($"shard" === 0)
+    val plan = one.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(shard"), plan)
+  }
+
   test("partitioned write prunes partitions at scan time") {
     val out = tmp("graft-part")
     Io.writePartitioned(docs, out, "source")
