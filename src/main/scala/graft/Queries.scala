@@ -483,6 +483,15 @@ object Queries {
         .select(col("media_id"), col("n_bytes"), col("format"),
           posexplode(col("features")).as(Seq("bucket", "feature")))
         .orderBy(col("media_id"), col("bucket"))),
+    // nearest-neighbor resize of each 1×n_chars "image" to 1×32 via the
+    // codec boundary; ASCII corpus ⇒ byte grid == char grid, so the oracle
+    // mirrors with integer-division substr sampling
+    "q_media_resize" -> ((s, dir) =>
+      llm.Multimodal.resize(
+        llm.Multimodal.mediaFromDocuments(tWide(s, dir, "documents")),
+        outW = 32, outH = 1)
+        .select(col("media_id"), col("media").cast("string").as("resized"))
+        .orderBy(col("media_id"))),
     // frame emitted as hex text: binary column comparators differ across
     // engines/arrow readers (bytes vs bytearray); hex is unambiguous.
     "q_media_frames" -> ((s, dir) =>
@@ -1156,6 +1165,12 @@ object Queries {
          |    (x, y) -> x + y) / n_bigrams::DOUBLE * 1e6) AS BIGINT)
          |    AS lm_score_micro
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_media_resize" ->
+      """SELECT doc_id AS media_id,
+        |  array_to_string([substr(text, ((j * len(text)) // 32)::INT + 1, 1)
+        |    FOR j IN range(0, 32)], '') AS resized
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH w AS (

@@ -33,10 +33,13 @@ object Multimodal {
     * per input bytes. */
   trait MediaCodec extends Serializable {
     def decodeToFeatures(bytes: Array[Byte], dim: Int): Array[Double]
+    /** Resample a w×h raster to outW×outH. */
+    def resize(bytes: Array[Byte], w: Int, h: Int, outW: Int, outH: Int): Array[Byte]
   }
 
-  /** STUB codec — deterministic byte-bucket histogram, normalized. Stands in
-    * for a real decode+embed (no media libs in this container). */
+  /** STUB codec — deterministic byte-bucket histogram + nearest-neighbor
+    * byte resample. Stands in for a real decode+embed (no media libs in
+    * this container). */
   object FakeCodec extends MediaCodec {
     def decodeToFeatures(bytes: Array[Byte], dim: Int): Array[Double] = {
       val hist = new Array[Double](dim)
@@ -47,6 +50,27 @@ object Multimodal {
       }
       val n = math.max(bytes.length, 1).toDouble
       hist.map(_ / n)
+    }
+
+    /** Nearest-neighbor on the raw byte grid: out(i,j) = in(⌊i·h/outH⌋,
+      * ⌊j·w/outW⌋), integer arithmetic — deterministic and oracle-
+      * mirrorable. Out-of-range source pixels (ragged byte counts) map
+      * to 0. */
+    def resize(bytes: Array[Byte], w: Int, h: Int, outW: Int, outH: Int): Array[Byte] = {
+      val out = new Array[Byte](outW * outH)
+      var i = 0
+      while (i < outH) {
+        val sy = (i.toLong * h / outH).toInt
+        var j = 0
+        while (j < outW) {
+          val sx = (j.toLong * w / outW).toInt
+          val src = sy * w + sx
+          out(i * outW + j) = if (src < bytes.length) bytes(src) else 0
+          j += 1
+        }
+        i += 1
+      }
+      out
     }
   }
 
@@ -72,6 +96,21 @@ object Multimodal {
       it.map { r =>
         MediaFeatures(r.media_id, r.media.length.toLong, r.format,
           codec.decodeToFeatures(r.media, dim))
+      }
+    }.toDF()
+  }
+
+  /** Resize through the codec boundary: (media_id, media, w, h) → resampled
+    * binary + updated shape metadata. Same iterator-to-iterator shape as
+    * [[extractFeatures]] — per-task codec init, media bytes never shuffle. */
+  def resize(media: DataFrame, outW: Int, outH: Int,
+      codec: MediaCodec = FakeCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        MediaRow(r.media_id, codec.resize(r.media, r.width, r.height, outW, outH),
+          r.format, outW, outH)
       }
     }.toDF()
   }

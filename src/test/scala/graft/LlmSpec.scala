@@ -198,6 +198,19 @@ class LlmSpec extends SparkTestBase {
     assert(math.abs(feats.sum - 1.0) < 1e-9) // histogram normalized by n_bytes
   }
 
+  test("multimodal: nearest-neighbor resize down/up samples the byte grid") {
+    import graft.llm.Multimodal.FakeCodec
+    assert(new String(FakeCodec.resize("abcd".getBytes, 4, 1, 2, 1)) === "ac")
+    assert(new String(FakeCodec.resize("ab".getBytes, 2, 1, 4, 1)) === "aabb")
+    // ragged input: source index past the byte count maps to 0
+    assert(FakeCodec.resize("ab".getBytes, 2, 2, 1, 2).toSeq === Seq('a'.toByte, 0.toByte))
+    val media = Multimodal.mediaFromDocuments(
+      Seq((0L, "hello world!", "en", "s", 12L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Multimodal.resize(media, outW = 4, outH = 1).head()
+    assert(r.getAs[Int]("width") === 4 && r.getAs[Int]("height") === 1)
+    assert(new String(r.getAs[Array[Byte]]("media")) === "hlwl") // idx 0,3,6,9
+  }
+
   test("multimodal: frame sampling covers the media with the right stride") {
     val media = Multimodal.mediaFromDocuments(
       Seq((0L, "a" * 300, "en", "s", 300L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
