@@ -231,6 +231,17 @@ object Queries {
     "q_window_rank" -> ((s, dir) =>
       Analytics.orderRanks(t(s, dir, "orders"))
         .orderBy(col("o_custkey"), col("rn"))),
+    // per-group top-k (vs q_topk_events' global top-k): one shuffle on the
+    // group key, per-partition sort, early filter — no global sort
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("rn"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("rn"))
+    }),
 
     // ---- analytics: exact percentiles ----
     "q_percentiles" -> ((s, dir) =>
@@ -307,6 +318,13 @@ object Queries {
       llm.Sampling.stratified(t(s, dir, "documents"), col("source"), col("doc_id"),
           Map("src0" -> 0.75, "src1" -> 0.5, "src2" -> 0.125))
         .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+    // length-weighted k=100 draw (Efraimidis-Spirakis keys off the same
+    // md5 digest); the drawn SET is the oracle-checkable fact
+    "q_sample_weighted" -> ((s, dir) =>
+      llm.Sampling.weightedSample(t(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), k = 100)
+        .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
     // Oracled against ALL-PAIRS exact Jaccard: the output is the exact-
@@ -995,6 +1013,24 @@ object Queries {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |  CASE source WHEN 'src0' THEN 'c000' WHEN 'src1' THEN '8000'
         |              WHEN 'src2' THEN '2000' ELSE '0000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT source, rn, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) + 1)::DOUBLE / 4294967297.0) / n_chars::DOUBLE AS skey
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM
+        |  (SELECT * FROM s ORDER BY skey, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
 
     // all-pairs exact-Jaccard truth for the LSH-candidate + verify pipeline:

@@ -43,4 +43,21 @@ object Sampling {
     }
     df.filter(substring(md5(key.cast("string")), 1, 4) < thresh)
   }
+
+  /** Deterministic weighted sample without replacement, k rows, inclusion
+    * probability ∝ `weight` (Efraimidis–Spirakis A-Res: keep the k
+    * smallest −ln(u)/w keys, u a uniform hash of the row key). The same
+    * digest-derived u makes the drawn SET a pure function of the data —
+    * reproducible across engines and partitionings like [[sampleByKey]].
+    * Plan: scan-side key computation + TakeOrdered — no shuffle beyond the
+    * top-k merge. Weights must be strictly positive. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(1L)).cast("double") / lit(4294967297.0)
+    val skey = -log(u) / weight.cast("double")
+    df.withColumn("__skey", skey)
+      .orderBy(col("__skey"), key)
+      .limit(k)
+      .drop("__skey")
+  }
 }
