@@ -25,6 +25,26 @@ import graft.llm.TextAnalysis
   */
 object StreamingCuration {
 
+  /** Watermarked stream–stream inner join: each curated-document event is
+    * enriched with its embedding-arrival event within a bounded interval
+    * (embedding lands no earlier than the doc, no later than `horizon`
+    * after it). Both sides carry watermarks and the join condition bounds
+    * event time in BOTH directions, so Spark can evict state — the three
+    * requirements for an unbounded-safe stream-stream join. State per side
+    * is O(rows inside the horizon), never the full stream. */
+  def joinWithEmbeddings(docs: DataFrame, embeddings: DataFrame,
+      horizon: String = "10 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val d = docs.withWatermark("ingest_ts", watermarkDelay)
+    val e = embeddings.withWatermark("embed_ts", watermarkDelay)
+    d.join(e,
+      d("doc_id") === e("emb_doc_id") &&
+        e("embed_ts") >= d("ingest_ts") &&
+        e("embed_ts") <= d("ingest_ts") + expr(s"INTERVAL $horizon"))
+      .select(d("doc_id"), d("text"), e("embedding"),
+        d("ingest_ts"), e("embed_ts"))
+  }
+
   /** docs stream → curated stream. Expects (doc_id, text, event time
     * `ingest_ts`); emits (doc_id, quality, text) for kept documents. */
   def curate(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5,

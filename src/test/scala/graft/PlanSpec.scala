@@ -143,6 +143,34 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime bloom-filter pruning injects on a selective dim join") {
+    // Spark 4 runtime filtering: a selective filter on the build side can
+    // inject bloom_filter_might_contain on the probe side's scan. The size
+    // thresholds target real tables — drop them so the sf0.001 fixtures
+    // qualify, proving the engine config doesn't break the injection path.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must be UNDER its threshold (build a small filter),
+      // application side must be OVER its threshold (big enough to prune)
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val j = t("lineitem")
+        .join(t("orders").filter($"o_orderpriority" === "1-URGENT"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_extendedprice")
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"), plan)
+      assert(j.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("packing: no global (empty-partition-spec) window in the plan") {
     val plan = formatted(graft.llm.Packing.packByBudget(
       t("documents"), $"doc_id", length($"text"), budget = 4096L, nParts = 4))

@@ -39,4 +39,28 @@ class StreamingCurationSpec extends SparkTestBase {
     assert(got.map(_._1) === Seq(0L))
     assert(got.head._2 >= 0.4)
   }
+
+  test("stream-stream join: embeddings matched within the horizon only") {
+    val ms = (m: Long) => new Timestamp(m)
+    val docsIn = MemoryStream[(Long, String, Timestamp)](spark)
+    val embIn = MemoryStream[(Long, Seq[Float], Timestamp)](spark)
+    val joined = StreamingCuration.joinWithEmbeddings(
+      docsIn.toDF().toDF("doc_id", "text", "ingest_ts"),
+      embIn.toDF().toDF("emb_doc_id", "embedding", "embed_ts"),
+      horizon = "10 minutes")
+    docsIn.addData((1L, "doc one", ms(60_000)), (2L, "doc two", ms(60_000)))
+    embIn.addData(
+      (1L, Seq(1f, 2f), ms(120_000)),     // doc 1: inside the horizon
+      (2L, Seq(3f, 4f), ms(2_000_000)))   // doc 2: past the horizon → dropped
+    val q = joined.writeStream
+      .format("memory").queryName("graft_stream_join")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_stream_join")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
 }
