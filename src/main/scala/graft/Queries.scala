@@ -223,6 +223,41 @@ object Queries {
       Analytics.pivotRevenue(t(s, dir, "orders"), t(s, dir, "customer"),
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))),
 
+    // ---- analytics: full outer join (the one join shape not yet pinned) ----
+    "q_join_outer" -> ((s, dir) => {
+      val n = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      t(s, dir, "customer")
+        .join(n, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("n_orders"))
+        .orderBy(col("custkey"))
+    }),
+
+    // ---- analytics: scalar string functions, one oracle-pinned row each ----
+    "q_string_fns" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        levenshtein(substring(col("text"), 1, 12), col("source")).cast("long").as("lev"),
+        reverse(col("source")).as("rev_source"),
+        lpad(col("doc_id").cast("string"), 6, "0").as("padded"),
+        translate(col("source"), "src", "XYZ").as("translated"),
+        concat(repeat(lit("ab"), 2), substring(col("text"), 1, 4)).as("combo"))
+        .orderBy(col("doc_id"))),
+
+    // ---- analytics: scalar date/time functions ----
+    "q_date_fns" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"))
+        .orderBy(col("o_orderkey"))),
+
     // ---- analytics: unpivot/melt (inverse of pivot, shuffle-free) ----
     "q_unpivot" -> ((s, dir) =>
       Analytics.unpivotPartMeasures(t(s, dir, "part"))),
@@ -919,6 +954,36 @@ object Queries {
          |  ${decSum("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END")} AS "5-LOW"
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey, n_orders
+        |FROM customer
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+        |ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_string_fns" ->
+      """SELECT doc_id,
+        |  levenshtein(substr(text, 1, 12), source) AS lev,
+        |  reverse(source) AS rev_source,
+        |  lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded,
+        |  translate(source, 'src', 'XYZ') AS translated,
+        |  repeat('ab', 2) || substr(text, 1, 4) AS combo
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday — mirror
+    // with +1
+    "q_date_fns" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  quarter(o_orderdate) AS qtr,
+        |  month(o_orderdate) AS m,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  last_day(o_orderdate) AS month_end,
+        |  o_orderdate::DATE + 30 AS plus30
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_unpivot" ->
       """SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
