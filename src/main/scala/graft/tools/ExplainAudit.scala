@@ -17,7 +17,9 @@ object ExplainAudit {
         "q_asof_enrich", "q_range_join", "q_knn_ivf",
         "q_pack_sequences", "q_embed_quantize", "q_sample_docs",
         "q_repetition", "q_window_rank", "q_grouping_sets", "q_salted_agg",
-        "q_vocab_topk", "q_tfidf")
+        "q_vocab_topk", "q_tfidf", "q_lm_score", "q_pivot_revenue",
+        "q_unpivot", "q_topk_per_group", "q_sample_weighted",
+        "q_dedup_incr_near", "q_join_outer", "q_percentiles")
     for (q <- qs) {
       println(s"==== $q")
       graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
