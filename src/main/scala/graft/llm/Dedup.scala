@@ -375,7 +375,12 @@ object Dedup {
     // Fixpoint test: labels only ever decrease, so the label SUM strictly
     // decreases until convergence and one scalar per round suffices (no
     // row-level diff join). Carried across rounds — one action per round.
-    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    // coalesce: an EMPTY pair list (clean corpus) sums to null, and the
+    // loop must terminate with an empty labeling rather than NPE.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    if (labels.isEmpty) converged = true
     while (!converged && iter < maxIter) {
       val propagated = edges
         .join(labels, edges("dst") === labels("id"))
@@ -389,7 +394,7 @@ object Dedup {
           col("x.lbl") === col("y.pid"))
         .select(col("x.id").as("id"), col("y.plbl").as("lbl"))
         .localCheckpoint()
-      val sumNow = next.agg(sum(col("lbl"))).head().getLong(0)
+      val sumNow = labelSum(next)
       labels = next
       converged = sumNow == prevSum
       prevSum = sumNow

@@ -55,7 +55,8 @@ object Sampling {
     val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("long") + lit(1L)).cast("double") / lit(4294967297.0)
     val skey = -log(u) / weight.cast("double")
-    df.withColumn("__skey", skey)
+    df.filter(weight.cast("double") > 0) // null/non-positive weight = weight 0: never drawn
+      .withColumn("__skey", skey)
       .orderBy(col("__skey"), key)
       .limit(k)
       .drop("__skey")

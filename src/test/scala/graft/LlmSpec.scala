@@ -231,6 +231,17 @@ class LlmSpec extends SparkTestBase {
     assert(got === Set((1L, 0L), (3L, 0L), (1L, 3L)))
   }
 
+  test("clusters: empty pair list yields empty labeling, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusters(empty).count() === 0)
+    // curateNearDup on a corpus with no near-dups degrades to curate
+    val clean = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val got = graft.llm.Curation.curateNearDup(clean, minQuality = 0.0)
+    val want = graft.llm.Curation.curate(clean, minQuality = 0.0)
+    assert(got.orderBy($"doc_id").collect().toSeq
+      === want.orderBy($"doc_id").collect().toSeq)
+  }
+
   test("clusters: chain merges transitively, disjoint pairs stay separate") {
     // chain 1-2, 2-3 (diameter 2) + disjoint pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
