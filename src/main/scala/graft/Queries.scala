@@ -258,6 +258,19 @@ object Queries {
         date_add(col("o_orderdate").cast("date"), 30).as("plus30"))
         .orderBy(col("o_orderkey"))),
 
+    // ---- analytics: scalar array functions ----
+    "q_array_fns" -> ((s, dir) => {
+      val w = split(lower(trim(col("text"))), "\\s+")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(w).cast("long").as("n"),
+        array_join(slice(w, 2, 3), " ").as("mid"),
+        size(array_distinct(w)).cast("long").as("n_uniq"),
+        array_contains(w, "the").as("has_the"),
+        array_join(slice(array_sort(array_distinct(w)), 1, 5), ",").as("sorted_uniq5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- analytics: unpivot/melt (inverse of pivot, shuffle-free) ----
     "q_unpivot" -> ((s, dir) =>
       Analytics.unpivotPartMeasures(t(s, dir, "part"))),
@@ -984,6 +997,21 @@ object Queries {
         |  last_day(o_orderdate) AS month_end,
         |  o_orderdate::DATE + 30 AS plus30
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // list_distinct preserves first-occurrence order in DuckDB as
+    // array_distinct does in Spark; the sorted variant removes any doubt
+    "q_array_fns" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(ws) AS n,
+        |  array_to_string(ws[2:4], ' ') AS mid,
+        |  len(list_distinct(ws)) AS n_uniq,
+        |  list_contains(ws, 'the') AS has_the,
+        |  array_to_string(list_sort(list_distinct(ws))[1:5], ',') AS sorted_uniq5
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "q_unpivot" ->
       """SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
