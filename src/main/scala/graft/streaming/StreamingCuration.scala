@@ -34,13 +34,18 @@ object StreamingCuration {
     * is O(rows inside the horizon), never the full stream. */
   def joinWithEmbeddings(docs: DataFrame, embeddings: DataFrame,
       horizon: String = "10 minutes",
-      watermarkDelay: String = "1 hour"): DataFrame = {
+      watermarkDelay: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val d = docs.withWatermark("ingest_ts", watermarkDelay)
     val e = embeddings.withWatermark("embed_ts", watermarkDelay)
+    // "left_outer": docs whose embedding never lands inside the horizon
+    // emit with a null embedding once the watermark passes the bound —
+    // the dead-letter feed a production ingest monitors.
     d.join(e,
       d("doc_id") === e("emb_doc_id") &&
         e("embed_ts") >= d("ingest_ts") &&
-        e("embed_ts") <= d("ingest_ts") + expr(s"INTERVAL $horizon"))
+        e("embed_ts") <= d("ingest_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select(d("doc_id"), d("text"), e("embedding"),
         d("ingest_ts"), e("embed_ts"))
   }

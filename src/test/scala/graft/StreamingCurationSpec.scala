@@ -63,4 +63,37 @@ class StreamingCurationSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().toSeq
     assert(got === Seq(1L))
   }
+
+  test("stream-stream LEFT OUTER join: unmatched doc flushes with null embedding") {
+    val ms = (m: Long) => new Timestamp(m)
+    val docsIn = MemoryStream[(Long, String, Timestamp)](spark)
+    val embIn = MemoryStream[(Long, Seq[Float], Timestamp)](spark)
+    val joined = StreamingCuration.joinWithEmbeddings(
+      docsIn.toDF().toDF("doc_id", "text", "ingest_ts"),
+      embIn.toDF().toDF("emb_doc_id", "embedding", "embed_ts"),
+      horizon = "10 minutes", watermarkDelay = "0 seconds",
+      joinType = "left_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("graft_stream_outer")
+      .outputMode("append")
+      .start()
+    docsIn.addData((1L, "matched", ms(60_000)), (2L, "orphan", ms(60_000)))
+    embIn.addData((1L, Seq(1f, 2f), ms(120_000)))
+    q.processAllAvailable()
+    // the GLOBAL watermark is the min across both inputs — advance BOTH
+    // sides past doc 2's horizon; eviction (and the outer null row) lands
+    // on a subsequent batch
+    embIn.addData((99L, Seq(0f), ms(10_000_000)))
+    docsIn.addData((99L, "wm-pusher", ms(10_000_000)))
+    q.processAllAvailable()
+    embIn.addData((98L, Seq(0f), ms(20_000_000)))
+    docsIn.addData((98L, "wm-pusher-2", ms(20_000_000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_stream_outer")
+      .filter($"doc_id" < 90) // drop the watermark-pusher rows
+      .select($"doc_id", $"embedding".isNull.as("no_emb"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true))
+  }
 }
