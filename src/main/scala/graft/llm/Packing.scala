@@ -28,20 +28,32 @@ import org.apache.spark.sql.functions._
   *
   * The result is independent of the partition count/boundaries: offsets
   * telescope, so `off(p) + intra` equals the global exclusive prefix no
-  * matter where the range sampler cut. Determinism therefore survives
-  * RangePartitioner's reservoir sampling.
+  * matter where the range sampler cut — PROVIDED both the totals job and
+  * the output job see the SAME cut. RangePartitioner seeds its reservoir
+  * sample per RDD id, so two separate actions over the same lineage can
+  * draw different boundaries; the ranged frame is therefore
+  * `localCheckpoint`ed (eager) before the totals collect. That both
+  * truncates the lineage — there is no recompute path that could re-sample
+  * — and makes the second job read the materialized blocks, so every pid
+  * in the offset map is the pid the output rows carry. (A plain persist
+  * would still leave a re-sample path open on block eviction; checkpoint
+  * loss fails the job instead of silently mis-sharding.)
+  *
+  * The per-partition offsets rejoin as a broadcast-hash-joined (pid →
+  * offset) frame, NOT a literal when-chain: a chain is O(P) deep in the
+  * expression tree, and at 10⁴–10⁵ range partitions it blows the 64 KB
+  * codegen method limit and degrades analysis to ~O(P²). The broadcast
+  * build side is one row per partition — KBs at any scale.
   */
 object Packing {
 
-  /** One row per input doc: (key, n_tokens, shard). `tokens` must be a
-    * non-negative integral column (e.g. [[TextAnalysis.tokenCount]]). */
-  def packByBudget(df: DataFrame, key: Column, tokens: Column,
-      budget: Long, nParts: Int = 0): DataFrame = {
-    require(budget > 0, s"budget must be positive: $budget")
-    val spark = df.sparkSession
-    val n = if (nParts > 0) nParts else spark.sparkContext.defaultParallelism
+  /** Phase 1+2 of the prefix sum: range-repartition on `key`, then the
+    * per-partition exclusive running sum (window PARTITIONed by the range
+    * pid — never a global window). Exposed for plan inspection; callers
+    * want [[packByBudget]], which checkpoints this before acting twice. */
+  private[graft] def intraPartitionPrefix(df: DataFrame, key: Column,
+      tokens: Column, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-
     val ranged = df
       .select(key.as("pack_key"), tokens.cast("long").as("n_tokens"))
       .repartitionByRange(n, col("pack_key"))
@@ -51,7 +63,20 @@ object Packing {
     // rows within a pid partition stay ordered by the window's ORDER BY.
     val w = Window.partitionBy(col("pid")).orderBy(col("pack_key"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val intra = ranged.withColumn("intra", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    ranged.withColumn("intra",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+  }
+
+  /** One row per input doc: (key, n_tokens, shard). `tokens` must be a
+    * non-negative integral column (e.g. [[TextAnalysis.tokenCount]]). */
+  def packByBudget(df: DataFrame, key: Column, tokens: Column,
+      budget: Long, nParts: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = df.sparkSession
+    val n = if (nParts > 0) nParts else spark.sparkContext.defaultParallelism
+    // Freeze the range cut: one materialization serves both the totals
+    // collect below and the caller's action (see class doc).
+    val intra = intraPartitionPrefix(df, key, tokens, n).localCheckpoint()
 
     // Partition totals: one row per pid — bounded by the partition count,
     // not the data — prefix-scanned on the driver.
@@ -60,13 +85,14 @@ object Packing {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     // exclusive scan: offsets(p) = sum of totals of partitions before p
     val offsets = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val offCol = totals.foldLeft(lit(0L)) {
-      case (acc, (p, _)) => when(col("pid") === p, lit(offsets(p))).otherwise(acc)
-    }
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("pid", "pack_pid_offset")
 
     intra
-      .withColumn("shard", floor((col("intra") + offCol) / budget))
+      .join(broadcast(offDf), Seq("pid"))
+      .withColumn("shard",
+        floor((col("intra") + col("pack_pid_offset")) / budget))
       .select(col("pack_key"), col("n_tokens"), col("shard"))
   }
 

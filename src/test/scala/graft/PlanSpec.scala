@@ -172,14 +172,29 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("packing: no global (empty-partition-spec) window in the plan") {
-    val plan = formatted(graft.llm.Packing.packByBudget(
-      t("documents"), $"doc_id", length($"text"), budget = 4096L, nParts = 4))
+    // inspect the pre-checkpoint stage — packByBudget checkpoints it, which
+    // collapses the executed subtree to a Scan ExistingRDD in the final plan
+    val plan = formatted(graft.llm.Packing.intraPartitionPrefix(
+      t("documents"), $"doc_id", length($"text"), n = 4))
     // a Window whose detail section shows no partition spec would mean the
     // single-partition cumsum; ours must window on the range-partition id
     val winDetails = """\(\d+\) Window\b[\s\S]*?(?=\n\(\d+\) )""".r
       .findAllIn(plan).toSeq
     assert(winDetails.nonEmpty, plan)
     assert(winDetails.forall(_.contains("pid")), plan)
+  }
+
+  test("packing: offset rejoin is one broadcast join, not an O(P) expression chain") {
+    // with 256 range partitions the old foldLeft(when) formulation put 256
+    // CASE WHEN arms in the plan (64 KB codegen blowup at 10^4+ partitions);
+    // the fix joins a (pid -> offset) frame, so the plan must show exactly
+    // one broadcast hash join and zero CASE WHEN, independent of nParts
+    val out = graft.llm.Packing.packByBudget(
+      t("documents"), $"doc_id", length($"text"), budget = 4096L, nParts = 256)
+    val plan = formatted(out)
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("CASE WHEN"), plan)
+    assert(out.count() > 0)
   }
 
   test("quantize: scan-side only — no exchange, codes match per-row min/max") {
