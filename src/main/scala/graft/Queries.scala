@@ -403,8 +403,14 @@ object Queries {
         threshold = 0.6)
         .orderBy(col("id_new"), col("id_other"))
     }),
+    // portable md5 hash family so the oracle can recompute signatures:
+    // the all-pairs Hamming truth asserts the combination-block index's
+    // pigeonhole completeness (every pair ≤ maxHamming is FOUND) and the
+    // bit-voting + verify arithmetic — same publishing discipline as
+    // q_dedup_minhash's all-pairs Jaccard truth.
     "q_dedup_simhash" -> ((s, dir) =>
-      llm.Dedup.simhashNearDups(tWide(s, dir, "documents"), maxHamming = 3)
+      llm.Dedup.simhashNearDups(tWide(s, dir, "documents"), maxHamming = 3,
+          sigFn = llm.Dedup.simhashPortable)
         .orderBy(col("id_a"), col("id_b"))),
     // maxDf=2 exercises the high-DF pruning path through the oracle (the
     // sf corpus' max block-level DF is 3, so ≥3 would be a no-op here).
@@ -420,9 +426,15 @@ object Queries {
     "q_knn_brute" -> ((s, dir) =>
       llm.Similarity.bruteForceKnn(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5)),
+    // LSH kNN publishes its panel RECALL CONTRACT (the neighbor list is
+    // hash-family-specific; per-query recall is bimodal on this
+    // near-random corpus — see Similarity.lshKnnRecallPanel). Measured
+    // recall@5 at m=4/probes=4: 0.52 (sf0.001) / 0.38 (sf0.01) /
+    // 0.54 (sf0.1) — bound 0.25 leaves margin at every SF; deterministic
+    // (seeded hyperplanes, fixed corpus), so the margin cannot drift.
     "q_knn_lsh" -> ((s, dir) =>
-      llm.Similarity.lshKnn(tWide(s, dir, "embeddings"),
-        col("vec_id") < 10, k = 5)),
+      llm.Similarity.lshKnnRecallPanel(tWide(s, dir, "embeddings"),
+        col("vec_id") < 10, k = 5, m = 4, probes = 4, recallBound = 0.25)),
     // full-probe IVF is exact ⇒ shares the brute-force oracle; the plan is
     // the scale path (cell equi-join), the answer provably unchanged.
     "q_knn_ivf" -> ((s, dir) =>
@@ -1116,12 +1128,17 @@ object Queries {
         |  FROM documents)
         |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
 
+    // WHERE n_chars > 0 mirrors weightedSample's weight-positivity gate:
+    // without it a zero weight divides to inf (sorts last — benign) but a
+    // NEGATIVE weight would sort FIRST on the oracle side only, so the
+    // contract must exclude non-positive weights on BOTH engines to hold
+    // on any fixture, not just ones with strictly positive lengths.
     "q_sample_weighted" ->
       """WITH s AS (
         |  SELECT doc_id, n_chars,
         |    -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |      AS BIGINT) + 1)::DOUBLE / 4294967297.0) / n_chars::DOUBLE AS skey
-        |  FROM documents)
+        |  FROM documents WHERE n_chars::DOUBLE > 0)
         |SELECT doc_id, n_chars FROM
         |  (SELECT * FROM s ORDER BY skey, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
@@ -1146,6 +1163,48 @@ object Queries {
          |JOIN sz sb ON sb.doc_id = id_b
          |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // all-pairs Hamming truth for the SimHash pipeline (portable md5 hash
+    // family — see the catalog entry): signatures recomputed from scratch
+    // (token md5 → 64-bit halves → per-bit ±1 voting, ties → 1, exactly
+    // the SimHash64 kernel's rule), then EVERY pair at hamming ≤ 3 —
+    // matching asserts the combination-block index is pigeonhole-complete.
+    // Signatures live as two 32-bit halves (BIGINT-safe: bit 63 would
+    // overflow a signed one-word sum); hamming = sum of half xor popcounts.
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS t
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS hi,
+        |    CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS lo
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    sum((CASE WHEN j >= 32 THEN (hi >> (j - 32)) & 1
+        |              ELSE (lo >> j) & 1 END) * 2 - 1) AS v
+        |  FROM th CROSS JOIN range(64) r(j)
+        |  GROUP BY doc_id, j),
+        |bits AS (
+        |  SELECT d.doc_id, r.j,
+        |    CASE WHEN coalesce(v.v, 0) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM documents d CROSS JOIN range(64) r(j)
+        |  LEFT JOIN votes v ON v.doc_id = d.doc_id AND v.j = r.j),
+        |sig AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN j < 32 THEN bit << j ELSE 0 END) AS sig_lo,
+        |    sum(CASE WHEN j >= 32 THEN bit << (j - 32) ELSE 0 END) AS sig_hi
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+        |     + bit_count(xor(a.sig_hi, b.sig_hi)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+        |    + bit_count(xor(a.sig_hi, b.sig_hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // independent reconstruction of the component labeling: same pair graph
     // (all-pairs exact Jaccard), transitive closure via recursive CTE,
@@ -1327,6 +1386,13 @@ object Queries {
         |    AS tfidf
         |FROM tf JOIN vocab USING (term), n
         |ORDER BY doc_id, term""".stripMargin,
+
+    // panel contract: the oracle predicts the panel size and that the
+    // aggregate recall@5 clears the published bound (literal TRUE — same
+    // error-contract discipline as HLL / approx-percentile / PQ)
+    "q_knn_lsh" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10""".stripMargin,
 
     "q_knn_pq" ->
       """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings

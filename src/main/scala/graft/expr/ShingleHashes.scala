@@ -64,7 +64,9 @@ case class ShingleHashes(child: Expression, w: Int,
 
 object ShingleHashes {
 
-  @inline private def isSep(c: Char): Boolean = // Java regex \s
+  @inline private def isSep(c: Char): Boolean = isSepChar(c)
+
+  @inline private[expr] def isSepChar(c: Char): Boolean = // Java regex \s
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Shared eval/codegen kernel. `distinct=false` keeps every shingle
@@ -138,4 +140,93 @@ object ShingleHashes {
             s"shingle_hashes: argument 'w' must be an integer literal, got ${exprs(1).sql}")
         }
       }, "built-in")
+}
+
+/** Engine-portable token hashes in one pass: whitespace-split lowercased
+  * words (empties dropped, repeats kept), each hashed to the first 64 bits
+  * of its md5 digest (bytes 0..7 big-endian — the integer the hex-parse
+  * convention `(conv(substr(hex,1,8),16,10) << 32) | conv(substr(hex,9,8),
+  * 16,10)` produces). Bit-identical to the composable chain
+  *   `transform(filter(split(lower(trim(text)), "\\s+"), t => t =!= ""),
+  *      t => shiftleft(conv(substring(md5(t),1,8),16,10).cast("long"), 32)
+  *             .bitwiseOR(conv(substring(md5(t),9,8),16,10).cast("long")))`
+  * which runs as interpreted HOF lambdas materializing a hex string +
+  * two substrings + two radix parses per token. Feeds the oracle-able
+  * [[graft.llm.Dedup.simhashPortable]] hash family. */
+case class Md5TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "md5_token_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_token_hashes requires string, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Md5TokenHashes.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.expr.Md5TokenHashes$$.MODULE$$.compute($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5TokenHashes {
+
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Shared eval/codegen kernel. */
+  def compute(input: UTF8String): ArrayData = {
+    val raw = input.toString
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val s = raw.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+
+    val md = digests.get()
+    val out = new java.util.ArrayList[java.lang.Long](32)
+    var i = 0
+    var tokStart = 0
+    def emit(from: Int, until: Int): Unit = if (until > from) {
+      md.reset()
+      val d = md.digest(
+        s.substring(from, until).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      out.add(java.lang.Long.valueOf(h))
+    }
+    while (i < s.length) {
+      if (ShingleHashes.isSepChar(s.charAt(i))) {
+        emit(tokStart, i)
+        while (i < s.length && ShingleHashes.isSepChar(s.charAt(i))) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    emit(tokStart, s.length)
+
+    val arr = new Array[Long](out.size)
+    i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  def apply(text: Column): Column =
+    GraftBridge.column(Md5TokenHashes(GraftBridge.expression(text)))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_token_hashes", { exprs => Md5TokenHashes(exprs.head) }, "built-in")
 }

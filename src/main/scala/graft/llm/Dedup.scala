@@ -171,7 +171,14 @@ object Dedup {
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
     val shNew = prep(newDocs)
-    val shCor = prep(corpus)
+    val shCorAll = prep(corpus)
+    // Re-ingest semantics: a doc_id present in BOTH frames is the batch's
+    // version — the corpus copy is stale and excluded from bands and verify
+    // alike (otherwise the same pair surfaces in both orientations and the
+    // verify joins fan out). Broadcast anti-join: the batch id list is the
+    // small side, so the corpus never reshuffles for this.
+    val shCor = shCorAll.join(
+      broadcast(shNew.select(col("id"))), Seq("id"), "left_anti")
     val bNew = banded(shNew)
     // b side = corpus bands ∪ batch bands, tagged: batch-internal pairs
     // keep only the (smaller, larger) orientation, batch-vs-corpus pairs
@@ -186,6 +193,8 @@ object Dedup {
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_new"), col("b.id").as("id_other"))
       .distinct()
+    // ids are disjoint after the stale-copy exclusion above (one shingle
+    // row per id — preconditions: ids unique within each input frame)
     val shAll = shNew.unionByName(shCor)
     val out = cands
       .join(shAll.select(col("id").as("id_new"), col("sh").as("sh_a")), "id_new")
@@ -198,7 +207,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_other"), col("jaccard"))
     val mat = out.localCheckpoint()
-    shNew.unpersist(); shCor.unpersist()
+    shNew.unpersist(); shCorAll.unpersist()
     mat
   }
 
@@ -218,6 +227,34 @@ object Dedup {
     * repeatedly, so the multiset is preserved. */
   def simhash(text: Column): Column =
     graft.expr.SimHash64(graft.expr.ShingleHashes(text, 1, distinct = false))
+
+  /** Engine-portable SimHash: token hashes are the first 64 bits of
+    * md5(token) (two 32-bit hex halves recombined — the same md5-parse
+    * convention as [[Sampling.weightedSample]]) instead of xxhash64. The
+    * hash FAMILY is a free parameter of SimHash; this member is
+    * reproducible in any engine with md5, which is what lets an all-pairs
+    * Hamming truth oracle verify the whole candidate-index + verify
+    * pipeline cross-engine (xxhash64's constants are Spark-internal).
+    * Tokens: whitespace-split lowercased words, empties dropped, repeats
+    * vote repeatedly. Token hashing runs in the one-pass codegen'd
+    * [[graft.expr.Md5TokenHashes]] kernel; [[simhashPortableColumns]] is
+    * the bit-identical composable form (parity-pinned in LlmSpec). */
+  def simhashPortable(text: Column): Column =
+    graft.expr.SimHash64(graft.expr.Md5TokenHashes(text))
+
+  /** The composable-Column form of [[simhashPortable]]'s hash family —
+    * interpreted HOF lambdas (hex string + substrings + radix parses per
+    * token), kept as the executable spec the kernel is pinned against. */
+  private[graft] def simhashPortableColumns(text: Column): Column = {
+    val words = filter(split(lower(trim(text)), "\\s+"), w => w =!= lit(""))
+    val hashes = transform(words, t => {
+      val h = md5(t)
+      val hi = conv(substring(h, 1, 8), 16, 10).cast("long")
+      val lo = conv(substring(h, 9, 8), 16, 10).cast("long")
+      shiftleft(hi, 32).bitwiseOR(lo)
+    })
+    graft.expr.SimHash64(hashes)
+  }
 
   /** Candidate keys for SimHash near-dup search: a Manku-style multi-table
     * combination-block index (Manku/Jain/Das Sarma, "Detecting
@@ -268,10 +305,12 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (default 3).
     * Candidates from the combination-block index ([[simhashCandidates]] —
     * pigeonhole-complete for the given distance), verified by
-    * bit_count(xor). */
+    * bit_count(xor). `sigFn` picks the hash family: [[simhash]] (default,
+    * codegen'd xxhash64) or [[simhashPortable]] (md5, oracle-able). */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      idCol: String = "doc_id", textCol: String = "text",
+      sigFn: Column => Column = simhash): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), sigFn(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = simhashCandidates(sigs, maxHamming)
       .filter(col("hamming") <= maxHamming)

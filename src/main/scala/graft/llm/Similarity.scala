@@ -247,44 +247,116 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Per-query recall contract: whether |approx ∩ exact| / |exact| ≥
+    * `bound`, per qid. Queries the approximate index missed entirely score
+    * recall 0 (left join + coalesce), never silently vanish. */
+  private def recallContract(approxTop: DataFrame, exactTop: DataFrame,
+      bound: Double): DataFrame = {
+    val hits = approxTop.join(exactTop, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exactTop.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double") >= bound).as("recall_ok"))
+      .orderBy(col("qid"))
+  }
+
+  /** Deterministic cap on a recall contract's query set: keep the `maxQ`
+    * queries with the smallest seeded hash of their id (the same
+    * digest-sample discipline as [[Sampling]] — reproducible across runs
+    * and partitionings). The contract's truth side is a full brute-force
+    * kNN, O(|Q|·N) at full precision; it exists to VERIFY an approximate
+    * index, not to serve queries, and at 100 TB it must run over a
+    * fixed-size query panel rather than every query. maxQ ≤ 0 = uncapped
+    * (fine when the predicate itself is already a bounded panel, as in the
+    * catalog queries). The collect is bounded by maxQ. */
+  private def capQueryPred(emb: DataFrame, queryPred: Column, maxQ: Int,
+      idCol: String, seed: Long): Column =
+    if (maxQ <= 0) queryPred
+    else {
+      val ids = emb.filter(queryPred).select(col(idCol))
+        .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+        .limit(maxQ).collect().map(_.get(0))
+      queryPred && col(idCol).isin(ids: _*)
+    }
+
+  /** LSH kNN published as its RECALL CONTRACT (same pattern as
+    * [[pqKnnRecall]]): per query, whether the bucket-restricted top-k
+    * achieves recall ≥ `recallBound` vs the exact top-k. The approximate
+    * neighbor list itself is hash-family-specific; the contract is the
+    * cross-engine-stable fact an oracle can predict. */
+  def lshKnnRecall(emb: DataFrame, queryPred: Column, k: Int, m: Int = 8,
+      dim: Int = 64, probes: Int = 0, recallBound: Double = 0.6,
+      maxContractQueries: Int = 0, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pred = capQueryPred(emb, queryPred, maxContractQueries, idCol, seed)
+    recallContract(
+      lshKnn(emb, pred, k, m, dim, probes, idCol, vecCol)
+        .select(col("qid"), col("neighbor_id")),
+      bruteForceKnn(emb, pred, k, idCol, vecCol)
+        .select(col("qid"), col("neighbor_id")),
+      recallBound)
+  }
+
+  /** LSH kNN recall contract over the whole query panel — ONE row
+    * (n_queries, recall_ok) where recall_ok ⇔ Σ hits / Σ exact ≥
+    * `recallBound` (ANN-benchmarks-style recall@k). Panel-aggregate rather
+    * than per-query ([[lshKnnRecall]]) because per-query recall on a
+    * hyperplane-LSH index is bimodal by construction: a query whose true
+    * neighbors sit just across one more hyperplane has recall ~0 no matter
+    * the parameters (data geometry, not tunable), while panel recall is a
+    * stable, publishable statistic of the index. PQ can promise per-query
+    * ([[pqKnnRecall]]) because quantization error is zero-mean per
+    * dimension and rank-preserving in aggregate per query. */
+  def lshKnnRecallPanel(emb: DataFrame, queryPred: Column, k: Int,
+      m: Int = 4, dim: Int = 64, probes: Int = 4, recallBound: Double = 0.25,
+      maxContractQueries: Int = 0, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pred = capQueryPred(emb, queryPred, maxContractQueries, idCol, seed)
+    val approxTop = lshKnn(emb, pred, k, m, dim, probes, idCol, vecCol)
+      .select(col("qid"), col("neighbor_id"))
+    val exactTop = bruteForceKnn(emb, pred, k, idCol, vecCol)
+      .select(col("qid"), col("neighbor_id"))
+    val hits = approxTop.join(exactTop, Seq("qid", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    exactTop
+      .agg(count_distinct(col("qid")).as("n_queries"), count(lit(1)).as("n_exact"))
+      .crossJoin(hits) // 1×1
+      .select(col("n_queries"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double")
+          >= recallBound).as("recall_ok"))
+  }
+
   /** PQ-compressed kNN with an ERROR-CONTRACT output: per query, whether
     * the top-k ranked against PQ RECONSTRUCTIONS achieves recall ≥
     * `recallBound` vs the exact top-k. The contract (not the approximate
     * neighbor list, which is codebook-specific) is the cross-engine-stable
     * fact — same publishing pattern as the HLL and approx-percentile
-    * queries.
-    *
-    * Scale shape: codebooks are KBs (driver-trained, literal-inlined);
-    * encoding and reconstruction are scan-side projections; scoring is the
-    * same broadcast-queries × corpus pass as [[bruteForceKnn]] but reading
-    * m bytes + codebook lookups per vector instead of the full floats —
-    * at 100 TB the corpus scan shrinks ~dim·4/m-fold. Pair with [[ivfKnn]]
-    * cells to also cut the candidate count. */
+    * queries. The embedded brute-force truth side is a verification
+    * artifact: cap it with `maxContractQueries` at scale (see
+    * [[capQueryPred]]); never ship the contract as the serving path. */
   def pqKnnRecall(emb: DataFrame, queryPred: Column, k: Int, m: Int = 8,
       kCodes: Int = 16, recallBound: Double = 0.6,
+      maxContractQueries: Int = 0, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pred = capQueryPred(emb, queryPred, maxContractQueries, idCol, seed)
     val cbs = Quantize.pqTrain(emb, m, kCodes, idCol = idCol, vecCol = vecCol)
     val approx = Quantize.pqEncode(emb, cbs, idCol, vecCol)
       .withColumn("avec", Quantize.pqDecode(col("codes"), cbs))
       .select(col(idCol), col("avec"), norm(col("avec")).as("anorm"))
-    val queries = emb.filter(queryPred)
+    val queries = emb.filter(pred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qnorm"))
     val scored = approx
       .join(broadcast(queries), col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol).as("neighbor_id"),
         (dot(col("qvec"), col("avec")) / (col("qnorm") * col("anorm"))).as("score"))
-    val pqTop = topK(scored, k).select(col("qid"), col("neighbor_id"))
-    val exactTop = bruteForceKnn(emb, queryPred, k, idCol, vecCol)
-      .select(col("qid"), col("neighbor_id"))
-    val hits = pqTop.join(exactTop, Seq("qid", "neighbor_id"), "left_semi")
-      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
-    exactTop.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("qid"), "left")
-      .select(col("qid"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double")
-          / col("n_exact").cast("double") >= recallBound).as("recall_ok"))
-      .orderBy(col("qid"))
+    recallContract(
+      topK(scored, k).select(col("qid"), col("neighbor_id")),
+      bruteForceKnn(emb, pred, k, idCol, vecCol)
+        .select(col("qid"), col("neighbor_id")),
+      recallBound)
   }
 
   /** IVF + PQ composed — the standard billion-scale ANN layout: the coarse
@@ -292,11 +364,14 @@ object Similarity {
     * nCells/nprobe), PQ codes stand in for the vectors inside those cells
     * (bytes ÷ ~dim·4/m). Published as the same per-query recall contract
     * as [[pqKnnRecall]]; with full probe the only recall loss is PQ
-    * reconstruction, so the two contracts coincide there. */
+    * reconstruction, so the two contracts coincide there. Cap the embedded
+    * exact truth side with `maxContractQueries` at scale. */
   def ivfPqKnnRecall(emb: DataFrame, queryPred: Column, k: Int,
       nCells: Int = 4, nprobe: Int = 4, m: Int = 32, kCodes: Int = 256,
       recallBound: Double = 0.6, seed: Long = 42L,
+      maxContractQueries: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pred = capQueryPred(emb, queryPred, maxContractQueries, idCol, seed)
     val sample = emb
       .select(col(vecCol).cast("array<double>").as("v"))
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
@@ -315,7 +390,7 @@ object Similarity {
         graft.expr.PqEncode(col(vecCol), cbs).as("codes"))
       .withColumn("avec", Quantize.pqDecode(col("codes"), cbs))
       .select(col(idCol), col("cell"), col("avec"), norm(col("avec")).as("anorm"))
-    val queries = emb.filter(queryPred)
+    val queries = emb.filter(pred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qnorm"),
         explode(slice(array_sort(cellRank), 1, math.min(nprobe, centers.length)))
@@ -327,17 +402,11 @@ object Similarity {
       .filter(col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol).as("neighbor_id"),
         (dot(col("qvec"), col("avec")) / (col("qnorm") * col("anorm"))).as("score"))
-    val approxTop = topK(scored, k).select(col("qid"), col("neighbor_id"))
-    val exactTop = bruteForceKnn(emb, queryPred, k, idCol, vecCol)
-      .select(col("qid"), col("neighbor_id"))
-    val hits = approxTop.join(exactTop, Seq("qid", "neighbor_id"), "left_semi")
-      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
-    exactTop.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("qid"), "left")
-      .select(col("qid"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double")
-          / col("n_exact").cast("double") >= recallBound).as("recall_ok"))
-      .orderBy(col("qid"))
+    recallContract(
+      topK(scored, k).select(col("qid"), col("neighbor_id")),
+      bruteForceKnn(emb, pred, k, idCol, vecCol)
+        .select(col("qid"), col("neighbor_id")),
+      recallBound)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold among bucket-mates

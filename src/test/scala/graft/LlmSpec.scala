@@ -65,6 +65,34 @@ class LlmSpec extends SparkTestBase {
     assert(found.length === 1 && found.head.getAs[Int]("hamming") === 3)
   }
 
+  test("md5 token-hash kernel: bit-identical to the composable Column form") {
+    // edge inventory: empty, whitespace-only, tabs/newlines, leading and
+    // trailing runs, repeats (multiset must survive), uppercase + unicode
+    val texts = Seq(
+      "", "   ", "\t\n ", "  leading run", "trailing run  ", "a a a b",
+      "The QUICK Brown  FOX", "unicode ÉΛ Ωmega STRASSE ß", base, nearDup,
+      unrelated).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    val got = df.select($"id",
+        graft.expr.Md5TokenHashes($"text").as("h"),
+        Dedup.simhashPortable($"text").as("sig"))
+    val want = df.select($"id",
+        transform(filter(split(lower(trim($"text")), "\\s+"), w => w =!= lit("")),
+          t => shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+            .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))).as("h"),
+        Dedup.simhashPortableColumns($"text").as("sig"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      got.join(want, Seq("id")).collect().mkString("\n"))
+  }
+
+  test("simhash portable family: planted dup found, hamming matches both families' rules") {
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 3,
+        sigFn = Dedup.simhashPortable)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("ngram jaccard blocks by key: cross-block exact dup not compared") {
     val pairs = Dedup.ngramJaccardPairs(docs, "source", n = 3, threshold = 0.5)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
@@ -113,6 +141,39 @@ class LlmSpec extends SparkTestBase {
     assert(single.subsetOf(probed.map(_._1).toSet))
     assert(probed.length >= single.size)
     probed.foreach { case (id, s) => assert(s === brute(id)) }
+  }
+
+  test("lsh recall contracts: clustered data passes per-query and panel; cap bounds the panel") {
+    // 4 tight clusters of 4 colinear vectors: every vector's true top-3 are
+    // its cluster-mates, and colinear vectors share an LSH bucket under any
+    // hyperplane set — per-query recall is exactly 1 by construction
+    val clustered = (0 until 16).map { i =>
+      val c = i % 4
+      val v = Array.fill(4)(0f); v(c) = (1 + i / 4).toFloat
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    val per = Similarity.lshKnnRecall(clustered, $"vec_id" < 8, k = 3,
+        m = 4, dim = 4, recallBound = 0.99)
+      .as[(Long, Boolean)].collect()
+    assert(per.length === 8 && per.forall(_._2), per.mkString(","))
+    val panel = Similarity.lshKnnRecallPanel(clustered, $"vec_id" < 8, k = 3,
+        m = 4, dim = 4, recallBound = 0.99)
+      .as[(Long, Boolean)].collect()
+    assert(panel === Array((8L, true)))
+    // an unachievable bound must publish FALSE, not vanish
+    val strict = Similarity.lshKnnRecallPanel(clustered, $"vec_id" < 8, k = 3,
+        m = 4, dim = 4, recallBound = 1.01)
+      .as[(Long, Boolean)].collect()
+    assert(strict === Array((8L, false)))
+    // maxContractQueries: deterministic digest-sampled panel of 3
+    val capped = Similarity.lshKnnRecall(clustered, $"vec_id" < 8, k = 3,
+        m = 4, dim = 4, recallBound = 0.99, maxContractQueries = 3)
+      .as[(Long, Boolean)].collect()
+    assert(capped.length === 3 && capped.forall(_._2), capped.mkString(","))
+    val capped2 = Similarity.lshKnnRecall(clustered, $"vec_id" < 8, k = 3,
+        m = 4, dim = 4, recallBound = 0.99, maxContractQueries = 3)
+      .as[(Long, Boolean)].collect()
+    assert(capped.map(_._1).toSeq === capped2.map(_._1).toSeq) // reproducible panel
   }
 
   test("ivf knn: full probe equals brute force; partial probe finds cell-mates") {
@@ -229,6 +290,17 @@ class LlmSpec extends SparkTestBase {
       .select($"id_new", $"id_other").as[(Long, Long)].collect().toSet
     // batch id left for cross pairs; (smaller, larger) for internal pairs
     assert(got === Set((1L, 0L), (3L, 0L), (1L, 3L)))
+  }
+
+  test("incremental near-dups: re-ingested id does not fan out the verify join") {
+    // id 0 exists in BOTH batch and corpus (re-ingest); without the one-row-
+    // per-id guard the verify joins emit duplicated (id_new, id_other) rows
+    val batch = docs.filter($"doc_id".isin(0L, 1L))
+    val corpus = docs.filter($"doc_id".isin(0L, 2L))
+    val rows = Dedup.incrementalNearDups(batch, corpus, threshold = 0.6)
+      .select($"id_new", $"id_other").as[(Long, Long)].collect()
+    assert(rows.length === rows.distinct.length, rows.mkString(","))
+    assert(rows.toSet === Set((0L, 1L))) // batch-internal orientation
   }
 
   test("clusters: empty pair list yields empty labeling, not a crash") {
