@@ -403,6 +403,19 @@ object Queries {
         threshold = 0.6)
         .orderBy(col("id_new"), col("id_other"))
     }),
+    // the steady-state form: corpus bands + shingles PREBUILT (in
+    // production persisted bucketed — PlanSpec pins the shuffle-free
+    // corpus probe), batch joins against them. Same truth as
+    // q_dedup_incr_near: the two forms must be indistinguishable.
+    "q_dedup_incr_prebuilt" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+      llm.Dedup.incrementalNearDupsPrebuilt(
+        docs.filter(col("doc_id") >= 250),
+        llm.Dedup.bandTable(corpus), llm.Dedup.shingleTable(corpus),
+        threshold = 0.6)
+        .orderBy(col("id_new"), col("id_other"))
+    }),
     // portable md5 hash family so the oracle can recompute signatures:
     // the all-pairs Hamming truth asserts the combination-block index's
     // pigeonhole completeness (every pair ≤ maxHamming is FOUND) and the
@@ -599,6 +612,29 @@ object Queries {
        |          FOR i IN range(1, len($wordsSql) - ${w - 2})]
        |    ELSE [array_to_string($wordsSql, ' ')] END""".stripMargin
   private val shingleSql = shingleWSql(3)
+
+  /** All-pairs exact-Jaccard truth for incremental (batch ≥ 250 vs corpus
+    * < 250) near-dup detection — shared by the inline and prebuilt-table
+    * catalog forms, which must be indistinguishable. */
+  private lazy val incrNearTruthSql =
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
+       |  FROM documents),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+       |c AS (
+       |  SELECT a.doc_id AS id_new, b.doc_id AS id_other, count(*) AS c
+       |  FROM e a JOIN e b ON a.h = b.h
+       |    AND a.doc_id >= 250
+       |    AND (b.doc_id < 250 OR a.doc_id < b.doc_id)
+       |    AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_new, id_other,
+       |  c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
+       |FROM c
+       |JOIN sz sa ON sa.doc_id = id_new
+       |JOIN sz sb ON sb.doc_id = id_other
+       |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6
+       |ORDER BY id_new, id_other""".stripMargin
   /** Sequential left-to-right double dot product (list_reduce, NOT list_sum,
     * so the fold order matches Spark's aggregate()). */
   private def dotSql(a: String, b: String) =
@@ -1074,25 +1110,9 @@ object Queries {
     // same all-pairs truth as q_dedup_minhash, restricted to pairs whose
     // left member is in the batch (id >= 250): batch-vs-corpus in (new,
     // other) orientation plus batch-internal with new < other
-    "q_dedup_incr_near" ->
-      s"""WITH e AS (
-         |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
-         |  FROM documents),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
-         |c AS (
-         |  SELECT a.doc_id AS id_new, b.doc_id AS id_other, count(*) AS c
-         |  FROM e a JOIN e b ON a.h = b.h
-         |    AND a.doc_id >= 250
-         |    AND (b.doc_id < 250 OR a.doc_id < b.doc_id)
-         |    AND a.doc_id <> b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_new, id_other,
-         |  c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
-         |FROM c
-         |JOIN sz sa ON sa.doc_id = id_new
-         |JOIN sz sb ON sb.doc_id = id_other
-         |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6
-         |ORDER BY id_new, id_other""".stripMargin,
+    "q_dedup_incr_near" -> incrNearTruthSql,
+    // the prebuilt-table form answers the SAME question — one truth
+    "q_dedup_incr_prebuilt" -> incrNearTruthSql,
 
     "q_dedup_incremental" ->
       """WITH batch AS (

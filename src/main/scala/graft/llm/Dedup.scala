@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
   * input would leak the cache in long-lived sessions. */
 object Dedup {
 
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact duplicate groups by content digest. Survivor = min doc_id.
     * (`md5` not for security — just a 128-bit content key; collision odds at
     * 100 TB doc counts are negligible.) */
@@ -104,28 +106,152 @@ object Dedup {
         xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))
           .as("band_hash"))): _*)
 
+  /** (id, sh) hashed-shingle frame — the scan-side projection every
+    * minhash operator starts from. */
+  private def shingleFrame(docs: DataFrame, w: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), shingleHashes(col(textCol), w).as("sh"))
+
+  /** (id, band, band_hash) band frame from a shingle frame. */
+  private def bandFrame(sh: DataFrame, k: Int, bands: Int): DataFrame =
+    sh.withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("id"),
+        explode(bandKeys(col("sig"), bands, k / bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.band_hash").as("band_hash"))
+
+  /** The persistable LSH band table: one row per (id, band, band_hash),
+    * skew-capped at BUILD time ([[capBuckets]] — a saturated bucket is a
+    * property of the corpus, so it is pruned once here, not re-discovered
+    * on every ingest).
+    *
+    * This is the steady-state half of incremental near-dup detection:
+    * write it once with `Io.writeBucketed(bandTable(corpus), tbl, n,
+    * Seq("band", "band_hash"))` and every future batch probe joins against
+    * the bucketed table with NO corpus-side exchange — the corpus (the
+    * 100 TB side) is never reshuffled again; only the batch moves
+    * (PlanSpec pins this plan shape). Rebuild, or append via
+    * [[bandTable]] of the batch, as the corpus grows. */
+  def bandTable(docs: DataFrame, w: Int = 3, k: Int = 64, bands: Int = 16,
+      maxBucket: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    capBuckets(bandFrame(shingleFrame(docs, w, idCol, textCol), k, bands),
+      maxBucket, "bandTable")
+
+  /** (id, sh) shingle frame for persisting next to [[bandTable]] — the
+    * verify side of steady-state ingest (bucket it by id). */
+  def shingleTable(docs: DataFrame, w: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingleFrame(docs, w, idCol, textCol)
+
+  /** Incremental near-dup detection against PREBUILT corpus tables — the
+    * steady-state form of [[incrementalNearDups]]: `corpusBands` /
+    * `corpusShingles` are the persisted [[bandTable]] / [[shingleTable]]
+    * (ideally bucketed on (band, band_hash) and id respectively), so an
+    * ingest touches the corpus only through (a) the candidate probe join —
+    * corpus side pre-bucketed, no exchange — and (b) the verify lookups of
+    * the candidates' shingle rows. Nothing re-shingles or re-hashes the
+    * corpus; cost per ingest is O(batch + candidates).
+    *
+    * Same contract as [[incrementalNearDups]]: (id_new, id_other,
+    * jaccard ≥ threshold), id_new from the batch, batch-internal pairs
+    * oriented id_new < id_other; a re-ingested id's corpus rows are stale
+    * and excluded. `w`/`k`/`bands` must match the table build. */
+  def incrementalNearDupsPrebuilt(newDocs: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, threshold: Double = 0.6,
+      w: Int = 3, k: Int = 64, bands: Int = 16, maxBucket: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shNew = shingleFrame(newDocs, w, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchIds = broadcast(shNew.select(col("id")))
+    val bNew = capBuckets(bandFrame(shNew, k, bands), maxBucket,
+      "incrementalNearDupsPrebuilt.batch")
+    // broadcast anti-joins: stale-copy exclusion without reshuffling the
+    // corpus side (BroadcastHashJoin preserves the streamed partitioning)
+    val corB = corpusBands.join(batchIds, Seq("id"), "left_anti")
+    val cross = bNew.as("a").join(corB.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_other"))
+    val internal = bNew.as("a").join(bNew.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_other"))
+    val cands = cross.unionByName(internal).distinct()
+    // prebuilt tables carry the generic (id, ...) schema their builders emit
+    val shAll = shNew.unionByName(
+      corpusShingles.select(col("id"), col("sh"))
+        .join(batchIds, Seq("id"), "left_anti"))
+    val out = cands
+      .join(shAll.select(col("id").as("id_new"), col("sh").as("sh_a")), "id_new")
+      .join(shAll.select(col("id").as("id_other"), col("sh").as("sh_b")), "id_other")
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("n_common") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_other"), col("jaccard"))
+    materializedWithout(out, shNew)
+  }
+
+  /** Skew guard for LSH candidate generation: buckets whose membership
+    * exceeds `maxBucket` are DROPPED from the band table before the
+    * candidate join, and the drop is logged — never silent.
+    *
+    * Why: exact-dedup-first bounds IDENTICAL texts, but a template-spam
+    * cluster of k near-identical-yet-distinct docs lands k rows in one
+    * (band, band_hash) bucket → C(k,2) candidate pairs; one 10⁵-doc
+    * template cluster is 5·10⁹ join rows from a single bucket — the
+    * quadratic the banding was supposed to prevent, reborn as skew. The
+    * analog of the n-gram path's maxDf pruning ([[ngramJaccardPairs]]).
+    *
+    * Recall note: members of a dropped bucket still pair in every OTHER
+    * band they collide in — near-identical docs collide in most of the 16
+    * bands, so capping one saturated bucket rarely loses the pair; a
+    * cluster saturating ALL its buckets is exactly the pathological input
+    * the cap exists to survive.
+    *
+    * Cost: one count aggregation on the same (band, band_hash) key the
+    * candidate join shuffles on, plus a bounded stats action (≤ total/cap
+    * oversized buckets by construction) and a broadcast-able anti-join. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int,
+      what: String): DataFrame = {
+    if (maxBucket <= 0 || maxBucket == Int.MaxValue) return banded
+    val oversized = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+    val stats = oversized
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(col("n_members")), lit(0L)).as("n_rows"))
+      .head()
+    if (stats.getLong(0) > 0) {
+      log.warn(s"""{"type":"dedup.lsh.bucket_cap","path":"$what","max_bucket":$maxBucket,"dropped_buckets":${stats.getLong(0)},"dropped_rows":${stats.getLong(1)}}""")
+    }
+    banded.join(oversized.select(col("band"), col("band_hash")),
+      Seq("band", "band_hash"), "left_anti")
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
     * Jaccard over the shingle sets. Returns (id_a, id_b, jaccard) with
     * id_a < id_b, jaccard >= threshold.
     *
     * Plan shape: scan→signature (narrow) → explode bands (×bands) →
-    * self-equi-join on (band, band_hash) (shuffle on uniform 64-bit keys) →
-    * distinct pairs → verify join back to shingle arrays. */
+    * bucket-skew cap ([[capBuckets]]) → self-equi-join on (band, band_hash)
+    * (shuffle on uniform 64-bit keys) → distinct pairs → verify join back
+    * to shingle arrays. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.6,
-      w: Int = 3, k: Int = 64, bands: Int = 16,
+      w: Int = 3, k: Int = 64, bands: Int = 16, maxBucket: Int = 4096,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val rowsPerBand = k / bands
     // The shingle set feeds FOUR plan branches (both self-join sides, both
     // verify sides); without materialization each branch recomputes the
     // shingle+hash pipeline (alias-renamed branches don't canonicalize to
     // a reusable exchange). Same pattern as MLlib's LSH internals.
-    val withSh = docs.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), w).as("sh"))
+    val withSh = shingleFrame(docs, w, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = withSh.withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sig
-      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val banded = capBuckets(bandFrame(withSh, k, bands),
+      maxBucket, "minhashNearDups")
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -161,15 +287,12 @@ object Dedup {
     * the (small) batch side; nothing here is quadratic in the corpus. */
   def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
       threshold: Double = 0.6, w: Int = 3, k: Int = 64, bands: Int = 16,
+      maxBucket: Int = 4096,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val rowsPerBand = k / bands
-    def prep(docs: DataFrame): DataFrame = docs
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), w).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def banded(sh: DataFrame): DataFrame = sh
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    def prep(docs: DataFrame): DataFrame =
+      shingleFrame(docs, w, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(sh: DataFrame): DataFrame = bandFrame(sh, k, bands)
     val shNew = prep(newDocs)
     val shCorAll = prep(corpus)
     // Re-ingest semantics: a doc_id present in BOTH frames is the batch's
@@ -183,8 +306,13 @@ object Dedup {
     // b side = corpus bands ∪ batch bands, tagged: batch-internal pairs
     // keep only the (smaller, larger) orientation, batch-vs-corpus pairs
     // keep the batch id on the left
-    val bSide = banded(shCor).withColumn("from_batch", lit(false))
-      .unionByName(bNew.withColumn("from_batch", lit(true)))
+    // the cap sees the PROBE side (corpus ∪ batch): a template cluster on
+    // either side saturates the same (band, band_hash) key, and dropping
+    // the bucket from one join side kills its candidate pairs entirely
+    val bSide = capBuckets(
+      banded(shCor).withColumn("from_batch", lit(false))
+        .unionByName(bNew.withColumn("from_batch", lit(true))),
+      maxBucket, "incrementalNearDups")
     val cands = bNew.as("a")
       .join(bSide.as("b"),
         col("a.band") === col("b.band") &&

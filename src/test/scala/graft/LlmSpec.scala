@@ -38,6 +38,26 @@ class LlmSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated stays out
   }
 
+  test("minhash LSH bucket cap bounds template-spam candidates") {
+    // 200 docs sharing a 30-word template, each with ONE distinct tail
+    // token: pairwise Jaccard = 27/31 ≈ 0.87 (near-identical yet distinct),
+    // so exact-dedup-first does NOT collapse them and template-only band
+    // buckets hold all 200 docs — C(200,2) = 19900 candidate pairs each.
+    val template = (1 to 30).map(i => s"tmpl$i").mkString(" ")
+    val spam = (0 until 200).map(i => (i.toLong, s"$template unique$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDups(spam, threshold = 0.6,
+      maxBucket = Int.MaxValue).count()
+    assert(uncapped === 19900L) // every pair found without the cap
+    // cap below the cluster size: saturated buckets drop (warn-logged),
+    // the candidate join is bounded, and surviving pairs are a subset
+    val capped = Dedup.minhashNearDups(spam, threshold = 0.6, maxBucket = 64)
+    assert(capped.count() < uncapped)
+    // the default cap (4096) sits far above this cluster: nothing dropped
+    val default = Dedup.minhashNearDups(spam, threshold = 0.6).count()
+    assert(default === 19900L)
+  }
+
   test("simhash: exact dup at hamming 0; unrelated beyond threshold") {
     val pairs = Dedup.simhashNearDups(docs, maxHamming = 3)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
@@ -290,6 +310,25 @@ class LlmSpec extends SparkTestBase {
       .select($"id_new", $"id_other").as[(Long, Long)].collect().toSet
     // batch id left for cross pairs; (smaller, larger) for internal pairs
     assert(got === Set((1L, 0L), (3L, 0L), (1L, 3L)))
+  }
+
+  test("prebuilt-table incremental near-dups matches the inline form (incl. re-ingest)") {
+    // steady-state path: bands + shingles prebuilt from the corpus, batch
+    // probes them — must reproduce incrementalNearDups exactly, including
+    // the stale-copy exclusion when an id is re-ingested
+    for (batchIds <- Seq(Set(1L, 3L), Set(0L, 1L))) {
+      val batch = docs.filter($"doc_id".isin(batchIds.toSeq: _*))
+      val corpus = docs.filter($"doc_id".isin(0L, 2L))
+      val want = Dedup.incrementalNearDups(batch, corpus, threshold = 0.6)
+        .orderBy($"id_new", $"id_other")
+        .as[(Long, Long, Double)].collect().toSeq
+      val got = Dedup.incrementalNearDupsPrebuilt(batch,
+          Dedup.bandTable(corpus), Dedup.shingleTable(corpus), threshold = 0.6)
+        .orderBy($"id_new", $"id_other")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got === want, s"batch=$batchIds")
+      assert(got.nonEmpty)
+    }
   }
 
   test("incremental near-dups: re-ingested id does not fan out the verify join") {

@@ -143,6 +143,51 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("steady-state band-table probe: corpus side reads bucketed, no exchange") {
+    // the Dedup.bandTable steady-state claim, as a tested plan shape: the
+    // corpus band table is persisted bucketed on the join key, so an
+    // ingest's candidate probe shuffles ONLY the batch — at 100 TB the
+    // corpus never moves again
+    spark.sql("DROP TABLE IF EXISTS corpus_bands_bkt")
+    val p = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      "corpus_bands_bkt")
+    if (p.exists) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(p)
+    }
+    val docs = t("documents")
+    graft.sources.Io.writeBucketed(
+      graft.llm.Dedup.bandTable(docs.filter($"doc_id" < 250)),
+      "corpus_bands_bkt", 4, Seq("band", "band_hash"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle path — with broadcast the claim is trivially true
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // uncapped batch band frame: keeps the batch subtree narrow so the
+      // ONE expected exchange is unambiguously the batch-side reshuffle
+      // (the cap's count-agg adds its own exchanges when forced off
+      // broadcast, which is orthogonal to the claim under test)
+      val batch = graft.llm.Dedup.bandTable(docs.filter($"doc_id" >= 250),
+        maxBucket = Int.MaxValue)
+      val probe = spark.table("corpus_bands_bkt").as("c")
+        .join(batch.as("b"),
+          $"c.band" === $"b.band" && $"c.band_hash" === $"b.band_hash")
+        .select($"b.id".as("id_new"), $"c.id".as("id_other"))
+      val plan = formatted(probe)
+      // exactly ONE shuffle: the batch side reorganizing into the corpus's
+      // bucket layout; zero exchanges between the bucketed scan and the join
+      assert("""\(\d+\) Exchange""".r.findAllIn(plan).size === 1, plan)
+      val scanIdx = plan.indexOf("Scan parquet spark_catalog.default.corpus_bands_bkt")
+      assert(scanIdx >= 0, plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(probe.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("runtime bloom-filter pruning injects on a selective dim join") {
     // Spark 4 runtime filtering: a selective filter on the build side can
     // inject bloom_filter_might_contain on the probe side's scan. The size
