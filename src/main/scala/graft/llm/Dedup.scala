@@ -164,8 +164,10 @@ object Dedup {
     val shNew = shingleFrame(newDocs, w, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchIds = broadcast(shNew.select(col("id")))
+    // the capped batch bands feed the cross probe + BOTH internal sides
     val bNew = capBuckets(bandFrame(shNew, k, bands), maxBucket,
-      "incrementalNearDupsPrebuilt.batch")
+        "incrementalNearDupsPrebuilt.batch")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // broadcast anti-joins: stale-copy exclusion without reshuffling the
     // corpus side (BroadcastHashJoin preserves the streamed partitioning)
     val corB = corpusBands.join(batchIds, Seq("id"), "left_anti")
@@ -193,7 +195,7 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_other"), col("jaccard"))
-    materializedWithout(out, shNew)
+    materializedWithout(out, shNew, bNew)
   }
 
   /** Skew guard for LSH candidate generation: buckets whose membership
@@ -213,24 +215,50 @@ object Dedup {
     * cluster saturating ALL its buckets is exactly the pathological input
     * the cap exists to survive.
     *
-    * Cost: one count aggregation on the same (band, band_hash) key the
-    * candidate join shuffles on, plus a bounded stats action (≤ total/cap
-    * oversized buckets by construction) and a broadcast-able anti-join. */
+    * Cost: IN-PLAN — a count window over the same (band, band_hash) key
+    * the candidate join shuffles on (the window's exchange is the join's
+    * exchange, reused) plus a filter; no extra action, no extra pass. The
+    * drop statistics ride the plan as `observe()` metrics ([[SparkEntry]]'s
+    * O14 machinery) and a per-session QueryExecutionListener warn-logs any
+    * action that observed dropped rows — surfaced, never silent, and free
+    * when nothing is dropped. */
+  private val capSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val capListenerSessions =
+    java.util.Collections.synchronizedSet(
+      new java.util.HashSet[org.apache.spark.sql.SparkSession]())
+
+  private def ensureCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (capListenerSessions.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("lsh_bucket_cap_") && !row.isNullAt(0) &&
+                row.getLong(0) > 0L) {
+              log.warn(s"""{"type":"dedup.lsh.bucket_cap","metric":"$name","dropped_rows":${row.getLong(0)},"max_bucket_seen":${row.getLong(1)}}""")
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
+
   private def capBuckets(banded: DataFrame, maxBucket: Int,
       what: String): DataFrame = {
     if (maxBucket <= 0 || maxBucket == Int.MaxValue) return banded
-    val oversized = banded.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("n_members"))
-      .filter(col("n_members") > maxBucket)
-    val stats = oversized
-      .agg(count(lit(1)).as("n_buckets"),
-        coalesce(sum(col("n_members")), lit(0L)).as("n_rows"))
-      .head()
-    if (stats.getLong(0) > 0) {
-      log.warn(s"""{"type":"dedup.lsh.bucket_cap","path":"$what","max_bucket":$maxBucket,"dropped_buckets":${stats.getLong(0)},"dropped_rows":${stats.getLong(1)}}""")
-    }
-    banded.join(oversized.select(col("band"), col("band_hash")),
-      Seq("band", "band_hash"), "left_anti")
+    ensureCapListener(banded.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val counted = banded.withColumn("n_bucket",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("band_hash"))))
+    counted
+      .observe(s"lsh_bucket_cap_${what}_${capSeq.incrementAndGet()}",
+        sum(when(col("n_bucket") > maxBucket, 1L).otherwise(0L))
+          .as("dropped_rows"),
+        max(col("n_bucket")).as("max_bucket_seen"))
+      .filter(col("n_bucket") <= maxBucket)
+      .drop("n_bucket")
   }
 
   /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
@@ -250,8 +278,13 @@ object Dedup {
     // a reusable exchange). Same pattern as MLlib's LSH internals.
     val withSh = shingleFrame(docs, w, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the CAPPED band table feeds both candidate self-join sides; caching
+    // it (16 longs-ish per doc) keeps the cap's count-window single-pass
+    // even when one side broadcasts (a BroadcastExchange cannot reuse the
+    // shuffle exchange, so an uncached plan would run the window twice)
     val banded = capBuckets(bandFrame(withSh, k, bands),
-      maxBucket, "minhashNearDups")
+        maxBucket, "minhashNearDups")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -272,7 +305,7 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    materializedWithout(out, withSh)
+    materializedWithout(out, withSh, banded)
   }
 
   /** Incremental-ingest NEAR-dup detection: LSH candidates for the new
@@ -310,9 +343,10 @@ object Dedup {
     // either side saturates the same (band, band_hash) key, and dropping
     // the bucket from one join side kills its candidate pairs entirely
     val bSide = capBuckets(
-      banded(shCor).withColumn("from_batch", lit(false))
-        .unionByName(bNew.withColumn("from_batch", lit(true))),
-      maxBucket, "incrementalNearDups")
+        banded(shCor).withColumn("from_batch", lit(false))
+          .unionByName(bNew.withColumn("from_batch", lit(true))),
+        maxBucket, "incrementalNearDups")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = bNew.as("a")
       .join(bSide.as("b"),
         col("a.band") === col("b.band") &&
@@ -334,16 +368,14 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_other"), col("jaccard"))
-    val mat = out.localCheckpoint()
-    shNew.unpersist(); shCorAll.unpersist()
-    mat
+    materializedWithout(out, shNew, shCorAll, bSide)
   }
 
   /** Eagerly materialize the (small) pair output, then release the persisted
     * intermediate — see the class doc on cache lifetime. */
-  private def materializedWithout(out: DataFrame, cached: DataFrame): DataFrame = {
+  private def materializedWithout(out: DataFrame, cached: DataFrame*): DataFrame = {
     val mat = out.localCheckpoint() // eager: computes `out` now
-    cached.unpersist()
+    cached.foreach(_.unpersist())
     mat
   }
 
@@ -529,25 +561,39 @@ object Dedup {
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     // Symmetric edge list; (id, id) self-edges seed the labels and let the
     // propagation step be a single join+agg over one frame.
+    // LAZY checkpoints throughout the loop: the per-round fixpoint
+    // aggregation is already an action, so it doubles as the materializing
+    // job — eager checkpoints would pay a second job per round for nothing
+    // (measured: clusters-heavy queries are job-COUNT-bound at every SF).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .unionByName(pairs.select(col(aCol).as("src"), col(aCol).as("dst")))
       .unionByName(pairs.select(col(bCol).as("src"), col(bCol).as("dst")))
       .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id"), col("src").as("lbl")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    // Min-seed: label(v) = min({v} ∪ N(v)) — the first propagation round
+    // fused into initialization (one aggregation, the same shuffle the old
+    // `distinct()` init paid, but a round of work for free). Near-dup
+    // components are dense, so most seeds are already the component min
+    // and the loop typically confirms convergence in ONE round.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("lbl"))
+      .localCheckpoint(eager = false)
     var converged = false
     var iter = 0
     // Fixpoint test: labels only ever decrease, so the label SUM strictly
     // decreases until convergence and one scalar per round suffices (no
     // row-level diff join). Carried across rounds — one action per round.
     // coalesce: an EMPTY pair list (clean corpus) sums to null, and the
-    // loop must terminate with an empty labeling rather than NPE.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    if (labels.isEmpty) converged = true
+    // loop must terminate with an empty labeling rather than NPE. The row
+    // count rides along in the same action (empty check, no extra job).
+    def labelSum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(coalesce(sum(col("lbl")), lit(0L)), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (sum0, n0) = labelSum(labels)
+    var prevSum = sum0
+    if (n0 == 0L) converged = true
     while (!converged && iter < maxIter) {
       val propagated = edges
         .join(labels, edges("dst") === labels("id"))
@@ -560,12 +606,18 @@ object Dedup {
         .join(propagated.select(col("id").as("pid"), col("lbl").as("plbl")).as("y"),
           col("x.lbl") === col("y.pid"))
         .select(col("x.id").as("id"), col("y.plbl").as("lbl"))
-        .localCheckpoint()
-      val sumNow = labelSum(next)
+        .localCheckpoint(eager = false)
+      val (sumNow, _) = labelSum(next)
       labels = next
       converged = sumNow == prevSum
       prevSum = sumNow
       iter += 1
+    }
+    // A pathological graph exhausting maxIter would return labels that are
+    // not yet component minima — callers (clusterSurvivors, curateNearDup)
+    // would then keep/drop the WRONG documents; surface it, never silent.
+    if (!converged) {
+      log.warn(s"""{"type":"dedup.clusters.unconverged","max_iter":$maxIter,"last_label_sum":$prevSum}""")
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
