@@ -8,14 +8,8 @@ import graft.etl.{EnvelopeGen, EventEtl}
 
 /** The driver-facing query catalog: one entry per implemented operator
   * (SURVEY.md §2), plus the analytics and LLM-pipeline layers. Each
-  * oracle-able query has DuckDB SQL in [[Queries.oracles]] with identical
-  * column names/aliases and a total deterministic ORDER BY.
-  *
-  * ETL queries use the round-trip oracle pattern: the envelope branch taken
-  * by a row is a pure function of `event_id` (see [[graft.etl.EnvelopeGen]]),
-  * so DuckDB can predict the pipeline's output arithmetically without
-  * implementing any of the pipeline. The shared predicates below are quoted
-  * verbatim in the SQL.
+  * oracle-able query has DuckDB SQL in [[Oracles.all]] (its own file) with
+  * identical column names/aliases and a total deterministic ORDER BY.
   */
 object Queries {
 
@@ -53,22 +47,6 @@ object Queries {
     EventEtl.parsed(envelopes(s, dir), HmacKey)
   private def flat(s: SparkSession, dir: String): DataFrame =
     EventEtl.pipeline(envelopes(s, dir), HmacKey)
-
-  // --- shared SQL fragments (must mirror EnvelopeGen's branch rules) ---
-  private val uidAbsentSql = "(event_id % 7 = 0 OR event_id % 19 = 0)"
-  /** numeric-uid rows fail `is.nonEmptyString` — no user_id for validation */
-  private val uidNonStringSql = s"($uidAbsentSql OR event_id % 23 = 0)"
-  private val devAbsentSql = "(event_id % 5 = 0 OR event_id % 19 = 0)"
-  private val validSql =
-    s"NOT (event_id % 13 = 0) AND NOT (event_id % 17 = 0) AND NOT ($uidNonStringSql AND $devAbsentSql)"
-  /** user_properties stays a STRING (no identify split possible): op/data +
-    * stringified (id%6=0, B3) or bare + stringified (id%18=13, O5 gated on
-    * Fields). */
-  private val upStringSql = "(event_id % 6 = 0 OR event_id % 18 = 13)"
-  /** identify split triggers: signup AND user_properties actually parsed to
-    * an object. */
-  private val trigSql = s"(event_type = 'signup' AND NOT $upStringSql)"
-  private val tsFmtSql = "'%Y-%m-%dT%H:%M:%S.%gZ'"
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ETL chain: O2-O5 decode/unwrap (round-trip identity) ----
@@ -597,1010 +575,4 @@ object Queries {
     * correctly-rounded value. Spark (java.math.BigDecimal.doubleValue) is
     * correctly rounded. Round-tripping through VARCHAR forces DuckDB's
     * strtod, which is also correctly rounded → bit-exact parity. */
-  private def viaStr(expr: String) = s"CAST(CAST($expr AS VARCHAR) AS DOUBLE)"
-  private val decSum = (c: String) => viaStr(s"sum(CAST($c AS DECIMAL(18,6)))")
-  private val discPrice =
-    "CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
-
-  // --- LLM-layer shared fragments (mirror graft.llm column semantics) ---
-  private val wordsSql = """regexp_split_to_array(lower(trim(text)), '\s+')"""
-  /** Distinct word w-shingles — DuckDB list comprehension mirroring
-    * [[llm.Dedup.shingles]] (slice [i+1, i+w], i ∈ [0, n-w]). */
-  private def shingleWSql(w: Int): String =
-    s"""CASE WHEN len($wordsSql) >= $w
-       |    THEN [array_to_string(($wordsSql)[i:i+${w - 1}], ' ')
-       |          FOR i IN range(1, len($wordsSql) - ${w - 2})]
-       |    ELSE [array_to_string($wordsSql, ' ')] END""".stripMargin
-  private val shingleSql = shingleWSql(3)
-
-  /** All-pairs exact-Jaccard truth for incremental (batch ≥ 250 vs corpus
-    * < 250) near-dup detection — shared by the inline and prebuilt-table
-    * catalog forms, which must be indistinguishable. */
-  private lazy val incrNearTruthSql =
-    s"""WITH e AS (
-       |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
-       |  FROM documents),
-       |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
-       |c AS (
-       |  SELECT a.doc_id AS id_new, b.doc_id AS id_other, count(*) AS c
-       |  FROM e a JOIN e b ON a.h = b.h
-       |    AND a.doc_id >= 250
-       |    AND (b.doc_id < 250 OR a.doc_id < b.doc_id)
-       |    AND a.doc_id <> b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id_new, id_other,
-       |  c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
-       |FROM c
-       |JOIN sz sa ON sa.doc_id = id_new
-       |JOIN sz sb ON sb.doc_id = id_other
-       |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6
-       |ORDER BY id_new, id_other""".stripMargin
-  /** Sequential left-to-right double dot product (list_reduce, NOT list_sum,
-    * so the fold order matches Spark's aggregate()). */
-  private def dotSql(a: String, b: String) =
-    s"list_reduce(list_transform(list_zip($a, $b), t -> t[1]::DOUBLE * t[2]::DOUBLE), (x, y) -> x + y)"
-  private val dotQv = dotSql("qv", "embedding")
-  private val dotQq = dotSql("qv", "qv")
-  private val dotVv = dotSql("embedding", "embedding")
-  private def hitSql(words: Seq[String]) =
-    s"len(list_filter($wordsSql, x -> list_contains([${words.map("'" + _ + "'").mkString(", ")}], x)))"
-  private val langScoresSql = Seq(
-    "en" -> llm.TextAnalysis.StopwordsEn, "fr" -> llm.TextAnalysis.StopwordsFr,
-    "es" -> llm.TextAnalysis.StopwordsEs, "de" -> llm.TextAnalysis.StopwordsDe)
-    .map { case (l, ws) => s"${hitSql(ws)} AS s_$l" }.mkString(",\n    ")
-  private val cjkSql = """len(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))"""
-  /** Mirrors [[llm.TextAnalysis.langId]]'s fold: earliest language in
-    * (en,fr,es,de) order wins ties. */
-  private val langCaseSql =
-    s"""CASE WHEN $cjkSql > 0 AND $cjkSql * 5 > len(text) THEN 'zh'
-       |    WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
-       |    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
-       |    WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
-       |    WHEN s_es >= s_de THEN 'es'
-       |    ELSE 'de' END""".stripMargin
-
-  /** The curation pipeline's CTE chain (language scores → langId → quality
-    * signals → quality score → keep filter) over a given base relation.
-    * Shared by q_curation (doubled corpus) and q_curation_neardup. */
-  private def curatedCtes(fromRel: String): String =
-    s"""sc AS (SELECT doc_id, text, $langScoresSql FROM $fromRel),
-       |l AS (SELECT doc_id, text, $langCaseSql AS lang_pred FROM sc),
-       |c AS (
-       |  SELECT doc_id, text, lang_pred,
-       |    CASE WHEN len($wordsSql) = 0 THEN 0.0
-       |      ELSE len(list_filter($wordsSql, x -> list_contains([${llm.TextAnalysis.StopwordsEn.map("'" + _ + "'").mkString(", ")}], x)))::DOUBLE
-       |        / len($wordsSql)::DOUBLE END AS stopword_ratio,
-       |    len(text)::DOUBLE AS len_d,
-       |    (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS punct_d,
-       |    CASE WHEN len(text) = 0 THEN 0.0
-       |      ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-       |        / len(text)::DOUBLE END AS digit_ratio
-       |  FROM l),
-       |q AS (
-       |  SELECT doc_id, text, lang_pred,
-       |    least(len_d / 200.0, 1.0) * (CASE WHEN len_d > 2000 THEN 0.5 ELSE 1.0 END) * 0.3
-       |    + (CASE WHEN punct_d / greatest(len_d, 1.0) > 0.2 THEN 0.3
-       |        ELSE 1.0 - punct_d / greatest(len_d, 1.0) END) * 0.3
-       |    + (1.0 - least(digit_ratio * 2.0, 1.0)) * 0.2
-       |    + least(stopword_ratio * 5.0, 1.0) * 0.2 AS quality
-       |  FROM c),
-       |k AS (SELECT * FROM q WHERE lang_pred = 'en' AND quality >= 0.5)""".stripMargin
-
-  val oracles: Map[String, String] = Map(
-    "q_etl_decode" ->
-      s"""SELECT event_id,
-         |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS event_type,
-         |  CASE WHEN event_id % 17 = 0 THEN 0 ELSE epoch_ms(ts) END AS time_ms
-         |FROM events ORDER BY event_id""".stripMargin,
-
-    "q_etl_validate" ->
-      s"""SELECT event_id,
-         |  CASE WHEN $uidNonStringSql THEN NULL ELSE CAST(user_id AS VARCHAR) END AS user_id,
-         |  CASE WHEN $devAbsentSql THEN NULL ELSE 'dev-' || CAST(user_id AS VARCHAR) END AS device_id
-         |FROM events WHERE $validSql ORDER BY event_id""".stripMargin,
-
-    "q_etl_repair_session" ->
-      s"""SELECT event_id,
-         |  CAST(CASE event_id % 4
-         |    WHEN 0 THEN epoch_ms(ts) - 5000
-         |    WHEN 1 THEN epoch_ms(ts) - 5000
-         |    WHEN 2 THEN -1
-         |    ELSE 0 END AS DOUBLE) AS session_id
-         |FROM events WHERE $validSql ORDER BY event_id""".stripMargin,
-
-    "q_etl_split_identify" ->
-      s"""WITH valid AS (
-         |  SELECT event_id, event_type, $trigSql AS trig
-         |  FROM events WHERE $validSql)
-         |SELECT event_id, '$$identify' AS event_type, TRUE AS is_identify, 0 AS seq
-         |FROM valid WHERE trig
-         |UNION ALL
-         |SELECT event_id, event_type, FALSE AS is_identify,
-         |  CASE WHEN trig THEN 1 ELSE 0 END AS seq
-         |FROM valid
-         |ORDER BY event_id, seq""".stripMargin,
-
-    "q_etl_user_props" ->
-      s"""SELECT event_id,
-         |  CASE
-         |    WHEN event_type = 'signup' AND NOT $upStringSql
-         |      THEN '{"flow_id":"f' || CAST(event_id AS VARCHAR) || '"}'
-         |    WHEN event_type = 'signup'
-         |      THEN '"{\\"$$set\\":{\\"plan\\":\\"pro\\"},\\"flow_id\\":\\"f' || CAST(event_id AS VARCHAR) || '\\"}"'
-         |    WHEN event_type = 'error' AND NOT $upStringSql
-         |      THEN '{"$$unset":null,"ok":true}'
-         |    WHEN event_type = 'error'
-         |      THEN '"{\\"$$unset\\":null,\\"ok\\":true}"'
-         |    ELSE NULL END AS user_properties
-         |FROM events WHERE $validSql ORDER BY event_id""".stripMargin,
-
-    "q_etl_dedup" ->
-      s"""WITH valid AS (
-         |  SELECT event_id, event_type, $trigSql AS trig
-         |  FROM events WHERE $validSql)
-         |SELECT event_id, '$$identify' AS event_type, TRUE AS is_identify
-         |FROM valid WHERE trig
-         |UNION ALL
-         |SELECT event_id, event_type, FALSE AS is_identify FROM valid
-         |ORDER BY event_id, is_identify DESC""".stripMargin,
-
-    // repaired ⇔ valid AND session_id arrived as a string (id%4 in {1,2});
-    // the reference logs the repair only after the validity gate passes.
-    "q_etl_metrics" ->
-      s"""SELECT count(*) AS input_count,
-         |  (SELECT count(*) FROM events WHERE $validSql)
-         |    + (SELECT count(*) FROM events WHERE $validSql AND $trigSql) AS output_count,
-         |  count(*) - (SELECT count(*) FROM events WHERE $validSql) AS invalid_count,
-         |  (SELECT count(*) FROM events WHERE $validSql AND event_id % 4 IN (1, 2))
-         |    AS repaired_count,
-         |  strftime(min(ts), $tsFmtSql) AS min_publish_time,
-         |  strftime(max(ts), $tsFmtSql) AS max_publish_time
-         |FROM events""".stripMargin,
-
-    "q1_pricing_summary" ->
-      s"""SELECT l_returnflag, l_linestatus,
-         |  ${decSum("l_quantity")} AS sum_qty,
-         |  ${decSum("l_extendedprice")} AS sum_base_price,
-         |  ${viaStr("sum(" + discPrice + ")")} AS sum_disc_price,
-         |  count(*) AS count_order,
-         |  ${decSum("l_quantity")} / count(*) AS avg_qty,
-         |  ${decSum("l_extendedprice")} / count(*) AS avg_price
-         |FROM lineitem GROUP BY l_returnflag, l_linestatus
-         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q_top_customers" ->
-      s"""SELECT c_custkey, c_name,
-         |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders
-         |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY c_custkey, c_name
-         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
-
-    "q_region_revenue" ->
-      s"""SELECT r_name, ${viaStr("sum(" + discPrice + ")")} AS revenue, count(*) AS n_items
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |JOIN region ON n_regionkey = r_regionkey
-         |GROUP BY r_name ORDER BY r_name""".stripMargin,
-
-    "q_rollup_revenue" ->
-      s"""SELECT r_name, n_name,
-         |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders
-         |FROM orders
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |JOIN region ON n_regionkey = r_regionkey
-         |GROUP BY ROLLUP(r_name, n_name)
-         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
-
-    "q_segment_revenue" ->
-      s"""SELECT c_mktsegment, o_orderpriority,
-         |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders
-         |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY c_mktsegment, o_orderpriority
-         |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
-
-    "q_daily_active" ->
-      """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau, count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_topk_events" ->
-      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
-
-    "q_uniques_exact" ->
-      "SELECT count(DISTINCT user_id) AS exact_users FROM events",
-
-    // the HLL error-contract oracle: the estimate must land within 5% of
-    // exact (rsd=0.01 requested; 5× margin), predicted as a literal TRUE
-    "q_uniques_hll" ->
-      """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS hll_within_5pct
-        |FROM events""".stripMargin,
-
-    "q_cube_revenue" ->
-      s"""SELECT c_mktsegment, o_orderpriority,
-         |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders
-         |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
-         |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
-
-    "q_join_semi_anti" ->
-      """SELECT c_custkey,
-        |  c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-
-    "q_set_cohorts" ->
-      """SELECT 'view_and_purchase' AS cohort, user_id FROM
-        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
-        |   INTERSECT
-        |   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
-        |UNION ALL
-        |SELECT 'view_only' AS cohort, user_id FROM
-        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
-        |   EXCEPT
-        |   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
-        |ORDER BY cohort, user_id""".stripMargin,
-
-    "q_asof_enrich" ->
-      """WITH snap AS (
-        |  SELECT user_id, date_trunc('day', ts) AS rts, max(value) AS day_max
-        |  FROM events GROUP BY 1, 2)
-        |SELECT e.event_id, s.day_max
-        |FROM events e ASOF LEFT JOIN snap s
-        |  ON e.user_id = s.user_id AND e.ts >= s.rts
-        |ORDER BY e.event_id""".stripMargin,
-
-    "q_range_join" ->
-      """WITH win AS (
-        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
-        |w AS (
-        |  SELECT user_id,
-        |    day + INTERVAL (user_id % 12) HOUR AS w_start,
-        |    day + INTERVAL ((user_id % 12) + 6) HOUR AS w_end
-        |  FROM win)
-        |SELECT e.event_id, w.w_start
-        |FROM events e JOIN w ON e.user_id = w.user_id
-        |  AND e.ts >= w.w_start AND e.ts < w.w_end
-        |ORDER BY e.event_id""".stripMargin,
-
-    "q_json_props" ->
-      """SELECT event_id,
-        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_by_path,
-        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    // props is always a 1-entry {"k": n} object; to_json(map_filter(...))
-    // renders {} or {"k":n} with no spaces — mirrored by string concat.
-    "q_map_ops" ->
-      """SELECT event_id,
-        |  1 AS m_size,
-        |  'k' AS m_keys,
-        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0
-        |    THEN '{"k":' || json_extract_string(props, '$.k') || '}'
-        |    ELSE '{}' END AS even_entries
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    // session_window merges while gap < 30min STRICTLY (new session at
-    // diff >= gap) — note the >= vs the lag-sessionization queries' >.
-    "q_session_window" ->
-      """WITH g AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000
-        |    THEN 1 ELSE 0 END AS is_new, event_id
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM g)
-        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
-
-    "q_session_stats" ->
-      """WITH g AS (
-        |  SELECT user_id,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
-        |    THEN 1 ELSE 0 END AS is_new
-        |  FROM events)
-        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "q_session_durations" ->
-      """WITH g AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
-        |    THEN 1 ELSE 0 END AS is_new,
-        |    event_id
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
-        |  FROM g)
-        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
-        |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms
-        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
-
-    "q_funnel" ->
-      """WITH f AS (
-        |  SELECT user_id,
-        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
-        |  GROUP BY user_id)
-        |SELECT
-        |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_step1_view,
-        |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_view < t_click
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_step2_click,
-        |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_view < t_click
-        |    AND t_purchase IS NOT NULL AND t_click < t_purchase
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_step3_purchase
-        |FROM f""".stripMargin,
-
-    "q_retention" ->
-      """WITH fd AS (
-        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id),
-        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
-        |SELECT cohort_day, date_diff('day', cohort_day, day) AS offset_days,
-        |  count(DISTINCT act.user_id) AS n_users
-        |FROM act JOIN fd USING (user_id)
-        |WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND 7
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q_tumbling_hour" ->
-      s"""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-         |  ${viaStr("sum(CAST(value AS DECIMAL(18,6)))")} AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // the composed pipeline: same language + quality formulas as
-    // q_lang_breakdown / q_text_quality, over the doubled corpus, then the
-    // exact-dedup group-by — all shared fragments, bit-exact arithmetic.
-    "q_curation" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id, text FROM documents),
-         |${curatedCtes("d")}
-         |SELECT min(doc_id) AS doc_id, min(quality) AS quality,
-         |  count(*) AS n_copies
-         |FROM k GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
-
-    // curate + near-dup clustering: exact survivors, then the all-pairs
-    // Jaccard graph over them, recursive-CTE components, and only each
-    // component's min-id member kept
-    "q_curation_neardup" ->
-      s"""WITH RECURSIVE ${curatedCtes("documents")},
-         |surv AS (
-         |  SELECT min(doc_id) AS doc_id, min(quality) AS quality,
-         |    count(*) AS n_copies, min(text) AS text
-         |  FROM k GROUP BY md5(text)),
-         |se AS (SELECT doc_id, unnest(list_distinct($shingleSql)) AS h FROM surv),
-         |ssz AS (SELECT doc_id, count(*) AS sz FROM se GROUP BY doc_id),
-         |pc AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
-         |  FROM se a JOIN se b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |prs AS (
-         |  SELECT id_a, id_b FROM pc
-         |  JOIN ssz sa ON sa.doc_id = id_a
-         |  JOIN ssz sb ON sb.doc_id = id_b
-         |  WHERE cnt::DOUBLE / (sa.sz + sb.sz - cnt)::DOUBLE >= 0.6),
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS dd FROM prs
-         |  UNION SELECT id_b, id_a FROM prs),
-         |reach(id, r) AS (
-         |  SELECT s, s FROM edges
-         |  UNION
-         |  SELECT reach.id, e2.dd FROM reach JOIN edges e2 ON e2.s = reach.r)
-         |SELECT doc_id, quality, n_copies FROM surv
-         |WHERE doc_id NOT IN (
-         |  SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
-         |ORDER BY doc_id""".stripMargin,
-
-    "q_dedup_exact" ->
-      """WITH d AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
-        |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
-        |  count(*) AS n_copies
-        |FROM d GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
-
-    "q_pivot_revenue" ->
-      s"""SELECT c_mktsegment,
-         |  ${decSum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS "1-URGENT",
-         |  ${decSum("CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END")} AS "2-HIGH",
-         |  ${decSum("CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END")} AS "3-MEDIUM",
-         |  ${decSum("CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END")} AS "4-NOT SPECIFIED",
-         |  ${decSum("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END")} AS "5-LOW"
-         |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-
-    "q_join_outer" ->
-      """SELECT COALESCE(c_custkey, o_custkey) AS custkey, n_orders
-        |FROM customer
-        |FULL OUTER JOIN (
-        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
-        |ON c_custkey = o_custkey
-        |ORDER BY custkey""".stripMargin,
-
-    "q_string_fns" ->
-      """SELECT doc_id,
-        |  levenshtein(substr(text, 1, 12), source) AS lev,
-        |  reverse(source) AS rev_source,
-        |  lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded,
-        |  translate(source, 'src', 'XYZ') AS translated,
-        |  repeat('ab', 2) || substr(text, 1, 4) AS combo
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday — mirror
-    // with +1
-    "q_date_fns" ->
-      """SELECT o_orderkey,
-        |  year(o_orderdate) AS y,
-        |  quarter(o_orderdate) AS qtr,
-        |  month(o_orderdate) AS m,
-        |  dayofweek(o_orderdate) + 1 AS dow,
-        |  date_trunc('month', o_orderdate) AS month_start,
-        |  last_day(o_orderdate) AS month_end,
-        |  o_orderdate::DATE + 30 AS plus30
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    // list_distinct preserves first-occurrence order in DuckDB as
-    // array_distinct does in Spark; the sorted variant removes any doubt
-    "q_array_fns" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws
-        |  FROM documents)
-        |SELECT doc_id,
-        |  len(ws) AS n,
-        |  array_to_string(ws[2:4], ' ') AS mid,
-        |  len(list_distinct(ws)) AS n_uniq,
-        |  list_contains(ws, 'the') AS has_the,
-        |  array_to_string(list_sort(list_distinct(ws))[1:5], ',') AS sorted_uniq5
-        |FROM w ORDER BY doc_id""".stripMargin,
-
-    "q_unpivot" ->
-      """SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
-        |FROM part
-        |UNION ALL
-        |SELECT p_partkey, 'p_size', p_size::DOUBLE FROM part
-        |ORDER BY p_partkey, measure""".stripMargin,
-
-    "q_grouping_sets" ->
-      s"""SELECT c_mktsegment, o_orderpriority,
-         |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders,
-         |  GROUPING(c_mktsegment, o_orderpriority) AS gid
-         |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
-         |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
-
-    "q_window_rank" ->
-      """SELECT o_custkey, o_orderkey,
-        |  row_number() OVER w AS rn,
-        |  rank() OVER w AS rnk,
-        |  dense_rank() OVER w AS drnk,
-        |  ntile(4) OVER w AS quartile,
-        |  lag(o_orderkey, 1) OVER w AS prev_key,
-        |  lead(o_orderkey, 1) OVER w AS next_key
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey
-        |  ORDER BY o_totalprice DESC, o_orderkey)
-        |ORDER BY o_custkey, rn""".stripMargin,
-
-    // dense integer duplicates pin the interpolation to exact values —
-    // quantile_cont and Spark's exact percentile agree bit-for-bit here
-    "q_percentiles" ->
-      """SELECT l_returnflag,
-        |  quantile_cont(l_quantity::DOUBLE, 0.25) AS p25,
-        |  quantile_cont(l_quantity::DOUBLE, 0.5) AS p50,
-        |  quantile_cont(l_quantity::DOUBLE, 0.75) AS p75,
-        |  quantile_cont(l_quantity::DOUBLE, 0.95) AS p95,
-        |  TRUE AS approx_close,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // the salted two-phase agg's oracle is the PLAIN aggregation
-    "q_salted_agg" ->
-      s"""SELECT o_custkey, ${decSum("o_totalprice")} AS sum_price,
-         |  count(*) AS n_rows
-         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
-
-    // same all-pairs truth as q_dedup_minhash, restricted to pairs whose
-    // left member is in the batch (id >= 250): batch-vs-corpus in (new,
-    // other) orientation plus batch-internal with new < other
-    "q_dedup_incr_near" -> incrNearTruthSql,
-    // the prebuilt-table form answers the SAME question — one truth
-    "q_dedup_incr_prebuilt" -> incrNearTruthSql,
-
-    "q_dedup_incremental" ->
-      """WITH batch AS (
-        |  SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
-        |    count(*) AS n_copies
-        |  FROM documents WHERE doc_id >= 250 GROUP BY md5(text))
-        |SELECT doc_id, n_copies FROM batch
-        |WHERE text_hash NOT IN (
-        |  SELECT md5(text) FROM documents WHERE doc_id < 250)
-        |ORDER BY doc_id""".stripMargin,
-
-    // digest-predicate mirror of Sampling.sampleByKey: md5 prefix < '4000'
-    // (= round(0.25 * 2^16) as 4 hex digits)
-    "q_sample_docs" ->
-      """SELECT doc_id, source FROM documents
-        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
-        |ORDER BY doc_id""".stripMargin,
-
-    // per-stratum thresholds: 0.75→'c000', 0.5→'8000', 0.125→'2000',
-    // unlisted strata dropped ('0000')
-    "q_sample_stratified" ->
-      """SELECT doc_id, source FROM documents
-        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
-        |  CASE source WHEN 'src0' THEN 'c000' WHEN 'src1' THEN '8000'
-        |              WHEN 'src2' THEN '2000' ELSE '0000' END
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_topk_per_group" ->
-      """SELECT source, rn, doc_id, n_chars FROM (
-        |  SELECT source, doc_id, n_chars,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
-
-    // WHERE n_chars > 0 mirrors weightedSample's weight-positivity gate:
-    // without it a zero weight divides to inf (sorts last — benign) but a
-    // NEGATIVE weight would sort FIRST on the oracle side only, so the
-    // contract must exclude non-positive weights on BOTH engines to hold
-    // on any fixture, not just ones with strictly positive lengths.
-    "q_sample_weighted" ->
-      """WITH s AS (
-        |  SELECT doc_id, n_chars,
-        |    -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |      AS BIGINT) + 1)::DOUBLE / 4294967297.0) / n_chars::DOUBLE AS skey
-        |  FROM documents WHERE n_chars::DOUBLE > 0)
-        |SELECT doc_id, n_chars FROM
-        |  (SELECT * FROM s ORDER BY skey, doc_id LIMIT 100)
-        |ORDER BY doc_id""".stripMargin,
-
-    // all-pairs exact-Jaccard truth for the LSH-candidate + verify pipeline:
-    // matching asserts recall = 1 on this corpus and the verify arithmetic.
-    // Jaccard over shingle STRINGS here vs distinct xxhash64 keys in Spark —
-    // identical set sizes absent 64-bit collisions (none in this corpus).
-    "q_dedup_minhash" ->
-      s"""WITH e AS (
-         |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
-         |  FROM documents),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
-         |c AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |  c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
-         |FROM c
-         |JOIN sz sa ON sa.doc_id = id_a
-         |JOIN sz sb ON sb.doc_id = id_b
-         |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // all-pairs Hamming truth for the SimHash pipeline (portable md5 hash
-    // family — see the catalog entry): signatures recomputed from scratch
-    // (token md5 → 64-bit halves → per-bit ±1 voting, ties → 1, exactly
-    // the SimHash64 kernel's rule), then EVERY pair at hamming ≤ 3 —
-    // matching asserts the combination-block index is pigeonhole-complete.
-    // Signatures live as two 32-bit halves (BIGINT-safe: bit 63 would
-    // overflow a signed one-word sum); hamming = sum of half xor popcounts.
-    "q_dedup_simhash" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |      x -> x <> '')) AS t
-        |  FROM documents),
-        |th AS (
-        |  SELECT doc_id,
-        |    CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS hi,
-        |    CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS lo
-        |  FROM tok),
-        |votes AS (
-        |  SELECT doc_id, j,
-        |    sum((CASE WHEN j >= 32 THEN (hi >> (j - 32)) & 1
-        |              ELSE (lo >> j) & 1 END) * 2 - 1) AS v
-        |  FROM th CROSS JOIN range(64) r(j)
-        |  GROUP BY doc_id, j),
-        |bits AS (
-        |  SELECT d.doc_id, r.j,
-        |    CASE WHEN coalesce(v.v, 0) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-        |  FROM documents d CROSS JOIN range(64) r(j)
-        |  LEFT JOIN votes v ON v.doc_id = d.doc_id AND v.j = r.j),
-        |sig AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN j < 32 THEN bit << j ELSE 0 END) AS sig_lo,
-        |    sum(CASE WHEN j >= 32 THEN bit << (j - 32) ELSE 0 END) AS sig_hi
-        |  FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.sig_lo, b.sig_lo))
-        |     + bit_count(xor(a.sig_hi, b.sig_hi)) AS INTEGER) AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sig_lo, b.sig_lo))
-        |    + bit_count(xor(a.sig_hi, b.sig_hi)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // independent reconstruction of the component labeling: same pair graph
-    // (all-pairs exact Jaccard), transitive closure via recursive CTE,
-    // label = min reachable id — vs Spark's iterated label propagation
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE e AS (
-         |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
-         |  FROM documents),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
-         |c AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM c
-         |  JOIN sz sa ON sa.doc_id = id_a
-         |  JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6),
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT s, s FROM edges
-         |  UNION
-         |  SELECT reach.id, e2.d FROM reach JOIN edges e2 ON e2.s = reach.r)
-         |SELECT id AS doc_id, min(r) AS cluster_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
-
-    // single global window cumsum — the semantics the distributed two-phase
-    // prefix sum must reproduce exactly
-    "q_pack_sequences" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
-        |      AS n_tokens
-        |  FROM documents)
-        |SELECT doc_id, n_tokens,
-        |  CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
-        |    / 4096) AS BIGINT) AS shard
-        |FROM tk ORDER BY doc_id""".stripMargin,
-
-    // per-vector min/max codebook mirror; expression tree order pinned
-    // ((x - vmin) * 255) / (vmax - vmin), floor, clamp — float->double
-    // widening is exact on both engines
-    "q_embed_quantize" ->
-      """WITH q AS (
-        |  SELECT vec_id, embedding,
-        |    list_aggregate(embedding, 'min')::DOUBLE AS vmin,
-        |    list_aggregate(embedding, 'max')::DOUBLE AS vmax
-        |  FROM embeddings)
-        |SELECT vec_id, vmin, vmax,
-        |  CASE WHEN vmax = vmin
-        |    THEN array_to_string([0 FOR x IN embedding], ',')
-        |    ELSE array_to_string(list_transform(embedding,
-        |      x -> CAST(least(floor(((x::DOUBLE - vmin) * 255) / (vmax - vmin)),
-        |        255) AS BIGINT)), ',')
-        |  END AS codes
-        |FROM q ORDER BY vec_id""".stripMargin,
-
-    // posting-list mirror of ngramJaccardPairs incl. the DF-pruned shingle
-    // universe (HAVING count <= maxDf) — J over pruned sets, maxDf=2.
-    "q_ngram_jaccard" ->
-      s"""WITH e AS (
-         |  SELECT doc_id, source, unnest(list_distinct($shingleSql)) AS h
-         |  FROM documents),
-         |keep AS (
-         |  SELECT source, h FROM e GROUP BY source, h HAVING count(*) <= 2),
-         |p AS (SELECT e.doc_id, e.source, e.h FROM e JOIN keep USING (source, h)),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id),
-         |c AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-         |  FROM p a JOIN p b ON a.source = b.source AND a.h = b.h
-         |    AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |  c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
-         |FROM c
-         |JOIN sz sa ON sa.doc_id = id_a
-         |JOIN sz sb ON sb.doc_id = id_b
-         |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // list_reduce (not list_sum) pins sequential left-to-right summation —
-    // bit-exact parity with Spark's aggregate() fold.
-    "q_knn_brute" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
-         |  WHERE vec_id < 10),
-         |scored AS (
-         |  SELECT qid, vec_id AS neighbor_id,
-         |    $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score
-         |  FROM embeddings, q WHERE qid <> vec_id),
-         |ranked AS (
-         |  SELECT qid, neighbor_id, score,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY score DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT qid, rank, neighbor_id, score FROM ranked
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
-
-    // identical to q_knn_brute: full-probe IVF is exact by construction
-    "q_knn_ivf" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
-         |  WHERE vec_id < 10),
-         |scored AS (
-         |  SELECT qid, vec_id AS neighbor_id,
-         |    $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score
-         |  FROM embeddings, q WHERE qid <> vec_id),
-         |ranked AS (
-         |  SELECT qid, neighbor_id, score,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY score DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT qid, rank, neighbor_id, score FROM ranked
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
-
-    // bigram LM mirror: add-one-smoothed P over corpus counts; the per-doc
-    // mean folds ln terms in sorted-gram order with a 0.0-prepended
-    // list_reduce — exactly Spark's aggregate(terms, 0.0, +) fold
-    "q_lm_score" ->
-      s"""WITH w AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w1
-         |  FROM documents),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM w GROUP BY w1),
-         |v AS (SELECT count(DISTINCT w1) AS v FROM w),
-         |b AS (
-         |  SELECT doc_id, unnest(${shingleWSql(2)}) AS gram
-         |  FROM documents WHERE len($wordsSql) >= 2),
-         |c2 AS (SELECT gram, count(*) AS c2 FROM b GROUP BY gram),
-         |t AS (
-         |  SELECT doc_id, b.gram,
-         |    ln((c2.c2 + 1.0) / (c1.c1 + v.v::DOUBLE)) AS lnp
-         |  FROM b
-         |  JOIN c2 USING (gram)
-         |  JOIN c1 ON c1.w1 = split_part(b.gram, ' ', 1), v),
-         |agg AS (
-         |  SELECT doc_id, count(*) AS n_bigrams,
-         |    list(lnp ORDER BY gram) AS lnps
-         |  FROM t GROUP BY doc_id)
-         |SELECT doc_id, n_bigrams,
-         |  CAST(floor(list_reduce(list_prepend(0.0::DOUBLE, lnps),
-         |    (x, y) -> x + y) / n_bigrams::DOUBLE * 1e6) AS BIGINT)
-         |    AS lm_score_micro
-         |FROM agg ORDER BY doc_id""".stripMargin,
-
-    "q_media_resize" ->
-      """SELECT doc_id AS media_id,
-        |  array_to_string([substr(text, ((j * len(text)) // 32)::INT + 1, 1)
-        |    FOR j IN range(0, 32)], '') AS resized
-        |FROM documents ORDER BY media_id""".stripMargin,
-
-    "q_vocab_topk" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |ww AS (SELECT * FROM w WHERE term <> '')
-        |SELECT term, count(*) AS tf_total, count(DISTINCT doc_id) AS df
-        |FROM ww GROUP BY term ORDER BY tf_total DESC, term LIMIT 50""".stripMargin,
-
-    "q_tfidf" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |ww AS (SELECT * FROM w WHERE term <> ''),
-        |vocab AS (
-        |  SELECT term, count(DISTINCT doc_id) AS df
-        |  FROM ww GROUP BY term
-        |  ORDER BY count(*) DESC, term LIMIT 20),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM ww GROUP BY 1, 2),
-        |n AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT tf.doc_id, tf.term, tf.tf, vocab.df,
-        |  tf.tf::DOUBLE * (ln((n.n_docs + 1.0) / (vocab.df + 1.0)) + 1.0)
-        |    AS tfidf
-        |FROM tf JOIN vocab USING (term), n
-        |ORDER BY doc_id, term""".stripMargin,
-
-    // panel contract: the oracle predicts the panel size and that the
-    // aggregate recall@5 clears the published bound (literal TRUE — same
-    // error-contract discipline as HLL / approx-percentile / PQ)
-    "q_knn_lsh" ->
-      """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
-        |WHERE vec_id < 10""".stripMargin,
-
-    "q_knn_pq" ->
-      """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
-        |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
-
-    "q_knn_ivfpq" ->
-      """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
-        |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
-
-    "q_text_stats" ->
-      s"""WITH sc AS (
-         |  SELECT doc_id, text, $langScoresSql
-         |  FROM documents)
-         |SELECT doc_id,
-         |  len(text) AS n_chars_computed,
-         |  CASE WHEN len(trim(text)) = 0 THEN 0
-         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-         |  len(regexp_extract_all(text,
-         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish_tokens,
-         |  len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))
-         |    AS n_punct,
-         |  $langCaseSql AS lang_pred
-         |FROM sc ORDER BY doc_id""".stripMargin,
-
-    "q_lang_breakdown" ->
-      s"""WITH sc AS (
-         |  SELECT doc_id, text, $langScoresSql
-         |  FROM documents),
-         |p AS (SELECT $langCaseSql AS lang_pred FROM sc)
-         |SELECT lang_pred, count(*) AS n_docs FROM p
-         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
-
-    // Mirrors TextAnalysis.docStats: every score is raw int-derived IEEE
-    // double arithmetic in the same evaluation order as the Spark columns —
-    // bit-exact, no round() anywhere (HALF_UP parity trap). Fingerprint is
-    // the k-min md5 sketch, portable by construction.
-    "q_text_quality" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, text, $wordsSql AS words, ${shingleWSql(5)} AS sh5
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN len(words) = 0 THEN 0.0
-         |      ELSE len(list_filter(words, x -> list_contains([${llm.TextAnalysis.StopwordsEn.map("'" + _ + "'").mkString(", ")}], x)))::DOUBLE
-         |        / len(words)::DOUBLE END AS stopword_ratio,
-         |    len(text)::DOUBLE AS len_d,
-         |    (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS punct_d,
-         |    CASE WHEN len(text) = 0 THEN 0.0
-         |      ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-         |        / len(text)::DOUBLE END AS digit_ratio,
-         |    array_to_string(list_sort(list_distinct(list_transform(sh5, s -> md5(s))))[1:8], ',') AS fingerprint
-         |  FROM w),
-         |q AS (
-         |  SELECT doc_id, stopword_ratio, fingerprint,
-         |    least(len_d / 200.0, 1.0) * (CASE WHEN len_d > 2000 THEN 0.5 ELSE 1.0 END) AS len_score,
-         |    CASE WHEN punct_d / greatest(len_d, 1.0) > 0.2 THEN 0.3
-         |      ELSE 1.0 - punct_d / greatest(len_d, 1.0) END AS punct_score,
-         |    1.0 - least(digit_ratio * 2.0, 1.0) AS digit_score,
-         |    least(stopword_ratio * 5.0, 1.0) AS sw_score
-         |  FROM c)
-         |SELECT doc_id, stopword_ratio,
-         |  len_score * 0.3 + punct_score * 0.3 + digit_score * 0.2 + sw_score * 0.2 AS quality,
-         |  fingerprint
-         |FROM q ORDER BY doc_id""".stripMargin,
-
-    // Mirrors Repetition.profile: non-blank lines via string_split(chr(10)),
-    // non-distinct word n-grams via the shared shingle fragment, top-gram
-    // tie-break pinned to (count DESC, gram DESC) — identical to Spark's
-    // max over (cnt, gram) structs. All fractions are int-derived double
-    // divisions: bit-exact cross-engine.
-    "q_repetition" ->
-      s"""WITH ln AS (
-         |  SELECT doc_id,
-         |    unnest(list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0)) AS line
-         |  FROM documents),
-         |lc AS (SELECT doc_id, line, count(*) AS cnt FROM ln GROUP BY 1, 2),
-         |ls AS (
-         |  SELECT doc_id, sum(cnt) AS n_lines,
-         |    (sum(cnt) - count(*))::DOUBLE / sum(cnt)::DOUBLE AS dup_line_frac,
-         |    sum(CASE WHEN cnt > 1 THEN cnt * len(line) ELSE 0 END)::DOUBLE
-         |      / sum(cnt * len(line))::DOUBLE AS dup_line_char_frac
-         |  FROM lc GROUP BY 1),
-         |g2 AS (
-         |  SELECT doc_id, len(trim(text)) AS n_chars, unnest(${shingleWSql(2)}) AS gram
-         |  FROM documents),
-         |c2 AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2, 3),
-         |t2 AS (
-         |  SELECT doc_id, gram AS top2_gram,
-         |    least(1.0, (cnt * len(gram))::DOUBLE / greatest(n_chars, 1)::DOUBLE) AS top2_char_frac,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
-         |  FROM c2),
-         |g3 AS (
-         |  SELECT doc_id, len(trim(text)) AS n_chars, unnest(${shingleWSql(3)}) AS gram
-         |  FROM documents),
-         |c3 AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2, 3),
-         |t3 AS (
-         |  SELECT doc_id,
-         |    least(1.0, (cnt * len(gram))::DOUBLE / greatest(n_chars, 1)::DOUBLE) AS top3_char_frac,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
-         |  FROM c3),
-         |g5 AS (SELECT doc_id, unnest(${shingleWSql(5)}) AS gram FROM documents),
-         |c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
-         |d5 AS (
-         |  SELECT doc_id,
-         |    sum(CASE WHEN cnt > 1 THEN cnt * len(gram) ELSE 0 END)::DOUBLE
-         |      / greatest(sum(cnt * len(gram)), 1)::DOUBLE AS dup5_char_frac
-         |  FROM c5 GROUP BY 1)
-         |SELECT d.doc_id, coalesce(ls.n_lines, 0)::BIGINT AS n_lines,
-         |  coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
-         |  coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
-         |  t2.top2_gram, t2.top2_char_frac, t3.top3_char_frac, d5.dup5_char_frac
-         |FROM documents d
-         |LEFT JOIN ls USING (doc_id)
-         |JOIN (SELECT doc_id, top2_gram, top2_char_frac FROM t2 WHERE rn = 1) t2 USING (doc_id)
-         |JOIN (SELECT doc_id, top3_char_frac FROM t3 WHERE rn = 1) t3 USING (doc_id)
-         |JOIN d5 USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // Mirrors Pii.scrub over the same planted-PII construction. The regex
-    // patterns are byte-identical to Pii.{Email,Ipv4,Phone}Pattern — they
-    // live in the dialect-portable subset (no lookaround/backrefs/
-    // alternation) so Java regex and RE2 match identically; 'g' flag makes
-    // DuckDB's replace global like Spark's.
-    "q_pii_scrub" ->
-      s"""WITH p AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 3 = 2 THEN substr(text, 1, 60)
-         |    ELSE substr(text, 1, 60) || ' contact user' || doc_id::VARCHAR
-         |      || '@example.com via 10.0.' || (doc_id % 256)::VARCHAR
-         |      || '.7 or tel +1415555' || ((doc_id % 9000) + 1000)::VARCHAR
-         |    END AS text
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, text,
-         |    len(regexp_extract_all(text, '${llm.Pii.EmailPattern}')) AS n_emails,
-         |    len(regexp_extract_all(text, '${llm.Pii.Ipv4Pattern}')) AS n_ips,
-         |    len(regexp_extract_all(text, '${llm.Pii.PhonePattern}')) AS n_phones
-         |  FROM p)
-         |SELECT doc_id, n_emails, n_ips, n_phones,
-         |  n_emails + n_ips + n_phones > 0 AS has_pii,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '${llm.Pii.EmailPattern}', '<EMAIL>', 'g'),
-         |    '${llm.Pii.Ipv4Pattern}', '<IP>', 'g'),
-         |    '${llm.Pii.PhonePattern}', '<PHONE>', 'g') AS redacted
-         |FROM c ORDER BY doc_id""".stripMargin,
-
-    // Byte-bucket histogram over the utf8 bytes: bytes recovered from
-    // hex(encode(text)) two chars at a time; count/greatest(n,1) double
-    // division is bit-exact vs the FakeCodec's JVM arithmetic.
-    "q_media_features" ->
-      """WITH b AS (
-        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |  FROM documents),
-        |e AS (
-        |  SELECT media_id, unnest(range(0, n_bytes)) AS i, hx FROM b),
-        |h AS (
-        |  SELECT media_id,
-        |    ((strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
-        |      + (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1)) % 16 AS bucket,
-        |    count(*) AS c
-        |  FROM e GROUP BY 1, 2),
-        |g AS (
-        |  SELECT media_id, n_bytes, CAST(unnest(range(0, 16)) AS INT) AS bucket FROM b)
-        |SELECT g.media_id, g.n_bytes, 'utf8' AS format, g.bucket,
-        |  COALESCE(h.c, 0)::DOUBLE / greatest(g.n_bytes, 1)::DOUBLE AS feature
-        |FROM g LEFT JOIN h ON g.media_id = h.media_id AND g.bucket = h.bucket
-        |ORDER BY g.media_id, g.bucket""".stripMargin,
-
-    "q_media_frames" ->
-      """WITH f AS (
-        |  SELECT doc_id, text,
-        |    unnest(range(0, greatest(len(text) // 64, 1))) AS i
-        |  FROM documents)
-        |SELECT doc_id AS media_id, i AS frame_idx,
-        |  hex(encode(substring(text, CAST(i * 64 + 1 AS INT), 64))) AS frame_hex
-        |FROM f WHERE i % 4 = 0 ORDER BY media_id, frame_idx""".stripMargin,
-
-    "q_embed_near_dups" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ${dotSql("a.embedding", "b.embedding")} /
-         |    (sqrt(${dotSql("a.embedding", "a.embedding")}) *
-         |     sqrt(${dotSql("b.embedding", "b.embedding")})) AS score
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${dotSql("a.embedding", "b.embedding")} /
-         |    (sqrt(${dotSql("a.embedding", "a.embedding")}) *
-         |     sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin,
-  )
 }
