@@ -581,6 +581,68 @@ object Oracles {
         |  FROM documents)
         |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
 
+    // percent_rank/cume_dist are (rank-1)/(n-1) and rows/n — integer-ratio
+    // doubles, bit-exact across engines; the bounded frame's empty first
+    // window is NULL on both
+    "q_window_cume" ->
+      """SELECT source, doc_id, n_chars,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev3_chars,
+        |  first_value(doc_id) OVER w AS first_doc
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // mirrors q_stats_moments' discipline: exact integer power sums, then
+    // the IDENTICAL double expression tree (operation order pinned) —
+    // never the built-in stddev/corr aggregators, whose double merge order
+    // is partitioning-dependent
+    "q_stats_moments" ->
+      """WITH tk AS (
+        |  SELECT source, n_chars::BIGINT AS x,
+        |    (CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS y
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, count(*) AS n_rows,
+        |    (sum(x))::DOUBLE AS sx, (sum(y))::DOUBLE AS sy,
+        |    (sum(x*x))::DOUBLE AS sxx, (sum(y*y))::DOUBLE AS syy,
+        |    (sum(x*y))::DOUBLE AS sxy
+        |  FROM tk GROUP BY source)
+        |SELECT source, n_rows,
+        |  sx / (n_rows::DOUBLE) AS mean_chars,
+        |  sqrt((sxx - sx * sx / (n_rows::DOUBLE)) / ((n_rows::DOUBLE) - 1.0))
+        |    AS stddev_chars,
+        |  ((n_rows::DOUBLE) * sxy - sx * sy) /
+        |    (sqrt((n_rows::DOUBLE) * sxx - sx * sx)
+        |      * sqrt((n_rows::DOUBLE) * syy - sy * sy)) AS corr_chars_tokens
+        |FROM a ORDER BY source""".stripMargin,
+
+    "q_uniques_per_group" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_within_15pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // list_reduce errors on an empty list — prepend the fold's zero
+    "q_hof_fns" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS words
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(list_filter(words, x -> len(x) > 3)) AS n_long_words,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(words, x -> len(x)::BIGINT)),
+        |    (a, b) -> a + b) AS total_word_chars,
+        |  list_contains(words, 'the') AS has_the,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(words, x -> (len(x) * len(x))::BIGINT)),
+        |    (a, b) -> a + b) AS sum_sq_word_len
+        |FROM w ORDER BY doc_id""".stripMargin,
+
     // WHERE n_chars > 0 mirrors weightedSample's weight-positivity gate:
     // without it a zero weight divides to inf (sorts last — benign) but a
     // NEGATIVE weight would sort FIRST on the oracle side only, so the
@@ -846,6 +908,10 @@ object Oracles {
     "q_knn_lsh" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10""".stripMargin,
+
+    "q_knn_int8" ->
+      """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
 
     "q_knn_pq" ->
       """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings

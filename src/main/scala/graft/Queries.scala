@@ -269,6 +269,81 @@ object Queries {
         .orderBy(col("source"), col("rn"))
     }),
 
+    // ---- analytics: distribution + frame window functions (the rank
+    // family is q_window_rank): percent_rank/cume_dist are ratios of row
+    // counts — exact int-derived doubles, oracle-safe — and the bounded
+    // ROWS frame exercises sliding aggregation (empty frame → NULL on
+    // both engines) ----
+    "q_window_cume" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      t(s, dir, "documents").select(
+          col("source"), col("doc_id"), col("n_chars"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          sum(col("n_chars")).over(w.rowsBetween(-3, -1)).as("prev3_chars"),
+          first(col("doc_id")).over(w).as("first_doc"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // ---- analytics: numerically-disciplined moments ----
+    // stddev/corr straight from the built-in double aggregators are NOT
+    // cross-engine-reproducible (merge order varies with partitioning);
+    // the scale-safe discipline is exact integer power sums (map-side
+    // combinable, overflow-free at these magnitudes) folded to doubles by
+    // an identical expression tree on both engines — bit-exact.
+    "q_stats_moments" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        col("n_chars").cast("long").as("x"),
+        llm.TextAnalysis.tokenCount(col("text")).cast("long").as("y"))
+      val agg = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("x")).as("sx0"), sum(col("y")).as("sy0"),
+        sum(col("x") * col("x")).as("sxx0"),
+        sum(col("y") * col("y")).as("syy0"),
+        sum(col("x") * col("y")).as("sxy0"))
+      val n = col("n_rows").cast("double")
+      val sx = col("sx0").cast("double"); val sy = col("sy0").cast("double")
+      val sxx = col("sxx0").cast("double"); val syy = col("syy0").cast("double")
+      val sxy = col("sxy0").cast("double")
+      agg.select(col("source"), col("n_rows"),
+          (sx / n).as("mean_chars"),
+          sqrt((sxx - sx * sx / n) / (n - lit(1.0))).as("stddev_chars"),
+          ((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+            .as("corr_chars_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // per-group HLL with the same error-contract publishing as the global
+    // q_uniques_hll: exact count + a boolean the oracle predicts TRUE
+    "q_uniques_per_group" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users").cast("double")
+            / col("exact_users").cast("double") - 1.0) <= 0.15)
+            .as("hll_within_15pct"))
+        .orderBy(col("event_type"))),
+
+    // ---- analytics: higher-order array functions (lambda forms — the
+    // non-lambda array surface is q_array_fns) ----
+    "q_hof_fns" -> ((s, dir) => {
+      val words = filter(split(lower(trim(col("text"))), "\\s+"),
+        w => w =!= lit(""))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          size(filter(words, w => length(w) > 3)).as("n_long_words"),
+          aggregate(words, lit(0L), (acc, w) => acc + length(w))
+            .as("total_word_chars"),
+          exists(words, w => w === lit("the")).as("has_the"),
+          aggregate(zip_with(words, words,
+              (a, b) => (length(a) * length(b)).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("sum_sq_word_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- analytics: exact percentiles ----
     "q_percentiles" -> ((s, dir) =>
       Analytics.quantitySpread(t(s, dir, "lineitem"))),
@@ -438,6 +513,12 @@ object Queries {
     "q_knn_pq" -> ((s, dir) =>
       llm.Similarity.pqKnnRecall(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5, m = 32, kCodes = 256, recallBound = 0.6)),
+    // the int8 serving path end-to-end: scalar-quantized reconstructions
+    // rank the corpus, per-query recall contract vs exact (255-level codes
+    // preserve cosine ranking — measured recall 1.0 at every SF; bound 0.8)
+    "q_knn_int8" -> ((s, dir) =>
+      llm.Similarity.int8KnnRecall(tWide(s, dir, "embeddings"),
+        col("vec_id") < 10, k = 5, recallBound = 0.8)),
     // the composed billion-scale layout: IVF cells prune candidates, PQ
     // codes stand in for vectors; full probe ⇒ same contract as q_knn_pq
     "q_knn_ivfpq" -> ((s, dir) =>

@@ -359,6 +359,37 @@ object Similarity {
       recallBound)
   }
 
+  /** Scalar-int8 kNN recall contract: top-k ranked against DEQUANTIZED
+    * int8 reconstructions ([[Quantize.scalarQuantize]] → bucket midpoints)
+    * vs the exact top-k, per query — the serving path that reads 1
+    * byte/dim + 2 doubles of scale metadata instead of 4-byte floats (≈4×
+    * smaller index, the first compression lever before PQ). 255-level
+    * min/max codes preserve cosine ranking almost perfectly, so unlike
+    * hyperplane LSH the per-query contract is stable. Same publishing
+    * pattern as [[pqKnnRecall]]; cap the embedded exact truth side with
+    * `maxContractQueries` at scale. */
+  def int8KnnRecall(emb: DataFrame, queryPred: Column, k: Int,
+      recallBound: Double = 0.8, maxContractQueries: Int = 0,
+      seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pred = capQueryPred(emb, queryPred, maxContractQueries, idCol, seed)
+    val approx = Quantize.dequantize(Quantize.scalarQuantize(emb, idCol, vecCol))
+      .select(col(idCol), col("approx").as("avec"))
+      .withColumn("anorm", norm(col("avec")))
+    val queries = emb.filter(pred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"))
+    val scored = approx
+      .join(broadcast(queries), col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("neighbor_id"),
+        (dot(col("qvec"), col("avec")) / (col("qnorm") * col("anorm"))).as("score"))
+    recallContract(
+      topK(scored, k).select(col("qid"), col("neighbor_id")),
+      bruteForceKnn(emb, pred, k, idCol, vecCol)
+        .select(col("qid"), col("neighbor_id")),
+      recallBound)
+  }
+
   /** IVF + PQ composed — the standard billion-scale ANN layout: the coarse
     * quantizer prunes the corpus to `nprobe` cells (candidate count ÷
     * nCells/nprobe), PQ codes stand in for the vectors inside those cells

@@ -40,14 +40,18 @@ object StreamingCuration {
     val e = embeddings.withWatermark("embed_ts", watermarkDelay)
     // "left_outer": docs whose embedding never lands inside the horizon
     // emit with a null embedding once the watermark passes the bound —
-    // the dead-letter feed a production ingest monitors.
+    // the dead-letter feed a production ingest monitors. "full_outer"
+    // additionally flushes orphan EMBEDDINGS (an embedding whose document
+    // was gated out upstream) with a null text — the other dead-letter
+    // direction; doc_id coalesces across sides so the consumer has one id
+    // column regardless of which side survived.
     d.join(e,
       d("doc_id") === e("emb_doc_id") &&
         e("embed_ts") >= d("ingest_ts") &&
         e("embed_ts") <= d("ingest_ts") + expr(s"INTERVAL $horizon"),
       joinType)
-      .select(d("doc_id"), d("text"), e("embedding"),
-        d("ingest_ts"), e("embed_ts"))
+      .select(coalesce(d("doc_id"), e("emb_doc_id")).as("doc_id"),
+        d("text"), e("embedding"), d("ingest_ts"), e("embed_ts"))
   }
 
   /** docs stream → curated stream. Expects (doc_id, text, event time

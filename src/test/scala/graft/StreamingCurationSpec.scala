@@ -96,4 +96,43 @@ class StreamingCurationSpec extends SparkTestBase {
       .as[(Long, Boolean)].collect().toMap
     assert(got === Map(1L -> false, 2L -> true))
   }
+
+  test("stream-stream FULL OUTER join: orphans flush from BOTH sides") {
+    val ms = (m: Long) => new Timestamp(m)
+    val docsIn = MemoryStream[(Long, String, Timestamp)](spark)
+    val embIn = MemoryStream[(Long, Seq[Float], Timestamp)](spark)
+    val joined = StreamingCuration.joinWithEmbeddings(
+      docsIn.toDF().toDF("doc_id", "text", "ingest_ts"),
+      embIn.toDF().toDF("emb_doc_id", "embedding", "embed_ts"),
+      horizon = "10 minutes", watermarkDelay = "0 seconds",
+      joinType = "full_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("graft_stream_full_outer")
+      .outputMode("append")
+      .start()
+    // doc 1 matches; doc 2 never gets an embedding (doc-side orphan);
+    // embedding 3 has no document — gated out upstream (emb-side orphan)
+    docsIn.addData((1L, "matched", ms(60_000)), (2L, "doc orphan", ms(60_000)))
+    embIn.addData((1L, Seq(1f, 2f), ms(120_000)),
+      (3L, Seq(9f, 9f), ms(120_000)))
+    q.processAllAvailable()
+    // advance BOTH sides (global watermark = min) far enough, twice, so
+    // eviction emits the outer rows on subsequent batches
+    for (t <- Seq(10_000_000L, 20_000_000L)) {
+      embIn.addData((99L, Seq(0f), ms(t)))
+      docsIn.addData((99L, "wm-pusher", ms(t)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("graft_stream_full_outer")
+      .filter($"doc_id" < 90)
+      .select($"doc_id", $"text".isNull.as("no_text"),
+        $"embedding".isNull.as("no_emb"))
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((false, false)), // matched inside the horizon
+      2L -> ((false, true)),  // doc-side orphan: null embedding
+      3L -> ((true, false)))) // emb-side orphan: null text, id from emb side
+  }
 }
