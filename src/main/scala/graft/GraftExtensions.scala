@@ -51,6 +51,10 @@ object GraftExtensions {
       "shingle_hashes(text, w) - distinct xxhash64 keys of the word " +
         "w-shingles of lowercased text, one pass",
       exprs => expr.ShingleHashes(exprs.head, foldableInt(exprs, 1, "shingle_hashes", "w"))),
+    ("md5_token_hashes",
+      "md5_token_hashes(text) - engine-portable 64-bit token hashes " +
+        "(first 8 md5 bytes per lowercased whitespace token), one pass",
+      exprs => expr.Md5TokenHashes(exprs.head)),
     ("repetition_grams",
       "repetition_grams(text, n...) - tagged (kind, gram) occurrence list: " +
         "non-blank lines plus every word n-gram for each n, one pass",
@@ -80,6 +84,7 @@ object GraftFunctions {
     MinHashSig.register(spark)
     TextProfile.register(spark)
     expr.ShingleHashes.register(spark)
+    expr.Md5TokenHashes.register(spark)
     expr.RepetitionGrams.register(spark)
   }
 }

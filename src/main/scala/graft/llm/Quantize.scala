@@ -65,11 +65,16 @@ object Quantize {
     val dim = sample.head.length
     require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
     val dsub = dim / m
-    Array.tabulate(m) { j =>
+    // The m subspace codebooks are independent — train them on the
+    // driver's cores in parallel (each Lloyd's run is itself sequential,
+    // so every codebook is still bit-deterministic). At m=32 × 256 codes
+    // this is the dominant driver cost of the PQ queries (~1 s serial).
+    import scala.collection.parallel.CollectionConverters._
+    (0 until m).toArray.par.map { j =>
       Similarity.localLloyd(
         sample.filter(_.length == dim).map(_.slice(j * dsub, (j + 1) * dsub)),
         kCodes, maxIter)
-    }
+    }.toArray
   }
 
   /** Encode every vector to m small codes via the one-pass codegen'd
