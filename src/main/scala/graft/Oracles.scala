@@ -909,6 +909,47 @@ object Oracles {
       """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10""".stripMargin,
 
+    // gram-set membership over strings mirrors Spark's hashed grams —
+    // identical distinct counts absent 64-bit collisions (none here)
+    "q_decontam" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT unnest(list_distinct(${shingleWSql(5)})) AS h
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |cg AS (
+         |  SELECT doc_id, unnest(list_distinct(${shingleWSql(5)})) AS h
+         |  FROM documents WHERE doc_id % 50 <> 0),
+         |a AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END)
+         |      AS n_hits
+         |  FROM cg GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_hits,
+         |  (n_hits::DOUBLE / n_grams::DOUBLE) >= 0.3 AS contaminated
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // chunk i = tokens [i*56, i*56 + 64); short tail; docs of <= 8 tokens
+    // still yield one chunk; empty docs none
+    "q_chunk_tokens" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '') AS words
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, words, len(words) AS n,
+        |    CASE WHEN len(words) <= 0 THEN 0
+        |      ELSE greatest(CAST(ceil((len(words) - 8)::DOUBLE / 56)
+        |        AS INTEGER), 1) END AS nc
+        |  FROM w),
+        |e AS (
+        |  SELECT doc_id, words, n, unnest(range(nc)) AS chunk_idx
+        |  FROM c WHERE nc > 0)
+        |SELECT doc_id, chunk_idx,
+        |  least(64, n - chunk_idx * 56) AS n_chunk_tokens,
+        |  array_to_string(words[chunk_idx * 56 + 1 : chunk_idx * 56 + 64], ' ')
+        |    AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q_knn_int8" ->
       """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY qid""".stripMargin,

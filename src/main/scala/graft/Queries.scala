@@ -526,6 +526,27 @@ object Queries {
         col("vec_id") < 10, k = 5, nCells = 4, nprobe = 4,
         m = 32, kCodes = 256, recallBound = 0.6)),
 
+    // ---- LLM data pipeline: benchmark decontamination ----
+    // every 50th doc plays the benchmark; the near-dup plants in the
+    // corpus give real contamination hits. Grams are hashed in Spark,
+    // strings in the oracle — identical distinct counts (no collisions
+    // in this corpus), same discipline as the Jaccard truths.
+    "q_decontam" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Decontam.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 5, threshold = 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- LLM data pipeline: token-window chunking ----
+    // 64-token chunks, 8-token overlap; the oracle re-derives every chunk
+    // with list slicing — indices, short tails, and ≤-overlap docs pinned.
+    "q_chunk_tokens" -> ((s, dir) =>
+      llm.TextAnalysis.chunkByTokens(t(s, dir, "documents"),
+          chunk = 64, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // ---- LLM data pipeline: text analysis ----
     "q_text_stats" -> ((s, dir) => {
       import llm.TextAnalysis._

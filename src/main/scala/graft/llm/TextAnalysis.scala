@@ -189,6 +189,42 @@ object TextAnalysis {
           / col("n_bigrams").cast("double")).as("lm_score"))
   }
 
+  /** Fixed-token-window document chunking with overlap — long documents
+    * split into training/RAG-sized pieces: chunk i covers tokens
+    * [i·stride, i·stride + chunk), stride = chunk − overlap, the last
+    * chunk runs short rather than padding, and a doc of ≤ overlap tokens
+    * still yields its one (whole) chunk. Zero-token docs yield zero rows.
+    * Distinct from [[Packing.packByBudget]], which ASSIGNS whole docs to
+    * budgeted shards; this SPLITS a doc's token sequence.
+    *
+    * Scale shape: pure scan-side explode (sequence + slice, all codegen'd
+    * array ops) — no shuffle, no state; output rows ≈ input tokens /
+    * stride. Tokens are whitespace words of the trimmed text (empties
+    * dropped); original case/punctuation preserved in the chunk text. */
+  def chunkByTokens(docs: DataFrame, chunk: Int, overlap: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunk > 0, s"chunk must be positive: $chunk")
+    require(overlap >= 0 && overlap < chunk,
+      s"overlap must be in [0, chunk): $overlap")
+    val stride = chunk - overlap
+    val words = filter(split(trim(col(textCol)), "\\s+"), w => w =!= lit(""))
+    val nChunks = when(size(col("w")) <= 0, lit(0)).otherwise(
+      greatest(ceil((size(col("w")) - lit(overlap)).cast("double") / stride)
+        .cast("int"), lit(1)))
+    docs
+      .select(col(idCol), words.as("w"))
+      .select(col(idCol), col("w"), nChunks.as("nc"))
+      .filter(col("nc") > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_idx"), col("w"))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(chunk), size(col("w")) - col("chunk_idx") * stride)
+          .as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("w"), col("chunk_idx") * stride + 1, lit(chunk)))
+          .as("chunk_text"))
+  }
+
   /** Per-document stats projection over a corpus. */
   def docStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(

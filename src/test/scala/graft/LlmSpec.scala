@@ -120,6 +120,47 @@ class LlmSpec extends SparkTestBase {
     assert(!pairs.contains((0L, 3L))) // different block — by design
   }
 
+  test("decontamination: benchmark overlap flagged, clean docs survive") {
+    // corpus: 0 = verbatim copy of the benchmark doc, 1 = near-dup of it,
+    // 2 = unrelated; benchmark = the base text
+    val corpus = Seq((0L, base), (1L, nearDup), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val got = graft.llm.Decontam.contamination(corpus, bench, n = 3,
+        threshold = 0.5)
+      .select($"doc_id", $"contaminated").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(0L -> true, 1L -> true, 2L -> false))
+    // full overlap for the verbatim copy, zero for the unrelated doc
+    val ratios = graft.llm.Decontam.contamination(corpus, bench, n = 3)
+      .select($"doc_id", $"n_hits", $"n_grams")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(ratios(0L)._1 === ratios(0L)._2)
+    assert(ratios(2L)._1 === 0L)
+    val kept = graft.llm.Decontam.decontaminate(corpus, bench, n = 3,
+        threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+  }
+
+  test("chunking: window starts/lengths, short tail, tiny and empty docs") {
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (1L, "a b"),                                    // <= overlap-ish tiny
+      (2L, ""), (3L, "   ")                           // zero tokens → no rows
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(docs, chunk = 4, overlap = 1)
+      .orderBy($"doc_id", $"chunk_idx")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got === Seq(
+      (0L, 0, 4, "t1 t2 t3 t4"),
+      (0L, 1, 4, "t4 t5 t6 t7"),   // stride 3: starts 0, 3, 6
+      (0L, 2, 4, "t7 t8 t9 t10"),
+      (1L, 0, 2, "a b")))          // one whole chunk, runs short
+    // every token of every doc appears in at least one chunk
+    val covered = got.filter(_._1 == 0L).flatMap(_._4.split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"t$i").toSet)
+  }
+
   private def vec(xs: Double*) = xs.toArray.map(_.toFloat)
   // planted near-dup pair is COLINEAR (cosine 1.0): sign(dot) equal under
   // every hyperplane, so the LSH bucket match is seed-independent.
