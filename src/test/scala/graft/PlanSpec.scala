@@ -188,6 +188,25 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("decontamination: benchmark grams broadcast, corpus scan prunes columns") {
+    val docs = t("documents")
+    val plan = formatted(graft.llm.Decontam.contamination(
+      docs.filter($"doc_id" % 50 =!= 0), docs.filter($"doc_id" % 50 === 0)))
+    // the corpus (100 TB side) must never shuffle by gram: the benchmark
+    // gram set is the broadcast build side of the membership join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("chunking is a pure scan-side explode — zero exchanges") {
+    val plan = formatted(graft.llm.TextAnalysis.chunkByTokens(
+      t("documents"), chunk = 64, overlap = 8))
+    assert(!plan.contains("Exchange"), plan)
+    assert("""\(\d+\) Generate\b""".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("explode"), plan)
+  }
+
   test("runtime bloom-filter pruning injects on a selective dim join") {
     // Spark 4 runtime filtering: a selective filter on the build side can
     // inject bloom_filter_might_contain on the probe side's scan. The size
