@@ -909,6 +909,20 @@ object Oracles {
       """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10""".stripMargin,
 
+    // verbatim 20-token windows over strings vs Spark's hashed windows —
+    // identical sets absent 64-bit collisions; df-pruning mirrored
+    // (BETWEEN 2 AND maxDf: singleton windows cannot pair)
+    "q_dedup_substring" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest(list_distinct(${shingleWSql(20)})) AS h
+         |  FROM documents),
+         |keep AS (SELECT h FROM e GROUP BY h HAVING count(*) BETWEEN 2 AND 1000),
+         |p AS (SELECT e.doc_id, e.h FROM e JOIN keep USING (h))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 1
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // gram-set membership over strings mirrors Spark's hashed grams —
     // identical distinct counts absent 64-bit collisions (none here)
     "q_decontam" ->

@@ -478,6 +478,13 @@ object Queries {
       llm.Dedup.simhashNearDups(tWide(s, dir, "documents"), maxHamming = 3,
           sigFn = llm.Dedup.simhashPortable)
         .orderBy(col("id_a"), col("id_b"))),
+    // exact verbatim-span dedup (the complement of near-dup LSH): pairs
+    // sharing >= 1 window of 20 consecutive tokens; oracle recomputes the
+    // window sets over strings
+    "q_dedup_substring" -> ((s, dir) =>
+      llm.Dedup.exactSubstringPairs(tWide(s, dir, "documents"),
+          windowTokens = 20, minShared = 1)
+        .orderBy(col("id_a"), col("id_b"))),
     // maxDf=2 exercises the high-DF pruning path through the oracle (the
     // sf corpus' max block-level DF is 3, so ≥3 would be a no-op here).
     "q_ngram_jaccard" -> ((s, dir) =>

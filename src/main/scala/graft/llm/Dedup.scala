@@ -533,6 +533,38 @@ object Dedup {
     materializedWithout(out, sh)
   }
 
+  /** Exact-substring duplicate pairs: docs sharing ≥ `minShared` verbatim
+    * token windows of `windowTokens` words — the exact-span complement to
+    * MinHash near-dup detection (the "50-token verbatim overlap" rule of
+    * training-data dedup: near-dup catches whole-document paraphrase-level
+    * copies, this catches long quoted/boilerplate spans inside otherwise
+    * distinct documents). Docs shorter than the window fall back to their
+    * whole text (= exact-dup detection for them).
+    *
+    * Scale shape: rolling windows ride as 64-bit [[shingleHashes]] keys
+    * (distinct per doc), so the self-join key is a ~windowTokens-word
+    * span — near-unique by construction, which is what keeps the join
+    * linear; `maxDf` DF-pruning removes viral boilerplate windows before
+    * the join exactly like [[ngramJaccardPairs]] (a window in k docs is
+    * C(k,2) join rows). Returns (id_a, id_b, n_shared) with id_a < id_b. */
+  def exactSubstringPairs(docs: DataFrame, windowTokens: Int = 50,
+      minShared: Int = 1, maxDf: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val e = docs.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), windowTokens)).as("h"))
+    val keep = e.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2) // df=1 can't pair
+      .select(col("h"))
+    val pruned = e.join(keep, Seq("h"), "left_semi")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over a near-duplicate pair list: the step that
     * turns PAIRS (from [[minhashNearDups]] / [[simhashNearDups]] /
     * [[ngramJaccardPairs]]) into dedup GROUPS — near-duplication is

@@ -120,6 +120,23 @@ class LlmSpec extends SparkTestBase {
     assert(!pairs.contains((0L, 3L))) // different block — by design
   }
 
+  test("exact-substring pairs: shared verbatim window found, paraphrase not") {
+    val spanA = (1 to 25).map(i => s"w$i").mkString(" ")  // 25-token span
+    val corpus = Seq(
+      (0L, s"intro text $spanA outro one"),   // shares the span with 1
+      (1L, s"different beginning $spanA and a different end"),
+      (2L, "a wholly unrelated document with its own twenty tokens or so here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringPairs(corpus, windowTokens = 20)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L)))
+    // a window shared by the whole corpus is boilerplate: maxDf prunes it
+    val viral = (0 until 10).map(i => (i.toLong, s"prefix$i $spanA"))
+      .toDF("doc_id", "text")
+    val pruned = Dedup.exactSubstringPairs(viral, windowTokens = 20, maxDf = 5)
+    assert(pruned.count() === 0)
+  }
+
   test("decontamination: benchmark overlap flagged, clean docs survive") {
     // corpus: 0 = verbatim copy of the benchmark doc, 1 = near-dup of it,
     // 2 = unrelated; benchmark = the base text
