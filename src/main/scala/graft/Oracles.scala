@@ -208,6 +208,46 @@ object Oracles {
          |GROUP BY c_custkey, c_name
          |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
 
+    // correlated scalar subquery written in its native SQL form — DuckDB
+    // decorrelates it the same way the Spark side does by hand; the avg
+    // threshold divides an exact decimal sum by the count on both engines
+    "q_small_order_rev" ->
+      s"""WITH pp AS (
+         |  SELECT l_partkey AS pk,
+         |    ${decSum("l_quantity")} / count(*) AS avg_qty
+         |  FROM lineitem GROUP BY 1)
+         |SELECT p_brand, ${decSum("l_extendedprice")} AS small_rev,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN pp ON l_partkey = pk
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE l_quantity < 0.2 * avg_qty
+         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    "q_priority_returns" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // both sums exact decimal → the one double division is bit-identical
+    "q_promo_share" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         |  100.0 * ${viaStr("sum(CASE WHEN p_type = 'PROMO' THEN " + discPrice +
+             " ELSE CAST(0 AS DECIMAL(18,6)) END)")}
+         |    / ${viaStr("sum(" + discPrice + ")")} AS promo_share,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY ship_month""".stripMargin,
+
+    "q_supplier_breadth" ->
+      """SELECT p_type, p_brand, count(DISTINCT l_suppkey) AS n_suppliers
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY 1, 2 ORDER BY p_type, p_brand""".stripMargin,
+
     "q_region_revenue" ->
       s"""SELECT r_name, ${viaStr("sum(" + discPrice + ")")} AS revenue, count(*) AS n_items
          |FROM lineitem
@@ -1144,6 +1184,13 @@ object Oracles {
         |SELECT doc_id AS media_id, i AS frame_idx,
         |  hex(encode(substring(text, CAST(i * 64 + 1 AS INT), 64))) AS frame_hex
         |FROM f WHERE i % 4 = 0 ORDER BY media_id, frame_idx""".stripMargin,
+
+    // md5 over the same utf8 bytes on both engines (ASCII corpus); lower-hex
+    // rendering matches Spark's md5()
+    "q_media_dedup" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |  min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
     "q_embed_near_dups" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

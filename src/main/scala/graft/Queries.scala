@@ -120,6 +120,17 @@ object Queries {
         t(s, dir, "nation"), t(s, dir, "region"))),
     "q_segment_revenue" -> ((s, dir) =>
       Analytics.segmentRevenue(t(s, dir, "orders"), t(s, dir, "customer"))),
+    // TPC-H-shape pack: correlated scalar subquery (decorrelated), EXISTS
+    // (semi), conditional share, NOT IN (anti) + count-distinct
+    "q_small_order_rev" -> ((s, dir) =>
+      Analytics.smallOrderRevenue(t(s, dir, "lineitem"), t(s, dir, "part"))),
+    "q_priority_returns" -> ((s, dir) =>
+      Analytics.priorityReturns(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    "q_promo_share" -> ((s, dir) =>
+      Analytics.promoShare(t(s, dir, "lineitem"), t(s, dir, "part"))),
+    "q_supplier_breadth" -> ((s, dir) =>
+      Analytics.supplierBreadth(t(s, dir, "lineitem"), t(s, dir, "part"),
+        t(s, dir, "supplier"))),
     "q_daily_active" -> ((s, dir) => Analytics.dailyActive(t(s, dir, "events"))),
     "q_topk_events" -> ((s, dir) => Analytics.topkEvents(t(s, dir, "events"), 5)),
     // HLL's raw estimate can't be oracled (DuckDB's sketch differs), but
@@ -670,6 +681,13 @@ object Queries {
         outW = 32, outH = 1)
         .select(col("media_id"), col("media").cast("string").as("resized"))
         .orderBy(col("media_id"))),
+    // exact binary dedup: identical media bytes → one group; the md5 digest
+    // is computed scan-side so bytes never shuffle. ASCII corpus ⇒ DuckDB's
+    // md5(text) hashes the same utf8 bytes as Spark's md5(binary).
+    "q_media_dedup" -> ((s, dir) =>
+      llm.Multimodal.dedupExact(
+        llm.Multimodal.mediaFromDocuments(tWide(s, dir, "documents")))
+        .orderBy(col("content_hash"))),
     // frame emitted as hex text: binary column comparators differ across
     // engines/arrow readers (bytes vs bytearray); hex is unambiguous.
     "q_media_frames" -> ((s, dir) =>

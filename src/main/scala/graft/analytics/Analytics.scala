@@ -92,6 +92,74 @@ object Analytics {
         count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment"), col("o_orderpriority"))
 
+  /** TPC-H Q17-style correlated scalar subquery, decorrelated: revenue locked
+    * in "small" lineitems (quantity < 0.2× their part's average), by brand.
+    * The correlated `(SELECT 0.2*avg(..) WHERE l_partkey = p_partkey)`
+    * becomes an aggregate-then-join — per-part averages are one
+    * partial-agg scan, and the join back is key-co-partitioned on
+    * l_partkey (same shuffle key both sides; AQE broadcasts the agg side
+    * when it is small). The per-part average divides an exact decimal sum
+    * by the count so the threshold is engine-independent. */
+  def smallOrderRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((d(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"))
+    lineitem
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(d(sum(dec(col("l_extendedprice")))).as("small_rev"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-H Q4-style EXISTS: orders with at least one returned lineitem,
+    * counted by priority. EXISTS is a left-semi join; the probe side is
+    * filtered and projected to the single join key BEFORE the exchange, so
+    * only (l_orderkey) longs shuffle — at 100 TB that projection is the
+    * difference between shuffling 8 bytes/row and the whole lineitem. */
+  def priorityReturns(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q14-style conditional share: promo revenue as a % of total per
+    * ship month. One scan, one partial-agg-friendly groupBy — the CASE
+    * lives inside the aggregate so no second pass; both sums are exact
+    * decimal, divided once in double at the end. */
+  def promoShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        (lit(100.0) * d(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(18,6)"))))
+          / d(sum(rev))).as("promo_share"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** TPC-H Q16-style supplier breadth: distinct suppliers per part
+    * type/brand, excluding a supplier blocklist (NOT IN → left-anti join;
+    * the blocklist is tiny → broadcast anti, zero extra shuffle). The
+    * countDistinct expands to (keys, l_suppkey) then reduces — uniform
+    * keys, partial-agg friendly. */
+  def supplierBreadth(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, minAcctbal: Double = 1000.0): DataFrame = {
+    val blocked = supplier.filter(col("s_acctbal") < minAcctbal).select(col("s_suppkey"))
+    lineitem
+      .join(broadcast(blocked), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .orderBy(col("p_type"), col("p_brand"))
+  }
+
   /** Daily active users — countDistinct shuffles (day, user) then reduces;
     * at 100 TB prefer [[dailyActiveApprox]] (HLL, one pass, no exact-distinct
     * expansion). */

@@ -115,6 +115,18 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Exact binary dedup over opaque media: identical byte content collapses
+    * to one group keyed by a 128-bit digest — the media analog of
+    * [[Dedup.exactDedup]], and the only dedup possible without decoding.
+    * Scale shape: the digest is computed scan-side (codegen'd `md5`), so
+    * only (hash, id) pairs reach the shuffle — the media bytes themselves
+    * never leave the scan stage. */
+  def dedupExact(media: DataFrame): DataFrame =
+    media
+      .select(md5(col("media")).as("content_hash"), col("media_id"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("canonical_id"))
+
   /** Frame sampling for "video" media: every nth fixed-size byte window as a
     * frame (a real implementation would seek keyframes; the batch shape —
     * one input row → array of frame structs → explode — is the real part). */

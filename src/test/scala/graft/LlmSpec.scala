@@ -137,6 +137,19 @@ class LlmSpec extends SparkTestBase {
     assert(pruned.count() === 0)
   }
 
+  test("media exact dedup: identical bytes collapse, near-identical don't") {
+    // raw bytes (incl. non-UTF8 0xFF) — dedup must be byte-level, not text
+    val blobA = Array[Byte](1, 2, -1, 4)
+    val blobB = Array[Byte](1, 2, -1, 5) // 1 byte off blobA
+    val media = Seq(
+      (10L, blobA), (11L, blobA.clone()), (12L, blobB)
+    ).toDF("media_id", "media")
+    val got = graft.llm.Multimodal.dedupExact(media)
+      .select($"n_copies", $"canonical_id").as[(Long, Long)]
+      .collect().toSet
+    assert(got === Set((2L, 10L), (1L, 12L)))
+  }
+
   test("decontamination: benchmark overlap flagged, clean docs survive") {
     // corpus: 0 = verbatim copy of the benchmark doc, 1 = near-dup of it,
     // 2 = unrelated; benchmark = the base text
