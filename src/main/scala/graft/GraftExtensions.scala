@@ -59,7 +59,13 @@ object GraftExtensions {
       "repetition_grams(text, n...) - tagged (kind, gram) occurrence list: " +
         "non-blank lines plus every word n-gram for each n, one pass",
       exprs => expr.RepetitionGrams(exprs.head,
-        exprs.indices.drop(1).map(i => foldableInt(exprs, i, "repetition_grams", s"n$i")))))
+        exprs.indices.drop(1).map(i => foldableInt(exprs, i, "repetition_grams", s"n$i")))),
+    ("space_saving_topk",
+      "space_saving_topk(item, capacity) - bounded-memory heavy hitters: " +
+        "array<struct<item,cnt,err>> sorted by cnt desc (SpaceSaving sketch; " +
+        "exact when capacity >= distinct items)",
+      exprs => expr.SpaceSavingTopK(exprs.head,
+        foldableInt(exprs, 1, "space_saving_topk", "capacity"))))
 
   /** Resolve argument `i` as a foldable integer literal, or raise a clean,
     * descriptive error (a column reference there would otherwise surface as
@@ -86,5 +92,6 @@ object GraftFunctions {
     expr.ShingleHashes.register(spark)
     expr.Md5TokenHashes.register(spark)
     expr.RepetitionGrams.register(spark)
+    expr.SpaceSavingTopK.register(spark)
   }
 }

@@ -915,6 +915,15 @@ object Oracles {
         |    FOR j IN range(0, 32)], '') AS resized
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // exact-regime SpaceSaving ≡ exact counts with zero error bound
+    "q_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |ww AS (SELECT * FROM w WHERE term <> '')
+        |SELECT term, count(*) AS cnt, CAST(0 AS BIGINT) AS err
+        |FROM ww GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
     "q_vocab_topk" ->
       """WITH w AS (
         |  SELECT doc_id,

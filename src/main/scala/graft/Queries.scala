@@ -613,6 +613,12 @@ object Queries {
     // nDocs passed as the corpus-size snapshot; vocab = top-20 terms.
     // ln() parity: both engines' log is correctly rounded on these args
     // (verified at sf0.01) — the idf expression tree is pinned either side.
+    // SpaceSaving heavy hitters in the exact regime (capacity ≫ |vocab| ⇒
+    // no evictions anywhere ⇒ counts exact, err 0) — the approximate regime
+    // is pinned in SpaceSavingSpec, not oracle-able by construction
+    "q_heavy_hitters" -> ((s, dir) =>
+      llm.TextAnalysis.heavyHitters(tWide(s, dir, "documents"),
+        capacity = 4096, k = 20)),
     "q_tfidf" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
       val n = docs.count()

@@ -124,6 +124,31 @@ object TextAnalysis {
       .orderBy(col("tf_total").desc, col("term"))
       .limit(k)
 
+  /** Heavy-hitter tokens via the mergeable [[graft.expr.SpaceSavingTopK]]
+    * SpaceSaving aggregate: the bounded-memory alternative to [[vocabTopK]]
+    * for web-scale vocabularies — the exact path shuffles one row per
+    * DISTINCT term (billions at 100 TB); this one moves `capacity` counters
+    * per map-side partial, nothing proportional to the vocabulary. Same
+    * token semantics as [[vocabTopK]]. With capacity ≥ |vocab| counts are
+    * exact and err = 0 (oracle regime); undersized capacity degrades to the
+    * classic overestimate-with-bound guarantee (spec regime). */
+  def heavyHitters(docs: DataFrame, capacity: Int, k: Int,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val tok = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val hh = GraftBridge.column(
+      graft.expr.SpaceSavingTopK(
+        GraftBridge.expression(col("term")), capacity).toAggregateExpression())
+    tok.agg(hh.as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("term"), col("e.cnt").as("cnt"),
+        col("e.err").as("err"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(k)
+  }
+
   /** Per-document TF and smoothed TF-IDF restricted to a vocabulary (pass
     * [[vocabTopK]]'s output). idf = ln((N+1)/(df+1)) + 1 — the standard
     * smooth variant; `nDocs` is passed explicitly so the caller controls
