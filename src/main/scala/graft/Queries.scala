@@ -688,11 +688,13 @@ object Queries {
         .select(col("media_id"), col("media").cast("string").as("resized"))
         .orderBy(col("media_id"))),
     // exact binary dedup: identical media bytes → one group; the md5 digest
-    // is computed scan-side so bytes never shuffle. ASCII corpus ⇒ DuckDB's
-    // md5(text) hashes the same utf8 bytes as Spark's md5(binary).
+    // is computed scan-side so bytes never shuffle — hence t(), not tWide():
+    // the round-robin repartition would itself shuffle the media bytes and
+    // break the operator's core claim. ASCII corpus ⇒ DuckDB's md5(text)
+    // hashes the same utf8 bytes as Spark's md5(binary).
     "q_media_dedup" -> ((s, dir) =>
       llm.Multimodal.dedupExact(
-        llm.Multimodal.mediaFromDocuments(tWide(s, dir, "documents")))
+        llm.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .orderBy(col("content_hash"))),
     // frame emitted as hex text: binary column comparators differ across
     // engines/arrow readers (bytes vs bytearray); hex is unambiguous.

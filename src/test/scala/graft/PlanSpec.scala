@@ -280,4 +280,23 @@ class PlanSpec extends SparkTestBase {
     // sides of the shuffle
     assert("""\(\d+\) HashAggregate""".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("heavy hitters: partial sketch both sides of one sketch-only exchange") {
+    val plan = formatted(graft.llm.TextAnalysis.heavyHitters(
+      t("documents"), capacity = 64, k = 10))
+    // partial + final ObjectHashAggregate: only `capacity` counters per
+    // partition cross the wire, never one row per distinct term
+    assert("""\(\d+\) ObjectHashAggregate""".r.findAllIn(plan).size === 2, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("media dedup: digest projected scan-side, bytes never shuffle") {
+    val media = graft.llm.Multimodal.mediaFromDocuments(t("documents"))
+    val plan = formatted(graft.llm.Multimodal.dedupExact(media))
+    // the first (agg) exchange carries only (hash, id) — the media binary
+    // must not appear in any exchange's input columns
+    val exchanges = """(?s)\(\d+\) Exchange.*?Input.*?\n""".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, plan)
+    assert(!exchanges.exists(_.contains("media")), plan)
+  }
 }
