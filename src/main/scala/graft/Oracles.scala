@@ -788,6 +788,59 @@ object Oracles {
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // same recursive-CTE component labeling as q_dedup_clusters, then a
+    // window argmax (n_chars desc, doc_id) per cluster + anti-joined
+    // singletons
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+         |c AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM c
+         |  JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT reach.id, e2.d FROM reach JOIN edges e2 ON e2.s = reach.r),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |best AS (
+         |  SELECT d.doc_id, cl.cluster_id,
+         |    count(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+         |    d.n_chars,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM documents d JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT doc_id, cluster_id, n_members, n_chars
+         |FROM best WHERE rn = 1
+         |UNION ALL
+         |SELECT doc_id, doc_id AS cluster_id, CAST(1 AS BIGINT) AS n_members,
+         |  n_chars
+         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cl)
+         |ORDER BY doc_id""".stripMargin,
+
+    // value-defined RANGE frame over epoch seconds; decimal-exact sum ⇒
+    // tie-order independent on both engines
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w
+        |    AS VARCHAR) AS DOUBLE) AS trailing_spend,
+        |  count(*) OVER w AS n_orders_window
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
     // single global window cumsum — the semantics the distributed two-phase
     // prefix sum must reproduce exactly
     "q_pack_sequences" ->

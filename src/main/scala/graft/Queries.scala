@@ -297,6 +297,11 @@ object Queries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // RANGE-interval frame (value-defined bounds; q_window_cume covers the
+    // ROWS family): trailing-30-day spend per customer
+    "q_window_range" -> ((s, dir) =>
+      Analytics.trailingSpend(t(s, dir, "orders"), days = 30)),
+
     // ---- analytics: numerically-disciplined moments ----
     // stddev/corr straight from the built-in double aggregators are NOT
     // cross-engine-reproducible (merge order varies with partitioning);
@@ -394,6 +399,18 @@ object Queries {
       llm.Dedup.clusters(
         llm.Dedup.minhashNearDups(tWide(s, dir, "documents"), threshold = 0.6))
         .orderBy(col("doc_id"))),
+
+    // "keep the best copy": canonical = longest member of each near-dup
+    // cluster (tie → min id); singletons canonical by themselves. Oracle
+    // reuses the recursive-CTE component labeling + a window argmax.
+    "q_dedup_canonical" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Dedup.clusterCanonicals(docs,
+          llm.Dedup.minhashNearDups(docs, threshold = 0.6))
+        .select(col("doc_id"), col("cluster_id"), col("n_members"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- LLM data pipeline: sequence packing (corpus -> training shards) ----
     // 4096-token budget over doc_id order; the two-phase distributed prefix

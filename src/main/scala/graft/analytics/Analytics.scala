@@ -144,6 +144,22 @@ object Analytics {
       .orderBy(col("ship_month"))
   }
 
+  /** Trailing-N-day spend per customer — the RANGE-interval window frame
+    * (the ROWS-frame family is covered elsewhere): frame bounds are defined
+    * by ORDER-key VALUES (epoch seconds), so date ties share a frame and
+    * the result is deterministic under any within-tie row order — which is
+    * also why the sum must be decimal-exact. Partitioned by customer; no
+    * global window, partitions are per-customer small at any scale. */
+  def trailingSpend(orders: DataFrame, days: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-days.toLong * 86400L, 0L)
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        d(sum(dec(col("o_totalprice"))).over(w)).as("trailing_spend"),
+        count(lit(1)).over(w).as("n_orders_window"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   /** TPC-H Q16-style supplier breadth: distinct suppliers per part
     * type/brand, excluding a supplier blocklist (NOT IN → left-anti join;
     * the blocklist is tiny → broadcast anti, zero extra shuffle). The

@@ -661,4 +661,35 @@ object Dedup {
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .select(col("cluster_id").as("keep_id"), col("n_members"))
+
+  /** Quality-ranked canonical selection — the "keep the best copy" curation
+    * rule: within each near-dup cluster keep the member maximizing
+    * `rankCol` (ties → min id), instead of [[clusterSurvivors]]' min-id
+    * convention; docs in no cluster are their own canonicals. Returns the
+    * docs rows of the canonicals plus (cluster_id, n_members).
+    *
+    * Scale shape: the rank window partitions by cluster_id over CLUSTER
+    * MEMBERS only — pairs exist only for detected near-dups, a sliver of
+    * the corpus, and components are size-bounded by the upstream bucket
+    * caps — while the corpus remainder takes one anti join on the id (no
+    * window at all on the non-duplicated bulk). */
+  def clusterCanonicals(docs: DataFrame, pairs: DataFrame,
+      rankCol: String = "n_chars", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = clusters(pairs) // (doc_id, cluster_id)
+    val ids = cl.select(col("doc_id").as("__cid"), col("cluster_id"))
+    val members = docs.join(ids, col(idCol) === col("__cid")).drop("__cid")
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val best = members
+      .withColumn("__rn", row_number().over(
+        byCluster.orderBy(col(rankCol).desc, col(idCol))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val singles = docs
+      .join(ids.select(col("__cid")), col(idCol) === col("__cid"), "left_anti")
+      .withColumn("cluster_id", col(idCol))
+      .withColumn("n_members", lit(1L))
+    best.unionByName(singles)
+  }
 }

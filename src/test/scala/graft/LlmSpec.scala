@@ -150,6 +150,20 @@ class LlmSpec extends SparkTestBase {
     assert(got === Set((2L, 10L), (1L, 12L)))
   }
 
+  test("cluster canonicals: longest member wins, singletons survive as-is") {
+    val docs = Seq(
+      (1L, "short", 5L), (2L, "longer copy", 11L), (3L, "longest copy!", 13L),
+      (4L, "unrelated", 9L)
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterCanonicals(docs, pairs)
+      .select($"doc_id", $"cluster_id", $"n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    // component {1,2,3} labeled by min id 1, canonical = longest (doc 3);
+    // doc 4 untouched by any pair → its own canonical
+    assert(got === Set((3L, 1L, 3L), (4L, 4L, 1L)))
+  }
+
   test("decontamination: benchmark overlap flagged, clean docs survive") {
     // corpus: 0 = verbatim copy of the benchmark doc, 1 = near-dup of it,
     // 2 = unrelated; benchmark = the base text
