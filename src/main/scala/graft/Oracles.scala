@@ -597,12 +597,36 @@ object Oracles {
         |  SELECT md5(text) FROM documents WHERE doc_id < 250)
         |ORDER BY doc_id""".stripMargin,
 
+    // the bloom path must be EXACT — identical oracle to the plain form
+    "q_dedup_incr_bloom" ->
+      """WITH batch AS (
+        |  SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
+        |    count(*) AS n_copies
+        |  FROM documents WHERE doc_id >= 250 GROUP BY md5(text))
+        |SELECT doc_id, n_copies FROM batch
+        |WHERE text_hash NOT IN (
+        |  SELECT md5(text) FROM documents WHERE doc_id < 250)
+        |ORDER BY doc_id""".stripMargin,
+
     // digest-predicate mirror of Sampling.sampleByKey: md5 prefix < '4000'
     // (= round(0.25 * 2^16) as 4 hex digits)
     "q_sample_docs" ->
       """SELECT doc_id, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |ORDER BY doc_id""".stripMargin,
+
+    // 0.8→round(.8·2¹⁶)=0xcccd, 0.9→0xe666 — digest buckets mirrored
+    "q_split_assign" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+        |           THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
 
     // per-stratum thresholds: 0.75→'c000', 0.5→'8000', 0.125→'2000',
     // unlisted strata dropped ('0000')

@@ -442,6 +442,14 @@ object Queries {
       llm.Sampling.sampleByKey(t(s, dir, "documents"), col("doc_id"), 0.25)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+    // digest-bucketed train/val/test: 80/10/10 → thresholds 0.8='cccd',
+    // 0.9='e666'; a row's split is a pure function of md5(doc_id)
+    "q_split_assign" -> ((s, dir) =>
+      llm.Sampling.assignSplit(t(s, dir, "documents"), col("doc_id"),
+          trainFrac = 0.8, valFrac = 0.1)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("split"))),
     // per-stratum rates; strata absent from the map are dropped entirely
     "q_sample_stratified" -> ((s, dir) =>
       llm.Sampling.stratified(t(s, dir, "documents"), col("source"), col("doc_id"),
@@ -473,6 +481,17 @@ object Queries {
       val docs = t(s, dir, "documents")
       llm.Dedup.incrementalNew(
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+        .orderBy(col("doc_id"))
+    }),
+    // bloom fast path: same semantics (and oracle) as q_dedup_incremental —
+    // bloom misses bypass the anti-join, hits (incl. false positives) fall
+    // through to it, so the result is exact
+    "q_dedup_incr_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val bloom = llm.Dedup.digestBloom(corpus, expectedItems = 300)
+      llm.Dedup.incrementalNewBloom(
+        docs.filter(col("doc_id") >= 250), corpus, bloom)
         .orderBy(col("doc_id"))
     }),
     // incremental NEAR-dup: batch-vs-corpus + batch-internal LSH candidates,

@@ -63,6 +63,60 @@ object Dedup {
       .select(col(idCol), col("n_copies"))
   }
 
+  /** Serialized content-digest Bloom filter of the corpus: ONE aggregation
+    * job producing a reusable cross-batch artifact — the exact-dedup analog
+    * of [[bandTable]] (build once per corpus version, probe every ingest
+    * batch). Built with Spark's own `BloomFilterAggregate` (the runtime-
+    * filter machinery, driven explicitly), keyed on xxhash64 of the content
+    * digest. Driver-bounded size: `optimalNumOfBits(expectedItems, fpp)/8`
+    * bytes — ~1.2 MB per 10⁶ digests at 1% fpp; the single-bloom design
+    * tops out around ~10⁹ corpus digests (~2 GB) — beyond that, partition
+    * the corpus and build per-range blooms. Returns null on an empty
+    * corpus ([[incrementalNewBloom]] treats that as "nothing seen"). */
+  def digestBloom(corpus: DataFrame, expectedItems: Long, fpp: Double = 0.01,
+      textCol: String = "text"): Array[Byte] = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(md5(col(textCol)))),
+        Literal(expectedItems), Literal(numBits))
+    corpus.agg(GraftBridge.column(agg.toAggregateExpression()).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** [[incrementalNew]] with a corpus-digest Bloom pre-filter — the
+    * steady-state ingest fast path. Bloom misses have NO false negatives,
+    * so a batch text whose digest misses is DEFINITELY unseen and bypasses
+    * the anti-join entirely; only bloom hits (true dups + fpp false
+    * positives) pay the join against the corpus. At steady state (batch ≪
+    * corpus, most batch texts genuinely new) the anti-join probe side
+    * shrinks to ~(dup_rate + fpp) of the batch — and composed with a
+    * digest-bucketed corpus table the residual join is shuffle-free.
+    * Result is EXACT (false positives fall through to the join), so the
+    * oracle is the same NOT-IN SQL as the plain form. */
+  def incrementalNewBloom(newDocs: DataFrame, corpus: DataFrame,
+      bloom: Array[Byte], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val batch = newDocs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+    if (bloom == null) return batch.select(col(idCol), col("n_copies"))
+    val hit = GraftBridge.column(BloomFilterMightContain(
+      Literal(bloom, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression(xxhash64(col("text_hash")))))
+    val definitelyNew = batch.filter(!hit)
+    val maybeSeen = batch.filter(hit)
+      .join(corpus.select(md5(col(textCol)).as("text_hash")),
+        Seq("text_hash"), "left_anti")
+    definitelyNew.unionByName(maybeSeen)
+      .select(col(idCol), col("n_copies"))
+  }
+
   /** Word w-shingles of lowercased text, distinct. */
   def shingles(text: Column, w: Int): Column = {
     val words = split(lower(trim(text)), "\\s+")

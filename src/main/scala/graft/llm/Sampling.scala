@@ -61,4 +61,25 @@ object Sampling {
       .limit(k)
       .drop("__skey")
   }
+
+  /** Deterministic train/val/test assignment — the split every training
+    * pipeline needs, with the same digest discipline as [[sampleByKey]]:
+    * a row's split is a pure function of its KEY, so it never migrates
+    * across reruns, repartitionings, or corpus growth (new rows slot in
+    * without reshuffling old ones — contrast a global `randomSplit`, whose
+    * assignment changes whenever the data or partitioning does, silently
+    * leaking held-out rows into train). Fractions bucket the 16-bit digest
+    * prefix: [0, t_train) → train, [t_train, t_train+t_val) → val, rest →
+    * test. Pure scan-side projection; partition the OUTPUT by `split` for
+    * downstream reads. */
+  def assignSplit(df: DataFrame, key: Column, trainFrac: Double,
+      valFrac: Double): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"fractions must be non-negative and sum below 1: $trainFrac + $valFrac")
+    val p = substring(md5(key.cast("string")), 1, 4)
+    df.withColumn("split",
+      when(p < lit(digestThreshold(trainFrac)), "train")
+        .when(p < lit(digestThreshold(trainFrac + valFrac)), "val")
+        .otherwise("test"))
+  }
 }

@@ -67,4 +67,24 @@ object StreamingCuration {
       .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("text_hash")
       .select(col("doc_id"), col("quality"), col("text"))
+
+  /** Trending tokens per tumbling window via the mergeable
+    * [[graft.expr.SpaceSavingTopK]] sketch — state per window is the
+    * sketch's `capacity` counters, NEVER one state row per distinct token
+    * (the exact streaming count would grow state with the vocabulary; a
+    * crawl feed's vocabulary is unbounded). Watermark + append mode: each
+    * window's sketch finalizes once the watermark passes, exactly like any
+    * windowed agg — the aggregate's serialize/merge path IS the streaming
+    * state codec. Emits (window, hh: array<struct<item,cnt,err>>). */
+  def windowedHeavyHitters(tokens: DataFrame, capacity: Int,
+      windowLen: String = "1 hour", watermarkDelay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val hh = GraftBridge.column(
+      graft.expr.SpaceSavingTopK(
+        GraftBridge.expression(col("term")), capacity).toAggregateExpression())
+    tokens
+      .withWatermark("ingest_ts", watermarkDelay)
+      .groupBy(window(col("ingest_ts"), windowLen))
+      .agg(hh.as("hh"))
+  }
 }

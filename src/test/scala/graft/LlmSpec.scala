@@ -150,6 +150,26 @@ class LlmSpec extends SparkTestBase {
     assert(got === Set((2L, 10L), (1L, 12L)))
   }
 
+  test("bloom incremental dedup: exact vs plain form; empty corpus = all new") {
+    val corpus = (0L until 50L).map(i => (i, s"corpus text $i")).toDF("doc_id", "text")
+    // batch: 10 dups of corpus texts, 20 new, plus batch-internal dups
+    val batch = ((100L until 110L).map(i => (i, s"corpus text ${i - 100}")) ++
+      (200L until 220L).map(i => (i, s"new text ${i % 210}"))).toDF("doc_id", "text")
+    val plain = Dedup.incrementalNew(batch, corpus)
+      .as[(Long, Long)].collect().toSet
+    val bloom = Dedup.digestBloom(corpus, expectedItems = 50)
+    val fast = Dedup.incrementalNewBloom(batch, corpus, bloom)
+      .as[(Long, Long)].collect().toSet
+    assert(fast === plain)
+    // a null bloom (empty corpus) must mean "nothing seen", not "drop all"
+    val emptyCorpus = corpus.filter(lit(false))
+    val none = Dedup.incrementalNewBloom(batch, emptyCorpus, bloom = null)
+      .as[(Long, Long)].collect().toSet
+    val noneExpected = Dedup.incrementalNew(batch, emptyCorpus)
+      .as[(Long, Long)].collect().toSet
+    assert(none === noneExpected)
+  }
+
   test("cluster canonicals: longest member wins, singletons survive as-is") {
     val docs = Seq(
       (1L, "short", 5L), (2L, "longer copy", 11L), (3L, "longest copy!", 13L),

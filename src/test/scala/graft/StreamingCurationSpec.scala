@@ -40,6 +40,32 @@ class StreamingCurationSpec extends SparkTestBase {
     assert(got.head._2 >= 0.4)
   }
 
+  test("streaming heavy hitters: per-window sketch finalizes on watermark") {
+    val ms = (m: Long) => new Timestamp(m)
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val out = StreamingCuration.windowedHeavyHitters(
+      input.toDF().toDF("term", "ingest_ts"), capacity = 8,
+      windowLen = "1 minute", watermarkDelay = "0 seconds")
+    // window [0,60s): a·3, b·1; the 130s row pushes the watermark past it
+    // (no-data micro-batch flushes the closed window); the 130s window
+    // itself stays open → only window 1 is emitted
+    input.addData(("a", ms(1_000)), ("a", ms(2_000)), ("b", ms(3_000)),
+      ("a", ms(4_000)))
+    input.addData(("c", ms(130_000)))
+    val q = out.writeStream
+      .format("memory").queryName("graft_stream_hh")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      """SELECT e.item, e.cnt FROM (
+        |  SELECT explode(hh) AS e FROM graft_stream_hh) ORDER BY e.cnt DESC
+        |""".stripMargin).as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("a", 3L), ("b", 1L)))
+  }
+
   test("stream-stream join: embeddings matched within the horizon only") {
     val ms = (m: Long) => new Timestamp(m)
     val docsIn = MemoryStream[(Long, String, Timestamp)](spark)
