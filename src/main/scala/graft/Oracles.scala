@@ -291,6 +291,11 @@ object Oracles {
       """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS hll_within_5pct
         |FROM events""".stripMargin,
 
+    "q_uniques_sketches" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS sketch_within_5pct
+        |FROM events""".stripMargin,
+
     "q_cube_revenue" ->
       s"""SELECT c_mktsegment, o_orderpriority,
          |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders

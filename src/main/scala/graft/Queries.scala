@@ -144,6 +144,10 @@ object Queries {
         .select(col("exact_users"),
           (abs(col("approx_users").cast("double") / col("exact_users").cast("double")
             - 1.0) <= 0.05).as("hll_within_5pct"))),
+    // mergeable-artifact uniques: per-day HLL sketches unioned for the
+    // period count (never re-scanning events); ±5% contract vs exact
+    "q_uniques_sketches" -> ((s, dir) =>
+      Analytics.uniquesFromDailySketches(t(s, dir, "events"))),
     // the exact half of uniques() split out so it gets a value-level oracle
     "q_uniques_exact" -> ((s, dir) =>
       t(s, dir, "events").agg(count_distinct(col("user_id")).as("exact_users"))),

@@ -176,6 +176,28 @@ object Analytics {
       .orderBy(col("p_type"), col("p_brand"))
   }
 
+  /** Distinct users over a period from STORED per-day HLL sketches
+    * (DataSketches `hll_sketch_agg`/`hll_union_agg`) — the mergeable-
+    * artifact pattern: the per-day sketch table is a few KB per day,
+    * persisted once, and any date-range unique count is a sketch UNION
+    * over the range — never a re-scan of raw events (at 100 TB, the whole
+    * point: MAU/WAU/rolling-28d all come off the same daily artifacts).
+    * Emits the exact count alongside a ±5% contract boolean so the oracle
+    * pins the sketch's accuracy, not just its existence. */
+  def uniquesFromDailySketches(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+    events.agg(count_distinct(col("user_id")).as("exact_users"))
+      .crossJoin(merged) // 1×1
+      .select(col("exact_users"),
+        (abs(col("approx_users").cast("double")
+          / col("exact_users").cast("double") - 1.0) <= 0.05)
+          .as("sketch_within_5pct"))
+  }
+
   /** Daily active users — countDistinct shuffles (day, user) then reduces;
     * at 100 TB prefer [[dailyActiveApprox]] (HLL, one pass, no exact-distinct
     * expansion). */

@@ -53,6 +53,47 @@ class IoSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [isnotnull(shard"), plan)
   }
 
+  test("zValue: bit interleave correct, curve order non-negative") {
+    val got = Seq((3, 0), (0, 3), (1, 1), (0, 0))
+      .toDF("a", "b")
+      .select(Io.zValue($"a", $"b").as("z")).as[Long].collect().toSeq
+    // a→even bits, b→odd bits: (3,0)=0b0101, (0,3)=0b1010, (1,1)=0b11
+    assert(got === Seq(5L, 10L, 3L, 0L))
+    val top = Seq((Int.MaxValue, Int.MaxValue)).toDF("a", "b")
+      .select(Io.zValue($"a", $"b")).as[Long].head()
+    assert(top > 0L) // 62 bits used — ordering never crosses the sign bit
+  }
+
+  test("z-ordered layout: per-file bounding boxes shrink on BOTH columns") {
+    // 64×64 grid, shuffled: a doc_id-style sort would give perfect x
+    // locality and none on y; z-order must bound both
+    val n = 64
+    val grid = spark.range(n.toLong * n).select(
+      (col("id") % n).cast("int").as("x"),
+      (col("id") / n).cast("int").as("y"))
+    def fileBoxes(path: String): Seq[(Int, Int, Int, Int)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"x").as("x0"), max($"x").as("x1"),
+          min($"y").as("y0"), max($"y").as("y1"))
+        .select($"x0", $"x1", $"y0", $"y1")
+        .as[(Int, Int, Int, Int)].collect().toSeq
+    val zOut = tmp("graft-zorder")
+    Io.writeZOrdered(grid, "x", "y", zOut, nFiles = 16)
+    val xOut = tmp("graft-xsort")
+    grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(xOut)
+    def spanSum(boxes: Seq[(Int, Int, Int, Int)], dim: String): Long =
+      boxes.map(b => if (dim == "x") (b._2 - b._1).toLong else (b._4 - b._3).toLong).sum
+    val (zB, xB) = (fileBoxes(zOut), fileBoxes(xOut))
+    // the x-sorted layout leaves y unbounded (~full range per file);
+    // z-order must cut the summed y-span at least in half while keeping
+    // x-spans bounded (each z file covers a ≤quarter-range x window)
+    assert(spanSum(zB, "y") * 2 <= spanSum(xB, "y"),
+      s"z y-spans ${spanSum(zB, "y")} vs x-sort ${spanSum(xB, "y")}")
+    assert(zB.forall(b => b._2 - b._1 <= n / 2), zB.toString)
+  }
+
   test("partitioned write prunes partitions at scan time") {
     val out = tmp("graft-part")
     Io.writePartitioned(docs, out, "source")
