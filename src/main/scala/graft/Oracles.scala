@@ -633,6 +633,15 @@ object Oracles {
         |SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM a GROUP BY split ORDER BY split""".stripMargin,
 
+    "q_split_folds" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % 5 AS INT) AS fold
+        |  FROM documents)
+        |SELECT fold, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM a GROUP BY fold ORDER BY fold""".stripMargin,
+
     // per-stratum thresholds: 0.75→'c000', 0.5→'8000', 0.125→'2000',
     // unlisted strata dropped ('0000')
     "q_sample_stratified" ->

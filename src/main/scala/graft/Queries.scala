@@ -454,6 +454,12 @@ object Queries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("split"))),
+    // deterministic 5-fold CV assignment: fold = digest16 mod 5
+    "q_split_folds" -> ((s, dir) =>
+      llm.Sampling.assignFold(t(s, dir, "documents"), col("doc_id"), k = 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("fold"))),
     // per-stratum rates; strata absent from the map are dropped entirely
     "q_sample_stratified" -> ((s, dir) =>
       llm.Sampling.stratified(t(s, dir, "documents"), col("source"), col("doc_id"),

@@ -82,4 +82,15 @@ object Sampling {
         .when(p < lit(digestThreshold(trainFrac + valFrac)), "val")
         .otherwise("test"))
   }
+
+  /** Deterministic k-fold assignment (cross-validation): fold = 16-bit
+    * digest prefix mod k — same key-pure discipline as [[assignSplit]], so
+    * fold membership survives reruns and corpus growth. Fold sizes are
+    * uniform to within the 2¹⁶-bucket granularity. */
+  def assignFold(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k > 1, s"k must exceed 1: $k")
+    df.withColumn("fold",
+      pmod(conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int"),
+        lit(k)))
+  }
 }
