@@ -72,6 +72,7 @@ case class SpaceSavingTopK(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.capacity)
+    out.writeBoolean(buffer.hasEvicted)
     out.writeInt(buffer.size)
     buffer.foreach { (item, cnt, err) =>
       val b = item.getBytes
@@ -86,6 +87,7 @@ case class SpaceSavingTopK(
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val cap = in.readInt()
     val s = new SpaceSavingTopK.Summary(cap)
+    s.setEvicted(in.readBoolean())
     val n = in.readInt()
     var i = 0
     while (i < n) {
@@ -126,11 +128,35 @@ object SpaceSavingTopK {
     StructField("err", LongType, nullable = false))), containsNull = false)
 
   /** The bounded counter set: item → [cnt, err]. Mutation is single-threaded
-    * per aggregation buffer (Spark's contract), so a plain HashMap. */
+    * per aggregation buffer (Spark's contract), so a plain HashMap.
+    *
+    * `evicted` tracks whether this summary has EVER dropped a counter: while
+    * false, absence of an item means its true count is zero (the summary is
+    * a complete exact map); once true, absence only bounds the true count by
+    * the current minimum counter — which is exactly the floor the merge must
+    * add for items the other side doesn't track (Agarwal et al. 2012;
+    * without the floor a merge UNDERCOUNTS items evicted from one side, a
+    * bug the 200-trial property spec caught). */
   final class Summary(val capacity: Int) {
     private val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    private var evicted = false
 
     def size: Int = counts.size
+
+    def hasEvicted: Boolean = evicted
+
+    /** Restore the eviction flag (deserialization only). */
+    def setEvicted(e: Boolean): Unit = evicted = e
+
+    /** Upper bound on the true count of any item NOT in this summary: 0
+      * while the summary is still a complete map, else the min counter. */
+    def absentFloor: Long = {
+      if (!evicted) return 0L
+      var m = Long.MaxValue
+      val it = counts.values().iterator()
+      while (it.hasNext) m = math.min(m, it.next()(0))
+      if (m == Long.MaxValue) 0L else m
+    }
 
     def foreach(f: (UTF8String, Long, Long) => Unit): Unit = {
       val it = counts.entrySet().iterator()
@@ -164,22 +190,41 @@ object SpaceSavingTopK {
         }
       }
       counts.remove(minKey)
+      evicted = true
       // the newcomer inherits the evictee's count as its error bound
       counts.put(item.clone(), Array(minCnt + w, minCnt))
     }
 
-    /** Mergeable-summaries merge: sum counters for common items, take the
-      * rest as-is, keep the `capacity` largest (cnt desc, item asc). */
+    /** Mergeable-summaries merge (Agarwal et al. 2012): for each item in
+      * the union, sum the two sides' estimates, where a side that doesn't
+      * track the item contributes its [[absentFloor]] to BOTH count and
+      * error (its true count there is ≤ the floor, ≥ 0) — then keep the
+      * `capacity` largest (cnt desc, item asc). Preserves the overestimate
+      * invariant true ≤ cnt ≤ true + err through any merge tree, including
+      * Spark's partial/final and multi-level AQE aggregations; while
+      * neither side has ever evicted (floors 0) the merge is EXACT. */
     def mergeIn(other: Summary): Unit = {
+      val floorSelf = absentFloor
+      val floorOther = other.absentFloor
+      if (other.hasEvicted) evicted = true
+      // pass 1: items this side tracks — add other's estimate or its floor
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val o = other.counts.get(e.getKey)
+        if (o != null) { e.getValue()(0) += o(0); e.getValue()(1) += o(1) }
+        else { e.getValue()(0) += floorOther; e.getValue()(1) += floorOther }
+      }
+      // pass 2: items only the other side tracks — take with self's floor
       other.foreach { (item, cnt, err) =>
-        val cur = counts.get(item)
-        if (cur != null) { cur(0) += cnt; cur(1) += err }
-        else counts.put(item, Array(cnt, err))
+        if (!counts.containsKey(item))
+          counts.put(item, Array(cnt + floorSelf, err + floorSelf))
       }
       if (counts.size > capacity) {
         val keep = sortedEntries.take(capacity)
         counts.clear()
         keep.foreach { e => counts.put(e._1, Array(e._2, e._3)) }
+        evicted = true
       }
     }
 
