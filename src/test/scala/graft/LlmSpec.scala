@@ -170,6 +170,29 @@ class LlmSpec extends SparkTestBase {
     assert(none === noneExpected)
   }
 
+  test("bloom incremental dedup: 10-trial fuzz incl. saturated high-fpp blooms") {
+    // undersized expectedItems saturates the bloom (fpp → high), forcing
+    // false positives through the anti-join path — result must stay exact
+    val rng = new scala.util.Random(7)
+    (1 to 10).foreach { trial =>
+      val corpusTexts = (0 until 30 + rng.nextInt(40)).map(i => s"c$trial-$i")
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batchTexts = (0 until 40).map { _ =>
+        if (rng.nextBoolean()) corpusTexts(rng.nextInt(corpusTexts.size))
+        else s"n$trial-${rng.nextInt(25)}"
+      }
+      val batch = batchTexts.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      val bloom = Dedup.digestBloom(corpus, expectedItems = 4, fpp = 0.5)
+      val fast = Dedup.incrementalNewBloom(batch, corpus, bloom)
+        .as[(Long, Long)].collect().toSet
+      val plain = Dedup.incrementalNew(batch, corpus)
+        .as[(Long, Long)].collect().toSet
+      assert(fast === plain, s"trial $trial")
+    }
+  }
+
   test("cluster canonicals: longest member wins, singletons survive as-is") {
     val docs = Seq(
       (1L, "short", 5L), (2L, "longer copy", 11L), (3L, "longest copy!", 13L),
