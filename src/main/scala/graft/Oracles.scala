@@ -1024,6 +1024,32 @@ object Oracles {
         |SELECT term, count(*) AS tf_total, count(DISTINCT doc_id) AS df
         |FROM ww GROUP BY term ORDER BY tf_total DESC, term LIMIT 50""".stripMargin,
 
+    // vocab ranked exactly like vocabTopK (tf desc, term), ids 1-based so
+    // 0 is OOV; unnest + generate_subscripts zip to (term, pos)
+    "q_tokenize_ids" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |ww AS (SELECT doc_id, unnest(toks) AS term FROM w),
+        |vt AS (
+        |  SELECT term, count(*) AS tf_total FROM ww WHERE term <> ''
+        |  GROUP BY term ORDER BY tf_total DESC, term LIMIT 20),
+        |v AS (
+        |  SELECT term, CAST(row_number()
+        |    OVER (ORDER BY tf_total DESC, term) AS INT) AS term_id
+        |  FROM vt),
+        |e AS (
+        |  SELECT doc_id, unnest(toks) AS term,
+        |    generate_subscripts(toks, 1) AS pos
+        |  FROM w),
+        |j AS (
+        |  SELECT e.doc_id, e.pos, COALESCE(v.term_id, 0) AS tid
+        |  FROM e LEFT JOIN v USING (term))
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |  list(tid ORDER BY pos) AS ids
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_tfidf" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -665,6 +665,14 @@ object Queries {
     "q_heavy_hitters" -> ((s, dir) =>
       llm.TextAnalysis.heavyHitters(tWide(s, dir, "documents"),
         capacity = 4096, k = 20)),
+    // tokenize to vocab ids: top-20 vocab ranked (tf desc, term), OOV → 0,
+    // token order preserved through the posexplode/join/sort_array chain
+    "q_tokenize_ids" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.TextAnalysis.tokenizeToIds(docs,
+          llm.TextAnalysis.vocabWithIds(llm.TextAnalysis.vocabTopK(docs, k = 20)))
+        .orderBy(col("doc_id"))
+    }),
     "q_tfidf" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
       val n = docs.count()

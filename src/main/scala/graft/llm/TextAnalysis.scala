@@ -149,6 +149,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Documents → vocab-id sequences: the tokenize step between curation and
+    * [[Packing]] (packed shards carry int sequences, not text). Tokens map
+    * through a broadcast (term → term_id) table — vocabularies are KBs–MBs
+    * against TBs of text; OOV tokens become `oovId`. Token ORDER is
+    * preserved: posexplode carries the position through the join and a
+    * per-document sort_array restores it — the only shuffle is the doc_id
+    * groupBy (uniform key), the sort is in-memory per document.
+    * Emits (doc_id, n_tokens, ids). */
+  def tokenizeToIds(docs: DataFrame, vocab: DataFrame, oovId: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "term")))
+      .join(broadcast(vocab.select(col("term"), col("term_id"))), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"),
+        coalesce(col("term_id"), lit(oovId)).as("tid")))).as("pt"))
+      .select(col(idCol), size(col("pt")).as("n_tokens"),
+        transform(col("pt"), x => x.getField("tid")).as("ids"))
+
+  /** Deterministic dense ids for a [[vocabTopK]] vocabulary: 1-based rank
+    * by (tf_total desc, term) — id 0 stays free for OOV. The global window
+    * runs on the k-row vocab, never on corpus data. */
+  def vocabWithIds(vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vocab.select(col("term"),
+      row_number().over(Window.orderBy(col("tf_total").desc, col("term")))
+        .as("term_id"))
+  }
+
   /** Per-document TF and smoothed TF-IDF restricted to a vocabulary (pass
     * [[vocabTopK]]'s output). idf = ln((N+1)/(df+1)) + 1 — the standard
     * smooth variant; `nDocs` is passed explicitly so the caller controls

@@ -396,6 +396,23 @@ class LlmSpec extends SparkTestBase {
     assert(fp.nonEmpty && fp.forall(_.matches("[0-9a-f]{32}")) && fp == fp.sorted)
   }
 
+  test("tokenize to ids: order preserved, OOV → 0, vocab ranked tf-then-term") {
+    val corpus = Seq(
+      (0L, "a b c a"),   // a×2
+      (1L, "a b b"),     // a×1 b×2  → totals: a=3, b=3, c=1
+      (2L, "zz a b c")   // tie a=b broken by term asc → a→1, b→2
+    ).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabWithIds(TextAnalysis.vocabTopK(corpus, k = 2))
+    assert(vocab.collect().map(r => r.getString(0) -> r.getInt(1)).toMap ===
+      Map("a" -> 1, "b" -> 2))
+    val out = TextAnalysis.tokenizeToIds(corpus, vocab).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getSeq[Int](r.fieldIndex("ids")))).toMap
+    assert(out(0L) === ((4, Seq(1, 2, 0, 1)))) // c is OOV; repeats keep position
+    assert(out(1L) === ((3, Seq(1, 2, 2))))
+    assert(out(2L) === ((4, Seq(0, 1, 2, 0)))) // zz and c both OOV
+  }
+
   test("multimodal: feature extraction is deterministic, unit-normalized-ish") {
     val media = Multimodal.mediaFromDocuments(
       Seq((0L, "hello world", "en", "s", 11L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
