@@ -1142,6 +1142,26 @@ object Oracles {
       """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
 
+    // bins [start, start+100); DuckDB sum(int) is HUGEINT → cast back
+    "q_length_histogram" ->
+      """SELECT CAST(floor(len(text) / 100) * 100 AS BIGINT) AS bin_start,
+        |  CAST(floor(len(text) / 100) * 100 + 100 AS BIGINT) AS bin_end,
+        |  count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY bin_start""".stripMargin,
+
+    // avg = one IEEE division of exact integer sums — engine-portable
+    "q_source_profile" ->
+      """WITH d AS (
+        |  SELECT source, len(text) AS len,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS n_chars,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
     "q_text_stats" ->
       s"""WITH sc AS (
          |  SELECT doc_id, text, $langScoresSql

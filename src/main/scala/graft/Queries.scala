@@ -612,6 +612,11 @@ object Queries {
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
     // ---- LLM data pipeline: text analysis ----
+    // corpus-shape diagnostics: length histogram + per-source mixture table
+    "q_length_histogram" -> ((s, dir) =>
+      llm.TextAnalysis.lengthHistogram(t(s, dir, "documents"), binWidth = 100)),
+    "q_source_profile" -> ((s, dir) =>
+      llm.TextAnalysis.sourceProfile(tWide(s, dir, "documents"))),
     "q_text_stats" -> ((s, dir) => {
       import llm.TextAnalysis._
       val txt = col("text")

@@ -281,6 +281,40 @@ object TextAnalysis {
   }
 
   /** Per-document stats projection over a corpus. */
+  /** Corpus length distribution in fixed-width character bins — the first
+    * diagnostic a curation run produces before choosing length filters.
+    * One scan + one tiny aggregation: only ~(maxLen/binWidth) bin rows
+    * cross the shuffle, whatever the corpus size. Emits
+    * (bin_start, bin_end, n_docs, n_chars), bins `[start, start+width)`. */
+  def lengthHistogram(docs: DataFrame, binWidth: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    docs
+      .select(length(col(textCol)).cast("long").as("len"))
+      .groupBy((floor(col("len") / binWidth) * binWidth).as("bin_start"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"))
+      .select(col("bin_start"), (col("bin_start") + binWidth).as("bin_end"),
+        col("n_docs"), col("n_chars"))
+      .orderBy(col("bin_start"))
+  }
+
+  /** Per-source corpus profile: doc counts, char/token totals, and mean doc
+    * length — the mixture table a training run balances its sampling
+    * weights against. One scan over the kernel, partial-agg friendly,
+    * output rows = number of sources. The mean is a single IEEE division
+    * of exact integer sums, so it is engine-portable bit-for-bit. */
+  def sourceProfile(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame =
+    docs
+      .select(col(sourceCol), length(col(textCol)).cast("long").as("len"),
+        tokenCount(col(textCol)).cast("long").as("toks"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"),
+        sum(col("toks")).as("n_tokens"))
+      .withColumn("avg_chars",
+        col("n_chars").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col(sourceCol))
+
   def docStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
       col(idCol),

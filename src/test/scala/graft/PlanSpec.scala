@@ -299,4 +299,20 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges.nonEmpty, plan)
     assert(!exchanges.exists(_.contains("media")), plan)
   }
+
+  test("tokenize to ids: vocab join broadcasts; one corpus shuffle (doc agg)") {
+    val docs = t("documents")
+    val vocab = graft.llm.TextAnalysis.vocabWithIds(
+      graft.llm.TextAnalysis.vocabTopK(docs, 20))
+    val plan = formatted(graft.llm.TextAnalysis.tokenizeToIds(docs, vocab))
+    // the (term -> id) table is KBs against TBs of exploded tokens: it must
+    // arrive as a broadcast, never a shuffled sort-merge join
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the corpus-side plan shuffles once, on doc_id for the regroup; the
+    // vocab's own tiny exchange sits under the k-row TakeOrdered subtree
+    val corpusExchanges = """(?s)\(\d+\) Exchange.*?Input.*?\n""".r
+      .findAllIn(plan).count(_.contains("doc_id"))
+    assert(corpusExchanges === 1, plan)
+  }
 }
