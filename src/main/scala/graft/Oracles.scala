@@ -274,6 +274,24 @@ object Oracles {
          |GROUP BY c_mktsegment, o_orderpriority
          |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
 
+    // z from single IEEE ops on exact integer sums, same op order as the
+    // Spark side: mean = s/nh, msq = sq/nh, z = (n - mean)/sqrt(msq - mean²)
+    "q_hourly_anomaly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS nh,
+        |    CAST(sum(n_events) AS DOUBLE) AS s,
+        |    CAST(sum(n_events * n_events) AS DOUBLE) AS sq
+        |  FROM h)
+        |SELECT hour, n_events,
+        |  (CAST(n_events AS DOUBLE) - s/nh)
+        |    / sqrt(sq/nh - (s/nh)*(s/nh)) AS z,
+        |  (abs((CAST(n_events AS DOUBLE) - s/nh)
+        |    / sqrt(sq/nh - (s/nh)*(s/nh))) > 2.0) AS is_anomaly
+        |FROM h, s ORDER BY hour""".stripMargin,
+
     "q_daily_active" ->
       """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -641,6 +659,15 @@ object Oracles {
         |  FROM documents)
         |SELECT fold, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM a GROUP BY fold ORDER BY fold""".stripMargin,
+
+    // digest-rank cap per source; rank ties broken by doc_id like Spark
+    "q_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
 
     // per-stratum thresholds: 0.75→'c000', 0.5→'8000', 0.125→'2000',
     // unlisted strata dropped ('0000')

@@ -132,6 +132,8 @@ object Queries {
       Analytics.supplierBreadth(t(s, dir, "lineitem"), t(s, dir, "part"),
         t(s, dir, "supplier"))),
     "q_daily_active" -> ((s, dir) => Analytics.dailyActive(t(s, dir, "events"))),
+    // per-hour volume z-scores: tiny hourly agg + one broadcast stats row
+    "q_hourly_anomaly" -> ((s, dir) => Analytics.hourlyAnomalies(t(s, dir, "events"))),
     "q_topk_events" -> ((s, dir) => Analytics.topkEvents(t(s, dir, "events"), 5)),
     // HLL's raw estimate can't be oracled (DuckDB's sketch differs), but
     // its ERROR CONTRACT can: emit the exact count plus a boolean asserting
@@ -460,6 +462,12 @@ object Queries {
         .groupBy(col("fold"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("fold"))),
+    // source balancing: at most 20 digest-ranked docs survive per source
+    "q_source_cap" -> ((s, dir) =>
+      llm.Sampling.capPerGroup(t(s, dir, "documents"), col("source"),
+          col("doc_id"), cap = 20)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
     // per-stratum rates; strata absent from the map are dropped entirely
     "q_sample_stratified" -> ((s, dir) =>
       llm.Sampling.stratified(t(s, dir, "documents"), col("source"), col("doc_id"),

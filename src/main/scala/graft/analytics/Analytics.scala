@@ -308,6 +308,32 @@ object Analytics {
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Per-hour volume anomalies: z-score of each hour's event count against
+    * the whole-range hourly mean/std — the ops-monitoring read on an event
+    * stream (traffic drop, bot spike). Two tiny aggregations: per-hour
+    * counts (≤ hours-in-range rows cross the shuffle) and ONE global stats
+    * row that rejoins by broadcast — never a global window over events.
+    * Each float step is a single IEEE op on exact integer sums (mean,
+    * mean-of-squares, var = msq − mean², std, z), so the scores are
+    * engine-portable bit-for-bit. n·n overflows long only past ~3e9
+    * events/hour — repartition the hour grain before that. */
+  def hourlyAnomalies(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.agg(
+      count(lit(1)).as("nh"),
+      sum(col("n_events")).as("s"),
+      sum(col("n_events") * col("n_events")).as("sq"))
+    val mean = col("s").cast("double") / col("nh").cast("double")
+    val msq = col("sq").cast("double") / col("nh").cast("double")
+    val z = (col("n_events").cast("double") - mean) / sqrt(msq - mean * mean)
+    hourly.crossJoin(broadcast(stats))
+      .select(col("hour"), col("n_events"), z.as("z"),
+        (abs(z) > zThreshold).as("is_anomaly"))
+      .orderBy(col("hour"))
+  }
+
   /** Daily event-type matrix via pivot. The value list is EXPLICIT: with it
     * Spark pivots in a single pass; without it a collect-distinct job runs
     * first to discover the columns — an extra full scan at 100 TB and a

@@ -93,4 +93,22 @@ object Sampling {
       pmod(conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int"),
         lit(k)))
   }
+
+  /** Deterministic per-group cap: keep at most `cap` rows per group, chosen
+    * by md5-digest rank of the row key — source balancing for a training
+    * mixture (one viral crawl must not dominate the mix). The kept set is
+    * a pure function of (group, key): stable under repartitioning and
+    * retries, and a group's survivors only change when THAT group grows.
+    * One shuffle on the group key; the rank window sorts each group's
+    * partition slice, never the corpus. A pathologically hot group makes
+    * that slice big — cap the input with [[sampleByKey]] first if a single
+    * group approaches executor memory. */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 0, s"cap must be positive: $cap")
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(group).orderBy(md5(key.cast("string")), key)))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
 }
