@@ -312,23 +312,29 @@ object Analytics {
     * the whole-range hourly mean/std — the ops-monitoring read on an event
     * stream (traffic drop, bot spike). Two tiny aggregations: per-hour
     * counts (≤ hours-in-range rows cross the shuffle) and ONE global stats
-    * row that rejoins by broadcast — never a global window over events.
+    * row derived by window — ONE scan of events. The global (empty
+    * partition spec) window is deliberate and safe here: it runs over the
+    * hourly AGGREGATE, whose row count is calendar-bounded (8 760/year),
+    * never over events — the one place the usual no-global-window rule
+    * inverts. (The alternative, re-aggregating stats and cross-joining
+    * them back, plans as TWO full scans of events: exchange reuse does not
+    * fire across the broadcast boundary — measured, tools/ReuseProbe.)
     * Each float step is a single IEEE op on exact integer sums (mean,
     * mean-of-squares, var = msq − mean², std, z), so the scores are
     * engine-portable bit-for-bit. n·n overflows long only past ~3e9
     * events/hour — repartition the hour grain before that. */
   def hourlyAnomalies(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
     val hourly = events
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"))
-    val stats = hourly.agg(
-      count(lit(1)).as("nh"),
-      sum(col("n_events")).as("s"),
-      sum(col("n_events") * col("n_events")).as("sq"))
-    val mean = col("s").cast("double") / col("nh").cast("double")
-    val msq = col("sq").cast("double") / col("nh").cast("double")
+    val mean = sum(col("n_events")).over(w).cast("double") /
+      count(lit(1)).over(w).cast("double")
+    val msq = sum(col("n_events") * col("n_events")).over(w).cast("double") /
+      count(lit(1)).over(w).cast("double")
     val z = (col("n_events").cast("double") - mean) / sqrt(msq - mean * mean)
-    hourly.crossJoin(broadcast(stats))
+    hourly
       .select(col("hour"), col("n_events"), z.as("z"),
         (abs(z) > zThreshold).as("is_anomaly"))
       .orderBy(col("hour"))
