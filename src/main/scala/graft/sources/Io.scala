@@ -52,6 +52,24 @@ object Io {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Incremental partition maintenance — the daily-ingest upsert for a
+    * hive-partitioned table WITHOUT a table format: dynamic partition
+    * overwrite replaces exactly the partitions present in `df` and leaves
+    * every other partition's files untouched, so a day's re-run rewrites
+    * one day, not the table. (Static overwrite mode — the default — would
+    * TRUNCATE the whole root first: at 100 TB that is the difference
+    * between a 100 GB job and a 100 TB one, and an outage if it fails
+    * midway.) Readers see the swap per-partition; concurrent writers to
+    * DIFFERENT partitions compose. IoSpec pins the untouched-partition
+    * survival. */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: String*): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Morton (Z-order) interleave of two non-negative 31-bit keys into one
     * long: bit i of `a` lands at position 2i, bit i of `b` at 2i+1, so
     * z-adjacent rows are close in BOTH dimensions at every scale of the

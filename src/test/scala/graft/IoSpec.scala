@@ -105,4 +105,28 @@ class IoSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [isnotnull(source"), plan)
     assert(one.count() === docs.filter($"source" === "src1").count())
   }
+
+  test("dynamic partition overwrite replaces only the partitions written") {
+    val out = tmp("graft-upsert")
+    Io.writePartitioned(docs, out, "source")
+    val before = spark.read.parquet(out)
+    val untouched = before.filter($"source" =!= "src1")
+      .select($"doc_id").as[Long].collect().toSet
+    // day-2 re-ingest of src1 only: a strict subset (src1 ids are
+    // =1 mod 20, so halve via mod 40), text revised
+    val revised = docs.filter($"source" === "src1")
+      .filter($"doc_id" % 40 === 1)
+      .withColumn("text", concat($"text", lit(" v2")))
+    Io.overwritePartitions(revised, out, "source")
+    val after = spark.read.parquet(out)
+    // src1 fully replaced by the smaller revision...
+    val src1 = after.filter($"source" === "src1")
+    assert(src1.count() === revised.count())
+    assert(src1.filter(!$"text".endsWith(" v2")).count() === 0)
+    // ...every other partition byte-identical (same doc set, no v2 rows)
+    assert(after.filter($"source" =!= "src1")
+      .select($"doc_id").as[Long].collect().toSet === untouched)
+    assert(after.filter($"source" =!= "src1")
+      .filter($"text".endsWith(" v2")).count() === 0)
+  }
 }
