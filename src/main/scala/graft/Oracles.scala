@@ -292,6 +292,17 @@ object Oracles {
         |    / sqrt(sq/nh - (s/nh)*(s/nh))) > 2.0) AS is_anomaly
         |FROM h, s ORDER BY hour""".stripMargin,
 
+    // chain debounce = keep rows whose lag-gap is null or beyond the window
+    "q_debounce" ->
+      """WITH x AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap
+        |  FROM events)
+        |SELECT event_id, user_id, event_type FROM x
+        |WHERE gap IS NULL OR gap > 3600000
+        |ORDER BY event_id""".stripMargin,
+
     "q_daily_active" ->
       """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -134,6 +134,11 @@ object Queries {
     "q_daily_active" -> ((s, dir) => Analytics.dailyActive(t(s, dir, "events"))),
     // per-hour volume z-scores: tiny hourly agg + one broadcast stats row
     "q_hourly_anomaly" -> ((s, dir) => Analytics.hourlyAnomalies(t(s, dir, "events"))),
+    // double-fire cleaner: 1h chain-debounce per (user, type), kept heads
+    "q_debounce" -> ((s, dir) =>
+      Analytics.debounce(t(s, dir, "events"), withinMs = 3600000L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))),
     "q_topk_events" -> ((s, dir) => Analytics.topkEvents(t(s, dir, "events"), 5)),
     // HLL's raw estimate can't be oracled (DuckDB's sketch differs), but
     // its ERROR CONTRACT can: emit the exact count plus a boolean asserting

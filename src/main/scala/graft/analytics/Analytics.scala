@@ -226,6 +226,25 @@ object Analytics {
       .orderBy(col("n").desc, col("event_type"))
       .limit(k)
 
+  /** Debounce: drop an event that repeats the previous event of the same
+    * (user, type) within `withinMs` — the telemetry double-fire cleaner
+    * (UI double-clicks, client retries). Chain semantics: a burst of
+    * events each ≤ `withinMs` apart collapses to its first event (this is
+    * gap-sessionization with gap = `withinMs`, keeping session heads).
+    * One window keyed on (user_id, event_type) — the same per-key shuffle
+    * as sessionize, each task sorts one key-group slice; nothing global,
+    * no self-join. Ties broken by event_id so the kept set is
+    * deterministic. */
+  def debounce(events: DataFrame, withinMs: Long = 3600000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .filter(col("__prev_ms").isNull ||
+        unix_millis(col("ts")) - col("__prev_ms") > withinMs)
+      .drop("__prev_ms")
+  }
+
   /** Sessionization: 30-minute-gap sessions via lag + gap-flag + running sum
     * — one shuffle on user_id, then two window passes over the same
     * partitioning (Catalyst reuses the sort). Partition key is user_id:

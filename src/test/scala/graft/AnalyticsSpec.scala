@@ -30,6 +30,23 @@ class AnalyticsSpec extends SparkTestBase {
       r.getAs[Double]("z") < 0 && !r.getAs[Boolean]("is_anomaly")))
   }
 
+  test("debounce: burst collapses to its head; types and users independent") {
+    val ms = (m: Long) => new Timestamp(m)
+    val events = Seq(
+      // u1/click burst: 0, 40s, 90s — chain (40≤60, 50≤60) → keep only head,
+      // then 200s (gap 110s > 60) survives
+      (1L, 1L, "click", ms(0L)), (2L, 1L, "click", ms(40000L)),
+      (3L, 1L, "click", ms(90000L)), (4L, 1L, "click", ms(200000L)),
+      // same user, different type at 10s: untouched by the click burst
+      (5L, 1L, "view", ms(10000L)),
+      // other user inside u1's burst window: independent
+      (6L, 2L, "click", ms(20000L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val kept = Analytics.debounce(events, withinMs = 60000L)
+      .select($"event_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L, 6L))
+  }
+
   test("per-group cap: at most cap rows, kept set survives repartitioning") {
     val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "grp")
     def kept(d: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
