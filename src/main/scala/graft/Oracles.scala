@@ -292,6 +292,16 @@ object Oracles {
         |    / sqrt(sq/nh - (s/nh)*(s/nh))) > 2.0) AS is_anomaly
         |FROM h, s ORDER BY hour""".stripMargin,
 
+    "q_transitions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, count(*) AS n FROM x
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // chain debounce = keep rows whose lag-gap is null or beyond the window
     "q_debounce" ->
       """WITH x AS (

@@ -134,6 +134,8 @@ object Queries {
     "q_daily_active" -> ((s, dir) => Analytics.dailyActive(t(s, dir, "events"))),
     // per-hour volume z-scores: tiny hourly agg + one broadcast stats row
     "q_hourly_anomaly" -> ((s, dir) => Analytics.hourlyAnomalies(t(s, dir, "events"))),
+    // funnel discovery: per-user (prev_type -> type) bigram counts
+    "q_transitions" -> ((s, dir) => Analytics.transitions(t(s, dir, "events"))),
     // double-fire cleaner: 1h chain-debounce per (user, type), kept heads
     "q_debounce" -> ((s, dir) =>
       Analytics.debounce(t(s, dir, "events"), withinMs = 3600000L)

@@ -245,6 +245,21 @@ object Analytics {
       .drop("__prev_ms")
   }
 
+  /** Event-type transition counts: (prev_type → type) bigram frequencies
+    * over each user's time-ordered stream — the funnel-DISCOVERY read
+    * (which step actually follows which), complement to [[funnel]]'s
+    * fixed-steps check. One lag window on user_id (the sessionize shuffle
+    * family), then an aggregation bounded by |event types|² rows. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   /** Sessionization: 30-minute-gap sessions via lag + gap-flag + running sum
     * — one shuffle on user_id, then two window passes over the same
     * partitioning (Catalyst reuses the sort). Partition key is user_id:
