@@ -1001,6 +1001,27 @@ object Oracles {
          |SELECT qid, rank, neighbor_id, score FROM ranked
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // q_knn_brute with the corpus gated by the documents metadata filter;
+    // queries (vec_id < 10) stay unfiltered
+    "q_knn_filtered" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 10),
+         |c AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id IN (SELECT doc_id FROM documents WHERE n_chars >= 400)),
+         |scored AS (
+         |  SELECT qid, vec_id AS neighbor_id,
+         |    $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score
+         |  FROM c, q WHERE qid <> vec_id),
+         |ranked AS (
+         |  SELECT qid, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, neighbor_id, score FROM ranked
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
     // identical to q_knn_brute: full-probe IVF is exact by construction
     "q_knn_ivf" ->
       s"""WITH q AS (

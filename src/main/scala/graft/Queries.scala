@@ -571,6 +571,12 @@ object Queries {
     "q_knn_brute" -> ((s, dir) =>
       llm.Similarity.bruteForceKnn(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5)),
+    // filtered retrieval: metadata gate semi-joins the corpus BEFORE
+    // scoring (filter-then-score); queries unfiltered, scoring exact
+    "q_knn_filtered" -> ((s, dir) =>
+      llm.Similarity.filteredKnn(tWide(s, dir, "embeddings"),
+        t(s, dir, "documents").filter(col("n_chars") >= 400).select(col("doc_id")),
+        col("vec_id") < 10, k = 5)),
     // LSH kNN publishes its panel RECALL CONTRACT (the neighbor list is
     // hash-family-specific; per-query recall is bimodal on this
     // near-random corpus — see Similarity.lshKnnRecallPanel). Measured

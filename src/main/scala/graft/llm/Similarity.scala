@@ -54,6 +54,30 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Filtered vector search — the production retrieval shape: a metadata
+    * predicate gates the CORPUS before scoring (quality / language /
+    * source filters), queries stay as given. `allowedIds`'s first column
+    * semi-joins the corpus, so survivors shrink FIRST and the broadcast
+    * queries scan only them — filter-then-score, never score-then-filter
+    * (scoring is the expensive side at 100 TB). Exact scoring here
+    * (oracle-able); swap the scoring stage for [[lshKnn]]/[[ivfKnn]] when
+    * the filtered corpus is still huge. */
+  def filteredKnn(emb: DataFrame, allowedIds: DataFrame, queryPred: Column,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"))
+    val corpus = emb
+      .join(allowedIds.select(col(allowedIds.columns.head).as(idCol)),
+        Seq(idCol), "left_semi")
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("vnorm"))
+    val scored = corpus
+      .join(broadcast(queries), col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("neighbor_id"),
+        (dot(col("qvec"), col(vecCol)) / (col("qnorm") * col("vnorm"))).as("score"))
+    topK(scored, k)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("neighbor_id"))
