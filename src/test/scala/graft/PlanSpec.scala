@@ -300,6 +300,18 @@ class PlanSpec extends SparkTestBase {
     assert(!exchanges.exists(_.contains("media")), plan)
   }
 
+  test("filtered knn: gate is a semi-join below the broadcast scoring join") {
+    val allowed = t("documents").filter($"n_chars" >= 400).select($"doc_id")
+    val plan = formatted(graft.llm.Similarity.filteredKnn(
+      t("embeddings"), allowed, $"vec_id" < 10, 5))
+    // the metadata gate must reach the corpus as a semi-join (survivors
+    // shrink BEFORE scoring), with the gate scan pruned to its two columns
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), plan)
+    // scoring still broadcasts the query side (inequality join → BNLJ)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("tokenize to ids: vocab join broadcasts; one corpus shuffle (doc agg)") {
     val docs = t("documents")
     val vocab = graft.llm.TextAnalysis.vocabWithIds(
