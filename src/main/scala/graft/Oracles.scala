@@ -284,13 +284,16 @@ object Oracles {
         |  SELECT CAST(count(*) AS DOUBLE) AS nh,
         |    CAST(sum(n_events) AS DOUBLE) AS s,
         |    CAST(sum(n_events * n_events) AS DOUBLE) AS sq
-        |  FROM h)
-        |SELECT hour, n_events,
-        |  (CAST(n_events AS DOUBLE) - s/nh)
-        |    / sqrt(sq/nh - (s/nh)*(s/nh)) AS z,
-        |  (abs((CAST(n_events AS DOUBLE) - s/nh)
-        |    / sqrt(sq/nh - (s/nh)*(s/nh))) > 2.0) AS is_anomaly
-        |FROM h, s ORDER BY hour""".stripMargin,
+        |  FROM h),
+        |zz AS (
+        |  SELECT hour, n_events,
+        |    CASE WHEN sq/nh - (s/nh)*(s/nh) > 0
+        |      THEN (CAST(n_events AS DOUBLE) - s/nh)
+        |        / sqrt(sq/nh - (s/nh)*(s/nh))
+        |      ELSE 0.0 END AS z
+        |  FROM h, s)
+        |SELECT hour, n_events, z, (abs(z) > 2.0) AS is_anomaly
+        |FROM zz ORDER BY hour""".stripMargin,
 
     "q_transitions" ->
       """WITH x AS (
@@ -1116,7 +1119,7 @@ object Oracles {
         |  SELECT e.doc_id, e.pos, COALESCE(v.term_id, 0) AS tid
         |  FROM e LEFT JOIN v USING (term))
         |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
-        |  list(tid ORDER BY pos) AS ids
+        |  array_to_string(list(tid ORDER BY pos), ',') AS ids
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_tfidf" ->
@@ -1169,8 +1172,8 @@ object Oracles {
          |  FROM documents WHERE doc_id % 50 <> 0),
          |a AS (
          |  SELECT doc_id, count(*) AS n_grams,
-         |    sum(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END)
-         |      AS n_hits
+         |    CAST(sum(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits
          |  FROM cg GROUP BY doc_id)
          |SELECT doc_id, n_grams, n_hits,
          |  (n_hits::DOUBLE / n_grams::DOUBLE) >= 0.3 AS contaminated

@@ -692,11 +692,17 @@ object Queries {
       llm.TextAnalysis.heavyHitters(tWide(s, dir, "documents"),
         capacity = 4096, k = 20)),
     // tokenize to vocab ids: top-20 vocab ranked (tf desc, term), OOV → 0,
-    // token order preserved through the posexplode/join/sort_array chain
+    // token order preserved through the posexplode/join/sort_array chain.
+    // `ids` is published comma-joined (the q_text_quality fingerprint
+    // pattern): the driver's comparator sorts columns with pandas, which
+    // cannot hash array cells — the library API (tokenizeToIds) still
+    // returns the real array<int>.
     "q_tokenize_ids" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
       llm.TextAnalysis.tokenizeToIds(docs,
           llm.TextAnalysis.vocabWithIds(llm.TextAnalysis.vocabTopK(docs, k = 20)))
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(transform(col("ids"), _.cast("string")), ",").as("ids"))
         .orderBy(col("doc_id"))
     }),
     "q_tfidf" -> ((s, dir) => {

@@ -23,7 +23,31 @@ object SparkEntry {
     EventEtl.pipeline(EnvelopeGen.fromEvents(events).localCheckpoint(), HmacKey)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * ==Catalog-output contract (driver comparator compatibility)==
+    * The driver materializes both sides through pandas, sorts every column,
+    * and hashes cell values — so catalog rows must obey, or the row goes
+    * red even when the engine is right (both round-5 reds were violations):
+    *
+    *  1. '''Scalar, pandas-hashable columns only.''' No array/map/struct
+    *     cells: pandas' sort cannot hash `numpy.ndarray` (q_tokenize_ids
+    *     r5). Publish arrays comma-joined
+    *     (`array_join(transform(c, _.cast("string")), ",")`), keep the raw
+    *     array form in the library API.
+    *  2. '''Cast every DuckDB integer aggregate to BIGINT.''' DuckDB
+    *     `sum(int)` / window sums return HUGEINT, which pandas
+    *     materializes as float64 while Spark's long arrives as int64 —
+    *     every row hash differs on dtype alone (q_decontam r5). Ratios
+    *     consumed into `::DOUBLE` are fine; published sums are not.
+    *     (Columns with NULLs dodge this by accident — pandas coerces both
+    *     sides to float64 — do not rely on it.)
+    *  3. '''Deterministic total ORDER BY''' on both sides, and aliases
+    *     must match exactly: the compare sorts columns BY NAME before
+    *     hashing.
+    *  4. Doubles: publish only bit-portable float expressions (single IEEE
+    *     ops over exact integer sums, pinned operation order) or quantize
+    *     (`floor(x * 1e6)`) — ln() differs 1–2 ulp between engines. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -356,7 +356,10 @@ object Analytics {
     * Each float step is a single IEEE op on exact integer sums (mean,
     * mean-of-squares, var = msq − mean², std, z), so the scores are
     * engine-portable bit-for-bit. n·n overflows long only past ~3e9
-    * events/hour — repartition the hour grain before that. */
+    * events/hour — repartition the hour grain before that. Zero variance
+    * (uniform counts, or a single hour) is guarded to z = 0: without it
+    * z = 0/0 = NaN, and NaN sorts above every threshold in Spark, so a
+    * perfectly flat stream would flag EVERY hour as an anomaly. */
   def hourlyAnomalies(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy()
@@ -367,7 +370,10 @@ object Analytics {
       count(lit(1)).over(w).cast("double")
     val msq = sum(col("n_events") * col("n_events")).over(w).cast("double") /
       count(lit(1)).over(w).cast("double")
-    val z = (col("n_events").cast("double") - mean) / sqrt(msq - mean * mean)
+    val variance = msq - mean * mean
+    val z = when(variance > 0,
+      (col("n_events").cast("double") - mean) / sqrt(variance))
+      .otherwise(lit(0.0))
     hourly
       .select(col("hour"), col("n_events"), z.as("z"),
         (abs(z) > zThreshold).as("is_anomaly"))

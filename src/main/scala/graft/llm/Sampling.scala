@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** 4-hex-digit keep threshold for a fraction in [0, 1). 16-bit
-    * granularity: the realized rate is exact at multiples of 1/65536. */
+    * granularity: the realized rate is exact at multiples of 1/65536.
+    * Clamped to ffff: fractions ≥ ~0.999992 would round to 65536, whose
+    * 5-char "10000" sorts lexicographically BELOW most 4-char digests and
+    * would invert the split to near-0% instead of near-100%. */
   def digestThreshold(fraction: Double): String = {
     require(fraction >= 0 && fraction < 1, s"fraction must be in [0,1): $fraction")
-    f"${math.round(fraction * 65536)}%04x"
+    f"${math.min(math.round(fraction * 65536), 65535L)}%04x"
   }
 
   /** Keep predicate for a key column at the given fraction. */
