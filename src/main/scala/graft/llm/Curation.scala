@@ -46,14 +46,27 @@ object Curation {
   def curateNearDup(docs: DataFrame, lang: String = "en",
       minQuality: Double = 0.5, threshold: Double = 0.6,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // `exact` feeds two plan branches (the survivor semi-join and the
+    // final anti-join) with different pruned columns, so exchange reuse
+    // never fires and an unpersisted plan would run the scan + profile
+    // kernel + dedup aggregation twice. It is tiny (one row per surviving
+    // document's text hash) — persist, materialize the output, release.
     val exact = curate(docs, lang, minQuality, idCol, textCol)
-    val survivorDocs = docs.dropDuplicates(Seq(idCol))
-      .join(exact.select(col(idCol)), Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Semi-join only — no dropDuplicates guard: `exact` ids are min-per-
+    // text-hash picks from these same docs, and a semi join emits each
+    // left row at most once, so duplicate output rows require duplicate
+    // doc ids in the INPUT, which the corpus contract forbids (and which
+    // the pair generator tolerates anyway — equal ids never pair).
+    val survivorDocs = docs.join(exact.select(col(idCol)), Seq(idCol), "left_semi")
     val pairs = Dedup.minhashNearDups(survivorDocs, threshold,
       idCol = idCol, textCol = textCol)
     val nonCanonical = Dedup.clusters(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
-    exact.join(nonCanonical, Seq(idCol), "left_anti")
+    val out = exact.join(nonCanonical, Seq(idCol), "left_anti")
+      .localCheckpoint() // eager: compute before releasing `exact`
+    exact.unpersist()
+    out
   }
 }

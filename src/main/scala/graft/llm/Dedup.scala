@@ -651,11 +651,15 @@ object Dedup {
     // aggregation is already an action, so it doubles as the materializing
     // job — eager checkpoints would pay a second job per round for nothing
     // (measured: clusters-heavy queries are job-COUNT-bound at every SF).
+    // No distinct(): every consumer is join + groupBy-min, which is
+    // insensitive to duplicate edges — deduping here would buy nothing but
+    // a full shuffle of the edge list before the loop even starts. The
+    // duplicates are bounded (≤ 4 rows per input pair: each endpoint's
+    // self-edge repeats once per pair it appears in).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .unionByName(pairs.select(col(aCol).as("src"), col(aCol).as("dst")))
       .unionByName(pairs.select(col(bCol).as("src"), col(bCol).as("dst")))
-      .distinct()
       .localCheckpoint(eager = false)
     // Min-seed: label(v) = min({v} ∪ N(v)) — the first propagation round
     // fused into initialization (one aggregation, the same shuffle the old
@@ -681,22 +685,37 @@ object Dedup {
     var prevSum = sum0
     if (n0 == 0L) converged = true
     while (!converged && iter < maxIter) {
+      // Propagate FIRST and check the fixpoint on that action alone: dense
+      // near-dup components typically sit at the fixpoint after the
+      // min-seed, so the common case is one confirming round of ONE join —
+      // the doubling self-join below would be a pure no-op there (measured:
+      // it was the single largest shuffle in the confirming round).
       val propagated = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("lbl")).as("lbl"))
         .withColumnRenamed("id2", "id")
-      // pointer doubling: every label is itself a node id, so one self-join
-      // rewrites lbl -> lbl(lbl), halving chain depth per round
-      val next = propagated.as("x")
-        .join(propagated.select(col("id").as("pid"), col("lbl").as("plbl")).as("y"),
-          col("x.lbl") === col("y.pid"))
-        .select(col("x.id").as("id"), col("y.plbl").as("lbl"))
         .localCheckpoint(eager = false)
-      val (sumNow, _) = labelSum(next)
-      labels = next
-      converged = sumNow == prevSum
-      prevSum = sumNow
+      val (sumProp, _) = labelSum(propagated)
+      if (sumProp == prevSum) {
+        converged = true // labels is already the fixpoint; drop `propagated`
+      } else {
+        // pointer doubling, only when labels actually moved: every label is
+        // itself a node id, so one self-join rewrites lbl -> lbl(lbl),
+        // halving chain depth per round (the acceleration that makes path
+        // graphs O(log n) instead of O(diameter))
+        val next = propagated.as("x")
+          .join(propagated.select(col("id").as("pid"), col("lbl").as("plbl")).as("y"),
+            col("x.lbl") === col("y.pid"))
+          .select(col("x.id").as("id"), col("y.plbl").as("lbl"))
+          .localCheckpoint(eager = false)
+        // NOT a convergence test: a no-op doubling does not certify the
+        // propagate fixpoint (a label root's neighbor can still decrease
+        // next round) — only an unchanged propagate sum above does.
+        val (sumNow, _) = labelSum(next)
+        labels = next
+        prevSum = sumNow
+      }
       iter += 1
     }
     // A pathological graph exhausting maxIter would return labels that are
