@@ -295,6 +295,28 @@ object Oracles {
         |SELECT hour, n_events, z, (abs(z) > 2.0) AS is_anomaly
         |FROM zz ORDER BY hour""".stripMargin,
 
+    // the streaming operator's batch-parity row: hourlyBaseline replays the
+    // identical IEEE op order (mean = s/nh, msq = sq/nh, var, sqrt, one
+    // divide), so the same SQL is the truth for both operators
+    "q_hourly_anomaly_stream" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS nh,
+        |    CAST(sum(n_events) AS DOUBLE) AS s,
+        |    CAST(sum(n_events * n_events) AS DOUBLE) AS sq
+        |  FROM h),
+        |zz AS (
+        |  SELECT hour, n_events,
+        |    CASE WHEN sq/nh - (s/nh)*(s/nh) > 0
+        |      THEN (CAST(n_events AS DOUBLE) - s/nh)
+        |        / sqrt(sq/nh - (s/nh)*(s/nh))
+        |      ELSE 0.0 END AS z
+        |  FROM h, s)
+        |SELECT hour, n_events, z, (abs(z) > 2.0) AS is_anomaly
+        |FROM zz ORDER BY hour""".stripMargin,
+
     "q_transitions" ->
       """WITH x AS (
         |  SELECT user_id, event_type,
@@ -1421,5 +1443,87 @@ object Oracles {
          |    (sqrt(${dotSql("a.embedding", "a.embedding")}) *
          |     sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // same pair graph as q_embed_near_dups, recursive-CTE component
+    // labeling as in q_dedup_clusters, then exact micro-unit sums and ONE
+    // IEEE division per (cluster, dim) — mirrors clusterCentroids'
+    // portability discipline (floor(v·1e6) on the float's exact double)
+    "q_embed_centroids" ->
+      s"""WITH RECURSIVE pr AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.embedding", "b.embedding")} /
+         |      (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+         |       sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pr
+         |  UNION SELECT id_b, id_a FROM pr),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT reach.id, e2.d FROM reach JOIN edges e2 ON e2.s = reach.r),
+         |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |x AS (
+         |  SELECT l.cluster_id, e.vec_id,
+         |    CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
+         |    unnest(e.embedding) AS v
+         |  FROM embeddings e JOIN lbl l ON l.id = e.vec_id),
+         |a AS (
+         |  SELECT cluster_id, dim, CAST(count(*) AS BIGINT) AS n_members,
+         |    sum(CAST(floor(v::DOUBLE * 1e6) AS BIGINT)) AS s_micro
+         |  FROM x GROUP BY 1, 2)
+         |SELECT cluster_id, n_members, dim,
+         |  s_micro::DOUBLE / (n_members::DOUBLE * 1e6) AS c
+         |FROM a ORDER BY cluster_id, dim""".stripMargin,
+
+    "q_bpe_merges" -> bpeMergesSql(6),
   )
+
+  /** Unrolled BPE training oracle: `m` merge rounds as generated CTEs —
+    * pair counting, (cnt desc, pair) argmax, and the delimiter-wrapped
+    * greedy rewrite, each mirroring [[graft.llm.Bpe]] exactly (chr(31) =
+    * the U+001F carrier; DuckDB's sequential replace = Java's). */
+  private def bpeMergesSql(m: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH ww AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+      |    FROM documents) z
+      |  WHERE word <> '' GROUP BY word),
+      |w0 AS (
+      |  SELECT freq,
+      |    array_to_string(list_transform(range(1, len(word) + 1),
+      |      i -> chr(31) || substr(word, i, 1) || chr(31)), '')
+      |      || chr(31) || '</w>' || chr(31) AS tok
+      |  FROM ww)""".stripMargin
+    for (k <- 1 to m) {
+      sb ++= s""",
+      |s$k AS (
+      |  SELECT freq, list_filter(string_split(tok, chr(31)), x -> x <> '') AS syms
+      |  FROM w${k - 1}),
+      |p$k AS (
+      |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+      |      i -> syms[i] || ' ' || syms[i + 1])) AS pair
+      |    FROM s$k) z GROUP BY pair),
+      |b$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+      |w$k AS (
+      |  SELECT w.freq, replace(w.tok,
+      |    chr(31) || split_part(b.pair, ' ', 1) || chr(31)
+      |      || chr(31) || split_part(b.pair, ' ', 2) || chr(31),
+      |    chr(31) || split_part(b.pair, ' ', 1)
+      |      || split_part(b.pair, ' ', 2) || chr(31)) AS tok
+      |  FROM w${k - 1} w, b$k b)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (\n"
+    sb ++= (1 to m).map { k =>
+      s"""  SELECT $k AS "rank", split_part(pair, ' ', 1) AS "left",
+         |    split_part(pair, ' ', 2) AS "right",
+         |    split_part(pair, ' ', 1) || split_part(pair, ' ', 2) AS merged,
+         |    cnt FROM b$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    sb ++= "\n) z ORDER BY \"rank\""
+    sb.result()
+  }
 }

@@ -134,6 +134,16 @@ object Queries {
     "q_daily_active" -> ((s, dir) => Analytics.dailyActive(t(s, dir, "events"))),
     // per-hour volume z-scores: tiny hourly agg + one broadcast stats row
     "q_hourly_anomaly" -> ((s, dir) => Analytics.hourlyAnomalies(t(s, dir, "events"))),
+    // the STREAMING anomaly operator run in batch mode (same code path,
+    // windowed agg + literal baseline): the baseline is trained by
+    // hourlyBaseline with the batch operator's exact IEEE op order, so z
+    // matches q_hourly_anomaly bit-for-bit — batch parity as an oracle row
+    "q_hourly_anomaly_stream" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val (mean, std) = streaming.StreamingAnomaly.hourlyBaseline(events)
+      streaming.StreamingAnomaly.hourlyAnomalies(events, mean, std)
+        .orderBy(col("hour"))
+    }),
     // funnel discovery: per-user (prev_type -> type) bigram counts
     "q_transitions" -> ((s, dir) => Analytics.transitions(t(s, dir, "events"))),
     // double-fire cleaner: 1h chain-debounce per (user, type), kept heads
@@ -566,6 +576,14 @@ object Queries {
     "q_embed_near_dups" -> ((s, dir) =>
       llm.Similarity.cosinePairsBlocked(tWide(s, dir, "embeddings"), "label", 0.4)
         .orderBy(col("id_a"), col("id_b"))),
+    // per-near-dup-cluster mean-pooled embedding, micro-unit exact sums ⇒
+    // bit-portable centroids (see Similarity.clusterCentroids)
+    "q_embed_centroids" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      llm.Similarity.clusterCentroids(emb,
+          llm.Similarity.cosinePairsBlocked(emb, "label", 0.4))
+        .orderBy(col("cluster_id"), col("dim"))
+    }),
 
     // ---- LLM data pipeline: similarity search ----
     "q_knn_brute" -> ((s, dir) =>
@@ -705,6 +723,13 @@ object Queries {
           array_join(transform(col("ids"), _.cast("string")), ",").as("ids"))
         .orderBy(col("doc_id"))
     }),
+    // BPE merge training: 6 rounds of distributed pair-count + 1-row argmax
+    // over the corpus word-frequency table; the U+001F carrier makes the
+    // merge rewrite exactly greedy-leftmost on both engines (see llm.Bpe)
+    "q_bpe_merges" -> ((s, dir) =>
+      llm.Bpe.mergesDf(s,
+          llm.Bpe.trainMerges(llm.Bpe.wordFreq(tWide(s, dir, "documents")), 6))
+        .orderBy(col("rank"))),
     "q_tfidf" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
       val n = docs.count()

@@ -476,4 +476,49 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
   }
+
+  /** Per-near-dup-cluster centroid: mean-pooled embedding for every
+    * multi-member cluster in a pair graph (from [[cosinePairsBlocked]] /
+    * [[cosineNearDups]] or any of [[Dedup]]'s pair generators) — the
+    * representative vector that replaces a cluster after dedup, or seeds a
+    * semantic index over the deduplicated corpus.
+    *
+    * Portability discipline: elements are quantized to exact micro-unit
+    * longs scan-side (floor(x·1e6): one IEEE multiply on the float's exact
+    * double value, deterministic), summed exactly, and divided once —
+    * centroids are bit-identical across engines and partitionings, at the
+    * cost of a ≤ 5e-7 per-element quantization bias (9 orders below any
+    * cosine use of the result). Float-sum order sensitivity never enters.
+    *
+    * Plan shape at 100 TB: [[Dedup.clusters]] labels only PAIR members (a
+    * sliver of the corpus); the explode fans each member vector to `dim`
+    * rows that partially aggregate map-side on (cluster, dim) — the only
+    * shuffle moves `clusters × dim` partial sums, never raw vectors.
+    * Returns (cluster_id, n_members, dim, c) long form — assemble with
+    * [[centroidVectors]] when an array column is wanted. */
+  def clusterCentroids(emb: DataFrame, pairs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lbl = Dedup.clusters(pairs) // (doc_id, cluster_id) for pair members
+      .select(col("doc_id").as("__mid"), col("cluster_id"))
+    emb.join(lbl, col(idCol) === col("__mid"))
+      .select(col("cluster_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(floor(col("x").cast("double") * 1e6)).as("s_micro"))
+      .select(col("cluster_id"), col("n_members"), col("dim"),
+        (col("s_micro").cast("double") /
+          (col("n_members").cast("double") * 1e6)).as("c"))
+  }
+
+  /** Long-form centroids → (cluster_id, n_members, centroid: array<double>)
+    * for API consumers; dims reassembled in order per cluster. */
+  def centroidVectors(centroids: DataFrame): DataFrame =
+    centroids
+      .groupBy(col("cluster_id"))
+      .agg(first(col("n_members")).as("n_members"),
+        sort_array(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("cluster_id"), col("n_members"),
+        transform(col("dc"), x => x.getField("c")).as("centroid"))
 }

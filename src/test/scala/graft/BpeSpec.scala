@@ -1,0 +1,91 @@
+package graft
+
+import graft.llm.Bpe
+
+/** BPE merge trainer vs a sequential reference implementation (the
+  * published algorithm over an in-memory word-frequency map), including
+  * the greedy-leftmost case a space-joined carrier gets wrong. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference BPE: symbol vectors, explicit greedy leftmost merge walk. */
+  private def refBpe(words: Map[String, Long], m: Int): Seq[Bpe.Merge] = {
+    var toks: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>", f) }
+    val out = Seq.newBuilder[Bpe.Merge]
+    var rank = 1
+    var done = false
+    while (rank <= m && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      toks.foreach { case (v, f) =>
+        v.indices.dropRight(1).foreach { i =>
+          val p = (v(i), v(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a + " " + b) }.head
+        out += Bpe.Merge(rank, l, r, l + r, cnt)
+        toks = toks.map { case (v, f) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < v.length) {
+            if (i + 1 < v.length && v(i) == l && v(i + 1) == r) {
+              nb += (l + r); i += 2 // greedy leftmost, consume both
+            } else { nb += v(i); i += 1 }
+          }
+          (nb.result(), f)
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("bpe: adjacent repeats merge greedy-leftmost ([a,b,a,b] -> [ab,ab], not [ab,a,b])") {
+    // 'abab' x5 forces (a,b) first; the SECOND occurrence inside the same
+    // word must also merge in that round — the delimiter-sharing trap
+    val words = Map("abab" -> 5L, "cd" -> 2L)
+    val got = Bpe.trainMerges(words.toSeq.toDF("word", "freq"), 2)
+    val want = refBpe(words, 2)
+    assert(got === want)
+    // rank-1 merge is (a,b) with weighted count 10 (2 occurrences x freq 5)
+    assert(got.head === Bpe.Merge(1, "a", "b", "ab", 10L))
+  }
+
+  test("bpe: substring symbols never false-match across boundaries ('al l' vs 'a ll')") {
+    // after (l,l) merges, a word ending in ...'al'+'l' must NOT lose its
+    // 'l l' to a pattern matching across the 'al' boundary
+    val words = Map("all" -> 4L, "ball" -> 3L, "al" -> 2L)
+    val got = Bpe.trainMerges(words.toSeq.toDF("word", "freq"), 3)
+    assert(got === refBpe(words, 3))
+  }
+
+  test("bpe: randomized corpora match the reference for 5 merges") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val alphabet = "abcde"
+      val words = (1 to 12).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.distinct.map(w => w -> (1L + rnd.nextInt(9))).toMap
+      val got = Bpe.trainMerges(words.toSeq.toDF("word", "freq"), 5)
+      val want = refBpe(words, 5)
+      assert(got === want, s"trial $trial diverged: corpus $words")
+    }
+  }
+
+  test("bpe: early exhaustion stops cleanly (single-char words have no pairs after one merge)") {
+    // 'a' seeds as [a, </w>]: one pair, then nothing
+    val got = Bpe.trainMerges(Map("a" -> 3L).toSeq.toDF("word", "freq"), 4)
+    assert(got === Seq(Bpe.Merge(1, "a", "</w>", "a</w>", 3L)))
+  }
+
+  test("bpe: wordFreq lowercases and drops empties") {
+    val docs = Seq("The the  THE", "cat").toDF("text")
+    val got = Bpe.wordFreq(docs).as[(String, Long)].collect().toMap
+    assert(got === Map("the" -> 3L, "cat" -> 1L))
+  }
+}

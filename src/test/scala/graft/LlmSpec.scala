@@ -529,6 +529,24 @@ class LlmSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("cluster centroids: exact micro-mean per dim, singles excluded, vectors reassemble") {
+    import graft.llm.Similarity
+    // cluster {1,2,3} via chain pairs; vec 9 is in no pair -> no centroid
+    val emb = Seq(
+      (1L, Seq(1.0f, -2.0f)), (2L, Seq(2.0f, 0.5f)), (3L, Seq(3.0f, 0.0f)),
+      (9L, Seq(100.0f, 100.0f))).toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Similarity.clusterCentroids(emb, pairs)
+      .orderBy($"cluster_id", $"dim")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    // dim 0: floor-micro sums (1e6 + 2e6 + 3e6)/3/1e6 = 2.0
+    // dim 1: (-2e6 + 5e5 + 0)/3/1e6 = -0.5
+    assert(got === Seq((1L, 3L, 0, 2.0), (1L, 3L, 1, -0.5)))
+    val vecs = Similarity.centroidVectors(Similarity.clusterCentroids(emb, pairs))
+      .as[(Long, Long, Seq[Double])].collect().toSeq
+    assert(vecs === Seq((1L, 3L, Seq(2.0, -0.5))))
+  }
+
   test("packing: two-phase prefix sum equals the naive global cumsum") {
     // 100 docs, token counts 1..100, budget 50 — shard boundaries interior
     // to partitions AND straddling them (nParts=7 forces uneven ranges)
