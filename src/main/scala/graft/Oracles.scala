@@ -1478,13 +1478,23 @@ object Oracles {
          |FROM a ORDER BY cluster_id, dim""".stripMargin,
 
     "q_bpe_merges" -> bpeMergesSql(6),
+
+    // inference over the trained merges: w6's carrier, symbols re-split
+    "q_bpe_encode" -> (bpeCtes(6) + """
+      |SELECT word,
+      |  CAST(len(list_filter(string_split(tok, chr(31)), x -> x <> '')) AS INT)
+      |    AS n_tokens,
+      |  array_to_string(list_filter(string_split(tok, chr(31)), x -> x <> ''), ' ')
+      |    AS toks
+      |FROM w6 ORDER BY word""".stripMargin),
   )
 
-  /** Unrolled BPE training oracle: `m` merge rounds as generated CTEs —
-    * pair counting, (cnt desc, pair) argmax, and the delimiter-wrapped
-    * greedy rewrite, each mirroring [[graft.llm.Bpe]] exactly (chr(31) =
-    * the U+001F carrier; DuckDB's sequential replace = Java's). */
-  private def bpeMergesSql(m: Int): String = {
+  /** Unrolled BPE training CTE chain: `m` merge rounds — pair counting,
+    * (cnt desc, pair) argmax, and the delimiter-wrapped greedy rewrite,
+    * each mirroring [[graft.llm.Bpe]] exactly (chr(31) = the U+001F
+    * carrier; DuckDB's sequential replace = Java's). `word` rides along so
+    * the encode oracle can read the final tokenization. */
+  private def bpeCtes(m: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH ww AS (
       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -1492,7 +1502,7 @@ object Oracles {
       |    FROM documents) z
       |  WHERE word <> '' GROUP BY word),
       |w0 AS (
-      |  SELECT freq,
+      |  SELECT word, freq,
       |    array_to_string(list_transform(range(1, len(word) + 1),
       |      i -> chr(31) || substr(word, i, 1) || chr(31)), '')
       |      || chr(31) || '</w>' || chr(31) AS tok
@@ -1509,13 +1519,19 @@ object Oracles {
       |    FROM s$k) z GROUP BY pair),
       |b$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
       |w$k AS (
-      |  SELECT w.freq, replace(w.tok,
+      |  SELECT w.word, w.freq, replace(w.tok,
       |    chr(31) || split_part(b.pair, ' ', 1) || chr(31)
       |      || chr(31) || split_part(b.pair, ' ', 2) || chr(31),
       |    chr(31) || split_part(b.pair, ' ', 1)
       |      || split_part(b.pair, ' ', 2) || chr(31)) AS tok
       |  FROM w${k - 1} w, b$k b)""".stripMargin
     }
+    sb.result()
+  }
+
+  private def bpeMergesSql(m: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeCtes(m)
     sb ++= "\nSELECT * FROM (\n"
     sb ++= (1 to m).map { k =>
       s"""  SELECT $k AS "rank", split_part(pair, ' ', 1) AS "left",

@@ -730,6 +730,16 @@ object Queries {
       llm.Bpe.mergesDf(s,
           llm.Bpe.trainMerges(llm.Bpe.wordFreq(tWide(s, dir, "documents")), 6))
         .orderBy(col("rank"))),
+    // the inference half: the same 6 merges applied to the word table as a
+    // scan-side replace chain; tokens published space-joined (contract #1)
+    "q_bpe_encode" -> ((s, dir) => {
+      val words = llm.Bpe.wordFreq(tWide(s, dir, "documents"))
+      val merges = llm.Bpe.trainMerges(words, 6)
+      llm.Bpe.encode(words, merges)
+        .select(col("word"), size(col("tokens")).as("n_tokens"),
+          array_join(col("tokens"), " ").as("toks"))
+        .orderBy(col("word"))
+    }),
     "q_tfidf" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
       val n = docs.count()

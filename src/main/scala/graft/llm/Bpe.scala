@@ -117,4 +117,25 @@ object Bpe {
     import spark.implicits._
     merges.toDF()
   }
+
+  /** Apply a learned merge table to a carrier column: one chained
+    * scan-side replace per merge, in learned order — BPE inference is
+    * rank-ordered rule application, and each replace is the same
+    * greedy-leftmost rewrite training used. */
+  private[llm] def applyMerges(tok: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(tok) { (t, m) =>
+      replace(t, lit(US + m.left + US + US + m.right + US),
+        lit(US + m.merged + US))
+    }
+
+  /** Tokenize words with a trained merge table — the inference half of
+    * [[trainMerges]]. Returns (word…, tokens: array<string>). Pure
+    * scan-side projection (a codegen'd chain of `merges.length` string
+    * replaces): no shuffle, no per-row driver work — encode a 100 TB
+    * corpus's word table by broadcasting nothing but the expression
+    * itself. */
+  def encode(words: DataFrame, merges: Seq[Merge],
+      wordCol: String = "word"): DataFrame =
+    words.withColumn("tokens",
+      symbols(applyMerges(seedTok(col(wordCol)), merges)))
 }

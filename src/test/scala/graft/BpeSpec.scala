@@ -83,6 +83,27 @@ class BpeSpec extends SparkTestBase {
     assert(got === Seq(Bpe.Merge(1, "a", "</w>", "a</w>", 3L)))
   }
 
+  test("bpe: encode applies merges rank-ordered and matches the reference walk") {
+    val words = Map("abab" -> 5L, "all" -> 4L, "ball" -> 3L, "ab" -> 2L)
+    val wordsDf = words.toSeq.toDF("word", "freq")
+    val merges = Bpe.trainMerges(wordsDf, 4)
+    // reference: greedy leftmost application of each merge in rank order
+    def refEncode(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector :+ "</w>") { (v, m) =>
+        val nb = Vector.newBuilder[String]
+        var i = 0
+        while (i < v.length) {
+          if (i + 1 < v.length && v(i) == m.left && v(i + 1) == m.right) {
+            nb += m.merged; i += 2
+          } else { nb += v(i); i += 1 }
+        }
+        nb.result()
+      }
+    val got = Bpe.encode(wordsDf, merges)
+      .select($"word", $"tokens").as[(String, Seq[String])].collect().toMap
+    words.keys.foreach { w => assert(got(w) === refEncode(w), s"word $w") }
+  }
+
   test("bpe: wordFreq lowercases and drops empties") {
     val docs = Seq("The the  THE", "cat").toDF("text")
     val got = Bpe.wordFreq(docs).as[(String, Long)].collect().toMap
