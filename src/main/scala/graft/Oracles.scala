@@ -46,6 +46,34 @@ object Oracles {
        |    ELSE [array_to_string($wordsSql, ' ')] END""".stripMargin
   private val shingleSql = shingleWSql(3)
 
+  /** Independent component labeling over the all-pairs exact-Jaccard graph
+    * (recursive-CTE transitive closure, label = min reachable id). Shared
+    * by q_dedup_clusters and q_dedup_incr_clusters: the incremental path's
+    * whole claim is that it matches this full recompute. */
+  private lazy val clustersSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
+       |  FROM documents),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+       |c AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM c
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e2.d FROM reach JOIN edges e2 ON e2.s = reach.r)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** All-pairs exact-Jaccard truth for incremental (batch ≥ 250 vs corpus
     * < 250) near-dup detection — shared by the inline and prebuilt-table
     * catalog forms, which must be indistinguishable. */
@@ -875,29 +903,11 @@ object Oracles {
     // independent reconstruction of the component labeling: same pair graph
     // (all-pairs exact Jaccard), transitive closure via recursive CTE,
     // label = min reachable id — vs Spark's iterated label propagation
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE e AS (
-         |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
-         |  FROM documents),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
-         |c AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM c
-         |  JOIN sz sa ON sa.doc_id = id_a
-         |  JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6),
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT s, s FROM edges
-         |  UNION
-         |  SELECT reach.id, e2.d FROM reach JOIN edges e2 ON e2.s = reach.r)
-         |SELECT id AS doc_id, min(r) AS cluster_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" -> clustersSql,
+
+    // the incremental maintenance path must be INDISTINGUISHABLE from the
+    // full recompute — same truth, literally the same SQL
+    "q_dedup_incr_clusters" -> clustersSql,
 
     // same recursive-CTE component labeling as q_dedup_clusters, then a
     // window argmax (n_chars desc, doc_id) per cluster + anti-joined

@@ -551,6 +551,22 @@ object Queries {
         threshold = 0.6)
         .orderBy(col("id_new"), col("id_other"))
     }),
+    // incremental label maintenance: corpus labels + the batch's pair list
+    // stitched by touched-component re-propagation only — the oracle is
+    // the FULL-recompute clusters SQL, so the row proves the two paths
+    // indistinguishable (old+incremental pairs = the full pair graph here:
+    // recall 1 at this threshold, pinned by q_dedup_minhash's truth)
+    "q_dedup_incr_clusters" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val labels = llm.Dedup.clusters(
+        llm.Dedup.minhashNearDups(corpus, threshold = 0.6))
+      val newPairs = llm.Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") >= 250), corpus, threshold = 0.6)
+        .select(col("id_new").as("id_a"), col("id_other").as("id_b"))
+      llm.Dedup.clustersIncremental(labels, newPairs)
+        .orderBy(col("doc_id"))
+    }),
     // portable md5 hash family so the oracle can recompute signatures:
     // the all-pairs Hamming truth asserts the combination-block index's
     // pigeonhole completeness (every pair ≤ maxHamming is FOUND) and the

@@ -727,6 +727,48 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Incremental connected-component maintenance: fold a new batch's pair
+    * list into an existing (doc_id, cluster_id) labeling WITHOUT re-running
+    * the corpus fixpoint — the steady-state companion to
+    * [[incrementalNearDups]] (whose output is exactly the `newPairs` input
+    * here: batch↔corpus and batch-internal pairs).
+    *
+    * Three-way split, all equi-joins on ids:
+    *   1. components TOUCHED by the batch = labels semi-joined through the
+    *      new pairs' endpoints (two small joins — the batch side drives);
+    *   2. the fixpoint loop reruns over touched members' label EDGES
+    *      (id → cluster_id: each old component enters pre-collapsed to a
+    *      star, so convergence is typically the min-seed + one confirming
+    *      round) plus the new pairs — input is O(|touched| + |batch|),
+    *      never the corpus;
+    *   3. the untouched bulk keeps its labels via one anti join — no
+    *      window, no propagation, no recompute.
+    *
+    * Correctness: a label edge preserves exactly the reachability its
+    * collapsed component had, so components over (label edges ∪ new pairs)
+    * equal components over (old pairs ∪ new pairs) — incremental output is
+    * indistinguishable from a full recompute (spec + oracle-pinned).
+    * Docs in no pair remain absent, matching [[clusters]]' contract. */
+  def clustersIncremental(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 20,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val ends = newPairs.select(col(aCol).as("__eid"))
+      .unionByName(newPairs.select(col(bCol).as("__eid")))
+      .distinct()
+    val touched = labels
+      .join(ends, col("doc_id") === col("__eid"), "left_semi")
+      .select(col("cluster_id"))
+      .distinct()
+    val affected = labels.join(touched, Seq("cluster_id"), "left_semi")
+    val stitched = clusters(
+      affected.select(col("doc_id").as(aCol), col("cluster_id").as(bCol))
+        .unionByName(newPairs.select(col(aCol), col(bCol))),
+      maxIter, aCol, bCol)
+    labels.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(stitched)
+  }
+
   /** Canonical survivors from a pair list: one row per component, keeping
     * the min-id member — `clusters` folded to the keep set. */
   def clusterSurvivors(pairs: DataFrame): DataFrame =

@@ -507,6 +507,37 @@ class LlmSpec extends SparkTestBase {
     assert(keep === Map(1L -> 3L, 10L -> 2L)) // keep_id -> n_members
   }
 
+  test("clustersIncremental: stitched labels equal full recompute; untouched components keep labels") {
+    // old graph: components {1,2,3} and {10,11}; singleton 20 unlabeled
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusters(oldPairs)
+    // batch: bridges {10,11} to the {1,2,3} component via (3,10), adds a
+    // brand-new pair (20,21); component {10,11} must relabel to 1
+    val newPairs = Seq((3L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.clustersIncremental(labels, newPairs)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.clusters(
+      oldPairs.unionByName(newPairs)).as[(Long, Long)].collect().toMap
+    assert(got === full)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L))
+
+    // batch touching NOTHING labeled: old labels pass through unchanged
+    val disjoint = Seq((30L, 31L)).toDF("id_a", "id_b")
+    val got2 = Dedup.clustersIncremental(labels, disjoint)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === labels.as[(Long, Long)].collect().toMap
+      ++ Map(30L -> 30L, 31L -> 30L))
+
+    // new pair whose smaller id undercuts an old component min: the
+    // touched component must adopt the NEW min (0), not keep 1
+    val undercut = Seq((0L, 2L)).toDF("id_a", "id_b")
+    val got3 = Dedup.clustersIncremental(labels, undercut)
+      .as[(Long, Long)].collect().toMap
+    assert(got3 === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("clusters: 64-node path converges within doubling bound; random graph matches union-find") {
     // worst case for plain propagation (diameter 63); pointer doubling
     // must close it comfortably inside maxIter = 10
