@@ -1458,34 +1458,33 @@ object Oracles {
     // labeling as in q_dedup_clusters, then exact micro-unit sums and ONE
     // IEEE division per (cluster, dim) — mirrors clusterCentroids'
     // portability discipline (floor(v·1e6) on the float's exact double)
-    "q_embed_centroids" ->
-      s"""WITH RECURSIVE pr AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE ${dotSql("a.embedding", "b.embedding")} /
-         |      (sqrt(${dotSql("a.embedding", "a.embedding")}) *
-         |       sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4),
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM pr
-         |  UNION SELECT id_b, id_a FROM pr),
-         |reach(id, r) AS (
-         |  SELECT s, s FROM edges
-         |  UNION
-         |  SELECT reach.id, e2.d FROM reach JOIN edges e2 ON e2.s = reach.r),
-         |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |x AS (
-         |  SELECT l.cluster_id, e.vec_id,
-         |    CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
-         |    unnest(e.embedding) AS v
-         |  FROM embeddings e JOIN lbl l ON l.id = e.vec_id),
-         |a AS (
-         |  SELECT cluster_id, dim, CAST(count(*) AS BIGINT) AS n_members,
-         |    sum(CAST(floor(v::DOUBLE * 1e6) AS BIGINT)) AS s_micro
-         |  FROM x GROUP BY 1, 2)
-         |SELECT cluster_id, n_members, dim,
-         |  s_micro::DOUBLE / (n_members::DOUBLE * 1e6) AS c
-         |FROM a ORDER BY cluster_id, dim""".stripMargin,
+    "q_embed_centroids" -> (embedCentroidCtes +
+      """
+        |SELECT cluster_id, n_members, dim,
+        |  s_micro::DOUBLE / (n_members::DOUBLE * 1e6) AS c
+        |FROM a ORDER BY cluster_id, dim""".stripMargin),
+
+    // nearest-centroid assignment: centroid lists rebuilt dim-ordered, the
+    // same sequential-fold cosine, argmax pinned (score desc, cluster_id)
+    "q_embed_assign" -> (embedCentroidCtes + s""",
+        |cl AS (
+        |  SELECT cluster_id,
+        |    list(s_micro::DOUBLE / (n_members::DOUBLE * 1e6) ORDER BY dim)
+        |      AS centroid
+        |  FROM a GROUP BY cluster_id),
+        |sc AS (
+        |  SELECT e.vec_id, cl.cluster_id,
+        |    ${dotSql("e.embedding", "cl.centroid")} /
+        |      (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+        |       sqrt(${dotSql("cl.centroid", "cl.centroid")})) AS score,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ${dotSql("e.embedding", "cl.centroid")} /
+        |        (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+        |         sqrt(${dotSql("cl.centroid", "cl.centroid")})) DESC,
+        |        cl.cluster_id) AS rn
+        |  FROM embeddings e CROSS JOIN cl)
+        |SELECT vec_id, cluster_id, score FROM sc WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin),
 
     "q_bpe_merges" -> bpeMergesSql(6),
 
@@ -1498,6 +1497,36 @@ object Oracles {
       |    AS toks
       |FROM w6 ORDER BY word""".stripMargin),
   )
+
+  /** Shared embedding-centroid CTE chain: label-blocked cosine pairs →
+    * recursive component closure → per-(cluster, dim) exact micro sums.
+    * q_embed_centroids publishes `a` directly; q_embed_assign rebuilds the
+    * centroid lists from it and argmaxes per vector. */
+  private lazy val embedCentroidCtes: String =
+    s"""WITH RECURSIVE pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.embedding", "b.embedding")} /
+       |      (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+       |       sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pr
+       |  UNION SELECT id_b, id_a FROM pr),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e2.d FROM reach JOIN edges e2 ON e2.s = reach.r),
+       |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |x AS (
+       |  SELECT l.cluster_id, e.vec_id,
+       |    CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
+       |    unnest(e.embedding) AS v
+       |  FROM embeddings e JOIN lbl l ON l.id = e.vec_id),
+       |a AS (
+       |  SELECT cluster_id, dim, CAST(count(*) AS BIGINT) AS n_members,
+       |    sum(CAST(floor(v::DOUBLE * 1e6) AS BIGINT)) AS s_micro
+       |  FROM x GROUP BY 1, 2)""".stripMargin
 
   /** Unrolled BPE training CTE chain: `m` merge rounds — pair counting,
     * (cnt desc, pair) argmax, and the delimiter-wrapped greedy rewrite,

@@ -600,6 +600,16 @@ object Queries {
           llm.Similarity.cosinePairsBlocked(emb, "label", 0.4))
         .orderBy(col("cluster_id"), col("dim"))
     }),
+    // nearest-centroid routing: every vector classified into its best
+    // cluster (broadcast codebook, map-side argmax — no corpus window)
+    "q_embed_assign" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val centroids = llm.Similarity.centroidVectors(
+        llm.Similarity.clusterCentroids(emb,
+          llm.Similarity.cosinePairsBlocked(emb, "label", 0.4)))
+      llm.Similarity.assignToCentroids(emb, centroids)
+        .orderBy(col("vec_id"))
+    }),
 
     // ---- LLM data pipeline: similarity search ----
     "q_knn_brute" -> ((s, dir) =>

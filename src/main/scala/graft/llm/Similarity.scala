@@ -521,4 +521,36 @@ object Similarity {
         sort_array(collect_list(struct(col("dim"), col("c")))).as("dc"))
       .select(col("cluster_id"), col("n_members"),
         transform(col("dc"), x => x.getField("c")).as("centroid"))
+
+  /** Nearest-centroid assignment: every vector classified into the
+    * [[centroidVectors]] cluster with the highest cosine (ties → smallest
+    * cluster_id) — route NEW documents to existing near-dup clusters, or
+    * partition a corpus by its dedup structure for downstream mixing.
+    *
+    * Plan shape: centroids BROADCAST (bounded: clusters × dim doubles —
+    * the same bounded-codebook position as IVF's cell centers), scoring is
+    * scan-side codegen (`vec_dot`), and the argmax is a groupBy max-struct
+    * (partial-aggregating map-side: each task emits one candidate per
+    * vector, so the shuffle moves one row per vector, and no window ever
+    * sorts the corpus). Scores are the bit-portable sequential-fold cosine
+    * of [[cosinePairsBlocked]]. Returns (idCol, cluster_id, score). */
+  def assignToCentroids(emb: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col("cluster_id"), col("centroid"),
+      norm(col("centroid")).as("cnorm"))
+    emb.select(col(idCol), col(vecCol), norm(col(vecCol)).as("vnorm"))
+      .crossJoin(broadcast(c))
+      .select(col(idCol),
+        struct(
+          (dot(col(vecCol), col("centroid")) / (col("vnorm") * col("cnorm")))
+            .as("score"),
+          (-col("cluster_id")).as("negc"),
+          col("cluster_id")).as("cand"))
+      .groupBy(col(idCol))
+      // struct max compares (score, -cluster_id): highest score wins, then
+      // the SMALLEST cluster id — deterministic and oracle-mirrorable
+      .agg(max(col("cand")).as("best"))
+      .select(col(idCol), col("best.cluster_id").as("cluster_id"),
+        col("best.score").as("score"))
+  }
 }

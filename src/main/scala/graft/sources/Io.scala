@@ -101,4 +101,32 @@ object Io {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈total bytes / targetFileBytes⌉ files at `dst`. Streaming ingests and
+    * dynamic-partition writers accrete thousands of KB-sized files; at
+    * 100 TB that is the scan killer nobody budgets for — a task per file,
+    * a driver-memory-sized listing, and row groups too small for the
+    * min/max statistics to prune anything.
+    *
+    * Sizing comes from the source's OWN file listing (driver-side, one
+    * filesystem call — already paid by any scan of the directory), so the
+    * file count tracks the data, not a guess. The rewrite `coalesce`s
+    * rather than repartitions: compaction must not pay a shuffle of the
+    * whole dataset to fix metadata — uneven-ish files are fine, a second
+    * full copy is not. Writes to a NEW directory: object stores have no
+    * atomic directory swap, so publish-by-rename (or catalog pointer flip)
+    * stays the caller's transaction — compacting in place would lose data
+    * on any mid-job failure. Returns the file count written. */
+  def compactParquet(spark: SparkSession, src: String, dst: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(src)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(src).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(dst)
+    nFiles
+  }
 }

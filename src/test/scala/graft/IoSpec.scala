@@ -94,6 +94,30 @@ class IoSpec extends SparkTestBase {
     assert(zB.forall(b => b._2 - b._1 <= n / 2), zB.toString)
   }
 
+  test("compactParquet: many small files collapse to the size-derived count, rows intact") {
+    val fragmented = tmp("graft-frag")
+    docs.repartition(40).write.mode("overwrite").parquet(fragmented)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(fragmented) === 40)
+
+    val compacted = tmp("graft-compact")
+    // target far above total size -> everything folds into ONE file
+    val n = Io.compactParquet(spark, fragmented, compacted, 1L << 30)
+    assert(n === 1)
+    assert(parquetFiles(compacted) === 1)
+    // content parity, not just counts
+    assert(spark.read.parquet(compacted).orderBy($"doc_id").collect().toSeq
+      === docs.orderBy($"doc_id").collect().toSeq)
+
+    // a small target derives multiple files: ceil(total/target) honored
+    val total = new java.io.File(fragmented).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val multi = tmp("graft-compact-multi")
+    val n2 = Io.compactParquet(spark, fragmented, multi, total / 3)
+    assert(n2 >= 3 && parquetFiles(multi) === n2)
+  }
+
   test("partitioned write prunes partitions at scan time") {
     val out = tmp("graft-part")
     Io.writePartitioned(docs, out, "source")

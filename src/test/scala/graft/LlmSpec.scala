@@ -578,6 +578,22 @@ class LlmSpec extends SparkTestBase {
     assert(vecs === Seq((1L, 3L, Seq(2.0, -0.5))))
   }
 
+  test("assignToCentroids: cosine argmax with smallest-cluster tie-break") {
+    import graft.llm.Similarity
+    // two orthogonal centroids; vec 30 ties both exactly -> cluster 1 wins
+    val centroids = Seq(
+      (1L, 2L, Seq(1.0, 0.0)), (5L, 2L, Seq(0.0, 1.0)))
+      .toDF("cluster_id", "n_members", "centroid")
+    val emb = Seq(
+      (10L, Seq(0.9f, 0.1f)),  // -> cluster 1
+      (20L, Seq(0.1f, 0.9f)),  // -> cluster 5
+      (30L, Seq(0.5f, 0.5f)))  // exact tie -> smallest cluster_id = 1
+      .toDF("vec_id", "embedding")
+    val got = Similarity.assignToCentroids(emb, centroids)
+      .select($"vec_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 1L, 20L -> 5L, 30L -> 1L))
+  }
+
   test("packing: two-phase prefix sum equals the naive global cumsum") {
     // 100 docs, token counts 1..100, budget 50 — shard boundaries interior
     // to partitions AND straddling them (nParts=7 forces uneven ranges)
