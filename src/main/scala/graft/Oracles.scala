@@ -837,6 +837,31 @@ object Oracles {
         |  (SELECT * FROM s ORDER BY skey, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
 
+    // token-budget mixture: DuckDB recomputes the per-source inclusive
+    // running sum as the naive window (fine at oracle scale) — matching
+    // proves the grouped two-phase prefix sum IS that window. Window sum
+    // is HUGEINT → CAST AS BIGINT (contract #2).
+    "q_mix_budget" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src17', 'src3', 'src5', 'src9')),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM tk)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c
+        |WHERE cum_tokens <= CASE source
+        |  WHEN 'src0' THEN 500 WHEN 'src3' THEN 120 WHEN 'src5' THEN 2000
+        |  WHEN 'src9' THEN 64 WHEN 'src17' THEN 700 END
+        |ORDER BY source, doc_id""".stripMargin,
+
     // all-pairs exact-Jaccard truth for the LSH-candidate + verify pipeline:
     // matching asserts recall = 1 on this corpus and the verify arithmetic.
     // Jaccard over shingle STRINGS here vs distinct xxhash64 keys in Spark —
@@ -1172,6 +1197,53 @@ object Oracles {
         |FROM tf JOIN vocab USING (term), n
         |ORDER BY doc_id, term""".stripMargin,
 
+    // BM25 mirror, same panel (interpolated from Search.DefaultPanel) and
+    // the same portability discipline as the Spark side: the idf — the
+    // only ln() — floors to the 1e-9 grid per (query, term); every
+    // expression downstream is IEEE arithmetic written in the identical
+    // association order, and the published score is an integer micro sum
+    // (HUGEINT → CAST AS BIGINT). avgdl = one division of exact longs —
+    // bit-identical to the Scala-side sumDl.toDouble / nDocs.toDouble.
+    "q_bm25" ->
+      s"""WITH panel AS (SELECT * FROM (VALUES $bm25PanelSql) v(query_id, term)),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+         |      AS BIGINT) AS s
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl,
+         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |m AS (
+         |  SELECT p.query_id, p.term, t.doc_id, t.dl, CAST(count(*) AS BIGINT) AS tf
+         |  FROM panel p JOIN tok t ON t.term = p.term
+         |  GROUP BY 1, 2, 3, 4),
+         |d AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS df
+         |  FROM m GROUP BY 1, 2),
+         |i AS (
+         |  SELECT d.query_id, d.term,
+         |    CAST(floor(ln(1.0 + (CAST(st.n AS DOUBLE) - d.df + 0.5) /
+         |      (d.df + 0.5)) * 1e9) AS BIGINT) AS idf_micro
+         |  FROM d, st),
+         |sc AS (
+         |  SELECT m.query_id, m.doc_id,
+         |    CAST(sum(CAST(floor(CAST(i.idf_micro AS DOUBLE) / 1e3 *
+         |      ((m.tf * ${bmK1 + 1}) / (m.tf + $bmK1 * (${1 - bmB} + $bmB *
+         |        (m.dl / (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)))))))
+         |      AS BIGINT)) AS BIGINT) AS score_micro
+         |  FROM m JOIN i ON i.query_id = m.query_id AND i.term = m.term, st
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, doc_id, score_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+         |  FROM sc)
+         |SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
     // panel contract: the oracle predicts the panel size and that the
     // aggregate recall@5 clears the published bound (literal TRUE — same
     // error-contract discipline as HLL / approx-percentile / PQ)
@@ -1497,6 +1569,19 @@ object Oracles {
       |    AS toks
       |FROM w6 ORDER BY word""".stripMargin),
   )
+
+  /** BM25 constants, interpolated into the oracle so both sides evaluate
+    * the literally identical doubles: Scala's Double.toString is the
+    * shortest round-tripping decimal, so DuckDB parses back the exact
+    * same IEEE value (2.2, 1.2, 0.25, 0.75). Panel shared verbatim with
+    * [[graft.llm.Search.DefaultPanel]]. */
+  // `final` + literal RHS = compile-time constants: inlined at use sites,
+  // immune to object-body initialization order (the oracle map above is
+  // initialized first and would read 0.0 from a plain val's field).
+  private final val bmK1 = 1.2
+  private final val bmB = 0.75
+  private lazy val bm25PanelSql: String = graft.llm.Search.DefaultPanel
+    .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
   /** Shared embedding-centroid CTE chain: label-blocked cosine pairs →
     * recursive component closure → per-(cluster, dim) exact micro sums.

@@ -498,6 +498,19 @@ object Queries {
           col("doc_id"), col("n_chars"), k = 100)
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
+    // token-budget mixture: per-source token budgets consumed in digest
+    // order via the grouped two-phase prefix sum (no per-source global
+    // window). src5's budget exceeds its sf0.01 total (full take) and cuts
+    // interior at sf0.1 — both boundary regimes exercised; unlisted
+    // sources drop entirely.
+    "q_mix_budget" -> ((s, dir) =>
+      llm.Sampling.sampleToBudget(t(s, dir, "documents"), col("source"),
+          col("doc_id"), llm.TextAnalysis.tokenCount(col("text")),
+          Map("src0" -> 500L, "src3" -> 120L, "src5" -> 2000L,
+            "src9" -> 64L, "src17" -> 700L))
+        .select(col("mix_id").as("doc_id"), col("mix_group").as("source"),
+          col("cost").as("n_tokens"), col("cum_cost").as("cum_tokens"))
+        .orderBy(col("source"), col("doc_id"))),
 
     // Oracled against ALL-PAIRS exact Jaccard: the output is the exact-
     // Jaccard-verified pair set, so the comparison asserts LSH recall = 1
@@ -771,6 +784,14 @@ object Queries {
       val n = docs.count()
       llm.TextAnalysis.tfidf(docs, llm.TextAnalysis.vocabTopK(docs, k = 20), n)
         .orderBy(col("doc_id"), col("term"))
+    }),
+    // BM25 top-10 per panel query: panel-broadcast postings, idf floored
+    // to the 1e-9 grid (the only ln), integer micro-unit score sum
+    "q_bm25" -> ((s, dir) => {
+      import s.implicits._
+      llm.Search.bm25(tWide(s, dir, "documents"),
+          llm.Search.DefaultPanel.toDF("query_id", "term"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     "q_text_quality" -> ((s, dir) =>

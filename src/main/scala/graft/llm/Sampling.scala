@@ -114,4 +114,72 @@ object Sampling {
       .filter(col("__rk") <= cap)
       .drop("__rk")
   }
+
+  /** Token-budget mixture sampling: per-group COST budgets instead of
+    * [[capPerGroup]]'s row caps — the form a training-mix spec actually
+    * takes ("20 B tokens of web, 5 B of code"). Rows are consumed in
+    * md5-digest order of `key` (the same key-pure discipline as every
+    * sampler here: the kept set is a function of the data, not the
+    * partitioning, and a group's take only changes when THAT group
+    * changes); a row is kept while the group's running cost, INCLUDING the
+    * row, stays within its budget. Groups absent from `budgets` are
+    * dropped.
+    *
+    * Scale design: the running cost is a per-group prefix sum, and the
+    * naive window — PARTITION BY group ORDER BY digest — sends an entire
+    * group to ONE task, which at 100 TB means one executor sorting a
+    * multi-TB source. Instead this runs [[graft.llm.Packing]]'s two-phase
+    * prefix sum GENERALIZED to groups: range-repartition on (group,
+    * digest) so each task holds a contiguous slice of one or a few
+    * groups, per-(pid, group) running sums in parallel, then ONE bounded
+    * collect of the (pid, group) slice totals — at most partitions ×
+    * groups rows, KBs for any real mixture — prefix-scanned per group on
+    * the driver and broadcast back. The ranged frame is localCheckpoint'ed
+    * before the totals collect for the same reason Packing pins its cut:
+    * RangePartitioner re-samples per action, and the offsets are only
+    * valid against the cut they were computed from.
+    *
+    * Returns the kept rows with the group/cost columns plus `cum_cost`
+    * (the inclusive running cost — the audit trail of WHY each row fit). */
+  def sampleToBudget(df: DataFrame, group: Column, key: Column, cost: Column,
+      budgets: Map[String, Long], nParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ >= 0), s"budgets must be non-negative: $budgets")
+    val spark = df.sparkSession
+    val n = if (nParts > 0) nParts else spark.sparkContext.defaultParallelism
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (g, b)) => when(col("mix_group") === g, lit(b)).otherwise(acc)
+    }
+    val ranged = df
+      .select(group.as("mix_group"), key.as("mix_id"), cost.cast("long").as("cost"))
+      .filter(col("mix_group").isin(budgets.keys.toSeq: _*))
+      .withColumn("mix_key", md5(col("mix_id").cast("string")))
+      .repartitionByRange(n, col("mix_group"), col("mix_key"))
+      .withColumn("pid", spark_partition_id())
+    val w = Window.partitionBy(col("pid"), col("mix_group"))
+      .orderBy(col("mix_key"), col("mix_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Freeze the range cut (see Packing): offsets below are only valid for
+    // the pid assignment this exact materialization produced.
+    val intra = ranged
+      .withColumn("intra", coalesce(sum(col("cost")).over(w), lit(0L)))
+      .localCheckpoint()
+    // Bounded driver state: one row per (pid, group) slice — partitions ×
+    // groups, never data-sized.
+    val totals = intra.groupBy(col("pid"), col("mix_group"))
+      .agg(sum(col("cost")).as("tot"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (g, slices) =>
+      val sorted = slices.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, off) => (pid, g, off) }
+    }
+    val offDf = spark.createDataFrame(offsets).toDF("pid", "mix_group", "mix_off")
+    intra
+      .join(broadcast(offDf), Seq("pid", "mix_group"))
+      .withColumn("cum_cost", col("mix_off") + col("intra") + col("cost"))
+      .filter(col("cum_cost") <= budgetCol)
+      .select(col("mix_id"), col("mix_group"), col("cost"), col("cum_cost"))
+  }
 }

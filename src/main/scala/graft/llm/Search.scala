@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance ranking: inverted postings + BM25 (Robertson &
+  * Spärck Jones probabilistic-relevance form, the non-negative
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf variant every production
+  * engine ships) — the retrieval half of a curation stack: score a
+  * benchmark's queries against the corpus for decontamination triage, or
+  * route seed queries to documents for targeted quality audits.
+  *
+  * Scale design: the query panel is the SMALL side and drives everything.
+  * Tokenization is scan-side; the panel joins in as a broadcast-hash join
+  * BEFORE any aggregation, so only postings whose term appears in some
+  * query ever cross a shuffle — the corpus itself is never shuffled, and
+  * a 100 TB corpus with a 100-term panel moves only those terms' matches.
+  * Document frequency needs no global vocabulary pass either: once
+  * postings are panel-filtered, every surviving term's postings are all
+  * present, so df is a count over the (tiny) per-term candidate groups,
+  * broadcast back for scoring. Corpus stats (N, avg doc length) are one
+  * bounded two-scalar aggregate.
+  *
+  * Portability discipline: ln() is the one engine-specific operation
+  * (1-2 ulp between Java's intrinsic and libm), so the idf — the ONLY
+  * ln in the formula — is floored onto a 1e-9 grid immediately,
+  * per (query, term): a handful of boundary draws for a whole panel,
+  * versus per-(term, doc) draws if the final score were floored raw.
+  * Everything downstream of the quantized idf is IEEE mul/div/add on
+  * identical inputs (bit-deterministic on any engine) and the published
+  * score is an INTEGER micro-unit sum — order-independent, hash-stable.
+  */
+object Search {
+
+  /** The catalog's fixed query panel (terms drawn from the synthetic
+    * corpus vocabulary, mixing high- and low-idf terms); shared with the
+    * oracle SQL so both sides score the identical panel. */
+  val DefaultPanel: Seq[(Int, String)] = Seq(
+    (1, "hash"), (1, "join"),
+    (2, "window"), (2, "agg"), (2, "stream"),
+    (3, "customer"),
+    (4, "fast"), (4, "scan"), (4, "filter"),
+    (5, "spark"), (5, "query"), (5, "the"))
+
+  /** Top-`topK` documents per query by BM25. `queries` is (query_id,
+    * term) with terms already lowercased and distinct per query. Returns
+    * (query_id, rank, idCol, score_micro) — score in 1e-6 units. */
+  def bm25(docs: DataFrame, queries: DataFrame, k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    // Bounded corpus stats: one action, two scalars. avgdl is a single
+    // IEEE division of exact longs — bit-portable.
+    val Row(nDocs: Long, sumDl: Long) = docs.agg(
+      count(lit(1)),
+      coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))).head()
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val tok = docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    // Panel gate FIRST: the broadcast join is the filter that keeps the
+    // corpus out of every shuffle below.
+    val matched = tok.join(broadcast(queries.select(col("query_id"), col("term"))),
+      Seq("term"))
+    val tf = matched.groupBy(col("query_id"), col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    // df over candidates = true global df (the panel filter keeps every
+    // surviving term's postings whole). Computed as a WINDOW over the
+    // candidate frame, not an agg + broadcast-join-back: a broadcast build
+    // side cannot reuse the tf shuffle, so the join form re-derives the
+    // whole scan→explode→tf chain — a SECOND full corpus pass at 100 TB.
+    // The window re-shuffles only candidate rows.
+    val wTerm = Window.partitionBy(col("query_id"), col("term"))
+    val contrib = tf
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("idf_micro",
+        floor(log(lit(1.0) +
+            (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          lit(1e9)).cast("long"))
+      .withColumn("c_micro",
+        floor(col("idf_micro").cast("double") / lit(1e3) *
+          ((col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / lit(avgdl))))))
+          .cast("long"))
+    val scored = contrib.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("c_micro")).as("score_micro"))
+    // Per-query candidate window, never the corpus; ties pinned by id.
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(idCol), col("score_micro"))
+  }
+}

@@ -594,6 +594,79 @@ class LlmSpec extends SparkTestBase {
     assert(got === Map(10L -> 1L, 20L -> 5L, 30L -> 1L))
   }
 
+  test("sampleToBudget: grouped two-phase prefix sum equals the naive per-group cumsum") {
+    import graft.llm.Sampling
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map(i => (i.toLong, s"g${rnd.nextInt(5)}", 1 + rnd.nextInt(50)))
+    // scrambled input partitioning: the kept set must not depend on it
+    val df = rows.toDF("id", "grp", "cost").repartition(7)
+    val budgets = Map("g0" -> 300L, "g1" -> 0L, "g2" -> 100000L, "g3" -> 57L)
+    val got = Sampling.sampleToBudget(df, col("grp"), col("id"), col("cost"),
+        budgets, nParts = 5)
+      .select($"mix_id".cast("long"), $"mix_group", $"cost", $"cum_cost")
+      .as[(Long, String, Long, Long)].collect().toSet
+
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = rows.filter(r => budgets.contains(r._2)).groupBy(_._2).toSeq.flatMap {
+      case (g, rs) =>
+        val sorted = rs.sortBy(r => (md5hex(r._1.toString), r._1))
+        val cums = sorted.map(_._3.toLong).scanLeft(0L)(_ + _).tail
+        sorted.zip(cums).filter(_._2 <= budgets(g))
+          .map { case (r, c) => (r._1, g, r._3.toLong, c) }
+    }.toSet
+    assert(got === want)
+    assert(!got.exists(_._2 == "g1"))                              // zero budget
+    assert(got.count(_._2 == "g2") === rows.count(_._2 == "g2"))   // over-budget: full take
+    assert(!got.exists(_._2 == "g4"))                              // unlisted group dropped
+  }
+
+  test("bm25: matches a naive in-memory scorer; blank docs count toward N only") {
+    import graft.llm.Search
+    val corpus = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana durian"),
+      (3L, "cherry apple"),
+      (4L, ""), // blank: in N and avgdl (dl 0), never a candidate
+      (5L, "durian elderberry fig grape apple banana"))
+      .toDF("doc_id", "text")
+    val panel = Seq((1, "apple"), (1, "durian"), (2, "banana"))
+    val got = Search.bm25(corpus, panel.toDF("query_id", "term"), topK = 3)
+      .orderBy($"query_id", $"rank")
+      .select($"query_id", $"rank", $"doc_id", $"score_micro")
+      .as[(Int, Int, Long, Long)].collect().toList
+
+    // naive reference with the library's exact arithmetic shape
+    val toks = Map[Long, Seq[String]](
+      1L -> Seq("apple", "banana", "apple", "cherry"),
+      2L -> Seq("banana", "banana", "durian"),
+      3L -> Seq("cherry", "apple"),
+      5L -> Seq("durian", "elderberry", "fig", "grape", "apple", "banana"))
+    val (k1, b) = (1.2, 0.75)
+    val nDocs = 5.0
+    val avgdl = (4L + 3L + 2L + 0L + 6L).toDouble / 5.0
+    def score(terms: Seq[String], d: Long): Long = terms.map { t =>
+      val tf = toks(d).count(_ == t).toDouble
+      if (tf == 0) 0L
+      else {
+        val dfq = toks.values.count(_.contains(t)).toDouble
+        val idfMicro = math.floor(math.log(1.0 + (nDocs - dfq + 0.5) / (dfq + 0.5)) * 1e9)
+        math.floor(idfMicro / 1e3 *
+          (tf * (k1 + 1) / (tf + k1 * ((1 - b) + b * (toks(d).size / avgdl))))).toLong
+      }
+    }.sum
+    val want = Seq(1 -> Seq("apple", "durian"), 2 -> Seq("banana")).flatMap {
+      case (q, terms) =>
+        toks.keys.toSeq
+          .filter(d => terms.exists(toks(d).contains))
+          .map(d => (d, score(terms, d)))
+          .sortBy { case (d, s) => (-s, d) }
+          .take(3).zipWithIndex
+          .map { case ((d, s), i) => (q, i + 1, d, s) }
+    }.toList
+    assert(got === want)
+  }
+
   test("packing: two-phase prefix sum equals the naive global cumsum") {
     // 100 docs, token counts 1..100, budget 50 — shard boundaries interior
     // to partitions AND straddling them (nParts=7 forces uneven ranges)
