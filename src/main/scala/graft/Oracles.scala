@@ -1244,6 +1244,30 @@ object Oracles {
          |SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
+    // inverted bigram index mirror: same bigram construction (1-based
+    // DuckDB list lambda ↔ 0-based Spark transform), df rails 2 ≤ df ≤
+    // floor(0.06 n) — floor of the identical double product — postings
+    // as the doc-ordered doc:tf string
+    "q_inverted_index" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(list_slice(a, 1, len(a) - 1),
+        |    (x, i) -> x || ' ' || a[i + 1])) AS gram
+        |  FROM w WHERE len(a) >= 2),
+        |tf AS (SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM g GROUP BY 1, 2),
+        |d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |k AS (SELECT gram, df, cf FROM d, n
+        |  WHERE df >= 2 AND df <= CAST(floor(0.06 * n.n) AS BIGINT))
+        |SELECT t.gram, k.df, k.cf,
+        |  string_agg(t.doc_id || ':' || t.tf, ',' ORDER BY t.doc_id) AS postings
+        |FROM tf t JOIN k USING (gram)
+        |GROUP BY 1, 2, 3 ORDER BY gram""".stripMargin,
+
     // panel contract: the oracle predicts the panel size and that the
     // aggregate recall@5 clears the published bound (literal TRUE — same
     // error-contract discipline as HLL / approx-percentile / PQ)

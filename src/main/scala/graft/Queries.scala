@@ -793,6 +793,16 @@ object Queries {
           llm.Search.DefaultPanel.toDF("query_id", "term"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // inverted bigram index with df rails: minDf=2 kills the singleton
+    // tail (present at sf0.01), maxDf = floor(0.06 N) prunes hot phrases
+    // at BOTH SFs; postings row width bounded by maxDf by construction
+    "q_inverted_index" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val n = docs.count()
+      llm.Search.invertedIndex(docs, minDf = 2L,
+          maxDf = math.floor(0.06 * n).toLong)
+        .orderBy(col("gram"))
+    }),
 
     "q_text_quality" -> ((s, dir) =>
       llm.TextAnalysis.docStats(tWide(s, dir, "documents"))

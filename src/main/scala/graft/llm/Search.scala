@@ -93,4 +93,60 @@ object Search {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col(idCol), col("score_micro"))
   }
+
+  /** Inverted WORD-BIGRAM index: (gram, df, postings) with postings the
+    * doc:tf list in doc order — the build half of the search story
+    * (phrase lookup, candidate generation for verbatim-overlap audits).
+    *
+    * The df bounds are the scale rails, not an afterthought:
+    *   - `maxDf` (stopword-phrase cutoff) bounds the WIDTH of every
+    *     output row: no posting list longer than maxDf is ever
+    *     assembled, so the hot-phrase row that would OOM a reducer at
+    *     100 TB ("of the" with a billion postings) is pruned by the df
+    *     JOIN before the collect, while its rows merely stream through
+    *     one shuffle (AQE skew-split handles the imbalance).
+    *   - `minDf` kills the singleton tail (most of a real vocabulary).
+    *
+    * Plan shape: ONE corpus scan. tf aggregates on (gram, doc) — a
+    * partial-agg-friendly, skew-free key. df aggregates tf by gram
+    * (partial agg: one row per gram per task crosses). The prune then
+    * re-joins df onto tf as a SHUFFLE-merge join — hinted, because a
+    * broadcast build side cannot reuse a shuffle exchange (this repo's
+    * measured ReuseProbe fact) and would re-derive the whole
+    * scan→explode→tf chain; with both sides shuffling, the tf subtree
+    * materializes ONCE: statically as ReusedExchange, under AQE as
+    * runtime stage reuse keyed on canonicalized-subtree equality — NOT
+    * visible in plan text, so the evidence is the task-input-bytes
+    * probe (ReuseScratch: identical-subtree form reads 1× the corpus,
+    * the column-pruned form exactly 2×). */
+  def invertedIndex(docs: DataFrame, minDf: Long = 1L,
+      maxDf: Long = Long.MaxValue, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"need 1 <= minDf <= maxDf: $minDf, $maxDf")
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    // bigrams scan-side; <2-word (incl. blank) docs contribute nothing
+    val tok = docs
+      .select(col(idCol), words.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(
+        transform(slice(col("w"), lit(1), size(col("w")) - 1),
+          (x, i) => concat_ws(" ", x, element_at(col("w"), i + 2)))).as("gram"))
+    val tf = tok.groupBy(col("gram"), col(idCol)).agg(count(lit(1)).as("tf"))
+    // df + cf in one agg. cf (collection frequency — total occurrences,
+    // the LM-scoring companion to df) also PINS the tf subtree: without a
+    // consumer of `tf`, Catalyst column-prunes the df branch's tf
+    // aggregate down to a bare distinct, the two tf subtrees stop
+    // canonicalizing equal, and the ReusedExchange below silently
+    // degrades to a second corpus scan (measured with ReuseProbe).
+    val dfp = tf.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    tf.join(dfp.hint("shuffle_merge"), Seq("gram"))
+      .groupBy(col("gram"), col("df"), col("cf"))
+      .agg(sort_array(collect_list(struct(col(idCol), col("tf")))).as("pl"))
+      .select(col("gram"), col("df"), col("cf"),
+        array_join(transform(col("pl"),
+          x => concat_ws(":", x.getField(idCol).cast("string"),
+            x.getField("tf").cast("string"))), ",").as("postings"))
+  }
 }

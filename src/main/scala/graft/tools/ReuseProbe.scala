@@ -15,15 +15,28 @@ object ReuseProbe {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
-    val df = graft.analytics.Analytics.hourlyAnomalies(events)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    })
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    // default: the original hourly-anomaly probe; arg(0): any catalog query
+    val df = if (args.nonEmpty) graft.SparkEntry.queries(args(0))(spark, dir)
+      else graft.analytics.Analytics.hourlyAnomalies(
+        graft.sources.Tables.load(spark, dir, "events"))
     df.write.format("noop").mode("overwrite").save() // finalize AQE
     val executed = df.queryExecution.executedPlan.collectFirst {
       case a: AdaptiveSparkPlanExec => a.executedPlan
     }.getOrElse(df.queryExecution.executedPlan)
     val s = executed.toString
     val reused = s.linesIterator.count(_.contains("ReusedExchange"))
+    val reusedStage = s.linesIterator.count(l =>
+      l.contains("ReusedQueryStage") || l.contains("ReusedSubquery"))
     val scans = s.linesIterator.count(_.contains("Scan parquet"))
-    println(s"[reuse] ReusedExchange=$reused parquetScans=$scans")
+    Thread.sleep(1500) // let the listener bus drain
+    println(s"[reuse] ReusedExchange=$reused reusedStages=$reusedStage " +
+      s"parquetScans=$scans bytesRead=${bytesRead.get()}")
+    if (sys.env.contains("SPARK_GRAFT_DUMP_PLAN")) println(s)
   }
 }

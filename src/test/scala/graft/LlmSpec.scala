@@ -667,6 +667,28 @@ class LlmSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("invertedIndex: bigram postings match a naive build; df rails prune both tails") {
+    import graft.llm.Search
+    val corpus = Seq(
+      (1L, "a b a b c"),     // grams: "a b"×2, "b a", "b c"
+      (2L, "a b c"),         // "a b", "b c"
+      (3L, "a b x"),         // "a b", "b x"  -> "a b" df 3 (hot with maxDf 2)
+      (4L, "zz"),            // single word: no grams
+      (5L, ""))              // blank: no grams
+      .toDF("doc_id", "text")
+    val got = Search.invertedIndex(corpus, minDf = 2L, maxDf = 2L)
+      .orderBy($"gram")
+      .as[(String, Long, Long, String)].collect().toList
+    // "b a" df 1 (minDf), "b x" df 1 (minDf), "a b" df 3 (maxDf) all pruned
+    assert(got === List(("b c", 2L, 2L, "1:1,2:1")))
+    // no rails: everything with df >= 1 survives, tf/cf and order pinned
+    val all = Search.invertedIndex(corpus).orderBy($"gram")
+      .as[(String, Long, Long, String)].collect().toList
+    assert(all === List(
+      ("a b", 3L, 4L, "1:2,2:1,3:1"), ("b a", 1L, 1L, "1:1"),
+      ("b c", 2L, 2L, "1:1,2:1"), ("b x", 1L, 1L, "3:1")))
+  }
+
   test("packing: two-phase prefix sum equals the naive global cumsum") {
     // 100 docs, token counts 1..100, budget 50 — shard boundaries interior
     // to partitions AND straddling them (nParts=7 forces uneven ranges)
