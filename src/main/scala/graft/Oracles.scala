@@ -1582,6 +1582,56 @@ object Oracles {
         |SELECT vec_id, cluster_id, score FROM sc WHERE rn = 1
         |ORDER BY vec_id""".stripMargin),
 
+    // SemDeDup mirror: the q_embed_assign assignment chain carried with
+    // embeddings, within-cell ε-pairs, a SECOND recursive closure for the
+    // duplicate groups, rep = (centroid_sim ASC, vec_id ASC) rank 1
+    "q_semantic_dedup" -> (embedCentroidCtes + s""",
+      |cl AS (
+      |  SELECT cluster_id,
+      |    list(s_micro::DOUBLE / (n_members::DOUBLE * 1e6) ORDER BY dim)
+      |      AS centroid
+      |  FROM a GROUP BY cluster_id),
+      |sc2 AS (
+      |  SELECT e.vec_id, e.embedding, cl.cluster_id,
+      |    ${dotSql("e.embedding", "cl.centroid")} /
+      |      (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+      |       sqrt(${dotSql("cl.centroid", "cl.centroid")})) AS score,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${dotSql("e.embedding", "cl.centroid")} /
+      |        (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+      |         sqrt(${dotSql("cl.centroid", "cl.centroid")})) DESC,
+      |        cl.cluster_id) AS rn
+      |  FROM embeddings e CROSS JOIN cl),
+      |asg AS (
+      |  SELECT vec_id, embedding, cluster_id AS cell, score AS centroid_sim
+      |  FROM sc2 WHERE rn = 1),
+      |pr2 AS (
+      |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |  WHERE ${dotSql("x.embedding", "y.embedding")} /
+      |      (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+      |       sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.5),
+      |e2 AS (
+      |  SELECT id_a AS s, id_b AS d FROM pr2
+      |  UNION SELECT id_b, id_a FROM pr2),
+      |reach2(id, r) AS (
+      |  SELECT s, s FROM e2
+      |  UNION
+      |  SELECT reach2.id, z.d FROM reach2 JOIN e2 z ON z.s = reach2.r),
+      |lbl2 AS (SELECT id, min(r) AS sem_group FROM reach2 GROUP BY id),
+      |mem AS (
+      |  SELECT g.vec_id, l.sem_group, g.centroid_sim,
+      |    row_number() OVER (PARTITION BY l.sem_group
+      |      ORDER BY g.centroid_sim, g.vec_id) AS rr
+      |  FROM asg g JOIN lbl2 l ON l.id = g.vec_id)
+      |SELECT vec_id, sem_group, centroid_sim, (rr = 1) AS kept FROM mem
+      |UNION ALL
+      |SELECT g2.vec_id, CAST(-1 AS BIGINT) AS sem_group, g2.centroid_sim,
+      |  TRUE AS kept
+      |FROM asg g2 LEFT JOIN lbl2 ON lbl2.id = g2.vec_id
+      |WHERE lbl2.id IS NULL
+      |ORDER BY vec_id""".stripMargin),
+
     "q_bpe_merges" -> bpeMergesSql(6),
 
     // inference over the trained merges: w6's carrier, symbols re-split

@@ -624,6 +624,18 @@ object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    // SemDeDup: nearest-centroid cells block the ε-similarity join (the
+    // cell plays LSH's block role); per duplicate group keep the member
+    // LEAST similar to its centroid (the paper's diversity rule)
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val centroids = llm.Similarity.centroidVectors(
+        llm.Similarity.clusterCentroids(emb,
+          llm.Similarity.cosinePairsBlocked(emb, "label", 0.4)))
+      llm.Similarity.semanticDedup(emb, centroids, 0.5)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- LLM data pipeline: similarity search ----
     "q_knn_brute" -> ((s, dir) =>
       llm.Similarity.bruteForceKnn(tWide(s, dir, "embeddings"),

@@ -522,6 +522,54 @@ object Similarity {
       .select(col("cluster_id"), col("n_members"),
         transform(col("dc"), x => x.getField("c")).as("centroid"))
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): route every vector to its nearest centroid, find
+    * ε-similar pairs WITHIN each cell only, connect pairs into duplicate
+    * groups, and keep ONE representative per group — the member LEAST
+    * similar to its cell centroid (the paper's diversity-preserving rule;
+    * the outlier carries the most information the group's mode doesn't),
+    * ties → smallest id.
+    *
+    * Returns every input id classified:
+    * (idCol, sem_group, centroid_sim, kept) — sem_group is the duplicate
+    * group label (min member id) or -1 for vectors in no group; kept is
+    * false only for dropped group members. Downstream: semi-join the
+    * corpus on kept ids, or route sem_group to mixture accounting.
+    *
+    * Scale structure: the centroid codebook is bounded (k × dim) and
+    * BROADCASTS — assignment is scan-side argmax, one row per vector
+    * crosses its shuffle ([[assignToCentroids]]). The candidate join is
+    * cell-equi: the k-means cell plays the block role LSH buckets play in
+    * [[cosineNearDups]], so the quadratic is per-cell and k is the skew
+    * lever (SemDeDup's own deployment note — more clusters, smaller
+    * cells). Group labeling touches only pair MEMBERS (a sliver), and the
+    * final classification joins two tiny frames (groups, reps) back onto
+    * the assignment — the corpus never shuffles after the cell join. */
+  def semanticDedup(emb: DataFrame, centroids: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assign = assignToCentroids(emb, centroids, idCol, vecCol)
+      .select(col(idCol), col("cluster_id").as("cell"),
+        col("score").as("centroid_sim"))
+    val blocked = emb.select(col(idCol), col(vecCol)).join(assign, Seq(idCol))
+    val pairs = cosinePairsBlocked(blocked, "cell", threshold, idCol, vecCol)
+    val groups = Dedup.clusters(pairs) // (doc_id, cluster_id): members only
+      .select(col("doc_id").as("__gid"), col("cluster_id").as("sem_group"))
+    val members = assign.join(groups, col(idCol) === col("__gid"))
+    // struct min compares (centroid_sim, id): farthest-from-centroid wins,
+    // then the smallest id — deterministic and oracle-mirrorable
+    val reps = members.groupBy(col("sem_group"))
+      .agg(min(struct(col("centroid_sim"), col(idCol))).as("rep"))
+      .select(col("sem_group").as("__rg"),
+        col("rep").getField(idCol).as("__rid"))
+    members.join(reps, col("sem_group") === col("__rg"))
+      .select(col(idCol), col("sem_group"), col("centroid_sim"),
+        (col(idCol) === col("__rid")).as("kept"))
+      .unionByName(
+        assign.join(groups, col(idCol) === col("__gid"), "left_anti")
+          .select(col(idCol), lit(-1L).as("sem_group"), col("centroid_sim"),
+            lit(true).as("kept")))
+  }
+
   /** Nearest-centroid assignment: every vector classified into the
     * [[centroidVectors]] cluster with the highest cosine (ties → smallest
     * cluster_id) — route NEW documents to existing near-dup clusters, or

@@ -689,6 +689,36 @@ class LlmSpec extends SparkTestBase {
       ("b c", 2L, 2L, "1:1,2:1"), ("b x", 1L, 1L, "3:1")))
   }
 
+  test("semanticDedup: cell-blocked groups, farthest-from-centroid representative") {
+    import graft.llm.Similarity
+    // two orthogonal unit centroids; groups planted within each cell
+    val centroids = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(0.0, 1.0))).toDF("cluster_id", "centroid")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cell 0, sim 1.0
+      (2L, Array(0.9f, 0.1f)),   // cell 0, cos(v1,v2)≈.994 → group {1,2}
+      (3L, Array(0.0f, 1.0f)),   // cell 1, sim 1.0
+      (4L, Array(0.1f, 0.9f)),   // cell 1, cos(v3,v4)≈.994 → group {3,4}
+      (5L, Array(-1.0f, 0.0f)))  // cell 1 (sim 0 beats -1); no similar mate
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, centroids, threshold = 0.9)
+      .select($"vec_id", $"sem_group", $"kept")
+      .as[(Long, Long, Boolean)].collect().toList.sortBy(_._1)
+    // reps are the members LEAST similar to their centroid: 2 and 4
+    assert(got === List(
+      (1L, 1L, false), (2L, 1L, true),
+      (3L, 3L, false), (4L, 3L, true),
+      (5L, -1L, true)))
+    // a dup-free corpus: everything kept, no groups
+    val clean = Similarity.semanticDedup(
+      Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding"), centroids, threshold = 0.9)
+      .select($"vec_id", $"sem_group", $"kept")
+      .as[(Long, Long, Boolean)].collect().toList.sortBy(_._1)
+    assert(clean === List((1L, -1L, true), (2L, -1L, true)))
+  }
+
   test("packing: two-phase prefix sum equals the naive global cumsum") {
     // 100 docs, token counts 1..100, budget 50 — shard boundaries interior
     // to partitions AND straddling them (nParts=7 forces uneven ranges)
