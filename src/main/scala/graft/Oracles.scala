@@ -1268,6 +1268,36 @@ object Oracles {
         |FROM tf t JOIN k USING (gram)
         |GROUP BY 1, 2, 3 ORDER BY gram""".stripMargin,
 
+    // conjunctive phrase lookup over the railed index: same index CTEs as
+    // q_inverted_index, panel bigrams interpolated from Search.PhrasePanel
+    // (phraseGrams: distinct sorted bigrams), a doc matches iff EVERY
+    // phrase bigram survives the rails and appears in the doc
+    "q_index_phrase" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(list_slice(a, 1, len(a) - 1),
+         |    (x, i) -> x || ' ' || a[i + 1])) AS gram
+         |  FROM w WHERE len(a) >= 2),
+         |tf AS (SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM g GROUP BY 1, 2),
+         |d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |k AS (SELECT gram FROM d, n
+         |  WHERE df >= 2 AND df <= CAST(floor(0.06 * n.n) AS BIGINT)),
+         |panel(phrase_id, gram) AS (VALUES $phrasePanelSql),
+         |need AS (SELECT phrase_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM panel GROUP BY 1),
+         |hit AS (SELECT p.phrase_id, p.gram FROM panel p JOIN k USING (gram)),
+         |m AS (
+         |  SELECT h.phrase_id, t.doc_id,
+         |    count(DISTINCT h.gram) AS np, min(t.tf) AS phrase_tf
+         |  FROM hit h JOIN tf t USING (gram) GROUP BY 1, 2)
+         |SELECT m.phrase_id, m.doc_id, need.n_grams, m.phrase_tf
+         |FROM m JOIN need USING (phrase_id) WHERE m.np = need.n_grams
+         |ORDER BY phrase_id, doc_id""".stripMargin,
+
     // panel contract: the oracle predicts the panel size and that the
     // aggregate recall@5 clears the published bound (literal TRUE — same
     // error-contract discipline as HLL / approx-percentile / PQ)
@@ -1584,8 +1614,28 @@ object Oracles {
 
     // SemDeDup mirror: the q_embed_assign assignment chain carried with
     // embeddings, within-cell ε-pairs, a SECOND recursive closure for the
-    // duplicate groups, rep = (centroid_sim ASC, vec_id ASC) rank 1
-    "q_semantic_dedup" -> (embedCentroidCtes + s""",
+    // duplicate groups, rep = (centroid_sim ASC, vec_id ASC) rank 1.
+    // q_semantic_dedup_prebuilt shares it VERBATIM (below): the prebuilt-
+    // assignment path must be indistinguishable from the inline one.
+    "q_semantic_dedup" -> semanticDedupSql,
+    "q_semantic_dedup_prebuilt" -> semanticDedupSql,
+
+    "q_bpe_merges" -> bpeMergesSql(6),
+
+    // inference over the trained merges: w6's carrier, symbols re-split
+    "q_bpe_encode" -> (bpeCtes(6) + """
+      |SELECT word,
+      |  CAST(len(list_filter(string_split(tok, chr(31)), x -> x <> '')) AS INT)
+      |    AS n_tokens,
+      |  array_to_string(list_filter(string_split(tok, chr(31)), x -> x <> ''), ' ')
+      |    AS toks
+      |FROM w6 ORDER BY word""".stripMargin),
+  )
+
+  /** SemDeDup oracle body — shared verbatim by q_semantic_dedup and
+    * q_semantic_dedup_prebuilt (the steady-state form must be
+    * indistinguishable from the inline one). */
+  private lazy val semanticDedupSql: String = (embedCentroidCtes + s""",
       |cl AS (
       |  SELECT cluster_id,
       |    list(s_micro::DOUBLE / (n_members::DOUBLE * 1e6) ORDER BY dim)
@@ -1630,19 +1680,7 @@ object Oracles {
       |  TRUE AS kept
       |FROM asg g2 LEFT JOIN lbl2 ON lbl2.id = g2.vec_id
       |WHERE lbl2.id IS NULL
-      |ORDER BY vec_id""".stripMargin),
-
-    "q_bpe_merges" -> bpeMergesSql(6),
-
-    // inference over the trained merges: w6's carrier, symbols re-split
-    "q_bpe_encode" -> (bpeCtes(6) + """
-      |SELECT word,
-      |  CAST(len(list_filter(string_split(tok, chr(31)), x -> x <> '')) AS INT)
-      |    AS n_tokens,
-      |  array_to_string(list_filter(string_split(tok, chr(31)), x -> x <> ''), ' ')
-      |    AS toks
-      |FROM w6 ORDER BY word""".stripMargin),
-  )
+      |ORDER BY vec_id""".stripMargin)
 
   /** BM25 constants, interpolated into the oracle so both sides evaluate
     * the literally identical doubles: Scala's Double.toString is the
@@ -1656,6 +1694,14 @@ object Oracles {
   private final val bmB = 0.75
   private lazy val bm25PanelSql: String = graft.llm.Search.DefaultPanel
     .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** Phrase panel as (phrase_id, bigram) VALUES rows — the identical
+    * distinct-sorted bigram expansion [[graft.llm.Search.phraseQuery]]
+    * uses ([[graft.llm.Search.phraseGrams]]). */
+  private lazy val phrasePanelSql: String = graft.llm.Search.PhrasePanel
+    .flatMap { case (pid, ph) =>
+      graft.llm.Search.phraseGrams(ph).map(g => s"($pid, '$g')") }
+    .mkString(", ")
 
   /** Shared embedding-centroid CTE chain: label-blocked cosine pairs →
     * recursive component closure → per-(cluster, dim) exact micro sums.

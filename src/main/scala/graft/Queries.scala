@@ -626,13 +626,36 @@ object Queries {
 
     // SemDeDup: nearest-centroid cells block the ε-similarity join (the
     // cell plays LSH's block role); per duplicate group keep the member
-    // LEAST similar to its centroid (the paper's diversity rule)
+    // LEAST similar to its centroid (the paper's diversity rule). The
+    // centroid frame (one clustering fixpoint) is checkpointed: tiny
+    // (clusters × dim) and consumed by the broadcast codebook — without
+    // the checkpoint the whole derivation chain re-runs per consumer.
     "q_semantic_dedup" -> ((s, dir) => {
       val emb = tWide(s, dir, "embeddings")
       val centroids = llm.Similarity.centroidVectors(
         llm.Similarity.clusterCentroids(emb,
           llm.Similarity.cosinePairsBlocked(emb, "label", 0.4)))
+        .localCheckpoint(eager = false)
       llm.Similarity.semanticDedup(emb, centroids, 0.5)
+        .orderBy(col("vec_id"))
+    }),
+
+    // the steady-state form: codebook + per-vector assignment are PREBUILT
+    // artifacts (persisted in production; here built once and checkpointed,
+    // the q_dedup_incr_prebuilt pattern) — the dedup pass itself runs no
+    // clustering fixpoint and no codebook argmax. Shares q_semantic_dedup's
+    // oracle verbatim: the two forms must be indistinguishable.
+    "q_semantic_dedup_prebuilt" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val centroids = llm.Similarity.centroidVectors(
+        llm.Similarity.clusterCentroids(emb,
+          llm.Similarity.cosinePairsBlocked(emb, "label", 0.4)))
+        .localCheckpoint(eager = false)
+      val assign = llm.Similarity.assignToCentroids(emb, centroids)
+        .select(col("vec_id"), col("cluster_id").as("cell"),
+          col("score").as("centroid_sim"))
+        .localCheckpoint(eager = false)
+      llm.Similarity.semanticDedupFromAssign(emb, assign, 0.5)
         .orderBy(col("vec_id"))
     }),
 
@@ -814,6 +837,19 @@ object Queries {
       llm.Search.invertedIndex(docs, minDf = 2L,
           maxDf = math.floor(0.06 * n).toLong)
         .orderBy(col("gram"))
+    }),
+    // conjunctive AND/phrase lookup over the PREBUILT index (checkpointed
+    // = the persisted-index stand-in): rarest gram's postings drive, a doc
+    // matches iff every phrase bigram is indexed and present; the corpus
+    // is never re-scanned (PlanSpec)
+    "q_index_phrase" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val n = docs.count()
+      val index = llm.Search.invertedIndexRaw(docs, minDf = 2L,
+          maxDf = math.floor(0.06 * n).toLong)
+        .localCheckpoint(eager = false)
+      llm.Search.phraseQuery(index, llm.Search.PhrasePanel)
+        .orderBy(col("phrase_id"), col("doc_id"))
     }),
 
     "q_text_quality" -> ((s, dir) =>

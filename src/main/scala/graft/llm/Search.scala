@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * Document frequency needs no global vocabulary pass either: once
   * postings are panel-filtered, every surviving term's postings are all
   * present, so df is a count over the (tiny) per-term candidate groups,
-  * broadcast back for scoring. Corpus stats (N, avg doc length) are one
-  * bounded two-scalar aggregate.
+  * broadcast back for scoring. Corpus stats (N, avg doc length) are
+  * observed metrics riding the same scan that tokenizes — one corpus read
+  * total, byte-verified in SearchScanSpec.
   *
   * Portability discipline: ln() is the one engine-specific operation
   * (1-2 ulp between Java's intrinsic and libm), so the idf — the ONLY
@@ -50,13 +51,19 @@ object Search {
       b: Double = 0.75, topK: Int = 10, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(topK > 0, s"topK must be positive: $topK")
-    // Bounded corpus stats: one action, two scalars. avgdl is a single
-    // IEEE division of exact longs — bit-portable.
-    val Row(nDocs: Long, sumDl: Long) = docs.agg(
-      count(lit(1)),
-      coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))).head()
-    val avgdl = sumDl.toDouble / nDocs.toDouble
-    val tok = docs.select(col(idCol),
+    // Corpus stats (N, Σdl) ride the SAME scan that tokenizes: observe()
+    // plants a CollectMetricsExec on the doc rows BEFORE the explode, the
+    // candidate tf frame below is checkpointed, and the one count() action
+    // both materializes it and delivers the two scalars — the corpus is
+    // read ONCE (task-input-bytes-verified in SearchScanSpec; a separate
+    // stats agg action was a second full pass at 100 TB). avgdl is a
+    // single IEEE division of exact longs — bit-portable.
+    val obs = org.apache.spark.sql.Observation()
+    val tok = docs
+      .observe(obs, count(lit(1)).as("n_docs"),
+        coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))
+          .as("sum_dl"))
+      .select(col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
@@ -64,8 +71,17 @@ object Search {
     // corpus out of every shuffle below.
     val matched = tok.join(broadcast(queries.select(col("query_id"), col("term"))),
       Seq("term"))
+    // EAGER checkpoint: the materializing action runs under the original
+    // query execution (Dataset.checkpoint's withAction), so the observed
+    // metrics fire with it — a count() over a LAZY checkpoint would bury
+    // CollectMetrics inside RDD lineage where the listener never sees it.
     val tf = matched.groupBy(col("query_id"), col("term"), col(idCol), col("dl"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
+    val row = obs.get
+    val nDocs = row("n_docs").asInstanceOf[Long]
+    val sumDl = row("sum_dl").asInstanceOf[Long]
+    val avgdl = sumDl.toDouble / nDocs.toDouble
     // df over candidates = true global df (the panel filter keeps every
     // surviving term's postings whole). Computed as a WINDOW over the
     // candidate frame, not an agg + broadcast-join-back: a broadcast build
@@ -121,6 +137,20 @@ object Search {
     * the column-pruned form exactly 2×). */
   def invertedIndex(docs: DataFrame, minDf: Long = 1L,
       maxDf: Long = Long.MaxValue, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    invertedIndexRaw(docs, minDf, maxDf, idCol, textCol)
+      .select(col("gram"), col("df"), col("cf"),
+        array_join(transform(col("pl"),
+          x => concat_ws(":", x.getField(idCol).cast("string"),
+            x.getField("tf").cast("string"))), ",").as("postings"))
+
+  /** [[invertedIndex]] with postings kept STRUCTURED — (gram, df, cf,
+    * pl: array<struct<idCol, tf>>), pl in doc order. The form downstream
+    * operators consume ([[phraseQuery]]) and the form to PERSIST; the
+    * string rendering above exists only for the scalar-cell catalog
+    * contract. */
+  def invertedIndexRaw(docs: DataFrame, minDf: Long = 1L,
+      maxDf: Long = Long.MaxValue, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(minDf >= 1 && maxDf >= minDf, s"need 1 <= minDf <= maxDf: $minDf, $maxDf")
     val words = split(lower(trim(col(textCol))), "\\s+")
@@ -144,9 +174,73 @@ object Search {
     tf.join(dfp.hint("shuffle_merge"), Seq("gram"))
       .groupBy(col("gram"), col("df"), col("cf"))
       .agg(sort_array(collect_list(struct(col(idCol), col("tf")))).as("pl"))
-      .select(col("gram"), col("df"), col("cf"),
-        array_join(transform(col("pl"),
-          x => concat_ws(":", x.getField(idCol).cast("string"),
-            x.getField("tf").cast("string"))), ",").as("postings"))
+  }
+
+  /** The catalog's fixed phrase panel: conjunctive (AND) lookups the
+    * retrieval user runs right after building the bigram index. Mixes
+    * 3- and 4-word phrases with hits at each SF and one phrase whose
+    * gram is absent from every index (the strictness case: no rows). */
+  val PhrasePanel: Seq[(Int, String)] = Seq(
+    (1, "the fast scan"),
+    (2, "window agg key"),
+    (3, "big a batch"),
+    (4, "customer big agg"),
+    (5, "spark query the fast"),
+    (6, "zz unseen gram"))
+
+  /** Distinct word bigrams of a phrase — the index terms a conjunctive
+    * phrase lookup needs. Shared by [[phraseQuery]] and the oracle SQL. */
+  def phraseGrams(phrase: String): Seq[String] = {
+    val ws = phrase.toLowerCase.trim.split("\\s+").toSeq
+    ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq.distinct.sorted
+  }
+
+  /** Conjunctive (AND/phrase) retrieval OVER A PREBUILT INDEX
+    * ([[invertedIndexRaw]], persisted in production): a doc matches a
+    * phrase iff EVERY bigram of the phrase is in the index AND in the
+    * doc — the bigram-chain conjunction, the standard index-side phrase
+    * approximation when postings carry no positions. Returns (phrase_id,
+    * idCol, n_grams, phrase_tf = min per-gram tf, an upper bound on
+    * phrase occurrences), empty for phrases with any unindexed gram.
+    *
+    * Scale shape: the panel is literal and BROADCASTS into the index —
+    * the only postings ever exploded are the panel grams' (row width ≤
+    * maxDf by the index rails, so the fan-out is ≤ |panel grams| × maxDf
+    * rows). The smallest-df gram per phrase DRIVES: its postings are the
+    * candidate set (bounded by the phrase's min df), broadcast against
+    * the other grams' exploded postings, so no row survives past the
+    * rarest gram's reach. The corpus is never touched — plan-pinned in
+    * PlanSpec: a phrase query over a persisted index re-scans nothing. */
+  def phraseQuery(index: DataFrame, panel: Seq[(Int, String)],
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val gramsDf = panel
+      .flatMap { case (pid, ph) => phraseGrams(ph).map(g => (pid, g)) }
+      .toDF("phrase_id", "gram")
+    val needDf = panel
+      .map { case (pid, ph) => (pid, phraseGrams(ph).size.toLong) }
+      .toDF("phrase_id", "n_grams")
+    // panel gate: only the queried grams' postings leave the index scan
+    val hit = index.join(broadcast(gramsDf), Seq("gram"))
+      .select(col("phrase_id"), col("gram"), col("df"), col("pl"))
+    // smallest-df-first: the rarest gram's postings are the candidates
+    val rare = hit.groupBy(col("phrase_id"))
+      .agg(min(struct(col("df"), col("gram"))).as("r"))
+      .select(col("phrase_id"), col("r.gram").as("gram"))
+    val cand = hit.join(rare, Seq("phrase_id", "gram"), "left_semi")
+      .select(col("phrase_id"), explode(col("pl")).as("p"))
+      .select(col("phrase_id"), col("p").getField(idCol).as(idCol))
+    val matched = hit
+      .select(col("phrase_id"), col("gram"), explode(col("pl")).as("p"))
+      .select(col("phrase_id"), col("gram"),
+        col("p").getField(idCol).as(idCol), col("p").getField("tf").as("tf"))
+      .join(broadcast(cand), Seq("phrase_id", idCol), "left_semi")
+    matched
+      .groupBy(col("phrase_id"), col(idCol))
+      .agg(count_distinct(col("gram")).as("n_present"), min(col("tf")).as("phrase_tf"))
+      .join(broadcast(needDf), Seq("phrase_id"))
+      .filter(col("n_present") === col("n_grams"))
+      .select(col("phrase_id"), col(idCol), col("n_grams"), col("phrase_tf"))
   }
 }

@@ -547,9 +547,29 @@ object Similarity {
     * the assignment — the corpus never shuffles after the cell join. */
   def semanticDedup(emb: DataFrame, centroids: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // The assignment is consumed THREE times below (ε-join block keys,
+    // group members, non-member anti-join): checkpoint it once — lazy, so
+    // the first consumer's action materializes it — instead of re-running
+    // the broadcast-codebook argmax per consumer. In steady state this
+    // frame is a PERSISTED table; [[semanticDedupFromAssign]] is that
+    // entry point and this wrapper just derives the artifact inline.
     val assign = assignToCentroids(emb, centroids, idCol, vecCol)
       .select(col(idCol), col("cluster_id").as("cell"),
         col("score").as("centroid_sim"))
+      .localCheckpoint(eager = false)
+    semanticDedupFromAssign(emb, assign, threshold, idCol, vecCol)
+  }
+
+  /** SemDeDup from a PREBUILT assignment table (idCol, cell, centroid_sim)
+    * — the steady-state form: the codebook derivation and nearest-centroid
+    * routing are one-time build artifacts (persist them like
+    * [[graft.llm.Dedup.bandTable]]); each dedup pass probes them without
+    * recomputing any clustering fixpoint. Same output contract as
+    * [[semanticDedup]], and indistinguishable from it when `assign` =
+    * [[assignToCentroids]] of the same codebook (oracle-pinned). */
+  def semanticDedupFromAssign(emb: DataFrame, assign: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val blocked = emb.select(col(idCol), col(vecCol)).join(assign, Seq(idCol))
     val pairs = cosinePairsBlocked(blocked, "cell", threshold, idCol, vecCol)
     val groups = Dedup.clusters(pairs) // (doc_id, cluster_id): members only

@@ -23,6 +23,10 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Pin the session zone HERE, not only in entry points: the NTZ→ltz cast
+    // below reinterprets wall time under this zone, so an ad-hoc session
+    // (tool probes) on a non-UTC host would otherwise load shifted instants.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>
       (f.name, f.dataType) match {

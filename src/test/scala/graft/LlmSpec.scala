@@ -689,6 +689,28 @@ class LlmSpec extends SparkTestBase {
       ("b c", 2L, 2L, "1:1,2:1"), ("b x", 1L, 1L, "3:1")))
   }
 
+  test("phraseQuery: conjunction over indexed grams; unindexed gram kills the phrase") {
+    import graft.llm.Search
+    val corpus = Seq(
+      (1L, "a b c d"),       // grams: "a b","b c","c d"
+      (2L, "a b c x"),       // "a b","b c","c x"
+      (3L, "a b z c d"),     // "a b","b z","z c","c d" — has both grams, not adjacent
+      (4L, "b c d a b"))     // "b c","c d","d a","a b"
+      .toDF("doc_id", "text")
+    val index = Search.invertedIndexRaw(corpus) // no rails
+    // "a b c": docs with BOTH "a b" and "b c" → 1, 2, 4 (3 lacks "b c")
+    val got = Search.phraseQuery(index, Seq((1, "a b c"), (2, "c d q")))
+      .orderBy($"phrase_id", $"doc_id")
+      .as[(Int, Long, Long, Long)].collect().toList
+    // phrase 2's "d q" gram is unindexed → no rows despite "c d" matching
+    assert(got === List((1, 1L, 2L, 1L), (1, 2L, 2L, 1L), (1, 4L, 2L, 1L)))
+    // repeated bigram collapses: "a b a b" needs {"a b","b a"} distinct
+    val rep = Search.phraseQuery(index, Seq((7, "a b a b")))
+      .as[(Int, Long, Long, Long)].collect().toList
+    assert(rep === Nil) // "b a" appears in no doc
+    assert(Search.phraseGrams("a b a b") === Seq("a b", "b a"))
+  }
+
   test("semanticDedup: cell-blocked groups, farthest-from-centroid representative") {
     import graft.llm.Similarity
     // two orthogonal unit centroids; groups planted within each cell

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.hadoop.fs.FileSystem
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.llm.Search
+
+/** Scan-count contracts for the search layer, measured at the filesystem
+  * (Hadoop `file:` scheme statistics): task-level inputMetrics also count
+  * BlockManager reads of checkpointed partitions, so FS bytes are the only
+  * ground truth for "how many times was the corpus READ". Measured shape
+  * on sf0.001 documents: one 2-column scan = 2977 bytes, the old
+  * two-pass bm25 = exactly 2×.
+  *
+  *  - bm25 reads the corpus ONCE: the (N, Σdl) stats ride the tokenize
+  *    scan as observed metrics instead of a second stats aggregate.
+  *  - phraseQuery over a persisted (here checkpointed) index touches no
+  *    corpus file at all: the plan scans the index RDD, never parquet.
+  */
+class SearchScanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fsBytes: Long = {
+    val s = FileSystem.getGlobalStorageStatistics.get("file")
+    if (s == null) 0L else s.getLong("bytesRead")
+  }
+
+  private def fsBytesOf(f: => Unit): Long = {
+    val b0 = fsBytes; f; fsBytes - b0
+  }
+
+  test("bm25: one corpus scan — stats observed on the tokenize pass") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    // baseline: exactly one materializing read of the columns bm25 uses
+    val baseline = fsBytesOf {
+      docs.select(col("doc_id"), col("text")).write
+        .format("noop").mode("overwrite").save()
+    }
+    val panel = Search.DefaultPanel.toDF("query_id", "term")
+    val b = fsBytesOf {
+      Search.bm25(docs, panel).write.format("noop").mode("overwrite").save()
+    }
+    assert(baseline > 0, "FS statistics captured no baseline bytes")
+    // two corpus passes sit at exactly 2× the one-scan baseline (the old
+    // shape, measured); footer noise stays well under 50%
+    assert(b < baseline * 3 / 2,
+      s"bm25 read $b file bytes vs one-scan baseline $baseline — second corpus pass?")
+  }
+
+  test("phraseQuery over a checkpointed index: no corpus (parquet) scan") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val index = Search.invertedIndexRaw(docs, minDf = 2L, maxDf = 30L)
+      .localCheckpoint(eager = true) // the persisted-index stand-in
+    val q = Search.phraseQuery(index, Search.PhrasePanel)
+    val b = fsBytesOf { q.collect() }
+    val executed = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val plan = executed.toString
+    assert(!plan.contains("Scan parquet"),
+      s"phrase lookup re-scanned the corpus:\n$plan")
+    assert(b == 0, s"phrase lookup read $b file bytes — corpus re-scan?")
+  }
+}
