@@ -1620,6 +1620,14 @@ object Oracles {
     "q_semantic_dedup" -> semanticDedupSql,
     "q_semantic_dedup_prebuilt" -> semanticDedupSql,
 
+    // distributed Lloyd trainer: fixed-iteration unrolled mirror (the
+    // q_bpe_merges technique) — init, argmin assignment, micro-unit
+    // centroid updates, and empty-cell carry-forward all pinned
+    "q_kmeans" -> kmeansSql,
+    // SemDeDup off the k-means codebook: k is now a free scale lever
+    // (cells ∝ corpus), dedup tail identical to q_semantic_dedup's
+    "q_semantic_dedup_kmeans" -> kmeansSemanticSql,
+
     "q_bpe_merges" -> bpeMergesSql(6),
 
     // inference over the trained merges: w6's carrier, symbols re-split
@@ -1640,7 +1648,17 @@ object Oracles {
       |  SELECT cluster_id,
       |    list(s_micro::DOUBLE / (n_members::DOUBLE * 1e6) ORDER BY dim)
       |      AS centroid
-      |  FROM a GROUP BY cluster_id),
+      |  FROM a GROUP BY cluster_id)""".stripMargin
+    + semanticDedupTail)
+
+  /** The SemDeDup chain downstream of a centroid codebook CTE `cl`
+    * (cluster_id, centroid): cosine assignment, within-cell ε-pairs,
+    * recursive duplicate-group closure, rep = (centroid_sim, vec_id)
+    * rank 1. Appended to the label-propagation codebook
+    * ([[semanticDedupSql]]) and the k-means codebook (q_semantic_dedup_kmeans)
+    * alike — the dedup semantics must not depend on where the codebook
+    * came from. */
+  private lazy val semanticDedupTail: String = (s""",
       |sc2 AS (
       |  SELECT e.vec_id, e.embedding, cl.cluster_id,
       |    ${dotSql("e.embedding", "cl.centroid")} /
@@ -1681,6 +1699,73 @@ object Oracles {
       |FROM asg g2 LEFT JOIN lbl2 ON lbl2.id = g2.vec_id
       |WHERE lbl2.id IS NULL
       |ORDER BY vec_id""".stripMargin)
+
+  /** Unrolled Lloyd k-means CTE chain mirroring [[graft.llm.Kmeans]]:
+    * init = first k vectors by id, then per iteration the argmin
+    * assignment (d = ||c||² − 2·v·c in the identical association order,
+    * ties → smallest cell), exact micro-unit (cell, dim) sums, and the
+    * empty-cell carry-forward LEFT JOIN. Ends with cl$iters (cell,
+    * centroid list), ct$iters (long form), u$iters (final counts). */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    // RECURSIVE: harmless for the plain unrolled chain, required when the
+    // SemDeDup tail (recursive group closure) is appended
+    sb ++= s"""WITH RECURSIVE e0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings),
+      |cl0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+      |    v AS centroid
+      |  FROM (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT $k) z),
+      |ct0 AS (
+      |  SELECT cell, CAST(generate_subscripts(centroid, 1) - 1 AS INT) AS dim,
+      |    unnest(centroid) AS c
+      |  FROM cl0)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+      |s$t AS (
+      |  SELECT e.vec_id, e.v, c.cell,
+      |    ${dotSql("c.centroid", "c.centroid")} - ${dotSql("e.v", "c.centroid")} * 2.0 AS d
+      |  FROM e0 e CROSS JOIN cl${t - 1} c),
+      |a$t AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT vec_id, v, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM s$t) z WHERE rn = 1),
+      |x$t AS (
+      |  SELECT cell, CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+      |    unnest(v) AS xv
+      |  FROM a$t),
+      |u$t AS (
+      |  SELECT cell, dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(floor(xv * 1e6) AS BIGINT)) AS BIGINT) AS s
+      |  FROM x$t GROUP BY 1, 2),
+      |ct$t AS (
+      |  SELECT p.cell, p.dim,
+      |    COALESCE(u.s::DOUBLE / (u.n::DOUBLE * 1e6), p.c) AS c
+      |  FROM ct${t - 1} p LEFT JOIN u$t u USING (cell, dim)),
+      |cl$t AS (SELECT cell, list(c ORDER BY dim) AS centroid FROM ct$t GROUP BY cell)""".stripMargin
+    }
+    sb.result()
+  }
+
+  private final val kmK = 8
+  private final val kmIters = 3
+
+  /** q_kmeans: the final codebook long-form with final-iteration counts. */
+  private lazy val kmeansSql: String = kmeansCtes(kmK, kmIters) + s"""
+      |SELECT f.cell, CAST(COALESCE(nn.n, 0) AS BIGINT) AS n_members,
+      |  f.dim, f.c
+      |FROM ct$kmIters f
+      |LEFT JOIN (SELECT cell, max(n) AS n FROM u$kmIters GROUP BY cell) nn
+      |  USING (cell)
+      |ORDER BY cell, dim""".stripMargin
+
+  /** q_semantic_dedup_kmeans: SemDeDup over the k-means codebook — the
+    * same dedup tail as [[semanticDedupSql]], codebook swapped. */
+  private lazy val kmeansSemanticSql: String = kmeansCtes(kmK, kmIters) + s""",
+      |cl AS (SELECT CAST(cell AS BIGINT) AS cluster_id, centroid FROM cl$kmIters)""".stripMargin +
+    semanticDedupTail
 
   /** BM25 constants, interpolated into the oracle so both sides evaluate
     * the literally identical doubles: Scala's Double.toString is the

@@ -659,6 +659,24 @@ object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    // distributed Lloyd k-means: one job per iteration (scan-side argmin
+    // assignment, (cell, dim) micro-unit sums), k × dim driver codebook —
+    // the free-k quantizer SemDeDup's cell-count lever needs at 100 TB
+    "q_kmeans" -> ((s, dir) =>
+      llm.Kmeans.train(tWide(s, dir, "embeddings"), k = 8, iters = 3)
+        .orderBy(col("cell"), col("dim"))),
+
+    // SemDeDup over the k-means codebook (vs q_semantic_dedup's near-dup-
+    // graph centroids, whose cluster count is data-driven and small):
+    // identical dedup semantics, codebook swapped — the scale-safe form,
+    // since cells can grow with the corpus
+    "q_semantic_dedup_kmeans" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val cb = llm.Kmeans.codebook(s, llm.Kmeans.trainModel(emb, k = 8, iters = 3))
+      llm.Similarity.semanticDedup(emb, cb, 0.5)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- LLM data pipeline: similarity search ----
     "q_knn_brute" -> ((s, dir) =>
       llm.Similarity.bruteForceKnn(tWide(s, dir, "embeddings"),

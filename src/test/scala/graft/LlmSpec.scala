@@ -711,6 +711,38 @@ class LlmSpec extends SparkTestBase {
     assert(Search.phraseGrams("a b a b") === Seq("a b", "b a"))
   }
 
+  test("kmeans: converges to cluster means; empty cell carries its center forward") {
+    import graft.llm.Kmeans
+    // two tight planted clusters; first two vectors (the init) straddle them
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(0.2f, 0.0f)), (3L, Array(0.0f, 0.2f)),
+      (4L, Array(10.2f, 10.0f)), (5L, Array(10.0f, 10.2f)))
+      .toDF("vec_id", "embedding")
+    val m = Kmeans.trainModel(emb, k = 2, iters = 3)
+    assert(m.counts.toSeq === Seq(3L, 3L))
+    // micro-quantized means: floor(x*1e6) sums / (n*1e6)
+    def mean(xs: Seq[Double]) =
+      xs.map(x => math.floor(x * 1e6)).sum / (xs.length.toDouble * 1e6)
+    assert(m.centers(0).toSeq === Seq(
+      mean(Seq(0.0, 0.2f.toDouble, 0.0)), mean(Seq(0.0, 0.0, 0.2f.toDouble))))
+    assert(m.centers(1).toSeq === Seq(
+      mean(Seq(10.0, 10.2f.toDouble, 10.0)), mean(Seq(10.0, 10.0, 10.2f.toDouble))))
+
+    // identical first two vectors → every point ties to cell 0 (smallest
+    // cell wins), cell 1 never receives a member and keeps its init center
+    val deg = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val md = Kmeans.trainModel(deg, k = 2, iters = 1)
+    assert(md.counts.toSeq === Seq(3L, 0L))
+    assert(md.centers(1).toSeq === Seq(1.0, 1.0)) // carried init, bit-exact
+    // next iteration: the carried center re-captures its identical points
+    val md2 = Kmeans.trainModel(deg, k = 2, iters = 2)
+    assert(md2.counts.toSeq === Seq(1L, 2L))
+  }
+
   test("semanticDedup: cell-blocked groups, farthest-from-centroid representative") {
     import graft.llm.Similarity
     // two orthogonal unit centroids; groups planted within each cell
