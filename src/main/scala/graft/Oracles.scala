@@ -1590,6 +1590,14 @@ object Oracles {
         |  s_micro::DOUBLE / (n_members::DOUBLE * 1e6) AS c
         |FROM a ORDER BY cluster_id, dim""".stripMargin),
 
+    // the incremental row's whole claim: maintained sums = the full
+    // recompute — oracle shared VERBATIM with q_embed_centroids
+    "q_embed_centroids_incr" -> (embedCentroidCtes +
+      """
+        |SELECT cluster_id, n_members, dim,
+        |  s_micro::DOUBLE / (n_members::DOUBLE * 1e6) AS c
+        |FROM a ORDER BY cluster_id, dim""".stripMargin),
+
     // nearest-centroid assignment: centroid lists rebuilt dim-ordered, the
     // same sequential-fold cosine, argmax pinned (score desc, cluster_id)
     "q_embed_assign" -> (embedCentroidCtes + s""",

@@ -613,6 +613,27 @@ object Queries {
           llm.Similarity.cosinePairsBlocked(emb, "label", 0.4))
         .orderBy(col("cluster_id"), col("dim"))
     }),
+    // incremental centroid maintenance: corpus (< 250) centroids persist
+    // as mergeable micro sums; the batch (>= 250) stitches labels via
+    // clustersIncremental, old sums remap (components only merge), only
+    // FRESH members' vectors are read. Shares q_embed_centroids' oracle
+    // VERBATIM: old + incremental pairs = the full pair graph, so the
+    // maintained state must equal the full recompute.
+    "q_embed_centroids_incr" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") < 250)
+      val batch = emb.filter(col("vec_id") >= 250)
+      val oldLabels = llm.Dedup.clusters(
+          llm.Similarity.cosinePairsBlocked(corpus, "label", 0.4))
+        .localCheckpoint(eager = false)
+      val oldSums = llm.Similarity.clusterCentroidSums(corpus, oldLabels)
+        .localCheckpoint(eager = false)
+      val newPairs = llm.Similarity.cosinePairsIncremental(
+        corpus, batch, "label", 0.4)
+      llm.Similarity.clusterCentroidsIncremental(emb, oldLabels, oldSums, newPairs)
+        .orderBy(col("cluster_id"), col("dim"))
+    }),
+
     // nearest-centroid routing: every vector classified into its best
     // cluster (broadcast codebook, map-side argmax — no corpus window)
     "q_embed_assign" -> ((s, dir) => {

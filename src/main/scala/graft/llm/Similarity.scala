@@ -497,9 +497,19 @@ object Similarity {
     * Returns (cluster_id, n_members, dim, c) long form — assemble with
     * [[centroidVectors]] when an array column is wanted. */
   def clusterCentroids(emb: DataFrame, pairs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    centroidsFromSums(
+      clusterCentroidSums(emb, Dedup.clusters(pairs), idCol, vecCol))
+
+  /** The PRE-DIVISION centroid state — (cluster_id, dim, n_members,
+    * s_micro) for a given (doc_id, cluster_id) labeling. This is the form
+    * to PERSIST: micro-unit integer sums are exactly mergeable (add
+    * counts, add sums, re-divide), which is what makes
+    * [[clusterCentroidsIncremental]] possible without touching untouched
+    * clusters' members. */
+  def clusterCentroidSums(emb: DataFrame, labels: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val lbl = Dedup.clusters(pairs) // (doc_id, cluster_id) for pair members
-      .select(col("doc_id").as("__mid"), col("cluster_id"))
+    val lbl = labels.select(col("doc_id").as("__mid"), col("cluster_id"))
     emb.join(lbl, col(idCol) === col("__mid"))
       .select(col("cluster_id"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
@@ -507,9 +517,86 @@ object Similarity {
       .agg(
         count(lit(1)).as("n_members"),
         sum(floor(col("x").cast("double") * 1e6)).as("s_micro"))
-      .select(col("cluster_id"), col("n_members"), col("dim"),
-        (col("s_micro").cast("double") /
-          (col("n_members").cast("double") * 1e6)).as("c"))
+  }
+
+  /** Sums → published centroids: ONE division per (cluster, dim), the
+    * same expression on every path (inline, incremental, oracle). */
+  def centroidsFromSums(sums: DataFrame): DataFrame =
+    sums.select(col("cluster_id"), col("n_members"), col("dim"),
+      (col("s_micro").cast("double") /
+        (col("n_members").cast("double") * 1e6)).as("c"))
+
+  /** Incremental centroid maintenance — fold a batch into persisted
+    * centroid state without recomputing untouched clusters: the
+    * steady-state companion to [[graft.llm.Dedup.clustersIncremental]]
+    * (whose `newPairs` input is shared verbatim here).
+    *
+    * Inputs are the persisted artifacts: `oldLabels` (doc_id, cluster_id)
+    * and `oldSums` ([[clusterCentroidSums]] of the old corpus). Steps:
+    *   1. relabel via [[Dedup.clustersIncremental]] — O(touched + batch);
+    *   2. remap old sums onto the new labels: components only MERGE under
+    *      added edges, so each old cluster maps wholly into one new
+    *      cluster — the remap is a (label, label) equi-join + a tiny
+    *      aggregation over CHANGED clusters only, no vectors involved;
+    *   3. compute vector sums for FRESH members only (batch docs plus
+    *      corpus docs entering their first pair — the only rows whose
+    *      embeddings are read: the posexplode never sees an old member);
+    *   4. merge: sums and counts add exactly (micro-unit integers),
+    *      divide once.
+    *
+    * Output is indistinguishable from a full [[clusterCentroids]] over
+    * (old ∪ new) pairs — spec- and oracle-pinned. */
+  def clusterCentroidsIncremental(emb: DataFrame, oldLabels: DataFrame,
+      oldSums: DataFrame, newPairs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val newLabels = Dedup.clustersIncremental(oldLabels, newPairs)
+      .localCheckpoint(eager = false) // consumed twice: remap + fresh anti-join
+    val remapChanged = oldLabels
+      .select(col("doc_id"), col("cluster_id").as("__ocid"))
+      .join(newLabels, Seq("doc_id"))
+      .filter(col("__ocid") =!= col("cluster_id"))
+      .groupBy(col("__ocid"))
+      .agg(min(col("cluster_id")).as("__ncid")) // all members agree; min = the value
+    val carried = oldSums
+      .withColumnRenamed("cluster_id", "__ocid")
+      .join(remapChanged, Seq("__ocid"), "left")
+      .select(coalesce(col("__ncid"), col("__ocid")).as("cluster_id"),
+        col("dim"), col("n_members"), col("s_micro"))
+    val freshLabels = newLabels
+      .join(oldLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val fresh = clusterCentroidSums(emb, freshLabels, idCol, vecCol)
+    centroidsFromSums(
+      carried.unionByName(fresh)
+        .groupBy(col("cluster_id"), col("dim"))
+        .agg(sum(col("n_members")).as("n_members"),
+          sum(col("s_micro")).as("s_micro")))
+  }
+
+  /** Blocked cosine pairs TOUCHING A BATCH — the near-dup pair generator
+    * for incremental ingest: corpus↔batch cross pairs plus batch-internal
+    * pairs, never corpus↔corpus (those are the persisted old pair graph).
+    * The batch side drives both joins. Output convention matches
+    * [[cosinePairsBlocked]] — (id_a < id_b, score); dot products are
+    * index-ordered folds of commutative products, so the score is
+    * bit-identical whichever side a vector arrives from. */
+  def cosinePairsIncremental(corpus: DataFrame, batch: DataFrame,
+      blockCol: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(blockCol).as("blk"),
+      col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
+    val c = prep(corpus); val b = prep(batch)
+    val cross = c.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") =!= col("b.id"))
+      .withColumn("score", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+      .filter(col("score") >= threshold)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"), col("score"))
+    val inner = b.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("score", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+      .filter(col("score") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
+    cross.unionByName(inner)
   }
 
   /** Long-form centroids → (cluster_id, n_members, centroid: array<double>)

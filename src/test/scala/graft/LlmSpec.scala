@@ -711,6 +711,43 @@ class LlmSpec extends SparkTestBase {
     assert(Search.phraseGrams("a b a b") === Seq("a b", "b a"))
   }
 
+  test("clusterCentroidsIncremental: indistinguishable from the full recompute") {
+    import graft.llm.{Dedup, Similarity}
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    // corpus: clusters {1,2} and {3,4} (a batch vector will BRIDGE them),
+    // 5 isolated (enters its first pair via the batch), {6,7} untouched
+    // in their own block; batch: 10 bridges, 11 pairs with 5
+    val corpus = Seq(
+      (1L, v(0), 0L), (2L, v(10), 0L), (3L, v(45), 0L), (4L, v(55), 0L),
+      (5L, v(120), 0L), (6L, v(200), 1L), (7L, v(210), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val batch = Seq((10L, v(27.5), 0L), (11L, v(125), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val full = corpus.unionByName(batch)
+    val t = 0.9
+    val oldLabels = Dedup.clusters(
+      Similarity.cosinePairsBlocked(corpus, "label", t))
+    val oldSums = Similarity.clusterCentroidSums(corpus, oldLabels)
+    val newPairs = Similarity.cosinePairsIncremental(corpus, batch, "label", t)
+    // the pair generators partition the full pair graph
+    val allPairs = Similarity.cosinePairsBlocked(full, "label", t)
+    val oldPairs = Similarity.cosinePairsBlocked(corpus, "label", t)
+    assert(newPairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet ===
+      allPairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet --
+        oldPairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet)
+    val got = Similarity.clusterCentroidsIncremental(
+        full, oldLabels, oldSums, newPairs)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val want = Similarity.clusterCentroids(full, allPairs)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got === want) // exact doubles: micro sums merge losslessly
+    // the bridge actually merged two old clusters (n_members = 5)
+    assert(got.exists { case (cid, n, _, _) => cid == 1L && n == 5L })
+    // and the untouched block carried through
+    assert(got.exists { case (cid, n, _, _) => cid == 6L && n == 2L })
+  }
+
   test("kmeans: converges to cluster means; empty cell carries its center forward") {
     import graft.llm.Kmeans
     // two tight planted clusters; first two vectors (the init) straddle them
