@@ -836,18 +836,21 @@ object Queries {
           array_join(transform(col("ids"), _.cast("string")), ",").as("ids"))
         .orderBy(col("doc_id"))
     }),
-    // BPE merge training: 6 rounds of distributed pair-count + 1-row argmax
-    // over the corpus word-frequency table; the U+001F carrier makes the
-    // merge rewrite exactly greedy-leftmost on both engines (see llm.Bpe)
+    // BPE merge training via the BATCHED trainer (top-B disjoint merges
+    // per driver round-trip, provably ≡ the sequential trainer — BpeSpec);
+    // the oracle stays the sequential 6-round unrolled CTE, so the row
+    // pins the equivalence at every SF. U+001F carrier makes the merge
+    // rewrite exactly greedy-leftmost on both engines (see llm.Bpe).
     "q_bpe_merges" -> ((s, dir) =>
       llm.Bpe.mergesDf(s,
-          llm.Bpe.trainMerges(llm.Bpe.wordFreq(tWide(s, dir, "documents")), 6))
+          llm.Bpe.trainMergesBatch(
+            llm.Bpe.wordFreq(tWide(s, dir, "documents")), 6, batchSize = 3)._1)
         .orderBy(col("rank"))),
     // the inference half: the same 6 merges applied to the word table as a
     // scan-side replace chain; tokens published space-joined (contract #1)
     "q_bpe_encode" -> ((s, dir) => {
       val words = llm.Bpe.wordFreq(tWide(s, dir, "documents"))
-      val merges = llm.Bpe.trainMerges(words, 6)
+      val merges = llm.Bpe.trainMergesBatch(words, 6, batchSize = 3)._1
       llm.Bpe.encode(words, merges)
         .select(col("word"), size(col("tokens")).as("n_tokens"),
           array_join(col("tokens"), " ").as("toks"))

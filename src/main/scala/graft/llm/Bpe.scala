@@ -112,6 +112,97 @@ object Bpe {
     merges.result()
   }
 
+  /** Batched trainer — the scale fix for [[trainMerges]]' one driver
+    * round-trip PER merge (a 30k-merge vocabulary = 30k sequential Spark
+    * jobs; scheduler latency, not data, is the wall): learn up to
+    * `batchSize` merges from ONE pair-count job, cutting rounds ~B-fold,
+    * while provably emitting the IDENTICAL merge sequence (property-pinned
+    * against [[trainMerges]] in BpeSpec).
+    *
+    * Why the accepted set is exactly what sequential training would pick,
+    * in order — three facts about one round's (cnt desc, pair asc) ranking:
+    *   1. '''Disjoint merges don't interact.''' If merge q shares no
+    *      symbol with merge p (neither p's sides nor its merged symbol),
+    *      applying p cannot create or destroy an occurrence of q, so q's
+    *      count survives p unchanged.
+    *   2. '''Every count that changes is bounded by a non-accepted
+    *      count.''' A pair that p touches either existed (count only
+    *      decreases) or is new around p's merged symbol — and each new
+    *      (x, ab) occurrence comes from an old (x, a) occurrence, so its
+    *      count ≤ that parent's old count. Parents share a symbol with an
+    *      accepted merge, hence are non-accepted, hence rank ≤ C (the
+    *      first non-accepted pair's count).
+    *   3. '''Strict dominance kills tie inversions.''' Accepted picks are
+    *      trimmed to cnt > C, so no changed/new pair (≤ C) can tie an
+    *      accepted pick and steal its turn via string order.
+    *   Therefore after applying accepted picks 1..j−1, pick j is still
+    *   the global argmax — sequential training makes the same choices.
+    *   The trim keeps a prefix (counts are non-increasing), and a
+    *   fully-trimmed round falls back to the bare argmax, which is
+    *   sequential by definition — every round advances ≥ 1 merge.
+    *
+    * Returns (merges, rounds) — rounds is the driver round-trip count the
+    * batching exists to minimize. */
+  def trainMergesBatch(words: DataFrame, numMerges: Int, batchSize: Int = 8,
+      wordCol: String = "word", freqCol: String = "freq"): (Seq[Merge], Int) = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    var cur = words
+      .select(col(freqCol).as("freq"), seedTok(col(wordCol)).as("tok"))
+      .localCheckpoint(eager = false)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var rounds = 0
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val b = math.min(batchSize, numMerges - rank + 1)
+      // 3b+2 rows: enough to find the disjoint prefix AND see the first
+      // non-accepted pair (the dominance bound C) in one bounded collect
+      val top = cur
+        .select(col("freq"), explode(adjacentPairs(col("tok"))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(3 * b + 2)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        rounds += 1
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var bound: Option[Long] = None // first non-accepted pair's count
+        val it = top.iterator
+        while (bound.isEmpty && it.hasNext) {
+          val r = it.next()
+          val Array(l, rr) = r.getString(0).split(" ", 2)
+          val cnt = r.getLong(1)
+          val syms = Seq(l, rr, l + rr)
+          if (prefix.size < b && syms.forall(!used.contains(_))) {
+            prefix += ((l, rr, cnt)); used ++= syms
+          } else bound = Some(cnt)
+        }
+        // if the collect ran dry with every row accepted, no pair remains
+        // outside the prefix (limit > b forces a leftover row otherwise)
+        val accepted0 = bound match {
+          case Some(c) =>
+            val dom = prefix.takeWhile(_._3 > c) // counts non-increasing ⇒ prefix
+            if (dom.isEmpty) prefix.take(1) else dom
+          case None => prefix
+        }
+        val accepted = accepted0.toSeq
+        accepted.zipWithIndex.foreach { case ((l, r, cnt), i) =>
+          merges += Merge(rank + i, l, r, l + r, cnt)
+        }
+        cur = accepted.foldLeft(cur) { case (d, (l, r, _)) =>
+          d.withColumn("tok", replace(col("tok"),
+            lit(US + l + US + US + r + US), lit(US + l + r + US)))
+        }.localCheckpoint(eager = false)
+        rank += accepted.size
+      }
+    }
+    (merges.result(), rounds)
+  }
+
   /** Merge table → DataFrame for catalog/oracle publication. */
   def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
     import spark.implicits._

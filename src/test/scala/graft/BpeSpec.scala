@@ -77,6 +77,42 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("bpe: batched trainer emits the identical merge sequence in fewer rounds") {
+    // randomized corpora: batch (B=4) ≡ sequential for 8 merges
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val alphabet = "abcde"
+      val words = (1 to 12).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.distinct.map(w => w -> (1L + rnd.nextInt(9))).toMap
+      val df = words.toSeq.toDF("word", "freq")
+      val (got, rounds) = Bpe.trainMergesBatch(df, 8, batchSize = 4)
+      assert(got === Bpe.trainMerges(df, 8), s"trial $trial diverged: $words")
+      assert(rounds <= got.size)
+    }
+    // adversarial overlap: every top pair shares symbols ("abab" runs) —
+    // the dominance trim must fall back to 1 merge/round, never diverge
+    val overlap = Map("abab" -> 9L, "aba" -> 5L, "bab" -> 5L)
+    val odf = overlap.toSeq.toDF("word", "freq")
+    val (og, _) = Bpe.trainMergesBatch(odf, 6, batchSize = 4)
+    assert(og === Bpe.trainMerges(odf, 6))
+    // adversarial ties: equal counts across disjoint AND conflicting pairs
+    val ties = Map("ab" -> 3L, "cd" -> 3L, "ce" -> 3L, "xy" -> 2L)
+    val tdf = ties.toSeq.toDF("word", "freq")
+    val (tg, _) = Bpe.trainMergesBatch(tdf, 8, batchSize = 4)
+    assert(tg === Bpe.trainMerges(tdf, 8))
+  }
+
+  test("bpe: batching compresses rounds on the real corpus") {
+    val words = Bpe.wordFreq(
+      graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+      .localCheckpoint()
+    val (batch, rounds) = Bpe.trainMergesBatch(words, 12, batchSize = 4)
+    assert(batch === Bpe.trainMerges(words, 12))
+    assert(rounds < 12, s"batching bought nothing: $rounds rounds for 12 merges")
+  }
+
   test("bpe: early exhaustion stops cleanly (single-char words have no pairs after one merge)") {
     // 'a' seeds as [a, </w>]: one pair, then nothing
     val got = Bpe.trainMerges(Map("a" -> 3L).toSeq.toDF("word", "freq"), 4)
