@@ -52,7 +52,7 @@ object Kmeans {
     * ||c||² − 2·v·c (squared L2 minus the row's own ||v||², constant per
     * row), ties → smallest cell — the [[Similarity.ivfKnn]] expression,
     * shared here so training and serving assign identically. */
-  private[llm] def cellOf(vecCol: String, centers: Array[Array[Double]]) = {
+  private[graft] def cellOf(vecCol: String, centers: Array[Array[Double]]) = {
     val cellRank = array(centers.zipWithIndex.map { case (c, i) =>
       val ca = array(c.map(lit(_)).toIndexedSeq: _*)
       val c2 = c.map(x => x * x).sum
