@@ -1204,44 +1204,52 @@ object Oracles {
     // association order, and the published score is an integer micro sum
     // (HUGEINT → CAST AS BIGINT). avgdl = one division of exact longs —
     // bit-identical to the Scala-side sumDl.toDouble / nDocs.toDouble.
-    "q_bm25" ->
-      s"""WITH panel AS (SELECT * FROM (VALUES $bm25PanelSql) v(query_id, term)),
-         |st AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
-         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
-         |      AS BIGINT) AS s
-         |  FROM documents),
-         |tok AS (
-         |  SELECT doc_id,
-         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl,
-         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-         |  FROM documents WHERE len(trim(text)) > 0),
-         |m AS (
-         |  SELECT p.query_id, p.term, t.doc_id, t.dl, CAST(count(*) AS BIGINT) AS tf
-         |  FROM panel p JOIN tok t ON t.term = p.term
-         |  GROUP BY 1, 2, 3, 4),
-         |d AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS df
-         |  FROM m GROUP BY 1, 2),
-         |i AS (
-         |  SELECT d.query_id, d.term,
-         |    CAST(floor(ln(1.0 + (CAST(st.n AS DOUBLE) - d.df + 0.5) /
-         |      (d.df + 0.5)) * 1e9) AS BIGINT) AS idf_micro
-         |  FROM d, st),
-         |sc AS (
-         |  SELECT m.query_id, m.doc_id,
-         |    CAST(sum(CAST(floor(CAST(i.idf_micro AS DOUBLE) / 1e3 *
-         |      ((m.tf * ${bmK1 + 1}) / (m.tf + $bmK1 * (${1 - bmB} + $bmB *
-         |        (m.dl / (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)))))))
-         |      AS BIGINT)) AS BIGINT) AS score_micro
-         |  FROM m JOIN i ON i.query_id = m.query_id AND i.term = m.term, st
-         |  GROUP BY 1, 2),
-         |r AS (
-         |  SELECT query_id, doc_id, score_micro,
+    "q_bm25" -> bm25Sql,
+
+    // BM25 over the prebuilt unigram index + stats sidecar: with open df
+    // rails the index-probe scorer is value-identical to the inline form
+    // (the artifacts carry the same tf/df/dl the inline pass derives), so
+    // the steady-state row shares the oracle VERBATIM.
+    "q_bm25_indexed" -> bm25Sql,
+
+    // hybrid RRF mirror: the bm25Sql CTE chain (lexical top-10) + the
+    // q_knn_brute cosine chain over qids 1-5 (dense top-10), fused by
+    // floor(1e9 / (60 + rank)) integer contributions — rank-based, so
+    // the two systems' incomparable score scales never meet.
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |lex AS (
+         |  SELECT query_id, doc_id, rank FROM r WHERE rank <= 10),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 5),
+         |scored AS (
+         |  SELECT qid, vec_id AS neighbor_id,
+         |    $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score
+         |  FROM embeddings, q WHERE qid <> vec_id),
+         |dr AS (
+         |  SELECT qid AS query_id, neighbor_id AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored),
+         |den AS (SELECT query_id, doc_id, rank FROM dr WHERE rank <= 10),
+         |u AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1e9 / (60 + rank)) AS BIGINT) AS c FROM lex
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1e9 / (60 + rank)) AS BIGINT) AS c FROM den),
+         |f AS (
+         |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+         |    CAST(count(*) AS BIGINT) AS n_systems
+         |  FROM u GROUP BY 1, 2),
+         |fr AS (
+         |  SELECT query_id, doc_id, rrf_micro, n_systems,
          |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score_micro DESC, doc_id) AS INT) AS rank
-         |  FROM sc)
-         |SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 10
+         |      ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
+         |  FROM f)
+         |SELECT query_id, rank, doc_id, rrf_micro, n_systems
+         |FROM fr WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
     // inverted bigram index mirror: same bigram construction (1-based
@@ -1787,6 +1795,54 @@ object Oracles {
   private final val bmB = 0.75
   private lazy val bm25PanelSql: String = graft.llm.Search.DefaultPanel
     .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** The BM25 CTE chain (panel → stats → tokenize → tf → df → quantized
+    * idf → micro score → rank), shared by q_bm25, q_bm25_indexed (the
+    * index-probe scorer is value-identical with open rails), and
+    * q_hybrid_rrf (which consumes the ranked CTE `r` as its lexical
+    * system). */
+  private lazy val bm25Ctes: String =
+    s"""panel AS (SELECT * FROM (VALUES $bm25PanelSql) v(query_id, term)),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+       |      AS BIGINT) AS s
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |m AS (
+       |  SELECT p.query_id, p.term, t.doc_id, t.dl, CAST(count(*) AS BIGINT) AS tf
+       |  FROM panel p JOIN tok t ON t.term = p.term
+       |  GROUP BY 1, 2, 3, 4),
+       |d AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS df
+       |  FROM m GROUP BY 1, 2),
+       |i AS (
+       |  SELECT d.query_id, d.term,
+       |    CAST(floor(ln(1.0 + (CAST(st.n AS DOUBLE) - d.df + 0.5) /
+       |      (d.df + 0.5)) * 1e9) AS BIGINT) AS idf_micro
+       |  FROM d, st),
+       |sc AS (
+       |  SELECT m.query_id, m.doc_id,
+       |    CAST(sum(CAST(floor(CAST(i.idf_micro AS DOUBLE) / 1e3 *
+       |      ((m.tf * ${bmK1 + 1}) / (m.tf + $bmK1 * (${1 - bmB} + $bmB *
+       |        (m.dl / (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)))))))
+       |      AS BIGINT)) AS BIGINT) AS score_micro
+       |  FROM m JOIN i ON i.query_id = m.query_id AND i.term = m.term, st
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, doc_id, score_micro,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+       |  FROM sc)""".stripMargin
+
+  private lazy val bm25Sql: String =
+    s"""WITH $bm25Ctes
+       |SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Phrase panel as (phrase_id, bigram) VALUES rows — the identical
     * distinct-sorted bigram expansion [[graft.llm.Search.phraseQuery]]

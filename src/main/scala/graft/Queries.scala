@@ -893,6 +893,38 @@ object Queries {
       llm.Search.phraseQuery(index, llm.Search.PhrasePanel)
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
+    // BM25 over PREBUILT artifacts (unigram index with dl in postings +
+    // 1-row stats sidecar, checkpointed = the persisted stand-in): the
+    // steady-state retrieval form — zero corpus reads at query time
+    // (SearchScanSpec). Open rails ⇒ shares q_bm25's oracle VERBATIM.
+    "q_bm25_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tWide(s, dir, "documents")
+      val index = llm.Search.searchIndexRaw(docs).localCheckpoint(eager = false)
+      val stats = llm.Search.corpusStats(docs).localCheckpoint(eager = false)
+      llm.Search.bm25FromIndex(index, stats,
+          llm.Search.DefaultPanel.toDF("query_id", "term"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // hybrid retrieval: BM25 (lexical) + brute cosine (dense) fused by
+    // reciprocal-rank fusion — rank-based, so no score calibration; both
+    // inputs are bounded queries × k candidate lists, never the corpus.
+    // Dense queries are the panel's vec_ids (doc_id ≡ vec_id, the
+    // q_knn_filtered convention).
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tWide(s, dir, "documents")
+      val emb = tWide(s, dir, "embeddings")
+      val lex = llm.Search.bm25(docs,
+          llm.Search.DefaultPanel.toDF("query_id", "term"))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = llm.Similarity.bruteForceKnn(emb,
+          col("vec_id") >= 1 && col("vec_id") <= 5, k = 10)
+        .select(col("qid").as("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      llm.Search.rrfFuse(Seq(lex, dense))
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     "q_text_quality" -> ((s, dir) =>
       llm.TextAnalysis.docStats(tWide(s, dir, "documents"))

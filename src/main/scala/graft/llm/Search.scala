@@ -176,6 +176,130 @@ object Search {
       .agg(sort_array(collect_list(struct(col(idCol), col("tf")))).as("pl"))
   }
 
+  /** Unigram SEARCH index — the BM25-serving artifact: (term, df, cf,
+    * pl: array<struct<idCol, tf, dl>>), postings in doc order with each
+    * posting carrying the document's token length. Carrying dl IN the
+    * posting (the classic "norms in the postings" layout) is what makes
+    * [[bm25FromIndex]] a pure index probe: scoring needs tf, df, and dl,
+    * and all three live in the artifact — no doc-lengths side table to
+    * join, no corpus access at query time.
+    *
+    * Same df rails and single-scan plan shape as [[invertedIndexRaw]]
+    * (maxDf bounds row WIDTH before the postings collect; the df re-join
+    * is hinted shuffle_merge so the tf subtree materializes once; cf pins
+    * the tf consumer). Scoring note: leave the rails open (minDf=1,
+    * maxDf=∞) when exact BM25 parity with the inline scorer is required —
+    * railed terms simply don't score, the standard stopword-pruning
+    * trade a production index makes explicitly. */
+  def searchIndexRaw(docs: DataFrame, minDf: Long = 1L,
+      maxDf: Long = Long.MaxValue, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"need 1 <= minDf <= maxDf: $minDf, $maxDf")
+    val tok = docs
+      .select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfp = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    tf.join(dfp.hint("shuffle_merge"), Seq("term"))
+      .groupBy(col("term"), col("df"), col("cf"))
+      .agg(sort_array(collect_list(struct(col(idCol), col("tf"), col("dl"))))
+        .as("pl"))
+  }
+
+  /** The 1-row corpus-stats sidecar — (n_docs, sum_dl) — the second
+    * persisted artifact of a search build (every engine stores these next
+    * to the index; BM25's idf and length normalization need them). Token
+    * semantics identical to [[bm25]]'s observed stats. */
+  def corpusStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))
+        .as("sum_dl"))
+
+  /** BM25 OVER PREBUILT ARTIFACTS ([[searchIndexRaw]] + [[corpusStats]],
+    * persisted in production) — the steady-state retrieval form: the
+    * corpus is read ZERO times per query batch (FS-byte-pinned in
+    * SearchScanSpec, the [[phraseQuery]] discipline). With open rails the
+    * scores are identical to the inline [[bm25]] — the catalog row shares
+    * its oracle VERBATIM.
+    *
+    * Scale shape: the panel BROADCASTS into the index so only panel
+    * terms' postings are ever exploded (row width ≤ maxDf by the index
+    * rails); df needs neither a window nor a join — it is an index
+    * COLUMN; the 1-row stats frame joins as a broadcast 1×1 scalar; the
+    * only shuffle is the per-(query, doc) score sum over candidate
+    * contributions. Same quantization discipline as [[bm25]]: idf floored
+    * to the 1e-9 grid (the only ln), integer micro-unit scores. */
+  def bm25FromIndex(index: DataFrame, stats: DataFrame, queries: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val post = index
+      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .select(col("query_id"), col("term"), col("df"), explode(col("pl")).as("p"))
+      .select(col("query_id"), col("term"), col("df"),
+        col("p").getField(idCol).as(idCol), col("p").getField("tf").as("tf"),
+        col("p").getField("dl").as("dl"))
+      .crossJoin(broadcast(stats)) // 1×1 scalar attach
+    // identical expression trees to [[bm25]], with (N, avgdl) read from
+    // the stats columns instead of driver literals: the IEEE op sequence
+    // is unchanged, so open-railed scores are bit-identical
+    val contrib = post
+      .withColumn("idf_micro",
+        floor(log(lit(1.0) +
+            (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+          lit(1e9)).cast("long"))
+      .withColumn("c_micro",
+        floor(col("idf_micro").cast("double") / lit(1e3) *
+          ((col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) *
+              (col("dl") / (col("sum_dl").cast("double") / col("n_docs").cast("double")))))))
+          .cast("long"))
+    val scored = contrib.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("c_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(idCol), col("score_micro"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: each system's ranked list
+    * contributes 1/(kRrf + rank) per (query, doc), summed across systems,
+    * re-ranked. Rank-based, so it needs NO score calibration between
+    * systems (BM25 micro-ints and cosine doubles fuse directly) — which
+    * is exactly why hybrid lexical+dense search ships RRF.
+    *
+    * Inputs are ranked lists (query_id, idCol, rank) — top-k frames,
+    * BOUNDED at queries × k rows regardless of corpus size: fusion never
+    * touches a corpus, only candidate lists, so every join here is
+    * trivially small. Contributions are floor(1e9/(kRrf + rank)) —
+    * integer ranks in, integer micro-units out, hash-stable on any
+    * engine. Returns (query_id, rank, idCol, rrf_micro, n_systems) with
+    * ties broken by id; n_systems = how many lists surfaced the doc. */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60, topK: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf >= 0 && topK > 0, s"need kRrf >= 0, topK > 0: $kRrf, $topK")
+    val contribs = rankings.map(_.select(col("query_id"), col(idCol),
+      floor(lit(1e9) / (lit(kRrf.toDouble) + col("rank"))).cast("long").as("c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("c")).as("rrf_micro"), count(lit(1)).as("n_systems"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("rrf_micro"), col("n_systems"))
+  }
+
   /** The catalog's fixed phrase panel: conjunctive (AND) lookups the
     * retrieval user runs right after building the bigram index. Mixes
     * 3- and 4-word phrases with hits at each SF and one phrase whose

@@ -667,6 +667,54 @@ class LlmSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("bm25FromIndex: open-railed index probe is value-identical to inline bm25") {
+    import graft.llm.Search
+    val corpus = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana durian"),
+      (3L, "cherry apple"),
+      (4L, ""),
+      (5L, "durian elderberry fig grape apple banana"))
+      .toDF("doc_id", "text")
+    val panel = Seq((1, "apple"), (1, "durian"), (2, "banana"))
+      .toDF("query_id", "term")
+    val inline = Search.bm25(corpus, panel, topK = 3)
+      .orderBy($"query_id", $"rank")
+      .as[(Int, Int, Long, Long)].collect().toList
+    val index = Search.searchIndexRaw(corpus).localCheckpoint(eager = true)
+    val stats = Search.corpusStats(corpus).localCheckpoint(eager = true)
+    val probed = Search.bm25FromIndex(index, stats, panel, topK = 3)
+      .orderBy($"query_id", $"rank")
+      .as[(Int, Int, Long, Long)].collect().toList
+    assert(probed === inline)
+    // railed index: the hot term's postings are gone BEFORE scoring —
+    // "banana" (df 3) pruned by maxDf 2, so query 2 returns nothing
+    val railed = Search.searchIndexRaw(corpus, minDf = 1L, maxDf = 2L)
+    val railedHits = Search.bm25FromIndex(railed, stats, panel, topK = 3)
+      .as[(Int, Int, Long, Long)].collect().toList
+    assert(railedHits.forall(_._1 == 1) && railedHits.nonEmpty)
+  }
+
+  test("rrfFuse: rank-based fusion, integer contributions, n_systems counts lists") {
+    import graft.llm.Search
+    // system A ranks docs (10,20,30); system B ranks (20,40)
+    val a = Seq((1, 10L, 1), (1, 20L, 2), (1, 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1, 20L, 1), (1, 40L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Search.rrfFuse(Seq(a, b), kRrf = 60, topK = 10)
+      .orderBy($"rank")
+      .as[(Int, Int, Long, Long, Long)].collect().toList
+    def c(r: Int) = math.floor(1e9 / (60 + r)).toLong
+    // 20 appears in both lists -> top; ties broken by doc_id
+    val want = List(
+      (1, 1, 20L, c(2) + c(1), 2L),
+      (1, 2, 10L, c(1), 1L),
+      (1, 3, 40L, c(2), 1L),
+      (1, 4, 30L, c(3), 1L))
+    assert(got === want)
+    assert(got.head._4 > got(1)._4) // both-systems doc dominates rank-1 single
+  }
+
   test("invertedIndex: bigram postings match a naive build; df rails prune both tails") {
     import graft.llm.Search
     val corpus = Seq(

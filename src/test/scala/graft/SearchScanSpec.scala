@@ -65,4 +65,23 @@ class SearchScanSpec extends SparkTestBase {
       s"phrase lookup re-scanned the corpus:\n$plan")
     assert(b == 0, s"phrase lookup read $b file bytes — corpus re-scan?")
   }
+
+  test("bm25FromIndex over checkpointed artifacts: no corpus (parquet) scan") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val index = Search.searchIndexRaw(docs)
+      .localCheckpoint(eager = true) // the persisted-index stand-in
+    val stats = Search.corpusStats(docs).localCheckpoint(eager = true)
+    val panel = Search.DefaultPanel.toDF("query_id", "term")
+    val q = Search.bm25FromIndex(index, stats, panel)
+    val b = fsBytesOf { q.collect() }
+    val executed = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val plan = executed.toString
+    assert(!plan.contains("Scan parquet"),
+      s"index-probe bm25 re-scanned the corpus:\n$plan")
+    assert(b == 0, s"index-probe bm25 read $b file bytes — corpus re-scan?")
+  }
 }
