@@ -1423,6 +1423,66 @@ object Oracles {
          |SELECT lang_pred, count(*) AS n_docs FROM p
          |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
+    // Gopher rule mirror: every count is exact-integer, every published
+    // ratio ONE double division of exact counts, thresholds compared on
+    // those exact doubles — the same portability discipline as docStats.
+    // DuckDB regexp_replace needs the 'g' flag (first-match default);
+    // Spark's replaces all.
+    "q_gopher_rules" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS a,
+         |    string_split(text, chr(10)) AS ls
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE CAST(len(a) AS BIGINT) END AS n_words,
+         |    CAST(list_sum(list_transform(a, x -> len(x))) AS BIGINT)
+         |      AS sum_wlen,
+         |    CAST(len(text) - len(regexp_replace(text, '#', '', 'g'))
+         |      AS BIGINT) AS n_hash,
+         |    CAST(floor((len(text) - len(replace(text, '...', ''))) / 3.0)
+         |        AS BIGINT) +
+         |      CAST(len(text) - len(regexp_replace(text, '…', '', 'g'))
+         |        AS BIGINT) AS n_ell,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '-')
+         |      OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
+         |      AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+         |      OR ends_with(rtrim(l), '…'))) AS BIGINT) AS n_ellline,
+         |    CAST(len(list_filter(a, x -> regexp_matches(x, '[a-z]')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(a, x -> list_contains(
+         |      ['the','be','to','of','and','that','have','with'], x)))
+         |      AS BIGINT) AS n_stop
+         |  FROM w),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    CASE WHEN n_words > 0
+         |      THEN CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |      ELSE 0.0 END AS mean_wlen,
+         |    CASE WHEN n_words > 0
+         |      THEN CAST(n_hash + n_ell AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |      ELSE 0.0 END AS symbol_ratio,
+         |    CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac,
+         |    CAST(n_ellline AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         |      AS ellipsis_frac,
+         |    CASE WHEN n_words > 0
+         |      THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |      ELSE 0.0 END AS alpha_frac,
+         |    CASE WHEN n_words > 0 THEN n_stop ELSE 0 END AS stop_hits
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_wlen, symbol_ratio, bullet_frac,
+         |  ellipsis_frac, alpha_frac, stop_hits,
+         |  (n_words >= 50 AND n_words <= 100000
+         |   AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+         |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         |   AND stop_hits >= 2) AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     // Mirrors TextAnalysis.docStats: every score is raw int-derived IEEE
     // double arithmetic in the same evaluation order as the Spark columns —
     // bit-exact, no round() anywhere (HALF_UP parity trap). Fingerprint is

@@ -926,6 +926,14 @@ object Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Gopher rule battery (Rae et al. 2021 App. A): every rule's measured
+    // value + the conjunction verdict, scan-side one-pass. On this corpus
+    // the mix comes from the word-count and stopword rules; the symbol/
+    // bullet/ellipsis columns verify the expressions (uniformly zero here)
+    "q_gopher_rules" -> ((s, dir) =>
+      llm.TextAnalysis.gopherRules(tWide(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     "q_text_quality" -> ((s, dir) =>
       llm.TextAnalysis.docStats(tWide(s, dir, "documents"))
         .select(col("doc_id"), col("stopword_ratio"), col("quality"),

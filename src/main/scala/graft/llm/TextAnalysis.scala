@@ -315,6 +315,76 @@ object TextAnalysis {
         col("n_chars").cast("double") / col("n_docs").cast("double"))
       .orderBy(col(sourceCol))
 
+  /** Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446,
+    * Appendix A) — the published heuristic battery every large text
+    * curation pipeline runs before model-based filtering: word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio (# and
+    * ellipsis), bullet-line and ellipsis-line fractions, the
+    * alphabetic-word fraction, and a minimum stopword-hit count.
+    *
+    * Publishes every rule's measured value plus the conjunction `kept`
+    * (not just the verdict) so the filter is auditable — at 100 TB you
+    * tune thresholds against the metric distributions, not by re-running
+    * the scan per candidate threshold. All expressions are scan-side
+    * codegen built-ins (one pass, no shuffle, no UDF); every published
+    * ratio is ONE IEEE division of exact integer counts, so the output is
+    * engine-portable bit-for-bit, and threshold comparisons on those
+    * exact doubles are portable too. */
+  def gopherRules(docs: DataFrame,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWlen: Double = 3.0, maxMeanWlen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = split(lower(trim(t)), "\\s+")
+    val nWords = when(length(trim(t)) === 0, lit(0L))
+      .otherwise(size(words).cast("long"))
+    val sumWlen = aggregate(words, lit(0L), (acc, x) => acc + length(x))
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    // '...' counts once per 3-char occurrence; '…' once per char
+    val nEll = floor((length(t) - length(replace(t, lit("..."), lit(""))))
+        .cast("double") / lit(3.0)).cast("long") +
+      (length(t) - length(regexp_replace(t, "…", ""))).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long") // split never yields [] — min 1
+    val bulletLines = size(filter(lines, l =>
+      startswith(ltrim(l), lit("-")) || startswith(ltrim(l), lit("*")) ||
+        startswith(ltrim(l), lit("•")))).cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+      .cast("long")
+    val alphaWords = size(filter(words, x => x.rlike("[a-z]"))).cast("long")
+    val stopArr = array(StopwordsGopher.map(lit): _*)
+    val stopHits = size(filter(words, x => array_contains(stopArr, x))).cast("long")
+    val guard = nWords > 0
+    docs.select(
+        col(idCol), nWords.as("n_words"),
+        when(guard, sumWlen.cast("double") / nWords.cast("double"))
+          .otherwise(lit(0.0)).as("mean_wlen"),
+        when(guard, (nHash + nEll).cast("double") / nWords.cast("double"))
+          .otherwise(lit(0.0)).as("symbol_ratio"),
+        (bulletLines.cast("double") / nLines.cast("double")).as("bullet_frac"),
+        (ellipsisLines.cast("double") / nLines.cast("double")).as("ellipsis_frac"),
+        when(guard, alphaWords.cast("double") / nWords.cast("double"))
+          .otherwise(lit(0.0)).as("alpha_frac"),
+        when(guard, stopHits).otherwise(lit(0L)).as("stop_hits"))
+      .withColumn("kept",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_wlen") >= minMeanWlen && col("mean_wlen") <= maxMeanWlen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stop_hits") >= minStopHits)
+  }
+
+  /** The Gopher paper's stopword list (§A1.1): a doc must hit at least
+    * two of these to pass the stop-word rule. */
+  val StopwordsGopher: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   def docStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
       col(idCol),

@@ -667,6 +667,35 @@ class LlmSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("gopherRules: each rule trips on its crafted doc; kept is the conjunction") {
+    import graft.llm.TextAnalysis
+    // 55 words, mean word length 172/55 ≈ 3.13 (inside [3, 10])
+    val ok = ("the be to of and that have with okay " * 6).trim + " tail"
+    val docs = Seq(
+      (1L, ok),                                  // 55 words, all rules pass
+      (2L, "the be short doc"),                  // < 50 words
+      (3L, ("the be " + "# " * 60).trim),        // symbol ratio (# per word)
+      (4L, ("the be x " * 20).trim + "\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n- k"), // 10/11 bullet lines
+      (5L, ("the be y " * 20) + "...\n" + "z ...\n" + "w ..."), // ellipsis lines
+      (6L, ("aa bb " * 30).trim),                // zero stopword hits
+      (7L, ("the be " + "9 " * 60).trim),        // alpha fraction low
+      (8L, ""))                                  // blank
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, minWords = 30L)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_words", $"bullet_frac", $"ellipsis_frac",
+        $"symbol_ratio", $"alpha_frac", $"stop_hits", $"kept")
+      .collect().map(r => (r.getLong(0), r.getBoolean(7))).toList
+    assert(got === List(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false, 7L -> false, 8L -> false))
+    val row4 = TextAnalysis.gopherRules(docs).filter($"doc_id" === 4L).head()
+    assert(row4.getAs[Double]("bullet_frac") === 10.0 / 11.0)
+    val row5 = TextAnalysis.gopherRules(docs).filter($"doc_id" === 5L).head()
+    assert(row5.getAs[Double]("ellipsis_frac") === 1.0)
+    val row3 = TextAnalysis.gopherRules(docs).filter($"doc_id" === 3L).head()
+    assert(row3.getAs[Double]("symbol_ratio") > 0.1)
+  }
+
   test("bm25FromIndex: open-railed index probe is value-identical to inline bm25") {
     import graft.llm.Search
     val corpus = Seq(
