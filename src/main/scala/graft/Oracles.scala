@@ -1423,6 +1423,27 @@ object Oracles {
          |SELECT lang_pred, count(*) AS n_docs FROM p
          |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
+    // linear-probe trainer mirror: fixed-iteration unrolled-CTE gradient
+    // descent (the q_bpe_merges / q_kmeans technique) — each iteration's
+    // gradient is an exact micro-unit integer sum, each weight update the
+    // identical double expression, so all weights are bit-equal
+    "q_quality_probe" ->
+      s"""WITH $probeCtes
+         |SELECT CAST(0 AS INT) AS dim, w0 AS w FROM pw$probeIters
+         |UNION ALL SELECT 1, w1 FROM pw$probeIters
+         |UNION ALL SELECT 2, w2 FROM pw$probeIters
+         |UNION ALL SELECT 3, w3 FROM pw$probeIters
+         |ORDER BY dim""".stripMargin,
+
+    // the trained probe applied: x·w over the same feature frame with the
+    // final iteration's weights — one scan, scores bit-equal
+    "q_probe_score" ->
+      s"""WITH $probeCtes
+         |SELECT f.doc_id,
+         |  f.x0 * wp.w0 + f.x1 * wp.w1 + f.x2 * wp.w2 + f.x3 * wp.w3 AS score
+         |FROM feat f, pw$probeIters wp
+         |ORDER BY f.doc_id""".stripMargin,
+
     // Gopher rule mirror: every count is exact-integer, every published
     // ratio ONE double division of exact counts, thresholds compared on
     // those exact doubles — the same portability discipline as docStats.
@@ -1855,6 +1876,59 @@ object Oracles {
   private final val bmB = 0.75
   private lazy val bm25PanelSql: String = graft.llm.Search.DefaultPanel
     .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** Unrolled-CTE mirror of [[graft.llm.QualityProbe]] training: feature
+    * CTEs (exact counts, single divisions) + per-iteration (gradient,
+    * weight) CTE pairs. Every expression is written in the Scala side's
+    * association order; gradients floor to the 1e-6 grid and sum as exact
+    * integers, so each iteration's weights — and everything computed from
+    * them — are bit-identical. lr = 0.5 (exact binary repr). */
+  private final val probeIters = 3
+  private lazy val probeCtes: String = {
+    val pred = "f.x0 * wp.w0 + f.x1 * wp.w1 + f.x2 * wp.w2 + f.x3 * wp.w3"
+    val head =
+      s"""pw_raw AS (
+         |  SELECT doc_id, lang, text,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+         |  FROM documents),
+         |pm AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE CAST(len(a) AS BIGINT) END AS n_words,
+         |    CAST(list_sum(list_transform(a, x -> len(x))) AS BIGINT)
+         |      AS sum_wlen,
+         |    CAST(len(list_distinct(a)) AS BIGINT) AS n_distinct
+         |  FROM pw_raw),
+         |feat AS (
+         |  SELECT doc_id, 1.0 AS x0,
+         |    CAST(n_words AS DOUBLE) / 100.0 AS x1,
+         |    CASE WHEN n_words > 0
+         |      THEN CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |      ELSE 0.0 END AS x2,
+         |    CASE WHEN n_words > 0
+         |      THEN (CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE)) / 10.0
+         |      ELSE 0.0 END AS x3,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM pm),
+         |pn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
+         |pw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin
+    val iters = (1 to probeIters).map { k =>
+      val gCols = (0 to 3).map(j =>
+        s"""CAST(sum(CAST(floor((($pred - f.y) * f.x$j) * 1e6) AS BIGINT))
+           |      AS BIGINT) AS g$j""".stripMargin).mkString(",\n    ")
+      val wCols = (0 to 3).map(j =>
+        s"""wp.w$j - 0.5 * (CAST(g.g$j AS DOUBLE) /
+           |      (CAST(n.n AS DOUBLE) * 1e6)) AS w$j""".stripMargin)
+        .mkString(",\n    ")
+      s"""pg$k AS (
+         |  SELECT $gCols
+         |  FROM feat f, pw${k - 1} wp),
+         |pw$k AS (
+         |  SELECT $wCols
+         |  FROM pw${k - 1} wp, pg$k g, pn n)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
 
   /** The BM25 CTE chain (panel → stats → tokenize → tf → df → quantized
     * idf → micro score → rank), shared by q_bm25, q_bm25_indexed (the

@@ -926,6 +926,24 @@ object Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // distributed linear quality probe: full-batch GD with micro-unit
+    // integer gradient sums — one job per iteration, driver state = 4
+    // doubles (the Kmeans discipline). Features checkpoint once so
+    // iterations re-read features, not the corpus.
+    "q_quality_probe" -> ((s, dir) => {
+      val feat = llm.QualityProbe.features(tWide(s, dir, "documents"))
+        .localCheckpoint(eager = false)
+      llm.QualityProbe.train(feat, lr = 0.5, iters = 3).orderBy(col("dim"))
+    }),
+    // the probe applied: scan-side x·w scoring with the trained weights
+    // inlined as literals — the model-filter pass over the corpus
+    "q_probe_score" -> ((s, dir) => {
+      val feat = llm.QualityProbe.features(tWide(s, dir, "documents"))
+        .localCheckpoint(eager = false)
+      val w = llm.QualityProbe.trainWeights(feat, lr = 0.5, iters = 3)
+      llm.QualityProbe.score(feat, w).orderBy(col("doc_id"))
+    }),
+
     // Gopher rule battery (Rae et al. 2021 App. A): every rule's measured
     // value + the conjunction verdict, scan-side one-pass. On this corpus
     // the mix comes from the word-count and stopword rules; the symbol/

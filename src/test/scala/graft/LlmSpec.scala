@@ -667,6 +667,48 @@ class LlmSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("qualityProbe: GD step matches the exact replicated arithmetic; loss drops") {
+    import graft.llm.QualityProbe
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "one two two", "fr"),
+      (3L, "x y z w v u longerword", "en"),
+      (4L, "", "de"),
+      (5L, "the the the the repeated tokens here", "es"))
+      .toDF("doc_id", "text", "lang")
+    val feat = QualityProbe.features(docs)
+    val rows = feat.collect().map(r =>
+      (Array(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)),
+        r.getDouble(5)))
+    val n = rows.length.toLong
+    // replicate trainWeights' exact arithmetic driver-side
+    def step(w: Array[Double], lr: Double): Array[Double] = {
+      val g = Array.fill(4)(0L)
+      rows.foreach { case (x, y) =>
+        val resid = x(0) * w(0) + x(1) * w(1) + x(2) * w(2) + x(3) * w(3) - y
+        for (j <- 0 until 4) g(j) += math.floor((resid * x(j)) * 1e6).toLong
+      }
+      Array.tabulate(4)(j => w(j) - lr * (g(j).toDouble / (n.toDouble * 1e6)))
+    }
+    val w1 = QualityProbe.trainWeights(feat, lr = 0.5, iters = 1)
+    assert(w1.toSeq === step(Array.fill(4)(0.0), 0.5).toSeq)
+    val w3 = QualityProbe.trainWeights(feat, lr = 0.5, iters = 3)
+    assert(w3.toSeq === step(step(step(Array.fill(4)(0.0), 0.5), 0.5), 0.5).toSeq)
+    // squared loss strictly drops from the zero model
+    def mse(w: Array[Double]) = rows.map { case (x, y) =>
+      val d = x(0) * w(0) + x(1) * w(1) + x(2) * w(2) + x(3) * w(3) - y
+      d * d
+    }.sum / n
+    assert(mse(w3) < mse(Array.fill(4)(0.0)))
+    // scoring is x·w with the weights inlined
+    val s1 = QualityProbe.score(feat, w3).filter($"doc_id" === 1L)
+      .head().getDouble(1)
+    val byId = feat.collect().map(r => r.getLong(0) ->
+      Array(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val e1 = (0 until 4).map(j => byId(1L)(j) * w3(j)).sum
+    assert(math.abs(s1 - e1) < 1e-12)
+  }
+
   test("gopherRules: each rule trips on its crafted doc; kept is the conjunction") {
     import graft.llm.TextAnalysis
     // 55 words, mean word length 172/55 ≈ 3.13 (inside [3, 10])
