@@ -1256,25 +1256,12 @@ object Oracles {
     // DuckDB list lambda ↔ 0-based Spark transform), df rails 2 ≤ df ≤
     // floor(0.06 n) — floor of the identical double product — postings
     // as the doc-ordered doc:tf string
-    "q_inverted_index" ->
-      """WITH w AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
-        |  FROM documents WHERE len(trim(text)) > 0),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_transform(list_slice(a, 1, len(a) - 1),
-        |    (x, i) -> x || ' ' || a[i + 1])) AS gram
-        |  FROM w WHERE len(a) >= 2),
-        |tf AS (SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS tf
-        |  FROM g GROUP BY 1, 2),
-        |d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df,
-        |    CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
-        |k AS (SELECT gram, df, cf FROM d, n
-        |  WHERE df >= 2 AND df <= CAST(floor(0.06 * n.n) AS BIGINT))
-        |SELECT t.gram, k.df, k.cf,
-        |  string_agg(t.doc_id || ':' || t.tf, ',' ORDER BY t.doc_id) AS postings
-        |FROM tf t JOIN k USING (gram)
-        |GROUP BY 1, 2, 3 ORDER BY gram""".stripMargin,
+    "q_inverted_index" -> invertedIndexSql,
+
+    // incremental maintenance mirror: merged postings must be
+    // indistinguishable from a full rebuild over the union corpus, so the
+    // steady-state row shares the rebuild oracle VERBATIM
+    "q_index_incr" -> invertedIndexSql,
 
     // conjunctive phrase lookup over the railed index: same index CTEs as
     // q_inverted_index, panel bigrams interpolated from Search.PhrasePanel
@@ -1876,6 +1863,31 @@ object Oracles {
   private final val bmB = 0.75
   private lazy val bm25PanelSql: String = graft.llm.Search.DefaultPanel
     .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** Inverted-bigram-index rebuild: same bigram construction (1-based
+    * DuckDB list lambda ↔ 0-based Spark transform), df rails 2 ≤ df ≤
+    * floor(0.06 n) — floor of the identical double product — postings as
+    * the doc-ordered doc:tf string. Shared by q_inverted_index and
+    * q_index_incr (incremental maintenance must equal the rebuild). */
+  private lazy val invertedIndexSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(list_slice(a, 1, len(a) - 1),
+      |    (x, i) -> x || ' ' || a[i + 1])) AS gram
+      |  FROM w WHERE len(a) >= 2),
+      |tf AS (SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |  FROM g GROUP BY 1, 2),
+      |d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df,
+      |    CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+      |k AS (SELECT gram, df, cf FROM d, n
+      |  WHERE df >= 2 AND df <= CAST(floor(0.06 * n.n) AS BIGINT))
+      |SELECT t.gram, k.df, k.cf,
+      |  string_agg(t.doc_id || ':' || t.tf, ',' ORDER BY t.doc_id) AS postings
+      |FROM tf t JOIN k USING (gram)
+      |GROUP BY 1, 2, 3 ORDER BY gram""".stripMargin
 
   /** Unrolled-CTE mirror of [[graft.llm.QualityProbe]] training: feature
     * CTEs (exact counts, single divisions) + per-iteration (gradient,

@@ -893,6 +893,22 @@ object Queries {
       llm.Search.phraseQuery(index, llm.Search.PhrasePanel)
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
+    // incremental index maintenance: the corpus split (< 250 persisted
+    // unrailed index, >= 250 batch) merges via broadcast gram gating —
+    // untouched grams never shuffle — with df rails applied at READ time.
+    // Shares q_inverted_index's oracle VERBATIM: maintained state ≡ full
+    // rebuild over the union corpus.
+    "q_index_incr" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val n = docs.count()
+      val old = llm.Search.invertedIndexRaw(docs.filter(col("doc_id") < 250))
+        .localCheckpoint(eager = false) // the persisted-artifact stand-in
+      val batch = llm.Search.invertedIndexRaw(docs.filter(col("doc_id") >= 250))
+      val merged = llm.Search.indexMerge(old, batch)
+      llm.Search.renderIndex(
+          llm.Search.applyRails(merged, 2L, math.floor(0.06 * n).toLong))
+        .orderBy(col("gram"))
+    }),
     // BM25 over PREBUILT artifacts (unigram index with dl in postings +
     // 1-row stats sidecar, checkpointed = the persisted stand-in): the
     // steady-state retrieval form — zero corpus reads at query time

@@ -138,11 +138,15 @@ object Search {
   def invertedIndex(docs: DataFrame, minDf: Long = 1L,
       maxDf: Long = Long.MaxValue, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    invertedIndexRaw(docs, minDf, maxDf, idCol, textCol)
-      .select(col("gram"), col("df"), col("cf"),
-        array_join(transform(col("pl"),
-          x => concat_ws(":", x.getField(idCol).cast("string"),
-            x.getField("tf").cast("string"))), ",").as("postings"))
+    renderIndex(invertedIndexRaw(docs, minDf, maxDf, idCol, textCol), idCol)
+
+  /** Struct postings → the scalar-cell "doc:tf,doc:tf" rendering (the
+    * catalog-output contract form; production persists the raw form). */
+  def renderIndex(raw: DataFrame, idCol: String = "doc_id"): DataFrame =
+    raw.select(col("gram"), col("df"), col("cf"),
+      array_join(transform(col("pl"),
+        x => concat_ws(":", x.getField(idCol).cast("string"),
+          x.getField("tf").cast("string"))), ",").as("postings"))
 
   /** [[invertedIndex]] with postings kept STRUCTURED — (gram, df, cf,
     * pl: array<struct<idCol, tf>>), pl in doc order. The form downstream
@@ -298,6 +302,41 @@ object Search {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col(idCol),
         col("rrf_micro"), col("n_systems"))
+  }
+
+  /** Incremental index maintenance — fold a batch's postings into a
+    * PERSISTED unrailed index without rebuilding it: the steady-state
+    * companion to [[invertedIndexRaw]] (the
+    * [[Dedup.clustersIncremental]] / centroid-sums pattern, applied to
+    * search). Both inputs are UNRAILED raw indexes (df rails are a READ
+    * decision — [[applyRails]] — because a merge can move a gram across
+    * either rail; maintaining railed state would silently lose prunable
+    * postings forever).
+    *
+    * Scale shape: the batch's gram list BROADCASTS, so the old index is
+    * gated in place — untouched grams (the overwhelming majority at
+    * steady state) pass through the anti-join WITHOUT shuffling, and only
+    * (touched ∪ batch) rows re-aggregate. Postings merge by doc-ordered
+    * sort; doc sets are disjoint (new docs), counts add exactly — the
+    * merged index is bit-identical to a full rebuild over (old ∪ batch),
+    * which is how the catalog row is oracled. */
+  def indexMerge(oldIndex: DataFrame, batchIndex: DataFrame): DataFrame = {
+    val batchGrams = batchIndex.select(col("gram"))
+    val untouched = oldIndex.join(broadcast(batchGrams), Seq("gram"), "left_anti")
+    val touched = oldIndex.join(broadcast(batchGrams), Seq("gram"), "left_semi")
+    val merged = touched.unionByName(batchIndex)
+      .groupBy(col("gram"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
+        sort_array(flatten(collect_list(col("pl")))).as("pl"))
+    untouched.unionByName(merged)
+  }
+
+  /** df rails as a read-time view over unrailed raw state — the form
+    * every consumer ([[phraseQuery]], [[renderIndex]]) takes after
+    * [[indexMerge]] maintenance. */
+  def applyRails(raw: DataFrame, minDf: Long, maxDf: Long): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"need 1 <= minDf <= maxDf: $minDf, $maxDf")
+    raw.filter(col("df") >= minDf && col("df") <= maxDf)
   }
 
   /** The catalog's fixed phrase panel: conjunctive (AND) lookups the

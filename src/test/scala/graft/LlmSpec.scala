@@ -786,6 +786,48 @@ class LlmSpec extends SparkTestBase {
     assert(got.head._4 > got(1)._4) // both-systems doc dominates rank-1 single
   }
 
+  test("indexMerge: maintained index equals full rebuild; rails are read-time") {
+    import graft.llm.Search
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val oldDocs = Seq(
+      (1L, "a b a b c"), (2L, "a b c"), (3L, "q r s"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, "a b x"), (5L, "b c y"), (6L, "zz"))
+      .toDF("doc_id", "text")
+    val full = Seq(
+      (1L, "a b a b c"), (2L, "a b c"), (3L, "q r s"),
+      (4L, "a b x"), (5L, "b c y"), (6L, "zz"))
+      .toDF("doc_id", "text")
+    val merged = Search.indexMerge(
+      Search.invertedIndexRaw(oldDocs).localCheckpoint(eager = true),
+      Search.invertedIndexRaw(batch))
+    def render(raw: org.apache.spark.sql.DataFrame) =
+      Search.renderIndex(raw).orderBy($"gram")
+        .as[(String, Long, Long, String)].collect().toList
+    // unrailed merge == unrailed rebuild, postings doc-ordered across the split
+    assert(render(merged) === render(Search.invertedIndexRaw(full)))
+    // rails applied at read time == rails applied at build time; "a b"
+    // crossed maxDf=2 only AFTER the merge (df 2 -> 3), so railed-state
+    // maintenance would have kept it — read-time rails prune it
+    assert(render(Search.applyRails(merged, 2L, 2L)) ===
+      render(Search.invertedIndexRaw(full, minDf = 2L, maxDf = 2L)))
+    assert(!render(Search.applyRails(merged, 2L, 2L)).exists(_._1 == "a b"))
+    // the old index is gated by BROADCAST joins — untouched grams
+    // ("q r"/"r s") must not re-aggregate through a shuffle
+    val q = Search.indexMerge(
+      Search.invertedIndexRaw(oldDocs).localCheckpoint(eager = true),
+      Search.invertedIndexRaw(batch))
+    q.collect()
+    val plan = (q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("BroadcastHashJoin LeftAnti") ||
+      plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"old-index gate is not a broadcast anti-join:\n$plan")
+  }
+
   test("invertedIndex: bigram postings match a naive build; df rails prune both tails") {
     import graft.llm.Search
     val corpus = Seq(
