@@ -1431,6 +1431,34 @@ object Oracles {
          |FROM feat f, pw$probeIters wp
          |ORDER BY f.doc_id""".stripMargin,
 
+    // curriculum mirror: trained-probe scores (unrolled CTEs) + the
+    // oracle-side GLOBAL exclusive cumsum in (score, id) order — the
+    // single-node luxury the Spark side's two-phase prefix sum replaces;
+    // shard = floor(prefix / budget), double division of exact longs
+    "q_curriculum" ->
+      s"""WITH $probeCtes,
+         |ctoks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+         |        AS BIGINT) END AS n_tokens
+         |  FROM documents),
+         |csc AS (
+         |  SELECT f.doc_id,
+         |    f.x0 * wp.w0 + f.x1 * wp.w1 + f.x2 * wp.w2 + f.x3 * wp.w3 AS score
+         |  FROM feat f, pw$probeIters wp),
+         |cj AS (
+         |  SELECT s.doc_id, s.score, t.n_tokens
+         |  FROM csc s JOIN ctoks t USING (doc_id)),
+         |cp AS (
+         |  SELECT doc_id, score, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY score, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM cj)
+         |SELECT doc_id, score, n_tokens,
+         |  CAST(floor(pre / 2000) AS BIGINT) AS shard
+         |FROM cp ORDER BY doc_id""".stripMargin,
+
     // Gopher rule mirror: every count is exact-integer, every published
     // ratio ONE double division of exact counts, thresholds compared on
     // those exact doubles — the same portability discipline as docStats.

@@ -960,6 +960,19 @@ object Queries {
       llm.QualityProbe.score(feat, w).orderBy(col("doc_id"))
     }),
 
+    // curriculum sharding: corpus laid out in probe-score order, cut into
+    // token-budget shards by the two-phase range-partitioned prefix sum
+    // (the q_pack_sequences machinery keyed by (score, id) — no global
+    // window). ~14 shards at budget 2000 on this corpus.
+    "q_curriculum" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val feat = llm.QualityProbe.features(docs).localCheckpoint(eager = false)
+      val w = llm.QualityProbe.trainWeights(feat, lr = 0.5, iters = 3)
+      llm.Packing.curriculumShards(docs, llm.QualityProbe.score(feat, w),
+          budget = 2000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher rule battery (Rae et al. 2021 App. A): every rule's measured
     // value + the conjunction verdict, scan-side one-pass. On this corpus
     // the mix comes from the word-count and stopword rules; the symbol/

@@ -96,6 +96,27 @@ object Packing {
       .select(col("pack_key"), col("n_tokens"), col("shard"))
   }
 
+  /** Curriculum sharding: lay the corpus out in SCORE order (easy → hard,
+    * or hard → easy — the caller's score polarity decides) and cut
+    * token-budget shards along that order, so a training loader walking
+    * shard 0, 1, 2… replays the curriculum. This is [[packByBudget]] with
+    * the ordering key = (score, id): the same two-phase range-partitioned
+    * prefix sum — never a global window — just sorted by the model
+    * signal (e.g. [[QualityProbe.score]]) instead of the id.
+    *
+    * `scores` is (idCol, score). Returns (idCol, score, n_tokens, shard);
+    * ties in score break by id, so the layout is total and
+    * repartition-invariant. */
+  def curriculumShards(docs: DataFrame, scores: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val joined = docs.join(scores.select(col(idCol), col("score")), Seq(idCol))
+    packByBudget(joined, struct(col("score"), col(idCol)),
+      TextAnalysis.tokenCount(col(textCol)), budget)
+      .select(col("pack_key").getField(idCol).as(idCol),
+        col("pack_key").getField("score").as("score"),
+        col("n_tokens"), col("shard"))
+  }
+
   /** The end-to-end export: curated corpus → token-budget shards → one
     * parquet directory per shard (hive-partitioned on `shard`, so a
     * training loader reads shard k with partition pruning, no full-corpus

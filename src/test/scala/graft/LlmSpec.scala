@@ -667,6 +667,21 @@ class LlmSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("curriculumShards: score-ordered token packing matches the naive prefix cut") {
+    import graft.llm.Packing
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"),
+      (4L, ""), (5L, "j k l m n")).toDF("doc_id", "text")
+    val scores = Seq((1L, 0.9), (2L, 0.1), (3L, 0.5), (4L, 0.5), (5L, 0.2))
+      .toDF("doc_id", "score")
+    val got = Packing.curriculumShards(docs, scores, budget = 4L)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"shard")
+      .as[(Long, Long)].collect().toList
+    // score order (ties by id): 2(0.1,2t) 5(0.2,5t) 3(0.5,4t) 4(0.5,0t) 1(0.9,3t)
+    // exclusive prefixes: 0, 2, 7, 11, 11 -> shards 0, 0, 1, 2, 2
+    assert(got === List(1L -> 2L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 0L))
+  }
+
   test("qualityProbe: GD step matches the exact replicated arithmetic; loss drops") {
     import graft.llm.QualityProbe
     val docs = Seq(
