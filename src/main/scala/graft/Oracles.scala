@@ -862,6 +862,38 @@ object Oracles {
         |  WHEN 'src9' THEN 64 WHEN 'src17' THEN 700 END
         |ORDER BY source, doc_id""".stripMargin,
 
+    // temperature-mixture mirror: budgets re-derived in SQL — sqrt is
+    // correctly rounded (bit-equal to the JVM's), the weight floors to
+    // the 1e-6 grid, and the budget split is BIGINT multiply + floor
+    // division (//) — then the q_mix_budget cumsum/filter with the
+    // budget joined per source instead of a literal CASE
+    "q_mix_temperature" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+        |  FROM tk GROUP BY 1),
+        |sm AS (SELECT source,
+        |    CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1e6) AS BIGINT) AS s_micro
+        |  FROM tot),
+        |den AS (SELECT CAST(sum(s_micro) AS BIGINT) AS total FROM sm),
+        |bud AS (SELECT source,
+        |    CAST((8000 * s_micro) // den.total AS BIGINT) AS budget
+        |  FROM sm, den),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM tk)
+        |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, b.budget
+        |FROM c JOIN bud b USING (source)
+        |WHERE c.cum_tokens <= b.budget
+        |ORDER BY source, doc_id""".stripMargin,
+
     // all-pairs exact-Jaccard truth for the LSH-candidate + verify pipeline:
     // matching asserts recall = 1 on this corpus and the verify arithmetic.
     // Jaccard over shingle STRINGS here vs distinct xxhash64 keys in Spark —
@@ -1688,6 +1720,24 @@ object Oracles {
     // labeling as in q_dedup_clusters, then exact micro-unit sums and ONE
     // IEEE division per (cluster, dim) — mirrors clusterCentroids'
     // portability discipline (floor(v·1e6) on the float's exact double)
+    // mean-centering mirror: identical micro-unit mean (floor to 1e-6
+    // grid, exact integer sum, ONE division) and per-element subtraction
+    // on bit-identical doubles
+    "q_embed_center" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    unnest(embedding) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(v::DOUBLE * 1e6) AS BIGINT)) AS BIGINT) AS s
+        |  FROM x GROUP BY dim)
+        |SELECT x.vec_id, x.dim,
+        |  x.v::DOUBLE - (m.s::DOUBLE / (m.n::DOUBLE * 1e6)) AS c
+        |FROM x JOIN m USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin,
+
     "q_embed_centroids" -> (embedCentroidCtes +
       """
         |SELECT cluster_id, n_members, dim,

@@ -512,6 +512,27 @@ object Queries {
           col("cost").as("n_tokens"), col("cum_cost").as("cum_tokens"))
         .orderBy(col("source"), col("doc_id"))),
 
+    // temperature-sampled mixture (α = 0.5): per-source budgets derived
+    // from the sources' own token totals via composed correctly-rounded
+    // sqrt + integer micro arithmetic (bit-portable, see
+    // Sampling.temperatureBudgets), then the grouped two-phase budget
+    // sampler. The published budget column audits the derivation.
+    "q_mix_temperature" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = llm.TextAnalysis.tokenCount(col("text"))
+      val budgets = llm.Sampling.temperatureBudgets(docs, col("source"),
+        toks, totalBudget = 8000L)
+      val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+        case (acc, (g, b)) => when(col("source") === g, lit(b)).otherwise(acc)
+      }
+      llm.Sampling.sampleToBudget(docs, col("source"), col("doc_id"), toks,
+          budgets)
+        .select(col("mix_id").as("doc_id"), col("mix_group").as("source"),
+          col("cost").as("n_tokens"), col("cum_cost").as("cum_tokens"))
+        .withColumn("budget", budgetCol)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Oracled against ALL-PAIRS exact Jaccard: the output is the exact-
     // Jaccard-verified pair set, so the comparison asserts LSH recall = 1
     // on this corpus (its true-pair similarities sit far above the 16-band
@@ -633,6 +654,12 @@ object Queries {
       llm.Similarity.clusterCentroidsIncremental(emb, oldLabels, oldSums, newPairs)
         .orderBy(col("cluster_id"), col("dim"))
     }),
+
+    // global mean-centering: per-dim micro-unit exact mean (only dim
+    // partial rows shuffle), broadcast back, scan-side subtraction
+    "q_embed_center" -> ((s, dir) =>
+      llm.Similarity.centerEmbeddings(tWide(s, dir, "embeddings"))
+        .orderBy(col("vec_id"), col("dim"))),
 
     // nearest-centroid routing: every vector classified into its best
     // cluster (broadcast codebook, map-side argmax — no corpus window)
@@ -903,7 +930,10 @@ object Queries {
       val n = docs.count()
       val old = llm.Search.invertedIndexRaw(docs.filter(col("doc_id") < 250))
         .localCheckpoint(eager = false) // the persisted-artifact stand-in
+      // checkpointed too: consumed three times (two broadcast gram gates +
+      // the merge union) — without it the batch subtree re-derives per use
       val batch = llm.Search.invertedIndexRaw(docs.filter(col("doc_id") >= 250))
+        .localCheckpoint(eager = false)
       val merged = llm.Search.indexMerge(old, batch)
       llm.Search.renderIndex(
           llm.Search.applyRails(merged, 2L, math.floor(0.06 * n).toLong))

@@ -141,6 +141,36 @@ object Sampling {
     *
     * Returns the kept rows with the group/cost columns plus `cum_cost`
     * (the inclusive running cost — the audit trail of WHY each row fit). */
+  /** Temperature-sampling budgets (the multilingual-LM mixture rule:
+    * sample source s proportionally to n_s^α, α < 1 upweighting small
+    * sources): per-group budgets for [[sampleToBudget]] from the groups'
+    * own cost totals, totalBudget · w_g / Σw with w = cost^(1/2^halvings).
+    *
+    * α is restricted to 1/2^k on purpose: IEEE sqrt is CORRECTLY ROUNDED
+    * (a composition of k sqrts is bit-identical on every engine) while
+    * pow(x, α) is libm-dependent — the same reason BM25 quantizes its one
+    * ln. The sqrt'd weights floor onto the 1e-6 grid and everything after
+    * is exact integer arithmetic (sum, product, floor division), so the
+    * budget map is engine-portable bit-for-bit.
+    *
+    * Driver state is one row per group (the mixture table — bounded); the
+    * totals job is one partial-aggregating scan. */
+  def temperatureBudgets(df: DataFrame, group: Column, cost: Column,
+      totalBudget: Long, halvings: Int = 1): Map[String, Long] = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    require(halvings >= 1 && halvings <= 6, s"halvings in [1,6]: $halvings")
+    val tots = df.select(group.as("g"), cost.cast("long").as("c"))
+      .groupBy(col("g")).agg(sum(col("c")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(tots.nonEmpty, "temperatureBudgets: empty input")
+    val sMicro = tots.map { case (g, t) =>
+      val w = (1 to halvings).foldLeft(t.toDouble)((x, _) => math.sqrt(x))
+      g -> math.floor(w * 1e6).toLong
+    }
+    val total = sMicro.map(_._2).sum
+    sMicro.map { case (g, s) => g -> (totalBudget * s) / total }.toMap
+  }
+
   def sampleToBudget(df: DataFrame, group: Column, key: Column, cost: Column,
       budgets: Map[String, Long], nParts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

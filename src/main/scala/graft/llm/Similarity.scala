@@ -599,6 +599,32 @@ object Similarity {
     cross.unionByName(inner)
   }
 
+  /** Mean-center an embedding column — the standard preprocessing before
+    * semantic dedup / clustering (dominant-direction removal makes cosine
+    * neighborhoods meaningful; SemDeDup and every IVF build assume
+    * roughly centered vectors). Returns long form (idCol, dim, c) with
+    * c = x − μ_dim.
+    *
+    * Scale/portability shape: the global per-dim mean uses the
+    * [[clusterCentroids]] micro-unit discipline — exact integer sums that
+    * partially aggregate map-side, so the ONLY shuffle for the mean moves
+    * `dim` partial rows, the mean frame (dim rows) BROADCASTS back, and
+    * the subtraction is scan-side. One division per dim + one subtraction
+    * per element, both on bit-identical operands ⇒ engine-portable. */
+  def centerEmbeddings(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val means = emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 1e6)).as("s"))
+      .select(col("dim"),
+        (col("s").cast("double") / (col("n").cast("double") * 1e6)).as("mu"))
+    emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .join(broadcast(means), Seq("dim"))
+      .select(col(idCol), col("dim"),
+        (col("x").cast("double") - col("mu")).as("c"))
+  }
+
   /** Long-form centroids → (cluster_id, n_members, centroid: array<double>)
     * for API consumers; dims reassembled in order per cluster. */
   def centroidVectors(centroids: DataFrame): DataFrame =

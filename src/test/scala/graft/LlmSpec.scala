@@ -667,6 +667,42 @@ class LlmSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("temperatureBudgets: sqrt-weighted integer split; upweights small sources") {
+    import graft.llm.Sampling
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 90) "big" else "small", "t " * 10))
+      .toDF("doc_id", "source", "text")
+      .withColumn("c", lit(10L))
+    val got = Sampling.temperatureBudgets(df, $"source", $"c", totalBudget = 1000L)
+    // exact replication: w = sqrt(tokens), micro-floored, integer split
+    val sBig = math.floor(math.sqrt(900.0) * 1e6).toLong
+    val sSmall = math.floor(math.sqrt(100.0) * 1e6).toLong
+    val tot = sBig + sSmall
+    assert(got === Map("big" -> 1000L * sBig / tot, "small" -> 1000L * sSmall / tot))
+    // α=0.5 gives small 25% of budget for 10% of tokens — upweighted
+    assert(got("small") * 9 > got("big") * 2)
+    // α=1/4 (two halvings) upweights further
+    val g2 = Sampling.temperatureBudgets(df, $"source", $"c", 1000L, halvings = 2)
+    assert(g2("small") > got("small"))
+  }
+
+  test("centerEmbeddings: exact micro-unit mean removed per dimension") {
+    import graft.llm.Similarity
+    val emb = Seq(
+      (1L, Seq(1.0f, -2.0f)), (2L, Seq(3.0f, 0.5f)), (3L, Seq(-1.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.centerEmbeddings(emb)
+      .orderBy($"vec_id", $"dim")
+      .as[(Long, Int, Double)].collect().toList
+    def mu(vals: Seq[Double]) =
+      vals.map(v => math.floor(v * 1e6).toLong).sum.toDouble / (vals.size.toDouble * 1e6)
+    val mu0 = mu(Seq(1.0, 3.0, -1.0)); val mu1 = mu(Seq(-2.0, 0.5, 4.0))
+    val want = List((1L, 0, 1.0 - mu0), (1L, 1, -2.0 - mu1),
+      (2L, 0, 3.0 - mu0), (2L, 1, 0.5 - mu1),
+      (3L, 0, -1.0 - mu0), (3L, 1, 4.0 - mu1))
+    assert(got === want)
+  }
+
   test("curriculumShards: score-ordered token packing matches the naive prefix cut") {
     import graft.llm.Packing
     val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"),
