@@ -1034,6 +1034,30 @@ object Oracles {
         |    / 4096) AS BIGINT) AS shard
         |FROM tk ORDER BY doc_id""".stripMargin,
 
+    // context-window packing mirror: same exclusive global cumsum, then
+    // pure integer window math (seq = floor(gpos/context), off = gpos −
+    // seq·context)
+    "q_pack_windows" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS gpos
+        |  FROM tk),
+        |w AS (
+        |  SELECT doc_id, n_tokens, gpos,
+        |    CAST(floor(gpos::DOUBLE / 2048) AS BIGINT) AS seq_id
+        |  FROM p)
+        |SELECT doc_id, n_tokens, gpos, seq_id,
+        |  CAST(gpos - seq_id * 2048 AS BIGINT) AS seq_off
+        |FROM w ORDER BY doc_id""".stripMargin,
+
     // per-vector min/max codebook mirror; expression tree order pinned
     // ((x - vmin) * 255) / (vmax - vmin), floor, clamp — float->double
     // widening is exact on both engines

@@ -446,6 +446,14 @@ object Queries {
           col("doc_id"), llm.TextAnalysis.tokenCount(col("text")), budget = 4096L)
         .withColumnRenamed("pack_key", "doc_id")
         .orderBy(col("doc_id"))),
+    // GPT-style context-window layout: tokens laid end-to-end, cut every
+    // 2048 — docs span windows; each doc gets its start (seq_id, seq_off)
+    // from the same two-phase global prefix (no global window)
+    "q_pack_windows" -> ((s, dir) =>
+      llm.Packing.packWindows(t(s, dir, "documents"),
+          col("doc_id"), llm.TextAnalysis.tokenCount(col("text")), context = 2048L)
+        .withColumnRenamed("pack_key", "doc_id")
+        .orderBy(col("doc_id"))),
 
     // ---- LLM data pipeline: embedding quantization ----
     // codes emitted comma-joined (pandas array-cell constraint, as

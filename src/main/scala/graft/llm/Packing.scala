@@ -67,11 +67,12 @@ object Packing {
       coalesce(sum(col("n_tokens")).over(w), lit(0L)))
   }
 
-  /** One row per input doc: (key, n_tokens, shard). `tokens` must be a
-    * non-negative integral column (e.g. [[TextAnalysis.tokenCount]]). */
-  def packByBudget(df: DataFrame, key: Column, tokens: Column,
-      budget: Long, nParts: Int = 0): DataFrame = {
-    require(budget > 0, s"budget must be positive: $budget")
+  /** Phases 1-3 complete: (pack_key, n_tokens, gpos) with gpos the GLOBAL
+    * exclusive token prefix in key order — the primitive both packers
+    * derive from. See the class doc for why the ranged frame checkpoints
+    * before the totals collect. */
+  private def globalPrefix(df: DataFrame, key: Column, tokens: Column,
+      nParts: Int): DataFrame = {
     val spark = df.sparkSession
     val n = if (nParts > 0) nParts else spark.sparkContext.defaultParallelism
     // Freeze the range cut: one materialization serves both the totals
@@ -91,9 +92,37 @@ object Packing {
 
     intra
       .join(broadcast(offDf), Seq("pid"))
-      .withColumn("shard",
-        floor((col("intra") + col("pack_pid_offset")) / budget))
+      .withColumn("gpos", col("intra") + col("pack_pid_offset"))
+      .select(col("pack_key"), col("n_tokens"), col("gpos"))
+  }
+
+  /** One row per input doc: (key, n_tokens, shard). `tokens` must be a
+    * non-negative integral column (e.g. [[TextAnalysis.tokenCount]]). */
+  def packByBudget(df: DataFrame, key: Column, tokens: Column,
+      budget: Long, nParts: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    globalPrefix(df, key, tokens, nParts)
+      .withColumn("shard", floor(col("gpos") / budget))
       .select(col("pack_key"), col("n_tokens"), col("shard"))
+  }
+
+  /** Context-window packing, the GPT-style pretraining layout: all tokens
+    * laid end-to-end in `key` order and CUT every `context` tokens —
+    * documents MAY span windows (contrast [[packByBudget]], whose docs
+    * never split). Returns per doc (pack_key, n_tokens, gpos, seq_id,
+    * seq_off): the training sequence the doc STARTS in and its token
+    * offset there — with n_tokens, exactly what a loader needs to place
+    * every span (a doc occupies seq_id:seq_off onward, rolling into
+    * subsequent sequences). All integer arithmetic off the same two-phase
+    * global prefix — no global window, repartition-invariant. */
+  def packWindows(df: DataFrame, key: Column, tokens: Column,
+      context: Long, nParts: Int = 0): DataFrame = {
+    require(context > 0, s"context must be positive: $context")
+    globalPrefix(df, key, tokens, nParts)
+      .withColumn("seq_id", floor(col("gpos") / context))
+      .withColumn("seq_off", col("gpos") - col("seq_id") * context)
+      .select(col("pack_key"), col("n_tokens"), col("gpos"),
+        col("seq_id"), col("seq_off"))
   }
 
   /** Curriculum sharding: lay the corpus out in SCORE order (easy → hard,

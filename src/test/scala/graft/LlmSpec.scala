@@ -667,6 +667,26 @@ class LlmSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("packWindows: context cut every C tokens, docs span windows") {
+    import graft.llm.Packing
+    // token counts: 3, 4, 2, 0, 5 -> exclusive prefixes 0, 3, 7, 9, 9
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"),
+      (4L, ""), (5L, "j k l m n")).toDF("doc_id", "text")
+    val got = Packing.packWindows(docs, $"doc_id",
+        graft.llm.TextAnalysis.tokenCount($"text"), context = 4L)
+      .withColumnRenamed("pack_key", "doc_id")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"gpos", $"seq_id", $"seq_off")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    val want = List(
+      (1L, 3L, 0L, 0L, 0L),  // fills seq 0 up to off 3
+      (2L, 4L, 3L, 0L, 3L),  // starts seq 0 off 3, SPANS into seq 1
+      (3L, 2L, 7L, 1L, 3L),  // starts seq 1 off 3, spans into seq 2
+      (4L, 0L, 9L, 2L, 1L),  // empty doc: placed, consumes nothing
+      (5L, 5L, 9L, 2L, 1L))
+    assert(got === want)
+  }
+
   test("temperatureBudgets: sqrt-weighted integer split; upweights small sources") {
     import graft.llm.Sampling
     val df = Seq.tabulate(100)(i =>
