@@ -40,6 +40,33 @@ class StreamingCurationSpec extends SparkTestBase {
     assert(got.head._2 >= 0.4)
   }
 
+  test("streaming gopher gate: the rule battery runs stateless on a stream, batch-parity") {
+    // gopherRules is a pure scan-side projection, so it composes into any
+    // streaming pipeline with no state and no output-mode constraints —
+    // the quality gate an always-on ingest runs before dedup.
+    val rows = Seq(
+      (1L, ("the be to of and that have with okay " * 6).trim + " tail"),
+      (2L, "the be short doc"),
+      (3L, ("aa bb " * 30).trim))
+    val input = MemoryStream[(Long, String)](spark)
+    val gated = graft.llm.TextAnalysis.gopherRules(
+      input.toDF().toDF("doc_id", "text"), minWords = 30L)
+    input.addData(rows: _*)
+    val q = gated.writeStream
+      .format("memory").queryName("graft_stream_gopher")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_stream_gopher").orderBy($"doc_id")
+    val batch = graft.llm.TextAnalysis.gopherRules(
+      rows.toDF("doc_id", "text"), minWords = 30L).orderBy($"doc_id")
+    assert(got.collect().toSeq === batch.collect().toSeq)
+    assert(got.select($"kept").as[Boolean].collect().toSeq ===
+      Seq(true, false, false))
+  }
+
   test("streaming heavy hitters: per-window sketch finalizes on watermark") {
     val ms = (m: Long) => new Timestamp(m)
     val input = MemoryStream[(String, Timestamp)](spark)
