@@ -50,7 +50,7 @@ object Oracles {
     * (recursive-CTE transitive closure, label = min reachable id). Shared
     * by q_dedup_clusters and q_dedup_incr_clusters: the incremental path's
     * whole claim is that it matches this full recompute. */
-  private lazy val clustersSql: String =
+  private lazy val clusterCtes: String =
     s"""WITH RECURSIVE e AS (
        |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
        |  FROM documents),
@@ -70,7 +70,10 @@ object Oracles {
        |reach(id, r) AS (
        |  SELECT s, s FROM edges
        |  UNION
-       |  SELECT reach.id, e2.d FROM reach JOIN edges e2 ON e2.s = reach.r)
+       |  SELECT reach.id, e2.d FROM reach JOIN edges e2 ON e2.s = reach.r)""".stripMargin
+
+  private lazy val clustersSql: String =
+    s"""$clusterCtes
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
@@ -961,6 +964,20 @@ object Oracles {
     // (all-pairs exact Jaccard), transitive closure via recursive CTE,
     // label = min reachable id — vs Spark's iterated label propagation
     "q_dedup_clusters" -> clustersSql,
+
+    // per-cluster source-spread report over the same component labeling;
+    // sources rendered as the sorted distinct list (list() aggregate +
+    // list_sort — deterministic without relying on ordered string_agg)
+    "q_dedup_provenance" ->
+      s"""$clusterCtes,
+         |lbl AS (SELECT id AS doc_id, min(r) AS cluster_id
+         |  FROM reach GROUP BY id)
+         |SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+         |  array_to_string(list_sort(list_distinct(list(d.source))), ',')
+         |    AS sources
+         |FROM lbl l JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY cluster_id""".stripMargin,
 
     // the incremental maintenance path must be INDISTINGUISHABLE from the
     // full recompute — same truth, literally the same SQL

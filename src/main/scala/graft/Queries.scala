@@ -423,6 +423,16 @@ object Queries {
         llm.Dedup.minhashNearDups(tWide(s, dir, "documents"), threshold = 0.6))
         .orderBy(col("doc_id"))),
 
+    // near-dup provenance: per-cluster source spread — within-crawl vs
+    // cross-corpus duplication (mixture double-counting audit). Labels
+    // broadcast; the corpus never shuffles.
+    "q_dedup_provenance" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Dedup.clusterProvenance(docs,
+          llm.Dedup.clusters(llm.Dedup.minhashNearDups(docs, threshold = 0.6)))
+        .orderBy(col("cluster_id"))
+    }),
+
     // "keep the best copy": canonical = longest member of each near-dup
     // cluster (tie → min id); singletons canonical by themselves. Oracle
     // reuses the recursive-CTE component labeling + a window argmax.

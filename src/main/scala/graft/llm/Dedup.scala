@@ -807,4 +807,25 @@ object Dedup {
       .withColumn("n_members", lit(1L))
     best.unionByName(singles)
   }
+
+  /** Near-dup provenance report: which sources each duplicate cluster
+    * spans — the curation analytics that answers "is this duplication
+    * WITHIN a crawl or ACROSS corpora?" (cross-source duplication changes
+    * mixture accounting: the same text billed to two sources double-counts
+    * toward both budgets). Returns one row per cluster: (cluster_id,
+    * n_members, n_sources, sources) with `sources` the sorted distinct
+    * source list.
+    *
+    * Scale shape: `labels` ([[clusters]] output) covers only pair members
+    * — a sliver of the corpus — and BROADCASTS into the corpus scan, so
+    * the corpus never shuffles; the aggregation runs over members only,
+    * one output row per cluster. */
+  def clusterProvenance(docs: DataFrame, labels: DataFrame,
+      idCol: String = "doc_id", srcCol: String = "source"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("__src"))
+      .join(broadcast(labels), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        count_distinct(col("__src")).as("n_sources"),
+        array_join(array_sort(collect_set(col("__src"))), ",").as("sources"))
 }
