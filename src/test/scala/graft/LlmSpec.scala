@@ -857,6 +857,22 @@ class LlmSpec extends SparkTestBase {
     assert(got.head._4 > got(1)._4) // both-systems doc dominates rank-1 single
   }
 
+  test("clusterProvenance: source spread per cluster, sorted-distinct rendering") {
+    import graft.llm.Dedup
+    val docs = Seq(
+      (1L, "x", "web"), (2L, "x", "books"), (3L, "x", "web"),
+      (4L, "y", "web"), (5L, "y", "web"), (6L, "z", "code"))
+      .toDF("doc_id", "text", "source")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterProvenance(docs, labels)
+      .orderBy($"cluster_id")
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(got === List(
+      (1L, 3L, 2L, "books,web"),  // cross-source: mixture double-count
+      (4L, 2L, 1L, "web")))       // within-crawl; doc 6 unclustered -> absent
+  }
+
   test("indexMerge: maintained index equals full rebuild; rails are read-time") {
     import graft.llm.Search
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
