@@ -1285,6 +1285,10 @@ object Oracles {
     // the steady-state row shares the oracle VERBATIM.
     "q_bm25_indexed" -> bm25Sql,
 
+    // the maintained stack (merged index halves + added stats) must be
+    // indistinguishable from inline BM25 on the union corpus
+    "q_bm25_incr" -> bm25Sql,
+
     // hybrid RRF mirror: the bm25Sql CTE chain (lexical top-10) + the
     // q_knn_brute cosine chain over qids 1-5 (dense top-10), fused by
     // floor(1e9 / (60 + rank)) integer contributions — rank-based, so

@@ -970,6 +970,26 @@ object Queries {
           llm.Search.DefaultPanel.toDF("query_id", "term"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the maintained search stack end-to-end: unigram index halves merged
+    // via broadcast gram gating (indexMerge on "term"), stats sidecars
+    // added exactly (statsMerge), then the index-probe scorer — maintained
+    // artifacts must score EXACTLY like inline BM25 on the union corpus
+    // (shares q_bm25's oracle verbatim)
+    "q_bm25_incr" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tWide(s, dir, "documents")
+      val oldD = docs.filter(col("doc_id") < 250)
+      val newD = docs.filter(col("doc_id") >= 250)
+      val index = llm.Search.indexMerge(
+        llm.Search.searchIndexRaw(oldD).localCheckpoint(eager = false),
+        llm.Search.searchIndexRaw(newD).localCheckpoint(eager = false),
+        gramCol = "term")
+      val stats = llm.Search.statsMerge(
+        llm.Search.corpusStats(oldD), llm.Search.corpusStats(newD))
+      llm.Search.bm25FromIndex(index, stats,
+          llm.Search.DefaultPanel.toDF("query_id", "term"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // hybrid retrieval: BM25 (lexical) + brute cosine (dense) fused by
     // reciprocal-rank fusion — rank-based, so no score calibration; both
     // inputs are bounded queries × k candidate lists, never the corpus.

@@ -320,16 +320,23 @@ object Search {
     * sort; doc sets are disjoint (new docs), counts add exactly — the
     * merged index is bit-identical to a full rebuild over (old ∪ batch),
     * which is how the catalog row is oracled. */
-  def indexMerge(oldIndex: DataFrame, batchIndex: DataFrame): DataFrame = {
-    val batchGrams = batchIndex.select(col("gram"))
-    val untouched = oldIndex.join(broadcast(batchGrams), Seq("gram"), "left_anti")
-    val touched = oldIndex.join(broadcast(batchGrams), Seq("gram"), "left_semi")
+  def indexMerge(oldIndex: DataFrame, batchIndex: DataFrame,
+      gramCol: String = "gram"): DataFrame = {
+    val batchGrams = batchIndex.select(col(gramCol))
+    val untouched = oldIndex.join(broadcast(batchGrams), Seq(gramCol), "left_anti")
+    val touched = oldIndex.join(broadcast(batchGrams), Seq(gramCol), "left_semi")
     val merged = touched.unionByName(batchIndex)
-      .groupBy(col("gram"))
+      .groupBy(col(gramCol))
       .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
         sort_array(flatten(collect_list(col("pl")))).as("pl"))
     untouched.unionByName(merged)
   }
+
+  /** Merge corpus-stats sidecars — counts add exactly, so maintained
+    * stats ≡ a recomputed [[corpusStats]] over the union corpus. */
+  def statsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).agg(sum(col("n_docs")).as("n_docs"),
+      sum(col("sum_dl")).as("sum_dl"))
 
   /** df rails as a read-time view over unrailed raw state — the form
     * every consumer ([[phraseQuery]], [[renderIndex]]) takes after

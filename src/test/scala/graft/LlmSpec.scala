@@ -835,6 +835,19 @@ class LlmSpec extends SparkTestBase {
     val railedHits = Search.bm25FromIndex(railed, stats, panel, topK = 3)
       .as[(Int, Int, Long, Long)].collect().toList
     assert(railedHits.forall(_._1 == 1) && railedHits.nonEmpty)
+    // the maintained stack: merged index halves + added stats score
+    // exactly like the inline pass over the union corpus
+    val oldD = corpus.filter($"doc_id" <= 2L)
+    val newD = corpus.filter($"doc_id" > 2L)
+    val mergedIdx = Search.indexMerge(
+      Search.searchIndexRaw(oldD).localCheckpoint(eager = true),
+      Search.searchIndexRaw(newD), gramCol = "term")
+    val mergedStats = Search.statsMerge(
+      Search.corpusStats(oldD), Search.corpusStats(newD))
+    val incr = Search.bm25FromIndex(mergedIdx, mergedStats, panel, topK = 3)
+      .orderBy($"query_id", $"rank")
+      .as[(Int, Int, Long, Long)].collect().toList
+    assert(incr === inline)
   }
 
   test("rrfFuse: rank-based fusion, integer contributions, n_systems counts lists") {
