@@ -1765,6 +1765,28 @@ object Oracles {
     // labeling as in q_dedup_clusters, then exact micro-unit sums and ONE
     // IEEE division per (cluster, dim) — mirrors clusterCentroids'
     // portability discipline (floor(v·1e6) on the float's exact double)
+    // power-iteration mirror: unrolled per-iteration (gradient, norm,
+    // direction) CTEs — micro-unit integer gradient sums, the squared-
+    // component fold in DIM ORDER (list_reduce = the Scala reduceLeft),
+    // correctly-rounded sqrt ⇒ every iteration's v bit-equal
+    "q_pca_direction" ->
+      s"""WITH $pcaCtes
+         |SELECT CAST(generate_subscripts(vl, 1) - 1 AS INT) AS dim,
+         |  unnest(vl) AS v
+         |FROM pv$pcaIters ORDER BY dim""".stripMargin,
+
+    // the projection applied with the final direction: x − (x·v)·v on
+    // bit-identical operands
+    "q_pca_remove" ->
+      s"""WITH $pcaCtes
+         |SELECT t.vec_id, t.dim, t.xd - t.s * t.vl[t.dim + 1] AS c
+         |FROM (
+         |  SELECT e.vec_id, ${dotSql("e.embedding", "v.vl")} AS s,
+         |    CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
+         |    unnest(e.embedding)::DOUBLE AS xd, v.vl AS vl
+         |  FROM embeddings e, pv$pcaIters v) t
+         |ORDER BY vec_id, dim""".stripMargin,
+
     // mean-centering mirror: identical micro-unit mean (floor to 1e-6
     // grid, exact integer sum, ONE division) and per-element subtraction
     // on bit-identical doubles
@@ -2011,6 +2033,42 @@ object Oracles {
       |  string_agg(t.doc_id || ':' || t.tf, ',' ORDER BY t.doc_id) AS postings
       |FROM tf t JOIN k USING (gram)
       |GROUP BY 1, 2, 3 ORDER BY gram""".stripMargin
+
+  /** Unrolled-CTE mirror of [[graft.llm.Pca]] power iteration: init = the
+    * min-id vector normalized (sequential-fold self-dot), then per
+    * iteration a micro-unit integer gradient sum, a dim-ordered left fold
+    * for ‖g‖², and one list_transform division by the correctly-rounded
+    * sqrt. */
+  private final val pcaIters = 3
+  private lazy val pcaCtes: String = {
+    val head =
+      s"""pv0 AS (
+         |  SELECT list_transform(e.embedding,
+         |    x -> x::DOUBLE / sqrt(${dotSql("e.embedding", "e.embedding")}))
+         |    AS vl
+         |  FROM embeddings e
+         |  WHERE e.vec_id = (SELECT min(vec_id) FROM embeddings))""".stripMargin
+    val iters = (1 to pcaIters).map { k =>
+      s"""pg$k AS (
+         |  SELECT t.dim,
+         |    CAST(sum(CAST(floor((t.s * t.xd) * 1e6) AS BIGINT)) AS BIGINT)
+         |      AS g
+         |  FROM (
+         |    SELECT ${dotSql("e.embedding", "v.vl")} AS s,
+         |      CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
+         |      unnest(e.embedding)::DOUBLE AS xd
+         |    FROM embeddings e, pv${k - 1} v) t
+         |  GROUP BY t.dim),
+         |pn$k AS (
+         |  SELECT gl,
+         |    list_reduce(list_transform(gl, x -> x * x), (a, b) -> a + b)
+         |      AS n2
+         |  FROM (SELECT list(g::DOUBLE / 1e6 ORDER BY dim) AS gl FROM pg$k)),
+         |pv$k AS (
+         |  SELECT list_transform(gl, x -> x / sqrt(n2)) AS vl FROM pn$k)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
 
   /** Unrolled-CTE mirror of [[graft.llm.QualityProbe]] training: feature
     * CTEs (exact counts, single divisions) + per-iteration (gradient,

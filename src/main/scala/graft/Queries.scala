@@ -679,6 +679,20 @@ object Queries {
       llm.Similarity.centerEmbeddings(tWide(s, dir, "embeddings"))
         .orderBy(col("vec_id"), col("dim"))),
 
+    // power-iteration top principal direction: one job per iteration
+    // (scan-side literal-v dot, (dim)-keyed micro sums), driver state =
+    // one dim-vector — the 4th bounded-driver-state trainer
+    "q_pca_direction" -> ((s, dir) =>
+      llm.Pca.train(tWide(s, dir, "embeddings"), iters = 3)
+        .orderBy(col("dim"))),
+    // "all-but-the-top" applied: x − (x·v)·v scan-side with the trained
+    // direction inlined as a literal
+    "q_pca_remove" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      llm.Pca.removeDirection(emb, llm.Pca.topDirection(emb, iters = 3))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // nearest-centroid routing: every vector classified into its best
     // cluster (broadcast codebook, map-side argmax — no corpus window)
     "q_embed_assign" -> ((s, dir) => {

@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.expr.DotProduct
+
+/** Distributed power iteration for the TOP PRINCIPAL DIRECTION of an
+  * embedding column — the fourth bounded-driver-state trainer (after
+  * [[Kmeans]], [[Bpe]], [[QualityProbe]]): v ← normalize(Σᵢ (xᵢ·v)·xᵢ),
+  * the matrix-free iteration every "all-but-the-top" / dominant-direction-
+  * removal embedding postprocessor needs (compose with
+  * [[Similarity.centerEmbeddings]] for true PCA on centered vectors).
+  *
+  * Scale structure (the [[Kmeans]] pattern exactly):
+  *   - driver state is ONE dim-length vector, never rows;
+  *   - one job per iteration: xᵢ·v is a scan-side codegen dot against the
+  *     LITERAL v, the update Σ (xᵢ·v)·xᵢ is a (dim)-keyed micro-unit
+  *     integer sum that partially aggregates map-side — the only shuffle
+  *     moves `dim` partial rows, the only driver traffic the collected
+  *     dim sums;
+  *   - the corpus is scanned once per iteration (inherent to power
+  *     iteration); at 100 TB train on a digest sample like IVF/k-means.
+  *
+  * Portability discipline: per-row contributions floor((xᵢ·v)·xᵢ_d onto
+  * the 1e-6 grid and sum as exact integers (order-independent); the
+  * normalization ‖g‖ folds the squared components IN DIM ORDER (a fixed
+  * left fold, mirrored by the oracle's list_reduce) and sqrt is correctly
+  * rounded — so every iteration's v, and the published direction, is
+  * bit-identical across engines and partitionings. Deterministic init:
+  * the min-id vector, normalized. */
+object Pca {
+
+  /** `iters` power iterations; returns the direction as Array[Double]. */
+  def topDirection(emb: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Double] = {
+    require(iters > 0, s"iters must be positive: $iters")
+    // deterministic init: the min-id vector, normalized (the Kmeans
+    // first-k-by-id discipline); dot/norm as the oracle's sequential fold
+    val first = emb
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col(idCol)).limit(1)
+      .collect()
+    require(first.nonEmpty, "pca: empty input")
+    val x0 = first(0).getSeq[Double](1).toArray
+    val n0 = math.sqrt(x0.map(x => x * x).reduceLeft(_ + _))
+    var v = x0.map(_ / n0)
+    for (_ <- 1 to iters) {
+      val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
+      val g = emb
+        .select(DotProduct(col(vecCol), vArr).as("s"),
+          posexplode(col(vecCol)).as(Seq("dim", "xd")))
+        .groupBy(col("dim"))
+        .agg(sum(floor((col("s") * col("xd").cast("double")) * lit(1e6))
+          .cast("long")).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      // the oracle's exact expressions: g::DOUBLE / 1e6, dim-ordered
+      // left-fold of squares, one division by the correctly-rounded sqrt
+      val gd = g.map(_._2.toDouble / 1e6)
+      val n2 = gd.map(x => x * x).reduceLeft(_ + _)
+      v = gd.map(_ / math.sqrt(n2))
+    }
+    v
+  }
+
+  /** Train + publish long-form — (dim, v), the oracle-checkable shape. */
+  def train(emb: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    topDirection(emb, iters, idCol, vecCol).zipWithIndex
+      .map { case (x, d) => (d, x) }.toSeq.toDF("dim", "v")
+  }
+
+  /** Remove the component along `direction` from every vector — the
+    * "all-but-the-top" projection, scan-side with the direction inlined
+    * as a literal: x ← x − (x·v)·v. Long form (idCol, dim, c); zero
+    * shuffles beyond the scan. */
+  def removeDirection(emb: DataFrame, direction: Array[Double],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vArr = array(direction.map(lit(_)).toIndexedSeq: _*)
+    emb
+      .select(col(idCol), DotProduct(col(vecCol), vArr).as("s"),
+        posexplode(col(vecCol)).as(Seq("dim", "xd")))
+      .select(col(idCol), col("dim"),
+        (col("xd").cast("double") -
+          col("s") * element_at(vArr, col("dim") + 1)).as("c"))
+  }
+}

@@ -870,6 +870,40 @@ class LlmSpec extends SparkTestBase {
     assert(got.head._4 > got(1)._4) // both-systems doc dominates rank-1 single
   }
 
+  test("pca: power iteration matches exact replicated arithmetic; removal kills the component") {
+    import graft.llm.Pca
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.5f, -0.25f)), (2L, Seq(0.8f, 0.4f, 0.1f)),
+      (3L, Seq(-0.2f, 1.0f, 0.5f)), (4L, Seq(0.6f, 0.3f, -0.3f)))
+      .toDF("vec_id", "embedding")
+    val xs = emb.orderBy($"vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.reduceLeft(_ + _)
+    val n0 = math.sqrt(dot(xs(0), xs(0)))
+    val v0 = xs(0).map(_ / n0)
+    def step(v: Array[Double]): Array[Double] = {
+      val g = Array.fill(v.length)(0L)
+      xs.foreach { x =>
+        val s = dot(x, v)
+        for (d <- v.indices) g(d) += math.floor((s * x(d)) * 1e6).toLong
+      }
+      val gd = g.map(_.toDouble / 1e6)
+      val n2 = gd.map(x => x * x).reduceLeft(_ + _)
+      gd.map(_ / math.sqrt(n2))
+    }
+    assert(Pca.topDirection(emb, iters = 1).toSeq === step(v0).toSeq)
+    val v3 = Pca.topDirection(emb, iters = 3)
+    assert(v3.toSeq === step(step(step(v0))).toSeq)
+    assert(math.abs(dot(v3, v3) - 1.0) < 1e-12) // unit direction
+    // all-but-the-top: the projected corpus has no component along v3
+    val removed = Pca.removeDirection(emb, v3)
+      .orderBy($"vec_id", $"dim")
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).values.map(_.sortBy(_._2).map(_._3).toArray)
+    removed.foreach(c => assert(math.abs(dot(c, v3)) < 1e-9))
+  }
+
   test("clusterProvenance: source spread per cluster, sorted-distinct rendering") {
     import graft.llm.Dedup
     val docs = Seq(
