@@ -540,14 +540,11 @@ object Queries {
       val toks = llm.TextAnalysis.tokenCount(col("text"))
       val budgets = llm.Sampling.temperatureBudgets(docs, col("source"),
         toks, totalBudget = 8000L)
-      val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
-        case (acc, (g, b)) => when(col("source") === g, lit(b)).otherwise(acc)
-      }
       llm.Sampling.sampleToBudget(docs, col("source"), col("doc_id"), toks,
-          budgets)
+          budgets, withBudget = true)
         .select(col("mix_id").as("doc_id"), col("mix_group").as("source"),
-          col("cost").as("n_tokens"), col("cum_cost").as("cum_tokens"))
-        .withColumn("budget", budgetCol)
+          col("cost").as("n_tokens"), col("cum_cost").as("cum_tokens"),
+          col("budget"))
         .orderBy(col("source"), col("doc_id"))
     }),
 

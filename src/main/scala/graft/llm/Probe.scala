@@ -44,8 +44,10 @@ object QualityProbe {
       positive: String = "en"): DataFrame = {
     val t = col(textCol)
     val words = split(lower(trim(t)), "\\s+")
-    val nW = when(length(trim(t)) === 0, lit(0L))
-      .otherwise(size(words).cast("long"))
+    // library-wide token convention (see TextAnalysis.tokenCount) so the
+    // probe's features count tokens exactly like the packing/sampling
+    // operators its scores feed (e.g. curriculumShards)
+    val nW = TextAnalysis.tokenCount(t).cast("long")
     val sumWlen = aggregate(words, lit(0L), (acc, x) => acc + length(x))
     val nDistinct = size(array_distinct(words)).cast("long")
     val guard = nW > 0

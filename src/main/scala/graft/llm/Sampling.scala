@@ -163,16 +163,22 @@ object Sampling {
       .groupBy(col("g")).agg(sum(col("c")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     require(tots.nonEmpty, "temperatureBudgets: empty input")
+    require(tots.forall(_._2 >= 0),
+      s"negative group cost totals (sqrt would yield NaN -> silent 0 budgets): " +
+        tots.filter(_._2 < 0).mkString(", "))
     val sMicro = tots.map { case (g, t) =>
       val w = (1 to halvings).foldLeft(t.toDouble)((x, _) => math.sqrt(x))
       g -> math.floor(w * 1e6).toLong
     }
     val total = sMicro.map(_._2).sum
+    require(total > 0,
+      "all group cost totals are zero — no weight mass to split budgets over")
     sMicro.map { case (g, s) => g -> (totalBudget * s) / total }.toMap
   }
 
   def sampleToBudget(df: DataFrame, group: Column, key: Column, cost: Column,
-      budgets: Map[String, Long], nParts: Int = 0): DataFrame = {
+      budgets: Map[String, Long], nParts: Int = 0,
+      withBudget: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgets.nonEmpty, "budgets must be non-empty")
     require(budgets.values.forall(_ >= 0), s"budgets must be non-negative: $budgets")
@@ -206,10 +212,17 @@ object Sampling {
         .map { case (pid, off) => (pid, g, off) }
     }
     val offDf = spark.createDataFrame(offsets).toDF("pid", "mix_group", "mix_off")
-    intra
+    val kept = intra
       .join(broadcast(offDf), Seq("pid", "mix_group"))
       .withColumn("cum_cost", col("mix_off") + col("intra") + col("cost"))
       .filter(col("cum_cost") <= budgetCol)
-      .select(col("mix_id"), col("mix_group"), col("cost"), col("cum_cost"))
+    // withBudget publishes the SAME column the filter enforced (not a
+    // caller-side reconstruction that could drift from it) — the audit
+    // trail for derived-budget mixtures like temperatureBudgets.
+    if (withBudget)
+      kept.select(col("mix_id"), col("mix_group"), col("cost"),
+        col("cum_cost"), budgetCol.as("budget"))
+    else
+      kept.select(col("mix_id"), col("mix_group"), col("cost"), col("cum_cost"))
   }
 }

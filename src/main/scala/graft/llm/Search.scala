@@ -321,7 +321,8 @@ object Search {
     * merged index is bit-identical to a full rebuild over (old ∪ batch),
     * which is how the catalog row is oracled. */
   def indexMerge(oldIndex: DataFrame, batchIndex: DataFrame,
-      gramCol: String = "gram"): DataFrame = {
+      gramCol: String = "gram", validateDisjoint: Boolean = false,
+      idCol: String = "doc_id"): DataFrame = {
     val batchGrams = batchIndex.select(col(gramCol))
     val untouched = oldIndex.join(broadcast(batchGrams), Seq(gramCol), "left_anti")
     val touched = oldIndex.join(broadcast(batchGrams), Seq(gramCol), "left_semi")
@@ -329,7 +330,22 @@ object Search {
       .groupBy(col(gramCol))
       .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
         sort_array(flatten(collect_list(col("pl")))).as("pl"))
-    untouched.unionByName(merged)
+    // The disjoint-docs precondition (new docs only — an at-least-once
+    // ingest replaying old docs would silently double-count df/cf) is
+    // cheaply checkable in-plan on exactly the rows that could violate
+    // it: merged postings are doc-sorted, so any duplicate doc is
+    // ADJACENT. Opt-in because a verified-exactly-once pipeline need not
+    // pay even this touched-rows scan.
+    val checked =
+      if (!validateDisjoint) merged
+      else merged.withColumn("pl",
+        when(exists(zip_with(slice(col("pl"), lit(1), size(col("pl")) - 1),
+            slice(col("pl"), lit(2), size(col("pl")) - 1),
+            (a, b) => a.getField(idCol) === b.getField(idCol)), x => x),
+          raise_error(concat(lit("indexMerge: non-disjoint doc sets for gram '"),
+            col(gramCol), lit("' — replayed batch?"))))
+          .otherwise(col("pl")))
+    untouched.unionByName(checked)
   }
 
   /** Merge corpus-stats sidecars — counts add exactly, so maintained

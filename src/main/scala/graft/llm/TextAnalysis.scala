@@ -339,8 +339,10 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val words = split(lower(trim(t)), "\\s+")
-    val nWords = when(length(trim(t)) === 0, lit(0L))
-      .otherwise(size(words).cast("long"))
+    // the library-wide token convention (one-pass kernel, blank -> 0) —
+    // NOT an inline re-split, so rule counts can never drift from the
+    // counts packing/sampling/search bill by
+    val nWords = tokenCount(t).cast("long")
     val sumWlen = aggregate(words, lit(0L), (acc, x) => acc + length(x))
     val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
     // '...' counts once per 3-char occurrence; '…' once per char

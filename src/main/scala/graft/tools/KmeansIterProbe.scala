@@ -42,11 +42,19 @@ object KmeansIterProbe {
       override def onJobStart(s: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
     })
+    // listener delivery is async: wait for the count to go STABLE rather
+    // than a fixed sleep (a loaded host can deliver events late, bleeding
+    // a previous run's jobs into the next count)
+    def settle(): Int = {
+      var prev = -1
+      while (jobs.get != prev) { prev = jobs.get; Thread.sleep(300) }
+      prev
+    }
     for (iters <- Seq(1, 3, 5)) {
-      Thread.sleep(200); jobs.set(0)
+      settle(); jobs.set(0)
       graft.llm.Kmeans.trainModel(emb, k = 8, iters = iters)
-      Thread.sleep(200)
-      println(s"[jobs] kmeans iters=$iters jobs=${jobs.get} (expect ${2 * iters + 1})")
+      val n = settle()
+      println(s"[jobs] kmeans iters=$iters jobs=$n (expect ${2 * iters + 1})")
     }
     spark.stop()
   }

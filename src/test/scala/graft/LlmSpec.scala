@@ -960,6 +960,21 @@ class LlmSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin LeftAnti") ||
       plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"old-index gate is not a broadcast anti-join:\n$plan")
+    // replayed batch (doc 2 already indexed): validateDisjoint trips the
+    // in-plan guard instead of silently double-counting df/cf
+    val replay = Search.indexMerge(
+      Search.invertedIndexRaw(oldDocs).localCheckpoint(eager = true),
+      Search.invertedIndexRaw(Seq((2L, "a b c")).toDF("doc_id", "text")),
+      validateDisjoint = true)
+    val err = intercept[Exception](replay.collect())
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("non-disjoint") ||
+        err.getCause != null && err.getCause.getMessage.contains("non-disjoint")))
+    // and the clean split passes the guard unchanged
+    val guarded = Search.indexMerge(
+      Search.invertedIndexRaw(oldDocs).localCheckpoint(eager = true),
+      Search.invertedIndexRaw(batch), validateDisjoint = true)
+    assert(render(guarded) === render(Search.invertedIndexRaw(full)))
   }
 
   test("invertedIndex: bigram postings match a naive build; df rails prune both tails") {
