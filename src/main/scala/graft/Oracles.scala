@@ -1394,20 +1394,30 @@ object Oracles {
     // gram-set membership over strings mirrors Spark's hashed grams —
     // identical distinct counts absent 64-bit collisions (none here)
     "q_decontam" ->
-      s"""WITH bench AS (
-         |  SELECT DISTINCT unnest(list_distinct(${shingleWSql(5)})) AS h
-         |  FROM documents WHERE doc_id % 50 = 0),
-         |cg AS (
-         |  SELECT doc_id, unnest(list_distinct(${shingleWSql(5)})) AS h
-         |  FROM documents WHERE doc_id % 50 <> 0),
-         |a AS (
-         |  SELECT doc_id, count(*) AS n_grams,
-         |    CAST(sum(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_hits
-         |  FROM cg GROUP BY doc_id)
+      s"""WITH $decontamCtes
          |SELECT doc_id, n_grams, n_hits,
          |  (n_hits::DOUBLE / n_grams::DOUBLE) >= 0.3 AS contaminated
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    // decontaminated eval-split composition: the clean set (NOT the
+    // contamination predicate) hashed into train/val/test by the same
+    // digest thresholds as q_split_assign — the "build a held-out set"
+    // pipeline in one row
+    "q_eval_split" ->
+      s"""WITH $decontamCtes,
+         |clean AS (
+         |  SELECT doc_id FROM a
+         |  WHERE NOT ((n_hits::DOUBLE / n_grams::DOUBLE) >= 0.3)),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+         |           < '${graft.llm.Sampling.digestThreshold(0.8)}' THEN 'train'
+         |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+         |           < '${graft.llm.Sampling.digestThreshold(0.8 + 0.1)}' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM clean)
+         |SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     // chunk i = tokens [i*56, i*56 + 64); short tail; docs of <= 8 tokens
     // still yield one chunk; empty docs none
@@ -2008,6 +2018,22 @@ object Oracles {
   private final val bmB = 0.75
   private lazy val bm25PanelSql: String = graft.llm.Search.DefaultPanel
     .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** Decontamination CTE chain (benchmark gram set → candidate grams →
+    * per-doc hit counts), shared by q_decontam and the q_eval_split
+    * composition. */
+  private lazy val decontamCtes: String =
+    s"""bench AS (
+       |  SELECT DISTINCT unnest(list_distinct(${shingleWSql(5)})) AS h
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |cg AS (
+       |  SELECT doc_id, unnest(list_distinct(${shingleWSql(5)})) AS h
+       |  FROM documents WHERE doc_id % 50 <> 0),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |    CAST(sum(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits
+       |  FROM cg GROUP BY doc_id)""".stripMargin
 
   /** Inverted-bigram-index rebuild: same bigram construction (1-based
     * DuckDB list lambda ↔ 0-based Spark transform), df rails 2 ≤ df ≤

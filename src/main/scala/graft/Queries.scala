@@ -811,6 +811,23 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // decontaminated eval split — the "build a held-out set" pipeline in
+    // one row: contamination gate (benchmark grams broadcast) → clean set
+    // → key-pure digest split → per-split accounting. Every stage reuses
+    // an audited operator; the composition is the product.
+    "q_eval_split" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val clean = llm.Decontam.contamination(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), n = 5, threshold = 0.3)
+        .filter(!col("contaminated")).select(col("doc_id"))
+      llm.Sampling.assignSplit(clean, col("doc_id"),
+          trainFrac = 0.8, valFrac = 0.1)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("split"))
+    }),
+
     // ---- LLM data pipeline: token-window chunking ----
     // 64-token chunks, 8-token overlap; the oracle re-derives every chunk
     // with list slicing — indices, short tails, and ≤-overlap docs pinned.
