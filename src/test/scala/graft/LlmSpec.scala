@@ -870,6 +870,27 @@ class LlmSpec extends SparkTestBase {
     assert(got.head._4 > got(1)._4) // both-systems doc dominates rank-1 single
   }
 
+  test("eval split composition: splits partition exactly the clean candidate set") {
+    import graft.llm.{Decontam, Sampling}
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val cont = Decontam.contamination(
+      docs.filter($"doc_id" % 50 =!= 0), docs.filter($"doc_id" % 50 === 0),
+      n = 5, threshold = 0.3)
+    val clean = cont.filter(!$"contaminated").select($"doc_id")
+    val split = Sampling.assignSplit(clean, $"doc_id", 0.8, 0.1)
+    val n = split.count()
+    assert(n === clean.count()) // split assigns every clean doc exactly once
+    val bySplit = split.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.values.sum === n)
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L))
+    // key-pure: the assignment is a function of the id, not the input set
+    val again = Sampling.assignSplit(clean.repartition(7), $"doc_id", 0.8, 0.1)
+    assert(again.orderBy($"doc_id").collect().toSeq ===
+      split.orderBy($"doc_id").collect().toSeq)
+  }
+
   test("pca: power iteration matches exact replicated arithmetic; removal kills the component") {
     import graft.llm.Pca
     val emb = Seq(
