@@ -941,6 +941,51 @@ class LlmSpec extends SparkTestBase {
       (4L, 2L, 1L, "web")))       // within-crawl; doc 6 unclustered -> absent
   }
 
+  test("indexMerge: randomized corpora — merge equals rebuild at every split point") {
+    import graft.llm.Search
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("a", "b", "c", "d", "ee")
+    (1 to 4).foreach { trial =>
+      val n = 6 + rnd.nextInt(6)
+      val docs = (0 until n).map { i =>
+        val len = rnd.nextInt(7) // 0 => blank doc
+        (i.toLong, (1 to len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val cut = 1 + rnd.nextInt(n - 1)
+      val full = docs.toDF("doc_id", "text")
+      val oldD = docs.filter(_._1 < cut).toDF("doc_id", "text")
+      val newD = docs.filter(_._1 >= cut).toDF("doc_id", "text")
+      val merged = Search.indexMerge(
+        Search.invertedIndexRaw(oldD).localCheckpoint(eager = true),
+        Search.invertedIndexRaw(newD), validateDisjoint = true)
+      val got = Search.renderIndex(merged).orderBy($"gram")
+        .as[(String, Long, Long, String)].collect().toList
+      val want = Search.renderIndex(Search.invertedIndexRaw(full)).orderBy($"gram")
+        .as[(String, Long, Long, String)].collect().toList
+      assert(got === want, s"trial $trial cut=$cut diverged: $docs")
+    }
+  }
+
+  test("packWindows/packByBudget: layout is repartition-invariant") {
+    import graft.llm.Packing
+    val rnd = new scala.util.Random(13)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (1 to rnd.nextInt(9)).map(_ => "w").mkString(" "))
+    }.toDF("doc_id", "text")
+    def win(df: org.apache.spark.sql.DataFrame, parts: Int) =
+      Packing.packWindows(df, $"doc_id",
+          graft.llm.TextAnalysis.tokenCount($"text"), context = 7L, nParts = parts)
+        .withColumnRenamed("pack_key", "doc_id")
+        .orderBy($"doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toList
+    val base = win(docs, 2)
+    assert(win(docs.repartition(9), 5) === base)
+    assert(win(docs.coalesce(1), 3) === base)
+    // the offsets telescope: gpos strictly accumulates n_tokens in key order
+    base.sliding(2).foreach { case List(a, b) =>
+      assert(b._3 === a._3 + a._2); case _ => }
+  }
+
   test("indexMerge: maintained index equals full rebuild; rails are read-time") {
     import graft.llm.Search
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
