@@ -1785,6 +1785,26 @@ object Oracles {
          |  unnest(vl) AS v
          |FROM pv$pcaIters ORDER BY dim""".stripMargin,
 
+    // top-k deflation mirror: a second full power chain over the residual
+    // CTE (x − (x·v)·v, dot first — the identical expression order), so
+    // both components are bit-equal
+    "q_pca_topk" ->
+      s"""WITH ${pcaChain("embeddings", "p")},
+         |e2 AS (
+         |  SELECT e.vec_id,
+         |    list_transform(list_zip(e.embedding, v.vl),
+         |      t -> t[1]::DOUBLE - ${dotSql("e.embedding", "v.vl")} * t[2])
+         |      AS embedding
+         |  FROM embeddings e, pv$pcaIters v),
+         |${pcaChain("e2", "q")}
+         |SELECT CAST(0 AS INT) AS component,
+         |  CAST(generate_subscripts(vl, 1) - 1 AS INT) AS dim, unnest(vl) AS v
+         |FROM pv$pcaIters
+         |UNION ALL
+         |SELECT 1, CAST(generate_subscripts(vl, 1) - 1 AS INT), unnest(vl)
+         |FROM qv$pcaIters
+         |ORDER BY component, dim""".stripMargin,
+
     // the projection applied with the final direction: x − (x·v)·v on
     // bit-identical operands
     "q_pca_remove" ->
@@ -2066,16 +2086,20 @@ object Oracles {
     * for ‖g‖², and one list_transform division by the correctly-rounded
     * sqrt. */
   private final val pcaIters = 3
-  private lazy val pcaCtes: String = {
+
+  /** One power-iteration chain reading vectors from `src` (a table or
+    * CTE with (vec_id, embedding)), CTE names prefixed `p` — so the
+    * deflation mirror (q_pca_topk) can stack chains over residual CTEs. */
+  private def pcaChain(src: String, p: String): String = {
     val head =
-      s"""pv0 AS (
+      s"""${p}v0 AS (
          |  SELECT list_transform(e.embedding,
          |    x -> x::DOUBLE / sqrt(${dotSql("e.embedding", "e.embedding")}))
          |    AS vl
-         |  FROM embeddings e
-         |  WHERE e.vec_id = (SELECT min(vec_id) FROM embeddings))""".stripMargin
+         |  FROM $src e
+         |  WHERE e.vec_id = (SELECT min(vec_id) FROM $src))""".stripMargin
     val iters = (1 to pcaIters).map { k =>
-      s"""pg$k AS (
+      s"""${p}g$k AS (
          |  SELECT t.dim,
          |    CAST(sum(CAST(floor((t.s * t.xd) * 1e6) AS BIGINT)) AS BIGINT)
          |      AS g
@@ -2083,18 +2107,20 @@ object Oracles {
          |    SELECT ${dotSql("e.embedding", "v.vl")} AS s,
          |      CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
          |      unnest(e.embedding)::DOUBLE AS xd
-         |    FROM embeddings e, pv${k - 1} v) t
+         |    FROM $src e, ${p}v${k - 1} v) t
          |  GROUP BY t.dim),
-         |pn$k AS (
+         |${p}n$k AS (
          |  SELECT gl,
          |    list_reduce(list_transform(gl, x -> x * x), (a, b) -> a + b)
          |      AS n2
-         |  FROM (SELECT list(g::DOUBLE / 1e6 ORDER BY dim) AS gl FROM pg$k)),
-         |pv$k AS (
-         |  SELECT list_transform(gl, x -> x / sqrt(n2)) AS vl FROM pn$k)""".stripMargin
+         |  FROM (SELECT list(g::DOUBLE / 1e6 ORDER BY dim) AS gl FROM ${p}g$k)),
+         |${p}v$k AS (
+         |  SELECT list_transform(gl, x -> x / sqrt(n2)) AS vl FROM ${p}n$k)""".stripMargin
     }
     (head +: iters).mkString(",\n")
   }
+
+  private lazy val pcaCtes: String = pcaChain("embeddings", "p")
 
   /** Unrolled-CTE mirror of [[graft.llm.QualityProbe]] training: feature
     * CTEs (exact counts, single divisions) + per-iteration (gradient,

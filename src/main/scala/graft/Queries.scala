@@ -682,6 +682,11 @@ object Queries {
     "q_pca_direction" -> ((s, dir) =>
       llm.Pca.train(tWide(s, dir, "embeddings"), iters = 3)
         .orderBy(col("dim"))),
+    // top-k by deflation: corpus replaced scan-side by its residual after
+    // each converged direction, checkpointed between components
+    "q_pca_topk" -> ((s, dir) =>
+      llm.Pca.trainK(tWide(s, dir, "embeddings"), k = 2, iters = 3)
+        .orderBy(col("component"), col("dim"))),
     // "all-but-the-top" applied: x − (x·v)·v scan-side with the trained
     // direction inlined as a literal
     "q_pca_remove" -> ((s, dir) => {

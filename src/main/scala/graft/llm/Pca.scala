@@ -72,6 +72,46 @@ object Pca {
       .map { case (x, d) => (d, x) }.toSeq.toDF("dim", "v")
   }
 
+  /** Top-k directions by DEFLATION: after each converged direction the
+    * corpus is replaced scan-side by its residual x ← x − (x·v)·v and the
+    * iteration reruns — the standard sequential power method for a small
+    * k (the whitening/"all-but-the-top-k" use case; for large k use a
+    * proper sketch). Each deflated frame checkpoints: component j+1's
+    * iterations re-read the residual, not a j-deep projection chain.
+    * Driver state is k dim-vectors; everything else is [[topDirection]]'s
+    * per-iteration shape. Exactly mirrored by the oracle: the deflation
+    * arithmetic (t::DOUBLE − s·v_d, the dot first) is the same expression
+    * chain on both engines, so all k directions are bit-portable. */
+  def topDirections(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Array[Double]] = {
+    require(k > 0, s"k must be positive: $k")
+    var cur = emb.select(col(idCol), col(vecCol))
+    val out = Seq.newBuilder[Array[Double]]
+    for (j <- 1 to k) {
+      val v = topDirection(cur, iters, idCol, vecCol)
+      out += v
+      if (j < k) {
+        val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
+        cur = cur.select(col(idCol),
+          zip_with(col(vecCol), vArr,
+            (a, b) => a.cast("double") - DotProduct(col(vecCol), vArr) * b)
+            .as(vecCol))
+          .localCheckpoint(eager = false)
+      }
+    }
+    out.result()
+  }
+
+  /** [[topDirections]] published long-form — (component, dim, v). */
+  def trainK(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    topDirections(emb, k, iters, idCol, vecCol).zipWithIndex.flatMap {
+      case (v, c) => v.zipWithIndex.map { case (x, d) => (c, d, x) }
+    }.toSeq.toDF("component", "dim", "v")
+  }
+
   /** Remove the component along `direction` from every vector — the
     * "all-but-the-top" projection, scan-side with the direction inlined
     * as a literal: x ← x − (x·v)·v. Long form (idCol, dim, c); zero

@@ -923,6 +923,12 @@ class LlmSpec extends SparkTestBase {
       .as[(Long, Int, Double)].collect()
       .groupBy(_._1).values.map(_.sortBy(_._2).map(_._3).toArray)
     removed.foreach(c => assert(math.abs(dot(c, v3)) < 1e-9))
+    // deflation: component 0 IS topDirection; the residual's direction is
+    // near-orthogonal (exactly, up to the micro-grid floor in gradients)
+    val vs = Pca.topDirections(emb, k = 2, iters = 3)
+    assert(vs(0).toSeq === v3.toSeq)
+    assert(math.abs(dot(vs(0), vs(1))) < 1e-3)
+    assert(math.abs(dot(vs(1), vs(1)) - 1.0) < 1e-12)
   }
 
   test("clusterProvenance: source spread per cluster, sorted-distinct rendering") {
