@@ -42,6 +42,16 @@ object Io {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC round-trip — the other columnar interchange format a data
+    * platform meets (Hive-era warehouses). Spark's native vectorized ORC
+    * reader/writer; schema travels in the file, predicate pushdown and
+    * column pruning work exactly as for parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 

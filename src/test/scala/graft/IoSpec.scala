@@ -34,6 +34,22 @@ class IoSpec extends SparkTestBase {
     assert(back.join(docs, Seq("doc_id"), "left_anti").count() === 0)
   }
 
+  test("orc round-trip preserves rows; pushdown and pruning reach the scan") {
+    val out = tmp("graft-orc")
+    Io.writeOrc(docs, out)
+    val back = Io.readOrc(spark, out)
+    assert(back.count() === docs.count())
+    assert(back.join(docs, Seq("doc_id"), "left_anti").count() === 0)
+    // filter pushdown + column pruning work on ORC exactly as on parquet
+    val q = back.filter(org.apache.spark.sql.functions.col("doc_id") < 10)
+      .select("doc_id", "source")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(doc_id,10)"),
+      s"ORC scan lost the pushed filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"ORC scan read more than the projected columns:\n$plan")
+  }
+
   test("exportShards: shard partitions on disk, budget respected, prunable") {
     val out = tmp("graft-shards")
     graft.llm.Packing.exportShards(docs, out, budget = 2048L)
