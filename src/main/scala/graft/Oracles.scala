@@ -1805,6 +1805,32 @@ object Oracles {
          |FROM qv$pcaIters
          |ORDER BY component, dim""".stripMargin,
 
+    // whitening mirror: ORIGINAL vectors projected onto both deflated
+    // directions, each coordinate divided by the identical
+    // sqrt(sqrt(n2)/n) scale — the n2 CTEs are already in the chains
+    "q_pca_whiten" ->
+      s"""WITH ${pcaChain("embeddings", "p")},
+         |e2 AS (
+         |  SELECT e.vec_id,
+         |    list_transform(list_zip(e.embedding, v.vl),
+         |      t -> t[1]::DOUBLE - ${dotSql("e.embedding", "v.vl")} * t[2])
+         |      AS embedding
+         |  FROM embeddings e, pv$pcaIters v),
+         |${pcaChain("e2", "q")},
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         |c0 AS (
+         |  SELECT e.vec_id, CAST(0 AS INT) AS component,
+         |    ${dotSql("e.embedding", "v.vl")} /
+         |      sqrt(sqrt(pn.n2) / CAST(c.n AS DOUBLE)) AS coord
+         |  FROM embeddings e, pv$pcaIters v, pn$pcaIters pn, cnt c),
+         |c1 AS (
+         |  SELECT e.vec_id, 1 AS component,
+         |    ${dotSql("e.embedding", "v.vl")} /
+         |      sqrt(sqrt(qn.n2) / CAST(c.n AS DOUBLE)) AS coord
+         |  FROM embeddings e, qv$pcaIters v, qn$pcaIters qn, cnt c)
+         |SELECT * FROM c0 UNION ALL SELECT * FROM c1
+         |ORDER BY vec_id, component""".stripMargin,
+
     // the projection applied with the final direction: x − (x·v)·v on
     // bit-identical operands
     "q_pca_remove" ->

@@ -687,6 +687,12 @@ object Queries {
     "q_pca_topk" -> ((s, dir) =>
       llm.Pca.trainK(tWide(s, dir, "embeddings"), k = 2, iters = 3)
         .orderBy(col("component"), col("dim"))),
+    // PCA whitening: coordinates on the top-2 directions scaled by
+    // 1/sqrt(eigenvalue estimate) — unit-variance decorrelated features,
+    // scan-side with directions and scales inlined
+    "q_pca_whiten" -> ((s, dir) =>
+      llm.Pca.whitenTransform(tWide(s, dir, "embeddings"), k = 2, iters = 3)
+        .orderBy(col("vec_id"), col("component"))),
     // "all-but-the-top" applied: x − (x·v)·v scan-side with the trained
     // direction inlined as a literal
     "q_pca_remove" -> ((s, dir) => {

@@ -33,7 +33,21 @@ object Pca {
 
   /** `iters` power iterations; returns the direction as Array[Double]. */
   def topDirection(emb: DataFrame, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Double] = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Double] =
+    powerChain(emb, iters, idCol, vecCol)._1
+
+  /** [[topDirection]] plus the final iteration's ‖g‖ = ‖Av‖ — for unit v
+    * the Rayleigh estimate of the GRAM operator's top eigenvalue λ_A
+    * (covariance eigenvalue = λ_A / n); what [[whitenTransform]] scales
+    * by. */
+  def topEigen(emb: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (Array[Double], Double) = {
+    val (v, n2) = powerChain(emb, iters, idCol, vecCol)
+    (v, math.sqrt(n2))
+  }
+
+  private def powerChain(emb: DataFrame, iters: Int,
+      idCol: String, vecCol: String): (Array[Double], Double) = {
     require(iters > 0, s"iters must be positive: $iters")
     // deterministic init: the min-id vector, normalized (the Kmeans
     // first-k-by-id discipline); dot/norm as the oracle's sequential fold
@@ -45,6 +59,7 @@ object Pca {
     val x0 = first(0).getSeq[Double](1).toArray
     val n0 = math.sqrt(x0.map(x => x * x).reduceLeft(_ + _))
     var v = x0.map(_ / n0)
+    var lastN2 = 0.0
     for (_ <- 1 to iters) {
       val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
       val g = emb
@@ -58,9 +73,10 @@ object Pca {
       // left-fold of squares, one division by the correctly-rounded sqrt
       val gd = g.map(_._2.toDouble / 1e6)
       val n2 = gd.map(x => x * x).reduceLeft(_ + _)
+      lastN2 = n2
       v = gd.map(_ / math.sqrt(n2))
     }
-    v
+    (v, lastN2)
   }
 
   /** Train + publish long-form — (dim, v), the oracle-checkable shape. */
@@ -110,6 +126,43 @@ object Pca {
     topDirections(emb, k, iters, idCol, vecCol).zipWithIndex.flatMap {
       case (v, c) => v.zipWithIndex.map { case (x, d) => (c, d, x) }
     }.toSeq.toDF("component", "dim", "v")
+  }
+
+  /** PCA-whitened coordinates: project every vector onto the top-k
+    * deflated directions and scale each coordinate by 1/√λ̂ (λ̂ = the
+    * component's covariance-eigenvalue estimate ‖Av‖/n from the final
+    * power iteration) — unit-variance decorrelated features, the
+    * embedding preprocessing SemDeDup/clustering literature calls
+    * whitening. Long form (idCol, component, coord), scan-side with the
+    * directions and scales inlined as literals; zero shuffles. Every
+    * scale is a driver double computed from the bit-portable (n2, n), so
+    * coordinates match the oracle's bit-for-bit. */
+  def whitenTransform(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val n = emb.count()
+    require(n > 0, "pca: empty input")
+    var cur = emb.select(col(idCol), col(vecCol))
+    val comps = Seq.newBuilder[(Array[Double], Double)]
+    for (j <- 1 to k) {
+      val (v, n2) = powerChain(cur, iters, idCol, vecCol)
+      comps += ((v, n2))
+      if (j < k) {
+        val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
+        cur = cur.select(col(idCol),
+          zip_with(col(vecCol), vArr,
+            (a, b) => a.cast("double") - DotProduct(col(vecCol), vArr) * b)
+            .as(vecCol))
+          .localCheckpoint(eager = false)
+      }
+    }
+    comps.result().zipWithIndex.map { case ((v, n2), j) =>
+      val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
+      // the oracle's exact expression: dot / sqrt(sqrt(n2) / n)
+      val scale = math.sqrt(math.sqrt(n2) / n.toDouble)
+      emb.select(col(idCol), lit(j).as("component"),
+        (DotProduct(col(vecCol), vArr) / lit(scale)).as("coord"))
+    }.reduce(_ unionByName _)
   }
 
   /** Remove the component along `direction` from every vector — the

@@ -929,6 +929,14 @@ class LlmSpec extends SparkTestBase {
     assert(vs(0).toSeq === v3.toSeq)
     assert(math.abs(dot(vs(0), vs(1))) < 1e-3)
     assert(math.abs(dot(vs(1), vs(1)) - 1.0) < 1e-12)
+    // whitening: coordinate 0 is exactly dot(x, v0) / sqrt(sqrt(n2)/n)
+    val (v0e, l0) = Pca.topEigen(emb, iters = 3)
+    assert(v0e.toSeq === v3.toSeq)
+    val scale0 = math.sqrt(l0 / xs.length.toDouble) // sqrt(sqrt(n2)/n)
+    val w = Pca.whitenTransform(emb, k = 2, iters = 3)
+      .filter($"component" === 0).orderBy($"vec_id")
+      .as[(Long, Int, Double)].collect().map(_._3)
+    assert(w.toSeq === xs.map(x => dot(x, v3) / scale0).toSeq)
   }
 
   test("clusterProvenance: source spread per cluster, sorted-distinct rendering") {
