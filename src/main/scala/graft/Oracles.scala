@@ -1790,12 +1790,7 @@ object Oracles {
     // both components are bit-equal
     "q_pca_topk" ->
       s"""WITH ${pcaChain("embeddings", "p")},
-         |e2 AS (
-         |  SELECT e.vec_id,
-         |    list_transform(list_zip(e.embedding, v.vl),
-         |      t -> t[1]::DOUBLE - ${dotSql("e.embedding", "v.vl")} * t[2])
-         |      AS embedding
-         |  FROM embeddings e, pv$pcaIters v),
+         |e2 AS ($pcaResidual),
          |${pcaChain("e2", "q")}
          |SELECT CAST(0 AS INT) AS component,
          |  CAST(generate_subscripts(vl, 1) - 1 AS INT) AS dim, unnest(vl) AS v
@@ -1810,12 +1805,7 @@ object Oracles {
     // sqrt(sqrt(n2)/n) scale — the n2 CTEs are already in the chains
     "q_pca_whiten" ->
       s"""WITH ${pcaChain("embeddings", "p")},
-         |e2 AS (
-         |  SELECT e.vec_id,
-         |    list_transform(list_zip(e.embedding, v.vl),
-         |      t -> t[1]::DOUBLE - ${dotSql("e.embedding", "v.vl")} * t[2])
-         |      AS embedding
-         |  FROM embeddings e, pv$pcaIters v),
+         |e2 AS ($pcaResidual),
          |${pcaChain("e2", "q")},
          |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
          |c0 AS (
@@ -2147,6 +2137,17 @@ object Oracles {
   }
 
   private lazy val pcaCtes: String = pcaChain("embeddings", "p")
+
+  /** The deflation residual CTE body (x − (x·v)·v over the first chain's
+    * final direction) — shared verbatim by q_pca_topk and q_pca_whiten so
+    * the two rows can never disagree about what the residual is. */
+  private lazy val pcaResidual: String =
+    s"""
+       |  SELECT e.vec_id,
+       |    list_transform(list_zip(e.embedding, v.vl),
+       |      t -> t[1]::DOUBLE - ${dotSql("e.embedding", "v.vl")} * t[2])
+       |      AS embedding
+       |  FROM embeddings e, pv$pcaIters v""".stripMargin
 
   /** Unrolled-CTE mirror of [[graft.llm.QualityProbe]] training: feature
     * CTEs (exact counts, single divisions) + per-iteration (gradient,

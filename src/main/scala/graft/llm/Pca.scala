@@ -58,6 +58,7 @@ object Pca {
     require(first.nonEmpty, "pca: empty input")
     val x0 = first(0).getSeq[Double](1).toArray
     val n0 = math.sqrt(x0.map(x => x * x).reduceLeft(_ + _))
+    require(n0 > 0, "pca: the min-id vector is zero — cannot initialize")
     var v = x0.map(_ / n0)
     var lastN2 = 0.0
     for (_ <- 1 to iters) {
@@ -73,6 +74,9 @@ object Pca {
       // left-fold of squares, one division by the correctly-rounded sqrt
       val gd = g.map(_._2.toDouble / 1e6)
       val n2 = gd.map(x => x * x).reduceLeft(_ + _)
+      require(n2 > 0,
+        "pca: gradient collapsed below the 1e-6 grid — rank-deficient " +
+          "input (k exceeds the effective rank?); deflate fewer components")
       lastN2 = n2
       v = gd.map(_ / math.sqrt(n2))
     }
@@ -99,13 +103,21 @@ object Pca {
     * arithmetic (t::DOUBLE − s·v_d, the dot first) is the same expression
     * chain on both engines, so all k directions are bit-portable. */
   def topDirections(emb: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Array[Double]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Array[Double]] =
+    deflatedChains(emb, k, iters, idCol, vecCol).map(_._1)
+
+  /** The deflation loop both [[topDirections]] and [[whitenTransform]]
+    * share: k power chains, each over the previous chain's scan-side
+    * residual x − (x·v)·v (checkpointed). Returns each component's
+    * (direction, final ‖g‖²). */
+  private def deflatedChains(emb: DataFrame, k: Int, iters: Int,
+      idCol: String, vecCol: String): Seq[(Array[Double], Double)] = {
     require(k > 0, s"k must be positive: $k")
     var cur = emb.select(col(idCol), col(vecCol))
-    val out = Seq.newBuilder[Array[Double]]
+    val out = Seq.newBuilder[(Array[Double], Double)]
     for (j <- 1 to k) {
-      val v = topDirection(cur, iters, idCol, vecCol)
-      out += v
+      val (v, n2) = powerChain(cur, iters, idCol, vecCol)
+      out += ((v, n2))
       if (j < k) {
         val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
         cur = cur.select(col(idCol),
@@ -139,24 +151,9 @@ object Pca {
     * coordinates match the oracle's bit-for-bit. */
   def whitenTransform(emb: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
     val n = emb.count()
     require(n > 0, "pca: empty input")
-    var cur = emb.select(col(idCol), col(vecCol))
-    val comps = Seq.newBuilder[(Array[Double], Double)]
-    for (j <- 1 to k) {
-      val (v, n2) = powerChain(cur, iters, idCol, vecCol)
-      comps += ((v, n2))
-      if (j < k) {
-        val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
-        cur = cur.select(col(idCol),
-          zip_with(col(vecCol), vArr,
-            (a, b) => a.cast("double") - DotProduct(col(vecCol), vArr) * b)
-            .as(vecCol))
-          .localCheckpoint(eager = false)
-      }
-    }
-    comps.result().zipWithIndex.map { case ((v, n2), j) =>
+    deflatedChains(emb, k, iters, idCol, vecCol).zipWithIndex.map { case ((v, n2), j) =>
       val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
       // the oracle's exact expression: dot / sqrt(sqrt(n2) / n)
       val scale = math.sqrt(math.sqrt(n2) / n.toDouble)
