@@ -979,6 +979,45 @@ object Oracles {
          |FROM lbl l JOIN documents d USING (doc_id)
          |GROUP BY 1 ORDER BY cluster_id""".stripMargin,
 
+    // snapshot-diff status mirror: same %10 version construction, digest
+    // compare via md5 on both engines (ASCII-safe — md5 hashes utf8 bytes
+    // identically)
+    "q_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 7 THEN substring(text, 1, 40)
+        |             ELSE text END) AS old_digest
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |v2 AS (
+        |  SELECT doc_id, md5(text) AS new_digest
+        |  FROM documents WHERE doc_id % 10 <> 5)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN old_digest IS NULL THEN 'added'
+        |       WHEN new_digest IS NULL THEN 'removed'
+        |       WHEN old_digest <> new_digest THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // dataset card: exact longs everywhere (DuckDB int sums cast from
+    // HUGEINT), ratios as single IEEE divisions — bit-portable
+    "q_dataset_card" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    CAST(len($wordsSql) AS BIGINT) AS n_words, md5(text) AS digest
+         |  FROM documents),
+         |a AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |    count(DISTINCT source) AS n_sources,
+         |    count(DISTINCT lang) AS n_langs,
+         |    count(DISTINCT digest) AS n_unique
+         |  FROM p)
+         |SELECT n_docs, n_tokens, total_chars, n_sources, n_langs, n_unique,
+         |  (n_docs - n_unique)::DOUBLE / n_docs::DOUBLE AS dup_rate,
+         |  n_tokens::DOUBLE / n_docs::DOUBLE AS avg_words
+         |FROM a""".stripMargin,
+
     // the incremental maintenance path must be INDISTINGUISHABLE from the
     // full recompute — same truth, literally the same SQL
     "q_dedup_incr_clusters" -> clustersSql,

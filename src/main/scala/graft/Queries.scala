@@ -433,6 +433,25 @@ object Queries {
         .orderBy(col("cluster_id"))
     }),
 
+    // snapshot diff between corpus releases: v1 drops the %10==3 docs and
+    // carries a truncated revision of the %10==7 docs; v2 drops %10==5.
+    // Digests are computed scan-side — the full-outer join moves (id,
+    // digest) rows only, never text.
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 7, substring(col("text"), 1, 40))
+            .otherwise(col("text")).as("text"))
+      val v2 = docs.filter(col("doc_id") % 10 =!= 5)
+      llm.Report.snapshotDiff(v1, v2).orderBy(col("doc_id"))
+    }),
+
+    // one-row dataset card: the release summary (volume, breadth, exact
+    // dup rate, mean length) in a single partial-aggregated scan
+    "q_dataset_card" -> ((s, dir) =>
+      llm.Report.datasetCard(tWide(s, dir, "documents"))),
+
     // "keep the best copy": canonical = longest member of each near-dup
     // cluster (tie → min id); singletons canonical by themselves. Oracle
     // reuses the recursive-CTE component labeling + a window argmax.
