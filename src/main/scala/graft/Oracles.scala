@@ -1256,6 +1256,48 @@ object Oracles {
         |SELECT term, count(*) AS cnt, CAST(0 AS BIGINT) AS err
         |FROM ww GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
 
+    // single-pass CMS build: the Spark row's two-shard merge must be
+    // indistinguishable from this — the mergeability claim IS the oracle.
+    // Bucket = md5("j:term") 8-hex prefix mod 64, the Sampling digest
+    // convention (engine-portable).
+    "q_cms_sketch" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |cells AS (
+        |  SELECT j.range AS depth,
+        |    CAST(concat('0x', substring(md5(CAST(j.range AS VARCHAR) || ':' || term), 1, 8))
+        |      AS BIGINT) % 64 AS bucket
+        |  FROM toks, range(4) j)
+        |SELECT CAST(depth AS INT) AS depth, bucket, count(*) AS cnt
+        |FROM cells GROUP BY 1, 2 ORDER BY depth, bucket""".stripMargin,
+
+    "q_cms_counts" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents),
+         |cells AS (
+         |  SELECT j.range AS depth,
+         |    CAST(concat('0x', substring(md5(CAST(j.range AS VARCHAR) || ':' || term), 1, 8))
+         |      AS BIGINT) % 64 AS bucket
+         |  FROM toks, range(4) j),
+         |sk AS (SELECT depth, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         |p AS (SELECT unnest([${llm.Sketch.CmsPanel.map("'" + _ + "'").mkString(", ")}]) AS term),
+         |pc AS (
+         |  SELECT p.term, j.range AS depth,
+         |    CAST(concat('0x', substring(md5(CAST(j.range AS VARCHAR) || ':' || p.term), 1, 8))
+         |      AS BIGINT) % 64 AS bucket
+         |  FROM p, range(4) j),
+         |est AS (
+         |  SELECT term, min(coalesce(sk.cnt, 0)) AS est_count
+         |  FROM pc LEFT JOIN sk USING (depth, bucket) GROUP BY term),
+         |ex AS (
+         |  SELECT term, count(*) AS c FROM toks
+         |  WHERE term IN (SELECT term FROM p) GROUP BY term)
+         |SELECT est.term, est_count, coalesce(ex.c, 0) AS exact_count,
+         |  est_count >= coalesce(ex.c, 0) AS overestimate
+         |FROM est LEFT JOIN ex USING (term) ORDER BY term""".stripMargin,
+
     "q_vocab_topk" ->
       """WITH w AS (
         |  SELECT doc_id,

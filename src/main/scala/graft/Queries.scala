@@ -925,6 +925,28 @@ object Queries {
     "q_heavy_hitters" -> ((s, dir) =>
       llm.TextAnalysis.heavyHitters(tWide(s, dir, "documents"),
         capacity = 4096, k = 20)),
+    // Count-Min sketch artifact: depth × width counter table, md5-bucketed
+    // (engine-portable), map-side-combined to ≤ d·w rows per task before
+    // the one sketch-keyed exchange. Built here as a two-shard MERGE
+    // (doc_id < 250 | ≥ 250): the published table doubles as the
+    // mergeability proof — it must equal the single-pass build, which is
+    // what the oracle computes.
+    "q_cms_sketch" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Sketch.cmsMerge(
+          llm.Sketch.cmsBuild(docs.filter(col("doc_id") < 250)),
+          llm.Sketch.cmsBuild(docs.filter(col("doc_id") >= 250)))
+        .orderBy(col("depth"), col("bucket"))
+    }),
+    // CMS point queries vs exact counts: the one-sided error contract
+    // (est ≥ exact, overestimate uniformly true) published per panel term,
+    // absent terms included (exact 0)
+    "q_cms_counts" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Sketch.cmsEstimate(llm.Sketch.cmsBuild(docs), docs,
+          llm.Sketch.CmsPanel)
+        .orderBy(col("term"))
+    }),
     // tokenize to vocab ids: top-20 vocab ranked (tf desc, term), OOV → 0,
     // token order preserved through the posexplode/join/sort_array chain.
     // `ids` is published comma-joined (the q_text_quality fingerprint

@@ -1285,4 +1285,35 @@ class LlmSpec extends SparkTestBase {
       assert(math.abs(x - a) <= 0.5 / 255 + 1e-12)
     }
   }
+
+  test("CMS: sharded merge equals single-pass build; estimates one-sided") {
+    import graft.llm.Sketch
+    val corpus = (0L until 60L).map(i =>
+      (i, s"alpha beta w$i ${if (i % 3 == 0) "gamma" else "delta"}"))
+      .toDF("doc_id", "text")
+    val full = Sketch.cmsBuild(corpus)
+    val merged = Sketch.cmsMerge(
+      Sketch.cmsBuild(corpus.filter($"doc_id" < 30)),
+      Sketch.cmsBuild(corpus.filter($"doc_id" >= 30)))
+    assert(merged.orderBy($"depth", $"bucket").collect().toSeq ===
+      full.orderBy($"depth", $"bucket").collect().toSeq)
+    // one-sided error: est >= exact for present AND absent terms
+    val est = Sketch.cmsEstimate(full, corpus,
+      Seq("alpha", "gamma", "absentterm"))
+      .select($"term", $"est_count", $"exact_count", $"overestimate")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(est("alpha")._3 === 60L && est("gamma")._3 === 20L)
+    assert(est("absentterm")._3 === 0L)
+    assert(est.values.forall(_._4)) // overestimate contract
+  }
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    import graft.llm.Report
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "old")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "new"), (4L, "d")).toDF("doc_id", "text")
+    val m = Report.snapshotDiff(v1, v2).as[(Long, String)].collect().toMap
+    assert(m === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
 }
