@@ -1480,6 +1480,19 @@ object Oracles {
          |  (n_hits::DOUBLE / n_grams::DOUBLE) >= 0.3 AS contaminated
          |FROM a ORDER BY doc_id""".stripMargin,
 
+    // embedding-space decontam mirror: cross join against the 10-vector
+    // panel, list_reduce sequential-fold cosine (the q_knn_brute
+    // discipline), max is order-independent
+    "q_semantic_decontam" ->
+      s"""WITH b AS (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id % 50 = 7),
+         |s AS (
+         |  SELECT vec_id,
+         |    max($dotQv / (sqrt($dotQq) * sqrt($dotVv))) AS max_sim
+         |  FROM embeddings, b GROUP BY vec_id)
+         |SELECT vec_id, max_sim, max_sim >= 0.4 AS contaminated
+         |FROM s ORDER BY vec_id""".stripMargin,
+
     // decontaminated eval-split composition: the clean set (NOT the
     // contamination predicate) hashed into train/val/test by the same
     // digest thresholds as q_split_assign — the "build a held-out set"

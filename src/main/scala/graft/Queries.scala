@@ -841,6 +841,17 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // embedding-space decontamination: every 50th-shifted vector plays the
+    // benchmark embedding; the corpus keeps those ids (the leak), so the
+    // planted rows score max_sim = 1. Broadcast panel, scan-side codegen
+    // cosine max — the corpus never shuffles (the q_knn_brute asymmetry).
+    "q_semantic_decontam" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      llm.Decontam.semanticContamination(emb,
+          emb.filter(col("vec_id") % 50 === 7), threshold = 0.4)
+        .orderBy(col("vec_id"))
+    }),
+
     // decontaminated eval split — the "build a held-out set" pipeline in
     // one row: contamination gate (benchmark grams broadcast) → clean set
     // → key-pure digest split → per-split accounting. Every stage reuses

@@ -49,4 +49,34 @@ object Decontam {
       contamination(corpus, benchmark, n, threshold, idCol, textCol)
         .filter(col("contaminated")).select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** SEMANTIC decontamination: flag corpus vectors whose max cosine against
+    * any benchmark embedding reaches `threshold` — the embedding-space
+    * complement of the verbatim n-gram check above (catches paraphrased /
+    * translated benchmark leakage that shares no 5-gram).
+    *
+    * Scale shape mirrors [[contamination]]'s asymmetry: the benchmark panel
+    * is the small side, so it BROADCASTS into a scan-side scoring
+    * projection over the corpus — per corpus row, |panel| codegen'd
+    * [[graft.expr.DotProduct]]s reduced by `greatest`, zero corpus
+    * shuffles, output one row per corpus vector. Panel norms fold into the
+    * literal-free plan once per row pair; max over doubles is
+    * order-independent, so the published score is partitioning- and
+    * engine-portable (the [[Similarity]] sequential-fold discipline).
+    * For panels too large to broadcast-scan (rare: eval suites are MBs),
+    * gate with [[Similarity.lshKnn]]'s bucketed join first and score only
+    * colliding pairs. */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.95, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val panel = benchmark.select(col(idCol).as("bench_id"),
+      col(vecCol).as("bvec"))
+    val scored = corpus
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(panel))
+      .groupBy(col(idCol))
+      .agg(max(Similarity.cosine(col(vecCol), col("bvec"))).as("max_sim"))
+    scored.select(col(idCol), col("max_sim"),
+      (col("max_sim") >= threshold).as("contaminated"))
+  }
 }

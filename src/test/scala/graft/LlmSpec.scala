@@ -1308,6 +1308,19 @@ class LlmSpec extends SparkTestBase {
     assert(est.values.forall(_._4)) // overestimate contract
   }
 
+  test("semantic decontam flags the leaked vector, spares the orthogonal one") {
+    import graft.llm.Decontam
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),  // verbatim leak of bench vector
+      (1L, Seq(0.9f, 0.1f, 0.0f)),  // paraphrase-close
+      (2L, Seq(0.0f, 0.0f, 1.0f))   // orthogonal
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val m = Decontam.semanticContamination(corpus, bench, threshold = 0.95)
+      .select($"vec_id", $"contaminated").as[(Long, Boolean)].collect().toMap
+    assert(m === Map(0L -> true, 1L -> true, 2L -> false))
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged") {
     import graft.llm.Report
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "old")).toDF("doc_id", "text")
