@@ -46,6 +46,31 @@ object Oracles {
        |    ELSE [array_to_string($wordsSql, ' ')] END""".stripMargin
   private val shingleSql = shingleWSql(3)
 
+  /** Winnowing fingerprint CTEs (k=3, w=4) mirroring
+    * [[llm.Fingerprint.winnow]]: positional 3-gram md5-prefix hashes,
+    * rightmost window min, fp·2^20+pos encoding for the struct-free
+    * distinct. */
+  private val winnowCtes: String =
+    s"""WITH wd AS (
+       |  SELECT doc_id, $wordsSql AS words FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_transform(
+       |    CASE WHEN len(words) >= 3
+       |      THEN [array_to_string(words[i:i+2], ' ')
+       |            FOR i IN range(1, len(words) - 1)]
+       |      ELSE [array_to_string(words, ' ')] END,
+       |    s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT)) AS h
+       |  FROM wd),
+       |f AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [ list_min(h[(CASE WHEN e >= 4 THEN e - 3 ELSE 1 END):e]) * 1048576
+       |      + e - list_position(
+       |          list_reverse(h[(CASE WHEN e >= 4 THEN e - 3 ELSE 1 END):e]),
+       |          list_min(h[(CASE WHEN e >= 4 THEN e - 3 ELSE 1 END):e])) + 1
+       |      FOR e IN range(CASE WHEN len(h) >= 4 THEN 4 ELSE len(h) END,
+       |                     len(h) + 1) ])) AS sel
+       |  FROM g)""".stripMargin
+
   /** Independent component labeling over the all-pairs exact-Jaccard graph
     * (recursive-CTE transitive closure, label = min reachable id). Shared
     * by q_dedup_clusters and q_dedup_incr_clusters: the incremental path's
@@ -1470,6 +1495,28 @@ object Oracles {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          |FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 1
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // winnowing mirror: POSITIONAL (non-distinct) 3-gram md5-prefix hashes,
+    // window ends e ∈ [w, ng], rightmost min via first-position-in-reversed
+    // slice, (fp, pos) deduplicated through the fp·2^20+pos encoding —
+    // exactly llm.Fingerprint.winnow
+    "q_fingerprint_winnow" ->
+      s"""$winnowCtes
+         |SELECT doc_id, CAST(sel % 1048576 AS BIGINT) AS pos,
+         |  CAST(sel // 1048576 AS BIGINT) AS fp
+         |FROM f ORDER BY doc_id, pos""".stripMargin,
+
+    "q_fingerprint_pairs" ->
+      s"""$winnowCtes,
+         |fp AS (
+         |  SELECT DISTINCT doc_id, CAST(sel // 1048576 AS BIGINT) AS fp
+         |  FROM f),
+         |keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100),
+         |p AS (SELECT fp.doc_id, fp.fp FROM fp JOIN keep USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY id_a, id_b""".stripMargin,
 
     // gram-set membership over strings mirrors Spark's hashed grams —

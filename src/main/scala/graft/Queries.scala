@@ -651,6 +651,18 @@ object Queries {
       llm.Dedup.exactSubstringPairs(tWide(s, dir, "documents"),
           windowTokens = 20, minShared = 1)
         .orderBy(col("id_a"), col("id_b"))),
+    // winnowing fingerprints (MOSS): rightmost-min of each 4-window of
+    // word-3-gram md5 hashes, scan-side HOFs only — zero exchanges
+    "q_fingerprint_winnow" -> ((s, dir) =>
+      llm.Fingerprint.winnow(tWide(s, dir, "documents"), k = 3, w = 4)
+        .orderBy(col("doc_id"), col("pos"))),
+    // the MOSS match step over the winnowed corpus: fp-equi self-join,
+    // boilerplate fingerprints df-pruned before the quadratic
+    "q_fingerprint_pairs" -> ((s, dir) =>
+      llm.Fingerprint.sharedFingerprints(
+          llm.Fingerprint.winnow(tWide(s, dir, "documents"), k = 3, w = 4),
+          minShared = 2, maxDf = 100)
+        .orderBy(col("id_a"), col("id_b"))),
     // maxDf=2 exercises the high-DF pruning path through the oracle (the
     // sf corpus' max block-level DF is 3, so ≥3 would be a no-op here).
     "q_ngram_jaccard" -> ((s, dir) =>

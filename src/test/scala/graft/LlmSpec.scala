@@ -1308,6 +1308,30 @@ class LlmSpec extends SparkTestBase {
     assert(est.values.forall(_._4)) // overestimate contract
   }
 
+  test("winnowing: shared run guarantees a shared fingerprint; density bounded") {
+    import graft.llm.Fingerprint
+    // two docs sharing a 6-word run (= w+k-1 = 4+3-1): the winnowing
+    // guarantee says they MUST share >= 1 selected fingerprint hash
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (0L, s"one two three four five $shared six seven eight nine ten"),
+      (1L, s"uno dos tres cuatro cinco $shared seis siete ocho nueve diez"),
+      (2L, "completely disjoint words with nothing common here at all ok")
+    ).toDF("doc_id", "text")
+    val fps = Fingerprint.winnow(d, k = 3, w = 4)
+    val byDoc = fps.select($"doc_id", $"fp").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(0L) & byDoc(1L)).nonEmpty)  // guaranteed detection
+    assert((byDoc(0L) & byDoc(2L)).isEmpty)   // disjoint docs: no overlap
+    // density: selected fingerprints <= gram count, >= gramCount/w
+    val nGrams = 11 + 6 - 3 + 1
+    assert(byDoc(0L).size <= nGrams && byDoc(0L).size >= nGrams / 4)
+    // match step surfaces exactly the planted pair
+    val pairs = Fingerprint.sharedFingerprints(fps, minShared = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
   test("semantic decontam flags the leaked vector, spares the orthogonal one") {
     import graft.llm.Decontam
     val corpus = Seq(
