@@ -46,6 +46,41 @@ object Oracles {
        |    ELSE [array_to_string($wordsSql, ' ')] END""".stripMargin
   private val shingleSql = shingleWSql(3)
 
+  /** DSIR CTEs mirroring [[llm.Dsir]]: positional unigram+bigram gram
+    * stream, md5-prefix buckets mod 256, Laplace(+1) per-bucket log-ratios
+    * on the 1e-9 grid, exact integer nano-sums per doc. Target = English
+    * docs, raw = full corpus. */
+  private val dsirCtes: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, $wordsSql AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, unnest(list_concat(ws,
+       |    CASE WHEN len(ws) >= 2
+       |      THEN [array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]
+       |      ELSE [] END)) AS gram
+       |  FROM w),
+       |b AS (
+       |  SELECT doc_id, lang,
+       |    CAST(concat('0x', substring(md5(gram), 1, 8)) AS BIGINT) % 256 AS bucket
+       |  FROM g),
+       |rcn AS (SELECT bucket, count(*) AS rc FROM b GROUP BY 1),
+       |tcn AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM b) AS rt,
+       |               (SELECT count(*) FROM b WHERE lang = 'en') AS tt),
+       |lam AS (
+       |  SELECT r.range AS bucket,
+       |    CAST(floor(ln(
+       |      ((coalesce(tc, 0) + 1)::DOUBLE / (coalesce(rc, 0) + 1)::DOUBLE) *
+       |      ((rt + 256)::DOUBLE / (tt + 256)::DOUBLE)) * 1e9) AS BIGINT)
+       |      AS lam_nano
+       |  FROM range(256) r
+       |  LEFT JOIN rcn ON rcn.bucket = r.range
+       |  LEFT JOIN tcn ON tcn.bucket = r.range, tot),
+       |sc AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |    CAST(sum(lam_nano) AS BIGINT) AS score_nano
+       |  FROM b JOIN lam USING (bucket) GROUP BY 1)""".stripMargin
+
   /** Winnowing fingerprint CTEs (k=3, w=4) mirroring
     * [[llm.Fingerprint.winnow]]: positional 3-gram md5-prefix hashes,
     * rightmost window min, fp·2^20+pos encoding for the struct-free
@@ -864,6 +899,30 @@ object Oracles {
         |SELECT doc_id, n_chars FROM
         |  (SELECT * FROM s ORDER BY skey, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR per-doc importance scores: exact integer nano-sums over the
+    // 256-bucket λ table; λ runs ONE ln over the identical
+    // ((tc+1)/(rc+1))·((rt+B)/(tt+B)) op sequence, floored to the 1e-9
+    // grid (the BM25 idf discipline)
+    "q_dsir_scores" ->
+      s"""$dsirCtes
+         |SELECT doc_id, n_grams, score_nano FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Gumbel-top-100 resampling: digest-uniform u (the q_sample_weighted
+    // construction), Gumbel draw floored to nano-units so the key is an
+    // exact integer (raw nested-ln doubles disagree in low bits)
+    "q_dsir_sample" ->
+      s"""$dsirCtes,
+         |ks AS (
+         |  SELECT doc_id, score_nano,
+         |    score_nano + CAST(floor(
+         |      -ln(-ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) + 1)::DOUBLE / 4294967297.0)) * 1e9) AS BIGINT)
+         |      AS key_nano
+         |  FROM sc)
+         |SELECT doc_id, score_nano, key_nano FROM
+         |  (SELECT * FROM ks ORDER BY key_nano DESC, doc_id LIMIT 100)
+         |ORDER BY doc_id""".stripMargin,
 
     // token-budget mixture: DuckDB recomputes the per-source inclusive
     // running sum as the naive window (fine at oracle scale) — matching

@@ -549,6 +549,26 @@ object Queries {
           col("cost").as("n_tokens"), col("cum_cost").as("cum_tokens"))
         .orderBy(col("source"), col("doc_id"))),
 
+    // DSIR importance scores: the 256-bucket hashed-unigram+bigram model
+    // (target = English docs, raw = full corpus), λ on the 1e-9 ln grid,
+    // exact integer nano-sum per doc. The λ table is checkpointed — the
+    // bounded learned artifact, built once, consumed broadcast.
+    "q_dsir_scores" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val lam = llm.Dsir.bucketLogRatios(docs, docs.filter(col("lang") === "en"))
+        .localCheckpoint(eager = false)
+      llm.Dsir.score(docs, lam).orderBy(col("doc_id"))
+    }),
+    // the resampling step: Gumbel-top-100 under digest-uniform noise —
+    // the drawn set + keys are the oracle-checkable facts
+    "q_dsir_sample" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val lam = llm.Dsir.bucketLogRatios(docs, docs.filter(col("lang") === "en"))
+        .localCheckpoint(eager = false)
+      llm.Dsir.resample(llm.Dsir.score(docs, lam), k = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature-sampled mixture (α = 0.5): per-source budgets derived
     // from the sources' own token totals via composed correctly-rounded
     // sqrt + integer micro arithmetic (bit-portable, see

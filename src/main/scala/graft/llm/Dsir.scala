@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+  * select raw-corpus documents whose hashed-n-gram distribution looks like
+  * a TARGET corpus (the "make 100 TB of crawl look like Wikipedia" step).
+  * Bag-of-hashed-ngrams models for target p and raw q over B buckets;
+  * a document's importance weight is log w(x) = Σ_gram (ln p_b − ln q_b)
+  * over its gram stream; resampling keeps the top-k under Gumbel noise.
+  *
+  * Scale shape: the learned state is ONE B-row table (the per-bucket
+  * log-ratios) built by two partially-aggregated gram scans — bounded like
+  * the k-means codebook, never corpus-sized — and scoring is a scan-side
+  * explode + broadcast join + per-doc integer sum (uniform doc-id keys, no
+  * skew). Nothing is collected to the driver.
+  *
+  * Portability discipline: buckets are md5-prefix integers mod B (the
+  * [[Sampling]] digest convention); each bucket's log-ratio runs ONE ln
+  * over a fixed ((tc+1)/(rc+1))·((rt+B)/(tt+B)) op sequence and floors
+  * onto the 1e-9 grid (the BM25 idf discipline), and document scores are
+  * exact integer nano-sums — order-independent, engine-portable. Gumbel
+  * keys reuse [[Sampling.weightedSample]]'s digest-uniform construction. */
+object Dsir {
+
+  val DefaultBuckets = 256
+
+  /** The positional unigram+bigram gram stream (multiset, not distinct —
+    * DSIR models counts). */
+  def gramStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol),
+      explode(concat(words, bigrams)).as("gram"))
+  }
+
+  private def bucketOf(gram: Column, b: Int): Column =
+    pmod(conv(substring(md5(gram), 1, 8), 16, 10).cast("long"), lit(b.toLong))
+
+  /** The B-row learned model: per-bucket nano-quantized importance
+    * log-ratio λ_b = ⌊ln(p̂_b / q̂_b)·10⁹⌋ with Laplace(+1) smoothing.
+    * Buckets never seen in either corpus still get a row (they score the
+    * pure total-ratio prior), so the table is closed over ANY future
+    * document. Each corpus contributes one partial-agg scan; totals ride a
+    * 1×1 scalar join. */
+  def bucketLogRatios(raw: DataFrame, target: DataFrame,
+      buckets: Int = DefaultBuckets, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = raw.sparkSession
+    val rb = gramStream(raw, idCol, textCol)
+      .select(bucketOf(col("gram"), buckets).as("bucket"))
+    val tb = gramStream(target, idCol, textCol)
+      .select(bucketOf(col("gram"), buckets).as("bucket"))
+    val rc = rb.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+    val tc = tb.groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    val tot = rc.agg(sum(col("rc")).as("rt"))
+      .crossJoin(tc.agg(sum(col("tc")).as("tt")))
+    spark.range(buckets).toDF("bucket")
+      .join(rc, Seq("bucket"), "left")
+      .join(tc, Seq("bucket"), "left")
+      .crossJoin(tot)
+      .select(col("bucket"),
+        floor(log(
+          ((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("rc"), lit(0L)) + 1).cast("double")) *
+          ((col("rt") + buckets).cast("double") /
+            (col("tt") + buckets).cast("double"))) * lit(1e9))
+          .cast("long").as("lam_nano"))
+  }
+
+  /** Score every document: n_grams and the exact integer nano-sum of its
+    * grams' bucket log-ratios. `lambdas` (B rows) broadcasts. */
+  def score(docs: DataFrame, lambdas: DataFrame,
+      buckets: Int = DefaultBuckets, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    gramStream(docs, idCol, textCol)
+      .select(col(idCol), bucketOf(col("gram"), buckets).as("bucket"))
+      .join(broadcast(lambdas), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lam_nano")).as("score_nano"))
+
+  /** Gumbel-top-k importance resampling over scored docs: key = score +
+    * Gumbel(digest-uniform u), both in exact nano-units — the paper's
+    * resampling, made deterministic/engine-portable by deriving u from the
+    * row key like [[Sampling.weightedSample]] and flooring the Gumbel draw
+    * onto the 1e-9 grid (a raw double key carries the nested-ln engines'
+    * low-bit disagreement; the integer key doesn't). Plan: scan-side key +
+    * TakeOrdered. */
+  def resample(scored: DataFrame, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(1L)).cast("double") / lit(4294967297.0)
+    scored
+      .withColumn("key_nano",
+        col("score_nano") + floor(-log(-log(u)) * lit(1e9)).cast("long"))
+      .orderBy(col("key_nano").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score_nano"), col("key_nano"))
+  }
+}

@@ -1308,6 +1308,26 @@ class LlmSpec extends SparkTestBase {
     assert(est.values.forall(_._4)) // overestimate contract
   }
 
+  test("DSIR: target-like docs outscore off-target docs and dominate the sample") {
+    import graft.llm.Dsir
+    val targetish = (0L until 20L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again", "en"))
+    val offish = (20L until 40L).map(i =>
+      (i, "zork blap quux fizz wibble nork grue plugh xyzzy frotz", "xx"))
+    val raw = (targetish ++ offish).toDF("doc_id", "text", "lang")
+    val lam = Dsir.bucketLogRatios(raw, raw.filter($"lang" === "en"))
+    assert(lam.count() === 256L) // closed over the full bucket space
+    val scored = Dsir.score(raw, lam)
+    val byDoc = scored.select($"doc_id", $"score_nano")
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 20L).map(byDoc).min > (20L until 40L).map(byDoc).max)
+    // resampling at k=20 keeps exactly the target-like half (the score
+    // gap dwarfs the Gumbel noise)
+    val picked = Dsir.resample(scored, k = 20)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(picked === (0L until 20L).toSet)
+  }
+
   test("winnowing: shared run guarantees a shared fingerprint; density bounded") {
     import graft.llm.Fingerprint
     // two docs sharing a 6-word run (= w+k-1 = 4+3-1): the winnowing
