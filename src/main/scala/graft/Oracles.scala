@@ -137,6 +137,46 @@ object Oracles {
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Unrolled 3-iteration integer PageRank over the exact-Jaccard ≥ 0.6
+    * edge set — mirrors [[llm.Graph.pagerank]]'s floor-division micro-unit
+    * updates exactly (no floats on either engine). */
+  private lazy val pagerankSql: String = {
+    val iters = (1 to 3).map { i =>
+      s"""c$i AS (
+         |  SELECT ed.dst, CAST(sum(s${i - 1}.s // deg.deg) AS BIGINT) AS inc
+         |  FROM ed JOIN s${i - 1} ON s${i - 1}.id = ed.src
+         |  JOIN deg ON deg.src = ed.src GROUP BY 1),
+         |s$i AS (
+         |  SELECT n.id,
+         |    CAST(150000 + (85 * coalesce(c$i.inc, 0)) // 100 AS BIGINT) AS s
+         |  FROM n LEFT JOIN c$i ON c$i.dst = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
+       |  FROM documents),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+       |c AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM c
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |       UNION ALL SELECT id_b, id_a FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+       |n AS (SELECT DISTINCT doc_id AS id FROM documents),
+       |s0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM n),
+       |$iters
+       |SELECT n.id AS doc_id, s3.s AS rank_micro,
+       |  CAST(coalesce(deg.deg, 0) AS BIGINT) AS degree
+       |FROM n JOIN s3 ON s3.id = n.id
+       |LEFT JOIN deg ON deg.src = n.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** All-pairs exact-Jaccard truth for incremental (batch ≥ 250 vs corpus
     * < 250) near-dup detection — shared by the inline and prebuilt-table
     * catalog forms, which must be indistinguishable. */
@@ -1048,6 +1088,7 @@ object Oracles {
     // (all-pairs exact Jaccard), transitive closure via recursive CTE,
     // label = min reachable id — vs Spark's iterated label propagation
     "q_dedup_clusters" -> clustersSql,
+    "q_pagerank" -> pagerankSql,
 
     // per-cluster source-spread report over the same component labeling;
     // sources rendered as the sorted distinct list (list() aggregate +

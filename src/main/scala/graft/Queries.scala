@@ -433,6 +433,18 @@ object Queries {
         .orderBy(col("cluster_id"))
     }),
 
+    // integer-grid PageRank over the near-dup similarity graph: the
+    // boilerplate/hub signal. Exact micro-unit arithmetic (no floats),
+    // 3 fixed iterations = 3 join+partial-agg rounds; edges/degrees
+    // checkpointed once. Edge set = the LSH pair frame (recall 1 vs the
+    // oracle's exact-Jaccard edges on this corpus, q_dedup_minhash).
+    "q_pagerank" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Graph.pagerank(docs,
+          llm.Dedup.minhashNearDups(docs, threshold = 0.6))
+        .orderBy(col("doc_id"))
+    }),
+
     // snapshot diff between corpus releases: v1 drops the %10==3 docs and
     // carries a truncated revision of the %10==7 docs; v2 drops %10==5.
     // Digests are computed scan-side — the full-outer join moves (id,

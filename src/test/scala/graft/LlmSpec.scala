@@ -1308,6 +1308,20 @@ class LlmSpec extends SparkTestBase {
     assert(est.values.forall(_._4)) // overestimate contract
   }
 
+  test("integer PageRank matches the hand-computed star graph exactly") {
+    import graft.llm.Graph
+    val nodes = (0L to 4L).map(i => Tuple1(i)).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val r = Graph.pagerank(nodes, pairs, iters = 3)
+      .select($"doc_id", $"rank_micro", $"degree")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // 3 unrolled floor-division iterations by hand:
+    // hub: 2700000 -> 1254999 -> 2483250; leaves: 433333 -> 915000 -> 505583
+    assert(r(0L) === ((2483250L, 3L)))
+    assert(Seq(1L, 2L, 3L).forall(r(_) === ((505583L, 1L))))
+    assert(r(4L) === ((150000L, 0L))) // dangling: settles at the base
+  }
+
   test("DSIR: target-like docs outscore off-target docs and dominate the sample") {
     import graft.llm.Dsir
     val targetish = (0L until 20L).map(i =>
