@@ -1300,6 +1300,24 @@ object Oracles {
 
     // q_knn_brute with the corpus gated by the documents metadata filter;
     // queries (vec_id < 10) stay unfiltered
+    // q_knn_brute's cosine chain with the label-mismatch theta: negatives
+    // must be CLOSE but differently-labeled
+    "q_knn_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qid, vec_id AS neighbor_id,
+         |    $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score
+         |  FROM embeddings, q WHERE qlabel <> label),
+         |ranked AS (
+         |  SELECT qid, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, neighbor_id, score FROM ranked
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
     "q_knn_filtered" ->
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -1737,6 +1755,42 @@ object Oracles {
          |p AS (SELECT $langCaseSql AS lang_pred FROM sc)
          |SELECT lang_pred, count(*) AS n_docs FROM p
          |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    // tokenizer fertility: exact-long sums (q_mix_budget's token count),
+    // one IEEE division
+    "q_tokenizer_fertility" ->
+      """WITH p AS (
+        |  SELECT lang, n_chars,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |a AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |  FROM p GROUP BY 1)
+        |SELECT lang, n_docs, total_chars, total_tokens,
+        |  total_chars::DOUBLE / total_tokens::DOUBLE AS chars_per_token
+        |FROM a ORDER BY lang""".stripMargin,
+
+    // lexicon hit counts (the langScores machinery) + the identical
+    // first-wins CASE as TextAnalysis.topicTags' when-chain
+    "q_topic_tags" -> {
+      val hits = llm.TextAnalysis.DefaultTopics.map { case (t, lex) =>
+        s"CAST(${hitSql(lex)} AS BIGINT) AS s_$t"
+      }.mkString(",\n    ")
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    $hits
+         |  FROM documents)
+         |SELECT doc_id, s_commerce, s_perf, s_query,
+         |  CASE WHEN s_commerce >= s_perf AND s_commerce >= s_query
+         |         THEN 'commerce'
+         |       WHEN s_perf >= s_query THEN 'perf'
+         |       ELSE 'query' END AS topic
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     // linear-probe trainer mirror: fixed-iteration unrolled-CTE gradient
     // descent (the q_bpe_merges / q_kmeans technique) — each iteration's

@@ -838,6 +838,12 @@ object Queries {
       llm.Similarity.filteredKnn(tWide(s, dir, "embeddings"),
         t(s, dir, "documents").filter(col("n_chars") >= 400).select(col("doc_id")),
         col("vec_id") < 10, k = 5)),
+    // contrastive hard negatives: top-5 nearest with a DIFFERENT label —
+    // the label-mismatch theta rides the same broadcast nested loop as
+    // q_knn_brute (corpus never shuffles)
+    "q_knn_hard_negatives" -> ((s, dir) =>
+      llm.Similarity.hardNegatives(tWide(s, dir, "embeddings"),
+        col("vec_id") < 5, k = 5)),
     // LSH kNN publishes its panel RECALL CONTRACT (the neighbor list is
     // hash-family-specific; per-query recall is bimodal on this
     // near-random corpus — see Similarity.lshKnnRecallPanel). Measured
@@ -948,6 +954,16 @@ object Queries {
         .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang_pred"))),
+    // per-language tokenizer fertility (chars per whitespace token) —
+    // one partial-agg scan, exact-long ratio
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      llm.TextAnalysis.tokenizerFertility(tWide(s, dir, "documents"))
+        .orderBy(col("lang"))),
+    // lexicon topic tagging: per-topic hit counts + first-wins argmax —
+    // scan-side HOFs, zero shuffles
+    "q_topic_tags" -> ((s, dir) =>
+      llm.TextAnalysis.topicTags(tWide(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // fingerprint emitted as a comma-joined scalar string: the driver's
     // compare sorts columns with pandas, which cannot hash array cells.
     // ---- LLM data pipeline: bigram LM quality score (CCNet-style) ----

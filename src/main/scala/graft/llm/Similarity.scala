@@ -78,6 +78,28 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most similar corpus vectors with a DIFFERENT label — close in
+    * embedding space but known-non-matching, the negatives that actually
+    * teach the margin. Same broadcast asymmetry as [[bruteForceKnn]] (the
+    * label-mismatch theta join rides the same broadcast nested loop, so
+    * the corpus still never shuffles); swap the scoring stage for the
+    * bucketed variants when the corpus is huge. */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        col(labelCol).as("qlabel"), norm(col(vecCol)).as("qnorm"))
+    val corpus = emb.select(col(idCol), col(vecCol), col(labelCol),
+      norm(col(vecCol)).as("vnorm"))
+    val scored = corpus
+      .join(broadcast(queries), col("qlabel") =!= col(labelCol))
+      .select(col("qid"), col(idCol).as("neighbor_id"),
+        (dot(col("qvec"), col(vecCol)) / (col("qnorm") * col("vnorm"))).as("score"))
+    topK(scored, k)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("neighbor_id"))

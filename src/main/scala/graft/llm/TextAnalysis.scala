@@ -398,4 +398,51 @@ object TextAnalysis {
       qualityScore(col(textCol)).as("quality"),
       langId(col(textCol)).as("lang_pred"),
       fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Per-language tokenizer fertility: chars per whitespace token — the
+    * metric tokenizer teams track per language (a tokenizer that spends 3×
+    * the tokens on one language starves it of effective context). One
+    * partial-aggregated scan; the ratio is a single IEEE division of exact
+    * longs. */
+  def tokenizerFertility(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("lang"), col("n_chars"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("total_tokens"),
+        (col("total_chars").cast("double") /
+          col("total_tokens").cast("double")).as("chars_per_token"))
+
+  /** Default topic lexicons for [[topicTags]], alphabetical by topic. */
+  val DefaultTopics: Seq[(String, Seq[String])] = Seq(
+    "commerce" -> Seq("customer", "order", "price", "supplier", "part", "region"),
+    "perf" -> Seq("slow", "fast", "small", "large", "batch", "cache"),
+    "query" -> Seq("join", "hash", "scan", "filter", "merge", "sort"))
+
+  /** Lexicon-based topic tagging — the domain-classification pass a
+    * training mixture is balanced on when no classifier is available: per
+    * doc, hit counts against each topic's keyword list plus the argmax
+    * topic (ties break to the EARLIER topic in the given order — the
+    * first-wins when-chain is mirrored verbatim by the oracle's CASE).
+    * Pure scan-side HOFs, zero shuffles. */
+  def topicTags(docs: DataFrame, topics: Seq[(String, Seq[String])] = DefaultTopics,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(topics.nonEmpty, "topicTags: at least one topic")
+    val w = words(col(textCol))
+    val scored = docs.select(col(idCol) +: topics.map { case (t, lex) =>
+      size(filter(w, x => x.isin(lex: _*))).cast("long").as(s"s_$t")
+    }: _*)
+    def pick(rest: List[String]): Column = rest match {
+      case t :: Nil => lit(t)
+      case t :: tail =>
+        when(tail.map(o => col(s"s_$t") >= col(s"s_$o"))
+          .reduce(_ && _), t).otherwise(pick(tail))
+      case Nil => throw new IllegalArgumentException("unreachable")
+    }
+    scored.withColumn("topic", pick(topics.map(_._1).toList))
+  }
 }

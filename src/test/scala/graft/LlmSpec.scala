@@ -1308,6 +1308,31 @@ class LlmSpec extends SparkTestBase {
     assert(est.values.forall(_._4)) // overestimate contract
   }
 
+  test("hard negatives: closest cross-label vectors, never same-label") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),   // query, label 1
+      (1L, Seq(0.99f, 0.14f), 1), // same label: excluded despite closeness
+      (2L, Seq(0.9f, 0.44f), 2),  // cross-label, close -> rank 1
+      (3L, Seq(0.0f, 1.0f), 2)    // cross-label, far -> rank 2
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(emb, $"vec_id" === 0L, k = 2)
+      .select($"rank", $"neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(r === Seq((1, 2L), (2, 3L)))
+  }
+
+  test("topic tags: argmax with first-wins tie-break") {
+    val d = Seq(
+      (0L, "customer order price stuff"),       // commerce
+      (1L, "join hash scan filter"),            // query
+      (2L, "slow batch join hash"),             // tie perf=query=2 -> perf
+      (3L, "nothing matches here")              // all zero -> commerce
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.topicTags(d)
+      .select($"doc_id", $"topic").as[(Long, String)].collect().toMap
+    assert(m === Map(0L -> "commerce", 1L -> "query",
+      2L -> "perf", 3L -> "commerce"))
+  }
+
   test("integer PageRank matches the hand-computed star graph exactly") {
     import graft.llm.Graph
     val nodes = (0L to 4L).map(i => Tuple1(i)).toDF("doc_id")
