@@ -327,4 +327,53 @@ class PlanSpec extends SparkTestBase {
       .findAllIn(plan).count(_.contains("doc_id"))
     assert(corpusExchanges === 1, plan)
   }
+
+  test("winnowing fingerprints are a pure scan-side projection — zero exchanges") {
+    val plan = formatted(graft.llm.Fingerprint.winnow(t("documents")))
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("CMS build: map-side partial combine both sides of one sketch-keyed exchange") {
+    val plan = formatted(graft.llm.Sketch.cmsBuild(t("documents")))
+    // partial HashAggregate below the exchange caps per-task output at
+    // depth x width rows; the exchange carries (depth, bucket) keys only
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(plan).size === 2, plan)
+    assert("""\(\d+\) Exchange""".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("ReadSchema: struct<text:string>"), plan)
+  }
+
+  test("semantic decontam: panel broadcasts, corpus never shuffles") {
+    val emb = t("embeddings")
+    val plan = formatted(graft.llm.Decontam.semanticContamination(
+      emb, emb.filter($"vec_id" % 50 === 7), threshold = 0.4))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the only exchange is the per-vector max aggregation on vec_id —
+    // embedding arrays are reduced scan-side before it
+    val aggExchange = """(?s)\(\d+\) Exchange.*?Arguments: hashpartitioning\(vec_id""".r
+    assert(aggExchange.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("DSIR: lambda table broadcasts into the scoring scan") {
+    val docs = t("documents")
+    val lam = graft.llm.Dsir.bucketLogRatios(docs, docs.filter($"lang" === "en"))
+      .localCheckpoint(eager = false)
+    val plan = formatted(graft.llm.Dsir.score(docs, lam))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("hard negatives ride the broadcast nested loop like brute knn") {
+    val plan = formatted(graft.llm.Similarity.hardNegatives(
+      t("embeddings"), $"vec_id" < 5, k = 5))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("topic tagging is scan-side only — zero exchanges") {
+    val plan = formatted(graft.llm.TextAnalysis.topicTags(t("documents")))
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
