@@ -448,9 +448,10 @@ object Queries {
     // snapshot diff between corpus releases: v1 drops the %10==3 docs and
     // carries a truncated revision of the %10==7 docs; v2 drops %10==5.
     // Digests are computed scan-side — the full-outer join moves (id,
-    // digest) rows only, never text.
+    // digest) rows only, never text. t(), not tWide(): the round-robin
+    // repartition would itself shuffle text (the q_media_dedup rationale).
     "q_corpus_diff" -> ((s, dir) => {
-      val docs = tWide(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val v1 = docs.filter(col("doc_id") % 10 =!= 3)
         .select(col("doc_id"),
           when(col("doc_id") % 10 === 7, substring(col("text"), 1, 40))

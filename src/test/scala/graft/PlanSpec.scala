@@ -376,4 +376,13 @@ class PlanSpec extends SparkTestBase {
     val plan = formatted(graft.llm.TextAnalysis.topicTags(t("documents")))
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("snapshot diff: digests computed scan-side, text in no exchange") {
+    val docs = t("documents")
+    val plan = formatted(graft.llm.Report.snapshotDiff(
+      docs.filter($"doc_id" % 10 =!= 3), docs.filter($"doc_id" % 10 =!= 5)))
+    val exchanges = """(?s)\(\d+\) Exchange.*?Input.*?\n""".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, plan)
+    assert(!exchanges.exists(_.contains("text")), plan)
+  }
 }
