@@ -1847,59 +1847,42 @@ object Oracles {
     // DuckDB regexp_replace needs the 'g' flag (first-match default);
     // Spark's replaces all.
     "q_gopher_rules" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, text,
-         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS a,
-         |    string_split(text, chr(10)) AS ls
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(trim(text)) = 0 THEN 0
-         |      ELSE CAST(len(a) AS BIGINT) END AS n_words,
-         |    CAST(list_sum(list_transform(a, x -> len(x))) AS BIGINT)
-         |      AS sum_wlen,
-         |    CAST(len(text) - len(regexp_replace(text, '#', '', 'g'))
-         |      AS BIGINT) AS n_hash,
-         |    CAST(floor((len(text) - len(replace(text, '...', ''))) / 3.0)
-         |        AS BIGINT) +
-         |      CAST(len(text) - len(regexp_replace(text, '…', '', 'g'))
-         |        AS BIGINT) AS n_ell,
-         |    CAST(len(ls) AS BIGINT) AS n_lines,
-         |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '-')
-         |      OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
-         |      AS BIGINT) AS n_bullet,
-         |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
-         |      OR ends_with(rtrim(l), '…'))) AS BIGINT) AS n_ellline,
-         |    CAST(len(list_filter(a, x -> regexp_matches(x, '[a-z]')))
-         |      AS BIGINT) AS n_alpha,
-         |    CAST(len(list_filter(a, x -> list_contains(
-         |      ['the','be','to','of','and','that','have','with'], x)))
-         |      AS BIGINT) AS n_stop
-         |  FROM w),
-         |r AS (
-         |  SELECT doc_id, n_words,
-         |    CASE WHEN n_words > 0
-         |      THEN CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE)
-         |      ELSE 0.0 END AS mean_wlen,
-         |    CASE WHEN n_words > 0
-         |      THEN CAST(n_hash + n_ell AS DOUBLE) / CAST(n_words AS DOUBLE)
-         |      ELSE 0.0 END AS symbol_ratio,
-         |    CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac,
-         |    CAST(n_ellline AS DOUBLE) / CAST(n_lines AS DOUBLE)
-         |      AS ellipsis_frac,
-         |    CASE WHEN n_words > 0
-         |      THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
-         |      ELSE 0.0 END AS alpha_frac,
-         |    CASE WHEN n_words > 0 THEN n_stop ELSE 0 END AS stop_hits
-         |  FROM m)
+      s"""WITH $gopherCtes
          |SELECT doc_id, n_words, mean_wlen, symbol_ratio, bullet_frac,
-         |  ellipsis_frac, alpha_frac, stop_hits,
-         |  (n_words >= 50 AND n_words <= 100000
-         |   AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
-         |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-         |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
-         |   AND stop_hits >= 2) AS kept
-         |FROM r ORDER BY doc_id""".stripMargin,
+         |  ellipsis_frac, alpha_frac, stop_hits, kept
+         |FROM gk ORDER BY doc_id""".stripMargin,
+
+    // probe-calibration AUC: trained-probe scores (probeCtes) against the
+    // Gopher keep verdict (gopherCtes) through the tie-corrected
+    // Mann-Whitney chain — rank arithmetic exact-integer, numerator
+    // doubled so average ranks never materialize as halves, ONE double
+    // division at the end
+    "q_probe_auc" ->
+      s"""WITH $probeCtes,
+         |$gopherCtes,
+         |asc_ AS (
+         |  SELECT f.doc_id,
+         |    f.x0 * wp.w0 + f.x1 * wp.w1 + f.x2 * wp.w2 + f.x3 * wp.w3 AS s
+         |  FROM feat f, pw$probeIters wp),
+         |aj AS (
+         |  SELECT asc_.s, CASE WHEN gk.kept THEN 1 ELSE 0 END AS y
+         |  FROM asc_ JOIN gk USING (doc_id)),
+         |aa AS (
+         |  SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+         |  FROM aj GROUP BY 1),
+         |ar AS (
+         |  SELECT s, c, p, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cum
+         |  FROM aa),
+         |at AS (
+         |  SELECT CAST(sum(p * (2 * cum - c + 1)) AS BIGINT) AS num2,
+         |    CAST(sum(p) AS BIGINT) AS n_pos,
+         |    CAST(sum(c) - sum(p) AS BIGINT) AS n_neg
+         |  FROM ar)
+         |SELECT n_pos, n_neg,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |    THEN (num2 - n_pos * (n_pos + 1))::DOUBLE /
+         |         (2 * n_pos * n_neg)::DOUBLE END AS auc
+         |FROM at""".stripMargin,
 
     // Mirrors TextAnalysis.docStats: every score is raw int-derived IEEE
     // double arithmetic in the same evaluation order as the Spark columns —
@@ -2451,6 +2434,67 @@ object Oracles {
     * integers, so each iteration's weights — and everything computed from
     * them — are bit-identical. lr = 0.5 (exact binary repr). */
   private final val probeIters = 3
+  /** Gopher rule battery CTEs ending in `gk` (per-doc measured values +
+    * the conjunction verdict) — shared by q_gopher_rules and the
+    * probe-calibration AUC. Every count exact-integer, every ratio ONE
+    * double division. DuckDB regexp_replace needs the 'g' flag
+    * (first-match default); Spark's replaces all. */
+  private lazy val gopherCtes: String =
+    s"""gw AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS a,
+       |    string_split(text, chr(10)) AS ls
+       |  FROM documents),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN 0
+       |      ELSE CAST(len(a) AS BIGINT) END AS n_words,
+       |    CAST(list_sum(list_transform(a, x -> len(x))) AS BIGINT)
+       |      AS sum_wlen,
+       |    CAST(len(text) - len(regexp_replace(text, '#', '', 'g'))
+       |      AS BIGINT) AS n_hash,
+       |    CAST(floor((len(text) - len(replace(text, '...', ''))) / 3.0)
+       |        AS BIGINT) +
+       |      CAST(len(text) - len(regexp_replace(text, '…', '', 'g'))
+       |        AS BIGINT) AS n_ell,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '-')
+       |      OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
+       |      AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+       |      OR ends_with(rtrim(l), '…'))) AS BIGINT) AS n_ellline,
+       |    CAST(len(list_filter(a, x -> regexp_matches(x, '[a-z]')))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(a, x -> list_contains(
+       |      ['the','be','to','of','and','that','have','with'], x)))
+       |      AS BIGINT) AS n_stop
+       |  FROM gw),
+       |gr AS (
+       |  SELECT doc_id, n_words,
+       |    CASE WHEN n_words > 0
+       |      THEN CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |      ELSE 0.0 END AS mean_wlen,
+       |    CASE WHEN n_words > 0
+       |      THEN CAST(n_hash + n_ell AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |      ELSE 0.0 END AS symbol_ratio,
+       |    CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac,
+       |    CAST(n_ellline AS DOUBLE) / CAST(n_lines AS DOUBLE)
+       |      AS ellipsis_frac,
+       |    CASE WHEN n_words > 0
+       |      THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |      ELSE 0.0 END AS alpha_frac,
+       |    CASE WHEN n_words > 0 THEN n_stop ELSE 0 END AS stop_hits
+       |  FROM gm),
+       |gk AS (
+       |  SELECT doc_id, n_words, mean_wlen, symbol_ratio, bullet_frac,
+       |    ellipsis_frac, alpha_frac, stop_hits,
+       |    (n_words >= 50 AND n_words <= 100000
+       |     AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+       |     AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       |     AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       |     AND stop_hits >= 2) AS kept
+       |  FROM gr)""".stripMargin
+
   private lazy val probeCtes: String = {
     val pred = "f.x0 * wp.w0 + f.x1 * wp.w1 + f.x2 * wp.w2 + f.x3 * wp.w3"
     val head =

@@ -1193,6 +1193,20 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // probe calibration: tie-corrected Mann-Whitney AUC of the trained
+    // probe's score predicting the Gopher keep verdict — the corpus
+    // shrinks to one row per distinct score before the global rank window
+    "q_probe_auc" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val feat = llm.QualityProbe.features(docs).localCheckpoint(eager = false)
+      val w = llm.QualityProbe.trainWeights(feat, lr = 0.5, iters = 3)
+      val labels = llm.TextAnalysis.gopherRules(docs)
+        .select(col("doc_id"), col("kept"))
+      llm.Eval.auc(
+        llm.QualityProbe.score(feat, w).join(labels, Seq("doc_id")),
+        col("score"), col("kept"))
+    }),
+
     // Gopher rule battery (Rae et al. 2021 App. A): every rule's measured
     // value + the conjunction verdict, scan-side one-pass. On this corpus
     // the mix comes from the word-count and stopword rules; the symbol/

@@ -1308,6 +1308,25 @@ class LlmSpec extends SparkTestBase {
     assert(est.values.forall(_._4)) // overestimate contract
   }
 
+  test("AUC: perfect separation, tie correction, and empty-class guard") {
+    import graft.llm.Eval
+    def aucOf(rows: Seq[(Double, Boolean)]): Option[Double] = {
+      val r = Eval.auc(rows.toDF("score", "label"), $"score", $"label")
+        .select($"auc").collect().head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    assert(aucOf(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)))
+      === Some(1.0))
+    assert(aucOf(Seq((0.9, false), (0.8, false), (0.2, true), (0.1, true)))
+      === Some(0.0))
+    // all-tied scores: average-rank correction gives exactly 0.5
+    assert(aucOf(Seq((1.0, true), (1.0, false), (1.0, true), (1.0, false)))
+      === Some(0.5))
+    // hand-computed mixed case: R_pos = 1 + 3, P = 2, N = 1 -> 0.5
+    assert(aucOf(Seq((3.0, true), (2.0, false), (1.0, true))) === Some(0.5))
+    assert(aucOf(Seq((1.0, true), (2.0, true))) === None) // one class only
+  }
+
   test("hard negatives: closest cross-label vectors, never same-label") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f), 1),   // query, label 1
