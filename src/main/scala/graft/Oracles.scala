@@ -2114,6 +2114,49 @@ object Oracles {
     // mean-centering mirror: identical micro-unit mean (floor to 1e-6
     // grid, exact integer sum, ONE division) and per-element subtraction
     // on bit-identical doubles
+    // outlier mirror: the q_embed_center per-dim micro-mean rebuilt as an
+    // ordered list, the identical scan-side squared-diff fold, micro
+    // distance quantization, then the hourlyAnomalies z op order
+    "q_embed_outliers" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    unnest(embedding) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(v::DOUBLE * 1e6) AS BIGINT)) AS BIGINT) AS s
+        |  FROM x GROUP BY dim),
+        |mu AS (
+        |  SELECT list(s::DOUBLE / (n::DOUBLE * 1e6) ORDER BY dim) AS m
+        |  FROM m),
+        |d AS (
+        |  SELECT vec_id,
+        |    CAST(floor(sqrt(list_reduce(
+        |      list_transform(list_zip(embedding, m),
+        |        t -> (t[1]::DOUBLE - t[2]) * (t[1]::DOUBLE - t[2])),
+        |      (x, y) -> x + y)) * 1e6) AS BIGINT) AS dist_micro
+        |  FROM embeddings, mu),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(dist_micro) AS BIGINT) AS sd,
+        |    CAST(sum(dist_micro * dist_micro) AS BIGINT) AS sq
+        |  FROM d)
+        |SELECT vec_id, dist_micro,
+        |  CASE WHEN (sq::DOUBLE / nn::DOUBLE)
+        |         - (sd::DOUBLE / nn::DOUBLE) * (sd::DOUBLE / nn::DOUBLE) > 0
+        |    THEN (dist_micro::DOUBLE - sd::DOUBLE / nn::DOUBLE)
+        |      / sqrt((sq::DOUBLE / nn::DOUBLE)
+        |             - (sd::DOUBLE / nn::DOUBLE) * (sd::DOUBLE / nn::DOUBLE))
+        |    ELSE 0.0 END AS z,
+        |  abs(CASE WHEN (sq::DOUBLE / nn::DOUBLE)
+        |         - (sd::DOUBLE / nn::DOUBLE) * (sd::DOUBLE / nn::DOUBLE) > 0
+        |    THEN (dist_micro::DOUBLE - sd::DOUBLE / nn::DOUBLE)
+        |      / sqrt((sq::DOUBLE / nn::DOUBLE)
+        |             - (sd::DOUBLE / nn::DOUBLE) * (sd::DOUBLE / nn::DOUBLE))
+        |    ELSE 0.0 END) > 2.0 AS outlier
+        |FROM d, st ORDER BY vec_id""".stripMargin,
+
     "q_embed_center" ->
       """WITH x AS (
         |  SELECT vec_id,

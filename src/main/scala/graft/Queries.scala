@@ -739,6 +739,12 @@ object Queries {
     "q_embed_center" -> ((s, dir) =>
       llm.Similarity.centerEmbeddings(tWide(s, dir, "embeddings"))
         .orderBy(col("vec_id"), col("dim"))),
+    // embedding outliers: micro-quantized distance to the corpus mean
+    // (inlined as a literal — scan-side fold, no corpus join), z over a
+    // 1-row broadcast stats frame (the hourlyAnomalies op order)
+    "q_embed_outliers" -> ((s, dir) =>
+      llm.Similarity.embeddingOutliers(tWide(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))),
 
     // power-iteration top principal direction: one job per iteration
     // (scan-side literal-v dot, (dim)-keyed micro sums), driver state =

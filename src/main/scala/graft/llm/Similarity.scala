@@ -647,6 +647,52 @@ object Similarity {
         (col("x").cast("double") - col("mu")).as("c"))
   }
 
+  /** Embedding OUTLIER detection: distance to the corpus mean vector,
+    * z-scored — the "noisy/garbage embedding" audit (truncated inputs,
+    * encoder failures, off-manifold rows) run before any similarity
+    * operator trusts the space.
+    *
+    * Scale shape: the mean is the [[centerEmbeddings]] per-dim exact
+    * micro-unit sum (dim-bounded), collected (the k-means
+    * bounded-driver-state discipline — dim doubles, never rows) and
+    * INLINED as a literal so the distance is one scan-side sequential
+    * fold — zero joins on the corpus path. Distances quantize to
+    * micro-units, the (n, Σd, Σd²) stats ride one partial-agg scan and a
+    * 1×1 scalar join, and z is the hourlyAnomalies IEEE op order —
+    * bit-portable end to end. Σd² headroom: micro-distances ~10⁷ square
+    * to ~10¹⁴ — exact to ~10⁴ rows per unit variance... practically to
+    * ~10⁹ rows before the long sum wraps; shard the stats pass beyond. */
+  def embeddingOutliers(emb: DataFrame, zThreshold: Double = 2.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mu = emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 1e6)).as("s"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => r.getLong(2).toDouble / (r.getLong(1).toDouble * 1e6))
+    val muLit = array(mu.map(lit(_)): _*)
+    val diffSq = zip_with(col(vecCol), muLit, (a, b) => {
+      val d = a.cast("double") - b
+      d * d
+    })
+    val distMicro = floor(sqrt(aggregate(diffSq, lit(0.0), (acc, x) => acc + x))
+      * lit(1e6)).cast("long")
+    val d = emb.select(col(idCol), distMicro.as("dist_micro"))
+    val stats = d.agg(count(lit(1)).as("nn"),
+      sum(col("dist_micro")).as("sd"),
+      sum(col("dist_micro") * col("dist_micro")).as("sq"))
+    val mean = col("sd").cast("double") / col("nn").cast("double")
+    val msq = col("sq").cast("double") / col("nn").cast("double")
+    val variance = msq - mean * mean
+    val z = when(variance > 0,
+      (col("dist_micro").cast("double") - mean) / sqrt(variance))
+      .otherwise(lit(0.0))
+    d.crossJoin(broadcast(stats))
+      .select(col(idCol), col("dist_micro"), z.as("z"),
+        (abs(z) > zThreshold).as("outlier"))
+  }
+
   /** Long-form centroids → (cluster_id, n_members, centroid: array<double>)
     * for API consumers; dims reassembled in order per cluster. */
   def centroidVectors(centroids: DataFrame): DataFrame =

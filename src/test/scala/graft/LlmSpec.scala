@@ -1308,6 +1308,19 @@ class LlmSpec extends SparkTestBase {
     assert(est.values.forall(_._4)) // overestimate contract
   }
 
+  test("embedding outliers: the planted far vector is flagged, the cloud is not") {
+    // 20 vectors near (1, 0) plus one at (-40, 40): the cloud's distances
+    // to the mean cluster tightly, the plant sits many sigmas out
+    val rows = (0L until 20L).map(i =>
+      (i, Seq(1.0f + (i % 5) * 0.01f, (i % 3) * 0.01f))) :+
+      (99L, Seq(-40.0f, 40.0f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val m = Similarity.embeddingOutliers(emb)
+      .select($"vec_id", $"outlier").as[(Long, Boolean)].collect().toMap
+    assert(m(99L))
+    assert((0L until 20L).forall(!m(_)))
+  }
+
   test("AUC: perfect separation, tie correction, and empty-class guard") {
     import graft.llm.Eval
     def aucOf(rows: Seq[(Double, Boolean)]): Option[Double] = {
