@@ -629,6 +629,18 @@ object Oracles {
          |  ${viaStr("sum(CAST(value AS DECIMAL(18,6)))")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // the windowed CMS on the batch-parity path: hour buckets via
+    // date_trunc ≡ window().start for aligned 1-hour tumbling windows
+    "q_cms_windowed" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS hour, j.range AS depth,
+        |    CAST(concat('0x', substring(
+        |      md5(CAST(j.range AS VARCHAR) || ':' || event_type), 1, 8))
+        |      AS BIGINT) % 64 AS bucket
+        |  FROM events, range(4) j)
+        |SELECT hour, CAST(depth AS INT) AS depth, bucket, count(*) AS cnt
+        |FROM c GROUP BY 1, 2, 3 ORDER BY hour, depth, bucket""".stripMargin,
+
     // the composed pipeline: same language + quality formulas as
     // q_lang_breakdown / q_text_quality, over the doubled corpus, then the
     // exact-dedup group-by — all shared fragments, bit-exact arithmetic.

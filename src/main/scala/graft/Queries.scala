@@ -400,6 +400,17 @@ object Queries {
       Analytics.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))),
     "q_retention" -> ((s, dir) => Analytics.retention(t(s, dir, "events"))),
     "q_tumbling_hour" -> ((s, dir) => Analytics.tumblingCounts(t(s, dir, "events"))),
+    // the streaming windowed CMS run on the batch-parity path (the
+    // q_hourly_anomaly_stream convention): per-hour depth × width sketch
+    // cells over the event-type stream — state bounded at d·w per window
+    "q_cms_windowed" -> ((s, dir) =>
+      streaming.StreamingCuration.windowedCms(
+          t(s, dir, "events")
+            .select(col("event_type").as("term"), col("ts").as("ingest_ts")),
+          windowLen = "1 hour")
+        .select(col("window.start").as("hour"), col("depth"), col("bucket"),
+          col("cnt"))
+        .orderBy(col("hour"), col("depth"), col("bucket"))),
 
     // ---- LLM data pipeline: deduplication ----
     "q_dedup_exact" -> ((s, dir) => {

@@ -87,4 +87,25 @@ object StreamingCuration {
       .groupBy(window(col("ingest_ts"), windowLen))
       .agg(hh.as("hh"))
   }
+
+  /** Per-window Count-Min sketch over a (term, ingest_ts) stream — the
+    * always-on form of [[graft.llm.Sketch.cmsBuild]]: each tumbling window
+    * finalizes a depth × width counter table on watermark passage
+    * (append mode — one emission per closed (window, cell)). State per
+    * open window is bounded at depth·width rows by construction, the same
+    * fixed-size-state argument as the windowed SpaceSaving sketch; the
+    * emitted cells merge with batch/other-shard sketches via
+    * [[graft.llm.Sketch.cmsMerge]] (counts add — proved in LlmSpec). */
+  def windowedCms(tokens: DataFrame, depth: Int = 4, width: Int = 64,
+      windowLen: String = "1 hour", watermarkDelay: String = "1 hour"): DataFrame =
+    tokens
+      .withWatermark("ingest_ts", watermarkDelay)
+      .select(col("ingest_ts"),
+        explode(array((0 until depth).map(j =>
+          struct(lit(j).as("depth"),
+            graft.llm.Sketch.bucket(col("term"), j, width).as("bucket"))): _*))
+          .as("cell"))
+      .groupBy(window(col("ingest_ts"), windowLen),
+        col("cell.depth").as("depth"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -93,6 +93,33 @@ class StreamingCurationSpec extends SparkTestBase {
     assert(rows === Seq(("a", 3L), ("b", 1L)))
   }
 
+  test("streaming CMS: closed window's sketch equals the batch build") {
+    val ms = (m: Long) => new Timestamp(m)
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val out = StreamingCuration.windowedCms(
+      input.toDF().toDF("term", "ingest_ts"),
+      windowLen = "1 minute", watermarkDelay = "0 seconds")
+    input.addData(("alpha", ms(1_000)), ("alpha", ms(2_000)),
+      ("beta", ms(3_000)), ("alpha", ms(4_000)))
+    input.addData(("late", ms(130_000))) // pushes the watermark past w1
+    val q = out.writeStream
+      .format("memory").queryName("graft_stream_cms")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT depth, bucket, cnt FROM graft_stream_cms")
+      .as[(Int, Long, Long)].collect().toSet
+    // batch reference over the same closed-window tokens (text = one term)
+    val batch = graft.llm.Sketch.cmsBuild(
+      Seq("alpha", "alpha", "beta", "alpha").map(t => Tuple1(t)).toDF("text"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.toSeq.map(_._3).sum === 4L * 4) // 4 tokens x depth rows
+  }
+
   test("stream-stream join: embeddings matched within the horizon only") {
     val ms = (m: Long) => new Timestamp(m)
     val docsIn = MemoryStream[(Long, String, Timestamp)](spark)
