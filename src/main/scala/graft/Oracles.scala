@@ -1864,6 +1864,53 @@ object Oracles {
          |  ellipsis_frac, alpha_frac, stop_hits, kept
          |FROM gk ORDER BY doc_id""".stripMargin,
 
+    // correlation-matrix mirror: exact integer sufficient statistics in
+    // one pass, each r the identical IEEE op sequence, zero-variance guard
+    "q_feature_corr" ->
+      s"""WITH cf AS (
+         |  SELECT n_chars,
+         |    CAST(len(list_filter($wordsSql, x -> list_contains(
+         |      ['the','be','to','of','and','that','have','with'], x)))
+         |      AS BIGINT) AS n_stop,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS BIGINT) AS n_words
+         |  FROM documents),
+         |ct AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(n_chars) AS BIGINT) AS s_a,
+         |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q_a,
+         |    CAST(sum(n_stop) AS BIGINT) AS s_b,
+         |    CAST(sum(n_stop * n_stop) AS BIGINT) AS q_b,
+         |    CAST(sum(n_words) AS BIGINT) AS s_c,
+         |    CAST(sum(n_words * n_words) AS BIGINT) AS q_c,
+         |    CAST(sum(n_chars * n_stop) AS BIGINT) AS p_ab,
+         |    CAST(sum(n_chars * n_words) AS BIGINT) AS p_ac,
+         |    CAST(sum(n_stop * n_words) AS BIGINT) AS p_bc
+         |  FROM cf)
+         |SELECT * FROM (
+         |  SELECT 'n_chars' AS feat_a, 'n_stop' AS feat_b, n,
+         |    CASE WHEN n*q_a - s_a*s_a > 0 AND n*q_b - s_b*s_b > 0
+         |      THEN (n*p_ab - s_a*s_b)::DOUBLE /
+         |        (sqrt((n*q_a - s_a*s_a)::DOUBLE) *
+         |         sqrt((n*q_b - s_b*s_b)::DOUBLE)) END AS corr
+         |  FROM ct
+         |  UNION ALL
+         |  SELECT 'n_chars', 'n_words', n,
+         |    CASE WHEN n*q_a - s_a*s_a > 0 AND n*q_c - s_c*s_c > 0
+         |      THEN (n*p_ac - s_a*s_c)::DOUBLE /
+         |        (sqrt((n*q_a - s_a*s_a)::DOUBLE) *
+         |         sqrt((n*q_c - s_c*s_c)::DOUBLE)) END
+         |  FROM ct
+         |  UNION ALL
+         |  SELECT 'n_stop', 'n_words', n,
+         |    CASE WHEN n*q_b - s_b*s_b > 0 AND n*q_c - s_c*s_c > 0
+         |      THEN (n*p_bc - s_b*s_c)::DOUBLE /
+         |        (sqrt((n*q_b - s_b*s_b)::DOUBLE) *
+         |         sqrt((n*q_c - s_c*s_c)::DOUBLE)) END
+         |  FROM ct)
+         |ORDER BY feat_a, feat_b""".stripMargin,
+
     // probe-calibration AUC: trained-probe scores (probeCtes) against the
     // Gopher keep verdict (gopherCtes) through the tie-corrected
     // Mann-Whitney chain — rank arithmetic exact-integer, numerator

@@ -1210,6 +1210,19 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // feature-redundancy audit: Pearson r for every feature pair from one
+    // pass of exact integer sufficient statistics
+    "q_feature_corr" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val words = split(lower(trim(col("text"))), "\\s+")
+      llm.Eval.correlationMatrix(docs, Seq(
+          "n_chars" -> col("n_chars"),
+          "n_stop" -> size(filter(words,
+            x => x.isin(llm.TextAnalysis.StopwordsGopher: _*))),
+          "n_words" -> llm.TextAnalysis.tokenCount(col("text"))))
+        .orderBy(col("feat_a"), col("feat_b"))
+    }),
+
     // probe calibration: tie-corrected Mann-Whitney AUC of the trained
     // probe's score predicting the Gopher keep verdict — the corpus
     // shrinks to one row per distinct score before the global rank window

@@ -24,6 +24,42 @@ import org.apache.spark.sql.functions._
   * ~10⁹ positives against ~10⁹ negatives. */
 object Eval {
 
+  /** Pearson correlation for every unordered pair of INTEGER-valued
+    * feature columns — the feature-redundancy audit run before trusting a
+    * probe's feature set. ONE partial-aggregated pass computes all exact
+    * sufficient statistics (n, Σx, Σx², Σxy — integer-exact, so the
+    * result is partitioning- and engine-portable); each pair's r is then
+    * a fixed sequence of IEEE ops on those longs. NULL when either side
+    * has zero variance. Headroom: n·Σxy must stay under 2⁶³ — with
+    * features ~10³, safe to ~10¹² rows; quantize or sample beyond. */
+  def correlationMatrix(df: DataFrame,
+      feats: Seq[(String, Column)]): DataFrame = {
+    require(feats.size >= 2, "correlationMatrix: at least two features")
+    val pairs = for {
+      i <- feats.indices; j <- feats.indices if i < j
+    } yield (feats(i), feats(j))
+    val aggs = (count(lit(1)).as("n") +:
+      feats.flatMap { case (nm, c) =>
+        val l = c.cast("long")
+        Seq(sum(l).as(s"s_$nm"), sum(l * l).as(s"q_$nm"))
+      }) ++ pairs.map { case ((na, ca), (nb, cb)) =>
+        sum(ca.cast("long") * cb.cast("long")).as(s"p_${na}_$nb")
+      }
+    // the 1-row stats frame feeds one select per pair — checkpoint so the
+    // corpus scan runs once, not once per pair
+    val t = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(eager = false)
+    pairs.map { case ((na, _), (nb, _)) =>
+      val va = col("n") * col(s"q_$na") - col(s"s_$na") * col(s"s_$na")
+      val vb = col("n") * col(s"q_$nb") - col(s"s_$nb") * col(s"s_$nb")
+      val num = col("n") * col(s"p_${na}_$nb") - col(s"s_$na") * col(s"s_$nb")
+      t.select(lit(na).as("feat_a"), lit(nb).as("feat_b"), col("n"),
+        when(va > 0 && vb > 0,
+          num.cast("double") /
+            (sqrt(va.cast("double")) * sqrt(vb.cast("double"))))
+          .as("corr"))
+    }.reduce(_ unionByName _)
+  }
+
   /** One row: (n_pos, n_neg, auc) of `scoreCol` predicting boolean
     * `labelCol`; auc is NULL when either class is empty. */
   def auc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {

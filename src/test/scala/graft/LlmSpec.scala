@@ -1308,6 +1308,20 @@ class LlmSpec extends SparkTestBase {
     assert(est.values.forall(_._4)) // overestimate contract
   }
 
+  test("correlation matrix: exact +1/-1 on linear pairs, NULL on zero variance") {
+    import graft.llm.Eval
+    val d = (1L to 10L).map(i => (i, 2 * i, 11 - i, 7L))
+      .toDF("a", "b", "neg", "const")
+    val r = Eval.correlationMatrix(d, Seq(
+        "a" -> $"a", "b" -> $"b", "neg" -> $"neg", "const" -> $"const"))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(r(("a", "b")) === Some(1.0))
+    assert(r(("a", "neg")) === Some(-1.0))
+    assert(r(("a", "const")) === None) // zero variance -> undefined
+    assert(r.size === 6)
+  }
+
   test("embedding outliers: the planted far vector is flagged, the cloud is not") {
     // 20 vectors near (1, 0) plus one at (-40, 40): the cloud's distances
     // to the mean cluster tightly, the plant sits many sigmas out
