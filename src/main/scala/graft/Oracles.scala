@@ -952,6 +952,32 @@ object Oracles {
         |  (SELECT * FROM s ORDER BY skey, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
 
+    // HRW mirror: the identical w·64+idx encoded argmax, shard looked up
+    // by decoded index (ties break to the later shard on both engines)
+    "q_shard_assign" -> {
+      val shards = Seq("s0", "s1", "s2", "s3", "s4")
+      val enc = shards.zipWithIndex.map { case (s, i) =>
+        s"CAST(concat('0x', substring(md5('$s:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 64 + $i"
+      }.mkString(",\n    ")
+      s"""SELECT doc_id,
+         |  ([${shards.map("'" + _ + "'").mkString(", ")}])[CAST(greatest(
+         |    $enc) % 64 AS INT) + 1] AS shard
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // normalization mirror: identical planted noise, then lower → control
+    // chars to spaces → whitespace collapse → trim
+    "q_text_normalize" ->
+      """WITH noisy AS (
+        |  SELECT doc_id,
+        |    '  ' || substring(text, 1, 40) || chr(9) || chr(9) ||
+        |      substring(text, 41, 1000000) || ' ' || chr(9) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS normalized
+        |FROM noisy ORDER BY doc_id""".stripMargin,
+
     // DSIR per-doc importance scores: exact integer nano-sums over the
     // 256-bucket λ table; λ runs ONE ln over the identical
     // ((tc+1)/(rc+1))·((rt+B)/(tt+B)) op sequence, floored to the 1e-9

@@ -593,6 +593,27 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // rendezvous (HRW) shard assignment: argmax of per-shard digest
+    // weights — adding a shard moves only rows won BY the new shard
+    // (movement property spec-pinned); pure scan-side
+    "q_shard_assign" -> ((s, dir) =>
+      llm.Sampling.assignShards(t(s, dir, "documents"), col("doc_id"),
+          Seq("s0", "s1", "s2", "s3", "s4"))
+        .select(col("doc_id"), col("shard"))
+        .orderBy(col("doc_id"))),
+
+    // canonical text normalization over planted formatting noise (leading
+    // blanks, tab runs, trailing mix): the pre-hashing pass that keeps
+    // formatting variants from splitting digests
+    "q_text_normalize" -> ((s, dir) => {
+      val noisy = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("  "), substring(col("text"), 1, 40), lit("\t\t"),
+          substring(col("text"), 41, 1000000), lit(" \t")).as("text"))
+      noisy.select(col("doc_id"),
+          llm.TextAnalysis.normalizeText(col("text")).as("normalized"))
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature-sampled mixture (α = 0.5): per-source budgets derived
     // from the sources' own token totals via composed correctly-rounded
     // sqrt + integer micro arithmetic (bit-portable, see

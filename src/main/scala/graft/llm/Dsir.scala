@@ -58,8 +58,10 @@ object Dsir {
       .select(bucketOf(col("gram"), buckets).as("bucket"))
     val rc = rb.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
     val tc = tb.groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
-    val tot = rc.agg(sum(col("rc")).as("rt"))
-      .crossJoin(tc.agg(sum(col("tc")).as("tt")))
+    // coalesce: an empty corpus sums to NULL, which would silently NULL
+    // every λ — with 0 the ratio degrades to the smoothing prior instead
+    val tot = rc.agg(coalesce(sum(col("rc")), lit(0L)).as("rt"))
+      .crossJoin(tc.agg(coalesce(sum(col("tc")), lit(0L)).as("tt")))
     spark.range(buckets).toDF("bucket")
       .join(rc, Seq("bucket"), "left")
       .join(tc, Seq("bucket"), "left")

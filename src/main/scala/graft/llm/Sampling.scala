@@ -97,6 +97,35 @@ object Sampling {
         lit(k)))
   }
 
+  /** Rendezvous (HRW, Thaler & Ravishankar 1996) shard assignment: each
+    * row goes to the shard with the highest digest weight md5(shard:key).
+    * THE property row caps/mod-hashing lack: when a shard is added,
+    * ONLY rows whose new-shard weight wins move — expected 1/(n+1) of the
+    * corpus, all of it TO the new shard, none between old shards
+    * (spec-pinned) — so growing a 100 TB layout from n to n+1 shards
+    * rewrites one shard's worth of data, not everything. Key-pure like
+    * every assignment here (same discipline as [[assignSplit]]); pure
+    * scan-side projection, |shards| digests per row, no shuffle.
+    *
+    * Weights encode as w·64 + shardIndex so the argmax is a plain long
+    * `greatest` on both engines (ties — 2⁻³² per pair — break to the
+    * LATER shard in the list, deterministically). Max 64 shards per call;
+    * compose hierarchically beyond. */
+  def assignShards(df: DataFrame, key: Column, shards: Seq[String]): DataFrame = {
+    require(shards.nonEmpty && shards.size <= 64,
+      s"1..64 shards: ${shards.size}")
+    require(shards.distinct.size == shards.size, "shard names must be unique")
+    val encoded = shards.zipWithIndex.map { case (s, i) =>
+      conv(substring(md5(concat(lit(s), lit(":"), key.cast("string"))), 1, 8),
+        16, 10).cast("long") * lit(64L) + lit(i.toLong)
+    }
+    val best =
+      if (encoded.size == 1) encoded.head else greatest(encoded: _*)
+    df.withColumn("shard",
+      element_at(array(shards.map(lit(_)): _*),
+        (best % 64).cast("int") + 1))
+  }
+
   /** Deterministic per-group cap: keep at most `cap` rows per group, chosen
     * by md5-digest rank of the row key — source balancing for a training
     * mixture (one viral crawl must not dominate the mix). The kept set is

@@ -417,6 +417,15 @@ object TextAnalysis {
         (col("total_chars").cast("double") /
           col("total_tokens").cast("double")).as("chars_per_token"))
 
+  /** Canonical text normalization — the pass every pipeline runs BEFORE
+    * hashing/dedup so that formatting noise (control chars, whitespace
+    * runs, case) doesn't split identical content into distinct digests:
+    * lowercase → control chars to spaces → whitespace runs collapsed →
+    * trimmed. Pure scan-side projection. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\p{Cntrl}]", " "), "\\s+", " "))
+
   /** Default topic lexicons for [[topicTags]], alphabetical by topic. */
   val DefaultTopics: Seq[(String, Seq[String])] = Seq(
     "commerce" -> Seq("customer", "order", "price", "supplier", "part", "region"),

@@ -1308,6 +1308,28 @@ class LlmSpec extends SparkTestBase {
     assert(est.values.forall(_._4)) // overestimate contract
   }
 
+  test("HRW sharding: adding a shard moves rows only TO the new shard") {
+    import graft.llm.Sampling
+    val d = (0L until 400L).map(Tuple1(_)).toDF("doc_id")
+    val before = Sampling.assignShards(d, $"doc_id", Seq("a", "b", "c"))
+      .select($"doc_id", $"shard").as[(Long, String)].collect().toMap
+    val after = Sampling.assignShards(d, $"doc_id", Seq("a", "b", "c", "d"))
+      .select($"doc_id", $"shard").as[(Long, String)].collect().toMap
+    val moved = before.keys.filter(k => before(k) != after(k)).toSeq
+    assert(moved.nonEmpty && moved.forall(after(_) == "d")) // only TO new
+    // expected ~1/4 of rows move; allow generous slack
+    assert(moved.size > 400 / 8 && moved.size < 400 / 2)
+    // balance: every shard gets a nontrivial share before the split
+    assert(before.values.toSeq.groupBy(identity).values.forall(_.size > 60))
+  }
+
+  test("text normalization collapses whitespace/control noise to canonical form") {
+    import graft.llm.TextAnalysis
+    val d = Seq((1L, "  Hello\t\tWorld  again \t")).toDF("doc_id", "text")
+    val out = d.select(TextAnalysis.normalizeText($"text")).as[String].head()
+    assert(out === "hello world again")
+  }
+
   test("correlation matrix: exact +1/-1 on linear pairs, NULL on zero variance") {
     import graft.llm.Eval
     val d = (1L to 10L).map(i => (i, 2 * i, 11 - i, 7L))
