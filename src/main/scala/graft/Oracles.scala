@@ -978,6 +978,70 @@ object Oracles {
         |    '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS normalized
         |FROM noisy ORDER BY doc_id""".stripMargin,
 
+    // containment mirror: ngram-jaccard's railed string-shingle frame,
+    // each containment one double division, either direction ≥ 0.6
+    "q_dedup_containment" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents),
+         |keep AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 1000),
+         |p AS (SELECT e.doc_id, e.h FROM e JOIN keep USING (h)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY 1),
+         |c AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT id_a, id_b,
+         |    c::DOUBLE / sa.sz::DOUBLE AS containment_a,
+         |    c::DOUBLE / sb.sz::DOUBLE AS containment_b
+         |  FROM c
+         |  JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, containment_a, containment_b FROM m
+         |WHERE greatest(containment_a, containment_b) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // per-source KL mirror: the DSIR gram/bucket frame grouped by source,
+    // each bucket contribution one fixed (w · ln(ratio) · 1e9) floor,
+    // per-source sums exact-integer over the closed 256-bucket frame
+    "q_source_kl" ->
+      s"""WITH w AS (
+         |  SELECT source, $wordsSql AS ws FROM documents),
+         |g AS (
+         |  SELECT source, unnest(list_concat(ws,
+         |    CASE WHEN len(ws) >= 2
+         |      THEN [array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]
+         |      ELSE [] END)) AS gram
+         |  FROM w),
+         |b AS (
+         |  SELECT source,
+         |    CAST(concat('0x', substring(md5(gram), 1, 8)) AS BIGINT) % 256 AS bucket
+         |  FROM g),
+         |sb AS (SELECT source, bucket, count(*) AS csb FROM b GROUP BY 1, 2),
+         |cbn AS (SELECT bucket, count(*) AS cb FROM b GROUP BY 1),
+         |nsn AS (SELECT source, CAST(sum(csb) AS BIGINT) AS nsrc
+         |        FROM sb GROUP BY 1),
+         |ntn AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM b),
+         |fr AS (
+         |  SELECT n.source, n.nsrc, r.range AS bucket,
+         |    coalesce(sb.csb, 0) AS csb, coalesce(cbn.cb, 0) AS cb, ntn.ntot
+         |  FROM nsn n
+         |  CROSS JOIN range(256) r
+         |  CROSS JOIN ntn
+         |  LEFT JOIN sb ON sb.source = n.source AND sb.bucket = r.range
+         |  LEFT JOIN cbn ON cbn.bucket = r.range),
+         |co AS (
+         |  SELECT source, nsrc,
+         |    CAST(floor(((csb + 1)::DOUBLE / (nsrc + 256)::DOUBLE) *
+         |      ln(((csb + 1)::DOUBLE / (cb + 1)::DOUBLE) *
+         |         ((ntot + 256)::DOUBLE / (nsrc + 256)::DOUBLE)) * 1e9)
+         |      AS BIGINT) AS contrib
+         |  FROM fr)
+         |SELECT source, CAST(min(nsrc) AS BIGINT) AS n_grams,
+         |  CAST(sum(contrib) AS BIGINT) AS kl_nano
+         |FROM co GROUP BY 1 ORDER BY source""".stripMargin,
+
     // DSIR per-doc importance scores: exact integer nano-sums over the
     // 256-bucket λ table; λ runs ONE ln over the identical
     // ((tc+1)/(rc+1))·((rt+B)/(tt+B)) op sequence, floored to the 1e-9

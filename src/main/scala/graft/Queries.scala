@@ -583,6 +583,12 @@ object Queries {
         .localCheckpoint(eager = false)
       llm.Dsir.score(docs, lam).orderBy(col("doc_id"))
     }),
+    // per-source KL to the corpus gram distribution: the mixture
+    // diagnostic, exact integer nano-sums over the closed bucket frame
+    "q_source_kl" -> ((s, dir) =>
+      llm.Dsir.sourceKl(tWide(s, dir, "documents"))
+        .orderBy(col("source"))),
+
     // the resampling step: Gumbel-top-100 under digest-uniform noise —
     // the drawn set + keys are the oracle-checkable facts
     "q_dsir_sample" -> ((s, dir) => {
@@ -730,6 +736,12 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))),
     // maxDf=2 exercises the high-DF pruning path through the oracle (the
     // sf corpus' max block-level DF is 3, so ≥3 would be a no-op here).
+    // containment (asymmetric Jaccard): catches a doc CONTAINED in a
+    // larger one, which symmetric Jaccard dilutes; either direction ≥ 0.6
+    "q_dedup_containment" -> ((s, dir) =>
+      llm.Dedup.containmentPairs(tWide(s, dir, "documents"), n = 3,
+          threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))),
     "q_ngram_jaccard" -> ((s, dir) =>
       llm.Dedup.ngramJaccardPairs(tWide(s, dir, "documents"), "source", n = 3,
           threshold = 0.3, maxDf = 2)

@@ -587,6 +587,42 @@ object Dedup {
     materializedWithout(out, sh)
   }
 
+  /** Containment (asymmetric Jaccard) pairs: |A∩B| / |A| — the metric
+    * that catches a document CONTAINED in a larger one (quoted articles,
+    * page-in-site duplication), which symmetric Jaccard dilutes toward 0
+    * as the container grows. Same DF-railed shingle-equi self-join shape
+    * as [[ngramJaccardPairs]]; sizes are measured on the pruned shingle
+    * set (both engines), and each containment is one double division.
+    * A pair reports when EITHER direction reaches `threshold`. At 100 TB
+    * gate with [[minhashNearDups]] bands or a block column first — the
+    * df rail alone bounds fan-out, not candidate volume. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), n)).as("h"))
+    val keep = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("h"))
+    val sh = exploded.join(keep, Seq("h"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    val out = common
+      .join(broadcast(sizes).withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(broadcast(sizes).withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("containment_a", col("c").cast("double") / col("sz_a").cast("double"))
+      .withColumn("containment_b", col("c").cast("double") / col("sz_b").cast("double"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment_a"), col("containment_b"))
+    materializedWithout(out, sh)
+  }
+
   /** Exact-substring duplicate pairs: docs sharing ≥ `minShared` verbatim
     * token windows of `windowTokens` words — the exact-span complement to
     * MinHash near-dup detection (the "50-token verbatim overlap" rule of

@@ -86,6 +86,46 @@ object Dsir {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"), sum(col("lam_nano")).as("score_nano"))
 
+  /** Per-source KL divergence to the corpus gram distribution —
+    * KL(p_s ‖ p) over the hashed-gram buckets — the mixture diagnostic
+    * that ranks how far each source's language sits from the blend (a
+    * source with near-zero KL adds no diversity; an extreme one needs its
+    * own temperature). Laplace(+1) smoothing both sides.
+    *
+    * Portability: per (source, bucket) the contribution is ONE fixed op
+    * sequence — w = (c_sb+1)/(N_s+B), ratio = the DSIR pairing, one ln,
+    * floored to nano-units — and the per-source sum is exact-integer over
+    * the closed B-bucket frame. Driver state: none; the aggregate is
+    * sources × B rows (bounded like the λ table). */
+  def sourceKl(docs: DataFrame, buckets: Int = DefaultBuckets,
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val b = gramStream(docs, idCol = groupCol, textCol = textCol)
+      .select(col(groupCol), bucketOf(col("gram"), buckets).as("bucket"))
+    val sb = b.groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("csb"))
+    val cb = b.groupBy(col("bucket")).agg(count(lit(1)).as("cb"))
+    val ns = sb.groupBy(col(groupCol)).agg(sum(col("csb")).as("nsrc"))
+    val ntot = cb.agg(coalesce(sum(col("cb")), lit(0L)).as("ntot"))
+    val frame = ns
+      .crossJoin(spark.range(buckets).toDF("bucket"))
+      .join(sb, Seq(groupCol, "bucket"), "left")
+      .join(broadcast(cb), Seq("bucket"), "left")
+      .crossJoin(broadcast(ntot))
+    val w = (coalesce(col("csb"), lit(0L)) + 1).cast("double") /
+      (col("nsrc") + buckets).cast("double")
+    val ratio =
+      ((coalesce(col("csb"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("cb"), lit(0L)) + 1).cast("double")) *
+      ((col("ntot") + buckets).cast("double") /
+        (col("nsrc") + buckets).cast("double"))
+    frame
+      .select(col(groupCol), col("nsrc"),
+        floor(w * log(ratio) * lit(1e9)).cast("long").as("contrib"))
+      .groupBy(col(groupCol))
+      .agg(first(col("nsrc")).as("n_grams"), sum(col("contrib")).as("kl_nano"))
+  }
+
   /** Gumbel-top-k importance resampling over scored docs: key = score +
     * Gumbel(digest-uniform u), both in exact nano-units — the paper's
     * resampling, made deterministic/engine-portable by deriving u from the

@@ -1308,6 +1308,42 @@ class LlmSpec extends SparkTestBase {
     assert(est.values.forall(_._4)) // overestimate contract
   }
 
+  test("containment catches the contained doc that Jaccard misses") {
+    // doc 1 is a verbatim chunk of doc 0 plus nothing else: containment_b
+    // = 1.0 while Jaccard is diluted by the container's extra shingles
+    val container = (1 to 40).map(i => s"w$i").mkString(" ")
+    val contained = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq((0L, container), (1L, contained),
+      (2L, "totally different words everywhere nothing shared at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, n = 3, threshold = 0.9)
+      .select($"id_a", $"id_b", $"containment_a", $"containment_b")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((0L, 1L)))
+    assert(pairs.head._4 === 1.0)          // contained fully covered
+    assert(pairs.head._3 < 0.25)           // container barely overlaps
+    // symmetric jaccard on the same pair sits under 0.25: containment is
+    // the only metric that fires at a high threshold
+    val j = Dedup.ngramJaccardPairs(
+      d.withColumn("blk", lit("x")), "blk", n = 3, threshold = 0.0)
+      .filter($"id_a" === 0L && $"id_b" === 1L)
+      .select($"jaccard").as[Double].collect()
+    assert(j.headOption.forall(_ < 0.25))
+  }
+
+  test("source KL: a distinct-vocabulary source ranks far above uniform ones") {
+    import graft.llm.Dsir
+    val rows =
+      (0L until 30L).map(i => (i, "alpha beta gamma delta common words", "plain")) ++
+      (30L until 60L).map(i => (i, "alpha beta gamma delta common words", "plain2")) ++
+      (60L until 90L).map(i => (i, "zork blap quux fizz wibble nork", "weird"))
+    val kl = Dsir.sourceKl(rows.toDF("doc_id", "text", "source"))
+      .select($"source", $"kl_nano").as[(String, Long)].collect().toMap
+    assert(kl("weird") > kl("plain") && kl("weird") > kl("plain2"))
+    // the two identical-distribution sources sit at (near-)equal, low KL
+    assert(math.abs(kl("plain") - kl("plain2")) < kl("weird") / 10)
+  }
+
   test("HRW sharding: adding a shard moves rows only TO the new shard") {
     import graft.llm.Sampling
     val d = (0L until 400L).map(Tuple1(_)).toDF("doc_id")
