@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dsir, Eval, Fingerprint, Graph, Sampling, Sketch}
+
+/** Randomized property pins for the curation/report operators added in
+  * round 7: the published guarantees must hold for EVERY input, not just
+  * the planted spec cases. Trials are seeded (deterministic CI); Spark
+  * runs are kept small because every trial is a full job. */
+class CurationPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("CMS: one-sided error and sharded-merge identity on random corpora") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 30).map(i => s"v$i")
+      val docs = (0L until 40L).map { i =>
+        (i, List.fill(3 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val full = Sketch.cmsBuild(docs)
+      val merged = Sketch.cmsMerge(
+        Sketch.cmsBuild(docs.filter($"doc_id" % 2 === 0)),
+        Sketch.cmsBuild(docs.filter($"doc_id" % 2 === 1)))
+      assert(merged.orderBy($"depth", $"bucket").collect().toSeq ===
+        full.orderBy($"depth", $"bucket").collect().toSeq, s"trial $trial")
+      val est = Sketch.cmsEstimate(full, docs, vocab.take(10) :+ "absent")
+        .select($"overestimate").as[Boolean].collect()
+      assert(est.length === 11 && est.forall(identity), s"trial $trial")
+    }
+  }
+
+  test("winnowing: every planted shared w+k-1 run is detected; density bounded") {
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val run = (1 to 6).map(i => s"shared${trial}x$i").mkString(" ") // 6 = w+k-1
+      def noise(n: Int) =
+        List.fill(n)(s"n${rng.nextInt(100000)}").mkString(" ")
+      val d = Seq(
+        (0L, s"${noise(5 + rng.nextInt(10))} $run ${noise(5 + rng.nextInt(10))}"),
+        (1L, s"${noise(5 + rng.nextInt(10))} $run ${noise(5 + rng.nextInt(10))}"))
+        .toDF("doc_id", "text")
+      val fps = Fingerprint.winnow(d, k = 3, w = 4)
+        .select($"doc_id", $"fp").as[(Long, Long)].collect()
+      val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert((byDoc(0L) & byDoc(1L)).nonEmpty, s"trial $trial: guarantee broken")
+      // density: selections per doc within [grams/w, grams]
+      val counts = fps.groupBy(_._1).view.mapValues(_.length).toMap
+      d.select($"doc_id", size(split(lower(trim($"text")), "\\s+")) - 2)
+        .as[(Long, Int)].collect().foreach { case (id, grams) =>
+          assert(counts(id) <= grams && counts(id) >= grams / 4,
+            s"trial $trial doc $id: ${counts(id)} of $grams grams")
+        }
+    }
+  }
+
+  test("HRW: growth moves only to the new shard, within the expected fraction") {
+    for (n <- Seq(2, 4, 7)) {
+      val shards = (0 until n).map(i => s"sh$i")
+      val d = (0L until 600L).map(Tuple1(_)).toDF("k")
+      val before = Sampling.assignShards(d, $"k", shards)
+        .select($"k", $"shard").as[(Long, String)].collect().toMap
+      val after = Sampling.assignShards(d, $"k", shards :+ "new")
+        .select($"k", $"shard").as[(Long, String)].collect().toMap
+      val moved = before.keys.filter(k => before(k) != after(k)).toSeq
+      assert(moved.forall(after(_) == "new"), s"n=$n: moved between old shards")
+      val expect = 600.0 / (n + 1)
+      assert(moved.size < expect * 2.2 && moved.size > expect / 2.5,
+        s"n=$n: moved ${moved.size}, expected ~$expect")
+    }
+  }
+
+  test("AUC equals the naive pairwise statistic on random scored sets") {
+    val rng = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val rows = (0 until 60).map { _ =>
+        (rng.nextInt(8).toDouble, rng.nextBoolean()) // ties guaranteed
+      }
+      val naive = {
+        val pos = rows.filter(_._2).map(_._1)
+        val neg = rows.filterNot(_._2).map(_._1)
+        val s = (for (p <- pos; q <- neg) yield
+          if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+        s / (pos.size.toDouble * neg.size.toDouble)
+      }
+      val got = Eval.auc(rows.toDF("score", "label"), $"score", $"label")
+        .select($"auc").as[Double].head()
+      assert(math.abs(got - naive) < 1e-12, s"trial $trial: $got vs $naive")
+    }
+  }
+
+  test("integer PageRank: a ring graph is exactly stationary at the unit mass") {
+    // on a 2-regular ring every update is 150000 + 85*(2*(1e6 div 2)) div 100
+    // = 1000000 exactly — the fixed point stays bit-exact through floor math
+    val n = 12
+    val nodes = (0L until n.toLong).map(Tuple1(_)).toDF("doc_id")
+    val pairs = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("id_a", "id_b")
+    val r = Graph.pagerank(nodes, pairs, iters = 3)
+      .select($"rank_micro").as[Long].collect()
+    assert(r.length === n && r.forall(_ === 1000000L))
+  }
+
+  test("DSIR: uniform target over the raw corpus scores every doc identically") {
+    // target == raw => per-bucket ratio is exactly 1 before smoothing skew;
+    // with identical counts the lambda table is all floor(ln(1)*1e9) = 0
+    val docs = (0L until 30L).map(i => (i, "same words every time", "en"))
+      .toDF("doc_id", "text", "lang")
+    val lam = Dsir.bucketLogRatios(docs, docs)
+    assert(lam.filter($"lam_nano" =!= 0L).count() === 0L)
+    val scores = Dsir.score(docs, lam)
+      .select($"score_nano").as[Long].collect()
+    assert(scores.forall(_ === 0L))
+  }
+}
