@@ -458,6 +458,26 @@ object Oracles {
         |WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // SCD2 mirror: identical lag-collapse then lead/row_number over the
+    // surviving change rows, same (ts, event_id) tie order
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type AS state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS version
+        |  FROM c)
+        |SELECT user_id, state, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current, version
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
     // chain debounce = keep rows whose lag-gap is null or beyond the window
     "q_debounce" ->
       """WITH x AS (
@@ -514,6 +534,34 @@ object Oracles {
         |   EXCEPT
         |   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
         |ORDER BY cohort, user_id""".stripMargin,
+
+    // MERGE mirror: same deterministic batch derivation, then the row-level
+    // MERGE outcome — snapshot keys absent from the batch, plus the batch's
+    // surviving rows
+    "q_merge_upsert" ->
+      """WITH batch AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+        |    o_orderpriority, FALSE AS _deleted
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, TRUE
+        |  FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey - 1, o_custkey, 'N', o_totalprice, o_orderdate,
+        |    o_orderpriority, FALSE
+        |  FROM orders WHERE o_orderkey % 11 = 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders s
+        |WHERE NOT EXISTS (SELECT 1 FROM batch b
+        |  WHERE b.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM batch WHERE NOT _deleted
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_asof_enrich" ->
       """WITH snap AS (
@@ -1002,6 +1050,36 @@ object Oracles {
          |WHERE greatest(containment_a, containment_b) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // paragraph dedup mirror: identical window slicing over the normalized
+    // word stream, duplicates grouped by paragraph TEXT (Spark groups by
+    // xxhash64 — same equivalence classes, collisions negligible);
+    // untouched docs publish their ORIGINAL text, touched docs the
+    // re-serialized kept stream
+    "q_dedup_paragraph" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |n AS (SELECT doc_id, ws,
+         |    greatest(1, CAST(ceil(len(ws)/8.0) AS BIGINT)) AS np FROM w),
+         |p AS (
+         |  SELECT doc_id, i AS pidx,
+         |    array_to_string(ws[i*8+1 : i*8+8], ' ') AS para
+         |  FROM n, unnest(range(0, np)) AS gs(i)),
+         |d AS (SELECT para FROM p GROUP BY para HAVING count(*) > 1),
+         |k AS (SELECT p.*, (d.para IS NOT NULL) AS isdup
+         |      FROM p LEFT JOIN d USING (para)),
+         |g AS (
+         |  SELECT doc_id, count(*) AS n_paras,
+         |    count(*) FILTER (WHERE isdup) AS n_dropped,
+         |    coalesce(array_to_string(
+         |      list(para ORDER BY pidx) FILTER (WHERE NOT isdup), ' '), '')
+         |      AS rebuilt
+         |  FROM k GROUP BY doc_id)
+         |SELECT g.doc_id,
+         |  CASE WHEN g.n_dropped = 0 THEN doc.text ELSE g.rebuilt END
+         |    AS text_out,
+         |  g.n_paras, g.n_dropped
+         |FROM g JOIN documents doc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // per-source KL mirror: the DSIR gram/bucket frame grouped by source,
     // each bucket contribution one fixed (w · ln(ratio) · 1e9) floor,
     // per-source sums exact-integer over the closed 256-bucket frame
@@ -1205,6 +1283,40 @@ object Oracles {
          |    AS sources
          |FROM lbl l JOIN documents d USING (doc_id)
          |GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+
+    // triangle/LCC mirror over the same label-blocked cosine pair graph:
+    // a < b < c triple join counts each triangle once; LCC is one IEEE
+    // division of exact integers, NULL below degree 2
+    "q_graph_triangles" ->
+      s"""WITH pr AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.embedding", "b.embedding")} /
+         |      (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+         |       sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4),
+         |tri AS (
+         |  SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+         |  FROM pr e1
+         |  JOIN pr e2 ON e2.id_a = e1.id_b
+         |  JOIN pr e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+         |deg AS (
+         |  SELECT id, count(*) AS degree FROM (
+         |    SELECT id_a AS id FROM pr UNION ALL SELECT id_b FROM pr)
+         |  GROUP BY id),
+         |tn AS (
+         |  SELECT id, count(*) AS triangles FROM (
+         |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri)
+         |  GROUP BY id)
+         |SELECT d.id AS node_id, d.degree,
+         |  coalesce(tn.triangles, 0) AS triangles,
+         |  CASE WHEN d.degree >= 2
+         |    THEN CAST(2 * coalesce(tn.triangles, 0) AS DOUBLE) /
+         |         CAST(d.degree * (d.degree - 1) AS DOUBLE)
+         |    ELSE NULL END AS lcc
+         |FROM deg d LEFT JOIN tn ON tn.id = d.id
+         |ORDER BY node_id""".stripMargin,
 
     // snapshot-diff status mirror: same %10 version construction, digest
     // compare via md5 on both engines (ASCII-safe — md5 hashes utf8 bytes
@@ -2372,6 +2484,33 @@ object Oracles {
     // SemDeDup off the k-means codebook: k is now a free scale lever
     // (cells ∝ corpus), dedup tail identical to q_semantic_dedup's
     "q_semantic_dedup_kmeans" -> kmeansSemanticSql,
+
+    // silhouette mirror over the same unrolled-Lloyd codebook: per-vector
+    // (d, cell) rank EXACTLY the assignment expression, a/b shifted by
+    // ‖v‖² in one addition, s floored to micro-units before the exact sum
+    "q_cluster_quality" -> (kmeansCtes(kmK, kmIters) + s""",
+      |sd AS (
+      |  SELECT e.vec_id, c.cell,
+      |    ${dotSql("c.centroid", "c.centroid")} - ${dotSql("e.v", "c.centroid")} * 2.0 AS d,
+      |    ${dotSql("e.v", "e.v")} AS vv
+      |  FROM e0 e CROSS JOIN cl$kmIters c),
+      |rk AS (
+      |  SELECT vec_id, cell, d, vv,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |  FROM sd),
+      |ab AS (
+      |  SELECT a.vec_id, a.cell, a.d + a.vv AS da, b.d + b.vv AS db
+      |  FROM rk a JOIN rk b ON b.vec_id = a.vec_id AND b.rn = 2
+      |  WHERE a.rn = 1),
+      |sm AS (
+      |  SELECT vec_id, cell,
+      |    CASE WHEN greatest(da, db) > 0
+      |      THEN CAST(floor(((db - da) / greatest(da, db)) * 1e6) AS BIGINT)
+      |      ELSE 0 END AS smicro
+      |  FROM ab)
+      |SELECT cell, count(*) AS n_members, sum(smicro) AS sil_micro_sum,
+      |  sum(smicro)::DOUBLE / (count(*)::DOUBLE * 1e6) AS mean_sil
+      |FROM sm GROUP BY cell ORDER BY cell""".stripMargin),
 
     "q_bpe_merges" -> bpeMergesSql(6),
 

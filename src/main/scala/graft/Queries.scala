@@ -151,6 +151,12 @@ object Queries {
       Analytics.debounce(t(s, dir, "events"), withinMs = 3600000L)
         .select(col("event_id"), col("user_id"), col("event_type"))
         .orderBy(col("event_id"))),
+    // type-2 SCD history: per-user event_type state intervals, consecutive
+    // duplicates collapsed, half-open validity windows — one user_id shuffle,
+    // all three window passes on the same sort
+    "q_scd2" -> ((s, dir) =>
+      Analytics.scd2History(t(s, dir, "events"))
+        .orderBy(col("user_id"), col("version"))),
     "q_topk_events" -> ((s, dir) => Analytics.topkEvents(t(s, dir, "events"), 5)),
     // HLL's raw estimate can't be oracled (DuckDB's sketch differs), but
     // its ERROR CONTRACT can: emit the exact count plus a boolean asserting
@@ -178,6 +184,30 @@ object Queries {
       Analytics.customerOrderPresence(t(s, dir, "orders"), t(s, dir, "customer"))),
     "q_set_cohorts" -> ((s, dir) =>
       Analytics.viewPurchaseCohorts(t(s, dir, "events"))),
+
+    // ---- warehouse maintenance: keyed MERGE (upsert) ----
+    // a deterministic change batch derived from the snapshot itself
+    // (updates %7, tombstones %13 minus the update keys, inserts at
+    // −key−1 for %11 keys — strictly negative, guaranteed-absent) applied
+    // via the broadcast-anti-join MERGE; the snapshot bulk never shuffles
+    "q_merge_upsert" -> ((s, dir) => {
+      val snap = t(s, dir, "orders")
+      val cols = snap.columns.map(col).toSeq
+      val updates = snap.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .select(cols: _*).withColumn("_deleted", lit(false))
+      val deletes = snap.filter(col("o_orderkey") % 13 === 0 &&
+          col("o_orderkey") % 7 =!= 0)
+        .select(cols: _*).withColumn("_deleted", lit(true))
+      val inserts = snap.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey") - 1)
+        .withColumn("o_orderstatus", lit("N"))
+        .select(cols: _*).withColumn("_deleted", lit(false))
+      graft.sources.Merge.upsert(snap,
+          updates.unionByName(deletes).unionByName(inserts), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // ---- analytics: as-of join (event enrichment with latest state) ----
     // each event picks up its user's latest daily-snapshot value at or
@@ -455,6 +485,14 @@ object Queries {
           llm.Dedup.minhashNearDups(docs, threshold = 0.6))
         .orderBy(col("doc_id"))
     }),
+    // per-node triangles + local clustering coefficient over the embedding
+    // similarity graph: degree-ordered wedge orientation, one closure
+    // semi-join — separates template families (high LCC) from hubs
+    "q_graph_triangles" -> ((s, dir) =>
+      llm.Graph.triangles(
+          llm.Similarity.cosinePairsBlocked(tWide(s, dir, "embeddings"),
+            "label", 0.4))
+        .orderBy(col("node_id"))),
 
     // snapshot diff between corpus releases: v1 drops the %10==3 docs and
     // carries a truncated revision of the %10==7 docs; v2 drops %10==5.
@@ -742,6 +780,12 @@ object Queries {
       llm.Dedup.containmentPairs(tWide(s, dir, "documents"), n = 3,
           threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),
+    // paragraph-granularity boilerplate removal: corpus-wide duplicate
+    // 8-word windows stripped from every host; untouched bulk keeps its
+    // original bytes through a broadcast anti-join
+    "q_dedup_paragraph" -> ((s, dir) =>
+      llm.Dedup.dedupParagraphs(tWide(s, dir, "documents"), paraWords = 8)
+        .orderBy(col("doc_id"))),
     "q_ngram_jaccard" -> ((s, dir) =>
       llm.Dedup.ngramJaccardPairs(tWide(s, dir, "documents"), "source", n = 3,
           threshold = 0.3, maxDf = 2)
@@ -867,6 +911,14 @@ object Queries {
     "q_kmeans" -> ((s, dir) =>
       llm.Kmeans.train(tWide(s, dir, "embeddings"), k = 8, iters = 3)
         .orderBy(col("cell"), col("dim"))),
+    // clustering-quality gauge over the same codebook: per-cell simplified
+    // silhouette (squared-L2), micro-quantized before the sum — scan-side
+    // distances, one (cell)-keyed shuffle
+    "q_cluster_quality" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      llm.Kmeans.silhouette(emb, llm.Kmeans.trainModel(emb, k = 8, iters = 3))
+        .orderBy(col("cell"))
+    }),
 
     // SemDeDup over the k-means codebook (vs q_semantic_dedup's near-dup-
     // graph centroids, whose cluster count is data-driven and small):

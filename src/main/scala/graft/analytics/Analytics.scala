@@ -622,4 +622,37 @@ object Analytics {
           .as("approx_close"),
         col("n"))
       .orderBy(col("l_returnflag"))
+
+  /** Type-2 slowly-changing-dimension history from a change/event log: per
+    * key, collapse consecutive identical states (lag compare), then stamp
+    * each surviving state with its validity interval — `valid_from` = the
+    * change's timestamp, `valid_to` = the NEXT change's timestamp (half-open
+    * interval, the standard SCD2 convention), `is_current` on the open row,
+    * `version` = per-key change ordinal. The warehouse twin of the MERGE
+    * operator ([[graft.sources.Merge]]): MERGE maintains the type-1 "latest
+    * row" snapshot, this builds the full type-2 history.
+    *
+    * Scale shape: ONE shuffle on the key; the collapse lag, the interval
+    * lead, and the version row_number all ride the same (key, ts, tie)
+    * sort, so Catalyst plans a single Exchange + Sort with stacked Window
+    * operators (no re-sort between them — same reuse as sessionize). The
+    * key is high-cardinality in production (user/entity id), no global
+    * window anywhere. Ties on ts break by `tieCol` so the history is
+    * deterministic under redelivery order. */
+  def scd2History(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", stateCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val changed = events
+      .withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(stateCol))
+    changed
+      .select(col(keyCol), col(stateCol).as("state"),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(w).as("valid_to"),
+        row_number().over(w).as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col("state"), col("valid_from"), col("valid_to"),
+        col("is_current"), col("version"))
+  }
 }

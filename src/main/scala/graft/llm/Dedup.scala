@@ -864,4 +864,65 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"),
         count_distinct(col("__src")).as("n_sources"),
         array_join(array_sort(collect_set(col("__src"))), ",").as("sources"))
+
+  /** Paragraph-granularity exact dedup — the C4/CCNet boilerplate rule
+    * applied INSIDE documents: every paragraph occurring in more than
+    * `maxCount` places corpus-wide is removed from ALL of them (nav bars,
+    * cookie banners, license footers — the spans document-level dedup
+    * can't touch because their hosts differ). Paragraphs here are
+    * consecutive `paraWords`-word windows of the normalized word stream
+    * (the corpus has no layout breaks; a real pipeline passes newline-split
+    * paragraphs through the same machinery). Returns one row per doc:
+    * (doc_id, text_out, n_paras, n_dropped) — text for untouched docs is
+    * the ORIGINAL, byte-identical; touched docs re-serialize the kept
+    * word stream (removal necessarily rewrites).
+    *
+    * Scale shape (the members-only discipline of [[clusterCanonicals]]):
+    * the corpus-sized exchange is the (id, pidx, hash) frame — three
+    * longs, never text; duplicate hashes come from a narrow aggregation
+    * and broadcast back; the UNTOUCHED bulk passes one broadcast anti-join
+    * with its text never moving, and only affected docs (those actually
+    * containing boilerplate) rebuild, via a broadcast of their kept-index
+    * lists. Paragraph identity is xxhash64 (collision ⇒ two distinct
+    * paragraphs conflated: ~10⁻¹³ at 10⁶ paragraphs — the
+    * [[hashedShingles]] argument). */
+  def dedupParagraphs(docs: DataFrame, paraWords: Int = 8, maxCount: Int = 1,
+      idCol: String = "doc_id", textCol: String = "text",
+      // false = return the raw plan (no checkpoint) — plan-contract tests
+      // only; leaks the persisted hash frame until session end
+      materialize: Boolean = true): DataFrame = {
+    require(paraWords >= 1 && maxCount >= 1, s"bad rails: $paraWords, $maxCount")
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    val nPara = greatest(lit(1L),
+      ceil(size(ws).cast("double") / paraWords).cast("long"))
+    val paras = transform(sequence(lit(0L), nPara - 1),
+      i => concat_ws(" ",
+        slice(ws, (i * paraWords + 1).cast("int"), lit(paraWords))))
+    val p = docs
+      .select(col(idCol).as("id"), posexplode(paras).as(Seq("pidx", "para")))
+      .select(col("id"), col("pidx"), xxhash64(col("para")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = p.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxCount)
+      .select(col("h"), lit(true).as("isdup"))
+    val perDoc = p.join(broadcast(dup), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(when(col("isdup").isNull, col("pidx"))))
+          .as("kept"),
+        sum(when(col("isdup"), 1L).otherwise(0L)).as("n_dropped"))
+    val affected = perDoc.filter(col("n_dropped") > 0)
+    val bulk = docs
+      .join(broadcast(affected.select(col("id"))), col(idCol) === col("id"),
+        "left_anti")
+      .select(col(idCol).as("doc_id"), col(textCol).as("text_out"),
+        nPara.as("n_paras"), lit(0L).as("n_dropped"))
+    val rebuilt = docs
+      .join(broadcast(affected), col(idCol) === col("id"))
+      .select(col(idCol).as("doc_id"),
+        concat_ws(" ", filter(paras, (_, i) =>
+          array_contains(col("kept"), i.cast("int")))).as("text_out"),
+        nPara.as("n_paras"), col("n_dropped"))
+    val out = bulk.unionByName(rebuilt)
+    if (materialize) materializedWithout(out, p) else out
+  }
 }

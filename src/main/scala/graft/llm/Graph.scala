@@ -61,4 +61,59 @@ object Graph {
       .select(col("id").as(idCol), col("s").as("rank_micro"),
         coalesce(col("deg"), lit(0L)).as("degree"))
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected canonical pair list (id_a < id_b, each edge once) — the
+    * graph-density twin of [[pagerank]]: a high-LCC node sits inside a
+    * tightly-interlinked template family (its neighbors also duplicate
+    * each other), a high-degree/low-LCC node is a hub stitching otherwise
+    * unrelated documents — exactly the split curation wants between
+    * "boilerplate cluster" and "popular but unique".
+    *
+    * Scale shape — the degree-ordered orientation (node-iterator++): each
+    * edge is directed from its lower-(degree, id) endpoint, so wedge
+    * enumeration joins each node's OUT-edges only — fan-out per node is
+    * min(deg, …) and the quadratic concentrates on low-degree vertices
+    * (Σ d_out² is minimized by this orientation; the classic
+    * skew-resistant triangle plan). The closure check is one semi-join of
+    * wedges against the canonical edge list; every exchange carries
+    * (long, long) rows. LCC = 2T / d(d−1): exact integer numerator and
+    * denominator, ONE IEEE division — engine-portable; NULL below degree
+    * 2 (undefined, the [[graft.llm.Probe]] zero-variance convention). */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .localCheckpoint(eager = false)
+    val deg = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(eager = false)
+    val withDeg = e
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), Seq("b"))
+    // orient low-(deg, id) → high; ties on degree fall back to id, and the
+    // canonical frame already has a < b — so src = a iff da <= db
+    val oriented = withDeg.select(
+      when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+      when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint(eager = false)
+    // wedges at each source, canonicalized by endpoint id so the closure
+    // edge lookup hits the (id_a < id_b) canonical frame directly
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"), col("x.src") === col("y.src")
+        && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("v0"), col("x.dst").as("v1"),
+        col("y.dst").as("v2"))
+    val tri = wedges.join(e,
+      wedges("v1") === e("a") && wedges("v2") === e("b"), "left_semi")
+    val tn = tri
+      .select(explode(array(col("v0"), col("v1"), col("v2"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    deg.join(tn, Seq("id"), "left")
+      .select(col("id").as("node_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          (coalesce(col("triangles"), lit(0L)) * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .as("lcc"))
+  }
 }

@@ -106,6 +106,48 @@ object Kmeans {
     }.toSeq.toDF("cluster_id", "n_members", "centroid")
   }
 
+  /** Per-cluster clustering quality: simplified silhouette on squared-L2
+    * distances to the trained codebook — a(v) = dist² to the assigned
+    * center, b(v) = dist² to the nearest OTHER center,
+    * s = (b − a) / max(a, b), averaged per cell. The quality gauge that
+    * tells a SemDeDup operator whether its cells are tight (s → 1) or
+    * arbitrary (s → 0): cells with low silhouette are where the per-cell
+    * ε-join's "duplicates share a cell" assumption leaks.
+    *
+    * Scale shape: the k distances are ONE scan-side codegen projection
+    * (centers inlined as literals, the [[cellOf]] expression family —
+    * nothing broadcast, no join); the only shuffle is the (cell)-keyed
+    * partial-aggregated micro-unit sum, k rows out. Portability: the
+    * rank value d = ‖c‖² − 2·v·c is the assignment expression verbatim
+    * (ties → smallest cell), a/b shift it by ‖v‖² in one addition each,
+    * each s quantizes to floor(s·1e6) BEFORE the sum, and the published
+    * mean is one IEEE division — the [[Similarity.clusterCentroids]]
+    * discipline. */
+  def silhouette(emb: DataFrame, model: Model,
+      vecCol: String = "embedding"): DataFrame = {
+    require(model.centers.length >= 2, "silhouette needs k >= 2")
+    val v = col(vecCol)
+    val ranks = array(model.centers.zipWithIndex.map { case (c, i) =>
+      val ca = array(c.map(lit(_)).toIndexedSeq: _*)
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - dot(v, ca) * 2.0).as("d"), lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val sorted = array_sort(ranks)
+    val vv = dot(v, v)
+    val da = sorted.getItem(0).getField("d") + vv
+    val db = sorted.getItem(1).getField("d") + vv
+    val sMicro = when(greatest(da, db) > 0.0,
+      floor(((db - da) / greatest(da, db)) * 1e6).cast("long")).otherwise(0L)
+    emb
+      .select(sorted.getItem(0).getField("cell").as("cell"),
+        sMicro.as("smicro"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("smicro")).as("sil_micro_sum"))
+      .select(col("cell"), col("n_members"), col("sil_micro_sum"),
+        (col("sil_micro_sum").cast("double") /
+          (col("n_members").cast("double") * 1e6)).as("mean_sil"))
+  }
+
   /** Train + publish the codebook long-form — (cell, n_members, dim, c),
     * the oracle-checkable catalog shape (scalar cells, total order). */
   def train(emb: DataFrame, k: Int, iters: Int,

@@ -1516,4 +1516,65 @@ class LlmSpec extends SparkTestBase {
     assert(m === Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"))
   }
+
+  test("paragraph dedup strips the shared boilerplate from every host") {
+    // paraWords=4: docs 1 and 2 share their FIRST 4-word window (the
+    // boilerplate banner); the rest of each doc is unique. doc 3 is
+    // untouched and must keep its original bytes (odd spacing included).
+    val banner = "accept cookies to continue"
+    val docs = Seq(
+      (1L, s"$banner alpha beta gamma delta"),
+      (2L, s"$banner epsilon zeta eta theta"),
+      (3L, "totally unique  content with   odd spacing")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, paraWords = 4)
+      .orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "alpha beta gamma delta", 2L, 1L),
+      (2L, "epsilon zeta eta theta", 2L, 1L),
+      // untouched doc: ORIGINAL text (whitespace preserved), zero drops
+      (3L, "totally unique  content with   odd spacing", 2L, 0L)))
+    // a doc that is ALL boilerplate empties out, not disappears
+    val all = Seq((1L, banner), (2L, banner)).toDF("doc_id", "text")
+    val emptied = Dedup.dedupParagraphs(all, paraWords = 4)
+      .orderBy($"doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(emptied === Seq((1L, "", 1L, 1L), (2L, "", 1L, 1L)))
+  }
+
+  test("triangles: hand graph counts and clustering coefficients exact") {
+    import graft.llm.Graph
+    // K3 on {1,2,3} plus pendant 3-4 plus isolated edge 5-6
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val rows = Graph.triangles(pairs).orderBy($"node_id").collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(byId(1L) === ((2L, 1L, Some(1.0))))  // deg 2, 1 triangle, lcc 1
+    assert(byId(2L) === ((2L, 1L, Some(1.0))))
+    assert(byId(3L) === ((3L, 1L, Some(1.0 / 3.0)))) // 1 of 3 possible
+    assert(byId(4L) === ((1L, 0L, None)))       // degree 1: lcc undefined
+    assert(byId(5L) === ((1L, 0L, None)))
+    assert(byId(6L) === ((1L, 0L, None)))
+  }
+
+  test("silhouette: tight separated clusters score near 1, k=1 rejected") {
+    import graft.llm.Kmeans
+    // two tight clusters far apart; init = first 2 vectors (one per cluster)
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 10.0f)),
+      (3L, Seq(0.1f, 0.0f)), (4L, Seq(10.1f, 10.0f)),
+      (5L, Seq(0.0f, 0.1f)), (6L, Seq(10.0f, 10.1f))
+    ).toDF("vec_id", "embedding")
+    val model = Kmeans.trainModel(emb, k = 2, iters = 2)
+    val sil = Kmeans.silhouette(emb, model).orderBy($"cell").collect()
+    assert(sil.length === 2)
+    sil.foreach { r =>
+      assert(r.getAs[Long]("n_members") === 3L)
+      assert(r.getAs[Double]("mean_sil") > 0.99, r)
+    }
+    assertThrows[IllegalArgumentException] {
+      Kmeans.silhouette(emb, Kmeans.Model(Array(Array(0.0, 0.0)), Array(6L)))
+    }
+  }
 }

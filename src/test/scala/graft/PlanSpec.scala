@@ -377,6 +377,54 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("merge upsert: snapshot bulk anti-joins against a broadcast, no snapshot shuffle") {
+    val snap = t("orders")
+    val cols = snap.columns.map(col).toSeq
+    val batch = snap.filter($"o_orderkey" % 7 === 0)
+      .select(cols: _*).withColumn("_deleted", lit(false))
+    val plan = formatted(graft.sources.Merge.upsert(snap, batch, Seq("o_orderkey")))
+    // the MERGE itself is broadcast-only: no sort-merge join anywhere, and
+    // the anti-join is a BroadcastHashJoin
+    assert("""BroadcastHashJoin LeftAnti""".r.findAllIn(plan).nonEmpty, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the only exchanges are the batch-side rail window + broadcasts — the
+    // snapshot's full row set enters no shuffle (its widest column set
+    // appears in no Exchange input)
+    val exchanges = """(?s)\(\d+\) Exchange.*?Input.*?\n""".r.findAllIn(plan).toSeq
+    assert(!exchanges.exists(_.contains("o_orderdate")), plan)
+  }
+
+  test("scd2: one shuffle, all window passes share the (key, ts, tie) sort") {
+    val plan = formatted(Analytics.scd2History(t("events")))
+    assert("""\(\d+\) Exchange""".r.findAllIn(plan).size === 1, plan)
+    assert("""\(\d+\) Sort""".r.findAllIn(plan).size === 1, plan)
+    assert("""\(\d+\) Window""".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("paragraph dedup: hashes shuffle, text never does; bulk passes an anti-join") {
+    val plan = formatted(
+      graft.llm.Dedup.dedupParagraphs(t("documents"), materialize = false))
+    val exchanges = """(?s)\(\d+\) Exchange.*?Input.*?\n""".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, plan)
+    assert(!exchanges.exists(e => e.contains("text") || e.contains("para")), plan)
+    assert(plan.contains("BroadcastHashJoin LeftAnti"), plan)
+  }
+
+  test("triangles: equi-joins only — no cartesian/broadcast-nested-loop blowup") {
+    val pairs = graft.llm.Similarity.cosinePairsBlocked(t("embeddings"), "label", 0.4)
+    val plan = formatted(graft.llm.Graph.triangles(pairs))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("silhouette: scan-side distances, one cell-keyed shuffle, no joins") {
+    val emb = t("embeddings")
+    val model = graft.llm.Kmeans.trainModel(emb, k = 4, iters = 1)
+    val plan = formatted(graft.llm.Kmeans.silhouette(emb, model))
+    assert(!plan.contains("Join"), plan)
+    assert("""\(\d+\) Exchange""".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("snapshot diff: digests computed scan-side, text in no exchange") {
     val docs = t("documents")
     val plan = formatted(graft.llm.Report.snapshotDiff(

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Analytics
+import graft.sources.Merge
+
+/** Semantics pins for the warehouse-maintenance pair beyond what the
+  * catalog oracles exercise: MERGE's three clauses on a hand fixture, the
+  * duplicate-batch-key rail, and SCD2's collapse/interval/current rules. */
+class WarehouseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("merge upsert: update wins, tombstone removes, insert lands, bulk unchanged") {
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val batch = Seq(
+      (2L, "B", 99.0, false), // update
+      (3L, "c", 30.0, true),  // delete
+      (4L, "d", 40.0, false)  // insert
+    ).toDF("k", "v", "x", "_deleted")
+    val out = Merge.upsert(snap, batch, Seq("k")).orderBy($"k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "a", 10.0), (2L, "B", 99.0), (4L, "d", 40.0)))
+  }
+
+  test("merge upsert: duplicate non-tombstone batch key fails the job") {
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val batch = Seq((2L, "x", false), (2L, "y", false))
+      .toDF("k", "v", "_deleted")
+    val e = intercept[Exception] {
+      Merge.upsert(snap, batch, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("duplicate batch key"), e.getMessage)
+    // duplicate PURE tombstones are idempotent, not ambiguous — allowed
+    val tombs = Seq((1L, "a", true), (1L, "a", true)).toDF("k", "v", "_deleted")
+    assert(Merge.upsert(snap, tombs, Seq("k")).count() === 0L)
+  }
+
+  test("scd2: consecutive duplicates collapse; intervals chain half-open") {
+    val ms = (m: Long) => new Timestamp(m)
+    val events = Seq(
+      (1L, 1L, "free", ms(0L)), (2L, 1L, "free", ms(1000L)),
+      (3L, 1L, "paid", ms(2000L)), (4L, 1L, "paid", ms(3000L)),
+      (5L, 1L, "free", ms(4000L)),
+      (6L, 2L, "paid", ms(500L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.scd2History(events).orderBy($"user_id", $"version")
+      .collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.map(_.getAs[String]("state")).toSeq === Seq("free", "paid", "free"))
+    assert(u1.map(_.getAs[Int]("version")).toSeq === Seq(1, 2, 3))
+    // half-open chaining: each valid_to equals the next valid_from
+    assert(u1(0).getAs[Timestamp]("valid_to") === u1(1).getAs[Timestamp]("valid_from"))
+    assert(u1(1).getAs[Timestamp]("valid_to") === u1(2).getAs[Timestamp]("valid_from"))
+    assert(u1.map(_.getAs[Boolean]("is_current")).toSeq === Seq(false, false, true))
+    val u2 = out.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length === 1 && u2.head.getAs[Boolean]("is_current"))
+  }
+}
