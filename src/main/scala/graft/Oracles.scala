@@ -37,6 +37,26 @@ object Oracles {
 
   // --- LLM-layer shared fragments (mirror graft.llm column semantics) ---
   private val wordsSql = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+
+  /** SCD2 full-recompute mirror — shared by q_scd2 and q_scd2_incr (the
+    * incrementally-maintained table must be indistinguishable from it). */
+  private val scd2Sql =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_type, event_id,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+      |v AS (
+      |  SELECT user_id, event_type AS state, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS version
+      |  FROM c)
+      |SELECT user_id, state, valid_from, valid_to,
+      |  (valid_to IS NULL) AS is_current, version
+      |FROM v ORDER BY user_id, version""".stripMargin
   /** Distinct word w-shingles — DuckDB list comprehension mirroring
     * [[llm.Dedup.shingles]] (slice [i+1, i+w], i ∈ [0, n-w]). */
   private def shingleWSql(w: Int): String =
@@ -459,24 +479,11 @@ object Oracles {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // SCD2 mirror: identical lag-collapse then lead/row_number over the
-    // surviving change rows, same (ts, event_id) tie order
-    "q_scd2" ->
-      """WITH o AS (
-        |  SELECT user_id, ts, event_type, event_id,
-        |    lag(event_type) OVER (
-        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
-        |v AS (
-        |  SELECT user_id, event_type AS state, ts AS valid_from,
-        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS valid_to,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS version
-        |  FROM c)
-        |SELECT user_id, state, valid_from, valid_to,
-        |  (valid_to IS NULL) AS is_current, version
-        |FROM v ORDER BY user_id, version""".stripMargin,
+    // surviving change rows, same (ts, event_id) tie order. q_scd2_incr
+    // shares it VERBATIM: the incrementally-maintained table must equal
+    // the full recompute over the same (history ∪ batch) event set.
+    "q_scd2" -> scd2Sql,
+    "q_scd2_incr" -> scd2Sql,
 
     // chain debounce = keep rows whose lag-gap is null or beyond the window
     "q_debounce" ->
@@ -2183,6 +2190,82 @@ object Oracles {
     // tie-break pinned to (count DESC, gram DESC) — identical to Spark's
     // max over (cnt, gram) structs. All fractions are int-derived double
     // divisions: bit-exact cross-engine.
+    // source-overlap mirror: distinct (source, shingle) sets grouped by
+    // TEXT (Spark groups xxhash64 keys — same equivalence classes), full
+    // pair matrix off the sizes cross, one IEEE division per pair
+    "q_source_overlap" ->
+      s"""WITH g AS (
+         |  SELECT DISTINCT source AS src, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents),
+         |sz AS (SELECT src, count(*) AS sz FROM g GROUP BY src),
+         |inter AS (
+         |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+         |  FROM g a JOIN g b ON a.h = b.h AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT sa.src AS src_a, sb.src AS src_b, sa.sz AS sz_a, sb.sz AS sz_b,
+         |  coalesce(i.n_common, 0) AS n_common,
+         |  CAST(coalesce(i.n_common, 0) AS DOUBLE) /
+         |    CAST(sa.sz + sb.sz - coalesce(i.n_common, 0) AS DOUBLE) AS jaccard
+         |FROM sz sa JOIN sz sb ON sa.src < sb.src
+         |LEFT JOIN inter i ON i.src_a = sa.src AND i.src_b = sb.src
+         |ORDER BY src_a, src_b""".stripMargin,
+
+    // Zipf mirror: identical top-100 vocabulary (total (c DESC, w) order),
+    // ln-grid x/y, rank-order seedless folds (≡ Spark's 0-seeded
+    // aggregate), the same fixed scalar op sequence for slope/intercept
+    "q_zipf_fit" ->
+      s"""WITH v AS (
+         |  SELECT w, count(*) AS c FROM (
+         |    SELECT unnest($wordsSql) AS w FROM documents)
+         |  GROUP BY w ORDER BY c DESC, w LIMIT 100),
+         |r AS (SELECT row_number() OVER (ORDER BY c DESC, w) AS rnk, c FROM v),
+         |tt AS (
+         |  SELECT list(struct_pack(
+         |      x := floor(ln(CAST(rnk AS DOUBLE)) * 1e9) / 1e9,
+         |      y := floor(ln(CAST(c AS DOUBLE)) * 1e9) / 1e9) ORDER BY rnk)
+         |    AS t
+         |  FROM r),
+         |ss AS (
+         |  SELECT CAST(len(t) AS DOUBLE) AS n,
+         |    list_reduce(list_transform(t, q -> q.x), (a, b) -> a + b) AS sx,
+         |    list_reduce(list_transform(t, q -> q.y), (a, b) -> a + b) AS sy,
+         |    list_reduce(list_transform(t, q -> q.x * q.y), (a, b) -> a + b)
+         |      AS sxy,
+         |    list_reduce(list_transform(t, q -> q.x * q.x), (a, b) -> a + b)
+         |      AS sxx
+         |  FROM tt)
+         |SELECT CAST(n AS BIGINT) AS n_terms,
+         |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+         |    AS intercept
+         |FROM ss""".stripMargin,
+
+    // word-entropy mirror: sorted-run lengths, each (c/n)·ln(c/n) term
+    // floored to the 1e-9 grid (ln low-bit disagreement absorbed), exact
+    // integer sum — list_sum's HUGEINT cast back to BIGINT (the
+    // q_decontam lesson)
+    "q_doc_entropy" ->
+      s"""WITH w AS (SELECT doc_id, list_sort($wordsSql) AS sw FROM documents),
+         |r AS (
+         |  SELECT doc_id, len(sw) AS n_words,
+         |    [i FOR i IN range(1, len(sw) + 1)
+         |       IF i = 1 OR sw[i] <> sw[i-1]] AS starts,
+         |    sw
+         |  FROM w),
+         |e AS (
+         |  SELECT doc_id, n_words, len(starts) AS n_distinct,
+         |    CAST(list_sum([CAST(floor(
+         |      (CAST(list_concat(starts, [len(sw) + 1])[j + 1] - starts[j]
+         |         AS DOUBLE) / CAST(n_words AS DOUBLE))
+         |      * ln(CAST(list_concat(starts, [len(sw) + 1])[j + 1] - starts[j]
+         |         AS DOUBLE) / CAST(n_words AS DOUBLE))
+         |      * 1e9) AS BIGINT)
+         |      FOR j IN range(1, len(starts) + 1)]) AS BIGINT) AS neg
+         |  FROM r)
+         |SELECT doc_id, n_words, n_distinct, -neg AS entropy_nano,
+         |  CAST(-neg AS DOUBLE) / 1e9 AS entropy
+         |FROM e ORDER BY doc_id""".stripMargin,
+
     "q_repetition" ->
       s"""WITH ln AS (
          |  SELECT doc_id,

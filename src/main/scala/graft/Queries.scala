@@ -157,6 +157,18 @@ object Queries {
     "q_scd2" -> ((s, dir) =>
       Analytics.scd2History(t(s, dir, "events"))
         .orderBy(col("user_id"), col("version"))),
+    // CDC steady state: history built from the pre-cutoff events, the
+    // post-cutoff batch applied incrementally — untouched keys pass an
+    // anti-join, only the batch is windowed. Shares q_scd2's oracle
+    // VERBATIM: the maintained table must equal the full recompute.
+    "q_scd2_incr" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-25").cast("timestamp")
+      Analytics.scd2Apply(
+          Analytics.scd2History(ev.filter(col("ts") < cut)),
+          ev.filter(col("ts") >= cut))
+        .orderBy(col("user_id"), col("version"))
+    }),
     "q_topk_events" -> ((s, dir) => Analytics.topkEvents(t(s, dir, "events"), 5)),
     // HLL's raw estimate can't be oracled (DuckDB's sketch differs), but
     // its ERROR CONTRACT can: emit the exact count plus a boolean asserting
@@ -1335,6 +1347,20 @@ object Queries {
         .select(col("doc_id"), col("stopword_ratio"), col("quality"),
           array_join(col("fingerprint"), ",").as("fingerprint"))
         .orderBy(col("doc_id"))),
+    // per-doc word entropy: scan-side run-length terms on the 1e-9 ln grid,
+    // exact integer fold — the diversity axis of quality filtering
+    "q_doc_entropy" -> ((s, dir) =>
+      llm.TextAnalysis.wordEntropy(tWide(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+    // cross-source redundancy matrix: gram-keyed distinct-set Jaccard per
+    // source pair — the double-billing diagnostic next to q_source_kl
+    "q_source_overlap" -> ((s, dir) =>
+      llm.Report.sourceOverlap(tWide(s, dir, "documents"), n = 3)
+        .orderBy(col("src_a"), col("src_b"))),
+    // Zipf slope of the top-100 vocabulary: ln-grid least squares over one
+    // bounded array row — corpus-health report
+    "q_zipf_fit" -> ((s, dir) =>
+      llm.Report.zipfFit(tWide(s, dir, "documents"), topN = 100)),
 
     // ---- LLM data pipeline: repetition quality signals (Gopher-style) ----
     // The synthetic docs are single-line, so the line metrics are degenerate

@@ -655,4 +655,58 @@ object Analytics {
       .select(col(keyCol), col("state"), col("valid_from"), col("valid_to"),
         col("is_current"), col("version"))
   }
+
+  /** Incremental SCD2 maintenance — apply a batch of strictly-newer change
+    * events to an existing [[scd2History]] table, producing EXACTLY what a
+    * full recompute over (old events ∪ batch) would (the catalog row shares
+    * q_scd2's oracle verbatim). The CDC steady-state pattern: nightly
+    * micro-batches must not re-window years of history.
+    *
+    * Scale shape (the [[graft.llm.Dedup.clustersIncremental]] discipline):
+    * the UNTOUCHED bulk — every key absent from the batch — passes one
+    * broadcast anti-join and is never re-sorted; touched keys' open rows
+    * and last versions arrive as a broadcast sliver; the only window runs
+    * over the BATCH (collapse against the carried last state via
+    * coalesce'd lag), and closing the superseded open rows is a second
+    * broadcast join. Batch events must be strictly newer than their key's
+    * open row — out-of-order history would need a rewind — enforced by an
+    * in-plan assert_true rail, not a silent wrong answer. */
+  def scd2Apply(history: DataFrame, batch: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      stateCol: String = "event_type", tieCol: String = "event_id"): DataFrame = {
+    val keys = batch.select(col(keyCol)).distinct()
+    val bulk = history.join(broadcast(keys), Seq(keyCol), "left_anti")
+    val touched = history.join(broadcast(keys), Seq(keyCol), "left_semi")
+    val last = touched.filter(col("is_current"))
+      .select(col(keyCol), col("state").as("_last_state"),
+        col("version").as("_last_ver"), col("valid_from").as("_last_from"))
+    val wb = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val railedState = when(
+      assert_true(col("_last_from").isNull || col(tsCol) > col("_last_from"),
+        lit("scd2Apply: batch event not newer than the key's open row")).isNull,
+      col(stateCol))
+    val changed = batch.join(broadcast(last), Seq(keyCol), "left")
+      .withColumn("_state", railedState)
+      .withColumn("_eff_prev",
+        coalesce(lag(col("_state"), 1).over(wb), col("_last_state")))
+      .filter(col("_eff_prev").isNull || col("_eff_prev") =!= col("_state"))
+    val newRows = changed
+      .select(col(keyCol), col("_state").as("state"),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(wb).as("valid_to"),
+        (coalesce(col("_last_ver"), lit(0)) + row_number().over(wb))
+          .as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col("state"), col("valid_from"), col("valid_to"),
+        col("is_current"), col("version"))
+    val closes = newRows.groupBy(col(keyCol))
+      .agg(min(col("valid_from")).as("_first_new"))
+    val touchedUpdated = touched.join(broadcast(closes), Seq(keyCol), "left")
+      .withColumn("valid_to",
+        when(col("is_current") && col("_first_new").isNotNull,
+          col("_first_new")).otherwise(col("valid_to")))
+      .withColumn("is_current", col("is_current") && col("_first_new").isNull)
+      .drop("_first_new")
+    bulk.unionByName(touchedUpdated).unionByName(newRows)
+  }
 }

@@ -454,4 +454,46 @@ object TextAnalysis {
     }
     scored.withColumn("topic", pick(topics.map(_._1).toList))
   }
+
+  /** Per-document unigram (word) Shannon entropy — the diversity/quality
+    * signal that separates natural prose (high entropy) from keyword-stuffed
+    * spam, template boilerplate, and repetition loops (low entropy): a
+    * filtering axis orthogonal to [[graft.expr.RepetitionGrams]]' verbatim
+    * n-gram repetition and the Gopher length rules.
+    *
+    * Entirely scan-side — no shuffle, no join, no per-word explode: the
+    * word multiset's run lengths come from the SORTED word array's
+    * change-points via array HOFs, so the per-row cost is O(W log W) and
+    * the corpus never moves. Portability: each term (c/n)·ln(c/n) is a
+    * fixed IEEE op sequence floored to the 1e-9 grid (the DSIR λ
+    * discipline — ln's engine low-bit disagreement is absorbed by the
+    * grid), the per-doc sum is an exact integer fold in sorted-word order,
+    * and the published entropy is one sign flip + division. */
+  def wordEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sortedWords = "array_sort(split(lower(trim(text)), '\\\\s+'))"
+    docs.selectExpr(s"$idCol AS doc_id", s"$sortedWords AS sw")
+      .selectExpr("doc_id", "size(sw) AS n_words",
+        // run starts: 0-based indices where the sorted array changes value
+        """filter(sequence(0, size(sw) - 1),
+          |  i -> i = 0 OR element_at(sw, i + 1) != element_at(sw, i))
+          |  AS starts""".stripMargin,
+        "sw")
+      .selectExpr("doc_id", "n_words",
+        "size(starts) AS n_distinct",
+        // run lengths from consecutive starts (+ the array end), each term
+        // floored to nano-units before the exact integer fold
+        """aggregate(
+          |  transform(sequence(0, size(starts) - 1),
+          |    j -> bigint(floor(
+          |      (double(element_at(concat(starts, array(size(sw))), j + 2)
+          |              - element_at(starts, j + 1)) / double(n_words))
+          |      * ln(double(element_at(concat(starts, array(size(sw))), j + 2)
+          |              - element_at(starts, j + 1)) / double(n_words))
+          |      * 1e9))),
+          |  0L, (a, x) -> a + x) AS ent_nano_neg""".stripMargin)
+      .selectExpr("doc_id", "n_words", "n_distinct",
+        "-ent_nano_neg AS entropy_nano",
+        "double(-ent_nano_neg) / 1e9 AS entropy")
+  }
 }

@@ -1558,6 +1558,53 @@ class LlmSpec extends SparkTestBase {
     assert(byId(6L) === ((1L, 0L, None)))
   }
 
+  test("word entropy: hand values — uniform ln(n), skewed below, constant 0") {
+    val docs = Seq(
+      (1L, "a b c d"),          // uniform over 4 → ln 4
+      (2L, "a a b b"),          // uniform over 2 → ln 2
+      (3L, "x x x x"),          // constant → 0
+      (4L, "a a a b")           // 3/4,1/4 mix
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.wordEntropy(docs).orderBy($"doc_id")
+      .select($"doc_id", $"n_distinct", $"entropy")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(m.map(_._2) === Seq(4, 2, 1, 2))
+    assert(math.abs(m(0)._3 - math.log(4)) < 1e-6)
+    assert(math.abs(m(1)._3 - math.log(2)) < 1e-6)
+    assert(m(2)._3 === 0.0)
+    val h4 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(m(3)._3 - h4) < 1e-6)
+  }
+
+  test("source overlap: identical sources hit jaccard 1, disjoint 0") {
+    import graft.llm.Report
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high", "s1"),
+      (2L, "the quick brown fox jumps high", "s2"), // verbatim cross-source
+      (3L, "completely different words entirely here now", "s3")
+    ).toDF("doc_id", "text", "source")
+    val m = Report.sourceOverlap(docs, n = 3)
+      .select($"src_a", $"src_b", $"jaccard")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("s1", "s2")) === 1.0)
+    assert(m(("s1", "s3")) === 0.0)
+    assert(m(("s2", "s3")) === 0.0)
+  }
+
+  test("zipf fit: an exact 1/rank frequency law recovers slope -1") {
+    import graft.llm.Report
+    // counts 48/r for ranks 1..4 → ln y = ln 48 − ln rank exactly
+    val words =
+      Seq.fill(48)("w1") ++ Seq.fill(24)("w2") ++
+        Seq.fill(16)("w3") ++ Seq.fill(12)("w4")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = Report.zipfFit(docs, topN = 4).collect().head
+    assert(r.getAs[Long]("n_terms") === 4L)
+    assert(math.abs(r.getAs[Double]("slope") - (-1.0)) < 1e-6, r)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(48)) < 1e-6, r)
+  }
+
   test("silhouette: tight separated clusters score near 1, k=1 rejected") {
     import graft.llm.Kmeans
     // two tight clusters far apart; init = first 2 vectors (one per cluster)

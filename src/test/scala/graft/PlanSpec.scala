@@ -425,6 +425,33 @@ class PlanSpec extends SparkTestBase {
     assert("""\(\d+\) Exchange""".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("scd2Apply: history bulk via broadcast anti-join, no sort-merge anywhere") {
+    val ev = t("events")
+    val cut = lit("2024-01-25").cast("timestamp")
+    val plan = formatted(Analytics.scd2Apply(
+      Analytics.scd2History(ev.filter(col("ts") < cut)),
+      ev.filter(col("ts") >= cut)))
+    assert(plan.contains("BroadcastHashJoin LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("word entropy is a pure scan-side projection — zero exchanges") {
+    val plan = formatted(graft.llm.TextAnalysis.wordEntropy(t("documents")))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("source overlap: gram hashes shuffle, text never does") {
+    val plan = formatted(graft.llm.Report.sourceOverlap(t("documents")))
+    val exchanges = """(?s)\(\d+\) Exchange.*?Input.*?\n""".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, plan)
+    assert(!exchanges.exists(_.contains("text")), plan)
+  }
+
+  test("zipf fit: top-N via TakeOrdered, not a global sort of the vocabulary") {
+    val plan = formatted(graft.llm.Report.zipfFit(t("documents")))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("snapshot diff: digests computed scan-side, text in no exchange") {
     val docs = t("documents")
     val plan = formatted(graft.llm.Report.snapshotDiff(

@@ -39,6 +39,44 @@ class WarehouseSpec extends SparkTestBase {
     assert(Merge.upsert(snap, tombs, Seq("k")).count() === 0L)
   }
 
+  test("scd2Apply: append equals recompute; no-op batch keeps the row open") {
+    val ms = (m: Long) => new Timestamp(m)
+    val events = Seq(
+      (1L, 1L, "free", ms(0L)), (2L, 1L, "paid", ms(1000L)),
+      (3L, 2L, "free", ms(500L)),
+      // batch (ts >= 2000): u1 no-op (still paid) then a real change;
+      // u2 no-op only; u3 is a brand-new key
+      (4L, 1L, "paid", ms(2000L)), (5L, 1L, "free", ms(3000L)),
+      (6L, 2L, "free", ms(2500L)),
+      (7L, 3L, "trial", ms(2200L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val hist = Analytics.scd2History(events.filter($"ts" < ms(2000L)))
+    val applied = Analytics.scd2Apply(hist, events.filter($"ts" >= ms(2000L)))
+    val full = Analytics.scd2History(events)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy($"user_id", $"version").collect().toSeq.map(_.toSeq)
+    assert(key(applied) === key(full))
+    // u2's open row survived untouched; u3 opened at version 1
+    val cur = applied.filter($"is_current").orderBy($"user_id")
+      .select($"user_id", $"state", $"version").as[(Long, String, Int)]
+      .collect().toSeq
+    assert(cur === Seq((1L, "free", 3), (2L, "free", 1), (3L, "trial", 1)))
+  }
+
+  test("scd2Apply: out-of-order batch event fails the rail, not the answer") {
+    val ms = (m: Long) => new Timestamp(m)
+    val events = Seq(
+      (1L, 1L, "free", ms(1000L)), (2L, 1L, "paid", ms(2000L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val hist = Analytics.scd2History(events)
+    val stale = Seq((9L, 1L, "trial", ms(1500L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val e = intercept[Exception] {
+      Analytics.scd2Apply(hist, stale).collect()
+    }
+    assert(e.getMessage.contains("not newer"), e.getMessage)
+  }
+
   test("scd2: consecutive duplicates collapse; intervals chain half-open") {
     val ms = (m: Long) => new Timestamp(m)
     val events = Seq(
