@@ -1822,6 +1822,32 @@ object Oracles {
       """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10""".stripMargin,
 
+    // JL projection mirror: the ±1 matrix rebuilt from the same md5
+    // parities, each coordinate the sequential-fold dot over dim order,
+    // one correctly-rounded sqrt
+    "q_embed_rp" ->
+      s"""WITH s AS (
+         |  SELECT j, list(CAST(1 - 2 * (CAST(concat('0x',
+         |      substring(md5('rp:' || CAST(i AS VARCHAR) || ':'
+         |        || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 2) AS DOUBLE)
+         |    ORDER BY i) AS sv
+         |  FROM (SELECT unnest(range(0, 64)) AS i),
+         |       (SELECT unnest(range(0, 16)) AS j)
+         |  GROUP BY j),
+         |e0 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings)
+         |SELECT e0.vec_id, CAST(s.j AS INT) AS dim,
+         |  ${dotSql("e0.v", "s.sv")} / sqrt(16.0) AS y
+         |FROM e0 CROSS JOIN s
+         |ORDER BY vec_id, dim""".stripMargin,
+
+    // JL-prefilter recall contract: panel-aggregate TRUE prediction (the
+    // q_knn_lsh publishing pattern)
+    "q_knn_rp" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10""".stripMargin,
+
     // verbatim 20-token windows over strings vs Spark's hashed windows —
     // identical sets absent 64-bit collisions; df-pruning mirrored
     // (BETWEEN 2 AND maxDf: singleton windows cannot pair)

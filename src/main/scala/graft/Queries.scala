@@ -968,6 +968,22 @@ object Queries {
     "q_knn_lsh" -> ((s, dir) =>
       llm.Similarity.lshKnnRecallPanel(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5, m = 4, probes = 4, recallBound = 0.25)),
+    // JL random projection, long-form: scan-side ±1 md5-parity matrix,
+    // one sequential-fold dot per output coordinate
+    "q_embed_rp" -> ((s, dir) =>
+      tWide(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(llm.Similarity.randomProjection(col("embedding"), 64, 16))
+            .as(Seq("dim", "y")))
+        .orderBy(col("vec_id"), col("dim"))),
+    // the JL sketch as a two-stage ANN prefilter: does the exact top-5
+    // survive a 50-deep projected shortlist? Deterministic (md5 matrix, no
+    // RNG): measured panel recall 0.3-0.4 at sf0.1, ≥0.6 at sf0.01 on this
+    // near-isotropic synthetic corpus (RpProbe) — bound 0.3
+    "q_knn_rp" -> ((s, dir) =>
+      llm.Similarity.rpKnnRecallPanel(tWide(s, dir, "embeddings"),
+        col("vec_id") < 10, k = 5, kOut = 32, candidates = 50,
+        recallBound = 0.3)),
     // full-probe IVF is exact ⇒ shares the brute-force oracle; the plan is
     // the scale path (cell equi-join), the answer provably unchanged.
     "q_knn_ivf" -> ((s, dir) =>

@@ -802,4 +802,69 @@ object Similarity {
       .select(col(idCol), col("best.cluster_id").as("cluster_id"),
         col("best.score").as("score"))
   }
+
+  /** Deterministic Achlioptas ±1 sign for random-projection cell (i, j):
+    * parity of the 32-bit md5 prefix of "rp:i:j" — the [[Sampling]] digest
+    * discipline, so any engine that can md5 a string rebuilds the exact
+    * matrix (no RNG, no seed state to ship). */
+  private[graft] def rpSign(i: Int, j: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$i:$j".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0L) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection to `kOut` dims: each output
+    * coordinate is a ±1-signed sum over the input (Achlioptas 2003 — the
+    * dense ±1 matrix preserves pairwise distances within (1±ε) at
+    * kOut = O(ln n / ε²)), divided by √kOut. The cheap first lever for
+    * 100 TB ANN: a 4× narrower vector per row BEFORE any index is built,
+    * composable with IVF/PQ downstream.
+    *
+    * Scale shape: a pure scan-side projection — the sign matrix is
+    * kOut × dim LITERALS (the k-means inlined-codebook discipline), each
+    * output coordinate one codegen'd sequential-fold dot, zero joins,
+    * zero shuffles. Portability: signs are md5-parity ([[rpSign]]), the
+    * fold is dim-ordered, √kOut is one correctly-rounded sqrt. */
+  def randomProjection(vecCol: Column, dim: Int, kOut: Int): Column = {
+    require(dim >= 1 && kOut >= 1, s"bad dims: $dim, $kOut")
+    val scale = math.sqrt(kOut.toDouble)
+    array((0 until kOut).map { j =>
+      val signs = array((0 until dim).map(i => lit(rpSign(i, j))): _*)
+      DotProduct(vecCol, signs) / scale
+    }: _*)
+  }
+
+  /** Panel recall contract for the JL sketch used the way a prefilter is
+    * actually used: the projected space proposes a `candidates`-deep
+    * shortlist per query (candidates ≫ k, then reranked exactly at full
+    * precision — the standard two-stage ANN serving shape), and the
+    * contract asks what fraction of the EXACT top-k survives into the
+    * shortlist. Head-to-head top-k in projected space is the wrong
+    * measure for a prefilter — on near-isotropic data the top of the
+    * ranking is separated by less than the JL distortion, while shortlist
+    * survival is exactly what two-stage serving needs
+    * ([[lshKnnRecallPanel]] publishing pattern). */
+  def rpKnnRecallPanel(emb: DataFrame, queryPred: Column, k: Int,
+      dim: Int = 64, kOut: Int = 16, candidates: Int = 50,
+      recallBound: Double = 0.25,
+      maxContractQueries: Int = 0, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= k, s"shortlist smaller than k: $candidates < $k")
+    val pred = capQueryPred(emb, queryPred, maxContractQueries, idCol, seed)
+    val proj = emb.select(col(idCol),
+      randomProjection(col(vecCol), dim, kOut).as("rp"))
+    val approxTop = bruteForceKnn(proj, pred, candidates, idCol, "rp")
+      .select(col("qid"), col("neighbor_id"))
+    val exactTop = bruteForceKnn(emb, pred, k, idCol, vecCol)
+      .select(col("qid"), col("neighbor_id"))
+    val hits = approxTop.join(exactTop, Seq("qid", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    exactTop
+      .agg(count_distinct(col("qid")).as("n_queries"), count(lit(1)).as("n_exact"))
+      .crossJoin(hits) // 1×1
+      .select(col("n_queries"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double")
+          >= recallBound).as("recall_ok"))
+  }
 }

@@ -1605,6 +1605,30 @@ class LlmSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("intercept") - math.log(48)) < 1e-6, r)
   }
 
+  test("random projection: deterministic, linear, and separation-preserving") {
+    import graft.llm.Similarity
+    val dim = 8
+    val mk = (v: Seq[Float]) => v
+    val emb = Seq(
+      (1L, mk(Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))),
+      (2L, mk(Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))), // identical to 1
+      (3L, mk(Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 9f)))  // far away
+    ).toDF("vec_id", "embedding")
+    val p = emb.select($"vec_id",
+        Similarity.randomProjection($"embedding", dim, 4).as("rp"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // identical inputs → identical projections (pure function, no RNG)
+    assert(p(1L) === p(2L))
+    // signs are ±1/√k scaled sums: a one-hot input reads out one matrix
+    // column, so every coordinate has magnitude 1/√4 = 0.5 (times scale)
+    assert(p(1L).forall(x => math.abs(x) === 0.5))
+    assert(p(3L).forall(x => math.abs(x) === 4.5))
+    // distances preserved in expectation: far pair stays far, dup pair at 0
+    val d12 = math.sqrt(p(1L).zip(p(2L)).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val d13 = math.sqrt(p(1L).zip(p(3L)).map { case (a, b) => (a - b) * (a - b) }.sum)
+    assert(d12 === 0.0 && d13 > 1.0)
+  }
+
   test("silhouette: tight separated clusters score near 1, k=1 rejected") {
     import graft.llm.Kmeans
     // two tight clusters far apart; init = first 2 vectors (one per cluster)

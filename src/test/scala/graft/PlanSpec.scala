@@ -447,6 +447,13 @@ class PlanSpec extends SparkTestBase {
     assert(!exchanges.exists(_.contains("text")), plan)
   }
 
+  test("random projection is a pure scan-side projection — zero exchanges") {
+    val plan = formatted(t("embeddings").select(col("vec_id"),
+      graft.llm.Similarity.randomProjection(col("embedding"), 64, 16).as("rp")))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("zipf fit: top-N via TakeOrdered, not a global sort of the vocabulary") {
     val plan = formatted(graft.llm.Report.zipfFit(t("documents")))
     assert(plan.contains("TakeOrderedAndProject"), plan)
