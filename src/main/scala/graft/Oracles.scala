@@ -1480,6 +1480,27 @@ object Oracles {
 
     // posting-list mirror of ngramJaccardPairs incl. the DF-pruned shingle
     // universe (HAVING count <= maxDf) — J over pruned sets, maxDf=2.
+    // MinHash contract mirror: the unblocked exact-Jaccard pair frame (no
+    // DF pruning — maxDf above doc count) with the TRUE accuracy
+    // prediction; the estimate itself is xxhash-family-specific
+    "q_minhash_est" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+         |c AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard,
+         |  TRUE AS est_close
+         |FROM c
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q_ngram_jaccard" ->
       s"""WITH e AS (
          |  SELECT doc_id, source, unnest(list_distinct($shingleSql)) AS h

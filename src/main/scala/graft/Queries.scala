@@ -798,6 +798,14 @@ object Queries {
     "q_dedup_paragraph" -> ((s, dir) =>
       llm.Dedup.dedupParagraphs(tWide(s, dir, "documents"), paraWords = 8)
         .orderBy(col("doc_id"))),
+    // MinHash accuracy contract: signature-agreement estimate within 0.15
+    // of exact Jaccard on every ≥0.3 pair (measured max deviation < 0.1 at
+    // every SF, MhProbe; deterministic hashes ⇒ the margin is safe)
+    "q_minhash_est" -> ((s, dir) =>
+      llm.Dedup.minhashEstimateContract(
+          tWide(s, dir, "documents").withColumn("_all", lit(1)),
+          blockCol = "_all", threshold = 0.3, bound = 0.15)
+        .orderBy(col("id_a"), col("id_b"))),
     "q_ngram_jaccard" -> ((s, dir) =>
       llm.Dedup.ngramJaccardPairs(tWide(s, dir, "documents"), "source", n = 3,
           threshold = 0.3, maxDf = 2)

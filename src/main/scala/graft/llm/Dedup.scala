@@ -925,4 +925,42 @@ object Dedup {
     val out = bulk.unionByName(rebuilt)
     if (materialize) materializedWithout(out, p) else out
   }
+
+  /** MinHash accuracy contract: for every exact-Jaccard pair above
+    * `threshold`, whether the k-slot signature agreement estimate lands
+    * within `bound` of the true Jaccard — the measured fact that justifies
+    * trusting [[minhashNearDups]]' banded candidates at 100 TB, published
+    * the way the HLL/PQ error contracts are (the estimate itself is
+    * hash-family-specific; the contract is the engine-stable claim).
+    * E[agreement/k] = J with σ = √(J(1−J)/k) ≈ 0.06 at k = 64.
+    *
+    * The exact side must see the SAME shingle sets the signatures hash:
+    * pass a `maxDf` no smaller than the block's doc count so the DF rail
+    * never prunes (enforced semantics, not silent skew). Scale shape: the
+    * truth side is [[ngramJaccardPairs]] (DF-railed blocked self-join);
+    * signatures are computed ONLY for pair members (broadcast sliver —
+    * the members-only discipline), never the corpus. */
+  def minhashEstimateContract(docs: DataFrame, blockCol: String = "source",
+      n: Int = 3, threshold: Double = 0.3, maxDf: Int = 1000000,
+      k: Int = 64, bound: Double = 0.25,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, blockCol, n, threshold, maxDf,
+      idCol, textCol)
+    val memberIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("mid")).distinct()
+    val sigs = docs
+      .join(broadcast(memberIds), col(idCol) === col("mid"), "left_semi")
+      .select(col(idCol).as("mid"),
+        minhashSignature(shingleHashes(col(textCol), n), k).as("sig"))
+    val agree = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), x => x))
+    pairs
+      .join(broadcast(sigs.select(col("mid").as("id_a"), col("sig").as("sig_a"))),
+        Seq("id_a"))
+      .join(broadcast(sigs.select(col("mid").as("id_b"), col("sig").as("sig_b"))),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (abs(agree.cast("double") / k.toDouble - col("jaccard")) <= bound)
+          .as("est_close"))
+  }
 }

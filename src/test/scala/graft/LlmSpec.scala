@@ -1605,6 +1605,22 @@ class LlmSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("intercept") - math.log(48)) < 1e-6, r)
   }
 
+  test("minhash estimate contract: verbatim pair estimates exactly 1") {
+    val docs = Seq(
+      (1L, base), (2L, base),        // verbatim pair: jaccard 1, est 1
+      (3L, nearDup), (4L, unrelated) // near pair with 1/3; unrelated alone
+    ).toDF("doc_id", "text").withColumn("_all", lit(1))
+    val rows = Dedup.minhashEstimateContract(docs, blockCol = "_all",
+        threshold = 0.3, bound = 0.15)
+      .orderBy($"id_a", $"id_b")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val verbatim = rows.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(verbatim._3 === 1.0 && verbatim._4)
+    // every reported pair honors the bound; the unrelated doc pairs with no one
+    assert(rows.forall(_._4))
+    assert(!rows.exists(r => r._1 == 4L || r._2 == 4L))
+  }
+
   test("random projection: deterministic, linear, and separation-preserving") {
     import graft.llm.Similarity
     val dim = 8
