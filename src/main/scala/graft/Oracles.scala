@@ -38,6 +38,36 @@ object Oracles {
   // --- LLM-layer shared fragments (mirror graft.llm column semantics) ---
   private val wordsSql = """regexp_split_to_array(lower(trim(text)), '\s+')"""
 
+  /** Unrolled k-core peeling mirror over the label-blocked cosine pair
+    * graph (the q_pagerank/q_kmeans fixed-iteration convention). */
+  private def kcoreSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH pr AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE ${dotSql("a.embedding", "b.embedding")} /
+      |      (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+      |       sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4),
+      |e0 AS (SELECT id_a AS a, id_b AS b FROM pr)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+      |d$t AS (
+      |  SELECT id, count(*) AS degree FROM (
+      |    SELECT a AS id FROM e${t - 1} UNION ALL SELECT b FROM e${t - 1}) z
+      |  GROUP BY id),
+      |s$t AS (SELECT id FROM d$t WHERE degree >= $k),
+      |e$t AS (
+      |  SELECT a, b FROM e${t - 1}
+      |  WHERE a IN (SELECT id FROM s$t) AND b IN (SELECT id FROM s$t))""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT id AS node_id, count(*) AS degree FROM (
+      |  SELECT a AS id FROM e$iters UNION ALL SELECT b FROM e$iters) z
+      |GROUP BY id ORDER BY node_id""".stripMargin
+    sb.result()
+  }
+
   /** SCD2 full-recompute mirror — shared by q_scd2 and q_scd2_incr (the
     * incrementally-maintained table must be indistinguishable from it). */
   private val scd2Sql =
@@ -1324,6 +1354,11 @@ object Oracles {
          |    ELSE NULL END AS lcc
          |FROM deg d LEFT JOIN tn ON tn.id = d.id
          |ORDER BY node_id""".stripMargin,
+
+    // k-core mirror: the same label-blocked pair graph peeled through the
+    // identical unrolled rounds (degree count → >= k filter → edge
+    // restriction), final degrees over the surviving edges
+    "q_graph_kcore" -> kcoreSql(2, 3),
 
     // snapshot-diff status mirror: same %10 version construction, digest
     // compare via md5 on both engines (ASCII-safe — md5 hashes utf8 bytes

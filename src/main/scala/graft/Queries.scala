@@ -505,6 +505,13 @@ object Queries {
           llm.Similarity.cosinePairsBlocked(tWide(s, dir, "embeddings"),
             "label", 0.4))
         .orderBy(col("node_id"))),
+    // 2-core of the same graph after 3 unrolled peeling rounds: pendant
+    // members drop, the interlinked family cores survive
+    "q_graph_kcore" -> ((s, dir) =>
+      llm.Graph.kCore(
+          llm.Similarity.cosinePairsBlocked(tWide(s, dir, "embeddings"),
+            "label", 0.4), k = 2, iters = 3)
+        .orderBy(col("node_id"))),
 
     // snapshot diff between corpus releases: v1 drops the %10==3 docs and
     // carries a truncated revision of the %10==7 docs; v2 drops %10==5.

@@ -116,4 +116,37 @@ object Graph {
             (col("degree") * (col("degree") - 1)).cast("double"))
           .as("lcc"))
   }
+
+  /** k-core peeling over an undirected canonical pair list: `iters` rounds
+    * of "drop every node with degree < k, then recount" — the density
+    * filter that isolates the tightly-interlinked CORE of a template/
+    * boilerplate family from its pendant one-off members (degree alone
+    * can't: a hub touching many singletons has high degree but no core).
+    * Returns the surviving (node_id, degree) with degrees measured on the
+    * final surviving subgraph.
+    *
+    * Fixed iteration count, NOT a fixpoint probe — the result is a
+    * deterministic function of (graph, k, iters) on any engine (the
+    * [[pagerank]] convention: the oracle mirrors the same unrolled
+    * rounds; peeling converges when no round removes a node, and `iters`
+    * of 3–5 suffices on shallow near-dup graphs — raise it for deep
+    * chains). Scale shape: each round is one (node)-keyed degree count +
+    * two edge semi-joins, all exchanges (long, long); edges re-checkpoint
+    * per round so round t+1 reads t's sliver, not a t-deep join chain. */
+  def kCore(pairs: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    require(k >= 1 && iters >= 1, s"bad k-core params: $k, $iters")
+    var edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .localCheckpoint(eager = false)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    for (_ <- 1 to iters) {
+      val keep = degrees(edges).filter(col("degree") >= k).select(col("id"))
+      edges = edges
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(eager = false)
+    }
+    degrees(edges).select(col("id").as("node_id"), col("degree"))
+  }
 }

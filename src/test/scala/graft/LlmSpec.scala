@@ -1645,6 +1645,19 @@ class LlmSpec extends SparkTestBase {
     assert(d12 === 0.0 && d13 > 1.0)
   }
 
+  test("k-core: pendant chain peels away, the triangle core survives") {
+    import graft.llm.Graph
+    // triangle {1,2,3} with a pendant path 3-4-5: 2-core = the triangle
+    // (4 and 5 peel in successive rounds — needs >1 iteration)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val core = Graph.kCore(pairs, k = 2, iters = 3)
+      .orderBy($"node_id").as[(Long, Long)].collect().toSeq
+    assert(core === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // k=1, one round: nothing peels (every node has an edge)
+    assert(Graph.kCore(pairs, k = 1, iters = 1).count() === 5L)
+  }
+
   test("silhouette: tight separated clusters score near 1, k=1 rejected") {
     import graft.llm.Kmeans
     // two tight clusters far apart; init = first 2 vectors (one per cluster)

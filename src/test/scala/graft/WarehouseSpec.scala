@@ -77,6 +77,36 @@ class WarehouseSpec extends SparkTestBase {
     assert(e.getMessage.contains("not newer"), e.getMessage)
   }
 
+  test("streaming snapshot: change batches fold into the latest state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingSnapshot
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("snapckpt").toString
+    val input = MemoryStream[(Long, String, Boolean)](spark)
+    val changes = input.toDF().toDF("k", "v", "_deleted")
+    // batch 1: three inserts; batch 2 (a separate query run over the same
+    // checkpoint — AvailableNow folds all queued data into one batch):
+    // update k=2, delete k=3, insert k=4
+    input.addData((1L, "a", false), (2L, "b", false), (3L, "c", false))
+    val q1 = StreamingSnapshot.writer(changes, dir, Seq("k"), ckpt,
+      trigger = Trigger.AvailableNow()).start()
+    q1.processAllAvailable(); q1.stop()
+    input.addData((2L, "B", false), (3L, "c", true), (4L, "d", false))
+    val q2 = StreamingSnapshot.writer(changes, dir, Seq("k"), ckpt,
+      trigger = Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val snap = StreamingSnapshot.readSnapshot(spark, dir)
+      .orderBy($"k").as[(Long, String)].collect().toSeq
+    assert(snap === Seq((1L, "a"), (2L, "B"), (4L, "d")))
+    assert(StreamingSnapshot.latestVersion(spark, dir) === Some(1L))
+    // replaying an applied batch is a detected no-op
+    StreamingSnapshot.applyBatch(
+      Seq((9L, "z", false)).toDF("k", "v", "_deleted"), dir, Seq("k"),
+      "_deleted", batchId = 1L)
+    assert(StreamingSnapshot.readSnapshot(spark, dir).count() === 3L)
+  }
+
   test("scd2: consecutive duplicates collapse; intervals chain half-open") {
     val ms = (m: Long) => new Timestamp(m)
     val events = Seq(
