@@ -2059,6 +2059,21 @@ object Oracles {
          |SELECT lang_pred, count(*) AS n_docs FROM p
          |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
+    // confusion mirror: the same langid case chain against the labeled
+    // column; frac = one IEEE division of exact counts
+    "q_lang_confusion" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang, text, $langScoresSql
+         |  FROM documents),
+         |p AS (SELECT lang, $langCaseSql AS lang_pred FROM sc),
+         |cells AS (
+         |  SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
+         |tot AS (SELECT lang, count(*) AS n_lang FROM p GROUP BY 1)
+         |SELECT c.lang, c.lang_pred, c.n,
+         |  CAST(c.n AS DOUBLE) / CAST(t.n_lang AS DOUBLE) AS frac
+         |FROM cells c JOIN tot t ON t.lang = c.lang
+         |ORDER BY c.lang, c.lang_pred""".stripMargin,
+
     // tokenizer fertility: exact-long sums (q_mix_budget's token count),
     // one IEEE division
     "q_tokenizer_fertility" ->

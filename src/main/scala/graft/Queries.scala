@@ -1100,6 +1100,20 @@ object Queries {
         .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang_pred"))),
+    // language-ID confusion matrix against the labeled lang column — the
+    // classifier-evaluation report (per-cell counts + row recall); one
+    // partial-aggregated scan, |langs|² rows out
+    "q_lang_confusion" -> ((s, dir) => {
+      val d = tWide(s, dir, "documents")
+        .select(col("lang"), llm.TextAnalysis.langId(col("text")).as("lang_pred"))
+      val cells = d.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val totals = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      cells.join(broadcast(totals), Seq("lang"))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          (col("n").cast("double") / col("n_lang").cast("double")).as("frac"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
     // per-language tokenizer fertility (chars per whitespace token) —
     // one partial-agg scan, exact-long ratio
     "q_tokenizer_fertility" -> ((s, dir) =>

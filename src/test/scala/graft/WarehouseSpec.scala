@@ -107,6 +107,36 @@ class WarehouseSpec extends SparkTestBase {
     assert(StreamingSnapshot.readSnapshot(spark, dir).count() === 3L)
   }
 
+  test("streaming scd2: batched history equals the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingScd2
+    val dir = java.nio.file.Files.createTempDirectory("scd2s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2ckpt").toString
+    val input = MemoryStream[(Long, Long, String, Long)](spark)
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "ms")
+      .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
+    def run(): Unit = {
+      val q = StreamingScd2.writer(events, dir, ckpt,
+        trigger = Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    val all = Seq(
+      (1L, 1L, "free", 0L), (2L, 1L, "free", 1000L), (3L, 1L, "paid", 2000L),
+      (4L, 1L, "free", 3000L), (5L, 2L, "trial", 2500L))
+    input.addData(all.take(3): _*); run()
+    input.addData(all.drop(3): _*); run()
+    val streamed = StreamingScd2.readHistory(spark, dir)
+      .orderBy($"user_id", $"version").collect().toSeq.map(_.toSeq)
+    val batch = {
+      val df = all.toDF("event_id", "user_id", "event_type", "ms")
+        .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
+      graft.analytics.Analytics.scd2History(df)
+        .orderBy($"user_id", $"version").collect().toSeq.map(_.toSeq)
+    }
+    assert(streamed === batch)
+  }
+
   test("scd2: consecutive duplicates collapse; intervals chain half-open") {
     val ms = (m: Long) => new Timestamp(m)
     val events = Seq(
