@@ -114,4 +114,76 @@ class CurationPropertySpec extends SparkTestBase {
       .select($"score_nano").as[Long].collect()
     assert(scores.forall(_ === 0L))
   }
+
+  test("scd2Apply equals the full recompute on random logs and random cuts") {
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val states = Seq("a", "b", "c")
+      val events = (1L to 120L).map { eid =>
+        (eid, rng.nextInt(6).toLong, states(rng.nextInt(3)),
+          new java.sql.Timestamp(rng.nextInt(100000).toLong * 1000))
+      }.toDF("event_id", "user_id", "event_type", "ts")
+      // cut at a random timestamp; ties across the cut stay whole-sided
+      val cutMs = (20000 + rng.nextInt(60000)).toLong * 1000
+      val cut = new java.sql.Timestamp(cutMs)
+      val hist = graft.analytics.Analytics.scd2History(
+        events.filter($"ts" < cut))
+      val applied = graft.analytics.Analytics.scd2Apply(
+        hist, events.filter($"ts" >= cut))
+      val full = graft.analytics.Analytics.scd2History(events)
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy($"user_id", $"version").collect().toSeq.map(_.toSeq)
+      assert(key(applied) === key(full), s"trial $trial cut $cutMs")
+    }
+  }
+
+  test("merge upsert: re-applying the same batch is an identity") {
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val snap = (1L to 50L).map(k => (k, s"v${rng.nextInt(100)}"))
+        .toDF("k", "v")
+      val batch = (1L to 70L).filter(_ => rng.nextBoolean()).map { k =>
+        (k, s"b${rng.nextInt(100)}", rng.nextInt(4) == 0)
+      }.toDF("k", "v", "_deleted")
+      val once = graft.sources.Merge.upsert(snap, batch, Seq("k"))
+        .localCheckpoint()
+      val twice = graft.sources.Merge.upsert(once, batch, Seq("k"))
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy($"k").collect().toSeq.map(_.toSeq)
+      assert(key(twice) === key(once), s"trial $trial")
+    }
+  }
+
+  test("paragraph dedup matches a brute-force reference on random corpora") {
+    val rng = new scala.util.Random(37)
+    for (trial <- 1 to 3) {
+      val p = 4
+      val banner = (1 to p).map(i => s"ban${trial}x$i").mkString(" ")
+      def noiseWords(n: Int) = List.fill(n)(s"w${rng.nextInt(50)}")
+      val docs = (0L until 20L).map { i =>
+        val words =
+          if (i % 3 == 0) banner.split(" ").toList ::: noiseWords(p * (1 + rng.nextInt(3)))
+          else noiseWords(1 + rng.nextInt(12))
+        (i, words.mkString(" "))
+      }
+      val out = graft.llm.Dedup.dedupParagraphs(docs.toDF("doc_id", "text"),
+          paraWords = p)
+        .orderBy($"doc_id")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      // brute-force reference in plain Scala
+      val paras = docs.map { case (id, text) =>
+        val ws = text.trim.toLowerCase.split("\\s+").toSeq
+        val np = math.max(1, math.ceil(ws.size / p.toDouble).toInt)
+        id -> (0 until np).map(j => ws.slice(j * p, j * p + p).mkString(" "))
+      }.toMap
+      val counts = paras.values.flatten.groupBy(identity).view.mapValues(_.size)
+      val expected = docs.map { case (id, text) =>
+        val kept = paras(id).filter(counts(_) <= 1)
+        val dropped = paras(id).size - kept.size
+        val textOut = if (dropped == 0) text else kept.mkString(" ")
+        (id, textOut, paras(id).size.toLong, dropped.toLong)
+      }
+      assert(out === expected, s"trial $trial")
+    }
+  }
 }
