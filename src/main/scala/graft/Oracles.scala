@@ -1676,6 +1676,23 @@ object Oracles {
         |SELECT term, count(*) AS cnt, CAST(0 AS BIGINT) AS err
         |FROM ww GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
 
+    // per-group mirror: exact per-source counts (capacity ≥ group vocab ⇒
+    // the sketch is exact), identical (cnt DESC, term) rank order
+    "q_heavy_hitters_by_source" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |ww AS (SELECT * FROM w WHERE term <> ''),
+        |c AS (SELECT source, term, count(*) AS cnt FROM ww GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, term, cnt, CAST(0 AS BIGINT) AS err,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY cnt DESC, term) AS INT) AS rank
+        |  FROM c)
+        |SELECT source, term, cnt, err, rank FROM r
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
     // single-pass CMS build: the Spark row's two-shard merge must be
     // indistinguishable from this — the mergeability claim IS the oracle.
     // Bucket = md5("j:term") 8-hex prefix mod 64, the Sampling digest

@@ -1156,6 +1156,12 @@ object Queries {
     "q_heavy_hitters" -> ((s, dir) =>
       llm.TextAnalysis.heavyHitters(tWide(s, dir, "documents"),
         capacity = 4096, k = 20)),
+    // per-source SpaceSaving summaries + in-group rank: the per-stratum
+    // vocabulary profile; capacity ≥ per-group vocab ⇒ exact (oracle regime)
+    "q_heavy_hitters_by_source" -> ((s, dir) =>
+      llm.TextAnalysis.heavyHittersByGroup(tWide(s, dir, "documents"),
+          "source", capacity = 4096, k = 5)
+        .orderBy(col("source"), col("rank"))),
     // Count-Min sketch artifact: depth × width counter table, md5-bucketed
     // (engine-portable), map-side-combined to ≤ d·w rows per task before
     // the one sketch-keyed exchange. Built here as a two-shard MERGE

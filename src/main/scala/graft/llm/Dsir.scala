@@ -39,8 +39,10 @@ object Dsir {
       explode(concat(words, bigrams)).as("gram"))
   }
 
-  private def bucketOf(gram: Column, b: Int): Column =
-    pmod(conv(substring(md5(gram), 1, 8), 16, 10).cast("long"), lit(b.toLong))
+  /** Composable bucket form — the [[graft.expr.GramBuckets]] kernel's
+    * reference semantics, kept for the parity spec. */
+  private[graft] def bucketOf(gram: Column, b: Int): Column =
+    pmod(graft.expr.Md5Prefix(gram, 8), lit(b.toLong))
 
   /** The B-row learned model: per-bucket nano-quantized importance
     * log-ratio λ_b = ⌊ln(p̂_b / q̂_b)·10⁹⌋ with Laplace(+1) smoothing.
@@ -52,10 +54,12 @@ object Dsir {
       buckets: Int = DefaultBuckets, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val spark = raw.sparkSession
-    val rb = gramStream(raw, idCol, textCol)
-      .select(bucketOf(col("gram"), buckets).as("bucket"))
-    val tb = gramStream(target, idCol, textCol)
-      .select(bucketOf(col("gram"), buckets).as("bucket"))
+    // fused kernel: one codegen pass text -> bucket array (bit-identical
+    // to gramStream + bucketOf; parity spec-pinned)
+    val rb = raw.select(
+      explode(graft.expr.GramBuckets(col(textCol), buckets)).as("bucket"))
+    val tb = target.select(
+      explode(graft.expr.GramBuckets(col(textCol), buckets)).as("bucket"))
     val rc = rb.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
     val tc = tb.groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
     // coalesce: an empty corpus sums to NULL, which would silently NULL
@@ -80,8 +84,9 @@ object Dsir {
   def score(docs: DataFrame, lambdas: DataFrame,
       buckets: Int = DefaultBuckets, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    gramStream(docs, idCol, textCol)
-      .select(col(idCol), bucketOf(col("gram"), buckets).as("bucket"))
+    docs
+      .select(col(idCol),
+        explode(graft.expr.GramBuckets(col(textCol), buckets)).as("bucket"))
       .join(broadcast(lambdas), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"), sum(col("lam_nano")).as("score_nano"))
@@ -100,8 +105,8 @@ object Dsir {
   def sourceKl(docs: DataFrame, buckets: Int = DefaultBuckets,
       groupCol: String = "source", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    val b = gramStream(docs, idCol = groupCol, textCol = textCol)
-      .select(col(groupCol), bucketOf(col("gram"), buckets).as("bucket"))
+    val b = docs.select(col(groupCol),
+      explode(graft.expr.GramBuckets(col(textCol), buckets)).as("bucket"))
     val sb = b.groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("csb"))
     val cb = b.groupBy(col("bucket")).agg(count(lit(1)).as("cb"))
@@ -135,8 +140,8 @@ object Dsir {
     * TakeOrdered. */
   def resample(scored: DataFrame, k: Int,
       idCol: String = "doc_id"): DataFrame = {
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") + lit(1L)).cast("double") / lit(4294967297.0)
+    val u = (graft.expr.Md5Prefix(col(idCol).cast("string"), 8) + lit(1L))
+      .cast("double") / lit(4294967297.0)
     scored
       .withColumn("key_nano",
         col("score_nano") + floor(-log(-log(u)) * lit(1e9)).cast("long"))

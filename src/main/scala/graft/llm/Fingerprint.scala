@@ -38,7 +38,7 @@ object Fingerprint {
         i => concat_ws(" ", slice(words, i + lit(1), lit(k)))))
       .otherwise(array(concat_ws(" ", words)))
     val hashes = transform(grams,
-      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+      g => graft.expr.Md5Prefix(g, 8))
     // (fp, pos) is deduplicated as the single long fp·2^20 + pos (fp is a
     // 32-bit md5 prefix, pos bounded by a 2^20-gram = ~1M-word document): DuckDB's list_distinct
     // cannot deduplicate structs, and the encoded form keeps the mirror

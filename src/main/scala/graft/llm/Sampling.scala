@@ -55,8 +55,8 @@ object Sampling {
     * Plan: scan-side key computation + TakeOrdered — no shuffle beyond the
     * top-k merge. Weights must be strictly positive. */
   def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
-    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("long") + lit(1L)).cast("double") / lit(4294967297.0)
+    val u = (graft.expr.Md5Prefix(key.cast("string"), 8) + lit(1L))
+      .cast("double") / lit(4294967297.0)
     val skey = -log(u) / weight.cast("double")
     df.filter(weight.cast("double") > 0) // null/non-positive weight = weight 0: never drawn
       .withColumn("__skey", skey)
@@ -93,7 +93,7 @@ object Sampling {
   def assignFold(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k > 1, s"k must exceed 1: $k")
     df.withColumn("fold",
-      pmod(conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int"),
+      pmod(graft.expr.Md5Prefix(key.cast("string"), 4).cast("int"),
         lit(k)))
   }
 
@@ -116,8 +116,8 @@ object Sampling {
       s"1..64 shards: ${shards.size}")
     require(shards.distinct.size == shards.size, "shard names must be unique")
     val encoded = shards.zipWithIndex.map { case (s, i) =>
-      conv(substring(md5(concat(lit(s), lit(":"), key.cast("string"))), 1, 8),
-        16, 10).cast("long") * lit(64L) + lit(i.toLong)
+      graft.expr.Md5Prefix(concat(lit(s), lit(":"), key.cast("string")), 8) *
+        lit(64L) + lit(i.toLong)
     }
     val best =
       if (encoded.size == 1) encoded.head else greatest(encoded: _*)

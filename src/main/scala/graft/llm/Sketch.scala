@@ -34,8 +34,8 @@ object Sketch {
 
   /** Row j's bucket for a term: md5("j:term") 8-hex prefix mod width. */
   def bucket(term: Column, j: Int, width: Int): Column =
-    pmod(conv(substring(md5(concat(lit(j.toString), lit(":"), term)), 1, 8),
-      16, 10).cast("long"), lit(width.toLong))
+    pmod(graft.expr.Md5Prefix(concat(lit(j.toString), lit(":"), term), 8),
+      lit(width.toLong))
 
   private def words(text: Column): Column = split(lower(trim(text)), "\\s+")
 

@@ -149,6 +149,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-group heavy hitters: one SpaceSaving summary per `groupCol` value
+    * (mixture sources, languages, shards), top-k within each group — the
+    * per-stratum vocabulary profile mixture tuning reads next to
+    * [[graft.llm.Dsir]]'s per-source KL. Same sketch-only shuffle
+    * discipline as [[heavyHitters]]: each map-side partial carries
+    * `capacity` counters PER GROUP SEEN IN THAT TASK (bounded by
+    * capacity × |groups|, never by vocabulary), merged per group key; the
+    * per-group top-k is a rank window over |groups| × capacity rows.
+    * Exactness regime as [[heavyHitters]]: capacity ≥ per-group |vocab| ⇒
+    * exact counts, err = 0. */
+  def heavyHittersByGroup(docs: DataFrame, groupCol: String, capacity: Int,
+      k: Int, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val tok = docs
+      .select(col(groupCol).as("grp"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val hh = GraftBridge.column(
+      graft.expr.SpaceSavingTopK(
+        GraftBridge.expression(col("term")), capacity).toAggregateExpression())
+    tok.groupBy(col("grp")).agg(hh.as("hh"))
+      .select(col("grp"), explode(col("hh")).as("e"))
+      .select(col("grp").as(groupCol), col("e.item").as("term"),
+        col("e.cnt").as("cnt"), col("e.err").as("err"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(col("cnt").desc, col("term"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Documents → vocab-id sequences: the tokenize step between curation and
     * [[Packing]] (packed shards carry int sequences, not text). Tokens map
     * through a broadcast (term → term_id) table — vocabularies are KBs–MBs

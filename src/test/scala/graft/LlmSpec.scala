@@ -1605,6 +1605,43 @@ class LlmSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("intercept") - math.log(48)) < 1e-6, r)
   }
 
+  test("md5 prefix kernel equals the conv(substring(md5)) composable form") {
+    val strs = Seq("", "a", "0:neutrino", "rp:63:15", "héllo wörld",
+      "a longer sentence with several words 12345")
+    val df = strs.toDF("s")
+    for (n <- Seq(2, 4, 8, 12, 14)) {
+      val got = df.select(graft.expr.Md5Prefix($"s", n)).as[Long].collect().toSeq
+      val ref = df.select(
+        conv(substring(md5($"s"), 1, n), 16, 10).cast("long"))
+        .as[Long].collect().toSeq
+      assert(got === ref, s"nHex=$n")
+    }
+    // null propagates
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(graft.expr.Md5Prefix($"s", 8)).collect().head.isNullAt(0))
+  }
+
+  test("gram-bucket kernel equals the composable gramStream + bucketOf chain") {
+    import graft.llm.Dsir
+    val rng = new scala.util.Random(41)
+    val texts = Seq("", "one", "  spaced   out  tokens ", "a b c d e",
+      "Mixed CASE Grams héllo wörld") ++
+      (1 to 5).map(_ => List.fill(3 + rng.nextInt(20))(s"w${rng.nextInt(30)}")
+        .mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (b <- Seq(7, 256)) {
+      val fused = docs.select($"doc_id",
+          posexplode(graft.expr.GramBuckets($"text", b)).as(Seq("p", "bucket")))
+        .orderBy($"doc_id", $"p").as[(Long, Int, Long)].collect().toSeq
+      val composed = Dsir.gramStream(docs)
+        .select($"doc_id", Dsir.bucketOf($"gram", b).as("bucket"))
+        .as[(Long, Long)].collect().toSeq
+      // multiset + order parity per doc
+      assert(fused.map(r => (r._1, r._3)) === composed, s"b=$b")
+    }
+  }
+
   test("minhash estimate contract: verbatim pair estimates exactly 1") {
     val docs = Seq(
       (1L, base), (2L, base),        // verbatim pair: jaccard 1, est 1
