@@ -600,6 +600,42 @@ object Oracles {
         |FROM batch WHERE NOT _deleted
         |ORDER BY o_orderkey""".stripMargin,
 
+    // rolling-active mirror: per-(user, day) distinct frame, trailing
+    // range join over the day list, exact distinct per window
+    "q_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM ud),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+        |wau AS (
+        |  SELECT d AS day, count(DISTINCT user_id) AS wau
+        |  FROM ud JOIN days ON ud.day <= days.d
+        |    AND ud.day > days.d - INTERVAL 7 DAY
+        |  GROUP BY d)
+        |SELECT w.day, dau.dau, w.wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+        |FROM wau w JOIN dau ON dau.day = w.day
+        |ORDER BY w.day""".stripMargin,
+
+    // attribution mirror: identical touch dedupe (max (type, id) per
+    // (user, ts)), DuckDB ASOF LEFT JOIN at-or-before, same window test
+    "q_attribution" ->
+      """WITH conv AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, ts AS touch_ts,
+        |    max(struct_pack(event_type := event_type, event_id := event_id))
+        |      .event_type AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts, t.touch_type, t.touch_ts,
+        |  (t.touch_ts IS NOT NULL AND
+        |   epoch_ms(c.ts) - epoch_ms(t.touch_ts) <= 86400000) AS attributed
+        |FROM conv c ASOF LEFT JOIN t
+        |  ON c.user_id = t.user_id AND c.ts >= t.touch_ts
+        |ORDER BY event_id""".stripMargin,
+
     "q_asof_enrich" ->
       """WITH snap AS (
         |  SELECT user_id, date_trunc('day', ts) AS rts, max(value) AS day_max

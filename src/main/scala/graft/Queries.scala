@@ -236,6 +236,18 @@ object Queries {
         .orderBy(col("event_id"))
     }),
 
+    // last-touch attribution: conversions credit the latest in-window
+    // touch via the audited asof composition; deterministic under
+    // same-timestamp touch bursts (max-(type,id) dedupe)
+    "q_attribution" -> ((s, dir) =>
+      Analytics.lastTouchAttribution(t(s, dir, "events"))
+        .orderBy(col("event_id"))),
+    // trailing 7-day actives + DAU/WAU stickiness: broadcast day-list
+    // range join, exact distinct per window (HLL swap documented at scale)
+    "q_rolling_active" -> ((s, dir) =>
+      Analytics.rollingActive(t(s, dir, "events"))
+        .orderBy(col("day"))),
+
     // ---- analytics: range (interval-containment) join ----
     // events matched into their user's 6-hour daily window via the
     // bucketized range join (equi-join on (key, hour-bucket) + residual)

@@ -623,6 +623,62 @@ object Analytics {
         col("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Rolling-window active users: per calendar day, the distinct users
+    * active in the trailing `windowDays` window (WAU for 7), alongside
+    * that day's DAU and the DAU/WAU stickiness ratio — the engagement
+    * report DAU alone can't give. Distinct-count over a SLIDING window
+    * can't ride a window function (count_distinct isn't
+    * frame-decomposable), so the shape is: per-(user, day) distinct frame
+    * ⋈ the BROADCAST day list on a bounded date-range theta (days are
+    * thousands even over years — always broadcastable), then one
+    * (day)-keyed exact distinct per window. At extreme scale swap the
+    * exact distinct for per-day HLL sketches unioned over the window
+    * (the uniquesFromDailySketches machinery) — same query shape.
+    * Stickiness is one IEEE division of exact longs. */
+  def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val ud = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select(col("day").as("d")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count_distinct(col("user_id")).as("dau"))
+    ud.join(broadcast(days),
+        datediff(col("d"), col("day")).between(0, windowDays - 1))
+      .groupBy(col("d").as("day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+      .join(dau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+  }
+
+  /** Last-touch attribution: each conversion event credits the user's
+    * most recent touch event at-or-before it, provided the touch is within
+    * `windowMs` (the marketing lookback window) — the standard attribution
+    * report, expressed as the audited [[asofJoin]] composition (union +
+    * last_value window — one keyed shuffle, no range join, no per-user
+    * quadratic). Touches are first deduplicated to ONE row per (user, ts)
+    * — max (type, id) wins — so the as-of pick is deterministic under
+    * same-timestamp touch bursts. Returns one row per conversion:
+    * (event_id, user_id, ts, touch_type, touch_ts, attributed). */
+  def lastTouchAttribution(events: DataFrame,
+      touchTypes: Seq[String] = Seq("view", "click"),
+      convType: String = "purchase",
+      windowMs: Long = 86400000L): DataFrame = {
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val touches = events.filter(col("event_type").isin(touchTypes: _*))
+      .groupBy(col("user_id"), col("ts").as("touch_ts"))
+      .agg(max(struct(col("event_type"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("touch_ts"),
+        col("m.event_type").as("touch_type"))
+    asofJoin(conv, touches, "user_id", "ts", "touch_ts",
+        Seq("touch_type", "touch_ts"))
+      .withColumn("attributed",
+        col("touch_ts").isNotNull &&
+          (unix_millis(col("ts")) - unix_millis(col("touch_ts"))) <= windowMs)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("touch_type"), col("touch_ts"), col("attributed"))
+  }
+
   /** Type-2 slowly-changing-dimension history from a change/event log: per
     * key, collapse consecutive identical states (lag compare), then stamp
     * each surviving state with its validity interval — `valid_from` = the

@@ -30,6 +30,46 @@ class AnalyticsSpec extends SparkTestBase {
       r.getAs[Double]("z") < 0 && !r.getAs[Boolean]("is_anomaly")))
   }
 
+  test("attribution: in-window touch credits, stale touch does not") {
+    val ms = (m: Long) => new Timestamp(m)
+    val h = 3600L * 1000
+    val events = Seq(
+      // u1: click 1h before purchase → attributed
+      (1L, 1L, "click", ms(10 * h)), (2L, 1L, "purchase", ms(11 * h)),
+      // u2: view 30h before purchase (window 24h) → found but NOT attributed
+      (3L, 2L, "view", ms(0L)), (4L, 2L, "purchase", ms(30 * h)),
+      // u3: purchase with no touch at all
+      (5L, 3L, "purchase", ms(5 * h)),
+      // u1 again: later purchase still credits the same last click
+      (6L, 1L, "purchase", ms(12 * h))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.lastTouchAttribution(events)
+      .orderBy($"event_id")
+      .select($"event_id", $"touch_type", $"attributed")
+      .as[(Long, Option[String], Boolean)].collect().toSeq
+    assert(out === Seq(
+      (2L, Some("click"), true),
+      (4L, Some("view"), false),
+      (5L, None, false),
+      (6L, Some("click"), true)))
+  }
+
+  test("rolling active: trailing window unions the right days") {
+    val day = (d: Int, u: Long) =>
+      (u * 100 + d, u, "view", new Timestamp(d.toLong * 86400L * 1000))
+    // u1 active days 1..3; u2 active day 1 only; u3 active day 9
+    val events = (Seq(1, 2, 3).map(day(_, 1L)) ++ Seq(day(1, 2L), day(9, 3L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val m = Analytics.rollingActive(events, windowDays = 7)
+      .select($"day".cast("string"), $"dau", $"wau")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m("1970-01-02") === ((2L, 2L))) // day 1: u1+u2
+    assert(m("1970-01-04") === ((1L, 2L))) // day 3: dau=u1, wau=u1+u2
+    // day 9: dau=u3; u1's day 3 is exactly 6 days back — still in window
+    assert(m("1970-01-10") === ((1L, 2L)))
+  }
+
   test("debounce: burst collapses to its head; types and users independent") {
     val ms = (m: Long) => new Timestamp(m)
     val events = Seq(
