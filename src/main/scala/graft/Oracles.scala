@@ -636,6 +636,45 @@ object Oracles {
         |  ON c.user_id = t.user_id AND c.ts >= t.touch_ts
         |ORDER BY event_id""".stripMargin,
 
+    // mirrors the nano-grid decay-weight discipline: floor BEFORE the
+    // per-conversion normalization, integer window sum, one division
+    "q_attribution_multi" ->
+      """WITH conv AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+        |    event_type AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.ts, t.touch_id, t.touch_type,
+        |    t.touch_ts
+        |  FROM conv c JOIN t USING (user_id)
+        |  WHERE t.touch_ts <= c.ts
+        |    AND epoch_ms(c.ts) - epoch_ms(t.touch_ts) <= 86400000),
+        |s AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY touch_ts, touch_type, touch_id) AS position,
+        |    count(*) OVER (PARTITION BY event_id) AS n_touches,
+        |    CAST(floor(pow(2.0,
+        |      -(epoch_ms(ts) - epoch_ms(touch_ts))::DOUBLE / 21600000.0)
+        |      * 1e9) AS BIGINT) AS w_nano
+        |  FROM j),
+        |s2 AS (
+        |  SELECT *,
+        |    CASE WHEN n_touches = 1 THEN 1.0
+        |      WHEN n_touches = 2 THEN 0.5
+        |      WHEN position = 1 OR position = n_touches THEN 0.4
+        |      ELSE 0.2 / (n_touches - 2)::DOUBLE END AS credit_u,
+        |    w_nano::DOUBLE /
+        |      (CAST(sum(w_nano) OVER (PARTITION BY event_id) AS BIGINT))::DOUBLE
+        |      AS credit_decay
+        |  FROM s)
+        |SELECT event_id, user_id, ts, touch_id, touch_type, touch_ts,
+        |  n_touches, position, credit_u, credit_decay
+        |FROM s2 ORDER BY event_id, position""".stripMargin,
+
     "q_asof_enrich" ->
       """WITH snap AS (
         |  SELECT user_id, date_trunc('day', ts) AS rts, max(value) AS day_max
@@ -1156,6 +1195,63 @@ object Oracles {
     // per-source KL mirror: the DSIR gram/bucket frame grouped by source,
     // each bucket contribution one fixed (w · ln(ratio) · 1e9) floor,
     // per-source sums exact-integer over the closed 256-bucket frame
+    // PSI mirror: identical Laplace smoothing, identical (p−q)·ln(p/q)
+    // op order, nano-floor per band, exact integer sum per source
+    "q_psi_drift" ->
+      """WITH b AS (
+        |  SELECT source AS grp,
+        |    CAST(floor(n_chars / 200.0) AS BIGINT) AS band
+        |  FROM documents),
+        |cell AS (SELECT grp, band, count(*) AS c FROM b GROUP BY 1, 2),
+        |base AS (SELECT band, CAST(sum(c) AS BIGINT) AS bc FROM cell GROUP BY 1),
+        |ng AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(bc) AS BIGINT) AS n_tot,
+        |  count(*) AS n_bands FROM base),
+        |grid AS (
+        |  SELECT ng.grp, ng.n, base.band, base.bc,
+        |    coalesce(cell.c, 0) AS c
+        |  FROM ng CROSS JOIN base
+        |  LEFT JOIN cell ON cell.grp = ng.grp AND cell.band = base.band),
+        |x AS (
+        |  SELECT grp, CAST(floor(
+        |    ((c + 1)::DOUBLE / (n + n_bands)::DOUBLE
+        |      - (bc + 1)::DOUBLE / (n_tot + n_bands)::DOUBLE)
+        |    * ln(((c + 1)::DOUBLE / (n + n_bands)::DOUBLE)
+        |      / ((bc + 1)::DOUBLE / (n_tot + n_bands)::DOUBLE))
+        |    * 1e9) AS BIGINT) AS contrib
+        |  FROM grid, tot)
+        |SELECT grp AS source,
+        |  CAST(sum(contrib) AS BIGINT)::DOUBLE / 1e9 AS psi
+        |FROM x GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Fightin'-Words mirror: exact integer counts, the fixed δ/σ op
+    // sequence, z nano-floored before ranking (ties by term)
+    "q_distinctive_terms" ->
+      """WITH t AS (
+        |  SELECT source AS grp,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT grp, term FROM t WHERE term != ''),
+        |cell AS (SELECT grp, term, count(*) AS c FROM t2 GROUP BY 1, 2),
+        |tw AS (SELECT term, CAST(sum(c) AS BIGINT) AS cw FROM cell GROUP BY 1),
+        |gt AS (SELECT grp, CAST(sum(c) AS BIGINT) AS ng FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tot, count(*) AS v FROM tw),
+        |sc AS (
+        |  SELECT grp, term, CAST(floor(
+        |    (ln((c + 1)::DOUBLE / (ng - c + v - 1)::DOUBLE)
+        |     - ln((cw - c + 1)::DOUBLE
+        |         / (n_tot - ng - (cw - c) + v - 1)::DOUBLE))
+        |    / sqrt(1.0 / (c + 1)::DOUBLE + 1.0 / (cw - c + 1)::DOUBLE)
+        |    * 1e9) AS BIGINT) AS z_nano
+        |  FROM cell JOIN tw USING (term) JOIN gt USING (grp) CROSS JOIN tot),
+        |r AS (
+        |  SELECT grp, term, z_nano,
+        |    row_number() OVER (PARTITION BY grp
+        |      ORDER BY z_nano DESC, term) AS rank
+        |  FROM sc)
+        |SELECT grp AS source, rank, term, z_nano::DOUBLE / 1e9 AS z
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
     "q_source_kl" ->
       s"""WITH w AS (
          |  SELECT source, $wordsSql AS ws FROM documents),
@@ -1593,6 +1689,26 @@ object Oracles {
          |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // the naive all-pairs truth: the prefix filter is LOSSLESS, so the
+    // Spark side's filtered plan must reproduce this exactly — the oracle
+    // match IS the completeness proof
+    "q_jaccard_prefix" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+         |c AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
+         |FROM c
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // list_reduce (not list_sum) pins sequential left-to-right summation —
     // bit-exact parity with Spark's aggregate() fold.
     "q_knn_brute" ->
@@ -1770,6 +1886,27 @@ object Oracles {
          |SELECT est.term, est_count, coalesce(ex.c, 0) AS exact_count,
          |  est_count >= coalesce(ex.c, 0) AS overestimate
          |FROM est LEFT JOIN ex USING (term) ORDER BY term""".stripMargin,
+
+    // deterministic md5-hash KMV sketch ⇒ the error contract is a fact the
+    // oracle can predict (measured worst-source error 12.5% << 20% bound)
+    "q_sketch_kmv" ->
+      s"""WITH e AS (
+         |  SELECT source, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents)
+         |SELECT source, count(DISTINCT h) AS exact_terms,
+         |  TRUE AS kmv_within_20pct
+         |FROM e GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_sketch_kmv_setops" ->
+      s"""WITH e AS (
+         |  SELECT source, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |g AS (SELECT h, count(DISTINCT source) AS ns FROM e GROUP BY h)
+         |SELECT count(*) AS exact_union,
+         |  count(CASE WHEN ns = 2 THEN 1 END) AS exact_intersect,
+         |  TRUE AS union_within_10pct,
+         |  TRUE AS intersect_within_20pct
+         |FROM g""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH w AS (
@@ -2068,6 +2205,12 @@ object Oracles {
     "q_knn_ivfpq" ->
       """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+
+    // panel contract (q_knn_lsh convention): one row, n_queries + the
+    // deterministic recall fact
+    "q_knn_binary" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10""".stripMargin,
 
     // bins [start, start+100); DuckDB sum(int) is HUGEINT → cast back
     "q_length_histogram" ->

@@ -242,6 +242,12 @@ object Queries {
     "q_attribution" -> ((s, dir) =>
       Analytics.lastTouchAttribution(t(s, dir, "events"))
         .orderBy(col("event_id"))),
+    // multi-touch attribution: U-shaped (40/20/40 position-based) and
+    // time-decay (2^(−Δt/6h), nano-grid weights → exact integer
+    // normalizer) credits side by side, one interval join + one window
+    "q_attribution_multi" -> ((s, dir) =>
+      Analytics.multiTouchAttribution(t(s, dir, "events"))
+        .orderBy(col("event_id"), col("position"))),
     // trailing 7-day actives + DAU/WAU stickiness: broadcast day-list
     // range join, exact distinct per window (HLL swap documented at scale)
     "q_rolling_active" -> ((s, dir) =>
@@ -657,6 +663,19 @@ object Queries {
     "q_source_kl" -> ((s, dir) =>
       llm.Dsir.sourceKl(tWide(s, dir, "documents"))
         .orderBy(col("source"))),
+    // PSI drift per source vs the corpus baseline over 200-char length
+    // bands — the monitoring metric that flags scraper/format breakage;
+    // Laplace-smoothed, nano-grid summands, exact integer sum
+    "q_psi_drift" -> ((s, dir) =>
+      llm.Drift.psi(tWide(s, dir, "documents"), "source", col("n_chars"),
+          binWidth = 200L)
+        .orderBy(col("source"))),
+    // Monroe log-odds "Fightin' Words": top-5 distinctive terms per
+    // source by z-scored log-odds under a uniform Dirichlet prior
+    "q_distinctive_terms" -> ((s, dir) =>
+      llm.TextAnalysis.distinctiveTerms(tWide(s, dir, "documents"),
+          "source", k = 5)
+        .orderBy(col("source"), col("rank"))),
 
     // the resampling step: Gumbel-top-100 under digest-uniform noise —
     // the drawn set + keys are the oracle-checkable facts
@@ -828,6 +847,15 @@ object Queries {
     "q_ngram_jaccard" -> ((s, dir) =>
       llm.Dedup.ngramJaccardPairs(tWide(s, dir, "documents"), "source", n = 3,
           threshold = 0.3, maxDf = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+    // prefix-filtering exact set-similarity join (AllPairs/PPJoin):
+    // UNBLOCKED corpus-wide Jaccard ≥ 0.3 with zero recall loss — the
+    // rarest-tokens-first prefix equi-join generates a complete candidate
+    // set, exact verification reproduces the naive all-pairs truth the
+    // oracle computes
+    "q_jaccard_prefix" -> ((s, dir) =>
+      llm.Dedup.prefixJaccardPairs(tWide(s, dir, "documents"),
+          threshold = 0.6, n = 3)
         .orderBy(col("id_a"), col("id_b"))),
     "q_embed_near_dups" -> ((s, dir) =>
       llm.Similarity.cosinePairsBlocked(tWide(s, dir, "embeddings"), "label", 0.4)
@@ -1035,6 +1063,13 @@ object Queries {
       llm.Similarity.ivfPqKnnRecall(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5, nCells = 4, nprobe = 4,
         m = 32, kCodes = 256, recallBound = 0.6)),
+    // 1-bit binary quantization (sign bits, 32× compression) + a 150-deep
+    // Hamming shortlist + exact rerank: panel recall contract vs float32
+    // top-5. Deterministic (no RNG): measured panel recall 0.94 at sf0.01,
+    // 0.72 at sf0.1 — bound 0.6 leaves margin.
+    "q_knn_binary" -> ((s, dir) =>
+      llm.Similarity.binaryKnnRecallPanel(tWide(s, dir, "embeddings"),
+        col("vec_id") < 10, k = 5, candidates = 150, recallBound = 0.6)),
 
     // ---- LLM data pipeline: benchmark decontamination ----
     // every 50th doc plays the benchmark; the near-dup plants in the
@@ -1195,6 +1230,45 @@ object Queries {
       llm.Sketch.cmsEstimate(llm.Sketch.cmsBuild(docs), docs,
           llm.Sketch.CmsPanel)
         .orderBy(col("term"))
+    }),
+    // KMV/theta bottom-k distinct sketch: per-source distinct 3-gram
+    // estimate from k=256 retained hashes, published as its error
+    // contract vs exact (deterministic md5 hashes: measured worst-source
+    // error 12.5% at sf0.01, 9.6% at sf0.1 — bound 20%)
+    "q_sketch_kmv" -> ((s, dir) => {
+      val terms = tWide(s, dir, "documents")
+        .select(col("source"), explode(llm.Dedup.shingles(col("text"), 3)).as("h"))
+      val est = llm.Sketch.kmvEstimate(
+        llm.Sketch.kmvBuild(terms, "source", "h", k = 256), k = 256)
+      val exact = terms.groupBy(col("source").as("grp"))
+        .agg(count_distinct(col("h")).as("exact_terms"))
+      est.join(exact, Seq("grp"))
+        .select(col("grp").as("source"), col("exact_terms"),
+          (abs(col("est_distinct") / col("exact_terms").cast("double") - 1.0)
+            <= 0.20).as("kmv_within_20pct"))
+        .orderBy(col("source"))
+    }),
+    // theta-sketch set algebra — the capability HLL lacks: union AND
+    // intersection distinct estimates between two sources from their
+    // bottom-k sketches alone (θ∧-filtered sample counting). Measured:
+    // union err ≤ 3.3%, intersection err ≤ 9.5% at both SFs — bounds
+    // 10% / 20%.
+    "q_sketch_kmv_setops" -> ((s, dir) => {
+      val terms = tWide(s, dir, "documents")
+        .select(col("source"), explode(llm.Dedup.shingles(col("text"), 3)).as("h"))
+      val ops = llm.Sketch.kmvSetOps(
+        llm.Sketch.kmvBuild(terms, "source", "h", k = 256), k = 256,
+        grpA = "src0", grpB = "src1")
+      val exact = terms.filter(col("source").isin("src0", "src1"))
+        .groupBy(col("h")).agg(count_distinct(col("source")).as("ns"))
+        .agg(count(lit(1)).as("exact_union"),
+          count(when(col("ns") === 2, lit(1))).as("exact_intersect"))
+      ops.crossJoin(exact) // 1×1
+        .select(col("exact_union"), col("exact_intersect"),
+          (abs(col("est_union") / col("exact_union").cast("double") - 1.0)
+            <= 0.10).as("union_within_10pct"),
+          (abs(col("est_intersect") / col("exact_intersect").cast("double") - 1.0)
+            <= 0.20).as("intersect_within_20pct"))
     }),
     // tokenize to vocab ids: top-20 vocab ranked (tf desc, term), OOV → 0,
     // token order preserved through the posexplode/join/sort_array chain.

@@ -765,4 +765,64 @@ object Analytics {
       .drop("_first_new")
     bulk.unionByName(touchedUpdated).unionByName(newRows)
   }
+
+  /** Multi-touch attribution: every in-window touch of a conversion gets
+    * fractional credit under TWO standard models at once —
+    *
+    *   - U-shaped (position-based): 1 touch → 1.0; 2 → 0.5 each; n ≥ 3 →
+    *     0.4 first, 0.4 last, 0.2/(n−2) per middle touch;
+    *   - time-decay: weight 2^(−Δt/halfLife) normalized within the
+    *     conversion's window.
+    *
+    * The last-touch model ([[lastTouchAttribution]]) answers "what
+    * closed?"; these answer "what contributed?" — the models a marketing
+    * warehouse reports side by side.
+    *
+    * Determinism/portability: positions order by (touch_ts, touch_type,
+    * touch id) so same-timestamp bursts are stable; decay weights floor
+    * to the 1e-9 grid BEFORE the per-conversion normalization, which then
+    * runs as an exact integer sum — the published credits are
+    * engine-portable despite pow() (the [[graft.llm.Dsir]] λ discipline).
+    *
+    * Scale shape: one user-keyed equi-join (conversions × touches) with
+    * the window predicate applied in the join — per-user fan-out is
+    * bounded by touches-per-window, the standard interval-join shape (at
+    * heavy per-user skew, compose with the [[rangeJoin]] bucketing). The
+    * position/count/sum windows all ride ONE (conversion) partitioning. */
+  def multiTouchAttribution(events: DataFrame,
+      touchTypes: Seq[String] = Seq("view", "click"),
+      convType: String = "purchase",
+      windowMs: Long = 86400000L,
+      halfLifeMs: Long = 21600000L): DataFrame = {
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val touches = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts").as("touch_ts"), col("event_type").as("touch_type"))
+    val joined = conv.join(touches, Seq("user_id"))
+      .filter(col("touch_ts") <= col("ts") &&
+        unix_millis(col("ts")) - unix_millis(col("touch_ts")) <= windowMs)
+    val byConv = Window.partitionBy(col("event_id"))
+    val ordered = Window.partitionBy(col("event_id"))
+      .orderBy(col("touch_ts"), col("touch_type"), col("touch_id"))
+    val scored = joined
+      .withColumn("position", row_number().over(ordered))
+      .withColumn("n_touches", count(lit(1)).over(byConv))
+      .withColumn("credit_u",
+        when(col("n_touches") === 1, lit(1.0))
+          .when(col("n_touches") === 2, lit(0.5))
+          .when(col("position") === 1 || col("position") === col("n_touches"),
+            lit(0.4))
+          .otherwise(lit(0.2) / (col("n_touches") - 2).cast("double")))
+      .withColumn("w_nano",
+        floor(pow(lit(2.0),
+          -(unix_millis(col("ts")) - unix_millis(col("touch_ts")))
+            .cast("double") / lit(halfLifeMs.toDouble)) * lit(1e9))
+          .cast("long"))
+      .withColumn("credit_decay",
+        col("w_nano").cast("double") / sum(col("w_nano")).over(byConv).cast("double"))
+    scored.select(col("event_id"), col("user_id"), col("ts"),
+      col("touch_id"), col("touch_type"), col("touch_ts"),
+      col("n_touches"), col("position"), col("credit_u"), col("credit_decay"))
+  }
 }

@@ -623,6 +623,97 @@ object Dedup {
     materializedWithout(out, sh)
   }
 
+  /** Exact set-similarity join by PREFIX FILTERING (the AllPairs/PPJoin
+    * family, Bayardo et al., WWW'07): all pairs with n-gram-set Jaccard ≥
+    * `threshold`, with NO probabilistic recall loss (unlike MinHash) and
+    * NO blocking column required (unlike [[ngramJaccardPairs]]).
+    *
+    * The filter: order the token universe by ascending document frequency
+    * (rarest first; ties by hash — any consistent total order works), and
+    * let each document's PREFIX be its first `sz − ⌊t·sz⌋ + 1` tokens in
+    * that order. Two documents with J ≥ t must share ≥ t/(1+t)·(szA+szB)
+    * tokens, so their prefixes cannot be disjoint — candidates generated
+    * by a prefix-token equi-join are COMPLETE, and exact verification of
+    * just those candidates reproduces the naive all-pairs truth (which is
+    * exactly what the oracle computes naively). ⌊·⌋ rather than the
+    * canonical ⌈·⌉ guards the FP boundary (t·sz just under an integer):
+    * the error direction is a one-longer prefix — more candidates, never
+    * a missed pair.
+    *
+    * Scale shape: prefix tokens are by construction the RAREST tokens of
+    * each document, so the candidate equi-join fans out least where df is
+    * highest — the quadratic blow-up that forces maxDf rails on the plain
+    * shingle self-join is structurally suppressed here. Stages: one df
+    * aggregation, one per-doc sort (array sort inside a groupBy, no
+    * window), one candidate equi-join on prefix tokens, one bounded
+    * verification join over candidates only. */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val e = docs.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), n)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = e.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // global (df, h) order materialized per token, then per-doc sort_array
+    // over (df, h) structs = each doc's tokens in the one shared order.
+    // Persisted: pref and the verification side both read it.
+    val ordered = e.join(df, Seq("h"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("plen",
+        col("sz") - floor(lit(threshold) * col("sz")).cast("int") + lit(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Fixed-width repartition on the join key: the prefix frame is BYTE-
+    // small (AQE would coalesce its shuffle to one partition), but the
+    // candidate join FANS OUT of it — the expensive work happens after the
+    // exchange, where AQE's input-size heuristic can't see it. Pinning the
+    // width keeps the join parallel (measured 2× on 32 cores at sf0.1).
+    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val pref = ordered.select(col("id"), col("sz"),
+      posexplode(slice(col("toks"), lit(1), col("plen"))).as(Seq("pos", "pt")))
+      .repartition(width, col("pt"))
+    // Two more Bayardo/PPJoin rails on the candidate join itself:
+    //   - size compatibility: J ≥ t forces t·szA ≤ szB ≤ szA/t;
+    //   - positional upper bound: a collision at (0-based) prefix
+    //     positions (iA, iB) can lead to at most min(szA−iA, szB−iB)
+    //     common tokens (everything from the collision on), and J ≥ t
+    //     needs c ≥ t/(1+t)·(szA+szB) — prune when the bound can't reach
+    //     it (1e-9 slack keeps the FP error direction conservative).
+    val need = lit(threshold / (1 + threshold)) *
+      (col("a.sz") + col("b.sz")).cast("double") - lit(1e-9)
+    val cands = pref.as("a")
+      .join(pref.as("b"),
+        col("a.pt") === col("b.pt") && col("a.id") < col("b.id") &&
+          col("a.sz") * lit(threshold) <= col("b.sz") &&
+          col("b.sz") * lit(threshold) <= col("a.sz") &&
+          least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
+            .cast("double") >= need)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // verify: exact |A∩B| per candidate as ONE array_intersect over the
+    // per-doc token-hash arrays — no re-explode of the corpus, no fan-out
+    // join; the (id → hashes) frame joins once per side on its id key.
+    // PLAIN long arrays, deliberately: array_intersect on primitive longs
+    // runs the codegen'd OpenHashSet fast path, while the (df, h) struct
+    // arrays would fall back to quadratic interpreted struct equality
+    // (measured 31 s vs ~1 s on this corpus for the same candidates).
+    val byId = ordered.select(col("id"), col("sz"),
+      transform(col("toks"), t => t.getField("h")).as("hs"))
+    val common = cands
+      .join(byId.select(col("id").as("id_a"), col("sz").as("sz_a"),
+        col("hs").as("hs_a")), Seq("id_a"))
+      .join(byId.select(col("id").as("id_b"), col("sz").as("sz_b"),
+        col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("hs_a"), col("hs_b"))))
+    val out = common
+      .withColumn("jaccard",
+        col("c").cast("double") /
+          (col("sz_a") + col("sz_b") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializedWithout(out, e, ordered)
+  }
+
   /** Exact-substring duplicate pairs: docs sharing ≥ `minShared` verbatim
     * token windows of `windowTokens` words — the exact-span complement to
     * MinHash near-dup detection (the "50-token verbatim overlap" rule of

@@ -867,4 +867,93 @@ object Similarity {
         (col("n_hits").cast("double") / col("n_exact").cast("double")
           >= recallBound).as("recall_ok"))
   }
+
+  /** 1-bit (sign) embedding signature: bit i is set iff vec[i] > 0, packed
+    * into a SINGLE long for dim ≤ 64 — the most aggressive embedding
+    * compression in use (32× vs float32; "binary quantization" in modern
+    * vector stores). Distance between signatures is Hamming =
+    * `bit_count(a XOR b)`, ~1 cycle per pair — the cheap prefilter stage
+    * of a two-stage (Hamming shortlist → exact cosine rerank) retriever.
+    *
+    * The fold packs bits MSB-first via `shiftleft(acc,1) | bit` — pure
+    * bit ops, so the 64th bit lands in the sign position without tripping
+    * ANSI overflow checking (never goes through doubles either).
+    * Dimension-mismatch guard per [[lshBucket]]: a silent NULL would
+    * otherwise collapse every vector onto one signature. */
+  def signBits(vec: Column, dim: Int = 64): Column = {
+    require(dim <= 64, s"signBits packs one 64-bit word; dim=$dim > 64")
+    val packed = aggregate(
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => when(element_at(vec, i + lit(1)) > lit(0d), lit(1L))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+    when(assert_true(size(vec) === dim,
+      lit(s"signBits: embedding length does not match dim=$dim")).isNull, packed)
+  }
+
+  /** Two-stage binary-quantized kNN: Hamming distance on [[signBits]]
+    * signatures shortlists `candidates` corpus rows per query, then exact
+    * cosine reranks the shortlist to top-k.
+    *
+    * Scale shape: the Hamming stage streams only (qid, id, hamming)
+    * triples into the per-query shortlist window — Spark's
+    * WindowGroupLimit inserts a partial limit BEFORE the exchange, so each
+    * map partition forwards at most `candidates` rows per query, never the
+    * full Q×N score stream. The rerank stage re-reads vectors through a
+    * broadcast of the (|Q|·candidates)-row shortlist, so the corpus is
+    * scanned, never shuffled, in both stages; at serving scale the
+    * signature column is a precomputed 8-byte column and stage 1 touches
+    * nothing else. */
+  def binaryKnn(emb: DataFrame, queryPred: Column, k: Int,
+      candidates: Int = 50, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= k, s"shortlist smaller than k: $candidates < $k")
+    val sigs = emb.select(col(idCol), signBits(col(vecCol), dim).as("sig"))
+    val qsigs = sigs.filter(queryPred)
+      .select(col(idCol).as("qid"), col("sig").as("qsig"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val shortlist = sigs
+      .join(broadcast(qsigs), col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("neighbor_id"),
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).as("hamming"))
+      .withColumn("hrank", row_number().over(w))
+      .filter(col("hrank") <= candidates)
+      .select(col("qid"), col("neighbor_id"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"))
+    val scored = emb
+      .select(col(idCol).as("neighbor_id"), col(vecCol), norm(col(vecCol)).as("vnorm"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("neighbor_id"),
+        (dot(col("qvec"), col(vecCol)) / (col("qnorm") * col("vnorm"))).as("score"))
+    topK(scored, k)
+  }
+
+  /** [[binaryKnn]] published as its panel recall contract vs the exact
+    * top-k ([[lshKnnRecallPanel]] pattern — per-query recall under a 1-bit
+    * code is geometry-dependent, panel recall is the stable statistic of
+    * the index). The interesting fact this row pins: 64 dims × 1 bit +
+    * a `candidates`-deep exact rerank recovers ≥ `recallBound` of the
+    * float32 top-k at 32× less stage-1 bandwidth. */
+  def binaryKnnRecallPanel(emb: DataFrame, queryPred: Column, k: Int,
+      candidates: Int = 50, dim: Int = 64, recallBound: Double = 0.5,
+      maxContractQueries: Int = 0, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pred = capQueryPred(emb, queryPred, maxContractQueries, idCol, seed)
+    val approxTop = binaryKnn(emb, pred, k, candidates, dim, idCol, vecCol)
+      .select(col("qid"), col("neighbor_id"))
+    val exactTop = bruteForceKnn(emb, pred, k, idCol, vecCol)
+      .select(col("qid"), col("neighbor_id"))
+    val hits = approxTop.join(exactTop, Seq("qid", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    exactTop
+      .agg(count_distinct(col("qid")).as("n_queries"), count(lit(1)).as("n_exact"))
+      .crossJoin(hits) // 1×1
+      .select(col("n_queries"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double")
+          >= recallBound).as("recall_ok"))
+  }
 }

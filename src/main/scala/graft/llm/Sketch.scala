@@ -90,4 +90,90 @@ object Sketch {
         coalesce(col("c"), lit(0L)).as("exact_count"),
         (col("est_count") >= coalesce(col("c"), lit(0L))).as("overestimate"))
   }
+
+  // ---- KMV / theta distinct sketch (Bar-Yossef et al. 2002; the bottom-k
+  // form behind Apache DataSketches' theta sketch) ----
+
+  /** KMV hash: the value's md5 14-hex prefix as a fraction of 2^56 —
+    * uniform in [0, 1), deterministic, engine-portable (the [[Sampling]]
+    * digest discipline). 56-bit resolution makes same-u collisions of
+    * distinct values negligible below ~10^7 distincts per group. */
+  def kmvU(value: Column): Column =
+    graft.expr.Md5Prefix(value, 14).cast("double") / lit(math.pow(2, 56))
+
+  /** Build a bottom-k (KMV) distinct sketch per group: the k smallest
+    * hash values of the group's distinct `valueCol`s. The k-th smallest of
+    * n uniform hashes sits near k/n, so the sketch supports distinct
+    * estimation ([[kmvEstimate]]) AND — because every group hashes values
+    * with the SAME function — set-algebra estimates across groups
+    * ([[kmvSetOps]]), which HLL cannot do for intersections.
+    *
+    * Scale shape: the distinct pass is a hash aggregation with map-side
+    * combine; the per-group bottom-k is a rank window that Spark rewrites
+    * with WindowGroupLimit, so each map partition forwards at most k rows
+    * per group into the exchange. State per group is k doubles —
+    * mergeable (union of sketches re-bottom-k'd = sketch of union,
+    * pinned in LlmSpec). */
+  def kmvBuild(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("u"))
+    df.select(col(groupCol).as("grp"), kmvU(col(valueCol)).as("u"))
+      .groupBy(col("grp"), col("u")).agg(count(lit(1)).as("_n")).drop("_n")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("grp"), col("u"), col("rnk"))
+  }
+
+  /** Distinct-count estimate per group from a [[kmvBuild]] sketch: an
+    * UNSATURATED group (fewer than k distincts) is counted exactly; a
+    * saturated one estimates (k−1)/u_k (the classic unbiased KMV form —
+    * the k-th minimum itself is the threshold, not a sample). */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_kept"), max(col("u")).as("u_k"))
+      .select(col("grp"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(k - 1).cast("double") / col("u_k")).as("est_distinct"))
+
+  /** Theta-sketch set algebra over two groups of one [[kmvBuild]] sketch:
+    * per group θ = 1 (unsaturated: the sketch IS the set) or u_k
+    * (saturated: samples are the k−1 values BELOW θ); the pair estimate
+    * uses θ∧ = min(θ_a, θ_b) and counts surviving samples:
+    * est = |S ∩ [0, θ∧)| / θ∧ with S the union (resp. intersection) of
+    * the two sample sets — the estimator DataSketches publishes for
+    * theta sketch union/intersection. Because both groups hash with the
+    * same function, a shared value yields the SAME u in both sketches,
+    * which is what makes the sample-set intersection meaningful.
+    *
+    * Everything here runs over ≤ 2k sketch rows — the two θ scalars ride
+    * 1×1 cross joins; no corpus access. */
+  def kmvSetOps(sketch: DataFrame, k: Int, grpA: String,
+      grpB: String): DataFrame = {
+    def side(g: String, tag: String): (DataFrame, DataFrame) = {
+      val s = sketch.filter(col("grp") === g)
+      val theta = s.agg(count(lit(1)).as("n"), max(col("u")).as("uk"))
+        .select(when(col("n") < k, lit(1.0)).otherwise(col("uk"))
+          .as(s"theta_$tag"))
+      val samples = s.crossJoin(theta) // 1×1
+        .filter(col("u") < col(s"theta_$tag"))
+        .select(col("u").as(s"u_$tag"))
+      (theta, samples)
+    }
+    val (thA, sA) = side(grpA, "a")
+    val (thB, sB) = side(grpB, "b")
+    val theta = thA.crossJoin(thB) // 1×1
+      .select(least(col("theta_a"), col("theta_b")).as("theta"))
+    val unionCnt = sA.select(col("u_a").as("u"))
+      .union(sB.select(col("u_b").as("u"))).distinct()
+      .crossJoin(theta).filter(col("u") < col("theta"))
+      .agg(count(lit(1)).as("n_union"))
+    val interCnt = sA.join(sB, col("u_a") === col("u_b"), "inner")
+      .crossJoin(theta).filter(col("u_a") < col("theta"))
+      .agg(count(lit(1)).as("n_inter"))
+    theta.crossJoin(unionCnt).crossJoin(interCnt) // 1×1×1
+      .select(
+        (col("n_union").cast("double") / col("theta")).as("est_union"),
+        (col("n_inter").cast("double") / col("theta")).as("est_intersect"))
+  }
 }

@@ -526,4 +526,63 @@ object TextAnalysis {
         "-ent_nano_neg AS entropy_nano",
         "double(-ent_nano_neg) / 1e9 AS entropy")
   }
+
+  /** Per-group DISTINCTIVE terms by z-scored log-odds ratio with a
+    * uniform Dirichlet prior (Monroe, Colaresi & Quinn 2008, "Fightin'
+    * Words") — the statistically-grounded replacement for raw tf-idf
+    * "top terms per source": the z-score divides the log-odds delta by
+    * its estimated standard deviation, so rare-but-lopsided terms don't
+    * drown out genuinely characteristic ones.
+    *
+    *   δ_w = ln((c_gw+1)/(n_g − c_gw + V − 1))
+    *       − ln((c_w − c_gw + 1)/(n − n_g − (c_w − c_gw) + V − 1))
+    *   z_w = δ_w / sqrt(1/(c_gw+1) + 1/(c_w − c_gw + 1))
+    *
+    * with V the vocabulary size (α0 = V under the uniform prior). Exact
+    * integer counts; δ and z run a fixed IEEE op sequence and z floors
+    * to the 1e-9 grid before ranking (ties by term) — engine-portable,
+    * the [[Drift.psi]]/[[Dsir]] discipline.
+    *
+    * Scale shape: ONE (group, term) count aggregation over the corpus;
+    * corpus-wide term totals re-aggregate that frame (no second scan)
+    * and broadcast back; the top-k rank window runs under
+    * WindowGroupLimit. Nothing driver-side. */
+  def distinctiveTerms(docs: DataFrame, groupCol: String, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val cell = docs
+      .select(col(groupCol).as("grp"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termTot = cell.groupBy(col("term")).agg(sum(col("c")).as("cw"))
+    val grpTot = cell.groupBy(col("grp")).agg(sum(col("c")).as("ng"))
+    val totals = termTot.agg(sum(col("cw")).as("nTot"),
+      count(lit(1)).as("v"))
+    val joined = cell
+      .join(broadcast(termTot), Seq("term"))
+      .join(broadcast(grpTot), Seq("grp"))
+      .crossJoin(totals) // 1-row
+    val cRest = col("cw") - col("c")
+    val delta =
+      log((col("c") + 1).cast("double") /
+        (col("ng") - col("c") + col("v") - 1).cast("double")) -
+      log((cRest + 1).cast("double") /
+        (col("nTot") - col("ng") - cRest + col("v") - 1).cast("double"))
+    val z = delta / sqrt(lit(1.0) / (col("c") + 1).cast("double") +
+      lit(1.0) / (cRest + 1).cast("double"))
+    val scored = joined
+      .withColumn("z_nano", floor(z * lit(1e9)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("z_nano").desc, col("term"))
+    val out = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("grp").as(groupCol), col("rank"), col("term"),
+        (col("z_nano").cast("double") / 1e9).as("z"))
+    val mat = out.localCheckpoint()
+    cell.unpersist()
+    mat
+  }
 }

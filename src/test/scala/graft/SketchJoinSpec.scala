@@ -1,0 +1,162 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Sketch, Similarity}
+
+/** Round-7 session-5 additions: KMV/theta distinct sketch, prefix-filtering
+  * exact set-similarity join, and 1-bit binary embedding quantization. */
+class SketchJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randomDocs(rng: Random, n: Int, vocab: Int): Seq[(Long, String)] =
+    (0L until n).map { i =>
+      val len = 5 + rng.nextInt(30)
+      (i, List.fill(len)(s"w${rng.nextInt(vocab)}").mkString(" "))
+    }
+
+  test("prefix join == naive blocked all-pairs truth on random corpora") {
+    for (trial <- 1 to 3) {
+      val rng = new Random(500 + trial)
+      // small vocab forces heavy overlap — the hard case for the filter;
+      // a planted duplicate pair guarantees ≥ 1 output row
+      val base = randomDocs(rng, 40, 12)
+      val docs = (base :+ ((40L, base(3)._2))).toDF("doc_id", "text")
+      val t = 0.3 + 0.2 * rng.nextDouble()
+      val got = Dedup.prefixJaccardPairs(docs, threshold = t, n = 2)
+        .orderBy($"id_a", $"id_b")
+        .select($"id_a", $"id_b", round($"jaccard", 9)).collect().toSeq
+      val want = Dedup.ngramJaccardPairs(
+          docs.withColumn("_all", lit(1)), "_all", n = 2,
+          threshold = t, maxDf = Int.MaxValue)
+        .orderBy($"id_a", $"id_b")
+        .select($"id_a", $"id_b", round($"jaccard", 9)).collect().toSeq
+      assert(got.nonEmpty, s"trial $trial: planted dup not found")
+      assert(got === want, s"trial $trial t=$t")
+    }
+  }
+
+  test("KMV: sharded-merge identity, exact-when-unsaturated, bounded error") {
+    for (trial <- 1 to 3) {
+      val rng = new Random(900 + trial)
+      val k = 32
+      val vals = (0 until 400).map(i => (s"g${i % 2}", s"v${rng.nextInt(300)}"))
+        .toDF("grp", "v")
+      val full = Sketch.kmvBuild(vals, "grp", "v", k)
+      // merge identity: re-bottom-k of the union of shard sketches
+      val shardA = Sketch.kmvBuild(vals.filter(xxhash64($"v") % 2 === 0), "grp", "v", k)
+      val shardB = Sketch.kmvBuild(vals.filter(xxhash64($"v") % 2 =!= 0), "grp", "v", k)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"grp").orderBy($"u")
+      val merged = shardA.union(shardB).select($"grp", $"u").distinct()
+        .withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)
+      assert(merged.orderBy($"grp", $"u").collect().toSeq ===
+        full.orderBy($"grp", $"u").collect().toSeq, s"trial $trial merge")
+      // unsaturated group is exact
+      val tiny = (1 to 10).map(i => ("t", s"x$i")).toDF("grp", "v")
+      val est0 = Sketch.kmvEstimate(Sketch.kmvBuild(tiny, "grp", "v", k), k)
+        .select($"est_distinct").as[Double].head()
+      assert(est0 === 10.0, s"trial $trial unsaturated")
+      // saturated estimate within 3 standard errors (~1/sqrt(k-2))
+      val exact = vals.filter($"grp" === "g0").select($"v").distinct().count()
+      val est = Sketch.kmvEstimate(full, k).filter($"grp" === "g0")
+        .select($"est_distinct").as[Double].head()
+      val relErr = math.abs(est - exact) / exact
+      assert(relErr <= 3.0 / math.sqrt(k - 2), s"trial $trial err=$relErr")
+    }
+  }
+
+  test("KMV theta set ops: exact on unsaturated groups, bounded when saturated") {
+    // unsaturated: theta = 1 for both sides, so union/intersect are EXACT
+    val vals = ((1 to 20).map(i => ("a", s"v$i")) ++
+      (11 to 25).map(i => ("b", s"v$i"))).toDF("grp", "v")
+    val sk = Sketch.kmvBuild(vals, "grp", "v", k = 64)
+    val row = Sketch.kmvSetOps(sk, k = 64, "a", "b").head()
+    assert(row.getDouble(0) === 25.0 && row.getDouble(1) === 10.0)
+    // saturated: error within 3/sqrt(k-2) of truth for the union
+    val rng = new Random(7)
+    val big = ((0 until 500).map(_ => ("a", s"u${rng.nextInt(400)}")) ++
+      (0 until 500).map(_ => ("b", s"u${rng.nextInt(400) + 200}"))).toDF("grp", "v")
+    val k = 64
+    val skB = Sketch.kmvBuild(big, "grp", "v", k)
+    val got = Sketch.kmvSetOps(skB, k, "a", "b").head()
+    val exactU = big.select($"v").distinct().count().toDouble
+    assert(math.abs(got.getDouble(0) - exactU) / exactU <= 3.0 / math.sqrt(k - 2))
+  }
+
+  test("signBits packs sign bits MSB-first; binaryKnn finds planted duplicate") {
+    // 64-dim vector with only dim 0 positive → bit 63 (MSB of the fold)
+    val v0 = Array.fill(64)(-1.0f); v0(0) = 1.0f
+    val v63 = Array.fill(64)(-1.0f); v63(63) = 1.0f
+    val sigs = Seq((0L, v0.toSeq), (1L, v63.toSeq)).toDF("vec_id", "embedding")
+      .select($"vec_id", Similarity.signBits($"embedding").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) === Long.MinValue) // bit 63 alone = sign bit
+    assert(sigs(1L) === 1L)
+    // planted near-identical pair: binary shortlist + rerank must rank it #1
+    val rng = new Random(11)
+    val base = Array.fill(64)(rng.nextGaussian().toFloat)
+    val emb = ((2L until 40L).map(i =>
+      (i, Array.fill(64)(rng.nextGaussian().toFloat).toSeq)) ++
+      Seq((0L, base.toSeq), (1L, base.map(x => x * 1.01f).toSeq)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.binaryKnn(emb, $"vec_id" === 0L, k = 1, candidates = 5)
+      .select($"neighbor_id").as[Long].head()
+    assert(top === 1L)
+  }
+
+  test("PSI: zero on identical distributions, flags a planted shift") {
+    import graft.llm.Drift
+    // two groups with the SAME length profile → p = q exactly → psi = 0
+    val same = (0 until 200).map(i => (s"g${i % 2}", 100L + (i / 2 % 5) * 200L))
+      .toDF("grp", "len")
+    val psi0 = Drift.psi(same, "grp", col("len"), binWidth = 200L)
+      .select($"psi").as[Double].collect()
+    assert(psi0.forall(math.abs(_) < 1e-6), psi0.mkString(","))
+    // planted shift: g1's lengths move 5 bands up → its psi must dominate
+    val shifted = ((0 until 100).map(i => ("g0", 100L + (i % 5) * 200L)) ++
+      (0 until 100).map(i => ("g1", 1100L + (i % 5) * 200L))).toDF("grp", "len")
+    val byGrp = Drift.psi(shifted, "grp", col("len"), binWidth = 200L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byGrp("g1") > 0.25, s"shift not flagged: $byGrp")
+  }
+
+  test("distinctive terms: a group-exclusive planted term ranks first") {
+    val rng = new Random(21)
+    val docs = ((0 until 30).map(i =>
+      (i.toLong, "alpha", ("zebra " * 5) +
+        List.fill(20)(s"c${rng.nextInt(40)}").mkString(" "))) ++
+      (30 until 60).map(i =>
+        (i.toLong, "beta", List.fill(25)(s"c${rng.nextInt(40)}").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val top = graft.llm.TextAnalysis.distinctiveTerms(docs, "source", k = 3)
+      .filter($"source" === "alpha" && $"rank" === 1)
+      .select($"term").as[String].head()
+    assert(top === "zebra")
+  }
+
+  test("multi-touch attribution: credits normalize; U-shape at n=3") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      (1L, ts(0), 7L, "view", 0.0, "{}"),
+      (2L, ts(10), 7L, "click", 0.0, "{}"),
+      (3L, ts(20), 7L, "view", 0.0, "{}"),
+      (4L, ts(30), 7L, "purchase", 5.0, "{}"),
+      (5L, ts(0), 8L, "view", 0.0, "{}"),
+      (6L, ts(5), 8L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = analytics.Analytics.multiTouchAttribution(events).collect()
+    val conv4 = out.filter(_.getAs[Long]("event_id") == 4L)
+      .sortBy(_.getAs[Int]("position"))
+    assert(conv4.map(_.getAs[Double]("credit_u")).toSeq === Seq(0.4, 0.2, 0.4))
+    assert(math.abs(conv4.map(_.getAs[Double]("credit_decay")).sum - 1.0) < 1e-9)
+    // single-touch conversion gets full credit under both models
+    val conv6 = out.filter(_.getAs[Long]("event_id") == 6L)
+    assert(conv6.length === 1 &&
+      conv6.head.getAs[Double]("credit_u") === 1.0 &&
+      conv6.head.getAs[Double]("credit_decay") === 1.0)
+  }
+}
