@@ -68,9 +68,9 @@ object Oracles {
     sb.result()
   }
 
-  /** SCD2 full-recompute mirror — shared by q_scd2 and q_scd2_incr (the
-    * incrementally-maintained table must be indistinguishable from it). */
-  private val scd2Sql =
+  /** SCD2 full-recompute CTE chain (ends at `v`) — shared by q_scd2,
+    * q_scd2_incr and the q_scd2_lookup temporal join. */
+  private val scd2Ctes =
     """WITH o AS (
       |  SELECT user_id, ts, event_type, event_id,
       |    lag(event_type) OVER (
@@ -83,7 +83,12 @@ object Oracles {
       |      AS valid_to,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |      AS version
-      |  FROM c)
+      |  FROM c)""".stripMargin
+
+  /** SCD2 full-recompute mirror — the incrementally-maintained table must
+    * be indistinguishable from it. */
+  private val scd2Sql =
+    s"""$scd2Ctes
       |SELECT user_id, state, valid_from, valid_to,
       |  (valid_to IS NULL) AS is_current, version
       |FROM v ORDER BY user_id, version""".stripMargin
@@ -514,6 +519,42 @@ object Oracles {
     // the full recompute over the same (history ∪ batch) event set.
     "q_scd2" -> scd2Sql,
     "q_scd2_incr" -> scd2Sql,
+
+    // temporal lookup: purchases enriched with the SCD2 state current at
+    // their timestamp (half-open intervals ⇒ exactly one match in range)
+    "q_scd2_lookup" ->
+      s"""$scd2Ctes
+        |SELECT f.event_id, f.user_id, f.ts, v.state, v.valid_from,
+        |  v.valid_to, v.version
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') f
+        |LEFT JOIN v ON v.user_id = f.user_id AND v.valid_from <= f.ts
+        |  AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+        |ORDER BY f.event_id""".stripMargin,
+
+    // 30-minute-gap sessions; path = 3 consecutive event types in one
+    // session; top-10 by count (ties by path)
+    "q_session_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN pts IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(pts) > 1800000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        |  FROM o),
+        |p AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM s)
+        |SELECT concat_ws(' > ', e1, e2, e3) AS path,
+        |  count(*) AS n_occurrences
+        |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 10""".stripMargin,
 
     // chain debounce = keep rows whose lag-gap is null or beyond the window
     "q_debounce" ->
@@ -1195,6 +1236,40 @@ object Oracles {
     // per-source KL mirror: the DSIR gram/bucket frame grouped by source,
     // each bucket contribution one fixed (w · ln(ratio) · 1e9) floor,
     // per-source sums exact-integer over the closed 256-bucket frame
+    // streaming-PSI batch parity: baseline bands recomputed with the
+    // trainer's op order, per-hour grid over the baseline band set,
+    // nano-floored summands, exact integer sum
+    "q_psi_stream" ->
+      """WITH base AS (
+        |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS band,
+        |    count(*) AS bc
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(bc) AS BIGINT) AS n_tot,
+        |  count(*) AS n_bands FROM base),
+        |h AS (
+        |  SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(floor(value / 50.0) AS BIGINT) AS band
+        |  FROM events),
+        |cell AS (SELECT hour, band, count(*) AS c FROM h GROUP BY 1, 2),
+        |hn AS (SELECT hour, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY 1),
+        |grid AS (
+        |  SELECT hn.hour, hn.n, base.band, base.bc,
+        |    coalesce(cell.c, 0) AS c
+        |  FROM hn CROSS JOIN base
+        |  LEFT JOIN cell ON cell.hour = hn.hour AND cell.band = base.band),
+        |x AS (
+        |  SELECT hour, n, CAST(floor(
+        |    ((c + 1)::DOUBLE / (n + n_bands)::DOUBLE
+        |      - (bc + 1)::DOUBLE / (n_tot + n_bands)::DOUBLE)
+        |    * ln(((c + 1)::DOUBLE / (n + n_bands)::DOUBLE)
+        |      / ((bc + 1)::DOUBLE / (n_tot + n_bands)::DOUBLE))
+        |    * 1e9) AS BIGINT) AS contrib
+        |  FROM grid, tot)
+        |SELECT hour, n AS n_inband,
+        |  CAST(sum(contrib) AS BIGINT)::DOUBLE / 1e9 AS psi,
+        |  CAST(sum(contrib) AS BIGINT)::DOUBLE / 1e9 > 0.25 AS drifted
+        |FROM x GROUP BY hour, n ORDER BY hour""".stripMargin,
+
     // PSI mirror: identical Laplace smoothing, identical (p−q)·ln(p/q)
     // op order, nano-floor per band, exact integer sum per source
     "q_psi_drift" ->
@@ -2209,6 +2284,10 @@ object Oracles {
     // panel contract (q_knn_lsh convention): one row, n_queries + the
     // deterministic recall fact
     "q_knn_binary" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10""".stripMargin,
+
+    "q_knn_matryoshka" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10""".stripMargin,
 

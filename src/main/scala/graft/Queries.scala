@@ -169,6 +169,20 @@ object Queries {
           ev.filter(col("ts") >= cut))
         .orderBy(col("user_id"), col("version"))
     }),
+    // temporal lookup against the SCD2 dimension: purchases pick up the
+    // state current at their timestamp (point-in-validity join)
+    "q_scd2_lookup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Analytics.scd2Lookup(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          Analytics.scd2History(ev))
+        .orderBy(col("event_id"))
+    }),
+    // top 3-step event-type paths inside 30-min-gap sessions — the
+    // discovered-order complement to the prescribed-order funnel
+    "q_session_paths" -> ((s, dir) =>
+      Analytics.topSessionPaths(t(s, dir, "events"))),
     "q_topk_events" -> ((s, dir) => Analytics.topkEvents(t(s, dir, "events"), 5)),
     // HLL's raw estimate can't be oracled (DuckDB's sketch differs), but
     // its ERROR CONTRACT can: emit the exact count plus a boolean asserting
@@ -663,6 +677,15 @@ object Queries {
     "q_source_kl" -> ((s, dir) =>
       llm.Dsir.sourceKl(tWide(s, dir, "documents"))
         .orderBy(col("source"))),
+    // the streaming PSI monitor's exact code path in batch mode (the
+    // q_hourly_anomaly_stream convention): baseline bands trained with
+    // the batch op order, per-hour PSI vs those literals
+    "q_psi_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = streaming.StreamingDrift.bandBaseline(ev, binWidth = 50.0)
+      streaming.StreamingDrift.hourlyPsi(ev, base, binWidth = 50.0)
+        .orderBy(col("hour"))
+    }),
     // PSI drift per source vs the corpus baseline over 200-char length
     // bands — the monitoring metric that flags scraper/format breakage;
     // Laplace-smoothed, nano-grid summands, exact integer sum
@@ -1070,6 +1093,13 @@ object Queries {
     "q_knn_binary" -> ((s, dir) =>
       llm.Similarity.binaryKnnRecallPanel(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5, candidates = 150, recallBound = 0.6)),
+    // Matryoshka prefix truncation (first 16 of 64 dims) as the stage-1
+    // shortlist: measured panel recall 0.8 / 0.48 (sf0.01 / sf0.1) on
+    // this untrained isotropic corpus — bound 0.35
+    "q_knn_matryoshka" -> ((s, dir) =>
+      llm.Similarity.matryoshkaKnnRecallPanel(tWide(s, dir, "embeddings"),
+        col("vec_id") < 10, k = 5, mdim = 16, candidates = 150,
+        recallBound = 0.35)),
 
     // ---- LLM data pipeline: benchmark decontamination ----
     // every 50th doc plays the benchmark; the near-dup plants in the

@@ -766,6 +766,62 @@ object Analytics {
     bulk.unionByName(touchedUpdated).unionByName(newRows)
   }
 
+  /** Temporal (point-in-validity) lookup against an SCD2 dimension — the
+    * standard warehouse enrich: each fact row picks up the dimension state
+    * that was CURRENT at the fact's timestamp, via the half-open
+    * [valid_from, valid_to) interval contract [[scd2History]] maintains.
+    * Intervals partition each key's timeline, so exactly one dimension row
+    * matches any in-range fact; pre-history facts survive as NULL state
+    * (left join), never silently drop.
+    *
+    * Scale shape: one equi-join on the key with the interval predicate as
+    * a join residual — the dimension is versions-per-key small relative to
+    * facts, so the join broadcasts or hash-partitions on the key; at
+    * heavy per-key version counts compose with [[rangeJoin]] bucketing. */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val d = dim.select(col(keyCol).as("__k"), col("state"),
+      col("valid_from"), col("valid_to"), col("version"))
+    facts.join(d,
+        facts(keyCol) === col("__k") && col("valid_from") <= facts(tsCol) &&
+          (col("valid_to").isNull || facts(tsCol) < col("valid_to")),
+        "left")
+      .drop("__k")
+  }
+
+  /** Top-k session paths: the most frequent 3-step consecutive event-type
+    * sequences inside gap-based sessions — the "what do users actually do"
+    * product-analytics staple next to [[funnel]] (which checks ONE
+    * prescribed order; this surfaces the orders that exist).
+    *
+    * Scale shape: both the sessionizing gap-lag and the two path leads
+    * ride ONE (user, time) sort order — Spark plans a single shuffle and
+    * sort for all three window functions — and the path count is a
+    * hash aggregation on a low-cardinality string key with map-side
+    * combine; TakeOrdered finishes the top-k. */
+  def topSessionPaths(events: DataFrame, gapMs: Long = 1800000L,
+      k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .withColumn("_prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("_prev_ts")) > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_new")).over(w))
+    val ws = Window.partitionBy(col("user_id"), col("_sid"))
+      .orderBy(col("ts"), col("event_id"))
+    sess
+      .withColumn("_e2", lead(col("event_type"), 1).over(ws))
+      .withColumn("_e3", lead(col("event_type"), 2).over(ws))
+      .filter(col("_e2").isNotNull && col("_e3").isNotNull)
+      .groupBy(concat_ws(" > ", col("event_type"), col("_e2"), col("_e3"))
+        .as("path"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(k)
+  }
+
   /** Multi-touch attribution: every in-window touch of a conversion gets
     * fractional credit under TWO standard models at once —
     *

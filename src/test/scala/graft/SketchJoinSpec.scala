@@ -159,4 +159,26 @@ class SketchJoinSpec extends SparkTestBase {
       conv6.head.getAs[Double]("credit_u") === 1.0 &&
       conv6.head.getAs[Double]("credit_decay") === 1.0)
   }
+
+  test("scd2 lookup: picks the interval covering the fact; pre-history is NULL") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // user 1 states: A at t0, B at t10 → intervals [t0,t10), [t10,∞)
+    val changes = Seq(
+      (10L, ts(0), 1L, "A", 0.0, "{}"),
+      (11L, ts(10), 1L, "B", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dim = analytics.Analytics.scd2History(changes)
+    val facts = Seq(
+      (100L, 1L, ts(5)),   // inside [t0,t10) → A
+      (101L, 1L, ts(10)),  // boundary: half-open → B
+      (102L, 1L, ts(99)),  // open interval → B
+      (103L, 1L, ts(-5)))  // pre-history → NULL
+      .toDF("event_id", "user_id", "ts")
+    val got = analytics.Analytics.scd2Lookup(facts, dim)
+      .select($"event_id", $"state").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(100L -> Some("A"), 101L -> Some("B"),
+      102L -> Some("B"), 103L -> None))
+  }
 }
