@@ -1327,6 +1327,72 @@ object Oracles {
         |SELECT grp AS source, rank, term, z_nano::DOUBLE / 1e9 AS z
         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
+    // PMI mirror: the same (df_ab·N)/(df_a·df_b) product chain into ln,
+    // nano-floored before the global (pmi, pair) rank
+    "q_collocations" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest(list_distinct(${shingleWSql(1)})) AS term
+         |  FROM documents),
+         |dfw AS (SELECT term, count(*) AS dfw FROM e GROUP BY 1),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |p AS (
+         |  SELECT a.term AS term_a, b.term AS term_b,
+         |    da.dfw AS df_a, db.dfw AS df_b, count(*) AS df_pair
+         |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  JOIN dfw da ON da.term = a.term
+         |  JOIN dfw db ON db.term = b.term
+         |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5),
+         |sc AS (
+         |  SELECT term_a, term_b, df_pair, CAST(floor(
+         |    ln((df_pair::DOUBLE * nd::DOUBLE)
+         |      / (df_a::DOUBLE * df_b::DOUBLE)) * 1e9) AS BIGINT) AS pmi_nano
+         |  FROM p, n),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    ORDER BY pmi_nano DESC, term_a, term_b) AS rank
+         |  FROM sc)
+         |SELECT rank, term_a, term_b, df_pair, pmi_nano::DOUBLE / 1e9 AS pmi
+         |FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin,
+
+    // Naive Bayes mirror: Laplace log-likelihood grid over label × vocab,
+    // exact integer nano-sums per (doc, label), argmax ties to min label
+    "q_nb_confusion" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, source AS actual, unnest($wordsSql) AS term
+         |  FROM documents),
+         |t2 AS (SELECT * FROM t WHERE term != ''),
+         |cell AS (
+         |  SELECT actual AS label, term, count(*) AS c FROM t2 GROUP BY 1, 2),
+         |nl AS (SELECT label, CAST(sum(c) AS BIGINT) AS nl FROM cell GROUP BY 1),
+         |vocab AS (SELECT DISTINCT term FROM cell),
+         |vv AS (SELECT count(*) AS v FROM vocab),
+         |nd AS (SELECT count(*) AS ndocs FROM documents),
+         |pri AS (
+         |  SELECT label, CAST(floor(ln(cnt::DOUBLE / ndocs::DOUBLE) * 1e9)
+         |    AS BIGINT) AS prior_nano
+         |  FROM (SELECT source AS label, count(*) AS cnt
+         |        FROM documents GROUP BY 1), nd),
+         |grid AS (
+         |  SELECT nl.label, vocab.term, CAST(floor(
+         |    ln((coalesce(cell.c, 0) + 1)::DOUBLE / (nl.nl + v)::DOUBLE)
+         |    * 1e9) AS BIGINT) AS ll_nano
+         |  FROM nl CROSS JOIN vocab CROSS JOIN vv
+         |  LEFT JOIN cell ON cell.label = nl.label AND cell.term = vocab.term),
+         |sc AS (
+         |  SELECT t2.id, t2.actual, grid.label,
+         |    CAST(sum(grid.ll_nano) AS BIGINT) AS tok_nano
+         |  FROM t2 JOIN grid ON grid.term = t2.term GROUP BY 1, 2, 3),
+         |sc2 AS (
+         |  SELECT sc.id, sc.actual, sc.label,
+         |    sc.tok_nano + pri.prior_nano AS score_nano
+         |  FROM sc JOIN pri USING (label)),
+         |r AS (
+         |  SELECT id, actual, label, row_number() OVER (
+         |    PARTITION BY id ORDER BY score_nano DESC, label) AS rk
+         |  FROM sc2)
+         |SELECT actual, label AS predicted, count(*) AS n_docs
+         |FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin,
+
     "q_source_kl" ->
       s"""WITH w AS (
          |  SELECT source, $wordsSql AS ws FROM documents),
@@ -1764,6 +1830,18 @@ object Oracles {
          |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // naive all-pairs edit-distance truth — the banding + thresholded-DP
+    // plan must reproduce it exactly
+    "q_fuzzy_match" ->
+      """WITH r AS (
+        |  SELECT doc_id, substring(text, 1, 40) AS rec FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.rec, b.rec) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON a.doc_id < b.doc_id
+        |WHERE abs(len(a.rec) - len(b.rec)) <= 5
+        |  AND levenshtein(a.rec, b.rec) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // the naive all-pairs truth: the prefix filter is LOSSLESS, so the
     // Spark side's filtered plan must reproduce this exactly — the oracle
     // match IS the completeness proof
@@ -1965,6 +2043,15 @@ object Oracles {
     // deterministic md5-hash KMV sketch ⇒ the error contract is a fact the
     // oracle can predict (measured worst-source error 12.5% << 20% bound)
     "q_sketch_kmv" ->
+      s"""WITH e AS (
+         |  SELECT source, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents)
+         |SELECT source, count(DISTINCT h) AS exact_terms,
+         |  TRUE AS kmv_within_20pct
+         |FROM e GROUP BY source ORDER BY source""".stripMargin,
+
+    // incremental maintenance must equal the full rebuild — same oracle
+    "q_sketch_kmv_incr" ->
       s"""WITH e AS (
          |  SELECT source, unnest(list_distinct($shingleSql)) AS h
          |  FROM documents)

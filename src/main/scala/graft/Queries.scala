@@ -699,6 +699,15 @@ object Queries {
       llm.TextAnalysis.distinctiveTerms(tWide(s, dir, "documents"),
           "source", k = 5)
         .orderBy(col("source"), col("rank"))),
+    // collocation mining: top-15 word pairs by document-level PMI with a
+    // df_pair ≥ 5 support floor
+    "q_collocations" -> ((s, dir) =>
+      llm.TextAnalysis.collocations(tWide(s, dir, "documents"), k = 15)),
+    // multinomial Naive Bayes source classifier trained and applied
+    // in-plan; published as the actual × predicted confusion matrix
+    "q_nb_confusion" -> ((s, dir) =>
+      llm.NaiveBayes.confusion(tWide(s, dir, "documents"))
+        .orderBy(col("actual"), col("predicted"))),
 
     // the resampling step: Gumbel-top-100 under digest-uniform noise —
     // the drawn set + keys are the oracle-checkable facts
@@ -844,6 +853,12 @@ object Queries {
       llm.Fingerprint.sharedFingerprints(
           llm.Fingerprint.winnow(tWide(s, dir, "documents"), k = 3, w = 4),
           minShared = 2, maxDf = 100)
+        .orderBy(col("id_a"), col("id_b"))),
+    // fuzzy record linkage over 40-char record keys: length-band-blocked
+    // thresholded-levenshtein pairs within edit distance 5
+    "q_fuzzy_match" -> ((s, dir) =>
+      llm.Dedup.fuzzyMatchPairs(tWide(s, dir, "documents"),
+          prefixChars = 40, maxDist = 5)
         .orderBy(col("id_a"), col("id_b"))),
     // maxDf=2 exercises the high-DF pruning path through the oracle (the
     // sf corpus' max block-level DF is 3, so ≥3 would be a no-op here).
@@ -1271,6 +1286,26 @@ object Queries {
       val est = llm.Sketch.kmvEstimate(
         llm.Sketch.kmvBuild(terms, "source", "h", k = 256), k = 256)
       val exact = terms.groupBy(col("source").as("grp"))
+        .agg(count_distinct(col("h")).as("exact_terms"))
+      est.join(exact, Seq("grp"))
+        .select(col("grp").as("source"), col("exact_terms"),
+          (abs(col("est_distinct") / col("exact_terms").cast("double") - 1.0)
+            <= 0.20).as("kmv_within_20pct"))
+        .orderBy(col("source"))
+    }),
+    // incremental KMV maintenance: the persisted corpus sketch merged
+    // with a new-batch sketch must be indistinguishable from the full
+    // rebuild — shares q_sketch_kmv's oracle VERBATIM
+    "q_sketch_kmv_incr" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      def terms(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("source"), explode(llm.Dedup.shingles(col("text"), 3)).as("h"))
+      val merged = llm.Sketch.kmvMerge(
+        llm.Sketch.kmvBuild(terms(docs.filter(col("doc_id") < 250)), "source", "h", k = 256),
+        llm.Sketch.kmvBuild(terms(docs.filter(col("doc_id") >= 250)), "source", "h", k = 256),
+        k = 256)
+      val est = llm.Sketch.kmvEstimate(merged, k = 256)
+      val exact = terms(docs).groupBy(col("source").as("grp"))
         .agg(count_distinct(col("h")).as("exact_terms"))
       est.join(exact, Seq("grp"))
         .select(col("grp").as("source"), col("exact_terms"),

@@ -103,3 +103,68 @@ object QualityProbe {
     feat.select(col(idCol), pred(w).as("score"))
   }
 }
+
+/** Multinomial Naive Bayes text classifier, trained AND applied fully
+  * in-plan — the second classifier family next to [[QualityProbe]]
+  * (generative token-count model vs discriminative feature probe; the
+  * fastText-supervised workhorse shape for source/quality routing).
+  *
+  * Everything is aggregations: training is ONE (label, term) count pass
+  * (Laplace(+1) smoothed over the V-term vocabulary), scoring joins each
+  * document's token multiset against the label×term log-likelihood grid
+  * and sums EXACT nano-floored integers, argmax is a partial-aggregating
+  * max-struct — no iteration, no driver state at all (the model lives in
+  * the plan as a frame). Log-likelihoods and priors floor onto the 1e-9
+  * grid before any sum, so scores and the argmax are bit-portable (the
+  * [[Dsir]] discipline). The unseen-(label, term) floor ln(1/(n_l + V))
+  * materializes through the full grid — the grid is |V|·|labels|, the
+  * model-size bound that makes the broadcast legal at scale. */
+object NaiveBayes {
+
+  /** Train on `docs` and classify the SAME frame (the self-consistency
+    * setup a routing classifier is smoke-tested with), publishing the
+    * actual × predicted confusion matrix. Ties break toward the
+    * lexicographically smallest label. */
+  def confusion(docs: DataFrame, labelCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), col(labelCol).as("actual"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cell = toks.groupBy(col("actual").as("label"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val nl = cell.groupBy(col("label")).agg(sum(col("c")).as("nl"))
+    val vocab = cell.select(col("term")).distinct()
+    val v = vocab.count()
+    val nDocs = docs.count()
+    val priors = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+      .select(col("label"),
+        floor(log(col("nd").cast("double") / lit(nDocs.toDouble)) * lit(1e9))
+          .cast("long").as("prior_nano"))
+    // full label × term grid: unseen pairs take the Laplace floor
+    val grid = nl.crossJoin(vocab)
+      .join(cell, Seq("label", "term"), "left")
+      .select(col("label"), col("term"),
+        floor(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("nl") + lit(v)).cast("double")) * lit(1e9))
+          .cast("long").as("ll_nano"))
+    val scores = toks
+      .join(broadcast(grid), Seq("term"))
+      .groupBy(col("id"), col("actual"), col("label"))
+      .agg(sum(col("ll_nano")).as("tok_nano"))
+      .join(broadcast(priors), Seq("label"))
+      .select(col("id"), col("actual"), col("label"),
+        (col("tok_nano") + col("prior_nano")).as("score_nano"))
+    // argmax with min-label tie-break: min over (−score, label) structs
+    val predicted = scores
+      .groupBy(col("id"), col("actual"))
+      .agg(min(struct((-col("score_nano")).as("neg"), col("label"))).as("m"))
+      .select(col("actual"), col("m.label").as("predicted"))
+    val out = predicted.groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+    val mat = out.localCheckpoint()
+    toks.unpersist()
+    mat
+  }
+}

@@ -125,6 +125,23 @@ object Sketch {
       .select(col("grp"), col("u"), col("rnk"))
   }
 
+  /** Merge two [[kmvBuild]] sketches (disjoint corpus shards or an
+    * incremental batch): per group, re-bottom-k of the distinct union of
+    * retained hashes. Result is IDENTICAL to building over the union
+    * corpus (the k smallest of a union are among the k smallest of each
+    * side — spec-pinned), which is what makes the sketch an incrementally
+    * maintainable artifact: the corpus is never re-scanned, only ≤ 2k
+    * rows per group pass through. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("u"))
+    a.select(col("grp"), col("u"))
+      .union(b.select(col("grp"), col("u"))).distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("grp"), col("u"), col("rnk"))
+  }
+
   /** Distinct-count estimate per group from a [[kmvBuild]] sketch: an
     * UNSATURATED group (fewer than k distincts) is counted exactly; a
     * saturated one estimates (k−1)/u_k (the classic unbiased KMV form —

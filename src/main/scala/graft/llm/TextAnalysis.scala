@@ -585,4 +585,51 @@ object TextAnalysis {
     cell.unpersist()
     mat
   }
+
+  /** Top-k collocations: word pairs that co-occur in documents far beyond
+    * chance, ranked by document-level pointwise mutual information
+    *   PMI(a,b) = ln( df_ab · N / (df_a · df_b) )
+    * with a `minPairDf` support floor (classic collocation mining — the
+    * corpus-statistics complement to [[distinctiveTerms]]' group
+    * contrasts). Exact integer document frequencies, ONE fixed IEEE
+    * product/quotient chain into ln, nano-floored before the global
+    * (pmi, pair) rank — engine-portable.
+    *
+    * Scale shape: distinct words per doc explode scan-side; the pair
+    * frame is a per-doc self-equi-join on doc_id — per-doc quadratic in
+    * DISTINCT words, which a `maxDf` rail bounds on real corpora by
+    * dropping stopwords from the universe first (here the vocabulary is
+    * corpus-bounded, so the default keeps everything); the global top-k
+    * is one TakeOrdered. */
+  def collocations(docs: DataFrame, k: Int, minPairDf: Long = 5L,
+      maxDf: Long = Long.MaxValue,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val e0 = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), 1)).as("term"))
+    val dfw = e0.groupBy(col("term")).agg(count(lit(1)).as("dfw"))
+      .filter(col("dfw") <= maxDf)
+    val e = e0.join(broadcast(dfw), Seq("term"))
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val pairs = e.as("a")
+      .join(e.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"),
+        col("a.dfw").as("df_a"), col("b.dfw").as("df_b"))
+      .agg(count(lit(1)).as("df_pair"))
+      .filter(col("df_pair") >= minPairDf)
+    val pmiNano = floor(log(
+      (col("df_pair").cast("double") * lit(nDocs.toDouble)) /
+        (col("df_a").cast("double") * col("df_b").cast("double"))) * lit(1e9))
+      .cast("long")
+    // TakeOrdered first (distributed top-k), THEN rank the k survivors —
+    // a global rank window over the full pair frame would single-partition
+    val top = pairs.withColumn("pmi_nano", pmiNano)
+      .orderBy(col("pmi_nano").desc, col("term_a"), col("term_b"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi_nano").desc, col("term_a"), col("term_b"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("term_a"), col("term_b"), col("df_pair"),
+        (col("pmi_nano").cast("double") / 1e9).as("pmi"))
+  }
 }

@@ -181,4 +181,54 @@ class SketchJoinSpec extends SparkTestBase {
     assert(got === Map(100L -> Some("A"), 101L -> Some("B"),
       102L -> Some("B"), 103L -> None))
   }
+
+  test("kmvMerge == full rebuild on random shards") {
+    for (trial <- 1 to 3) {
+      val rng = new Random(37 + trial)
+      val k = 16
+      val vals = (0 until 300).map(i => (s"g${i % 3}", s"v${rng.nextInt(200)}"))
+        .toDF("grp", "v")
+      val full = Sketch.kmvBuild(vals, "grp", "v", k)
+      val merged = Sketch.kmvMerge(
+        Sketch.kmvBuild(vals.filter(xxhash64($"v") % 2 === 0), "grp", "v", k),
+        Sketch.kmvBuild(vals.filter(xxhash64($"v") % 2 =!= 0), "grp", "v", k), k)
+      assert(merged.orderBy($"grp", $"u").collect().toSeq ===
+        full.orderBy($"grp", $"u").collect().toSeq, s"trial $trial")
+    }
+  }
+
+  test("fuzzy match: planted typo variant found, distance exact, distant pair absent") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over dogs"),
+      (1L, "the quick brawn fox jumps over dogs"), // 1 substitution
+      (2L, "completely different text here now ok")).toDF("doc_id", "text")
+    val got = Dedup.fuzzyMatchPairs(docs, prefixChars = 40, maxDist = 5)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L, 1L)))
+  }
+
+  test("collocations: a planted always-together pair tops the ranking") {
+    val rng = new Random(53)
+    // "aaa bbb" co-occur in 20 docs and never otherwise; noise words are
+    // spread independently across many docs
+    val docs = ((0 until 20).map(i =>
+      (i.toLong, s"aaa bbb n${rng.nextInt(6)} n${rng.nextInt(6)}")) ++
+      (20 until 80).map(i =>
+        (i.toLong, s"n${rng.nextInt(6)} n${rng.nextInt(6)} n${rng.nextInt(6)}")))
+      .toDF("doc_id", "text")
+    val top = graft.llm.TextAnalysis.collocations(docs, k = 3, minPairDf = 5)
+      .filter($"rank" === 1)
+      .select($"term_a", $"term_b").as[(String, String)].head()
+    assert(top === (("aaa", "bbb")))
+  }
+
+  test("Naive Bayes: disjoint vocabularies classify perfectly (diagonal confusion)") {
+    val docs = ((0 until 15).map(i => (i.toLong, "cats", "meow purr whiskers feline")) ++
+      (15 until 30).map(i => (i.toLong, "dogs", "woof bark fetch canine")))
+      .toDF("doc_id", "source", "text")
+    val conf = graft.llm.NaiveBayes.confusion(docs)
+      .select($"actual", $"predicted", $"n_docs")
+      .as[(String, String, Long)].collect().toSet
+    assert(conf === Set(("cats", "cats", 15L), ("dogs", "dogs", 15L)))
+  }
 }
