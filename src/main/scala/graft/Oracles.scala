@@ -1580,6 +1580,43 @@ object Oracles {
     "q_dedup_clusters" -> clustersSql,
     "q_pagerank" -> pagerankSql,
 
+    // unrolled 4-round BFS mirror over the exact-Jaccard ≥ 0.6 edge set:
+    // round h = (edges ⋈ frontier at d=h−1) ∪ settled, folded by min(d)
+    "q_graph_bfs" -> {
+      val rounds = (1 to 4).map { h =>
+        s"""f$h AS (
+           |  SELECT ed.dst AS id, CAST($h AS BIGINT) AS d
+           |  FROM ed JOIN d${h - 1} ON d${h - 1}.id = ed.src
+           |    AND d${h - 1}.d = ${h - 1}),
+           |d$h AS (
+           |  SELECT id, min(d) AS d FROM (
+           |    SELECT * FROM d${h - 1} UNION ALL SELECT * FROM f$h) z
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+         |c AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM c
+         |  JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |n AS (SELECT DISTINCT doc_id AS id FROM documents),
+         |d0 AS (SELECT DISTINCT doc_id AS id, CAST(0 AS BIGINT) AS d
+         |       FROM documents WHERE doc_id < 20),
+         |$rounds
+         |SELECT n.id AS doc_id, d4.d AS hops
+         |FROM n LEFT JOIN d4 ON d4.id = n.id
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // per-cluster source-spread report over the same component labeling;
     // sources rendered as the sorted distinct list (list() aggregate +
     // list_sort — deterministic without relying on ordered string_agg)
@@ -2373,6 +2410,50 @@ object Oracles {
     "q_knn_binary" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10""".stripMargin,
+
+    // NDCG@10 + MRR@10 mirror: the q_knn_brute cosine chain at k=10,
+    // nano-floored 1/log2(rank+1) terms, integer DCG/IDCG sums, one
+    // ratio division; same-label binary qrels
+    "q_retrieval_metrics" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT qid, vec_id AS neighbor_id,
+         |    $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score
+         |  FROM embeddings, q WHERE qid <> vec_id),
+         |ranked AS (
+         |  SELECT qid, neighbor_id,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |topk AS (SELECT * FROM ranked WHERE rank <= 10),
+         |rels AS (
+         |  SELECT q.qid, e.vec_id AS neighbor_id FROM q
+         |  JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.qid),
+         |nr AS (SELECT qid, count(*) AS n_rel FROM rels GROUP BY 1),
+         |sc AS (
+         |  SELECT t.qid,
+         |    CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL
+         |      THEN CAST(floor(1e9 / log2(t.rank::DOUBLE + 1)) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS dcg_nano,
+         |    min(CASE WHEN r.neighbor_id IS NOT NULL THEN t.rank END)
+         |      AS first_rel
+         |  FROM topk t LEFT JOIN rels r
+         |    ON r.qid = t.qid AND r.neighbor_id = t.neighbor_id
+         |  GROUP BY 1),
+         |ik AS (
+         |  SELECT g.range AS m,
+         |    CAST(sum(CAST(floor(1e9 / log2(i.range::DOUBLE + 1)) AS BIGINT))
+         |      AS BIGINT) AS idcg_nano
+         |  FROM range(1, 11) g JOIN range(1, 11) i ON i.range <= g.range
+         |  GROUP BY 1)
+         |SELECT sc.qid, coalesce(nr.n_rel, 0) AS n_rel,
+         |  dcg_nano::DOUBLE / ik.idcg_nano::DOUBLE AS ndcg,
+         |  coalesce(1.0 / first_rel::DOUBLE, 0.0) AS mrr
+         |FROM sc LEFT JOIN nr USING (qid)
+         |LEFT JOIN ik ON ik.m = least(nr.n_rel, 10)
+         |ORDER BY qid""".stripMargin,
 
     "q_knn_matryoshka" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings

@@ -529,6 +529,16 @@ object Queries {
           llm.Dedup.minhashNearDups(docs, threshold = 0.6))
         .orderBy(col("doc_id"))
     }),
+    // bounded-hop BFS from a seed set over the near-dup graph: how far
+    // contamination spreads; frontier-only expansion, 4 unrolled rounds
+    "q_graph_bfs" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Graph.bfsHops(docs,
+          llm.Dedup.minhashNearDups(docs, threshold = 0.6),
+          docs.filter(col("doc_id") < 20).select(col("doc_id")),
+          maxHops = 4)
+        .orderBy(col("doc_id"))
+    }),
     // per-node triangles + local clustering coefficient over the embedding
     // similarity graph: degree-ordered wedge orientation, one closure
     // semi-join — separates template families (high LCC) from hubs
@@ -1101,6 +1111,19 @@ object Queries {
       llm.Similarity.ivfPqKnnRecall(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5, nCells = 4, nprobe = 4,
         m = 32, kCodes = 256, recallBound = 0.6)),
+    // IR eval closing the retrieval stack: NDCG@10 + MRR@10 of the exact
+    // cosine ranking against same-label relevance judgments
+    "q_retrieval_metrics" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val ranking = llm.Similarity.bruteForceKnn(emb, col("vec_id") < 10, k = 10)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+      val qrels = q.join(
+          emb.select(col("vec_id").as("neighbor_id"), col("label")),
+          col("qlabel") === col("label") && col("qid") =!= col("neighbor_id"))
+        .select(col("qid"), col("neighbor_id"))
+      llm.Eval.retrievalMetrics(ranking, qrels, k = 10)
+    }),
     // 1-bit binary quantization (sign bits, 32× compression) + a 150-deep
     // Hamming shortlist + exact rerank: panel recall contract vs float32
     // top-5. Deterministic (no RNG): measured panel recall 0.94 at sf0.01,

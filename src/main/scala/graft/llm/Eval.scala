@@ -81,4 +81,51 @@ object Eval {
             (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
           .as("auc"))
   }
+
+  /** Per-query retrieval metrics — NDCG@k and MRR@k of a `(qid, rank,
+    * neighbor_id)` ranking against binary `(qid, neighbor_id)` relevance
+    * judgments — the IR-eval layer that closes the retrieval stack (BM25
+    * / kNN / hybrid produce rankings; this scores them).
+    *
+    * Portability discipline: each DCG term 1/log2(rank+1) floors to the
+    * 1e-9 grid BEFORE the exact integer sum; IDCG@m is the same nano-term
+    * prefix sum at m = min(n_rel, k); NDCG is ONE integer-ratio double
+    * division and MRR is 1/first-relevant-rank exactly — both engines
+    * reproduce every published bit (the [[graft.llm.Dsir]] λ
+    * discipline). Queries with no relevant documents report NULL NDCG
+    * and MRR 0.
+    *
+    * Scale shape: one broadcast semi-ish join (rankings are |Q|·k rows,
+    * qrels per query bounded), one (qid) aggregation, and the IDCG
+    * lookup is a k-entry literal array — nothing corpus-sized moves. */
+  def retrievalMetrics(ranking: DataFrame, qrels: DataFrame,
+      k: Int): DataFrame = {
+    val term = (r: Column) => floor(lit(1e9) / log2(r.cast("double") + 1))
+      .cast("long")
+    val rel = qrels.select(col("qid"), col("neighbor_id"), lit(1L).as("rel"))
+    val scored = ranking.filter(col("rank") <= k)
+      .join(rel, Seq("qid", "neighbor_id"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        sum(when(col("rel").isNotNull, term(col("rank"))).otherwise(0L))
+          .as("dcg_nano"),
+        min(when(col("rel").isNotNull, col("rank"))).as("first_rel"))
+    val nRel = qrels.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    // IDCG prefix sums for m = 1..k as a literal array (engine-mirrored:
+    // the same floor-then-integer-sum terms, just unrolled)
+    val idcgArr = array((1 to k).map(m =>
+      (1 to m).map(i => term(lit(i)).cast("long")).reduce(_ + _)): _*)
+    scored.join(nRel, Seq("qid"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("idcg_nano",
+        when(col("n_rel") > 0,
+          element_at(idcgArr, least(col("n_rel"), lit(k.toLong)).cast("int")))
+          .otherwise(lit(null)))
+      .select(col("qid"), col("n_rel"),
+        (col("dcg_nano").cast("double") / col("idcg_nano").cast("double"))
+          .as("ndcg"),
+        coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0))
+          .as("mrr"))
+      .orderBy(col("qid"))
+  }
 }

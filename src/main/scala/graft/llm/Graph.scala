@@ -62,6 +62,42 @@ object Graph {
         coalesce(col("deg"), lit(0L)).as("degree"))
   }
 
+  /** Bounded-hop BFS distances from a seed set over an undirected pair
+    * list: hops(v) = length of the shortest seed→v path, NULL beyond
+    * `maxHops` or unreachable — "how far does influence/contamination
+    * spread from these documents through the near-dup graph" (e.g. seeds
+    * = a benchmark's contaminated docs; 2 hops = paraphrases of
+    * paraphrases).
+    *
+    * Scale shape: each round joins ONLY the just-discovered frontier
+    * (d = h−1) against the edge list — settled nodes never rejoin — and
+    * folds via a (id → min d) aggregation; distances are bounded
+    * integers, every exchange carries (long, long) rows, and the state
+    * frame re-checkpoints per round (the [[kCore]] lineage discipline).
+    * Rounds are maxHops, fixed — the driver cost is O(maxHops) job
+    * submissions, corpus-size-independent. */
+  def bfsHops(nodes: DataFrame, pairs: DataFrame, seeds: DataFrame,
+      maxHops: Int, idCol: String = "doc_id"): DataFrame = {
+    require(maxHops >= 1, s"maxHops >= 1: $maxHops")
+    val ids = nodes.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(eager = false)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(eager = false)
+    var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .withColumn("d", lit(0L))
+    for (h <- 1 to maxHops) {
+      val next = edges
+        .join(dist.filter(col("d") === (h - 1)), col("src") === col("id"))
+        .select(col("dst").as("id"), lit(h.toLong).as("d"))
+      dist = dist.unionByName(next)
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .localCheckpoint(eager = false)
+    }
+    ids.join(dist, Seq("id"), "left")
+      .select(col("id").as(idCol), col("d").as("hops"))
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * undirected canonical pair list (id_a < id_b, each edge once) — the
     * graph-density twin of [[pagerank]]: a high-LCC node sits inside a

@@ -231,4 +231,34 @@ class SketchJoinSpec extends SparkTestBase {
       .as[(String, String, Long)].collect().toSet
     assert(conf === Set(("cats", "cats", 15L), ("dogs", "dogs", 15L)))
   }
+
+  test("BFS hops: path graph distances exact, beyond-maxHops and disconnected NULL") {
+    // path 0-1-2-3-4-5, disconnected 6-7; seed = {0}
+    val nodes = (0L to 7L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(Tuple1(0L)).toDF("doc_id")
+    val got = graft.llm.Graph.bfsHops(nodes, pairs, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(0L -> Some(0L), 1L -> Some(1L), 2L -> Some(2L),
+      3L -> Some(3L), 4L -> None, 5L -> None, 6L -> None, 7L -> None))
+  }
+
+  test("retrieval metrics: perfect ranking scores 1.0; miss scores 0 MRR") {
+    // q1: 2 relevant docs ranked 1,2 of 3 → NDCG@3 = 1, MRR = 1
+    // q2: relevant doc absent from top-k → NDCG 0, MRR 0
+    val ranking = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L), (2L, 3, 22L))
+      .toDF("qid", "rank", "neighbor_id")
+    val qrels = Seq((1L, 10L), (1L, 11L), (2L, 99L)).toDF("qid", "neighbor_id")
+    val got = graft.llm.Eval.retrievalMetrics(ranking, qrels, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3))).toList
+    assert(got.length === 2)
+    val (q1, q2) = (got(0), got(1))
+    assert(q1._1 === 1L && q1._2 === 2L && q1._3.exists(v => math.abs(v - 1.0) < 1e-9)
+      && q1._4 === 1.0)
+    assert(q2._1 === 2L && q2._2 === 1L && q2._3.exists(_ === 0.0) && q2._4 === 0.0)
+  }
 }
