@@ -520,6 +520,42 @@ object Oracles {
     "q_scd2" -> scd2Sql,
     "q_scd2_incr" -> scd2Sql,
 
+    // erasure propagation: the scrubbed history == full recompute minus
+    // the requested keys
+    "q_delete_propagation" ->
+      s"""$scd2Ctes
+        |SELECT user_id, state, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current, version
+        |FROM v WHERE user_id % 7 <> 3
+        |ORDER BY user_id, version""".stripMargin,
+
+    "q_delete_audit" ->
+      s"""$scd2Ctes
+        |SELECT
+        |  (SELECT count(*) FROM v WHERE user_id % 7 = 3) AS n_deleted_rows,
+        |  (SELECT count(DISTINCT user_id) FROM v WHERE user_id % 7 = 3)
+        |    AS n_deleted_keys,
+        |  (SELECT count(*) FROM v WHERE user_id % 7 <> 3)
+        |    AS n_remaining_rows""".stripMargin,
+
+    // skew mirror: identical ascending-(count, key) ranking, exact
+    // integer sums, the same two divisions + subtract for Gini
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT event_type AS k, count(*) AS c FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY c, k) AS i,
+        |    count(*) OVER () AS nk
+        |  FROM c)
+        |SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  max(c)::DOUBLE / CAST(sum(c) AS BIGINT)::DOUBLE AS max_share,
+        |  CAST(sum(CASE WHEN i > nk - 3 THEN c ELSE 0 END) AS BIGINT)::DOUBLE
+        |    / CAST(sum(c) AS BIGINT)::DOUBLE AS top3_share,
+        |  (2 * CAST(sum(i * c) AS BIGINT))::DOUBLE
+        |    / (count(*) * CAST(sum(c) AS BIGINT))::DOUBLE
+        |    - (count(*) + 1)::DOUBLE / count(*)::DOUBLE AS gini
+        |FROM r""".stripMargin,
+
     // temporal lookup: purchases enriched with the SCD2 state current at
     // their timestamp (half-open intervals ⇒ exactly one match in range)
     "q_scd2_lookup" ->

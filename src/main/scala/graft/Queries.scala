@@ -169,6 +169,29 @@ object Queries {
           ev.filter(col("ts") >= cut))
         .orderBy(col("user_id"), col("version"))
     }),
+    // right-to-erasure propagation: the SCD2 history scrubbed of the
+    // requested keys through one broadcast anti-join (bulk never shuffles)
+    "q_delete_propagation" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      sources.Merge.applyDeletes(
+          Analytics.scd2History(ev),
+          ev.filter(col("user_id") % 7 === 3).select(col("user_id")),
+          Seq("user_id"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+    // the erasure request's compliance evidence: deleted rows/keys and
+    // the remaining-row count, exact
+    "q_delete_audit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      sources.Merge.deleteAudit(
+          Analytics.scd2History(ev),
+          ev.filter(col("user_id") % 7 === 3).select(col("user_id")),
+          Seq("user_id"))
+    }),
+    // key-skew diagnostic: share of the heaviest keys + Gini of the
+    // count distribution — the "do we need salting here?" report
+    "q_skew_report" -> ((s, dir) =>
+      analytics.Skew.skewReport(t(s, dir, "events"), "event_type", topK = 3)),
     // temporal lookup against the SCD2 dimension: purchases pick up the
     // state current at their timestamp (point-in-validity join)
     "q_scd2_lookup" -> ((s, dir) => {

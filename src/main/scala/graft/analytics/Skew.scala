@@ -50,4 +50,42 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__psum")).as("sum_" + valueCol),
         sum(col("__pcnt")).as("n_rows"))
+
+  /** Key-skew diagnostic: ONE row — (n_keys, n_rows, max_share,
+    * top`K`_share, gini) of the key's row-count distribution — the report
+    * that decides whether a join/agg on this key needs [[saltedEquiJoin]]
+    * / [[saltedSumCount]] / AQE skew handling before it burns a cluster.
+    * Gini uses the rank formula over ASCENDING counts (ties broken by
+    * key for a deterministic ranking):
+    *   G = 2·Σ(i·cᵢ) / (n·Σcᵢ) − (n+1)/n
+    * — exact integer sums, two IEEE divisions and one subtract,
+    * engine-mirrored. 0 = uniform keys, → 1 = one key owns everything.
+    *
+    * Scale shape: one count aggregation on the key (map-side combine),
+    * then everything runs on the per-key count frame: the rank window is
+    * over keys (not rows), the top-K picks through the same window. */
+  def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c"), col(key))
+    val ranked = counts.withColumn("i", row_number().over(w))
+      .withColumn("nk", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("_maxc"),
+        sum(col("i") * col("c")).as("_s2"),
+        sum(when(col("i") > col("nk") - topK, col("c"))
+          .otherwise(0L)).as("_topc"))
+      .select(col("n_keys"), col("n_rows"),
+        (col("_maxc").cast("double") / col("n_rows").cast("double"))
+          .as("max_share"),
+        (col("_topc").cast("double") / col("n_rows").cast("double"))
+          .as(s"top${topK}_share"),
+        ((lit(2L) * col("_s2")).cast("double") /
+          (col("n_keys") * col("n_rows")).cast("double") -
+          (col("n_keys") + 1).cast("double") / col("n_keys").cast("double"))
+          .as("gini"))
+  }
 }

@@ -70,4 +70,35 @@ object Merge {
       broadcast(batch.select(keys: _*)), keyCols, "left_anti")
     kept.unionByName(applied)
   }
+
+  /** Right-to-erasure delete propagation: remove EVERY row of `table`
+    * whose key appears in `deleteKeys` — the GDPR/CCPA maintenance pass a
+    * warehouse runs against the live snapshot AND all history tables
+    * (SCD2, event archives); unlike [[upsert]]'s tombstones this is a
+    * key-set purge with no batch payload. One broadcast anti-join: the
+    * bulk never shuffles, the key set is request-sized. Pair with
+    * [[Io.overwritePartitions]] to rewrite only the partitions the keys
+    * touch. */
+  def applyDeletes(table: DataFrame, deleteKeys: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "delete propagation needs at least one key column")
+    val keys = deleteKeys.select(keyCols.map(col): _*).distinct()
+    table.join(broadcast(keys), keyCols, "left_anti")
+  }
+
+  /** The compliance evidence for [[applyDeletes]]: one row —
+    * (n_deleted_rows, n_deleted_keys, n_remaining_rows) — the audit
+    * record an erasure request closes with. Semi/anti joins against the
+    * same broadcast key set; counts are exact. */
+  def deleteAudit(table: DataFrame, deleteKeys: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val keys = deleteKeys.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(eager = false)
+    val hit = table.join(broadcast(keys), keyCols, "left_semi")
+      .agg(count(lit(1)).as("n_deleted_rows"),
+        count_distinct(col(keyCols.head)).as("n_deleted_keys"))
+    val kept = table.join(broadcast(keys), keyCols, "left_anti")
+      .agg(count(lit(1)).as("n_remaining_rows"))
+    hit.crossJoin(kept) // 1×1
+  }
 }

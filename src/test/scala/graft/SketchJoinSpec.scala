@@ -244,6 +244,29 @@ class SketchJoinSpec extends SparkTestBase {
       3L -> Some(3L), 4L -> None, 5L -> None, 6L -> None, 7L -> None))
   }
 
+  test("delete propagation: purged keys gone, others byte-identical, audit adds up") {
+    val table = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("user_id", "v")
+    val dk = Seq(Tuple1(1L), Tuple1(9L)).toDF("user_id") // 9 hits nothing
+    val kept = sources.Merge.applyDeletes(table, dk, Seq("user_id"))
+      .orderBy($"user_id", $"v").as[(Long, String)].collect().toSeq
+    assert(kept === Seq((2L, "c"), (3L, "d")))
+    val audit = sources.Merge.deleteAudit(table, dk, Seq("user_id")).head()
+    assert((audit.getLong(0), audit.getLong(1), audit.getLong(2)) === ((2L, 1L, 2L)))
+  }
+
+  test("skew report: uniform keys gini ~0, one dominant key gini high") {
+    val uniform = (0 until 100).map(i => Tuple1(s"k${i % 10}")).toDF("k")
+    val g0 = analytics.Skew.skewReport(uniform, "k", topK = 3).head()
+    assert(math.abs(g0.getAs[Double]("gini")) < 1e-9)
+    assert(math.abs(g0.getAs[Double]("top3_share") - 0.3) < 1e-9)
+    val skewed = ((0 until 91).map(_ => Tuple1("hot")) ++
+      (0 until 9).map(i => Tuple1(s"k$i"))).toDF("k")
+    val g1 = analytics.Skew.skewReport(skewed, "k", topK = 3).head()
+    assert(g1.getAs[Double]("gini") > 0.7 &&
+      g1.getAs[Double]("max_share") === 0.91)
+  }
+
   test("retrieval metrics: perfect ranking scores 1.0; miss scores 0 MRR") {
     // q1: 2 relevant docs ranked 1,2 of 3 → NDCG@3 = 1, MRR = 1
     // q2: relevant doc absent from top-k → NDCG 0, MRR 0
