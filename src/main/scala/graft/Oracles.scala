@@ -68,6 +68,91 @@ object Oracles {
     sb.result()
   }
 
+  /** Markov removal-effect attribution mirror: the exact transition
+    * extraction windows, then 12 unrolled integer value-iteration rounds
+    * (1e-9 grid, floor division — [[llm.Graph.pagerank]] discipline) per
+    * variant: base chain + one chain per removed channel. */
+  private lazy val markovSql: String = {
+    val touch = Seq("view", "click")
+    val states = ("START" +: touch) ++ Seq("CONV", "NULL")
+    val stList = states.map("'" + _ + "'").mkString(", ")
+    val iters = 12
+    def chain(tag: String, removedCh: Option[String]): String = {
+      val tcDef = removedCh match {
+        case None =>
+          s"""t$tag AS (
+             |  SELECT src, dst, CAST(sum(c) AS BIGINT) AS c
+             |  FROM tc GROUP BY 1, 2)""".stripMargin
+        case Some(x) =>
+          s"""t$tag AS (
+             |  SELECT src, CASE WHEN dst = '$x' THEN 'NULL' ELSE dst END AS dst,
+             |    CAST(sum(c) AS BIGINT) AS c
+             |  FROM tc WHERE src <> '$x' GROUP BY 1, 2)""".stripMargin
+      }
+      val tot =
+        s"""tt$tag AS (
+           |  SELECT src, CAST(sum(c) AS BIGINT) AS tot FROM t$tag GROUP BY 1)""".stripMargin
+      val v0 =
+        s"""v${tag}0 AS (
+           |  SELECT state, CAST(CASE WHEN state = 'CONV' THEN 1000000000
+           |    ELSE 0 END AS BIGINT) AS v FROM stt)""".stripMargin
+      val its = (1 to iters).map { i =>
+        s"""v$tag$i AS (
+           |  SELECT s.state, CAST(CASE WHEN s.state = 'CONV' THEN 1000000000
+           |    WHEN s.state = 'NULL' THEN 0
+           |    ELSE coalesce((SELECT CAST(sum(t.c * v.v) AS BIGINT)
+           |        FROM t$tag t JOIN v$tag${i - 1} v ON v.state = t.dst
+           |        WHERE t.src = s.state), 0)
+           |      // coalesce((SELECT tot FROM tt$tag WHERE src = s.state), 1)
+           |    END AS BIGINT) AS v
+           |  FROM stt s)""".stripMargin
+      }
+      (Seq(tcDef, tot, v0) ++ its).mkString(",\n")
+    }
+    val chains = (chain("b", None) +:
+      touch.map(x => chain(s"r$x", Some(x)))).mkString(",\n")
+    val resRows = touch.sorted.map { x =>
+      s"""SELECT '$x' AS channel,
+         |    (SELECT v FROM vb$iters WHERE state = 'START') AS vb,
+         |    (SELECT v FROM vr$x$iters WHERE state = 'START') AS vx""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+       |      ELSE event_type END AS st
+       |  FROM events
+       |  WHERE event_type IN (${(touch :+ "purchase").map("'" + _ + "'").mkString(", ")})),
+       |seg AS (
+       |  SELECT *, sum(CASE WHEN st = 'CONV' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |    - CASE WHEN st = 'CONV' THEN 1 ELSE 0 END AS seg
+       |  FROM ev),
+       |nx AS (
+       |  SELECT *,
+       |    lead(st) OVER (PARTITION BY user_id, seg ORDER BY ts, event_id) AS nxt,
+       |    row_number() OVER (PARTITION BY user_id, seg ORDER BY ts, event_id) AS rn
+       |  FROM seg),
+       |tr0 AS (
+       |  SELECT st AS src, coalesce(nxt, 'NULL') AS dst FROM nx WHERE st <> 'CONV'
+       |  UNION ALL
+       |  SELECT 'START', st FROM nx WHERE rn = 1),
+       |tc AS (SELECT src, dst, count(*) AS c FROM tr0 GROUP BY 1, 2),
+       |stt AS (SELECT unnest([$stList]) AS state),
+       |$chains,
+       |res AS (
+       |  $resRows),
+       |r2 AS (
+       |  SELECT channel, CAST(CASE WHEN vb = 0 THEN 0
+       |    ELSE (greatest(vb - vx, 0) * 1000000) // vb END AS BIGINT)
+       |    AS removal_ppm
+       |  FROM res)
+       |SELECT channel, removal_ppm,
+       |  CASE WHEN CAST(sum(removal_ppm) OVER () AS BIGINT) = 0 THEN NULL
+       |    ELSE removal_ppm::DOUBLE
+       |      / CAST(sum(removal_ppm) OVER () AS BIGINT)::DOUBLE END AS share
+       |FROM r2 ORDER BY channel""".stripMargin
+  }
+
   /** SCD2 full-recompute CTE chain (ends at `v`) — shared by q_scd2,
     * q_scd2_incr and the q_scd2_lookup temporal join. */
   private val scd2Ctes =
@@ -696,6 +781,8 @@ object Oracles {
 
     // attribution mirror: identical touch dedupe (max (type, id) per
     // (user, ts)), DuckDB ASOF LEFT JOIN at-or-before, same window test
+    "q_attribution_markov" -> markovSql,
+
     "q_attribution" ->
       """WITH conv AS (
         |  SELECT event_id, user_id, ts FROM events

@@ -279,6 +279,11 @@ object Queries {
     "q_attribution" -> ((s, dir) =>
       Analytics.lastTouchAttribution(t(s, dir, "events"))
         .orderBy(col("event_id"))),
+    // data-driven Markov removal-effect attribution: journey chain,
+    // 12 integer value-iteration rounds, per-channel removal surgery
+    "q_attribution_markov" -> ((s, dir) =>
+      Analytics.markovAttribution(t(s, dir, "events"))
+        .orderBy(col("channel"))),
     // multi-touch attribution: U-shaped (40/20/40 position-based) and
     // time-decay (2^(−Δt/6h), nano-grid weights → exact integer
     // normalizer) credits side by side, one interval join + one window

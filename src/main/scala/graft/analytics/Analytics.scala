@@ -822,6 +822,100 @@ object Analytics {
       .limit(k)
   }
 
+  /** Shared journey→transition extraction for [[markovAttribution]] and
+    * its oracle: per user, conversions segment the timeline; within each
+    * segment the chain is START → touch → … → (CONV | NULL). Returns
+    * (src, dst, c) transition counts — exact integers, no floats. */
+  private[analytics] def markovTransitions(events: DataFrame,
+      touchTypes: Seq[String], convType: String): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin((touchTypes :+ convType): _*))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === convType, lit("CONV"))
+          .otherwise(col("event_type")).as("st"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seg = ev.withColumn("seg",
+      sum(when(col("st") === "CONV", 1L).otherwise(0L)).over(wU) -
+        when(col("st") === "CONV", 1L).otherwise(0L))
+    val wS = Window.partitionBy(col("user_id"), col("seg"))
+      .orderBy(col("ts"), col("event_id"))
+    val nx = seg
+      .withColumn("nxt", lead(col("st"), 1).over(wS))
+      .withColumn("rn", row_number().over(wS))
+    val steps = nx.filter(col("st") =!= "CONV")
+      .select(col("st").as("src"), coalesce(col("nxt"), lit("NULL")).as("dst"))
+    val starts = nx.filter(col("rn") === 1)
+      .select(lit("START").as("src"), col("st").as("dst"))
+    steps.unionByName(starts)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Markov-chain (removal-effect) attribution — the data-driven model
+    * next to the heuristic ones ([[lastTouchAttribution]],
+    * [[multiTouchAttribution]]): build the journey transition chain,
+    * estimate P(conversion) from START by fixed-iteration integer value
+    * iteration, then re-estimate with each channel REMOVED (its incoming
+    * edges redirected to NULL — the standard removal-effect surgery);
+    * a channel's credit is the conversion probability it would take with
+    * it. Published per channel: removal_ppm = ⌊(v_base − v_removed)·10⁶ /
+    * v_base⌋ (clamped ≥ 0) and share = removal_ppm normalized — ONE
+    * double division.
+    *
+    * Determinism/portability: the [[graft.llm.Graph.pagerank]] integer
+    * discipline — state values live on the 1e-9 grid, every update is
+    * Σ c(s,t)·v(t) floor-divided by the exact out-count total, iterations
+    * are fixed (`iters`), so both engines replay the identical integer
+    * sequence; the oracle mirrors the full unrolled chain per variant.
+    *
+    * Scale shape: ONE corpus pass (the windows of [[markovTransitions]]
+    * ride a single (user, time) sort) reduces 100 TB of events to a
+    * (channels+3)² transition-count table; the value iterations run
+    * driver-side over that BOUNDED table (the [[graft.llm.Kmeans]]
+    * bounded-driver-state pattern — rows never leave the cluster, only
+    * the ≤ 25-entry count map does). */
+  def markovAttribution(events: DataFrame,
+      touchTypes: Seq[String] = Seq("view", "click"),
+      convType: String = "purchase", iters: Int = 12): DataFrame = {
+    val spark = events.sparkSession
+    val counts = markovTransitions(events, touchTypes, convType)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val states = ("START" +: touchTypes) ++ Seq("CONV", "NULL")
+    def startValue(c: Map[(String, String), Long]): Long = {
+      val totals = c.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+      var v = states.map(s => s -> (if (s == "CONV") 1000000000L else 0L)).toMap
+      for (_ <- 1 to iters) {
+        v = states.map { s =>
+          s -> (s match {
+            case "CONV" => 1000000000L
+            case "NULL" => 0L
+            case _ =>
+              val num = states.map(t => c.getOrElse((s, t), 0L) * v(t)).sum
+              val tot = totals.getOrElse(s, 1L)
+              num / tot
+          })
+        }.toMap
+      }
+      v("START")
+    }
+    def removed(x: String): Map[(String, String), Long] =
+      counts.toSeq.filter(_._1._1 != x)
+        .map { case ((s, t), n) => (s, if (t == x) "NULL" else t) -> n }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val vb = startValue(counts)
+    val rows = touchTypes.sorted.map { ch =>
+      val vx = startValue(removed(ch))
+      val ppm = if (vb == 0L) 0L else math.max(vb - vx, 0L) * 1000000L / vb
+      (ch, ppm)
+    }
+    val sumPpm = rows.map(_._2).sum
+    import spark.implicits._
+    rows.map { case (ch, ppm) =>
+      (ch, ppm,
+        if (sumPpm == 0L) Option.empty[Double]
+        else Some(ppm.toDouble / sumPpm.toDouble))
+    }.toDF("channel", "removal_ppm", "share")
+  }
+
   /** Multi-touch attribution: every in-window touch of a conversion gets
     * fractional credit under TWO standard models at once —
     *

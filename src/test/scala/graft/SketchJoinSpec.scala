@@ -267,6 +267,24 @@ class SketchJoinSpec extends SparkTestBase {
       g1.getAs[Double]("max_share") === 0.91)
   }
 
+  test("markov attribution: the only converting channel takes all the credit") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // users 1..10: view → purchase (every conversion passes through view);
+    // users 11..20: click → nothing (click never converts)
+    val events = ((1 to 10).flatMap(u => Seq(
+      (u * 10L, ts(0), u.toLong, "view", 0.0, "{}"),
+      (u * 10L + 1, ts(5), u.toLong, "purchase", 1.0, "{}"))) ++
+      (11 to 20).map(u => (u * 10L, ts(0), u.toLong, "click", 0.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = analytics.Analytics.markovAttribution(events)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(got("view")._1 === 1000000L) // removing view kills ALL conversions
+    assert(got("click")._1 === 0L)
+    assert(got("view")._2.exists(v => math.abs(v - 1.0) < 1e-9))
+  }
+
   test("retrieval metrics: perfect ranking scores 1.0; miss scores 0 MRR") {
     // q1: 2 relevant docs ranked 1,2 of 3 → NDCG@3 = 1, MRR = 1
     // q2: relevant doc absent from top-k → NDCG 0, MRR 0
