@@ -623,6 +623,62 @@ object Oracles {
         |  (SELECT count(*) FROM v WHERE user_id % 7 <> 3)
         |    AS n_remaining_rows""".stripMargin,
 
+    // expectation-suite mirror: the same NULL-is-violation reading
+    // (coalesce(pred, FALSE)), count-minus-distinct uniqueness, anti-join
+    // referential count
+    "q_expectations" ->
+      """WITH c AS (
+        |  SELECT 'lineitem_quantity_range' AS check_name,
+        |    sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+        |      THEN 0 ELSE 1 END) AS n_violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_returnflag_accepted',
+        |    sum(CASE WHEN coalesce(l_returnflag IN ('A','N','R'), FALSE)
+        |      THEN 0 ELSE 1 END) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_shipdate_not_null',
+        |    sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range',
+        |    sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.1, FALSE)
+        |      THEN 0 ELSE 1 END) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_pk_unique',
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_orders_fk',
+        |    (SELECT count(*) FROM lineitem l
+        |     LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |       ON o.o_orderkey = l.l_orderkey
+        |     WHERE o.o_orderkey IS NULL))
+        |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS passed
+        |FROM c ORDER BY check_name""".stripMargin,
+
+    // per-hour-of-day baseline: the q_hourly_anomaly op order with the
+    // stats partitioned by slot
+    "q_seasonal_anomaly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |h2 AS (SELECT *, hour(hour) AS hod FROM h),
+        |s AS (
+        |  SELECT hod, CAST(count(*) AS DOUBLE) AS nh,
+        |    CAST(sum(n_events) AS DOUBLE) AS s,
+        |    CAST(sum(n_events * n_events) AS DOUBLE) AS sq
+        |  FROM h2 GROUP BY 1),
+        |zz AS (
+        |  SELECT hour, h2.hod, n_events,
+        |    CASE WHEN sq/nh - (s/nh)*(s/nh) > 0
+        |      THEN (CAST(n_events AS DOUBLE) - s/nh)
+        |        / sqrt(sq/nh - (s/nh)*(s/nh))
+        |      ELSE 0.0 END AS z
+        |  FROM h2 JOIN s ON s.hod = h2.hod)
+        |SELECT hour, hod, n_events, z, (abs(z) > 2.0) AS is_anomaly
+        |FROM zz ORDER BY hour""".stripMargin,
+
     // skew mirror: identical ascending-(count, key) ranking, exact
     // integer sums, the same two divisions + subtract for Gini
     "q_skew_report" ->

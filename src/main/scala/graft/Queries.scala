@@ -192,6 +192,27 @@ object Queries {
     // count distribution — the "do we need salting here?" report
     "q_skew_report" -> ((s, dir) =>
       analytics.Skew.skewReport(t(s, dir, "events"), "event_type", topK = 3)),
+    // data-contract expectation suite: four fused scan checks + key
+    // uniqueness + referential integrity, published as the audit report
+    "q_expectations" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      sources.Expect.suite(
+        sources.Expect.scanChecks(li, Seq(
+          "lineitem_quantity_range" -> col("l_quantity").between(1, 50),
+          "lineitem_returnflag_accepted" ->
+            col("l_returnflag").isin("A", "N", "R"),
+          "lineitem_shipdate_not_null" -> col("l_shipdate").isNotNull,
+          "lineitem_discount_range" -> col("l_discount").between(0, 0.1))),
+        sources.Expect.unique(li, Seq("l_orderkey", "l_linenumber"),
+          "lineitem_pk_unique"),
+        sources.Expect.refIntegrity(li, "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey", "lineitem_orders_fk"))
+    }),
+    // hour-of-day seasonal anomaly z-scores: each hour vs the SAME
+    // slot's baseline, so daily periodicity stops masking spikes
+    "q_seasonal_anomaly" -> ((s, dir) =>
+      Analytics.seasonalAnomalies(t(s, dir, "events"))
+        .orderBy(col("hour"))),
     // temporal lookup against the SCD2 dimension: purchases pick up the
     // state current at their timestamp (point-in-validity join)
     "q_scd2_lookup" -> ((s, dir) => {

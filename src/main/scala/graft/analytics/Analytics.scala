@@ -822,6 +822,39 @@ object Analytics {
       .limit(k)
   }
 
+  /** Seasonal (hour-of-day) volume anomalies — [[hourlyAnomalies]] with a
+    * PER-SLOT baseline: each hour scores against the mean/std of the SAME
+    * hour-of-day across the range, so a quiet 3 am and a busy 3 pm each
+    * get their own normal and daily periodicity stops masking real
+    * spikes. Identical IEEE op order to the flat version (s/n, sq/n,
+    * var = msq − mean², one subtract/divide per hour — exact integer
+    * window sums underneath), zero-variance slots score z = 0.
+    *
+    * Scale shape: one hourly count aggregation (calendar-bounded), then
+    * the baseline windows partition by the 24-value hour-of-day key —
+    * nothing corpus-sized past the first aggregate. */
+  def seasonalAnomalies(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("hod", hour(col("hour")))
+    val w = Window.partitionBy(col("hod"))
+    val mean = sum(col("n_events")).over(w).cast("double") /
+      count(lit(1)).over(w).cast("double")
+    val msq = sum(col("n_events") * col("n_events")).over(w).cast("double") /
+      count(lit(1)).over(w).cast("double")
+    val variance = msq - mean * mean
+    val z = when(variance > 0,
+      (col("n_events").cast("double") - mean) / sqrt(variance))
+      .otherwise(lit(0.0))
+    hourly
+      .withColumn("z", z)
+      .withColumn("is_anomaly", abs(col("z")) > zThreshold)
+      .select(col("hour"), col("hod"), col("n_events"), col("z"),
+        col("is_anomaly"))
+  }
+
   /** Shared journey→transition extraction for [[markovAttribution]] and
     * its oracle: per user, conversions segment the timeline; within each
     * segment the chain is START → touch → … → (CONV | NULL). Returns

@@ -267,6 +267,43 @@ class SketchJoinSpec extends SparkTestBase {
       g1.getAs[Double]("max_share") === 0.91)
   }
 
+  test("expectations: planted violations counted per check; NULL fails range") {
+    val li = Seq(
+      (1L, 1, Some(10.0), "A"),
+      (1L, 1, Some(99.0), "X"),  // dup key + out-of-range + bad flag
+      (2L, 1, None, "N"))        // NULL quantity = range violation
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    val parent = Seq(Tuple1(1L)).toDF("o_orderkey") // orderkey 2 is orphaned
+    val got = sources.Expect.suite(
+        sources.Expect.scanChecks(li, Seq(
+          "range" -> $"l_quantity".between(1, 50),
+          "flag" -> $"l_returnflag".isin("A", "N", "R"))),
+        sources.Expect.unique(li, Seq("l_orderkey", "l_linenumber"), "pk"),
+        sources.Expect.refIntegrity(li, "l_orderkey", parent, "o_orderkey", "fk"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got === Map("range" -> ((2L, false)), "flag" -> ((1L, false)),
+      "pk" -> ((1L, false)), "fk" -> ((1L, false))))
+  }
+
+  test("seasonal anomalies: a spike hidden by daily cycle is flagged per-slot") {
+    import java.sql.Timestamp
+    val hourMs = 3600000L
+    // 8 days: hour-of-day 0 always 100 events, hod 1 always 10 — except
+    // day 7 hod 1 spikes to 100 (which equals the hod-0 NORMAL: a flat
+    // baseline would never flag it). 8 samples because a single outlier
+    // among n caps at z = √(n−1): 5 days would pin z at exactly 2.0.
+    val events = (0 until 8).flatMap { day =>
+      def mk(hod: Int, n: Int) = (0 until n).map(i =>
+        (day * 100000L + hod * 1000L + i,
+          new Timestamp((day * 24L + hod) * hourMs + i)))
+      mk(0, 100) ++ mk(1, if (day == 7) 100 else 10)
+    }.toDF("event_id", "ts")
+    val flagged = analytics.Analytics.seasonalAnomalies(events)
+      .filter($"is_anomaly")
+      .select($"hod", $"n_events").as[(Int, Long)].collect().toSet
+    assert(flagged === Set((1, 100L)))
+  }
+
   test("markov attribution: the only converting channel takes all the credit") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
