@@ -679,6 +679,64 @@ object Oracles {
         |SELECT hour, hod, n_events, z, (abs(z) > 2.0) AS is_anomaly
         |FROM zz ORDER BY hour""".stripMargin,
 
+    // A/B mirror: the same distinct counts and the identical p̂/pooled/se/z
+    // IEEE op sequence
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS exposed
+        |  FROM events GROUP BY 1),
+        |cv AS (
+        |  SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS converted
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |a AS (
+        |  SELECT u.arm, u.exposed, coalesce(cv.converted, 0) AS converted
+        |  FROM u LEFT JOIN cv USING (arm)),
+        |j AS (
+        |  SELECT c.exposed AS exp_c, c.converted AS conv_c,
+        |    t.exposed AS exp_t, t.converted AS conv_t
+        |  FROM (SELECT * FROM a WHERE arm = 0) c,
+        |       (SELECT * FROM a WHERE arm = 1) t),
+        |x AS (
+        |  SELECT *,
+        |    conv_t::DOUBLE / exp_t::DOUBLE - conv_c::DOUBLE / exp_c::DOUBLE
+        |      AS lift,
+        |    (conv_c + conv_t)::DOUBLE / (exp_c + exp_t)::DOUBLE AS pooled
+        |  FROM j),
+        |x2 AS (
+        |  SELECT *, sqrt(pooled * (1.0 - pooled)
+        |    * (1.0 / exp_c::DOUBLE + 1.0 / exp_t::DOUBLE)) AS se
+        |  FROM x)
+        |SELECT exp_c, conv_c, exp_t, conv_t, lift,
+        |  CASE WHEN se > 0 THEN lift / se ELSE 0.0 END AS z,
+        |  abs(CASE WHEN se > 0 THEN lift / se ELSE 0.0 END) > 1.96
+        |    AS significant
+        |FROM x2""".stripMargin,
+
+    // EWMA mirror: 1-step recursive CTE over the hour index replaying the
+    // identical non-negative integer update ((d−1)·s + n·1e9) // d
+    "q_ewma_baseline" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |idx AS (
+        |  SELECT *, row_number() OVER (ORDER BY hour) AS i FROM h),
+        |r(i, f, s) AS (
+        |  SELECT 1,
+        |    (SELECT n FROM idx WHERE i = 1) * 1000000000,
+        |    (7 * ((SELECT n FROM idx WHERE i = 1) * 1000000000)
+        |      + (SELECT n FROM idx WHERE i = 1) * 1000000000) // 8
+        |  UNION ALL
+        |  SELECT r.i + 1, r.s,
+        |    (7 * r.s + (SELECT n FROM idx WHERE idx.i = r.i + 1)
+        |      * 1000000000) // 8
+        |  FROM r WHERE r.i < (SELECT max(i) FROM idx))
+        |SELECT idx.hour, idx.n AS n_events,
+        |  CAST(r.f AS BIGINT)::DOUBLE / 1e9 AS forecast,
+        |  CAST(r.s AS BIGINT)::DOUBLE / 1e9 AS ewma,
+        |  idx.n * 2000000000 > 3 * CAST(r.f AS BIGINT) AS spike
+        |FROM idx JOIN r ON r.i = idx.i
+        |ORDER BY idx.hour""".stripMargin,
+
     // skew mirror: identical ascending-(count, key) ranking, exact
     // integer sums, the same two divisions + subtract for Gini
     "q_skew_report" ->

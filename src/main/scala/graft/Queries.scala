@@ -213,6 +213,14 @@ object Queries {
     "q_seasonal_anomaly" -> ((s, dir) =>
       Analytics.seasonalAnomalies(t(s, dir, "events"))
         .orderBy(col("hour"))),
+    // experimentation read-out: deterministic user_id % 2 arms, distinct
+    // exposures/conversions, pooled two-proportion z, |z| > 1.96 call
+    "q_ab_test" -> ((s, dir) =>
+      Analytics.abTest(t(s, dir, "events"), col("user_id") % 2)),
+    // EWMA(1/8) hourly level + forecast + spike flags: integer nano-grid
+    // fold over the one collected hourly array (sequential by nature)
+    "q_ewma_baseline" -> ((s, dir) =>
+      Analytics.ewmaBaseline(t(s, dir, "events"))),
     // temporal lookup against the SCD2 dimension: purchases pick up the
     // state current at their timestamp (point-in-validity join)
     "q_scd2_lookup" -> ((s, dir) => {

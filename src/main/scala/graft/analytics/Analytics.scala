@@ -822,6 +822,88 @@ object Analytics {
       .limit(k)
   }
 
+  /** Two-proportion A/B test — the experimentation read-out: per arm
+    * (deterministic assignment expression, e.g. user_id % 2) distinct
+    * exposed users and distinct converters, then lift, the pooled
+    * two-proportion z statistic and the |z| > 1.96 significance call.
+    * All rates are single IEEE divisions of exact integer counts and the
+    * z chain is one fixed op sequence (p̂ per arm, pooled p, standard
+    * error, one divide) — engine-portable without any grid.
+    *
+    * Scale shape: one distinct aggregation per role keyed by (arm, user)
+    * — map-side combine; everything after runs on a 2-row frame. */
+  def abTest(events: DataFrame, armExpr: Column,
+      convType: String = "purchase"): DataFrame = {
+    val users = events.select(col("user_id"), armExpr.as("arm")).distinct()
+      .groupBy(col("arm")).agg(count(lit(1)).as("exposed"))
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("user_id"), armExpr.as("arm")).distinct()
+      .groupBy(col("arm")).agg(count(lit(1)).as("converted"))
+    val arms = users.join(conv, Seq("arm"), "left")
+      .withColumn("converted", coalesce(col("converted"), lit(0L)))
+    val c = arms.filter(col("arm") === 0)
+      .select(col("exposed").as("exp_c"), col("converted").as("conv_c"))
+    val t = arms.filter(col("arm") === 1)
+      .select(col("exposed").as("exp_t"), col("converted").as("conv_t"))
+    val j = c.crossJoin(t) // 1×1
+    val pC = col("conv_c").cast("double") / col("exp_c").cast("double")
+    val pT = col("conv_t").cast("double") / col("exp_t").cast("double")
+    val pooled = (col("conv_c") + col("conv_t")).cast("double") /
+      (col("exp_c") + col("exp_t")).cast("double")
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / col("exp_c").cast("double") +
+        lit(1.0) / col("exp_t").cast("double")))
+    // zero-variance guard (the hourlyAnomalies convention): a degenerate
+    // pooled rate (0 or 1) has se = 0 — no test statistic, nothing called
+    val z = when(se > 0, (pT - pC) / se).otherwise(lit(0.0))
+    j.select(col("exp_c"), col("conv_c"), col("exp_t"), col("conv_t"),
+      (pT - pC).as("lift"), z.as("z"), (abs(z) > 1.96).as("significant"))
+  }
+
+  /** EWMA hourly baseline + spike flags — the forecasting complement to
+    * the z-score anomaly detectors: forecast(t) = the smoothed level
+    * BEFORE observing hour t, updated s' = ((α⁻¹−1)·s + n·10⁹) div α⁻¹
+    * (α = 1/alphaDen). The update is written as ONE integer expression
+    * over non-negative terms so truncating and flooring division agree —
+    * both engines replay the identical nano-grid sequence (Spark `div`
+    * truncates toward zero, DuckDB `//` floors; they only coincide on
+    * non-negatives, which this form guarantees). Spike when
+    * n > 1.5 × forecast, as the exact integer compare 2·n·10⁹ > 3·f.
+    *
+    * Scale shape: one calendar-bounded hourly aggregation, then the
+    * inherently-sequential smoothing folds over the SINGLE collected
+    * array row (≤ 8 760 structs/year — the bounded-driver-state budget
+    * of the trainers, except it never even leaves the plan: a HOF
+    * aggregate builds the running sequence in one pass). */
+  def ewmaBaseline(events: DataFrame, alphaDen: Int = 8,
+      tsCol: String = "ts"): DataFrame = {
+    require(alphaDen >= 2, s"alphaDen >= 2: $alphaDen")
+    val hourly = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val arr = hourly.agg(sort_array(collect_list(struct(col("hour"), col("n"))))
+      .as("a"))
+    val d = alphaDen
+    arr.selectExpr(
+      s"""aggregate(a,
+         |  named_struct(
+         |    'out', cast(array() as
+         |      array<struct<hour:timestamp,n:bigint,f:bigint,s:bigint>>),
+         |    's', element_at(a, 1).n * 1000000000L),
+         |  (acc, x) -> named_struct(
+         |    'out', concat(acc.out, array(named_struct(
+         |      'hour', x.hour, 'n', x.n, 'f', acc.s,
+         |      's', ((${d - 1}L * acc.s + x.n * 1000000000L) div ${d}L)))),
+         |    's', ((${d - 1}L * acc.s + x.n * 1000000000L) div ${d}L))
+         |).out AS out""".stripMargin)
+      .select(explode(col("out")).as("r"))
+      .select(col("r.hour").as("hour"), col("r.n").as("n_events"),
+        (col("r.f").cast("double") / 1e9).as("forecast"),
+        (col("r.s").cast("double") / 1e9).as("ewma"),
+        (col("r.n") * lit(2000000000L) > lit(3L) * col("r.f")).as("spike"))
+      .orderBy(col("hour"))
+  }
+
   /** Seasonal (hour-of-day) volume anomalies — [[hourlyAnomalies]] with a
     * PER-SLOT baseline: each hour scores against the mean/std of the SAME
     * hour-of-day across the range, so a quiet 3 am and a busy 3 pm each

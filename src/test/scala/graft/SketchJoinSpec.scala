@@ -304,6 +304,45 @@ class SketchJoinSpec extends SparkTestBase {
     assert(flagged === Set((1, 100L)))
   }
 
+  test("A/B test: planted conversion gap significant; balanced arms are not") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    def mk(users: Range, convertEvery: Int) = users.zipWithIndex.flatMap {
+      case (u, i) =>
+        val base = Seq((u * 100L, ts(0), u.toLong, "view", 0.0, "{}"))
+        if (i % convertEvery == 0)
+          base :+ ((u * 100L + 1, ts(1), u.toLong, "purchase", 1.0, "{}"))
+        else base
+    }
+    // arm 0 = even users convert at 1/2; arm 1 = odd users convert at 1/5
+    val events = (mk(0 until 400 by 2, 2) ++ mk(1 until 400 by 2, 5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = analytics.Analytics.abTest(events, col("user_id") % 2).head()
+    assert(r.getAs[Long]("exp_c") === 200 && r.getAs[Long]("exp_t") === 200)
+    assert(r.getAs[Double]("lift") < 0 && r.getAs[Boolean]("significant"))
+    // same conversion pattern in both arms → |z| small, not significant
+    val bal = (mk(0 until 400 by 2, 2) ++ mk(1 until 400 by 2, 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(!analytics.Analytics.abTest(bal, col("user_id") % 2)
+      .head().getAs[Boolean]("significant"))
+  }
+
+  test("EWMA: constant series forecasts itself; step change flags until absorbed") {
+    import java.sql.Timestamp
+    val hourMs = 3600000L
+    // 6 quiet hours at 8 events, then a 40-event spike hour
+    val events = ((0 until 6).flatMap(h => (0 until 8).map(i =>
+      (h * 100L + i, new Timestamp(h * hourMs + i)))) ++
+      (0 until 40).map(i => (600L + i, new Timestamp(6 * hourMs + i))))
+      .toDF("event_id", "ts")
+    val rows = analytics.Analytics.ewmaBaseline(events, alphaDen = 8)
+      .select($"n_events", $"forecast", $"spike")
+      .as[(Long, Double, Boolean)].collect()
+    assert(rows.take(6).forall { case (n, f, s) => n == 8L && f == 8.0 && !s })
+    val (n6, f6, s6) = rows(6)
+    assert(n6 == 40L && f6 == 8.0 && s6) // 40 > 1.5 × 8
+  }
+
   test("markov attribution: the only converting channel takes all the credit") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
