@@ -2929,6 +2929,30 @@ object Oracles {
          |         (2 * n_pos * n_neg)::DOUBLE END AS auc
          |FROM at""".stripMargin,
 
+    // reliability diagram mirror: trained-probe scores binned equal-width
+    // over the deterministic [min, max]; micro-floored integer score sums
+    "q_probe_calibration" ->
+      s"""WITH $probeCtes,
+         |$gopherCtes,
+         |sc AS (
+         |  SELECT f.doc_id,
+         |    f.x0 * wp.w0 + f.x1 * wp.w1 + f.x2 * wp.w2 + f.x3 * wp.w3 AS s
+         |  FROM feat f, pw$probeIters wp),
+         |aj AS (
+         |  SELECT sc.s, CASE WHEN gk.kept THEN 1 ELSE 0 END AS y
+         |  FROM sc JOIN gk USING (doc_id)),
+         |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM aj),
+         |b AS (
+         |  SELECT CASE WHEN mx > mn
+         |    THEN least(CAST(floor((s - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9)
+         |    ELSE 0 END AS bin, s, y
+         |  FROM aj, mm)
+         |SELECT bin, count(*) AS n,
+         |  CAST(sum(CAST(floor(s * 1e6) AS BIGINT)) AS BIGINT)::DOUBLE
+         |    / count(*)::DOUBLE / 1e6 AS mean_score,
+         |  CAST(sum(y) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS pos_rate
+         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+
     // Mirrors TextAnalysis.docStats: every score is raw int-derived IEEE
     // double arithmetic in the same evaluation order as the Spark columns —
     // bit-exact, no round() anywhere (HALF_UP parity trap). Fingerprint is

@@ -1616,6 +1616,18 @@ object Queries {
         col("score"), col("kept"))
     }),
 
+    // reliability diagram: probe scores binned 10-wide vs the Gopher keep
+    // rate — "do the scores mean anything as probabilities", next to AUC
+    "q_probe_calibration" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val feat = llm.QualityProbe.features(docs).localCheckpoint(eager = false)
+      val w = llm.QualityProbe.trainWeights(feat, lr = 0.5, iters = 3)
+      val labels = llm.TextAnalysis.gopherRules(docs)
+        .select(col("doc_id"), col("kept"))
+      llm.Eval.calibrationBins(
+        llm.QualityProbe.score(feat, w).join(labels, Seq("doc_id")),
+        col("score"), col("kept"), nBins = 10)
+    }),
     // Gopher rule battery (Rae et al. 2021 App. A): every rule's measured
     // value + the conjunction verdict, scan-side one-pass. On this corpus
     // the mix comes from the word-count and stopword rules; the symbol/

@@ -82,6 +82,38 @@ object Eval {
           .as("auc"))
   }
 
+  /** Reliability (calibration) bins for a score predicting a boolean
+    * label: equal-width bins over [min, max], per bin the count, mean
+    * score and positive rate — the diagram that says whether a
+    * classifier's scores MEAN anything as probabilities, next to [[auc]]
+    * which only ranks. Portability: bin edges derive from the
+    * deterministic min/max through one fixed op chain; the mean score
+    * sums micro-floored integers (never raw doubles across partitions);
+    * rates are single divisions. Degenerate all-equal scores collapse to
+    * bin 0 (guarded — no zero-width division). */
+  def calibrationBins(df: DataFrame, scoreCol: Column, labelCol: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins >= 2: $nBins")
+    val s = df.select(scoreCol.as("s"), labelCol.cast("int").cast("long").as("y"))
+    val mm = s.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    val binned = s.crossJoin(mm) // 1-row
+      .withColumn("bin",
+        when(col("mx") > col("mn"),
+          least(floor((col("s") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(nBins.toDouble))).cast("long"),
+            lit(nBins - 1L)))
+          .otherwise(0L))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("s") * 1e6).cast("long")).as("_sm"),
+        sum(col("y")).as("_p"))
+      .select(col("bin"), col("n"),
+        (col("_sm").cast("double") / col("n").cast("double") / 1e6)
+          .as("mean_score"),
+        (col("_p").cast("double") / col("n").cast("double")).as("pos_rate"))
+      .orderBy(col("bin"))
+  }
+
   /** Per-query retrieval metrics — NDCG@k and MRR@k of a `(qid, rank,
     * neighbor_id)` ranking against binary `(qid, neighbor_id)` relevance
     * judgments — the IR-eval layer that closes the retrieval stack (BM25

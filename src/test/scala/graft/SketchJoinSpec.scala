@@ -343,6 +343,27 @@ class SketchJoinSpec extends SparkTestBase {
     assert(n6 == 40L && f6 == 8.0 && s6) // 40 > 1.5 × 8
   }
 
+  test("calibration bins: edges span [min,max], rates exact, degenerate collapses") {
+    val df = ((0 until 50).map(i => (i / 50.0, i >= 25)) :+ ((1.0, true)))
+      .toDF("score", "label")
+    val bins = graft.llm.Eval.calibrationBins(df, $"score", $"label", nBins = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    // scores uniform on [0,1): 10 in the bottom bin, the max caps into
+    // bin 4; all 51 rows land somewhere and rates are monotone (the
+    // perfectly-separable label). Exact mid-bin membership is FP-edge
+    // dependent (0.6/0.2 floors to 2) — deterministic, but not asserted.
+    assert(bins(0L) === ((10L, 0.0)) && bins(4L) === ((11L, 1.0)))
+    assert(bins.values.map(_._1).sum === 51L)
+    assert(bins.toSeq.sortBy(_._1).map(_._2._2).sliding(2)
+      .forall(p => p.head <= p.last))
+    // all-equal scores: single bin 0, no zero-width division
+    val flat = (0 until 8).map(i => (0.5, i % 2 == 0)).toDF("score", "label")
+    val b0 = graft.llm.Eval.calibrationBins(flat, $"score", $"label").collect()
+    assert(b0.length === 1 && b0.head.getLong(0) === 0L &&
+      b0.head.getDouble(3) === 0.5)
+  }
+
   test("markov attribution: the only converting channel takes all the credit") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
