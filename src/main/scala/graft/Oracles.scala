@@ -2406,6 +2406,36 @@ object Oracles {
     // bit-identical to the Scala-side sumDl.toDouble / nDocs.toDouble.
     "q_bm25" -> bm25Sql,
 
+    // RM expansion mirror: the bm25Sql chain's ranked frame at top-5,
+    // feedback-doc term counts, tf × micro-score integer weights, original
+    // panel terms anti-joined out
+    "q_query_expansion" ->
+      s"""WITH $bm25Ctes,
+         |top5 AS (
+         |  SELECT query_id, doc_id, score_micro FROM r WHERE rank <= 5),
+         |alltc AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id,
+         |      unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         |    FROM documents
+         |    WHERE doc_id IN (SELECT doc_id FROM top5)) z
+         |  WHERE term != '' GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT t.query_id, d.term,
+         |    CAST(sum(d.tf * t.score_micro) AS BIGINT) AS w_score
+         |  FROM top5 t JOIN alltc d USING (doc_id)
+         |  GROUP BY 1, 2),
+         |filt AS (
+         |  SELECT e.* FROM ex e
+         |  LEFT JOIN panel p ON p.query_id = e.query_id AND p.term = e.term
+         |  WHERE p.term IS NULL),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY w_score DESC, term) AS rank
+         |  FROM filt)
+         |SELECT query_id, rank, term, w_score FROM rk WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
     // BM25 over the prebuilt unigram index + stats sidecar: with open df
     // rails the index-probe scorer is value-identical to the inline form
     // (the artifacts carry the same tf/df/dl the inline pass derives), so

@@ -1463,6 +1463,14 @@ object Queries {
           llm.Search.DefaultPanel.toDF("query_id", "term"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // RM-style pseudo-relevance feedback: top-5 expansion terms per
+    // query from its BM25 top-5 docs, tf x micro-score integer weights
+    "q_query_expansion" -> ((s, dir) => {
+      import s.implicits._
+      llm.Search.expandQueries(tWide(s, dir, "documents"),
+          llm.Search.DefaultPanel.toDF("query_id", "term"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // inverted bigram index with df rails: minDf=2 kills the singleton
     // tail (present at sf0.01), maxDf = floor(0.06 N) prunes hot phrases
     // at BOTH SFs; postings row width bounded by maxDf by construction

@@ -429,4 +429,40 @@ object Search {
       .filter(col("n_present") === col("n_grams"))
       .select(col("phrase_id"), col(idCol), col("n_grams"), col("phrase_tf"))
   }
+
+  /** Pseudo-relevance-feedback query expansion (the RM-style loop every
+    * retrieval stack closes with): run [[bm25]], take each query's top
+    * `fbDocs` documents as its relevance model, score candidate expansion
+    * terms by Σ_d tf(w, d) · bm25_micro(d) — term mass weighted by how
+    * relevant its host looked — drop the ORIGINAL query terms, and emit
+    * the top `fbTerms` per query. Pure integer weights (tf × micro
+    * score), so ranking and the published w_score are engine-exact.
+    *
+    * Scale shape: the feedback doc-id set (≤ |Q|·fbDocs) broadcasts as a
+    * semi-join gate BEFORE the term explode — the corpus contributes only
+    * feedback docs to the term-count aggregation; the scoring join and
+    * the per-query top-k window run on that bounded frame. */
+  def expandQueries(docs: DataFrame, queries: DataFrame, fbDocs: Int = 5,
+      fbTerms: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val top = bm25(docs, queries, topK = fbDocs, idCol = idCol,
+      textCol = textCol)
+      .select(col("query_id"), col(idCol), col("score_micro"))
+    val fbIds = top.select(col(idCol)).distinct()
+    val dt = docs.join(broadcast(fbIds), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val w = dt.join(broadcast(top), Seq(idCol))
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf") * col("score_micro")).as("w_score"))
+      .join(queries.select(col("query_id"), col("term")),
+        Seq("query_id", "term"), "left_anti")
+    val rk = Window.partitionBy(col("query_id"))
+      .orderBy(col("w_score").desc, col("term"))
+    w.withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= fbTerms)
+      .select(col("query_id"), col("rank"), col("term"), col("w_score"))
+  }
 }

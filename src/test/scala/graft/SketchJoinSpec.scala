@@ -364,6 +364,20 @@ class SketchJoinSpec extends SparkTestBase {
       b0.head.getDouble(3) === 0.5)
   }
 
+  test("query expansion: co-occurring term surfaces, original term excluded") {
+    // docs about "spark" always mention "shuffle"; unrelated docs don't
+    val docs = ((0 until 5).map(i =>
+      (i.toLong, s"spark shuffle engine run$i")) ++
+      (5 until 30).map(i => (i.toLong, s"noise other text item$i")))
+      .toDF("doc_id", "text")
+    val queries = Seq((1, "spark")).toDF("query_id", "term")
+    val got = graft.llm.Search.expandQueries(docs, queries,
+        fbDocs = 5, fbTerms = 3)
+      .select($"rank", $"term").as[(Int, String)].collect()
+    assert(got.map(_._2).contains("shuffle"))
+    assert(!got.map(_._2).contains("spark")) // original term anti-joined out
+  }
+
   test("markov attribution: the only converting channel takes all the credit") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
