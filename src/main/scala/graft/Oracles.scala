@@ -1214,6 +1214,48 @@ object Oracles {
 
     // dense integer duplicates pin the interpolation to exact values —
     // quantile_cont and Spark's exact percentile agree bit-for-bit here
+    // robust-stats mirror: identical cents grid, cumulative-over-distinct
+    // order statistics with ⌈p·n⌉ integer indices, exact cent sums
+    "q_robust_stats" ->
+      """WITH a AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+        |    count(*) AS k
+        |  FROM orders GROUP BY 1),
+        |cu AS (SELECT c, k, CAST(sum(k) OVER (ORDER BY c) AS BIGINT) AS cum
+        |  FROM a),
+        |t AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM a),
+        |sel AS (
+        |  SELECT n,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS med_c,
+        |    min(CASE WHEN cum >= (n + 9) // 10 THEN c END) AS p10_c,
+        |    min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN c END) AS p90_c
+        |  FROM cu, t GROUP BY n),
+        |dv AS (
+        |  SELECT abs(a.c - sel.med_c) AS d, CAST(sum(a.k) AS BIGINT) AS k
+        |  FROM a, sel GROUP BY 1),
+        |dcu AS (SELECT d, CAST(sum(k) OVER (ORDER BY d) AS BIGINT) AS cum
+        |  FROM dv),
+        |md AS (
+        |  SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS mad_c
+        |  FROM dcu, t),
+        |mn AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN a.c BETWEEN sel.p10_c AND sel.p90_c
+        |      THEN a.c * a.k ELSE 0 END) AS BIGINT) AS tsum,
+        |    CAST(sum(CASE WHEN a.c BETWEEN sel.p10_c AND sel.p90_c
+        |      THEN a.k ELSE 0 END) AS BIGINT) AS tcnt,
+        |    CAST(sum(greatest(least(a.c, sel.p90_c), sel.p10_c) * a.k)
+        |      AS BIGINT) AS wsum
+        |  FROM a, sel)
+        |SELECT sel.n,
+        |  sel.med_c::DOUBLE / 100.0 AS median,
+        |  sel.p10_c::DOUBLE / 100.0 AS p10,
+        |  sel.p90_c::DOUBLE / 100.0 AS p90,
+        |  md.mad_c::DOUBLE / 100.0 AS mad,
+        |  mn.tsum::DOUBLE / mn.tcnt::DOUBLE / 100.0 AS trimmed_mean,
+        |  mn.wsum::DOUBLE / sel.n::DOUBLE / 100.0 AS winsorized_mean
+        |FROM sel, md, mn""".stripMargin,
+
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity::DOUBLE, 0.25) AS p25,

@@ -462,6 +462,11 @@ object Queries {
     // the scale-safe discipline is exact integer power sums (map-side
     // combinable, overflow-free at these magnitudes) folded to doubles by
     // an identical expression tree on both engines — bit-exact.
+    // outlier-resistant money summary: self-computed discrete order
+    // statistics on the cents grid (no percentile-function tie trust),
+    // MAD, trimmed + winsorized means
+    "q_robust_stats" -> ((s, dir) =>
+      Analytics.robustStats(t(s, dir, "orders"), col("o_totalprice"))),
     "q_stats_moments" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("source"),
         col("n_chars").cast("long").as("x"),

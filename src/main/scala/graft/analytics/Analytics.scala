@@ -822,6 +822,59 @@ object Analytics {
       .limit(k)
   }
 
+  /** Robust one-row statistics of a money-like column: lower-median, p10/
+    * p90, MAD (median absolute deviation), 10%-trimmed mean and
+    * winsorized mean — the outlier-resistant summary a finance/metrics
+    * report pairs with the moment statistics (which one fat-fingered
+    * order can drag arbitrarily).
+    *
+    * Every quantile is a DISCRETE order statistic the library computes
+    * itself — value counts per 1-cent grid point, a cumulative window
+    * over DISTINCT values only (the [[graft.llm.Eval.auc]] shrink
+    * discipline: the corpus collapses to its value domain before any
+    * global window), and "smallest value with cum ≥ ⌈p·n⌉" in pure
+    * integer arithmetic — so both engines agree bit-for-bit without
+    * trusting percentile-function tie conventions. Means are exact
+    * integer cent sums with single trailing divisions. */
+  def robustStats(df: DataFrame, valueCol: Column): DataFrame = {
+    val agg = df.select(floor(valueCol * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(eager = false)
+    val w = Window.orderBy(col("c"))
+    val cum = agg.withColumn("cum", sum(col("k")).over(w))
+    val tot = agg.agg(sum(col("k")).as("n"))
+    val sel = cum.crossJoin(tot)
+      .agg(first(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("c"))).as("med_c"),
+        min(when(col("cum") >= expr("(n + 9) div 10"), col("c"))).as("p10_c"),
+        min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("c"))).as("p90_c"))
+    // MAD: the same discrete-median machinery over |c − median|
+    val devs = agg.crossJoin(broadcast(sel))
+      .select(abs(col("c") - col("med_c")).as("d"), col("k"))
+      .groupBy(col("d")).agg(sum(col("k")).as("k"))
+    val dcum = devs.withColumn("cum", sum(col("k")).over(Window.orderBy(col("d"))))
+    val mad = dcum.crossJoin(tot)
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("d"))).as("mad_c"))
+    val means = agg.crossJoin(broadcast(sel))
+      .agg(
+        sum(when(col("c").between(col("p10_c"), col("p90_c")),
+          col("c") * col("k")).otherwise(0L)).as("tsum"),
+        sum(when(col("c").between(col("p10_c"), col("p90_c")), col("k"))
+          .otherwise(0L)).as("tcnt"),
+        sum(greatest(least(col("c"), col("p90_c")), col("p10_c")) * col("k"))
+          .as("wsum"))
+    sel.crossJoin(mad).crossJoin(means) // 1×1×1
+      .select(col("n"),
+        (col("med_c").cast("double") / 100.0).as("median"),
+        (col("p10_c").cast("double") / 100.0).as("p10"),
+        (col("p90_c").cast("double") / 100.0).as("p90"),
+        (col("mad_c").cast("double") / 100.0).as("mad"),
+        (col("tsum").cast("double") / col("tcnt").cast("double") / 100.0)
+          .as("trimmed_mean"),
+        (col("wsum").cast("double") / col("n").cast("double") / 100.0)
+          .as("winsorized_mean"))
+  }
+
   /** Two-proportion A/B test — the experimentation read-out: per arm
     * (deterministic assignment expression, e.g. user_id % 2) distinct
     * exposed users and distinct converters, then lift, the pooled

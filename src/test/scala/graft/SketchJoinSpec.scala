@@ -378,6 +378,23 @@ class SketchJoinSpec extends SparkTestBase {
     assert(!got.map(_._2).contains("spark")) // original term anti-joined out
   }
 
+  test("robust stats: hand-computed order statistics; outlier can't move them") {
+    // 1..9 plus a wild outlier: median 5.50→? values are dollars
+    val vals = ((1 to 9).map(_.toDouble) :+ 1e6).map(Tuple1(_)).toDF("v")
+    val r = analytics.Analytics.robustStats(vals, $"v").head()
+    // n=10: median idx ⌈10/2⌉? (n+1) div 2 = 5 → 5.0; p10 idx 1 → 1.0;
+    // p90 idx (90+9) div 10 = 9 → 9.0
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Double]("median") === 5.0)
+    assert(r.getAs[Double]("p10") === 1.0 && r.getAs[Double]("p90") === 9.0)
+    // MAD over |v−5|: {4,3,2,1,0,1,2,3,4,999995} sorted median idx 5 → 2
+    assert(r.getAs[Double]("mad") === 2.0)
+    // trimmed mean over [1,9] = mean(1..9) = 5 — the outlier is gone
+    assert(r.getAs[Double]("trimmed_mean") === 5.0)
+    // winsorized: outlier clamps to 9 → (45+9)/10 = 5.4
+    assert(r.getAs[Double]("winsorized_mean") === 5.4)
+  }
+
   test("markov attribution: the only converting channel takes all the credit") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
