@@ -467,4 +467,38 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges.nonEmpty, plan)
     assert(!exchanges.exists(_.contains("text")), plan)
   }
+
+  test("binary knn: Hamming shortlist rides WindowGroupLimit partial limits") {
+    val plan = formatted(graft.llm.Similarity.binaryKnn(
+      t("embeddings"), $"vec_id" < 5, k = 3, candidates = 20))
+    // partial WindowGroupLimit before the exchange AND the final one after
+    assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan) // both stages broadcast
+  }
+
+  test("erasure propagation: one broadcast anti-join, bulk never shuffles") {
+    val dim = Analytics.scd2History(t("events"))
+    val keys = t("events").filter($"user_id" % 7 === 3).select($"user_id")
+    val plan = formatted(graft.sources.Merge.applyDeletes(dim, keys, Seq("user_id")))
+    assert(plan.contains("BroadcastHashJoin LeftAnti"), plan)
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("expectation scan checks fuse into a single table scan") {
+    val plan = formatted(graft.sources.Expect.scanChecks(t("lineitem"), Seq(
+      "a" -> $"l_quantity".between(1, 50),
+      "b" -> $"l_returnflag".isin("A", "N", "R"),
+      "c" -> $"l_shipdate".isNotNull)))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("query expansion: feedback ids gate the corpus via semi-join before the explode") {
+    import spark.implicits._
+    val plan = formatted(graft.llm.Search.expandQueries(t("documents"),
+      Seq((1, "hash"), (2, "window")).toDF("query_id", "term")))
+    assert(plan.contains("LeftSemi"), plan)
+    // the expansion tail adds no sort-merge join anywhere
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
