@@ -1578,6 +1578,32 @@ object Oracles {
         |  CAST(sum(contrib) AS BIGINT)::DOUBLE / 1e9 AS psi
         |FROM x GROUP BY 1 ORDER BY source""".stripMargin,
 
+    // embedding-shift mirror: identical micro-sum centroids (one division
+    // per cell), dim-ordered sequential fold of squared diffs
+    "q_embed_drift" ->
+      """WITH j AS (
+        |  SELECT d.source AS grp, e.embedding
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |gdim AS (
+        |  SELECT grp, g.range AS dim,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(floor(embedding[g.range + 1]::DOUBLE * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS s
+        |  FROM j, range(64) g GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT dim, CAST(sum(n) AS BIGINT) AS n_tot,
+        |    CAST(sum(s) AS BIGINT) AS s_tot
+        |  FROM gdim GROUP BY 1),
+        |df AS (
+        |  SELECT grp, gdim.dim, gdim.n,
+        |    gdim.s::DOUBLE / (gdim.n::DOUBLE * 1e6)
+        |      - cd.s_tot::DOUBLE / (cd.n_tot::DOUBLE * 1e6) AS diff
+        |  FROM gdim JOIN cd USING (dim))
+        |SELECT grp AS source, CAST(min(n) AS BIGINT) AS n_vecs,
+        |  sqrt(list_reduce(list(diff * diff ORDER BY dim),
+        |    (a, b) -> a + b)) AS shift
+        |FROM df GROUP BY grp ORDER BY source""".stripMargin,
+
     // Fightin'-Words mirror: exact integer counts, the fixed δ/σ op
     // sequence, z nano-floored before ranking (ties by term)
     "q_distinctive_terms" ->

@@ -765,6 +765,12 @@ object Queries {
       llm.Drift.psi(tWide(s, dir, "documents"), "source", col("n_chars"),
           binWidth = 200L)
         .orderBy(col("source"))),
+    // embedding-space drift: per-source centroid shift vs the corpus
+    // centroid — encoder-skew monitoring the scalar PSI bands can't see
+    "q_embed_drift" -> ((s, dir) =>
+      llm.Drift.embeddingShift(tWide(s, dir, "embeddings"),
+          tWide(s, dir, "documents"))
+        .orderBy(col("source"))),
     // Monroe log-odds "Fightin' Words": top-5 distinctive terms per
     // source by z-scored log-odds under a uniform Dirichlet prior
     "q_distinctive_terms" -> ((s, dir) =>

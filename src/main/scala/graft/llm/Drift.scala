@@ -67,4 +67,47 @@ object Drift {
     cell.unpersist()
     mat
   }
+
+  /** Embedding-space drift: per group, the Euclidean distance between
+    * the group's centroid and the corpus centroid — the "did this
+    * source's embedding distribution move" monitor that catches encoder
+    * version skew and upstream content shifts [[psi]]'s scalar bands
+    * can't see. Centroids use the
+    * [[Similarity.clusterCentroidSums]] discipline (exact micro-unit
+    * integer sums, ONE division per (group, dim)); the distance is a
+    * sequential dim-ordered fold of squared diffs (the `list_reduce`
+    * oracle convention) — bit-portable end to end.
+    *
+    * Scale shape: one posexplode scan into a (groups × dims)-bounded
+    * aggregation; corpus sums RE-AGGREGATE the per-group frame (no
+    * second corpus read); everything after runs on the tiny grid. */
+  def embeddingShift(emb: DataFrame, groupTable: DataFrame,
+      groupCol: String = "source", joinId: String = "doc_id",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val g = groupTable.select(col(joinId).as("__gid"), col(groupCol).as("grp"))
+    val gs = emb.join(g, col(idCol) === col("__gid"))
+      .select(col("grp"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("grp"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 1e6)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cs = gs.groupBy(col("dim"))
+      .agg(sum(col("n")).as("nTot"), sum(col("s")).as("sTot"))
+    val diffs = gs.join(broadcast(cs), Seq("dim"))
+      .select(col("grp"), col("dim"), col("n"),
+        (col("s").cast("double") / (col("n").cast("double") * 1e6) -
+          col("sTot").cast("double") / (col("nTot").cast("double") * 1e6))
+          .as("diff"))
+    val out = diffs
+      .groupBy(col("grp"))
+      .agg(min(col("n")).as("n_vecs"),
+        sort_array(collect_list(struct(col("dim"),
+          (col("diff") * col("diff")).as("dsq")))).as("arr"))
+      .select(col("grp").as(groupCol), col("n_vecs"),
+        sqrt(aggregate(transform(col("arr"), t => t.getField("dsq")),
+          lit(0.0), (a, b) => a + b)).as("shift"))
+    val mat = out.localCheckpoint()
+    gs.unpersist()
+    mat
+  }
 }

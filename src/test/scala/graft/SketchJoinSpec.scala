@@ -395,6 +395,28 @@ class SketchJoinSpec extends SparkTestBase {
     assert(r.getAs[Double]("winsorized_mean") === 5.4)
   }
 
+  test("embedding shift: displaced group reads its offset, centered group ~0") {
+    val rng = new Random(77)
+    def vec(offset: Float) =
+      Array.fill(8)(rng.nextGaussian().toFloat * 0.01f + offset).toSeq
+    // group "b" displaced by +1 per dim; equal sizes put the corpus mean
+    // halfway, so each group sits ~sqrt(8)*0.5 ≈ 1.41 away
+    val emb = ((0L until 50L).map(i => (i, vec(0f))) ++
+      (50L until 100L).map(i => (i, vec(1f)))).toDF("vec_id", "embedding")
+    val docs = (0L until 100L).map(i =>
+      (i, if (i < 50) "a" else "b")).toDF("doc_id", "source")
+    val got = graft.llm.Drift.embeddingShift(emb, docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got("a") - math.sqrt(8) * 0.5) < 0.05, got.toString)
+    assert(math.abs(got("b") - math.sqrt(8) * 0.5) < 0.05, got.toString)
+    // identical groups → both shifts ~0
+    val same = ((0L until 40L).map(i => (i, vec(0f)))).toDF("vec_id", "embedding")
+    val sdocs = (0L until 40L).map(i => (i, s"g${i % 2}")).toDF("doc_id", "source")
+    val g0 = graft.llm.Drift.embeddingShift(same, sdocs)
+      .collect().map(_.getDouble(2))
+    assert(g0.forall(_ < 0.01), g0.mkString(","))
+  }
+
   test("markov attribution: the only converting channel takes all the credit") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
