@@ -2184,6 +2184,20 @@ object Oracles {
         |  AND levenshtein(a.rec, b.rec) <= 5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // all-pairs-within-block truth: blocked linkage only compares records
+    // sharing the (lang, source) key, and within a block it is exact
+    "q_fuzzy_blocked" ->
+      """WITH r AS (
+        |  SELECT doc_id, substring(text, 1, 40) AS rec, lang, source
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.rec, b.rec) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON a.doc_id < b.doc_id
+        |  AND a.lang = b.lang AND a.source = b.source
+        |WHERE abs(len(a.rec) - len(b.rec)) <= 5
+        |  AND levenshtein(a.rec, b.rec) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // the naive all-pairs truth: the prefix filter is LOSSLESS, so the
     // Spark side's filtered plan must reproduce this exactly — the oracle
     // match IS the completeness proof
@@ -3490,7 +3504,7 @@ object Oracles {
       |      THEN CAST(floor(((db - da) / greatest(da, db)) * 1e6) AS BIGINT)
       |      ELSE 0 END AS smicro
       |  FROM ab)
-      |SELECT cell, count(*) AS n_members, sum(smicro) AS sil_micro_sum,
+      |SELECT cell, count(*) AS n_members, sum(smicro)::BIGINT AS sil_micro_sum,
       |  sum(smicro)::DOUBLE / (count(*)::DOUBLE * 1e6) AS mean_sil
       |FROM sm GROUP BY cell ORDER BY cell""".stripMargin),
 

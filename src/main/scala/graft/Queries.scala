@@ -875,16 +875,19 @@ object Queries {
         threshold = 0.6)
         .orderBy(col("id_new"), col("id_other"))
     }),
-    // the steady-state form: corpus bands + shingles PREBUILT (in
-    // production persisted bucketed — PlanSpec pins the shuffle-free
-    // corpus probe), batch joins against them. Same truth as
-    // q_dedup_incr_near: the two forms must be indistinguishable.
+    // the steady-state form: corpus bands + shingles PREBUILT (persisted
+    // via Artifacts in bench mode — the probe pass starts at a FileScan;
+    // PlanSpec pins the shuffle-free corpus probe), batch joins against
+    // them. Same truth as q_dedup_incr_near: the two forms must be
+    // indistinguishable.
     "q_dedup_incr_prebuilt" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
-      val corpus = docs.filter(col("doc_id") < 250)
+      def corpus = docs.filter(col("doc_id") < 250)
       llm.Dedup.incrementalNearDupsPrebuilt(
         docs.filter(col("doc_id") >= 250),
-        llm.Dedup.bandTable(corpus), llm.Dedup.shingleTable(corpus),
+        sources.Artifacts.table(s, "incr_bands")(llm.Dedup.bandTable(corpus)),
+        sources.Artifacts.table(s, "incr_shingles")(
+          llm.Dedup.shingleTable(corpus)),
         threshold = 0.6)
         .orderBy(col("id_new"), col("id_other"))
     }),
@@ -896,8 +899,9 @@ object Queries {
     "q_dedup_incr_clusters" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") < 250)
-      val labels = llm.Dedup.clusters(
-        llm.Dedup.minhashNearDups(corpus, threshold = 0.6))
+      val labels = sources.Artifacts.table(s, "incr_cluster_labels")(
+        llm.Dedup.clusters(
+          llm.Dedup.minhashNearDups(corpus, threshold = 0.6)))
       val newPairs = llm.Dedup.incrementalNearDups(
         docs.filter(col("doc_id") >= 250), corpus, threshold = 0.6)
         .select(col("id_new").as("id_a"), col("id_other").as("id_b"))
@@ -937,6 +941,13 @@ object Queries {
     "q_fuzzy_match" -> ((s, dir) =>
       llm.Dedup.fuzzyMatchPairs(tWide(s, dir, "documents"),
           prefixChars = 40, maxDist = 5)
+        .orderBy(col("id_a"), col("id_b"))),
+    // the scale path of the same operator: (lang, source) domain blocking
+    // conjoined with the length band — candidates are per-block, so the
+    // worst case is the largest block, never the corpus
+    "q_fuzzy_blocked" -> ((s, dir) =>
+      llm.Dedup.fuzzyMatchPairs(tWide(s, dir, "documents"),
+          prefixChars = 40, maxDist = 5, blockCols = Seq("lang", "source"))
         .orderBy(col("id_a"), col("id_b"))),
     // maxDf=2 exercises the high-DF pruning path through the oracle (the
     // sf corpus' max block-level DF is 3, so ≥3 would be a no-op here).
@@ -994,11 +1005,11 @@ object Queries {
       val emb = tWide(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") < 250)
       val batch = emb.filter(col("vec_id") >= 250)
-      val oldLabels = llm.Dedup.clusters(
-          llm.Similarity.cosinePairsBlocked(corpus, "label", 0.4))
-        .localCheckpoint(eager = false)
-      val oldSums = llm.Similarity.clusterCentroidSums(corpus, oldLabels)
-        .localCheckpoint(eager = false)
+      val oldLabels = sources.Artifacts.table(s, "centroids_incr_labels")(
+        llm.Dedup.clusters(
+          llm.Similarity.cosinePairsBlocked(corpus, "label", 0.4)))
+      val oldSums = sources.Artifacts.table(s, "centroids_incr_sums")(
+        llm.Similarity.clusterCentroidSums(corpus, oldLabels))
       val newPairs = llm.Similarity.cosinePairsIncremental(
         corpus, batch, "label", 0.4)
       llm.Similarity.clusterCentroidsIncremental(emb, oldLabels, oldSums, newPairs)
@@ -1076,14 +1087,14 @@ object Queries {
     // oracle verbatim: the two forms must be indistinguishable.
     "q_semantic_dedup_prebuilt" -> ((s, dir) => {
       val emb = tWide(s, dir, "embeddings")
-      val centroids = llm.Similarity.centroidVectors(
-        llm.Similarity.clusterCentroids(emb,
-          llm.Similarity.cosinePairsBlocked(emb, "label", 0.4)))
-        .localCheckpoint(eager = false)
-      val assign = llm.Similarity.assignToCentroids(emb, centroids)
-        .select(col("vec_id"), col("cluster_id").as("cell"),
-          col("score").as("centroid_sim"))
-        .localCheckpoint(eager = false)
+      val centroids = sources.Artifacts.table(s, "semdedup_centroids")(
+        llm.Similarity.centroidVectors(
+          llm.Similarity.clusterCentroids(emb,
+            llm.Similarity.cosinePairsBlocked(emb, "label", 0.4))))
+      val assign = sources.Artifacts.table(s, "semdedup_assign")(
+        llm.Similarity.assignToCentroids(emb, centroids)
+          .select(col("vec_id"), col("cluster_id").as("cell"),
+            col("score").as("centroid_sim")))
       llm.Similarity.semanticDedupFromAssign(emb, assign, 0.5)
         .orderBy(col("vec_id"))
     }),
@@ -1499,9 +1510,9 @@ object Queries {
     "q_index_phrase" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
       val n = docs.count()
-      val index = llm.Search.invertedIndexRaw(docs, minDf = 2L,
-          maxDf = math.floor(0.06 * n).toLong)
-        .localCheckpoint(eager = false)
+      val index = sources.Artifacts.table(s, "phrase_index")(
+        llm.Search.invertedIndexRaw(docs, minDf = 2L,
+          maxDf = math.floor(0.06 * n).toLong))
       llm.Search.phraseQuery(index, llm.Search.PhrasePanel)
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
@@ -1513,8 +1524,8 @@ object Queries {
     "q_index_incr" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
       val n = docs.count()
-      val old = llm.Search.invertedIndexRaw(docs.filter(col("doc_id") < 250))
-        .localCheckpoint(eager = false) // the persisted-artifact stand-in
+      val old = sources.Artifacts.table(s, "index_incr_old")(
+        llm.Search.invertedIndexRaw(docs.filter(col("doc_id") < 250)))
       // checkpointed too: consumed three times (two broadcast gram gates +
       // the merge union) — without it the batch subtree re-derives per use
       val batch = llm.Search.invertedIndexRaw(docs.filter(col("doc_id") >= 250))
@@ -1531,8 +1542,10 @@ object Queries {
     "q_bm25_indexed" -> ((s, dir) => {
       import s.implicits._
       val docs = tWide(s, dir, "documents")
-      val index = llm.Search.searchIndexRaw(docs).localCheckpoint(eager = false)
-      val stats = llm.Search.corpusStats(docs).localCheckpoint(eager = false)
+      val index = sources.Artifacts.table(s, "bm25_index")(
+        llm.Search.searchIndexRaw(docs))
+      val stats = sources.Artifacts.table(s, "bm25_stats")(
+        llm.Search.corpusStats(docs))
       llm.Search.bm25FromIndex(index, stats,
           llm.Search.DefaultPanel.toDF("query_id", "term"))
         .orderBy(col("query_id"), col("rank"))
@@ -1548,11 +1561,14 @@ object Queries {
       val oldD = docs.filter(col("doc_id") < 250)
       val newD = docs.filter(col("doc_id") >= 250)
       val index = llm.Search.indexMerge(
-        llm.Search.searchIndexRaw(oldD).localCheckpoint(eager = false),
+        sources.Artifacts.table(s, "bm25_incr_old_index")(
+          llm.Search.searchIndexRaw(oldD)),
         llm.Search.searchIndexRaw(newD).localCheckpoint(eager = false),
         gramCol = "term")
       val stats = llm.Search.statsMerge(
-        llm.Search.corpusStats(oldD), llm.Search.corpusStats(newD))
+        sources.Artifacts.table(s, "bm25_incr_old_stats")(
+          llm.Search.corpusStats(oldD)),
+        llm.Search.corpusStats(newD))
       llm.Search.bm25FromIndex(index, stats,
           llm.Search.DefaultPanel.toDF("query_id", "term"))
         .orderBy(col("query_id"), col("rank"))

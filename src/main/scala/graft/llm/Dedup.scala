@@ -661,7 +661,11 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("toks"))
       .withColumn("sz", size(col("toks")))
       .withColumn("plen",
-        col("sz") - floor(lit(threshold) * col("sz")).cast("int") + lit(1))
+        // 1e-9 slack in the conservative direction: a product that rounds
+        // UP across an integer would shorten the prefix and lose recall;
+        // rounding the floor DOWN only lengthens it (superset of candidates)
+        col("sz") - floor(lit(threshold) * col("sz") - lit(1e-9)).cast("int")
+          + lit(1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Fixed-width repartition on the join key: the prefix frame is BYTE-
     // small (AQE would coalesce its shuffle to one partition), but the
@@ -684,8 +688,11 @@ object Dedup {
     val cands = pref.as("a")
       .join(pref.as("b"),
         col("a.pt") === col("b.pt") && col("a.id") < col("b.id") &&
-          col("a.sz") * lit(threshold) <= col("b.sz") &&
-          col("b.sz") * lit(threshold) <= col("a.sz") &&
+          // same conservative-direction slack as `need`: if fl(t·sz)
+          // rounds UP across an integer, a boundary pair with J exactly
+          // at t must not be pruned
+          col("a.sz") * lit(threshold) - lit(1e-9) <= col("b.sz") &&
+          col("b.sz") * lit(threshold) - lit(1e-9) <= col("a.sz") &&
           least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
             .cast("double") >= need)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -759,22 +766,32 @@ object Dedup {
     * THRESHOLDED levenshtein (returns −1 past the bound), which
     * early-exits the DP at maxDist+1 band width instead of filling the
     * full matrix. On corpora with varied record lengths the bands carry
-    * the quadratic; this uniform-length synthetic corpus is the worst
-    * case (one band), which the thresholded DP keeps affordable — at
-    * 100 TB add a domain blocking key (source, zip, first token) the way
-    * record-linkage systems do. */
+    * the quadratic; a near-uniform-length corpus collapses to ONE band
+    * and the candidate set is O(n²) — which is why `blockCols` is part of
+    * the operator, not advice: a domain blocking key (source, zip, first
+    * token — the standard record-linkage move) conjoins with the length
+    * band in the join key, so candidates are per-(block, band) and the
+    * worst case is bounded by the largest block, not the corpus. Pairs
+    * straddling blocks are out of contract by definition (linkage only
+    * compares within a block). */
   def fuzzyMatchPairs(docs: DataFrame, prefixChars: Int = 40,
       maxDist: Int = 5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      blockCols: Seq[String] = Nil): DataFrame = {
     val bandW = maxDist + 1
-    val recs = docs.select(col(idCol).as("id"),
-        substring(col(textCol), 1, prefixChars).as("rec"))
+    val recs = docs.select(col(idCol).as("id") +:
+        substring(col(textCol), 1, prefixChars).as("rec") +:
+        blockCols.map(col): _*)
       .withColumn("len", length(col("rec")))
       .withColumn("band", floor(col("len").cast("double") / bandW).cast("long"))
-    val probe = recs.select(col("id"), col("rec"), col("len"),
-      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("jband"))
+    val probe = recs
+      .withColumn("jband",
+        explode(array(col("band") - 1, col("band"), col("band") + 1)))
+    val blockCond = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.jband") === col("b.band"))(_ && _)
     probe.as("a").join(recs.as("b"),
-        col("a.jband") === col("b.band") && col("a.id") < col("b.id") &&
+        blockCond && col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
       .withColumn("dist", levenshtein(col("a.rec"), col("b.rec"), maxDist))
       .filter(col("dist") >= 0)

@@ -134,7 +134,11 @@ object Eval {
       k: Int): DataFrame = {
     val term = (r: Column) => floor(lit(1e9) / log2(r.cast("double") + 1))
       .cast("long")
-    val rel = qrels.select(col("qid"), col("neighbor_id"), lit(1L).as("rel"))
+    // distinct the judgments: a raw judgment log can carry duplicate
+    // (qid, neighbor_id) rows, which would fan out the left join
+    // (double-counted DCG terms) and inflate n_rel
+    val relKeys = qrels.select(col("qid"), col("neighbor_id")).distinct()
+    val rel = relKeys.withColumn("rel", lit(1L))
     val scored = ranking.filter(col("rank") <= k)
       .join(rel, Seq("qid", "neighbor_id"), "left")
       .groupBy(col("qid"))

@@ -26,11 +26,15 @@ object Expect {
     * conservative contract reading). */
   def scanChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "no checks given")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "duplicate check names")
     val aggs = checks.map { case (name, pred) =>
       sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name) }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // backticked re-resolution: a check name containing a dot must read
+    // back as the literal alias, not a nested-field path
     val stacked = one.select(explode(array(checks.map { case (n, _) =>
-      row(n, col(n)) }: _*)).as("r"))
+      row(n, col(s"`$n`")) }: _*)).as("r"))
     stacked.select(col("r.check_name").as("check_name"),
       col("r.n_violations").as("n_violations"))
   }

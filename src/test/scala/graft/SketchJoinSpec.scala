@@ -207,6 +207,19 @@ class SketchJoinSpec extends SparkTestBase {
     assert(got === Set((0L, 1L, 1L)))
   }
 
+  test("fuzzy match: domain blocking keeps in-block pairs, drops straddlers") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over dogs", "en"),
+      (1L, "the quick brawn fox jumps over dogs", "en"), // in-block, d=1
+      (2L, "the quick briwn fox jumps over dogs", "de"), // cross-block, d=1
+      (3L, "the quick brwwn fox jumps over dogs", "de")) // in-block with 2
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.fuzzyMatchPairs(docs, prefixChars = 40, maxDist = 5,
+        blockCols = Seq("lang"))
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L, 1L), (2L, 3L, 1L)))
+  }
+
   test("collocations: a planted always-together pair tops the ranking") {
     val rng = new Random(53)
     // "aaa bbb" co-occur in 20 docs and never otherwise; noise words are

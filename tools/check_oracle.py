@@ -51,6 +51,22 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             for c in got.columns:
                 g, e = got[c], exp[c]
+                # The driver's compare hashes values WITH dtype sensitivity:
+                # DuckDB sum(BIGINT) -> HUGEINT -> pandas float64 vs Spark
+                # int64 is a red row even when every value matches
+                # (q_decontam r5, q_cluster_quality r7). Reproduce that here
+                # so contract rule #2 (SparkEntry.scala) is machine-checked.
+                # (numeric kinds only: date columns legitimately arrive as
+                # object-of-datetime.date on the Spark side vs datetime64 on
+                # the DuckDB side and the driver tolerates that)
+                NUM = "iufb"
+                if (g.dtype.kind in NUM and e.dtype.kind in NUM
+                        and g.dtype.kind != e.dtype.kind
+                        and not g.isna().any() and not e.isna().any()):
+                    print(f"FAIL  {name}.{c}: dtype {g.dtype} (spark) vs {e.dtype} (oracle)"
+                          " — cast the oracle aggregate (::BIGINT / ::DOUBLE)")
+                    ok = False
+                    continue
                 try:
                     if g.dtype.kind == "f" or e.dtype.kind == "f":
                         import numpy as np
