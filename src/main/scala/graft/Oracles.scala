@@ -225,6 +225,36 @@ object Oracles {
     * [[llm.Fingerprint.winnow]]: positional 3-gram md5-prefix hashes,
     * rightmost window min, fp·2^20+pos encoding for the struct-free
     * distinct. */
+  /** Shared CTE chain for the ExactSubstr span mirror
+    * ([[llm.Dedup.duplicatedSpans]]): positional 20-token windows →
+    * doc-distinct df prune → covered starts → islands (CTE `g`). `tail`
+    * is the final SELECT, or further CTEs + SELECT with `extraCte`. */
+  private def dedupSpansSql(tail: String, extraCte: Boolean = false): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, $wordsSql AS ws FROM documents),
+       |p0 AS (
+       |  SELECT doc_id, len(ws) AS n,
+       |    unnest(CASE WHEN len(ws) >= 20
+       |      THEN [{'pos': i - 1, 'win': array_to_string(ws[i:i+19], ' ')}
+       |            FOR i IN range(1, len(ws) - 18)]
+       |      ELSE [{'pos': CAST(0 AS BIGINT),
+       |             'win': array_to_string(ws, ' ')}] END) AS u
+       |  FROM w),
+       |p AS (SELECT doc_id, n, u.pos AS pos, u.win AS win FROM p0),
+       |dup AS (SELECT win FROM p GROUP BY win
+       |        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000),
+       |h AS (SELECT p.doc_id, p.n, p.pos FROM p JOIN dup USING (win)),
+       |isl AS (
+       |  SELECT doc_id, n, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |              <= 20 THEN 0 ELSE 1 END AS brk
+       |  FROM h),
+       |g AS (
+       |  SELECT doc_id, n, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl)${if (extraCte) "," else ""}
+       |$tail""".stripMargin
+
   private val winnowCtes: String =
     s"""WITH wd AS (
        |  SELECT doc_id, $wordsSql AS words FROM documents),
@@ -2655,6 +2685,46 @@ object Oracles {
          |FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 1
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // ExactSubstr span mirror: positional 20-token windows on STRINGS
+    // (vs Spark's xxhash64 keys — identical absent 64-bit collisions),
+    // doc-distinct df prune, gaps-and-islands with the q ≤ p + W merge
+    // rule; ends clamp to the doc's last token
+    "q_dedup_spans" -> dedupSpansSql(
+      """SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(least(max(pos) + 19, max(n) - 1) AS BIGINT) AS span_end,
+        |  CAST(least(max(pos) + 19, max(n) - 1) - min(pos) + 1 AS BIGINT)
+        |    AS n_tokens
+        |FROM g GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin),
+
+    // the cut applied over original-case tokens: covered positions
+    // dropped via disjoint-span anti-join, survivors re-joined in order
+    "q_dedup_span_removal" -> dedupSpansSql(
+      """sp AS (
+        |  SELECT doc_id, min(pos) AS span_start,
+        |    least(max(pos) + 19, max(n) - 1) AS span_end
+        |  FROM g GROUP BY doc_id, island),
+        |rw AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS rws
+        |  FROM documents),
+        |tok0 AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i - 1, 't': rws[i]}
+        |            FOR i IN range(1, len(rws) + 1)]) AS u
+        |  FROM rw),
+        |tok AS (SELECT doc_id, u.pos AS pos, u.t AS t FROM tok0),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.t
+        |  FROM tok LEFT JOIN sp ON tok.doc_id = sp.doc_id
+        |    AND tok.pos BETWEEN sp.span_start AND sp.span_end
+        |  WHERE sp.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS ct
+        |  FROM kept GROUP BY doc_id)
+        |SELECT rw.doc_id, coalesce(agg.ct, '') AS clean_text
+        |FROM rw LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin, extraCte = true),
 
     // winnowing mirror: POSITIONAL (non-distinct) 3-gram md5-prefix hashes,
     // window ends e ∈ [w, ng], rightmost min via first-position-in-reversed

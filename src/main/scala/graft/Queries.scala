@@ -924,6 +924,21 @@ object Queries {
       llm.Dedup.exactSubstringPairs(tWide(s, dir, "documents"),
           windowTokens = 20, minShared = 1)
         .orderBy(col("id_a"), col("id_b"))),
+    // the SPANS those pairs share: maximal runs of tokens covered by a
+    // cross-doc verbatim 20-token window (ExactSubstr, Lee et al. 2022) —
+    // the surgical-removal coordinates, suffix-array-free
+    "q_dedup_spans" -> ((s, dir) =>
+      llm.Dedup.duplicatedSpans(tWide(s, dir, "documents"),
+          windowTokens = 20)
+        .orderBy(col("doc_id"), col("span_start"))),
+    // and the cut applied: every covered token removed, the rest of the
+    // document kept verbatim (modulo whitespace normalization)
+    "q_dedup_span_removal" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Dedup.removeSpans(docs,
+          llm.Dedup.duplicatedSpans(docs, windowTokens = 20))
+        .orderBy(col("doc_id"))
+    }),
     // winnowing fingerprints (MOSS): rightmost-min of each 4-window of
     // word-3-gram md5 hashes, scan-side HOFs only — zero exchanges
     "q_fingerprint_winnow" -> ((s, dir) =>

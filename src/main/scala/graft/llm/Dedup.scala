@@ -753,6 +753,89 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Maximal duplicated token SPANS — the surgical-removal complement of
+    * [[exactSubstringPairs]] (which names the pairs but not the spans).
+    * For every document: the maximal runs of tokens covered by some
+    * `windowTokens`-token window that occurs verbatim in ≥ 2 distinct
+    * documents. This is the ExactSubstr operation of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better", public
+    * knowledge): cut exactly the duplicated span, keep the rest of the
+    * document.
+    *
+    * Suffix-array-free formulation: the paper's suffix array finds
+    * maximal repeats of ANY length ≥ L; at a fixed window width W the
+    * same cover set ("every token inside some ≥W-token verbatim repeat")
+    * is computed relationally — (1) positional rolling W-windows as
+    * 64-bit keys (one codegen'd [[graft.expr.ShingleHashes]] scan pass,
+    * `distinct=false`), (2) ONE (window-key) aggregation for corpus-wide
+    * doc frequency, (3) a semi-join back to the positions, (4) per-doc
+    * gaps-and-islands: duplicated starts p, q merge while q − p ≤ W
+    * (their coverage intervals [p, p+W−1], [q, q+W−1] overlap or touch),
+    * so islands ARE the maximal covered spans — disjoint by construction.
+    * Steps 1–3 shuffle on the near-unique window key (uniform, no skew);
+    * step 4 is one (doc, pos) sort-within-doc — nothing all-pairs, no
+    * suffix structure materialized. `maxDf` drops viral boilerplate
+    * windows exactly like [[exactSubstringPairs]] (df = DISTINCT docs
+    * here: within-doc repetition alone is [[graft.expr.RepetitionGrams]]'
+    * business, not cross-doc duplication). Docs shorter than the window
+    * contribute their whole text as one window (exact-dup fallback);
+    * span ends clamp to the doc's last token.
+    *
+    * Returns (doc_id, span_start, span_end, n_tokens), 0-based inclusive
+    * token offsets over `split(trim(text), "\\s+")`. */
+  def duplicatedSpans(docs: DataFrame, windowTokens: Int = 20,
+      maxDf: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pos = docs.select(col(idCol).as("doc_id"),
+        size(split(lower(trim(col(textCol))), "\\s+")).as("n"),
+        posexplode(
+          graft.expr.ShingleHashes(col(textCol), windowTokens,
+            distinct = false)).as(Seq("pos", "h")))
+    val dup = pos.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2 && col("ndocs") <= maxDf)
+      .select(col("h"))
+    val hits = pos.join(dup, Seq("h"), "left_semi")
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      // new island when the previous covered interval can't reach this
+      // one: q − p > W (NULL lag ⇒ first row ⇒ new island)
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= windowTokens,
+          0L).otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        least(max(col("pos")) + lit(windowTokens - 1), max(col("n")) - 1)
+          .cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("n_tokens"))
+  }
+
+  /** Apply [[duplicatedSpans]]: rebuild each document with the covered
+    * tokens cut out. One equi-join on doc id attaches the (bounded,
+    * disjoint) span list, then the cut is scan-side — a single
+    * index-aware `filter` HOF over the original-case tokens; no
+    * per-token join, nothing corpus-wide beyond the one join. Token
+    * runs re-join with single spaces (whitespace normalization — the
+    * positions were computed over `\s+`-split tokens, so boundaries
+    * agree; original casing is preserved). */
+  def removeSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sps"))
+    docs.join(sp, docs(idCol) === sp("doc_id"), "left")
+      .select(docs(idCol),
+        concat_ws(" ",
+          filter(split(trim(docs(textCol)), "\\s+"), (t, i) =>
+            !exists(coalesce(col("sps"),
+                array().cast("array<struct<span_start:long,span_end:long>>")),
+              s => i.cast("long").between(
+                s.getField("span_start"), s.getField("span_end")))))
+          .as("clean_text"))
+  }
+
   /** Blocked fuzzy record linkage: pairs whose RECORD KEY (here a text
     * prefix standing in for a title/name field) is within `maxDist` edit
     * distance — the entity-resolution primitive next to the set-based

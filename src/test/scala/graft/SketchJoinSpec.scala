@@ -220,6 +220,46 @@ class SketchJoinSpec extends SparkTestBase {
     assert(got === Set((0L, 1L, 1L), (2L, 3L, 1L)))
   }
 
+  test("duplicated spans: planted shared run yields exact maximal span; cut is surgical") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "z1 z2 d e f g h z3 z4 z5"),
+      (2L, "totally unrelated words here padding ok"),
+      (3L, "xx yy"), // short-doc fallback pair: exact dup of 4
+      (4L, "xx yy")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, windowTokens = 3)
+    val got = spans.select($"doc_id", $"span_start", $"span_end", $"n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 0 shares tokens d..h (positions 3..7) with doc 1 (positions 2..6);
+    // the 3 duplicated window starts merge into ONE maximal span each.
+    // Short exact-dup pair: fallback whole-text window, end clamped to n-1.
+    assert(got === Set((0L, 3L, 7L, 5L), (1L, 2L, 6L, 5L),
+      (3L, 0L, 1L, 2L), (4L, 0L, 1L, 2L)))
+    val clean = Dedup.removeSpans(docs, spans)
+      .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+    assert(clean(0L) === "a b c i j")
+    assert(clean(1L) === "z1 z2 z3 z4 z5")
+    assert(clean(2L) === "totally unrelated words here padding ok")
+    assert(clean(3L) === "" && clean(4L) === "")
+  }
+
+  test("duplicated spans: overlapping coverage merges, disjoint spans stay split") {
+    // merge rule: duplicated starts p, q merge while q − p ≤ W.
+    // docs 0/1 share windows at starts 0 and 4 (gap 4 > W=3): coverage
+    // [0,2] and [4,6] has a one-token hole at 3 ⇒ two spans.
+    // docs 2/3 share starts 0..3 (consecutive) ⇒ one span [0,5].
+    val docs = Seq(
+      (0L, "p q r s1 m n o t1 t2"),
+      (1L, "p q r u1 m n o u2 u3"),
+      (2L, "f g h i j k vv ww"),
+      (3L, "f g h i j k xx yy")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, windowTokens = 3)
+      .select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 0L, 2L), (0L, 4L, 6L), (1L, 0L, 2L), (1L, 4L, 6L),
+      (2L, 0L, 5L), (3L, 0L, 5L)))
+  }
+
   test("collocations: a planted always-together pair tops the ranking") {
     val rng = new Random(53)
     // "aaa bbb" co-occur in 20 docs and never otherwise; noise words are
