@@ -2698,6 +2698,37 @@ object Oracles {
         |FROM g GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin),
 
+    // steady-state spans share the FULL-RECOMPUTE mirror, restricted to
+    // batch docs — maintained window counts must be indistinguishable
+    // from rebuilding over the union corpus
+    "q_dedup_spans_incr" -> dedupSpansSql(
+      """SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(least(max(pos) + 19, max(n) - 1) AS BIGINT) AS span_end,
+        |  CAST(least(max(pos) + 19, max(n) - 1) - min(pos) + 1 AS BIGINT)
+        |    AS n_tokens
+        |FROM g WHERE doc_id >= 250 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin),
+
+    // exact integer token sums per source; the published share is one
+    // IEEE division on both engines
+    "q_span_dup_rate" -> dedupSpansSql(
+      """sp AS (
+        |  SELECT doc_id,
+        |    least(max(pos) + 19, max(n) - 1) - min(pos) + 1 AS n_tokens
+        |  FROM g GROUP BY doc_id, island),
+        |dt AS (SELECT doc_id, sum(n_tokens) AS dt FROM sp GROUP BY doc_id),
+        |base AS (
+        |  SELECT d.source, d.doc_id,
+        |    len(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS nt,
+        |    coalesce(dt.dt, 0) AS dtok
+        |  FROM documents d LEFT JOIN dt USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  sum(nt)::BIGINT AS total_tokens,
+        |  sum(dtok)::BIGINT AS dup_tokens,
+        |  sum(dtok)::DOUBLE / sum(nt)::DOUBLE AS dup_share
+        |FROM base GROUP BY source ORDER BY source""".stripMargin,
+      extraCte = true),
+
     // the cut applied over original-case tokens: covered positions
     // dropped via disjoint-span anti-join, survivors re-joined in order
     "q_dedup_span_removal" -> dedupSpansSql(

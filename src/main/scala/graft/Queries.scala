@@ -939,6 +939,24 @@ object Queries {
           llm.Dedup.duplicatedSpans(docs, windowTokens = 20))
         .orderBy(col("doc_id"))
     }),
+    // steady-state spans: batch vs the persisted corpus window-df artifact
+    // (merged distinct-doc counts; only batch-sized frames shuffle) —
+    // shares the full-recompute mirror restricted to batch docs
+    "q_dedup_spans_incr" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Dedup.incrementalSpans(
+          docs.filter(col("doc_id") >= 250),
+          sources.Artifacts.table(s, "span_window_df")(
+            llm.Dedup.windowDf(docs.filter(col("doc_id") < 250),
+              windowTokens = 20)),
+          windowTokens = 20)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+    // per-source token-duplication share: the go/no-go gauge for span
+    // removal, exact integer token sums + one published division
+    "q_span_dup_rate" -> ((s, dir) =>
+      llm.Dedup.spanDupRate(tWide(s, dir, "documents"), windowTokens = 20)
+        .orderBy(col("source"))),
     // winnowing fingerprints (MOSS): rightmost-min of each 4-window of
     // word-3-gram md5 hashes, scan-side HOFs only — zero exchanges
     "q_fingerprint_winnow" -> ((s, dir) =>

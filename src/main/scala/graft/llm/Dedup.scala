@@ -786,21 +786,33 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, windowTokens: Int = 20,
       maxDf: Int = 1000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pos = docs.select(col(idCol).as("doc_id"),
-        size(split(lower(trim(col(textCol))), "\\s+")).as("n"),
-        posexplode(
-          graft.expr.ShingleHashes(col(textCol), windowTokens,
-            distinct = false)).as(Seq("pos", "h")))
+    val pos = positionalWindows(docs, windowTokens, idCol, textCol)
     val dup = pos.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2 && col("ndocs") <= maxDf)
       .select(col("h"))
-    val hits = pos.join(dup, Seq("h"), "left_semi")
+    spansFromHits(pos.join(dup, Seq("h"), "left_semi"), windowTokens)
+  }
+
+  /** (doc_id, n, pos, h): every positional `w`-token rolling window as a
+    * 64-bit key — the scan-side projection the span operators start from
+    * (one codegen'd [[graft.expr.ShingleHashes]] pass, `distinct=false`;
+    * `n` = the doc's token count, for span-end clamping). */
+  private def positionalWindows(docs: DataFrame, w: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(split(lower(trim(col(textCol))), "\\s+")).as("n"),
+      posexplode(
+        graft.expr.ShingleHashes(col(textCol), w,
+          distinct = false)).as(Seq("pos", "h")))
+
+  /** Gaps-and-islands over duplicated window starts → maximal covered
+    * spans. New island when the previous coverage interval can't reach
+    * this one: q − p > W (NULL lag ⇒ first row ⇒ new island). */
+  private def spansFromHits(hits: DataFrame, windowTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
-      // new island when the previous covered interval can't reach this
-      // one: q − p > W (NULL lag ⇒ first row ⇒ new island)
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) <= windowTokens,
           0L).otherwise(1L))
@@ -811,6 +823,63 @@ object Dedup {
           .cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("n_tokens"))
+  }
+
+  /** The persisted-corpus artifact for [[incrementalSpans]]: per-window
+    * DISTINCT-doc counts, (h, ndocs). In production this is the table an
+    * ingestion pipeline maintains; window keys are near-unique, so it is
+    * ~one row per corpus token — parquet-friendly, mergeable by h. */
+  def windowDf(docs: DataFrame, windowTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    positionalWindows(docs, windowTokens, idCol, textCol)
+      .groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+
+  /** Incremental ExactSubstr: duplicated spans for a NEW batch against a
+    * persisted corpus [[windowDf]] — the steady-state form of
+    * [[duplicatedSpans]]. Batch window doc-counts merge with the corpus
+    * artifact by key (corpus and batch doc sets are disjoint, so the sum
+    * IS the union's distinct count), the df rails apply to the merged
+    * count, and the island merge runs over batch docs only. Provably
+    * ≡ `duplicatedSpans(corpus ∪ batch)` restricted to batch docs — the
+    * catalog row shares that full-recompute oracle. Scale shape: only
+    * batch-sized frames shuffle; the corpus artifact is probed by ONE
+    * equi-join on the batch's (bounded) window-key set. */
+  def incrementalSpans(batch: DataFrame, corpusWindowDf: DataFrame,
+      windowTokens: Int = 20, maxDf: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pos = positionalWindows(batch, windowTokens, idCol, textCol)
+    val dup = pos.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd_new"))
+      .join(corpusWindowDf.withColumnRenamed("ndocs", "nd_old"),
+        Seq("h"), "left")
+      .select(col("h"),
+        (col("nd_new") + coalesce(col("nd_old"), lit(0L))).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDf)
+      .select(col("h"))
+    spansFromHits(pos.join(dup, Seq("h"), "left_semi"), windowTokens)
+  }
+
+  /** Per-group token-duplication report over [[duplicatedSpans]]: what
+    * share of each group's tokens sits inside a cross-doc verbatim span —
+    * the go/no-go gauge for running span removal on a source. Spans are
+    * disjoint per doc, so `sum(n_tokens)` is the exact covered count;
+    * `dup_share` is ONE IEEE division over exact integer sums (portable
+    * both engines). */
+  def spanDupRate(docs: DataFrame, windowTokens: Int = 20,
+      maxDf: Int = 1000, groupCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dupTok = duplicatedSpans(docs, windowTokens, maxDf, idCol, textCol)
+      .groupBy(col("doc_id")).agg(sum(col("n_tokens")).as("dt"))
+    docs.select(col(idCol).as("doc_id"), col(groupCol),
+        size(split(lower(trim(col(textCol))), "\\s+")).cast("long").as("nt"))
+      .join(dupTok, Seq("doc_id"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        sum(coalesce(col("dt"), lit(0L))).as("dup_tokens"))
+      .withColumn("dup_share",
+        col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
   }
 
   /** Apply [[duplicatedSpans]]: rebuild each document with the covered

@@ -260,6 +260,37 @@ class SketchJoinSpec extends SparkTestBase {
       (2L, 0L, 5L), (3L, 0L, 5L)))
   }
 
+  test("incremental spans: maintained window counts = full recompute on batch") {
+    val rng = new Random(71)
+    def sentence() = (0 until 12).map(_ => s"w${rng.nextInt(40)}").mkString(" ")
+    val shared = "s1 s2 s3 s4 s5"
+    // corpus docs 0-5 (two carry the shared run), batch docs 10-13 (two
+    // carry it — one duplicating corpus, one duplicating within-batch)
+    val docs = (Seq(
+      (0L, s"${sentence()} $shared ${sentence()}"),
+      (1L, s"$shared ${sentence()}")) ++
+      (2L to 5L).map(i => (i, sentence())) ++ Seq(
+      (10L, s"${sentence()} $shared"),
+      (11L, sentence()),
+      (12L, s"aa bb cc dd ee ff ${sentence()}"),
+      (13L, s"zz aa bb cc dd ee ff ${sentence()}")))
+      .toDF("doc_id", "text")
+    val full = Dedup.duplicatedSpans(docs, windowTokens = 3)
+      .filter($"doc_id" >= 10L)
+      .select($"doc_id", $"span_start", $"span_end", $"n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val incr = Dedup.incrementalSpans(
+        docs.filter($"doc_id" >= 10L),
+        Dedup.windowDf(docs.filter($"doc_id" < 10L), windowTokens = 3),
+        windowTokens = 3)
+      .select($"doc_id", $"span_start", $"span_end", $"n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(incr === full)
+    assert(full.exists(_._1 == 10L), "corpus-vs-batch duplication found")
+    assert(full.exists(_._1 == 12L) && full.exists(_._1 == 13L),
+      "within-batch duplication found")
+  }
+
   test("collocations: a planted always-together pair tops the ranking") {
     val rng = new Random(53)
     // "aaa bbb" co-occur in 20 docs and never otherwise; noise words are
