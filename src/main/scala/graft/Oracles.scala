@@ -376,6 +376,24 @@ object Oracles {
   private val dotQv = dotSql("qv", "embedding")
   private val dotQq = dotSql("qv", "qv")
   private val dotVv = dotSql("embedding", "embedding")
+  /** Exact brute-force cosine top-k — shared by q_knn_ivf AND
+    * q_knn_ivf_indexed (full-probe IVF is exact by construction, inline
+    * or served off prebuilt artifacts). */
+  private lazy val knnIvfSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT qid, vec_id AS neighbor_id,
+       |    $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score
+       |  FROM embeddings, q WHERE qid <> vec_id),
+       |ranked AS (
+       |  SELECT qid, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, neighbor_id, score FROM ranked
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   private def hitSql(words: Seq[String]) =
     s"len(list_filter($wordsSql, x -> list_contains([${words.map("'" + _ + "'").mkString(", ")}], x)))"
   private val langScoresSql = Seq(
@@ -1285,6 +1303,18 @@ object Oracles {
         |  mn.tsum::DOUBLE / mn.tcnt::DOUBLE / 100.0 AS trimmed_mean,
         |  mn.wsum::DOUBLE / sel.n::DOUBLE / 100.0 AS winsorized_mean
         |FROM sel, md, mn""".stripMargin,
+
+    // per-column profile mirror: one UNION ALL branch per column, all
+    // counts cast to BIGINT
+    "q_profile" -> (
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+             |  (count(*) - count($c))::BIGINT AS n_null,
+             |  count(DISTINCT $c)::BIGINT AS n_distinct FROM events"""
+            .stripMargin)
+        .mkString("WITH p AS (\n", "\nUNION ALL\n", ")\n") +
+      "SELECT * FROM p ORDER BY col_name"),
 
     "q_percentiles" ->
       """SELECT l_returnflag,
@@ -2306,21 +2336,9 @@ object Oracles {
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // identical to q_knn_brute: full-probe IVF is exact by construction
-    "q_knn_ivf" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
-         |  WHERE vec_id < 10),
-         |scored AS (
-         |  SELECT qid, vec_id AS neighbor_id,
-         |    $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score
-         |  FROM embeddings, q WHERE qid <> vec_id),
-         |ranked AS (
-         |  SELECT qid, neighbor_id, score,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY score DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT qid, rank, neighbor_id, score FROM ranked
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q_knn_ivf" -> knnIvfSql,
+    // prebuilt-artifact serving form: bit-identical to the inline IVF
+    "q_knn_ivf_indexed" -> knnIvfSql,
 
     // bigram LM mirror: add-one-smoothed P over corpus counts; the per-doc
     // mean folds ln terms in sorted-gram order with a 0.0-prepended

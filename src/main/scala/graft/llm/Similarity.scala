@@ -257,35 +257,81 @@ object Similarity {
       nprobe: Int = 2, seed: Long = 42L, maxIter: Int = 10,
       trainSampleRows: Int = 65536,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centers = ivfCenters(emb, nCells, seed, maxIter, trainSampleRows,
+      idCol, vecCol)
+    ivfKnnFromIndex(ivfAssignments(emb, centers, idCol, vecCol), centers,
+      queryPred, k, nprobe, idCol, vecCol)
+  }
+
+  /** The IVF codebook as a persistable artifact: (cell, center) from the
+    * bounded hash-ordered training sample + driver Lloyd — in production
+    * this tiny (nCells × dim) table is written next to [[ivfAssignments]]
+    * and reused by every probe. Deterministic: hash-order sample,
+    * sequential driver fold. */
+  def ivfCenters(emb: DataFrame, nCells: Int = 16, seed: Long = 42L,
+      maxIter: Int = 10, trainSampleRows: Int = 65536,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sample = emb
       .select(col(vecCol).cast("array<double>").as("v"))
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
       .limit(trainSampleRows)
       .collect().map(_.getSeq[Double](0).toArray)
     val centers = localLloyd(sample, nCells, maxIter)
+    val s = emb.sparkSession
+    import s.implicits._
+    centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "center")
+  }
 
-    // Both cell assignment (corpus side, argmin) and probe ranking (query
-    // side, top-nprobe) use the same Column-space ranking of
-    // ||c||^2 - 2 v·c (squared L2 minus the row's own constant norm),
-    // with centers inlined as literal arrays: the scan-side projection stays
-    // in codegen, and ties break on cell id exactly as Lloyd's argmin does.
-    val cellRank = array(centers.zipWithIndex.map { case (c, i) =>
+  /** (cell, nCells-ordered centers) collected off the codebook frame —
+    * bounded driver state (nCells × dim doubles), the literal-inlining
+    * bridge both the assignment and the probe use. */
+  private def collectCenters(centersDf: DataFrame): Array[Array[Double]] =
+    centersDf.orderBy(col("cell")).select(col("center"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Cell ranking in Column space: ||c||² − 2·v·c (squared L2 minus the
+    * row's own constant norm), centers inlined as literal arrays — the
+    * scan-side projection stays in codegen, and ties break on cell id
+    * exactly as Lloyd's argmin does. */
+  private def cellRankExpr(centers: Array[Array[Double]],
+      vecCol: String): Column =
+    array(centers.zipWithIndex.map { case (c, i) =>
       val ca = array(c.map(lit(_)).toIndexedSeq: _*)
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - dot(col(vecCol), ca) * 2.0).as("d"), lit(i).as("cell"))
     }.toIndexedSeq: _*)
-    val corpus = emb
-      .select(col(idCol), col(vecCol),
-        array_sort(cellRank).getItem(0).getField("cell").as("cell"),
-        norm(col(vecCol)).as("vnorm"))
-    val queries = emb.filter(queryPred)
+
+  /** The IVF index as a persistable artifact: every corpus vector with
+    * its argmin cell and norm, (id, vec, cell, vnorm) — in production
+    * written partitioned by cell so a probe scans only its nprobe
+    * cells. */
+  def ivfAssignments(emb: DataFrame, centersDf: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cellRank = cellRankExpr(collectCenters(centersDf), vecCol)
+    emb.select(col(idCol), col(vecCol),
+      array_sort(cellRank).getItem(0).getField("cell").as("cell"),
+      norm(col(vecCol)).as("vnorm"))
+  }
+
+  /** Probe-only IVF kNN over prebuilt [[ivfAssignments]] +
+    * [[ivfCenters]] artifacts — the steady-state serving form: zero
+    * training, zero corpus assignment at query time; queries route
+    * through the collected codebook and equi-join their nprobe cells.
+    * Bit-identical to [[ivfKnn]] run inline (same literals, same
+    * tie-breaks). */
+  def ivfKnnFromIndex(index: DataFrame, centersDf: DataFrame,
+      queryPred: Column, k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centers = collectCenters(centersDf)
+    val cellRank = cellRankExpr(centers, vecCol)
+    val queries = index.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-        norm(col(vecCol)).as("qnorm"),
+        col("vnorm").as("qnorm"),
         explode(slice(array_sort(cellRank), 1, math.min(nprobe, centers.length)))
           .as("probe"))
       .select(col("qid"), col("qvec"), col("qnorm"), col("probe.cell").as("cell"))
-
-    val scored = corpus
+    val scored = index
       .join(broadcast(queries), Seq("cell"))
       .filter(col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol).as("neighbor_id"),

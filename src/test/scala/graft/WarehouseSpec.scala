@@ -157,4 +157,23 @@ class WarehouseSpec extends SparkTestBase {
     val u2 = out.filter(_.getAs[Long]("user_id") == 2L)
     assert(u2.length === 1 && u2.head.getAs[Boolean]("is_current"))
   }
+
+  test("column profile: exact null and distinct counts; approx path Expand-free") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.5)), (2L, Some("a"), None),
+      (3L, None, Some(2.5)), (4L, Some("b"), Some(1.5)))
+      .toDF("id", "s", "v")
+    val got = graft.sources.Profile.profile(df, Seq("id", "s", "v"))
+      .orderBy($"col_name")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("id", 4L, 0L, 4L), ("s", 4L, 1L, 2L),
+      ("v", 4L, 1L, 2L)))
+    // the HLL path must plan WITHOUT the k-way Expand multiplication
+    val approxPlan = graft.sources.Profile.profile(df, Seq("id", "s", "v"),
+      exact = false).queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), approxPlan)
+    assert(graft.sources.Profile.profile(df, Seq("id"))
+      .queryExecution.executedPlan.toString.contains("Expand") ===
+      false, "single distinct needs no Expand either")
+  }
 }
