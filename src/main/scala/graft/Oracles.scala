@@ -229,7 +229,12 @@ object Oracles {
     * ([[llm.Dedup.duplicatedSpans]]): positional 20-token windows →
     * doc-distinct df prune → covered starts → islands (CTE `g`). `tail`
     * is the final SELECT, or further CTEs + SELECT with `extraCte`. */
-  private def dedupSpansSql(tail: String, extraCte: Boolean = false): String =
+  private def dedupSpansSql(tail: String, extraCte: Boolean = false,
+      pWhere: String = "TRUE",
+      dupCte: String =
+        """dup AS (SELECT win FROM p GROUP BY win
+          |        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000)"""
+          .stripMargin): String =
     s"""WITH w AS (
        |  SELECT doc_id, $wordsSql AS ws FROM documents),
        |p0 AS (
@@ -239,10 +244,9 @@ object Oracles {
        |            FOR i IN range(1, len(ws) - 18)]
        |      ELSE [{'pos': CAST(0 AS BIGINT),
        |             'win': array_to_string(ws, ' ')}] END) AS u
-       |  FROM w),
+       |  FROM w WHERE $pWhere),
        |p AS (SELECT doc_id, n, u.pos AS pos, u.win AS win FROM p0),
-       |dup AS (SELECT win FROM p GROUP BY win
-       |        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000),
+       |$dupCte,
        |h AS (SELECT p.doc_id, p.n, p.pos FROM p JOIN dup USING (win)),
        |isl AS (
        |  SELECT doc_id, n, pos,
@@ -254,6 +258,18 @@ object Oracles {
        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
        |  FROM isl)${if (extraCte) "," else ""}
        |$tail""".stripMargin
+
+  /** Benchmark-side distinct window set for the surgical-decontam
+    * mirrors: every 20-token window (with the short-doc whole-text
+    * fallback) of the benchmark split. */
+  private val decontamDupCte: String =
+    """bw0 AS (
+      |  SELECT unnest(CASE WHEN len(ws) >= 20
+      |    THEN [array_to_string(ws[i:i+19], ' ')
+      |          FOR i IN range(1, len(ws) - 18)]
+      |    ELSE [array_to_string(ws, ' ')] END) AS win
+      |  FROM w WHERE doc_id % 50 = 0),
+      |dup AS (SELECT DISTINCT win FROM bw0)""".stripMargin
 
   private val winnowCtes: String =
     s"""WITH wd AS (
@@ -2746,6 +2762,46 @@ object Oracles {
         |  sum(dtok)::DOUBLE / sum(nt)::DOUBLE AS dup_share
         |FROM base GROUP BY source ORDER BY source""".stripMargin,
       extraCte = true),
+
+    // surgical-decontam mirror: the duplicated-window set is "appears in
+    // the benchmark split" (every 50th doc), corpus = the rest
+    "q_decontam_spans" -> dedupSpansSql(
+      """SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(least(max(pos) + 19, max(n) - 1) AS BIGINT) AS span_end,
+        |  CAST(least(max(pos) + 19, max(n) - 1) - min(pos) + 1 AS BIGINT)
+        |    AS n_tokens
+        |FROM g GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+      pWhere = "doc_id % 50 <> 0",
+      dupCte = decontamDupCte),
+
+    "q_decontam_surgical" -> dedupSpansSql(
+      """sp AS (
+        |  SELECT doc_id, min(pos) AS span_start,
+        |    least(max(pos) + 19, max(n) - 1) AS span_end
+        |  FROM g GROUP BY doc_id, island),
+        |rw AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS rws
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |tok0 AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i - 1, 't': rws[i]}
+        |            FOR i IN range(1, len(rws) + 1)]) AS u
+        |  FROM rw),
+        |tok AS (SELECT doc_id, u.pos AS pos, u.t AS t FROM tok0),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.t
+        |  FROM tok LEFT JOIN sp ON tok.doc_id = sp.doc_id
+        |    AND tok.pos BETWEEN sp.span_start AND sp.span_end
+        |  WHERE sp.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS ct
+        |  FROM kept GROUP BY doc_id)
+        |SELECT rw.doc_id, coalesce(agg.ct, '') AS clean_text
+        |FROM rw LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+      extraCte = true, pWhere = "doc_id % 50 <> 0",
+      dupCte = decontamDupCte),
 
     // the cut applied over original-case tokens: covered positions
     // dropped via disjoint-span anti-join, survivors re-joined in order

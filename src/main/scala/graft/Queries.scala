@@ -966,6 +966,24 @@ object Queries {
     "q_span_dup_rate" -> ((s, dir) =>
       llm.Dedup.spanDupRate(tWide(s, dir, "documents"), windowTokens = 20)
         .orderBy(col("source"))),
+    // surgical decontamination: the exact corpus spans leaked verbatim
+    // from the benchmark split (broadcast benchmark window set, corpus
+    // never shuffles by window) ...
+    "q_decontam_spans" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Decontam.contaminationSpans(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), windowTokens = 20)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+    // ... and the cut applied: leaked spans removed, every doc kept
+    "q_decontam_surgical" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Decontam.decontaminateSpans(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), windowTokens = 20)
+        .orderBy(col("doc_id"))
+    }),
     // winnowing fingerprints (MOSS): rightmost-min of each 4-window of
     // word-3-gram md5 hashes, scan-side HOFs only — zero exchanges
     "q_fingerprint_winnow" -> ((s, dir) =>

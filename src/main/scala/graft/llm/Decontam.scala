@@ -50,6 +50,39 @@ object Decontam {
         .filter(col("contaminated")).select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** SURGICAL decontamination — span-level: instead of dropping whole
+    * docs whose gram-overlap ratio crosses a threshold, emit the exact
+    * maximal token spans of each corpus doc covered by a
+    * `windowTokens`-token window that appears VERBATIM in the benchmark
+    * (then cut just those with [[Dedup.removeSpans]], keeping the rest
+    * of the document). This is [[Dedup.duplicatedSpans]]' ExactSubstr
+    * machinery pointed across corpora: the duplicated-window set is "in
+    * the benchmark" rather than "in ≥2 corpus docs".
+    *
+    * Scale shape inherits [[contamination]]'s asymmetry: the benchmark's
+    * distinct window set BROADCASTS into a semi-join over the corpus'
+    * positional windows (one codegen'd scan pass); the only exchange is
+    * the per-doc island sort. The corpus never shuffles by window. */
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+      windowTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchWindows = benchmark
+      .select(explode(Dedup.shingleHashes(col(textCol), windowTokens)).as("h"))
+      .distinct()
+    val pos = Dedup.positionalWindows(corpus, windowTokens, idCol, textCol)
+    Dedup.spansFromHits(
+      pos.join(broadcast(benchWindows), Seq("h"), "left_semi"), windowTokens)
+  }
+
+  /** The surgically decontaminated corpus: every leaked span cut, every
+    * doc kept. */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+      windowTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Dedup.removeSpans(corpus,
+      contaminationSpans(corpus, benchmark, windowTokens, idCol, textCol),
+      idCol, textCol)
+
   /** SEMANTIC decontamination: flag corpus vectors whose max cosine against
     * any benchmark embedding reaches `threshold` — the embedding-space
     * complement of the verbatim n-gram check above (catches paraphrased /

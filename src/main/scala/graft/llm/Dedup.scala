@@ -798,7 +798,7 @@ object Dedup {
     * 64-bit key — the scan-side projection the span operators start from
     * (one codegen'd [[graft.expr.ShingleHashes]] pass, `distinct=false`;
     * `n` = the doc's token count, for span-end clamping). */
-  private def positionalWindows(docs: DataFrame, w: Int,
+  private[llm] def positionalWindows(docs: DataFrame, w: Int,
       idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       size(split(lower(trim(col(textCol))), "\\s+")).as("n"),
@@ -809,7 +809,7 @@ object Dedup {
   /** Gaps-and-islands over duplicated window starts → maximal covered
     * spans. New island when the previous coverage interval can't reach
     * this one: q − p > W (NULL lag ⇒ first row ⇒ new island). */
-  private def spansFromHits(hits: DataFrame, windowTokens: Int): DataFrame = {
+  private[llm] def spansFromHits(hits: DataFrame, windowTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits

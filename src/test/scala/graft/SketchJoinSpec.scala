@@ -4,7 +4,7 @@ import scala.util.Random
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Sketch, Similarity}
+import graft.llm.{Decontam, Dedup, Sketch, Similarity}
 
 /** Round-7 session-5 additions: KMV/theta distinct sketch, prefix-filtering
   * exact set-similarity join, and 1-bit binary embedding quantization. */
@@ -289,6 +289,24 @@ class SketchJoinSpec extends SparkTestBase {
     assert(full.exists(_._1 == 10L), "corpus-vs-batch duplication found")
     assert(full.exists(_._1 == 12L) && full.exists(_._1 == 13L),
       "within-batch duplication found")
+  }
+
+  test("surgical decontam: only the leaked span is cut, the doc survives") {
+    val corpus = Seq(
+      (0L, "intro words here q1 q2 q3 q4 closing remarks stay"),
+      (1L, "nothing from the benchmark in this one at all")).toDF("doc_id", "text")
+    val bench = Seq((100L, "prompt prefix q1 q2 q3 q4 answer suffix"))
+      .toDF("doc_id", "text")
+    val spans = Decontam.contaminationSpans(corpus, bench, windowTokens = 3)
+    val got = spans.select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    // leaked windows "q1 q2 q3" (start 3) and "q2 q3 q4" (start 4)
+    // merge into one span covering tokens 3..6
+    assert(got === Set((0L, 3L, 6L)))
+    val clean = Decontam.decontaminateSpans(corpus, bench, windowTokens = 3)
+      .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+    assert(clean(0L) === "intro words here closing remarks stay")
+    assert(clean(1L) === "nothing from the benchmark in this one at all")
   }
 
   test("collocations: a planted always-together pair tops the ranking") {
