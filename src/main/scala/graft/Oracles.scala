@@ -2434,6 +2434,38 @@ object Oracles {
         |SELECT CAST(depth AS INT) AS depth, bucket, count(*) AS cnt
         |FROM cells GROUP BY 1, 2 ORDER BY depth, bucket""".stripMargin,
 
+    // inner-product mirror: both sketches rebuilt over stringified keys,
+    // per-depth product sums (disjoint depths contribute 0), min, and
+    // the exact per-key count join
+    "q_join_size_est" ->
+      """WITH ka AS (SELECT CAST(user_id AS VARCHAR) AS term FROM events),
+        |kb AS (SELECT CAST(o_custkey AS VARCHAR) AS term FROM orders),
+        |ca AS (
+        |  SELECT j.range AS depth,
+        |    CAST(concat('0x', substring(md5(CAST(j.range AS VARCHAR) || ':' || term), 1, 8))
+        |      AS BIGINT) % 64 AS bucket, count(*) AS cnt
+        |  FROM ka, range(4) j GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT j.range AS depth,
+        |    CAST(concat('0x', substring(md5(CAST(j.range AS VARCHAR) || ':' || term), 1, 8))
+        |      AS BIGINT) % 64 AS bucket, count(*) AS cnt
+        |  FROM kb, range(4) j GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT ca.depth, sum(ca.cnt * cb.cnt) AS ip
+        |  FROM ca JOIN cb ON ca.depth = cb.depth AND ca.bucket = cb.bucket
+        |  GROUP BY ca.depth),
+        |est AS (
+        |  SELECT min(coalesce(ip.ip, 0))::BIGINT AS est_join_size
+        |  FROM range(4) d LEFT JOIN ip ON ip.depth = d.range),
+        |fa AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |fb AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |ex AS (
+        |  SELECT coalesce(sum(fa.c * fb.c), 0)::BIGINT AS exact_join_size
+        |  FROM fa JOIN fb USING (k))
+        |SELECT est_join_size, exact_join_size,
+        |  est_join_size >= exact_join_size AS overestimate
+        |FROM est, ex""".stripMargin,
+
     "q_cms_counts" ->
       s"""WITH toks AS (
          |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term

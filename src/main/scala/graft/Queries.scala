@@ -1441,6 +1441,13 @@ object Queries {
           llm.Sketch.cmsBuild(docs.filter(col("doc_id") >= 250)))
         .orderBy(col("depth"), col("bucket"))
     }),
+    // CMS inner-product join-size estimate: the pre-shuffle cardinality
+    // gauge (one scan per side, sketch-only estimate) published with its
+    // one-sided contract next to the exact size
+    "q_join_size_est" -> ((s, dir) =>
+      llm.Sketch.cmsJoinSize(
+        t(s, dir, "events"), col("user_id"),
+        t(s, dir, "orders"), col("o_custkey"))),
     // CMS point queries vs exact counts: the one-sided error contract
     // (est ≥ exact, overestimate uniformly true) published per panel term,
     // absent terms included (exact 0)

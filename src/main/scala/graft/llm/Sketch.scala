@@ -91,6 +91,58 @@ object Sketch {
         (col("est_count") >= coalesce(col("c"), lit(0L))).as("overestimate"))
   }
 
+  /** [[cmsBuild]] over an arbitrary key column (stringified) instead of
+    * text tokens — the form the join-size estimator sketches each side
+    * with. Same cells, same mergeability. */
+  def cmsBuildKeys(df: DataFrame, keyCol: Column, depth: Int = DefaultDepth,
+      width: Int = DefaultWidth): DataFrame = {
+    val term = keyCol.cast("string")
+    df.select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("depth"), bucket(term, j, width).as("bucket"))): _*))
+        .as("cell"))
+      .groupBy(col("cell.depth").as("depth"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS inner-product equi-join cardinality estimate (Cormode &
+    * Muthukrishnan 2005 §4.2): |A ⋈ B| = Σ_v fA(v)·fB(v), estimated as
+    * min over depth rows of the bucket-wise product sum — one-sided
+    * (each row's collisions only ADD cross terms), so `overestimate` is
+    * a contract, published next to the exact size.
+    *
+    * This is the pre-shuffle gauge a planner wants at 100 TB: each side
+    * sketches in ONE scan (mergeable across shards via [[cmsMerge]] —
+    * build once per table, reuse per candidate join), the estimate
+    * itself touches only two depth×width sketch tables, and a blown-up
+    * estimate says "salt or rethink this join" before any 100 TB
+    * shuffle runs. The exact side here executes the per-key count join
+    * for the contract; production callers read just the estimate. */
+  def cmsJoinSize(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+      depth: Int = DefaultDepth, width: Int = DefaultWidth): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ips = cmsBuildKeys(a, keyA, depth, width).as("x")
+      .join(cmsBuildKeys(b, keyB, depth, width).as("y"),
+        Seq("depth", "bucket"))
+      .groupBy(col("depth"))
+      .agg(sum(col("x.cnt") * col("y.cnt")).as("ip"))
+    // a depth row whose buckets are fully disjoint has inner product 0 —
+    // keep it in the min via the literal depth frame
+    val est = (0 until depth).toDF("depth")
+      .join(ips, Seq("depth"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_size"))
+    val fa = a.select(keyA.cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("ca"))
+    val fb = b.select(keyB.cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cb"))
+    val exact = fa.join(fb, Seq("k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+        .as("exact_join_size"))
+    est.crossJoin(exact)
+      .select(col("est_join_size"), col("exact_join_size"),
+        (col("est_join_size") >= col("exact_join_size")).as("overestimate"))
+  }
+
   // ---- KMV / theta distinct sketch (Bar-Yossef et al. 2002; the bottom-k
   // form behind Apache DataSketches' theta sketch) ----
 

@@ -291,6 +291,20 @@ class SketchJoinSpec extends SparkTestBase {
       "within-batch duplication found")
   }
 
+  test("CMS join-size estimate: exact side right, one-sided contract holds") {
+    val a = Seq(1L, 1L, 1L, 2L, 3L, 3L, 9L).toDF("k")   // f: 1→3, 2→1, 3→2, 9→1
+    val b = Seq(1L, 2L, 2L, 3L, 7L).toDF("k")           // f: 1→1, 2→2, 3→1, 7→1
+    // exact = 3·1 + 1·2 + 2·1 = 7
+    val got = graft.llm.Sketch.cmsJoinSize(a, col("k"), b, col("k"))
+      .as[(Long, Long, Boolean)].collect().head
+    assert(got._2 === 7L)
+    assert(got._3, s"estimate ${got._1} must not undershoot exact ${got._2}")
+    // self-join estimate bounds F2 = sum of squared frequencies
+    val f2 = graft.llm.Sketch.cmsJoinSize(a, col("k"), a, col("k"))
+      .as[(Long, Long, Boolean)].collect().head
+    assert(f2._2 === (9L + 1 + 4 + 1) && f2._3)
+  }
+
   test("surgical decontam: only the leaked span is cut, the doc survives") {
     val corpus = Seq(
       (0L, "intro words here q1 q2 q3 q4 closing remarks stay"),
