@@ -501,4 +501,55 @@ class PlanSpec extends SparkTestBase {
     // the expansion tail adds no sort-merge join anywhere
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("duplicated spans: text rides in no exchange; islands share one doc sort") {
+    val plan = formatted(graft.llm.Dedup.duplicatedSpans(t("documents"), 20))
+    val exchanges = """(?s)\(\d+\) Exchange.*?Input.*?\n""".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, plan)
+    // windows ride as 64-bit keys: no window string or doc text shuffles
+    assert(!exchanges.exists(_.contains("text")), plan)
+    // both Window passes (lag + running sum) stack on ONE doc-keyed sort
+    assert("""\(\d+\) Sort""".r.findAllIn(plan).size === 1, plan)
+    assert("""\(\d+\) Window""".r.findAllIn(plan).size === 2, plan)
+  }
+
+  test("surgical decontam: benchmark windows broadcast, corpus never shuffles by window") {
+    val docs = t("documents")
+    val plan = formatted(graft.llm.Decontam.contaminationSpans(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), 20))
+    assert(plan.contains("BroadcastHashJoin LeftSemi"), plan)
+    // the ONLY non-broadcast exchange is the per-doc island sort
+    val exchanges = """\(\d+\) Exchange hashpartitioning\(([^,]+)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(_.startsWith("doc_id")), plan)
+  }
+
+  test("join-size estimate: sketch branch joins on cells, never on raw keys") {
+    val plan = formatted(graft.llm.Sketch.cmsJoinSize(
+      t("events"), col("user_id"), t("orders"), col("o_custkey")))
+    // depth×width sketch tables are tiny: every join in the estimator
+    // (sketch-sketch on cells, depth frame, exact contract, 1×1 attach)
+    // stays broadcast — nothing sort-merges, nothing is quadratic
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).nonEmpty, plan)
+  }
+
+  test("ivf probe over persisted artifacts: file scans in, no training lineage") {
+    val emb = t("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_plan").toString
+    graft.llm.Similarity.ivfCenters(emb, nCells = 4)
+      .write.mode("overwrite").parquet(s"$dir/centers")
+    val centers = spark.read.parquet(s"$dir/centers")
+    graft.llm.Similarity.ivfAssignments(emb, centers)
+      .write.mode("overwrite").parquet(s"$dir/index")
+    val index = spark.read.parquet(s"$dir/index")
+    val plan = formatted(graft.llm.Similarity.ivfKnnFromIndex(
+      index, centers, col("vec_id") < 10, k = 5, nprobe = 4))
+    // the probe reads the index files on both sides of the cell join —
+    // the embeddings TABLE and the Lloyd/assignment lineage are gone
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size === 2, plan)
+    assert(!plan.contains("embeddings.parquet"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
