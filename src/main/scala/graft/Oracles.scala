@@ -2162,6 +2162,26 @@ object Oracles {
         |    / 4096) AS BIGINT) AS shard
         |FROM tk ORDER BY doc_id""".stripMargin,
 
+    // fill report mirror: the same exclusive-cumsum shard assignment,
+    // aggregated; the share is one IEEE division over exact integer sums
+    "q_pack_efficiency" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |sh AS (
+        |  SELECT n_tokens,
+        |    CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+        |      / 4096) AS BIGINT) AS shard
+        |  FROM tk)
+        |SELECT shard, count(*) AS n_docs,
+        |  sum(n_tokens)::BIGINT AS shard_tokens,
+        |  sum(n_tokens)::BIGINT::DOUBLE / 4096.0 AS fill_share
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
     // context-window packing mirror: same exclusive global cumsum, then
     // pure integer window math (seq = floor(gpos/context), off = gpos −
     // seq·context)

@@ -669,6 +669,15 @@ object Queries {
           col("doc_id"), llm.TextAnalysis.tokenCount(col("text")), budget = 4096L)
         .withColumnRenamed("pack_key", "doc_id")
         .orderBy(col("doc_id"))),
+    // per-shard fill report over the same layout: docs never split, so
+    // fill wanders around the budget — the loader headroom diagnostic
+    "q_pack_efficiency" -> ((s, dir) =>
+      llm.Packing.packEfficiency(
+          llm.Packing.packByBudget(t(s, dir, "documents"),
+            col("doc_id"), llm.TextAnalysis.tokenCount(col("text")),
+            budget = 4096L),
+          budget = 4096L)
+        .orderBy(col("shard"))),
     // GPT-style context-window layout: tokens laid end-to-end, cut every
     // 2048 — docs span windows; each doc gets its start (seq_id, seq_off)
     // from the same two-phase global prefix (no global window)

@@ -125,6 +125,20 @@ object Packing {
         col("seq_id"), col("seq_off"))
   }
 
+  /** Shard fill-rate report over a [[packByBudget]] layout — the loader
+    * diagnostic: docs never split, so a doc STARTING before a shard
+    * boundary spills past it and shard token sums wander around the
+    * budget; `fill_share` (one IEEE division over the exact integer sum)
+    * says by how much, and whether the budget needs headroom. One
+    * (shard)-keyed aggregation over the already-packed frame. */
+  def packEfficiency(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("fill_share",
+        col("shard_tokens").cast("double") / lit(budget.toDouble))
+  }
+
   /** Curriculum sharding: lay the corpus out in SCORE order (easy → hard,
     * or hard → easy — the caller's score polarity decides) and cut
     * token-budget shards along that order, so a training loader walking

@@ -186,4 +186,57 @@ class CurationPropertySpec extends SparkTestBase {
       assert(out === expected, s"trial $trial")
     }
   }
+
+  test("spans: coverage-union reference reproduced on random corpora; removal consistent") {
+    val rng = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val w = 2 + rng.nextInt(3) // W in {2,3,4}
+      // small vocab forces plenty of accidental duplicated windows
+      val raw = (0L until 25L).map { i =>
+        (i, List.fill(1 + rng.nextInt(12))(s"t${rng.nextInt(6)}").mkString(" "))
+      }
+      val docs = raw.toDF("doc_id", "text")
+
+      // brute reference: positional windows (with the short-doc whole-text
+      // fallback), duplicated = in >= 2 distinct docs, per-doc coverage
+      // union of [p, min(p+w-1, n-1)] merged into maximal spans
+      val wins = raw.map { case (id, text) =>
+        val toks = text.split("\\s+")
+        val ws =
+          if (toks.length >= w)
+            (0 to toks.length - w).map(p => (p, toks.slice(p, p + w).mkString(" ")))
+          else Seq((0, toks.mkString(" ")))
+        (id, toks.length, ws)
+      }
+      val dupSet = wins.flatMap { case (id, _, ws) => ws.map(x => (x._2, id)) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val expected = wins.flatMap { case (id, n, ws) =>
+        val starts = ws.filter(x => dupSet(x._2)).map(_._1).sorted
+        // merge starts while q - p <= w; span end clamps to n-1
+        val islands = starts.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && p - acc.head.head <= w =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(isl =>
+          (id, isl.min.toLong, math.min(isl.max + w - 1, n - 1).toLong))
+      }.toSet
+      val got = graft.llm.Dedup.duplicatedSpans(docs, windowTokens = w)
+        .select($"doc_id", $"span_start", $"span_end")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expected, s"trial $trial w=$w")
+
+      // removal consistency: cleaned docs contain exactly the uncovered tokens
+      val spans = graft.llm.Dedup.duplicatedSpans(docs, windowTokens = w)
+      val clean = graft.llm.Dedup.removeSpans(docs, spans)
+        .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+      raw.foreach { case (id, text) =>
+        val toks = text.split("\\s+")
+        val covered = expected.filter(_._1 == id)
+          .flatMap(s => s._2 to s._3).map(_.toInt)
+        val want = toks.indices.filterNot(covered.contains).map(toks).mkString(" ")
+        assert(clean(id) === want, s"trial $trial doc $id")
+      }
+    }
+  }
 }
