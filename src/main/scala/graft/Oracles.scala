@@ -1320,6 +1320,15 @@ object Oracles {
         |  mn.wsum::DOUBLE / sel.n::DOUBLE / 100.0 AS winsorized_mean
         |FROM sel, md, mn""".stripMargin,
 
+    // SQL-surface mirror: distinct 3-shingle count and token count over
+    // the same tokenization (hash sets are distinct-by-string absent
+    // 64-bit collisions, so the SIZES match exactly)
+    "q_sql_surface" ->
+      s"""SELECT doc_id,
+         |  len(list_distinct($shingleSql))::BIGINT AS n_shingles,
+         |  len($wordsSql)::BIGINT AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     // per-column profile mirror: one UNION ALL branch per column, all
     // counts cast to BIGINT
     "q_profile" -> (

@@ -519,6 +519,19 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- SQL surface: the library's functions from pure SQL ----
+    // registerAll + temp view + spark.sql — the path a SQL client (or
+    // spark.sql.extensions=graft.GraftExtensions) uses; size() over the
+    // codegen'd kernels is engine-mirrorable even where hashes aren't
+    "q_sql_surface" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      tWide(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql("""SELECT doc_id,
+              |  CAST(size(shingle_hashes(text, 3)) AS BIGINT) AS n_shingles,
+              |  CAST(size(md5_token_hashes(text)) AS BIGINT) AS n_tokens
+              |FROM documents_v ORDER BY doc_id""".stripMargin)
+    }),
+
     // ---- warehouse: column profiling ----
     // one-scan per-column row/null/distinct profile (exact distincts via
     // the standard Expand multi-distinct plan; exact=false swaps in HLL
