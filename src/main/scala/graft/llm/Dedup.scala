@@ -884,24 +884,37 @@ object Dedup {
 
   /** Apply [[duplicatedSpans]]: rebuild each document with the covered
     * tokens cut out. One equi-join on doc id attaches the (bounded,
-    * disjoint) span list, then the cut is scan-side — a single
-    * index-aware `filter` HOF over the original-case tokens; no
-    * per-token join, nothing corpus-wide beyond the one join. Token
-    * runs re-join with single spaces (whitespace normalization — the
-    * positions were computed over `\s+`-split tokens, so boundaries
-    * agree; original casing is preserved). */
+    * disjoint, start-sorted) span list, then the cut is scan-side — a
+    * single `aggregate` fold over the spans that concatenates the
+    * BETWEEN-span token segments via `slice`: O(tokens + spans) per doc
+    * (a per-token coverage test would be O(tokens × spans) — the hot
+    * path of span removal at 100 TB). No per-token join, nothing
+    * corpus-wide beyond the one join. Token runs re-join with single
+    * spaces (whitespace normalization — the positions were computed over
+    * `\s+`-split tokens, so boundaries agree; casing is preserved). */
   def removeSpans(docs: DataFrame, spans: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sp = spans.groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sps"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").cast("int").as("s"),
+        col("span_end").cast("int").as("e")))).as("sps"))
+    val ws = split(trim(docs(textCol)), "\\s+")
+    // fold state: (from = next uncut position, kept = segments so far);
+    // each span appends tokens [from, s-1], the finisher appends the tail
+    val cut = aggregate(
+      col("sps"),
+      struct(lit(0).as("from"), array().cast("array<string>").as("kept")),
+      (acc, s) => struct(
+        (s.getField("e") + 1).as("from"),
+        concat(acc.getField("kept"),
+          slice(ws, acc.getField("from") + 1,
+            s.getField("s") - acc.getField("from"))).as("kept")),
+      acc => concat(acc.getField("kept"),
+        slice(ws, acc.getField("from") + 1,
+          size(ws) - acc.getField("from"))))
     docs.join(sp, docs(idCol) === sp("doc_id"), "left")
       .select(docs(idCol),
-        concat_ws(" ",
-          filter(split(trim(docs(textCol)), "\\s+"), (t, i) =>
-            !exists(coalesce(col("sps"),
-                array().cast("array<struct<span_start:long,span_end:long>>")),
-              s => i.cast("long").between(
-                s.getField("span_start"), s.getField("span_end")))))
+        concat_ws(" ", when(col("sps").isNull, ws).otherwise(cut))
           .as("clean_text"))
   }
 
