@@ -88,6 +88,26 @@ object StreamingCuration {
       .agg(hh.as("hh"))
   }
 
+  /** Always-on surgical decontamination: every micro-batch of an ingest
+    * stream has its benchmark-leaked spans cut before landing
+    * ([[graft.llm.Decontam.decontaminateSpans]] against the STATIC
+    * benchmark table). Span removal is per-doc given the benchmark — no
+    * cross-batch state — but the island merge needs a per-doc window
+    * function, which streaming DataFrames can't express; `foreachBatch`
+    * is exactly the bridge: each micro-batch is a batch frame, the batch
+    * operator runs unchanged (one code path, so the streaming result is
+    * the batch result by construction — pinned in StreamingCurationSpec),
+    * and the checkpoint gives the usual effectively-once sink contract.
+    * The benchmark's broadcast window set is rebuilt per batch from the
+    * static frame — cache `benchmark` if it is expensive to read. */
+  def decontamStream(docs: DataFrame, benchmark: DataFrame,
+      windowTokens: Int = 20)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.llm.Decontam.decontaminateSpans(batch, benchmark,
+        windowTokens), id)
+    }
+
   /** Per-window Count-Min sketch over a (term, ingest_ts) stream — the
     * always-on form of [[graft.llm.Sketch.cmsBuild]]: each tumbling window
     * finalizes a depth × width counter table on watermark passage

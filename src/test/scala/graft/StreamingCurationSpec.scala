@@ -215,4 +215,34 @@ class StreamingCurationSpec extends SparkTestBase {
       2L -> ((false, true)),  // doc-side orphan: null embedding
       3L -> ((true, false)))) // emb-side orphan: null text, id from emb side
   }
+
+  test("streaming surgical decontam: per-batch cut equals the batch operator") {
+    val bench = Seq((100L, "prompt prefix q1 q2 q3 q4 answer suffix"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "intro words here q1 q2 q3 q4 closing remarks stay"),
+      (1L, "nothing from the benchmark in this one at all"),
+      (2L, "tail leak q2 q3 q4 only here"))
+    val input = MemoryStream[(Long, String)](spark)
+    val acc = scala.collection.mutable.Map.empty[Long, String]
+    val q = StreamingCuration.decontamStream(
+        input.toDF().toDF("doc_id", "text"), bench, windowTokens = 3) {
+        (clean, _) =>
+          clean.as[(Long, String)].collect().foreach { case (id, t) =>
+            acc.synchronized { acc(id) = t } }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("decontam_ck").toString)
+      .start()
+    input.addData(docs.take(2): _*)
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.llm.Decontam.decontaminateSpans(
+        docs.toDF("doc_id", "text"), bench, windowTokens = 3)
+      .as[(Long, String)].collect().toMap
+    assert(acc.toMap === expected)
+    assert(acc(0L) === "intro words here closing remarks stay")
+  }
 }
