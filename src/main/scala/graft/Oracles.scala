@@ -2836,6 +2836,25 @@ object Oracles {
       pWhere = "doc_id % 50 <> 0",
       dupCte = decontamDupCte),
 
+    // leak-report mirror: corpus positional windows inner-join the
+    // benchmark's distinct (bench_id, window) pairs on the STRING
+    "q_leak_report" -> dedupSpansSql(
+      """bw AS (
+        |  SELECT DISTINCT doc_id AS bench_id, win FROM (
+        |    SELECT doc_id,
+        |      unnest(CASE WHEN len(ws) >= 20
+        |        THEN [array_to_string(ws[i:i+19], ' ')
+        |              FOR i IN range(1, len(ws) - 18)]
+        |        ELSE [array_to_string(ws, ' ')] END) AS win
+        |    FROM w WHERE doc_id % 50 = 0))
+        |SELECT bw.bench_id,
+        |  count(DISTINCT p.doc_id)::BIGINT AS n_corpus_docs,
+        |  count(*)::BIGINT AS n_window_hits
+        |FROM p JOIN bw USING (win)
+        |GROUP BY bw.bench_id ORDER BY bench_id""".stripMargin,
+      extraCte = true, pWhere = "doc_id % 50 <> 0",
+      dupCte = decontamDupCte),
+
     "q_decontam_surgical" -> dedupSpansSql(
       """sp AS (
         |  SELECT doc_id, min(pos) AS span_start,

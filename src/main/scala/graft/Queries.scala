@@ -998,6 +998,15 @@ object Queries {
           docs.filter(col("doc_id") % 50 === 0), windowTokens = 20)
         .orderBy(col("doc_id"), col("span_start"))
     }),
+    // leak forensics by benchmark item: how widely and heavily each eval
+    // doc leaked into the corpus — salvage-or-regenerate evidence
+    "q_leak_report" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Decontam.leakReport(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), windowTokens = 20)
+        .orderBy(col("bench_id"))
+    }),
     // ... and the cut applied: leaked spans removed, every doc kept
     "q_decontam_surgical" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")

@@ -74,6 +74,27 @@ object Decontam {
       pos.join(broadcast(benchWindows), Seq("h"), "left_semi"), windowTokens)
   }
 
+  /** Leak forensics, grouped by BENCHMARK doc: which eval items leaked
+    * into the corpus, how widely (distinct corpus docs), and how heavily
+    * (matching window occurrences) — the report that decides whether a
+    * benchmark split is salvageable or must be regenerated. Same
+    * broadcast asymmetry as [[contaminationSpans]], but the benchmark
+    * side keeps its doc id through an inner join so hits attribute back
+    * to the eval item. Window keys stay 64-bit hashes end-to-end. */
+  def leakReport(corpus: DataFrame, benchmark: DataFrame,
+      windowTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchWindows = benchmark
+      .select(col(idCol).as("bench_id"),
+        explode(Dedup.shingleHashes(col(textCol), windowTokens)).as("h"))
+      .distinct()
+    Dedup.positionalWindows(corpus, windowTokens, idCol, textCol)
+      .join(broadcast(benchWindows), Seq("h"))
+      .groupBy(col("bench_id"))
+      .agg(count_distinct(col("doc_id")).as("n_corpus_docs"),
+        count(lit(1)).as("n_window_hits"))
+  }
+
   /** The surgically decontaminated corpus: every leaked span cut, every
     * doc kept. */
   def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
