@@ -1341,6 +1341,34 @@ object Oracles {
         .mkString("WITH p AS (\n", "\nUNION ALL\n", ")\n") +
       "SELECT * FROM p ORDER BY col_name"),
 
+    // Poisson-bootstrap mirror: identical md5 uniforms and literal
+    // Poisson(1) inverse-CDF cutoffs, exact integer weight/value sums
+    "q_bootstrap" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders),
+        |u AS (
+        |  SELECT b.range AS rep, v.v,
+        |    CAST(concat('0x', substring(md5(CAST(v.k AS VARCHAR) || ':rep'
+        |      || CAST(b.range AS VARCHAR)), 1, 14)) AS BIGINT)::DOUBLE
+        |      / 72057594037927936.0 AS u
+        |  FROM v, range(16) b),
+        |r AS (
+        |  SELECT rep, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         ELSE 7 END AS w
+        |  FROM u)
+        |SELECT CAST(rep AS BIGINT) AS rep, sum(w)::BIGINT AS n_eff,
+        |  (sum(w * v)::BIGINT)::DOUBLE / (sum(w)::BIGINT)::DOUBLE AS mean
+        |FROM r GROUP BY rep ORDER BY rep""".stripMargin,
+
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity::DOUBLE, 0.25) AS p25,

@@ -541,6 +541,15 @@ object Queries {
           Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
         .orderBy(col("col_name"))),
 
+    // Poisson bootstrap (one pass, no resampled copies): 16 deterministic
+    // replicates of mean order value on the cents grid — md5 uniforms,
+    // literal inverse-CDF cutoffs, one published division per replicate
+    "q_bootstrap" -> ((s, dir) =>
+      Analytics.bootstrapReplicates(t(s, dir, "orders"),
+          col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5), b = 16)
+        .select(col("rep").cast("long").as("rep"), col("n_eff"), col("mean"))
+        .orderBy(col("rep"))),
+
     // ---- analytics: exact percentiles ----
     "q_percentiles" -> ((s, dir) =>
       Analytics.quantitySpread(t(s, dir, "lineitem"))),

@@ -1143,4 +1143,56 @@ object Analytics {
       col("touch_id"), col("touch_type"), col("touch_ts"),
       col("n_touches"), col("position"), col("credit_u"), col("credit_decay"))
   }
+
+  /** Poisson(1) inverse-CDF cutoffs as decimal LITERALS (both engines
+    * compare against the same constants — no runtime exp() whose last
+    * ulp could differ): P(X ≤ k) for k = 0..6; u above the last cutoff
+    * draws 7. */
+  private val PoissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119)
+
+  /** Poisson bootstrap replicate statistics in ONE pass (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams" — the standard
+    * way to bootstrap without materializing B resampled copies): each row
+    * contributes to replicate b with a deterministic Poisson(1) weight
+    * drawn from the md5-uniform of (key, b), so all B replicates ride a
+    * single scan + one (rep) aggregation of B × row partial weights.
+    * Returns (rep, n_eff, mean) with mean = ONE IEEE division over exact
+    * integer sums (`valueCol` must be integral — cents/micros grid);
+    * the caller folds the B means into a standard error ([[bootstrapSe]])
+    * or a percentile CI. Deterministic end-to-end: md5 uniforms, literal
+    * inverse-CDF cutoffs. */
+  def bootstrapReplicates(df: DataFrame, key: Column, valueCol: Column,
+      b: Int = 32): DataFrame = {
+    require(b > 0, s"replicates must be positive: $b")
+    def w(i: Int): Column = {
+      val u = graft.expr.Md5Prefix(
+        concat(key.cast("string"), lit(s":rep$i")), 14).cast("double") /
+        lit(math.pow(2, 56))
+      PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.size): Column) {
+        case ((cut, k), rest) => when(u < cut, lit(k)).otherwise(rest)
+      }.cast("long")
+    }
+    df.select(valueCol.cast("long").as("v"),
+        explode(array((0 until b).map(i =>
+          struct(lit(i).as("rep"), w(i).as("w"))): _*)).as("r"))
+      .select(col("r.rep").as("rep"), col("r.w").as("w"), col("v"))
+      .groupBy(col("rep"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("s"))
+      .select(col("rep"), col("n_eff"),
+        (col("s").cast("double") / col("n_eff").cast("double")).as("mean"))
+  }
+
+  /** Standard error over the replicate means: collected (B ≤ a few
+    * hundred — bounded driver state) and folded in rep order, so the
+    * float op sequence is pinned. */
+  def bootstrapSe(replicates: DataFrame): Double = {
+    val means = replicates.orderBy(col("rep"))
+      .select(col("mean")).collect().map(_.getDouble(0))
+    require(means.length > 1, "need at least 2 replicates")
+    val mbar = means.sum / means.length
+    math.sqrt(means.map(m => (m - mbar) * (m - mbar)).sum / (means.length - 1))
+  }
 }

@@ -101,4 +101,25 @@ class AnalyticsSpec extends SparkTestBase {
     val small = kept(df.filter(col("id") < 30))
     assert(small.values.map(_.size).toSet === Set(10))
   }
+
+  test("poisson bootstrap: constant data gives zero SE; replicates resample properly") {
+    import spark.implicits._
+    val const = (1L to 400L).map(i => (i, 500L)).toDF("k", "v")
+    val repsC = Analytics.bootstrapReplicates(const, col("k"), col("v"), b = 8)
+    // every replicate of a constant column has the same mean -> SE exactly 0
+    assert(Analytics.bootstrapSe(repsC) === 0.0)
+    val got = repsC.select($"rep", $"n_eff", $"mean")
+      .as[(Int, Long, Double)].collect()
+    assert(got.length === 8)
+    // Poisson(1) weights: each replicate's effective n is near 400 but
+    // varies (resampling actually happened); no replicate is empty
+    assert(got.forall { case (_, n, m) => n > 300 && n < 500 && m === 500.0 })
+    assert(got.map(_._2).distinct.length > 1, "weights must vary across reps")
+    // non-constant data: replicate means differ, SE positive and small
+    // relative to the spread of a uniform 0..999 population
+    val varied = (1L to 400L).map(i => (i, i % 1000)).toDF("k", "v")
+    val se = Analytics.bootstrapSe(
+      Analytics.bootstrapReplicates(varied, col("k"), col("v"), b = 16))
+    assert(se > 0.0 && se < 60.0, s"se=$se")
+  }
 }
