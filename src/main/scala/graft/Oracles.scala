@@ -1341,6 +1341,41 @@ object Oracles {
         .mkString("WITH p AS (\n", "\nUNION ALL\n", ")\n") +
       "SELECT * FROM p ORDER BY col_name"),
 
+    // CUPED mirror: same cents-grid moment sums, same pinned-order
+    // double expressions over their casts
+    "q_cuped" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN
+        |      CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN
+        |      CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sx2, sum(y * y)::BIGINT AS sy2
+        |  FROM per),
+        |c AS (
+        |  SELECT n,
+        |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov_n2,
+        |    n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE AS varx_n2,
+        |    n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vary_n2
+        |  FROM m),
+        |t AS (
+        |  SELECT n,
+        |    CASE WHEN varx_n2 > 0.0 THEN cov_n2 / varx_n2 ELSE 0.0 END
+        |      AS theta,
+        |    cov_n2, varx_n2, vary_n2 FROM c)
+        |SELECT n, theta, vary_n2 AS vary_scaled,
+        |  vary_n2 + theta * theta * varx_n2 - 2.0 * theta * cov_n2
+        |    AS varyadj_scaled,
+        |  CASE WHEN vary_n2 > 0.0
+        |    THEN 1.0 - (vary_n2 + theta * theta * varx_n2
+        |      - 2.0 * theta * cov_n2) / vary_n2
+        |    ELSE 0.0 END AS var_reduction
+        |FROM t""".stripMargin,
+
     // Poisson-bootstrap mirror: identical md5 uniforms and literal
     // Poisson(1) inverse-CDF cutoffs, exact integer weight/value sums
     "q_bootstrap" ->

@@ -541,6 +541,13 @@ object Queries {
           Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
         .orderBy(col("col_name"))),
 
+    // CUPED variance reduction: pre-period covariate vs experiment metric
+    // per user, exact cents-grid moment sums, pinned-order IEEE derived
+    // values — the A/B sensitivity lever next to q_ab_test
+    "q_cuped" -> ((s, dir) =>
+      Analytics.cupedReport(t(s, dir, "events"),
+        lit("2024-01-15").cast("timestamp"))),
+
     // Poisson bootstrap (one pass, no resampled copies): 16 deterministic
     // replicates of mean order value on the cents grid — md5 uniforms,
     // literal inverse-CDF cutoffs, one published division per replicate

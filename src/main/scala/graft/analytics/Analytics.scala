@@ -1144,6 +1144,56 @@ object Analytics {
       col("n_touches"), col("position"), col("credit_u"), col("credit_decay"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments by Utilizing
+    * Pre-Experiment Data" — the standard variance-reduction step in
+    * large-scale experimentation): per-user pre-period covariate
+    * X = Σ value before `cutoff` adjusts the experiment metric
+    * Y = Σ value after, via Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X).
+    * Var(Y') = Var(Y)(1 − ρ²), so a sticky per-user covariate shrinks
+    * the A/B test's required sample.
+    *
+    * Portability/scale shape: one scan splits pre/post sums per user on
+    * the cents grid (exact longs), one user-keyed aggregation; the five
+    * moment sums are EXACT integers and every published double (theta,
+    * variances, reduction) is a short pinned-order IEEE expression over
+    * their casts — cross-moment products are computed in double space
+    * because n·Σy² overflows long at population scale. Zero pre-period
+    * variance (no covariate signal) publishes θ = 0 ⇒ reduction 0. */
+  def cupedReport(events: DataFrame, cutoff: Column,
+      valueCol: Column = col("value")): DataFrame = {
+    val cents = floor(valueCol * 100 + 0.5).cast("long")
+    val per = events
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < cutoff, cents).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cutoff, cents).otherwise(0L)).as("y"))
+    val m = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
+    val nD = col("n").cast("double")
+    def cm(sab: Column, sa: Column, sb: Column): Column =
+      nD * sab.cast("double") - sa.cast("double") * sb.cast("double")
+    m.select(col("n"),
+        cm(col("sxy"), col("sx"), col("sy")).as("cov_n2"),
+        cm(col("sx2"), col("sx"), col("sx")).as("varx_n2"),
+        cm(col("sy2"), col("sy"), col("sy")).as("vary_n2"))
+      .select(col("n"),
+        when(col("varx_n2") > 0.0, col("cov_n2") / col("varx_n2"))
+          .otherwise(lit(0.0)).as("theta"),
+        col("cov_n2"), col("varx_n2"), col("vary_n2"))
+      // Var(Y−θX) = VarY + θ²VarX − 2θCov, all on the shared n² scale
+      .select(col("n"), col("theta"),
+        col("vary_n2").as("vary_scaled"),
+        (col("vary_n2") + col("theta") * col("theta") * col("varx_n2")
+          - lit(2.0) * col("theta") * col("cov_n2")).as("varyadj_scaled"))
+      .select(col("n"), col("theta"), col("vary_scaled"),
+        col("varyadj_scaled"),
+        when(col("vary_scaled") > 0.0,
+          lit(1.0) - col("varyadj_scaled") / col("vary_scaled"))
+          .otherwise(lit(0.0)).as("var_reduction"))
+  }
+
   /** Poisson(1) inverse-CDF cutoffs as decimal LITERALS (both engines
     * compare against the same constants — no runtime exp() whose last
     * ulp could differ): P(X ≤ k) for k = 0..6; u above the last cutoff

@@ -102,6 +102,26 @@ class AnalyticsSpec extends SparkTestBase {
     assert(small.values.map(_.size).toSet === Set(10))
   }
 
+  test("cuped: perfect covariate removes all variance; flat covariate removes none") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val pre = Timestamp.valueOf("2024-01-10 00:00:00")
+    val post = Timestamp.valueOf("2024-01-20 00:00:00")
+    val cut = lit("2024-01-15").cast("timestamp")
+    // each user's post metric EQUALS the pre covariate -> theta=1, Y' constant
+    val perfect = (1L to 50L).flatMap(u => Seq(
+      (u, pre, u * 2.0), (u, post, u * 2.0))).toDF("user_id", "ts", "value")
+    val p = Analytics.cupedReport(perfect, cut)
+      .select($"theta", $"var_reduction").as[(Double, Double)].collect().head
+    assert(p._1 === 1.0 && p._2 === 1.0)
+    // constant covariate: no signal -> theta 0, reduction 0
+    val flat = (1L to 50L).flatMap(u => Seq(
+      (u, pre, 5.0), (u, post, u * 3.0))).toDF("user_id", "ts", "value")
+    val f = Analytics.cupedReport(flat, cut)
+      .select($"theta", $"var_reduction").as[(Double, Double)].collect().head
+    assert(f._1 === 0.0 && f._2 === 0.0)
+  }
+
   test("poisson bootstrap: constant data gives zero SE; replicates resample properly") {
     import spark.implicits._
     val const = (1L to 400L).map(i => (i, 500L)).toDF("k", "v")
