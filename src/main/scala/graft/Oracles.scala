@@ -1341,6 +1341,48 @@ object Oracles {
         .mkString("WITH p AS (\n", "\nUNION ALL\n", ")\n") +
       "SELECT * FROM p ORDER BY col_name"),
 
+    // SRM mirror: same 16-bit digest split, same literal-unrolled chi2
+    "q_srm" -> {
+      val t1 = graft.llm.Sampling.digestThreshold(0.5)
+      val t2 = graft.llm.Sampling.digestThreshold(0.75)
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |s AS (
+         |  SELECT CASE
+         |    WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 4) < '$t1'
+         |      THEN 'train'
+         |    WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 4) < '$t2'
+         |      THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM u),
+         |c AS (
+         |  SELECT count(*)::BIGINT AS n_total,
+         |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+         |    sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+         |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+         |  FROM s)
+         |SELECT n_total, n_train, n_val, n_test,
+         |  (n_train::DOUBLE - n_total::DOUBLE * 0.5)
+         |    * (n_train::DOUBLE - n_total::DOUBLE * 0.5)
+         |    / (n_total::DOUBLE * 0.5)
+         |  + (n_val::DOUBLE - n_total::DOUBLE * 0.25)
+         |    * (n_val::DOUBLE - n_total::DOUBLE * 0.25)
+         |    / (n_total::DOUBLE * 0.25)
+         |  + (n_test::DOUBLE - n_total::DOUBLE * 0.25)
+         |    * (n_test::DOUBLE - n_total::DOUBLE * 0.25)
+         |    / (n_total::DOUBLE * 0.25) AS chi2,
+         |  ((n_train::DOUBLE - n_total::DOUBLE * 0.5)
+         |    * (n_train::DOUBLE - n_total::DOUBLE * 0.5)
+         |    / (n_total::DOUBLE * 0.5)
+         |  + (n_val::DOUBLE - n_total::DOUBLE * 0.25)
+         |    * (n_val::DOUBLE - n_total::DOUBLE * 0.25)
+         |    / (n_total::DOUBLE * 0.25)
+         |  + (n_test::DOUBLE - n_total::DOUBLE * 0.25)
+         |    * (n_test::DOUBLE - n_total::DOUBLE * 0.25)
+         |    / (n_total::DOUBLE * 0.25)) > 5.991464547107979
+         |    AS srm_detected
+         |FROM c""".stripMargin
+    },
+
     // CUPED mirror: same cents-grid moment sums, same pinned-order
     // double expressions over their casts
     "q_cuped" ->

@@ -541,6 +541,17 @@ object Queries {
           Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
         .orderBy(col("col_name"))),
 
+    // SRM gate: chi-square of hash-split arm counts vs the configured
+    // 50/25/25 allocation — literal-unrolled pinned-order terms
+    "q_srm" -> ((s, dir) =>
+      Analytics.srmCheck(
+        llm.Sampling.assignSplit(
+          t(s, dir, "events").select(col("user_id")).distinct(),
+          col("user_id"), 0.5, 0.25),
+        col("split"),
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25),
+        critValue = 5.991464547107979)),
+
     // CUPED variance reduction: pre-period covariate vs experiment metric
     // per user, exact cents-grid moment sums, pinned-order IEEE derived
     // values — the A/B sensitivity lever next to q_ab_test

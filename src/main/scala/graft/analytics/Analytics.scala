@@ -1144,6 +1144,38 @@ object Analytics {
       col("n_touches"), col("position"), col("credit_u"), col("credit_decay"))
   }
 
+  /** Sample-ratio-mismatch check — the experimentation gate that runs
+    * BEFORE any metric is read: a chi-square goodness-of-fit of observed
+    * arm counts against the configured allocation. A failed SRM means
+    * the assignment or logging pipeline is biased and every downstream
+    * metric is garbage (the standard trust check next to [[abTest]]).
+    *
+    * Portability/scale shape: all arm counts fuse into ONE conditional
+    * aggregate over one scan; χ² is a LITERAL-unrolled pinned-order sum
+    * of the per-arm ((n−e)²/e) terms (no float aggregation order to
+    * trust — `expected` is bounded config). `critValue` is the caller's
+    * χ²(dof = arms−1) critical value, passed as a literal. */
+  def srmCheck(df: DataFrame, armCol: Column,
+      expected: Seq[(String, Double)], critValue: Double): DataFrame = {
+    require(expected.nonEmpty, "no arms")
+    require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      "allocation must sum to 1")
+    val counts = df.agg(
+      count(lit(1)).as("n_total"),
+      expected.map { case (arm, _) =>
+        sum(when(armCol === arm, 1L).otherwise(0L)).as(s"n_$arm") }: _*)
+    val nD = col("n_total").cast("double")
+    val chi2 = expected.map { case (arm, frac) =>
+      val e = nD * lit(frac)
+      val d = col(s"n_$arm").cast("double") - e
+      d * d / e
+    }.reduce(_ + _)
+    counts.select(
+      (col("n_total") +: expected.map { case (a, _) => col(s"n_$a") }): _*)
+      .withColumn("chi2", chi2)
+      .withColumn("srm_detected", col("chi2") > lit(critValue))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013, "Improving the
     * Sensitivity of Online Controlled Experiments by Utilizing
     * Pre-Experiment Data" — the standard variance-reduction step in

@@ -102,6 +102,20 @@ class AnalyticsSpec extends SparkTestBase {
     assert(small.values.map(_.size).toSet === Set(10))
   }
 
+  test("srm: biased allocation flagged, near-even split passes") {
+    import spark.implicits._
+    val crit = 3.841458820694124 // chi2(1), alpha=0.05
+    def run(aCount: Int) = Analytics.srmCheck(
+        (1 to 1000).map(i => if (i <= aCount) "a" else "b").toDF("arm"),
+        col("arm"), Seq("a" -> 0.5, "b" -> 0.5), crit)
+      .select($"n_total", $"n_a", $"n_b", $"chi2", $"srm_detected")
+      .as[(Long, Long, Long, Double, Boolean)].collect().head
+    val bad = run(700) // chi2 = 2 * 200^2/500 = 160
+    assert(bad === ((1000L, 700L, 300L, 160.0, true)))
+    val ok = run(498)  // chi2 = 2 * 2^2/500 = 0.016
+    assert(!ok._5 && ok._4 < 0.02)
+  }
+
   test("cuped: perfect covariate removes all variance; flat covariate removes none") {
     import spark.implicits._
     import java.sql.Timestamp
