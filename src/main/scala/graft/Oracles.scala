@@ -1341,6 +1341,36 @@ object Oracles {
         .mkString("WITH p AS (\n", "\nUNION ALL\n", ")\n") +
       "SELECT * FROM p ORDER BY col_name"),
 
+    // ratio-metric mirror: same exact moment sums, same pinned
+    // delta-method expression
+    "q_ratio_metric" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sx2, sum(y * y)::BIGINT AS sy2
+        |  FROM per),
+        |c AS (
+        |  SELECT n, sx::DOUBLE / sy::DOUBLE AS ratio,
+        |    (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (n::DOUBLE * (n::DOUBLE - 1.0)) AS cov,
+        |    (n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |      / (n::DOUBLE * (n::DOUBLE - 1.0)) AS varx,
+        |    (n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+        |      / (n::DOUBLE * (n::DOUBLE - 1.0)) AS vary,
+        |    sy::DOUBLE / n::DOUBLE AS my
+        |  FROM m)
+        |SELECT n, ratio,
+        |  CASE WHEN n > 1 AND my <> 0.0 THEN
+        |    sqrt((varx + ratio * ratio * vary - 2.0 * ratio * cov)
+        |      / (n::DOUBLE * (my * my)))
+        |  ELSE NULL END AS se
+        |FROM c""".stripMargin,
+
     // SRM mirror: same 16-bit digest split, same literal-unrolled chi2
     "q_srm" -> {
       val t1 = graft.llm.Sampling.digestThreshold(0.5)

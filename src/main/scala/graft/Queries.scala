@@ -541,6 +541,13 @@ object Queries {
           Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
         .orderBy(col("col_name"))),
 
+    // delta-method SE for the user-level click/view ratio: naive row
+    // binomial variance is wrong under within-user correlation
+    "q_ratio_metric" -> ((s, dir) =>
+      Analytics.ratioMetricCi(t(s, dir, "events"), col("user_id"),
+        when(col("event_type") === "click", 1L).otherwise(0L),
+        when(col("event_type") === "view", 1L).otherwise(0L))),
+
     // SRM gate: chi-square of hash-split arm counts vs the configured
     // 50/25/25 allocation — literal-unrolled pinned-order terms
     "q_srm" -> ((s, dir) =>

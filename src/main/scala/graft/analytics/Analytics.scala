@@ -1144,6 +1144,43 @@ object Analytics {
       col("n_touches"), col("position"), col("credit_u"), col("credit_decay"))
   }
 
+  /** Delta-method standard error for a RATIO metric (CTR, revenue per
+    * session, tokens per doc): R = Σx/Σy over per-unit sums, where the
+    * naive row-level binomial SE is wrong because x and y are correlated
+    * within a unit (the Deng et al. 2017 "ratio metrics" correction —
+    * the standard companion to [[abTest]]/[[cupedReport]]).
+    *
+    * Var(R) ≈ (σx² + R²σy² − 2Rσxy) / (n·ȳ²), published as
+    * `se = sqrt(...)` from EXACT per-unit integer moment sums folded in
+    * one (unit) aggregation + one global aggregation; every derived
+    * double is a pinned-order IEEE expression over the sums' casts
+    * (cross-moments in double space, the [[cupedReport]] overflow
+    * rationale). Degenerate inputs (n < 2 or Σy = 0) publish NULL se. */
+  def ratioMetricCi(df: DataFrame, unit: Column, numCol: Column,
+      denCol: Column): DataFrame = {
+    val per = df.groupBy(unit.as("u"))
+      .agg(sum(numCol.cast("long")).as("x"), sum(denCol.cast("long")).as("y"))
+    val m = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
+    val nD = col("n").cast("double")
+    def cm(sab: Column, sa: Column, sb: Column): Column =
+      (nD * sab.cast("double") - sa.cast("double") * sb.cast("double")) /
+        (nD * (nD - lit(1.0)))
+    m.select(col("n"),
+        (col("sx").cast("double") / col("sy").cast("double")).as("ratio"),
+        cm(col("sxy"), col("sx"), col("sy")).as("cov"),
+        cm(col("sx2"), col("sx"), col("sx")).as("varx"),
+        cm(col("sy2"), col("sy"), col("sy")).as("vary"),
+        (col("sy").cast("double") / nD).as("my"))
+      .select(col("n"), col("ratio"),
+        when(col("n") > 1 && col("my") =!= 0.0,
+          sqrt((col("varx") + col("ratio") * col("ratio") * col("vary")
+              - lit(2.0) * col("ratio") * col("cov"))
+            / (col("n").cast("double") * (col("my") * col("my")))))
+          .otherwise(lit(null).cast("double")).as("se"))
+  }
+
   /** Sample-ratio-mismatch check — the experimentation gate that runs
     * BEFORE any metric is read: a chi-square goodness-of-fit of observed
     * arm counts against the configured allocation. A failed SRM means

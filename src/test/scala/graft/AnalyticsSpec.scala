@@ -102,6 +102,25 @@ class AnalyticsSpec extends SparkTestBase {
     assert(small.values.map(_.size).toSet === Set(10))
   }
 
+  test("ratio metric: identical units give zero SE; heterogeneity gives positive SE") {
+    import spark.implicits._
+    // every user identical (2 clicks / 10 views) -> varx = vary = cov = 0
+    val same = (1L to 30L).flatMap(u =>
+      Seq.fill(2)((u, 1L, 0L)) ++ Seq.fill(10)((u, 0L, 1L)))
+      .toDF("u", "clk", "vw")
+    val s0 = Analytics.ratioMetricCi(same, col("u"), col("clk"), col("vw"))
+      .select($"n", $"ratio", $"se").as[(Long, Double, Option[Double])]
+      .collect().head
+    assert(s0 === ((30L, 0.2, Some(0.0))))
+    // heterogeneous users -> positive finite SE
+    val mixed = (1L to 30L).flatMap(u =>
+      Seq.fill((u % 5 + 1).toInt)((u, 1L, 0L)) ++ Seq.fill(10)((u, 0L, 1L)))
+      .toDF("u", "clk", "vw")
+    val s1 = Analytics.ratioMetricCi(mixed, col("u"), col("clk"), col("vw"))
+      .select($"se").as[Option[Double]].collect().head.get
+    assert(s1 > 0.0 && s1 < 1.0)
+  }
+
   test("srm: biased allocation flagged, near-even split passes") {
     import spark.implicits._
     val crit = 3.841458820694124 // chi2(1), alpha=0.05
