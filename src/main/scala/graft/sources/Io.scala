@@ -128,6 +128,29 @@ object Io {
     * atomic directory swap, so publish-by-rename (or catalog pointer flip)
     * stays the caller's transaction — compacting in place would lose data
     * on any mid-job failure. Returns the file count written. */
+  /** Raw media ingestion: a directory tree of opaque files as
+    * (path, modificationTime, length, content binary) rows — Spark's
+    * `binaryFile` source, the batch entry point of the multimodal
+    * pipeline ([[graft.llm.Multimodal]] consumes the `content` column).
+    * `pathGlobFilter` prunes at LISTING time (e.g. `*.jpg` never reads
+    * non-matches); `maxBytesPerFile` guards the task heap — binaryFile
+    * materializes a whole file per row, so a stray multi-GB object would
+    * OOM an executor without the cap. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      glob: String = "*", maxFileBytes: Long = 512L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .filter(col("length") <= maxFileBytes)
+
+  /** Raw text-dump ingestion: one row per LINE (`wholetext=false`) or per
+    * FILE (`wholetext=true`, each file one document — the crawl-dump
+    * shape the LLM text pipeline starts from; pair with
+    * `input_file_name()` for provenance). */
+  def readText(spark: SparkSession, path: String,
+      wholetext: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholetext.toString).text(path)
+
   def compactParquet(spark: SparkSession, src: String, dst: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")

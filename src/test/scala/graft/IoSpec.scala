@@ -169,4 +169,35 @@ class IoSpec extends SparkTestBase {
     assert(after.filter($"source" =!= "src1")
       .filter($"text".endsWith(" v2")).count() === 0)
   }
+
+  test("binaryFile ingestion: glob prunes, content round-trips, size cap holds") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("binio").toString
+    val payload = Array.tabulate[Byte](257)(i => (i % 251).toByte)
+    Files.write(Paths.get(dir, "a.jpg"), payload)
+    Files.write(Paths.get(dir, "b.jpg"), Array.fill[Byte](64)(7))
+    Files.write(Paths.get(dir, "skip.txt"), Array.fill[Byte](8)(1))
+    val got = graft.sources.Io.readBinaryFiles(spark, dir, glob = "*.jpg")
+      .select($"path", $"length", $"content")
+      .as[(String, Long, Array[Byte])].collect()
+      .map(r => r._1.split('/').last -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set("a.jpg", "b.jpg"))
+    assert(got("a.jpg")._1 === 257L && got("a.jpg")._2.toSeq === payload.toSeq)
+    // cap: the big file filters out
+    assert(graft.sources.Io.readBinaryFiles(spark, dir, glob = "*.jpg",
+      maxFileBytes = 100L).count() === 1)
+  }
+
+  test("text ingestion: per-line and whole-file document shapes") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("textio").toString
+    Files.write(Paths.get(dir, "d1.txt"), "line one\nline two\n".getBytes)
+    Files.write(Paths.get(dir, "d2.txt"), "solo doc\n".getBytes)
+    assert(graft.sources.Io.readText(spark, dir).count() === 3)
+    val whole = graft.sources.Io.readText(spark, dir, wholetext = true)
+      .select(input_file_name(), $"value").as[(String, String)].collect()
+      .map(r => r._1.split('/').last -> r._2).toMap
+    assert(whole("d1.txt") === "line one\nline two\n")
+    assert(whole("d2.txt") === "solo doc\n")
+  }
 }
