@@ -2939,6 +2939,14 @@ object Oracles {
         |FROM g WHERE doc_id >= 250 GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin),
 
+    // single-build duplication histogram — the merged-shard build must
+    // reproduce it exactly (mergeability IS the check)
+    "q_window_df_hist" -> dedupSpansSql(
+      """dfh AS (SELECT count(DISTINCT doc_id) AS ndocs FROM p GROUP BY win)
+        |SELECT ndocs::BIGINT AS ndocs, count(*) AS n_windows
+        |FROM dfh GROUP BY ndocs ORDER BY ndocs""".stripMargin,
+      extraCte = true),
+
     // exact integer token sums per source; the published share is one
     // IEEE division on both engines
     "q_span_dup_rate" -> dedupSpansSql(

@@ -1017,6 +1017,20 @@ object Queries {
           windowTokens = 20)
         .orderBy(col("doc_id"), col("span_start"))
     }),
+    // window-df shard-merge proof + duplication histogram: the merged
+    // halves must reproduce the single-build distribution exactly
+    // (window hashes are engine-local; the histogram is the portable
+    // fingerprint)
+    "q_window_df_hist" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Dedup.windowDfHistogram(
+          llm.Dedup.windowDfMerge(
+            llm.Dedup.windowDf(docs.filter(col("doc_id") < 250),
+              windowTokens = 20),
+            llm.Dedup.windowDf(docs.filter(col("doc_id") >= 250),
+              windowTokens = 20)))
+        .orderBy(col("ndocs"))
+    }),
     // per-source token-duplication share: the go/no-go gauge for span
     // removal, exact integer token sums + one published division
     "q_span_dup_rate" -> ((s, dir) =>

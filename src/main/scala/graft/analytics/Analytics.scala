@@ -1286,18 +1286,22 @@ object Analytics {
   def bootstrapReplicates(df: DataFrame, key: Column, valueCol: Column,
       b: Int = 32): DataFrame = {
     require(b > 0, s"replicates must be positive: $b")
-    def w(i: Int): Column = {
-      val u = graft.expr.Md5Prefix(
+    def u(i: Int): Column =
+      graft.expr.Md5Prefix(
         concat(key.cast("string"), lit(s":rep$i")), 14).cast("double") /
         lit(math.pow(2, 56))
-      PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.size): Column) {
-        case ((cut, k), rest) => when(u < cut, lit(k)).otherwise(rest)
+    // the uniform materializes ONCE per (row, rep) via the explode
+    // projection; the cutoff ladder then reads the plain column (an
+    // inline ladder would re-evaluate the md5 in every branch —
+    // measured 3× the row's cost)
+    val w = PoissonCdf.zipWithIndex
+      .foldRight(lit(PoissonCdf.size): Column) {
+        case ((cut, k), rest) => when(col("r.u") < cut, lit(k)).otherwise(rest)
       }.cast("long")
-    }
     df.select(valueCol.cast("long").as("v"),
         explode(array((0 until b).map(i =>
-          struct(lit(i).as("rep"), w(i).as("w"))): _*)).as("r"))
-      .select(col("r.rep").as("rep"), col("r.w").as("w"), col("v"))
+          struct(lit(i).as("rep"), u(i).as("u"))): _*)).as("r"))
+      .select(col("r.rep").as("rep"), w.as("w"), col("v"))
       .groupBy(col("rep"))
       .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("s"))
       .select(col("rep"), col("n_eff"),

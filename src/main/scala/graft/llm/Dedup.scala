@@ -835,6 +835,22 @@ object Dedup {
       .groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("ndocs"))
 
+  /** Merge two [[windowDf]] artifacts built over DISJOINT doc sets:
+    * distinct-doc counts add bucket-wise (outer union), bit-identical to
+    * building over the union corpus — the shard-merge path an ingestion
+    * pipeline uses to maintain the artifact without rescanning old
+    * shards (the [[graft.llm.Search.indexMerge]] pattern). */
+  def windowDfMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("h")).agg(sum(col("ndocs")).as("ndocs"))
+
+  /** Window-duplication histogram off a [[windowDf]]: (ndocs,
+    * n_windows) — how many windows occur in exactly k documents. The
+    * portable fingerprint of the artifact (window hashes themselves are
+    * engine-local), and the corpus-level duplication gauge: mass at
+    * ndocs ≥ 2 is what span dedup will remove. */
+  def windowDfHistogram(df: DataFrame): DataFrame =
+    df.groupBy(col("ndocs")).agg(count(lit(1)).as("n_windows"))
+
   /** Incremental ExactSubstr: duplicated spans for a NEW batch against a
     * persisted corpus [[windowDf]] — the steady-state form of
     * [[duplicatedSpans]]. Batch window doc-counts merge with the corpus
