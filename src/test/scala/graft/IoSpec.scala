@@ -188,6 +188,29 @@ class IoSpec extends SparkTestBase {
       maxFileBytes = 100L).count() === 1)
   }
 
+  test("artifacts: bench mode builds once then probes files; values identical") {
+    val dir = java.nio.file.Files.createTempDirectory("artifacts").toString
+    var builds = 0
+    def build() = { builds += 1
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v") }
+    // no root configured: every call builds inline (the verify-gate mode)
+    graft.sources.Artifacts.table(spark, "t1")(build()).count()
+    graft.sources.Artifacts.table(spark, "t1")(build()).count()
+    assert(builds === 2)
+    sys.props("graft.artifact.dir") = dir
+    try {
+      val first = graft.sources.Artifacts.table(spark, "t1")(build())
+      assert(builds === 3)
+      // second call must read the files back WITHOUT invoking the builder
+      val second = graft.sources.Artifacts.table(spark, "t1")(build())
+      assert(builds === 3)
+      assert(second.orderBy($"id").as[(Long, String)].collect().toSeq ===
+        first.orderBy($"id").as[(Long, String)].collect().toSeq)
+      assert(second.queryExecution.executedPlan.toString.contains("FileScan"),
+        "probe must start at a file scan")
+    } finally sys.props.remove("graft.artifact.dir")
+  }
+
   test("text ingestion: per-line and whole-file document shapes") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("textio").toString
