@@ -1322,7 +1322,8 @@ object Queries {
       val emb = tWide(s, dir, "embeddings")
       val centers = sources.Artifacts.table(s, "ivf_centers")(
         llm.Similarity.ivfCenters(emb, nCells = 4))
-      val index = sources.Artifacts.table(s, "ivf_index")(
+      val index = sources.Artifacts.table(s, "ivf_index",
+        partitionBy = Seq("cell"))(
         llm.Similarity.ivfAssignments(emb, centers))
       llm.Similarity.ivfKnnFromIndex(index, centers,
         col("vec_id") < 10, k = 5, nprobe = 4)

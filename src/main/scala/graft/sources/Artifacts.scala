@@ -38,14 +38,22 @@ object Artifacts {
 
   /** Build-once-read-many (see object doc). `name` keys the artifact
     * within one bench run; rows sharing a name MUST build identical
-    * frames (that sharing is the point — one build, many probes). */
-  def table(spark: SparkSession, name: String)(build: => DataFrame): DataFrame =
+    * frames (that sharing is the point — one build, many probes).
+    * `partitionBy` lays the artifact out hive-partitioned on its probe
+    * key (e.g. the IVF index by cell), so a keyed probe prunes to its
+    * partitions' files — static pruning for literal keys, dynamic
+    * partition pruning under a selective join at cluster scale. */
+  def table(spark: SparkSession, name: String,
+      partitionBy: Seq[String] = Nil)(build: => DataFrame): DataFrame =
     root match {
       case None => build.localCheckpoint(eager = false)
       case Some(r) =>
         val path = s"$r/$name"
-        if (!new File(path, "_SUCCESS").exists())
-          build.write.mode("overwrite").parquet(path)
+        if (!new File(path, "_SUCCESS").exists()) {
+          val w = build.write.mode("overwrite")
+          (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+            .parquet(path)
+        }
         spark.read.parquet(path)
     }
 

@@ -542,14 +542,24 @@ class PlanSpec extends SparkTestBase {
       .write.mode("overwrite").parquet(s"$dir/centers")
     val centers = spark.read.parquet(s"$dir/centers")
     graft.llm.Similarity.ivfAssignments(emb, centers)
-      .write.mode("overwrite").parquet(s"$dir/index")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
     val index = spark.read.parquet(s"$dir/index")
+    // cell-partitioned layout: a literal cell probe prunes to that
+    // partition's files (the nprobe-cells-only read at cluster scale)
+    val pruned = formatted(index.filter(col("cell") === 2))
+    assert(pruned.contains("PartitionFilters") &&
+      """PartitionFilters: \[[^\]]*cell""".r.findFirstIn(pruned).isDefined,
+      pruned)
     val plan = formatted(graft.llm.Similarity.ivfKnnFromIndex(
       index, centers, col("vec_id") < 10, k = 5, nprobe = 4))
-    // the probe reads the index files on both sides of the cell join —
-    // the embeddings TABLE and the Lloyd/assignment lineage are gone
-    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size === 2, plan)
+    // the probe reads the index files on both sides of the cell join
+    // plus the dynamic-pruning subquery scan — the embeddings TABLE and
+    // the Lloyd/assignment lineage are gone
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size === 3, plan)
     assert(!plan.contains("embeddings.parquet"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // DYNAMIC partition pruning on the corpus side: at cluster scale the
+    // probe physically reads only its nprobe cells' partition files
+    assert(plan.contains("dynamicpruningexpression"), plan)
   }
 }
