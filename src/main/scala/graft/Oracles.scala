@@ -2306,6 +2306,15 @@ object Oracles {
         |    / 4096) AS BIGINT) AS shard
         |FROM tk ORDER BY doc_id""".stripMargin,
 
+    // epoch-shuffle mirror: the two-phase distributed rank must equal
+    // the single global row_number over the same (md5, key) order
+    "q_epoch_shuffle" ->
+      """SELECT doc_id AS shuffle_key,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':e1'), doc_id) - 1
+        |    AS BIGINT) AS shuffle_pos
+        |FROM documents ORDER BY shuffle_key""".stripMargin,
+
     // fill report mirror: the same exclusive-cumsum shard assignment,
     // aggregated; the share is one IEEE division over exact integer sums
     "q_pack_efficiency" ->

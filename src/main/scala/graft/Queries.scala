@@ -716,6 +716,12 @@ object Queries {
           col("doc_id"), llm.TextAnalysis.tokenCount(col("text")), budget = 4096L)
         .withColumnRenamed("pack_key", "doc_id")
         .orderBy(col("doc_id"))),
+    // deterministic epoch-1 shuffle: reproducible global permutation via
+    // md5(key:epoch) rank, two-phase prefix (never one global window)
+    "q_epoch_shuffle" -> ((s, dir) =>
+      llm.Packing.epochShuffle(t(s, dir, "documents"), col("doc_id"),
+          epoch = 1)
+        .orderBy(col("shuffle_key"))),
     // per-shard fill report over the same layout: docs never split, so
     // fill wanders around the budget — the loader headroom diagnostic
     "q_pack_efficiency" -> ((s, dir) =>

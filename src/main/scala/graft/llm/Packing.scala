@@ -125,6 +125,46 @@ object Packing {
         col("seq_id"), col("seq_off"))
   }
 
+  /** Deterministic epoch shuffle: a reproducible global permutation of
+    * the corpus per training epoch — `shuffle_pos` = rank of
+    * md5(key:epoch), so epoch e's order is pseudorandom, stable across
+    * reruns, and different from epoch e+1's, with NO mutable shuffle
+    * state (the pretraining-loader contract: any worker can recompute
+    * any epoch's order from the keys alone).
+    *
+    * Scale shape: the same three-phase machinery as the packers —
+    * range-partition by the hash, per-partition exclusive window count,
+    * bounded (pid, total) driver scan — never ONE global window over the
+    * corpus. md5 ties break on the key, so the permutation is total. */
+  def epochShuffle(df: DataFrame, key: Column, epoch: Int,
+      nParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val n = if (nParts > 0) nParts else spark.sparkContext.defaultParallelism
+    val ranged = df
+      .select(key.as("shuffle_key"),
+        md5(concat(key.cast("string"), lit(s":e$epoch"))).as("ord"))
+      .repartitionByRange(n, col("ord"), col("shuffle_key"))
+      .withColumn("pid", spark_partition_id())
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("ord"), col("shuffle_key"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // freeze the range cut before the totals collect (the globalPrefix
+    // re-sample rationale)
+    val intra = ranged
+      .withColumn("intra", coalesce(count(lit(1)).over(w), lit(0L)))
+      .localCheckpoint()
+    val totals = intra.groupBy(col("pid"))
+      .agg(count(lit(1)).as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "off")
+    intra.join(broadcast(offDf), Seq("pid"))
+      .select(col("shuffle_key"),
+        (col("intra") + col("off")).as("shuffle_pos"))
+  }
+
   /** Shard fill-rate report over a [[packByBudget]] layout — the loader
     * diagnostic: docs never split, so a doc STARTING before a shard
     * boundary spills past it and shard token sums wander around the

@@ -102,6 +102,18 @@ class AnalyticsSpec extends SparkTestBase {
     assert(small.values.map(_.size).toSet === Set(10))
   }
 
+  test("epoch shuffle: exact permutation, reproducible per epoch, distinct across epochs") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("id")
+    def order(epoch: Int) = graft.llm.Packing
+      .epochShuffle(df, col("id"), epoch)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    val e1 = order(1)
+    assert(e1.sorted === (0L until 500L), "positions form an exact permutation")
+    assert(order(1) === e1, "same epoch reproduces bit-identically")
+    assert(order(2) !== e1, "different epoch permutes differently")
+  }
+
   test("ratio metric: identical units give zero SE; heterogeneity gives positive SE") {
     import spark.implicits._
     // every user identical (2 clicks / 10 views) -> varx = vary = cov = 0
