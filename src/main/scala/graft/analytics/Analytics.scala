@@ -1191,7 +1191,10 @@ object Analytics {
     * aggregate over one scan; χ² is a LITERAL-unrolled pinned-order sum
     * of the per-arm ((n−e)²/e) terms (no float aggregation order to
     * trust — `expected` is bounded config). `critValue` is the caller's
-    * χ²(dof = arms−1) critical value, passed as a literal. */
+    * χ²(dof = arms−1) critical value, passed as a literal. Rows whose
+    * arm is NOT in `expected` still count toward n_total, so junk
+    * assignments make every configured arm look under-allocated and the
+    * check flags — the conservative reading (junk IS an SRM). */
   def srmCheck(df: DataFrame, armCol: Column,
       expected: Seq[(String, Double)], critValue: Double): DataFrame = {
     require(expected.nonEmpty, "no arms")

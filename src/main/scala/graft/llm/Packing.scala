@@ -135,7 +135,9 @@ object Packing {
     * Scale shape: the same three-phase machinery as the packers —
     * range-partition by the hash, per-partition exclusive window count,
     * bounded (pid, total) driver scan — never ONE global window over the
-    * corpus. md5 ties break on the key, so the permutation is total. */
+    * corpus. md5 ties break on the key, so the permutation is total.
+    * PRECONDITION: `key` must be unique (duplicate keys collide in the
+    * tie-break and their relative order is arbitrary). */
   def epochShuffle(df: DataFrame, key: Column, epoch: Int,
       nParts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
