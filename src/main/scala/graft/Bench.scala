@@ -68,15 +68,20 @@ object Bench {
     val calib = results.filter(_._1 == "q_dedup_exact")
     val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"queries":${jmap(calib ++ slowest)},""" +
-      s""""full_detail":"bench_last.json","sf":"$sfDir"}"""
+      s""""full_detail":"bench_full.json","sf":"$sfDir"}"""
     val fullLine = s"""{"metric":"total","value":${jnum(total)},"unit":"sec",""" +
       s""""queries":${jmap(results)},"sf":"$sfDir"}"""
     val passFields = passes.zipWithIndex
       .map { case (p, i) => s""""pass${i + 1}":${jmap(p)}""" }.mkString(",")
     val detail = fullLine.dropRight(1) + s""","passes":{$passFields}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), detail + "\n")
-    catch { case _: Throwable => () }
+    // bench_last.json is gitignored (per-run scratch); bench_full.json is
+    // the COMMITTED copy the stdout line's full_detail pointer names —
+    // the driver's 2000-char tail capture can't carry the full map.
+    for (p <- Seq(out, "/root/repo/bench_full.json")) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), detail + "\n")
+      catch { case _: Throwable => () }
+    }
     // The metric line is the LAST stdout write, maximizing the odds it lands
     // inside whatever tail window the driver captures.
     println(line)
