@@ -392,6 +392,52 @@ object Oracles {
   private val dotQv = dotSql("qv", "embedding")
   private val dotQq = dotSql("qv", "qv")
   private val dotVv = dotSql("embedding", "embedding")
+  /** MMR mirror: brute top-20 shortlist, then 5 unrolled greedy steps —
+    * per step an anti-join against the picked union, the correlated
+    * max-cosine to the picked set, and the (0.5·ms − 0.5·rel, nid)
+    * argmin (= MMR argmax, Spark's exact key expression). */
+  private lazy val mmrSql: String = {
+    val simCS = s"${dotSql("c.nvec", "s.nvec")} / (c.nn * s.nn)"
+    def selU(t: Int): String =
+      (1 until t).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    val steps = (2 to 5).map { t =>
+      s"""s${t}pre AS (
+         |  SELECT c.qid, c.nid, c.nvec, c.nn, c.rel,
+         |    (SELECT max($simCS) FROM (${selU(t)}) s WHERE s.qid = c.qid)
+         |      AS ms
+         |  FROM cand c ANTI JOIN (${selU(t)}) p
+         |    ON p.qid = c.qid AND p.nid = c.nid),
+         |s$t AS (
+         |  SELECT qid, nid, nvec, nn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY 0.5 * ms - 0.5 * rel, nid) rn FROM s${t}pre)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5)
+      .map(t => s"SELECT qid, $t AS t, nid FROM s$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id < 10),
+       |sc AS (
+       |  SELECT qid, vec_id AS nid, embedding AS nvec, sqrt($dotVv) AS nn,
+       |    $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS rel
+       |  FROM embeddings, q WHERE qid <> vec_id),
+       |cand AS (SELECT * FROM (
+       |  SELECT qid, nid, nvec, nn, rel,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) rnk
+       |  FROM sc) WHERE rnk <= 20),
+       |s1 AS (
+       |  SELECT qid, nid, nvec, nn FROM (
+       |    SELECT c.*, row_number() OVER (PARTITION BY qid
+       |      ORDER BY 0.5 * 0.0 - 0.5 * rel, nid) rn
+       |    FROM cand c) WHERE rn = 1),
+       |$steps
+       |SELECT qid, CAST(t AS BIGINT) AS mmr_rank, nid AS neighbor_id
+       |FROM ($out)
+       |ORDER BY qid, mmr_rank""".stripMargin
+  }
+
   /** Exact brute-force cosine top-k — shared by q_knn_ivf AND
     * q_knn_ivf_indexed (full-probe IVF is exact by construction, inline
     * or served off prebuilt artifacts). */
@@ -2523,6 +2569,8 @@ object Oracles {
          |  FROM scored)
          |SELECT qid, rank, neighbor_id, score FROM ranked
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_mmr_rerank" -> mmrSql,
 
     // identical to q_knn_brute: full-probe IVF is exact by construction
     "q_knn_ivf" -> knnIvfSql,

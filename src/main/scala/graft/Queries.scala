@@ -1321,6 +1321,12 @@ object Queries {
     "q_knn_ivf" -> ((s, dir) =>
       llm.Similarity.ivfKnn(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5, nCells = 4, nprobe = 4)),
+    // MMR diversity re-rank: greedy 0.5·rel − 0.5·max-sim-to-picked over
+    // the brute top-20 shortlist (λ = 1/2 exactly — portable comparisons
+    // with no quantization grid); ids published, scores internal
+    "q_mmr_rerank" -> ((s, dir) =>
+      llm.Similarity.mmrRerank(tWide(s, dir, "embeddings"),
+        col("vec_id") < 10, k = 5, m = 20)),
     // the steady-state serving form: codebook + assignments PREBUILT
     // (artifact-persisted in bench) — zero training or corpus assignment
     // at query time; full probe ⇒ shares q_knn_ivf's exact oracle

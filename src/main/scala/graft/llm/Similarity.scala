@@ -100,6 +100,70 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** MMR diversity re-rank (Carbonell & Goldstein 1998, "The Use of MMR
+    * ..."): greedily pick k of the top-m candidates maximizing
+    * 0.5·relevance − 0.5·max-similarity-to-already-picked — the
+    * redundancy-aware retrieval step (RAG context assembly, dedup-aware
+    * eval panels). λ is FIXED at 0.5: a power of two, so the score is an
+    * exact halving of bit-identical cosines — engine-portable
+    * comparisons without a quantization grid.
+    *
+    * Scale shape: the expensive part is the candidate shortlist (the
+    * [[bruteForceKnn]] broadcast scan — swap in the LSH/IVF stages for a
+    * huge corpus); the greedy fold then runs SCAN-SIDE per query over
+    * the collected m-candidate array (bounded: m × dim doubles per
+    * row), each step a filter + transform + array_sort pick. Steps
+    * materialize as separate projection columns, so step t references
+    * step t−1's COLUMN, not a copy of its expression tree. Ties break
+    * on neighbor id; output (qid, mmr_rank, neighbor_id). */
+  def mmrRerank(emb: DataFrame, queryPred: Column, k: Int = 5, m: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && m >= k, s"need 1 <= k <= m, got k=$k m=$m")
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"))
+    val corpus = emb.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("vnorm"))
+    val scored = corpus.join(broadcast(queries), col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"), col(vecCol).as("nvec"),
+        col("vnorm").as("nn"),
+        (dot(col("qvec"), col(vecCol)) / (col("qnorm") * col("vnorm")))
+          .as("rel"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))
+    val cands = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= m)
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(struct(col("rnk").as("rnk"),
+        col("nid").as("nid"), col("rel").as("rel"), col("nvec").as("vec"),
+        col("nn").as("nn")))).as("cands"))
+    // one greedy pick: among candidates not yet selected, minimize
+    // key = 0.5·maxsim − 0.5·rel (ties on nid) — the NEGATED MMR score
+    def pick(sel: Seq[Column]): Column = {
+      val selIds =
+        if (sel.isEmpty) array().cast("array<bigint>")
+        else array(sel.map(_.getField("nid")): _*)
+      def maxSim(c: Column): Column =
+        if (sel.isEmpty) lit(0.0)
+        else array_max(array(sel.map(s =>
+          dot(c.getField("vec"), s.getField("vec")) /
+            (c.getField("nn") * s.getField("nn"))): _*))
+      val avail = filter(col("cands"),
+        c => !array_contains(selIds, c.getField("nid")))
+      element_at(array_sort(transform(avail, c => struct(
+        (lit(0.5) * maxSim(c) - lit(0.5) * c.getField("rel")).as("key"),
+        c.getField("nid").as("nid"), c.as("c")))), 1).getField("c")
+    }
+    val stepped = (1 to k).foldLeft(cands) { (df, t) =>
+      df.withColumn(s"s$t", pick((1 until t).map(i => col(s"s$i"))))
+    }
+    stepped.select(col("qid"),
+        posexplode(array((1 to k).map(i =>
+          col(s"s$i").getField("nid")): _*)).as(Seq("pos", "neighbor_id")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("mmr_rank"),
+        col("neighbor_id"))
+      .orderBy(col("qid"), col("mmr_rank"))
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("neighbor_id"))

@@ -291,6 +291,22 @@ class SketchJoinSpec extends SparkTestBase {
       "within-batch duplication found")
   }
 
+  test("mmr rerank: redundant near-duplicate demoted below the diverse candidate") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(0.8f, 0.6f)),   // top candidate
+      (2L, Array(0.8f, 0.6f)),   // exact duplicate of 1 — pure top-k keeps it
+      (3L, Array(0.8f, -0.6f)))  // equally relevant, diverse
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceKnn(emb, col("vec_id") === 0L, k = 2)
+      .select($"rank", $"neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(topk.map(_._2) === Seq(1L, 2L), "top-k keeps the duplicate")
+    val mmr = Similarity.mmrRerank(emb, col("vec_id") === 0L, k = 2, m = 3)
+      .select($"mmr_rank", $"neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(mmr === Seq((1L, 1L), (2L, 3L)),
+      "MMR swaps the duplicate for the diverse candidate")
+  }
+
   test("CMS join-size estimate: exact side right, one-sided contract holds") {
     val a = Seq(1L, 1L, 1L, 2L, 3L, 3L, 9L).toDF("k")   // f: 1→3, 2→1, 3→2, 9→1
     val b = Seq(1L, 2L, 2L, 3L, 7L).toDF("k")           // f: 1→1, 2→2, 3→1, 7→1
