@@ -187,6 +187,45 @@ class CurationPropertySpec extends SparkTestBase {
     }
   }
 
+  test("cms join-size: one-sided on random key sets, exact side matches brute force") {
+    val rng = new scala.util.Random(37)
+    for (trial <- 1 to 3) {
+      val a = Seq.fill(120)(rng.nextInt(25).toLong).toDF("k")
+      val b = Seq.fill(90)(rng.nextInt(25).toLong).toDF("k")
+      val got = Sketch.cmsJoinSize(a, col("k"), b, col("k"))
+        .as[(Long, Long, Boolean)].collect().head
+      val brute = a.as("x").join(b.as("y"), col("x.k") === col("y.k")).count()
+      assert(got._2 === brute, s"trial $trial exact side")
+      assert(got._3 && got._1 >= got._2, s"trial $trial one-sided")
+    }
+  }
+
+  test("mmr: first pick is top-1; selection is a k-subset of the shortlist, no repeats") {
+    val rng = new scala.util.Random(41)
+    for (trial <- 1 to 2) {
+      val emb = (0L until 60L).map(i =>
+        (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+      val top = graft.llm.Similarity
+        .bruteForceKnn(emb, col("vec_id") < 3, k = 12)
+        .select($"qid", $"rank", $"neighbor_id")
+        .as[(Long, Int, Long)].collect()
+      val mmr = graft.llm.Similarity
+        .mmrRerank(emb, col("vec_id") < 3, k = 4, m = 12)
+        .select($"qid", $"mmr_rank", $"neighbor_id")
+        .as[(Long, Long, Long)].collect()
+      for (q <- 0L until 3L) {
+        val shortlist = top.filter(_._1 == q).map(_._3).toSet
+        val picked = mmr.filter(_._1 == q).sortBy(_._2).map(_._3)
+        assert(picked.length === 4 && picked.distinct.length === 4,
+          s"trial $trial q$q no repeats")
+        assert(picked.toSet.subsetOf(shortlist), s"trial $trial q$q subset")
+        assert(picked.head === top.filter(t => t._1 == q && t._2 == 1).head._3,
+          s"trial $trial q$q first pick = top-1")
+      }
+    }
+  }
+
   test("spans: coverage-union reference reproduced on random corpora; removal consistent") {
     val rng = new scala.util.Random(29)
     for (trial <- 1 to 3) {
