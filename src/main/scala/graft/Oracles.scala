@@ -2572,6 +2572,47 @@ object Oracles {
 
     "q_mmr_rerank" -> mmrSql,
 
+    // more-like-this mirror: same idf form as q_tfidf, micro-floored
+    // per-term products before exact integer sums, same rails
+    "q_more_like_this" ->
+      """WITH w0 AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |ww AS (SELECT * FROM w0 WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM ww GROUP BY 1, 2),
+        |dfr AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |  HAVING count(*) BETWEEN 2 AND 1000),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |wgt AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf::DOUBLE * (ln((n.n_docs + 1.0) / (dfr.df + 1.0)) + 1.0)
+        |      AS w
+        |  FROM tf JOIN dfr USING (term), n),
+        |w2 AS (
+        |  SELECT doc_id, term, w,
+        |    CAST(floor(w * w * 1e6) AS BIGINT) AS w2m
+        |  FROM wgt),
+        |norms AS (
+        |  SELECT doc_id, sum(w2m)::BIGINT AS n2 FROM w2 GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS qid, b.doc_id AS nid,
+        |    sum(CAST(floor(a.w * b.w * 1e6) AS BIGINT))::BIGINT AS smicro
+        |  FROM w2 a JOIN w2 b
+        |    ON a.term = b.term AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id < 10 GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT qid, nid,
+        |    smicro::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))
+        |      AS sim
+        |  FROM p JOIN norms na ON na.doc_id = qid
+        |    JOIN norms nb ON nb.doc_id = nid)
+        |SELECT qid, rank, nid AS neighbor_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim DESC, nid) AS rank FROM sc)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
     // identical to q_knn_brute: full-probe IVF is exact by construction
     "q_knn_ivf" -> knnIvfSql,
     // prebuilt-artifact serving form: bit-identical to the inline IVF

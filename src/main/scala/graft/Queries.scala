@@ -1321,6 +1321,12 @@ object Queries {
     "q_knn_ivf" -> ((s, dir) =>
       llm.Similarity.ivfKnn(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5, nCells = 4, nprobe = 4)),
+    // lexical more-like-this: doc-to-doc TF-IDF cosine top-5 over railed
+    // postings — micro-floored per-term products, exact integer sums,
+    // one pinned division per published similarity
+    "q_more_like_this" -> ((s, dir) =>
+      llm.Search.moreLikeThis(tWide(s, dir, "documents"),
+        col("doc_id") < 10, k = 5)),
     // MMR diversity re-rank: greedy 0.5·rel − 0.5·max-sim-to-picked over
     // the brute top-20 shortlist (λ = 1/2 exactly — portable comparisons
     // with no quantization grid); ids published, scores internal

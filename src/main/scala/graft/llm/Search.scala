@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -464,5 +464,61 @@ object Search {
     w.withColumn("rank", row_number().over(rk))
       .filter(col("rank") <= fbTerms)
       .select(col("query_id"), col("rank"), col("term"), col("w_score"))
+  }
+
+  /** Lexical "more-like-this": doc-to-doc TF-IDF cosine top-k — the
+    * related-documents primitive next to query-driven BM25 (and the
+    * weighted complement of the set-based n-gram Jaccard dedup: shared
+    * RARE terms count for more).
+    *
+    * Portability discipline: idf = ln((N+1)/(df+1)) + 1 (the [[
+    * graft.llm.TextAnalysis.tfidf]] form — a single ln is bit-portable,
+    * proven by q_tfidf); every SUMMED quantity micro-floors per term
+    * BEFORE its exact integer sum (dot products and squared norms both),
+    * so no float fold order is ever trusted; the published similarity is
+    * one pinned cast-sqrt-mul-div chain over the integer sums.
+    *
+    * Scale shape: df rails (`minDf`/`maxDf`) cap posting width exactly
+    * like the inverted-index rows, the anchors filter applies BEFORE the
+    * term self-join (only anchor postings replicate), and the join keys
+    * on the railed term — never all-pairs docs. */
+  def moreLikeThis(docs: DataFrame, anchorPred: Column, k: Int = 5,
+      minDf: Long = 2, maxDf: Long = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = docs.count()
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    val w = tf.join(df, Seq("term"))
+      .withColumn("w", col("tf").cast("double") *
+        (log(lit(n + 1.0) / (col("df") + lit(1.0))) + lit(1.0)))
+      .withColumn("w2m",
+        floor(col("w") * col("w") * lit(1e6)).cast("long"))
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("w2m")).as("n2"))
+    val pairs = w.filter(anchorPred).as("a")
+      .join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("qid"), col("b.doc_id").as("nid"))
+      .agg(sum(floor(col("a.w") * col("b.w") * lit(1e6)).cast("long"))
+        .as("smicro"))
+    val scored = pairs
+      .join(norms.select(col("doc_id").as("qid"), col("n2").as("n2a")),
+        Seq("qid"))
+      .join(norms.select(col("doc_id").as("nid"), col("n2").as("n2b")),
+        Seq("nid"))
+      .withColumn("sim", col("smicro").cast("double") /
+        (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+    val rk = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid").as("neighbor_id"),
+        col("sim"))
+      .orderBy(col("qid"), col("rank"))
   }
 }

@@ -84,4 +84,22 @@ class SearchScanSpec extends SparkTestBase {
       s"index-probe bm25 re-scanned the corpus:\n$plan")
     assert(b == 0, s"index-probe bm25 read $b file bytes — corpus re-scan?")
   }
+
+  test("more-like-this: shared rare term outweighs shared common term") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "rare common x1 x2"),
+      (1L, "rare y1 y2 y3"),      // shares the df=2 term with the anchor
+      (2L, "common z1 z2 z3"),    // shares the df=5 term
+      (3L, "common a1 a2 a3"),
+      (4L, "common b1 b2 b3"),
+      (5L, "common c1 c2 c3")).toDF("doc_id", "text")
+    val got = graft.llm.Search.moreLikeThis(docs, col("doc_id") === 0L, k = 3)
+      .select($"rank", $"neighbor_id", $"sim")
+      .as[(Int, Long, Double)].collect()
+    assert(got.head._2 === 1L, s"rare-term neighbor must rank first: ${got.toSeq}")
+    assert(got.map(_._2).contains(2L))
+    val sims = got.map(r => r._2 -> r._3).toMap
+    assert(sims(1L) > sims(2L), "higher idf overlap => higher cosine")
+  }
 }
