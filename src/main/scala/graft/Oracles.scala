@@ -2551,6 +2551,37 @@ object Oracles {
          |SELECT qid, rank, neighbor_id, score FROM ranked
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // triplet mirror: same-label top-1 positive joined onto the
+    // hard-negative top-3 per anchor
+    "q_contrastive_triplets" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |pos AS (
+         |  SELECT qid, neighbor_id AS pos_id, score AS pos_score FROM (
+         |    SELECT qid, vec_id AS neighbor_id,
+         |      $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY $dotQv / (sqrt($dotQq) * sqrt($dotVv)) DESC,
+         |          vec_id) AS rank
+         |    FROM embeddings, q
+         |    WHERE qlabel = label AND qid <> vec_id)
+         |  WHERE rank = 1),
+         |neg AS (
+         |  SELECT qid, rank AS neg_rank, neighbor_id AS neg_id,
+         |    score AS neg_score FROM (
+         |    SELECT qid, vec_id AS neighbor_id,
+         |      $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY $dotQv / (sqrt($dotQq) * sqrt($dotVv)) DESC,
+         |          vec_id) AS rank
+         |    FROM embeddings, q WHERE qlabel <> label)
+         |  WHERE rank <= 3)
+         |SELECT pos.qid AS qid, pos_id, pos_score, neg_rank, neg_id,
+         |  neg_score
+         |FROM pos JOIN neg ON pos.qid = neg.qid
+         |ORDER BY pos.qid, neg_rank""".stripMargin,
+
     "q_knn_filtered" ->
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -1291,6 +1291,11 @@ object Queries {
     "q_knn_hard_negatives" -> ((s, dir) =>
       llm.Similarity.hardNegatives(tWide(s, dir, "embeddings"),
         col("vec_id") < 5, k = 5)),
+    // the packaged training stream: nearest same-label positive + top-3
+    // hard negatives per anchor — one row per (anchor, negative)
+    "q_contrastive_triplets" -> ((s, dir) =>
+      llm.Similarity.contrastiveTriplets(tWide(s, dir, "embeddings"),
+        col("vec_id") < 5, kNeg = 3)),
     // LSH kNN publishes its panel RECALL CONTRACT (the neighbor list is
     // hash-family-specific; per-query recall is bimodal on this
     // near-random corpus — see Similarity.lshKnnRecallPanel). Measured

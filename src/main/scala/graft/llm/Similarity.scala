@@ -100,6 +100,42 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Contrastive training triplets: per anchor, the nearest SAME-label
+    * vector (the positive — closest in-class exemplar) and the `kNeg`
+    * nearest DIFFERENT-label vectors ([[hardNegatives]] — close in
+    * embedding space but known-non-matching). One row per (anchor,
+    * negative) with the positive repeated — exactly the
+    * (anchor, positive, negative) stream a triplet/InfoNCE loader
+    * consumes. Same broadcast asymmetry as [[bruteForceKnn]]: the corpus
+    * never shuffles; both label-filtered scans ride the one broadcast
+    * panel. Anchors with no same-label peer drop (no positive exists). */
+  def contrastiveTriplets(emb: DataFrame, queryPred: Column, kNeg: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        col(labelCol).as("qlabel"), norm(col(vecCol)).as("qnorm"))
+    val corpus = emb.select(col(idCol), col(vecCol), col(labelCol),
+      norm(col(vecCol)).as("vnorm"))
+    val posScored = corpus
+      .join(broadcast(queries),
+        col("qlabel") === col(labelCol) && col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("neighbor_id"),
+        (dot(col("qvec"), col(vecCol)) / (col("qnorm") * col("vnorm")))
+          .as("score"))
+    val positives = topK(posScored, 1)
+      .select(col("qid"), col("neighbor_id").as("pos_id"),
+        col("score").as("pos_score"))
+    val negatives = hardNegatives(emb, queryPred, kNeg, idCol, vecCol,
+        labelCol)
+      .select(col("qid"), col("rank").as("neg_rank"),
+        col("neighbor_id").as("neg_id"), col("score").as("neg_score"))
+    positives.join(negatives, Seq("qid"))
+      .select(col("qid"), col("pos_id"), col("pos_score"),
+        col("neg_rank"), col("neg_id"), col("neg_score"))
+      .orderBy(col("qid"), col("neg_rank"))
+  }
+
   /** MMR diversity re-rank (Carbonell & Goldstein 1998, "The Use of MMR
     * ..."): greedily pick k of the top-m candidates maximizing
     * 0.5·relevance − 0.5·max-similarity-to-already-picked — the

@@ -291,6 +291,22 @@ class SketchJoinSpec extends SparkTestBase {
       "within-batch duplication found")
   }
 
+  test("contrastive triplets: positive shares the label, negatives never do") {
+    val rng = new Random(61)
+    val emb = (0L until 40L).map(i =>
+      (i, s"L${i % 4}", Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.contrastiveTriplets(emb, col("vec_id") < 3L, kNeg = 3)
+      .select($"qid", $"pos_id", $"neg_id")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 9, "3 anchors x 3 negatives")
+    val lbl = (0L until 40L).map(i => i -> s"L${i % 4}").toMap
+    got.foreach { case (q, p, n) =>
+      assert(lbl(p) === lbl(q) && p != q, s"positive label for $q")
+      assert(lbl(n) !== lbl(q), s"negative label for $q")
+    }
+  }
+
   test("mmr rerank: redundant near-duplicate demoted below the diverse candidate") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),   // query
