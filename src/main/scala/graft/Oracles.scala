@@ -438,6 +438,33 @@ object Oracles {
        |ORDER BY qid, mmr_rank""".stripMargin
   }
 
+  /** Shared CTEs for the contrastive-triplet rows: panel anchors,
+    * same-label top-1 positives, label-mismatch top-3 hard negatives. */
+  private lazy val tripletCtes: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |pos AS (
+       |  SELECT qid, neighbor_id AS pos_id, score AS pos_score FROM (
+       |    SELECT qid, vec_id AS neighbor_id,
+       |      $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY $dotQv / (sqrt($dotQq) * sqrt($dotVv)) DESC,
+       |          vec_id) AS rank
+       |    FROM embeddings, q
+       |    WHERE qlabel = label AND qid <> vec_id)
+       |  WHERE rank = 1),
+       |neg AS (
+       |  SELECT qid, rank AS neg_rank, neighbor_id AS neg_id,
+       |    score AS neg_score FROM (
+       |    SELECT qid, vec_id AS neighbor_id,
+       |      $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY $dotQv / (sqrt($dotQq) * sqrt($dotVv)) DESC,
+       |          vec_id) AS rank
+       |    FROM embeddings, q WHERE qlabel <> label)
+       |  WHERE rank <= 3)""".stripMargin
+
   /** Exact brute-force cosine top-k — shared by q_knn_ivf AND
     * q_knn_ivf_indexed (full-probe IVF is exact by construction, inline
     * or served off prebuilt artifacts). */
@@ -2149,6 +2176,28 @@ object Oracles {
     // (all-pairs exact Jaccard), transitive closure via recursive CTE,
     // label = min reachable id — vs Spark's iterated label propagation
     "q_dedup_clusters" -> clustersSql,
+
+    // leakage-free split mirror: the same recursive component labels,
+    // coalesced onto the doc id, through the 16-bit digest thresholds
+    "q_split_leakfree" -> {
+      val t1 = graft.llm.Sampling.digestThreshold(0.8)
+      val t2 = graft.llm.Sampling.digestThreshold(0.9)
+      s"""$clusterCtes,
+         |lab AS (
+         |  SELECT id AS doc_id, min(r) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |sp AS (
+         |  SELECT d.doc_id,
+         |    coalesce(l.cluster_id, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN substring(md5(CAST(split_key AS VARCHAR)), 1, 4)
+         |           < '$t1' THEN 'train'
+         |       WHEN substring(md5(CAST(split_key AS VARCHAR)), 1, 4)
+         |           < '$t2' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM sp ORDER BY doc_id""".stripMargin
+    },
     "q_pagerank" -> pagerankSql,
 
     // unrolled 4-round BFS mirror over the exact-Jaccard ≥ 0.6 edge set:
@@ -2554,33 +2603,30 @@ object Oracles {
     // triplet mirror: same-label top-1 positive joined onto the
     // hard-negative top-3 per anchor
     "q_contrastive_triplets" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
-         |  FROM embeddings WHERE vec_id < 5),
-         |pos AS (
-         |  SELECT qid, neighbor_id AS pos_id, score AS pos_score FROM (
-         |    SELECT qid, vec_id AS neighbor_id,
-         |      $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score,
-         |      row_number() OVER (PARTITION BY qid
-         |        ORDER BY $dotQv / (sqrt($dotQq) * sqrt($dotVv)) DESC,
-         |          vec_id) AS rank
-         |    FROM embeddings, q
-         |    WHERE qlabel = label AND qid <> vec_id)
-         |  WHERE rank = 1),
-         |neg AS (
-         |  SELECT qid, rank AS neg_rank, neighbor_id AS neg_id,
-         |    score AS neg_score FROM (
-         |    SELECT qid, vec_id AS neighbor_id,
-         |      $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score,
-         |      row_number() OVER (PARTITION BY qid
-         |        ORDER BY $dotQv / (sqrt($dotQq) * sqrt($dotVv)) DESC,
-         |          vec_id) AS rank
-         |    FROM embeddings, q WHERE qlabel <> label)
-         |  WHERE rank <= 3)
+      s"""$tripletCtes
          |SELECT pos.qid AS qid, pos_id, pos_score, neg_rank, neg_id,
          |  neg_score
          |FROM pos JOIN neg ON pos.qid = neg.qid
          |ORDER BY pos.qid, neg_rank""".stripMargin,
+
+    // triplet-health mirror: pos_score is constant per anchor (max =
+    // Spark's first), margins micro-floored, one published division
+    "q_triplet_report" ->
+      s"""$tripletCtes,
+         |per AS (
+         |  SELECT pos.qid AS qid, max(pos_score) AS ps,
+         |    max(neg_score) AS mn
+         |  FROM pos JOIN neg ON pos.qid = neg.qid GROUP BY pos.qid),
+         |pp AS (
+         |  SELECT qid, ps > mn AS ok,
+         |    CAST(floor((ps - mn) * 1e6) AS BIGINT) AS mm
+         |  FROM per)
+         |SELECT count(*)::BIGINT AS n_anchors,
+         |  sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_satisfied,
+         |  sum(mm)::BIGINT AS margin_micro_sum,
+         |  sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         |    / count(*)::BIGINT::DOUBLE AS satisfied_share
+         |FROM pp""".stripMargin,
 
     "q_knn_filtered" ->
       s"""WITH q AS (

@@ -626,6 +626,17 @@ object Queries {
         llm.Dedup.minhashNearDups(tWide(s, dir, "documents"), threshold = 0.6))
         .orderBy(col("doc_id"))),
 
+    // leakage-free split: clusters assign ATOMICALLY (component min-id
+    // keys the digest draw), so no near-dup pair straddles train/test
+    "q_split_leakfree" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Sampling.assignSplitLeakFree(docs,
+          llm.Dedup.clusters(
+            llm.Dedup.minhashNearDups(docs, threshold = 0.6)),
+          trainFrac = 0.8, valFrac = 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
     // near-dup provenance: per-cluster source spread — within-crawl vs
     // cross-corpus duplication (mixture double-counting audit). Labels
     // broadcast; the corpus never shuffles.
@@ -1296,6 +1307,12 @@ object Queries {
     "q_contrastive_triplets" -> ((s, dir) =>
       llm.Similarity.contrastiveTriplets(tWide(s, dir, "embeddings"),
         col("vec_id") < 5, kNeg = 3)),
+    // and the dataset health gauge: per-anchor positive-vs-max-negative
+    // margin, micro-floored; one exact-count share published
+    "q_triplet_report" -> ((s, dir) =>
+      llm.Similarity.tripletReport(
+        llm.Similarity.contrastiveTriplets(tWide(s, dir, "embeddings"),
+          col("vec_id") < 5, kNeg = 3))),
     // LSH kNN publishes its panel RECALL CONTRACT (the neighbor list is
     // hash-family-specific; per-query recall is bimodal on this
     // near-random corpus — see Similarity.lshKnnRecallPanel). Measured

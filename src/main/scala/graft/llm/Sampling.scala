@@ -86,6 +86,24 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-free train/val/test split: near-duplicate CLUSTERS assign
+    * atomically (every member of a component draws the SAME split from
+    * the component's min-id key), docs outside any cluster split by
+    * their own id — so no near-duplicate pair ever straddles train and
+    * test, the eval-hygiene failure ordinary per-doc splits commit
+    * (a test doc whose near-copy sits in train scores as memorization).
+    * `clusterLabels` is [[graft.llm.Dedup.clusters]] output; the split
+    * itself is the [[assignSplit]] digest discipline on the coalesced
+    * key — reruns and corpus growth preserve membership. */
+  def assignSplitLeakFree(docs: DataFrame, clusterLabels: DataFrame,
+      trainFrac: Double, valFrac: Double,
+      idCol: String = "doc_id"): DataFrame =
+    assignSplit(docs.join(clusterLabels, Seq(idCol), "left"),
+      coalesce(col("cluster_id"), col(idCol)), trainFrac, valFrac)
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("split_key"),
+        col("split"))
+
   /** Deterministic k-fold assignment (cross-validation): fold = 16-bit
     * digest prefix mod k — same key-pure discipline as [[assignSplit]], so
     * fold membership survives reruns and corpus growth. Fold sizes are

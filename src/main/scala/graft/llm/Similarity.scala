@@ -136,6 +136,27 @@ object Similarity {
       .orderBy(col("qid"), col("neg_rank"))
   }
 
+  /** Triplet-margin report over [[contrastiveTriplets]] output: per
+    * anchor, does the positive outscore EVERY hard negative, and by what
+    * margin (pos − max neg, micro-floored for the portable publish)?
+    * The one-row health gauge of a contrastive dataset: a low
+    * satisfied-share means the label space and the embedding space
+    * disagree and training on these triplets will fight the encoder. */
+  def tripletReport(triplets: DataFrame): DataFrame = {
+    val per = triplets.groupBy(col("qid"))
+      .agg(first(col("pos_score")).as("ps"),
+        max(col("neg_score")).as("mn"))
+      .select(col("qid"),
+        (col("ps") > col("mn")).as("ok"),
+        floor((col("ps") - col("mn")) * lit(1e6)).cast("long")
+          .as("margin_micro"))
+    per.agg(count(lit(1)).as("n_anchors"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_satisfied"),
+        sum(col("margin_micro")).as("margin_micro_sum"))
+      .withColumn("satisfied_share",
+        col("n_satisfied").cast("double") / col("n_anchors").cast("double"))
+  }
+
   /** MMR diversity re-rank (Carbonell & Goldstein 1998, "The Use of MMR
     * ..."): greedily pick k of the top-m candidates maximizing
     * 0.5·relevance − 0.5·max-similarity-to-already-picked — the

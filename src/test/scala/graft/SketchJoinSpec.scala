@@ -291,6 +291,30 @@ class SketchJoinSpec extends SparkTestBase {
       "within-batch duplication found")
   }
 
+  test("leak-free split: every cluster lands whole in one split") {
+    val rng = new Random(67)
+    def noise() = List.fill(2)(s"n${rng.nextInt(100000)}").mkString(" ")
+    // 30 planted exact-dup pairs (disjoint vocab per pair) + 40 singletons
+    val docs = ((0L until 60L by 2L).flatMap { i =>
+      val txt = (1 to 10).map(j => s"w${i}t$j").mkString(" ")
+      Seq((i, txt), (i + 1, txt))
+    } ++
+      (100L until 140L).map(i => (i, s"${noise()} ${noise()} ${noise()}")))
+      .toDF("doc_id", "text")
+    val labels = Dedup.clusters(Dedup.minhashNearDups(docs, threshold = 0.6))
+    val split = graft.llm.Sampling
+      .assignSplitLeakFree(docs, labels, 0.6, 0.2)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val lbl = labels.select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect().groupBy(_._2).values
+    assert(lbl.nonEmpty)
+    lbl.foreach { members =>
+      val splits = members.map(m => split(m._1)).toSet
+      assert(splits.size === 1, s"cluster ${members.toSeq} straddles $splits")
+    }
+    assert(split.values.toSet.size > 1, "multiple splits actually used")
+  }
+
   test("contrastive triplets: positive shares the label, negatives never do") {
     val rng = new Random(61)
     val emb = (0L until 40L).map(i =>
