@@ -1414,6 +1414,40 @@ object Oracles {
         .mkString("WITH p AS (\n", "\nUNION ALL\n", ")\n") +
       "SELECT * FROM p ORDER BY col_name"),
 
+    // mean-test mirror: same hash arms, same moment sums, same Welch
+    // expression over the materialized derived columns
+    "q_mean_test" -> {
+      val t5 = graft.llm.Sampling.digestThreshold(0.5)
+      s"""WITH a AS (
+         |  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+         |      < '$t5' THEN 'a' ELSE 'b' END AS arm,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |  FROM events),
+         |m AS (SELECT
+         |  sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |  sum(CASE WHEN arm = 'a' THEN c ELSE 0 END)::BIGINT AS s_a,
+         |  sum(CASE WHEN arm = 'a' THEN c * c ELSE 0 END)::BIGINT AS s2_a,
+         |  sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         |  sum(CASE WHEN arm = 'b' THEN c ELSE 0 END)::BIGINT AS s_b,
+         |  sum(CASE WHEN arm = 'b' THEN c * c ELSE 0 END)::BIGINT AS s2_b
+         |  FROM a),
+         |d AS (SELECT n_a, n_b,
+         |  s_a::DOUBLE / n_a::DOUBLE AS mean_a,
+         |  s_b::DOUBLE / n_b::DOUBLE AS mean_b,
+         |  (n_a::DOUBLE * s2_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE)
+         |    / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) AS var_a,
+         |  (n_b::DOUBLE * s2_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE)
+         |    / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) AS var_b
+         |  FROM m)
+         |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+         |  CASE WHEN n_a > 1 AND n_b > 1 AND
+         |      (var_a / n_a::DOUBLE + var_b / n_b::DOUBLE) > 0.0 THEN
+         |    (mean_b - mean_a)
+         |      / sqrt(var_a / n_a::DOUBLE + var_b / n_b::DOUBLE)
+         |  ELSE NULL END AS z
+         |FROM d""".stripMargin
+    },
+
     // ratio-metric mirror: same exact moment sums, same pinned
     // delta-method expression
     "q_ratio_metric" ->

@@ -541,6 +541,15 @@ object Queries {
           Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
         .orderBy(col("col_name"))),
 
+    // continuous-metric Welch z over a deterministic 50/50 hash split:
+    // exact cents moment sums per arm, pinned-order derived doubles
+    "q_mean_test" -> ((s, dir) =>
+      Analytics.meanTest(
+        t(s, dir, "events").withColumn("arm",
+          when(llm.Sampling.keepByDigest(col("user_id"), 0.5), "a")
+            .otherwise("b")),
+        col("arm"), "a", "b", col("value"))),
+
     // delta-method SE for the user-level click/view ratio: naive row
     // binomial variance is wrong under within-user correlation
     "q_ratio_metric" -> ((s, dir) =>

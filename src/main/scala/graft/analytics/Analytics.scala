@@ -1144,6 +1144,40 @@ object Analytics {
       col("n_touches"), col("position"), col("credit_u"), col("credit_decay"))
   }
 
+  /** Two-sample z-test on a CONTINUOUS metric (mean revenue per user,
+    * tokens per doc) — the companion to [[abTest]]'s proportions: Welch
+    * form, se = sqrt(varA/nA + varB/nB) from exact cents-grid moment
+    * sums, every published double a pinned-order expression over their
+    * casts (cross-moments in double space — the [[cupedReport]]
+    * overflow rationale). Degenerate arms (n < 2) publish NULL z. */
+  def meanTest(df: DataFrame, armCol: Column, armA: String, armB: String,
+      valueCol: Column): DataFrame = {
+    val cents = floor(valueCol * 100 + 0.5).cast("long")
+    def side(arm: String, tag: String) = Seq(
+      sum(when(armCol === arm, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(armCol === arm, cents).otherwise(0L)).as(s"s_$tag"),
+      sum(when(armCol === arm, cents * cents).otherwise(0L)).as(s"s2_$tag"))
+    val aggs = side(armA, "a") ++ side(armB, "b")
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    def nD(t: String) = col(s"n_$t").cast("double")
+    def mean(t: String) = col(s"s_$t").cast("double") / nD(t)
+    def variance(t: String) =
+      (nD(t) * col(s"s2_$t").cast("double")
+        - col(s"s_$t").cast("double") * col(s"s_$t").cast("double")) /
+        (nD(t) * (nD(t) - lit(1.0)))
+    m.select(col("n_a"), col("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        variance("a").as("var_a"), variance("b").as("var_b"))
+      .withColumn("z",
+        when(col("n_a") > 1 && col("n_b") > 1 &&
+            (col("var_a") / col("n_a").cast("double")
+              + col("var_b") / col("n_b").cast("double")) > 0.0,
+          (col("mean_b") - col("mean_a")) /
+            sqrt(col("var_a") / col("n_a").cast("double")
+              + col("var_b") / col("n_b").cast("double")))
+          .otherwise(lit(null).cast("double")))
+  }
+
   /** Delta-method standard error for a RATIO metric (CTR, revenue per
     * session, tokens per doc): R = Σx/Σy over per-unit sums, where the
     * naive row-level binomial SE is wrong because x and y are correlated

@@ -147,6 +147,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(!ok._5 && ok._4 < 0.02)
   }
 
+  test("mean test: planted lift detected, identical arms give z ~ 0") {
+    import spark.implicits._
+    val lifted = ((1 to 400).map(i => ("a", 10.0 + (i % 7))) ++
+      (1 to 400).map(i => ("b", 14.0 + (i % 7)))).toDF("arm", "value")
+    val z1 = Analytics.meanTest(lifted, col("arm"), "a", "b", col("value"))
+      .select($"mean_a", $"mean_b", $"z")
+      .as[(Double, Double, Option[Double])].collect().head
+    assert(z1._2 - z1._1 === 400.0) // means are on the cents grid
+    assert(z1._3.get > 10.0, s"strong lift must give a large z: ${z1._3}")
+    val same = ((1 to 400).map(i => ("a", 10.0 + (i % 7))) ++
+      (1 to 400).map(i => ("b", 10.0 + (i % 7)))).toDF("arm", "value")
+    val z0 = Analytics.meanTest(same, col("arm"), "a", "b", col("value"))
+      .select($"z").as[Option[Double]].collect().head.get
+    assert(z0 === 0.0)
+  }
+
   test("cuped: perfect covariate removes all variance; flat covariate removes none") {
     import spark.implicits._
     import java.sql.Timestamp
