@@ -57,8 +57,14 @@ object Artifacts {
         spark.read.parquet(path)
     }
 
-  /** Recursive delete of the artifact root — bench startup hygiene. */
+  /** Recursive delete of the artifact root — bench startup hygiene.
+    * Refuses roots that don't name an artifact directory: this is a
+    * recursive delete driven by a configurable property, so a typo'd
+    * root ("/", a home dir) must fail loudly, not be obeyed. */
   def wipe(): Unit = root.foreach { r =>
+    require(new File(r).getAbsolutePath.contains("artifact"),
+      s"refusing to recursively delete '$r': artifact roots must contain " +
+        "'artifact' in their path")
     def rm(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
