@@ -77,8 +77,12 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
     // bench_last.json is gitignored (per-run scratch); bench_full.json is
     // the COMMITTED copy the stdout line's full_detail pointer names —
-    // the driver's 2000-char tail capture can't carry the full map.
-    for (p <- Seq(out, "/root/repo/bench_full.json")) {
+    // the driver's 2000-char tail capture can't carry the full map. Only
+    // FULL-catalog runs refresh it: a filtered local debug run must not
+    // clobber the committed full map.
+    val targets = out +: (if (only.isEmpty) Seq("/root/repo/bench_full.json")
+      else Nil)
+    for (p <- targets) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), detail + "\n")
       catch { case _: Throwable => () }
     }
