@@ -2211,6 +2211,52 @@ object Oracles {
     // label = min reachable id — vs Spark's iterated label propagation
     "q_dedup_clusters" -> clustersSql,
 
+    // split-parity mirror: the leak-free split CTEs feed the PSI chain
+    // with grp = split
+    "q_split_parity" -> {
+      val t1 = graft.llm.Sampling.digestThreshold(0.8)
+      val t2 = graft.llm.Sampling.digestThreshold(0.9)
+      s"""$clusterCtes,
+         |lab AS (
+         |  SELECT id AS doc_id, min(r) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |sp AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    coalesce(l.cluster_id, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT CASE WHEN substring(md5(CAST(split_key AS VARCHAR)), 1, 4)
+         |           < '$t1' THEN 'train'
+         |         WHEN substring(md5(CAST(split_key AS VARCHAR)), 1, 4)
+         |           < '$t2' THEN 'val'
+         |         ELSE 'test' END AS grp,
+         |    CAST(floor(n_chars / 200.0) AS BIGINT) AS band
+         |  FROM sp),
+         |cell AS (SELECT grp, band, count(*) AS c FROM b GROUP BY 1, 2),
+         |base AS (SELECT band, CAST(sum(c) AS BIGINT) AS bc
+         |  FROM cell GROUP BY 1),
+         |ng AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n
+         |  FROM cell GROUP BY 1),
+         |tot AS (SELECT CAST(sum(bc) AS BIGINT) AS n_tot,
+         |  count(*) AS n_bands FROM base),
+         |grid AS (
+         |  SELECT ng.grp, ng.n, base.band, base.bc,
+         |    coalesce(cell.c, 0) AS c
+         |  FROM ng CROSS JOIN base
+         |  LEFT JOIN cell ON cell.grp = ng.grp AND cell.band = base.band),
+         |x AS (
+         |  SELECT grp, CAST(floor(
+         |    ((c + 1)::DOUBLE / (n + n_bands)::DOUBLE
+         |      - (bc + 1)::DOUBLE / (n_tot + n_bands)::DOUBLE)
+         |    * ln(((c + 1)::DOUBLE / (n + n_bands)::DOUBLE)
+         |      / ((bc + 1)::DOUBLE / (n_tot + n_bands)::DOUBLE))
+         |    * 1e9) AS BIGINT) AS contrib
+         |  FROM grid, tot)
+         |SELECT grp AS split,
+         |  CAST(sum(contrib) AS BIGINT)::DOUBLE / 1e9 AS psi
+         |FROM x GROUP BY 1 ORDER BY split""".stripMargin
+    },
+
     // leakage-free split mirror: the same recursive component labels,
     // coalesced onto the doc id, through the 16-bit digest thresholds
     "q_split_leakfree" -> {

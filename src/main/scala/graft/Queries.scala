@@ -646,6 +646,21 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // split-parity check over the leak-free assignment: PSI of each
+    // split's length distribution vs the corpus baseline — the
+    // exchangeability evidence a leakage-free split still owes
+    "q_split_parity" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val split = llm.Sampling.assignSplitLeakFree(docs,
+        llm.Dedup.clusters(
+          llm.Dedup.minhashNearDups(docs, threshold = 0.6)),
+        trainFrac = 0.8, valFrac = 0.1)
+      llm.Drift.psi(
+          docs.join(split.select(col("doc_id"), col("split")), Seq("doc_id")),
+          "split", col("n_chars"), binWidth = 200L)
+        .orderBy(col("split"))
+    }),
+
     // near-dup provenance: per-cluster source spread — within-crawl vs
     // cross-corpus duplication (mixture double-counting audit). Labels
     // broadcast; the corpus never shuffles.
