@@ -3194,6 +3194,20 @@ object Oracles {
         |FROM g WHERE doc_id >= 250 GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin),
 
+    // gram-novelty mirror: distinct per-doc 3-gram strings, corpus df,
+    // exact counts + one division
+    "q_gram_novelty" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, source, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents),
+         |d AS (SELECT h, count(*) AS df FROM e GROUP BY h)
+         |SELECT source, count(*) AS n_grams,
+         |  sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+         |  sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         |    / count(*)::BIGINT::DOUBLE AS novelty_share
+         |FROM e JOIN d USING (h)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     // single-build duplication histogram — the merged-shard build must
     // reproduce it exactly (mergeability IS the check)
     "q_window_df_hist" -> dedupSpansSql(

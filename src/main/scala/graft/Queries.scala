@@ -1077,6 +1077,11 @@ object Queries {
     "q_span_dup_rate" -> ((s, dir) =>
       llm.Dedup.spanDupRate(tWide(s, dir, "documents"), windowTokens = 20)
         .orderBy(col("source"))),
+    // per-source gram novelty: share of distinct per-doc 3-grams seen
+    // nowhere else — fresh content vs re-served boilerplate
+    "q_gram_novelty" -> ((s, dir) =>
+      llm.Dedup.gramNovelty(tWide(s, dir, "documents"), n = 3)
+        .orderBy(col("source"))),
     // surgical decontamination: the exact corpus spans leaked verbatim
     // from the benchmark split (broadcast benchmark window set, corpus
     // never shuffles by window) ...

@@ -876,6 +876,26 @@ object Dedup {
     spansFromHits(pos.join(dup, Seq("h"), "left_semi"), windowTokens)
   }
 
+  /** Per-group gram-novelty report: what share of each group's distinct
+    * per-doc n-grams appear NOWHERE else in the corpus (df = 1) — the
+    * fresh-content-vs-boilerplate gauge next to [[spanDupRate]] (verbatim
+    * windows) and Report.sourceOverlap (pairwise): a source whose grams
+    * are mostly non-unique is re-serving content the corpus already has.
+    * One (gram) df aggregation over hash keys, one group aggregation,
+    * one published division over exact integer counts. */
+  def gramNovelty(docs: DataFrame, n: Int = 3, groupCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val e = docs.select(col(idCol).as("doc_id"), col(groupCol),
+      explode(shingleHashes(col(textCol), n)).as("h"))
+    val df = e.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    e.join(df, Seq("h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_share",
+        col("n_unique").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Per-group token-duplication report over [[duplicatedSpans]]: what
     * share of each group's tokens sits inside a cross-doc verbatim span —
     * the go/no-go gauge for running span removal on a source. Spans are
