@@ -1228,6 +1228,25 @@ object Oracles {
          |  count(*) AS n_copies
          |FROM k GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
 
+    // waterfall mirror: the shared curation CTEs' q/k stages counted in
+    // gate order over the same doubled corpus
+    "q_curation_waterfall" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM documents),
+         |${curatedCtes("d")},
+         |w AS (SELECT
+         |  (SELECT count(*) FROM d)::BIGINT AS n0,
+         |  (SELECT count(*) FROM q WHERE lang_pred = 'en')::BIGINT AS n1,
+         |  (SELECT count(*) FROM k)::BIGINT AS n2,
+         |  (SELECT count(DISTINCT md5(text)) FROM k)::BIGINT AS n3)
+         |SELECT * FROM (
+         |  SELECT '1_language' AS stage, n0 AS n_in, n1 AS n_out,
+         |    n0 - n1 AS n_dropped FROM w
+         |  UNION ALL SELECT '2_quality', n1, n2, n1 - n2 FROM w
+         |  UNION ALL SELECT '3_exact_dedup', n2, n3, n2 - n3 FROM w)
+         |ORDER BY stage""".stripMargin,
+
     // curate + near-dup clustering: exact survivors, then the all-pairs
     // Jaccard graph over them, recursive-CTE components, and only each
     // component's min-id member kept

@@ -625,6 +625,12 @@ object Queries {
       llm.Curation.curate(docs.unionByName(docs)) // doubled: dedup is real
         .orderBy(col("doc_id"))
     }),
+    // gate-order drop accounting over the same recipe (doubled corpus so
+    // the dedup stage shows real drops): one scan, conditional counts
+    "q_curation_waterfall" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Curation.curationWaterfall(docs.unionByName(docs))
+    }),
     // ---- LLM data pipeline: near-dup clustering (pairs -> components) ----
     // Connected components over the minhash near-dup pairs; the oracle
     // recomputes the pair graph as all-pairs exact Jaccard and labels

@@ -37,6 +37,38 @@ object Curation {
       .drop("text_hash")
   }
 
+  /** Gate-order waterfall over the [[curate]] recipe: one row per stage
+    * with (n_in, n_out, n_dropped) — the pipeline-observability table
+    * that says WHERE the corpus went (language gate vs quality gate vs
+    * exact dedup), before anyone debugs a surprising survivor count.
+    * ONE scan: all stage counts are conditional aggregates over the same
+    * scored projection (the dedup stage is one distinct over the gated
+    * digests). */
+  def curationWaterfall(docs: DataFrame, lang: String = "en",
+      minQuality: Double = 0.5, textCol: String = "text"): DataFrame = {
+    val scored = docs.select(col(textCol).as("text"),
+      TextAnalysis.langId(col(textCol)).as("lp"),
+      TextAnalysis.qualityScore(col(textCol)).as("q"))
+    val pass1 = col("lp") === lang
+    val pass2 = pass1 && col("q") >= minQuality
+    val agg = scored.agg(
+      count(lit(1)).as("n0"),
+      sum(when(pass1, 1L).otherwise(0L)).as("n1"),
+      sum(when(pass2, 1L).otherwise(0L)).as("n2"),
+      count_distinct(when(pass2, md5(col("text")))).as("n3"))
+    agg.select(explode(array(
+        struct(lit("1_language").as("stage"), col("n0").as("n_in"),
+          col("n1").as("n_out")),
+        struct(lit("2_quality").as("stage"), col("n1").as("n_in"),
+          col("n2").as("n_out")),
+        struct(lit("3_exact_dedup").as("stage"), col("n2").as("n_in"),
+          col("n3").as("n_out")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_in").as("n_in"),
+        col("r.n_out").as("n_out"),
+        (col("r.n_in") - col("r.n_out")).as("n_dropped"))
+      .orderBy(col("stage"))
+  }
+
   /** The full recipe: [[curate]] (language → quality → exact dedup), then
     * NEAR-duplicate clustering over the exact survivors — each MinHash
     * cluster keeps only its canonical (min-id) member. Near-dup detection
