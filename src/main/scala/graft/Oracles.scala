@@ -1791,6 +1791,32 @@ object Oracles {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    // rebalance mirror: both HRW argmaxes recomputed, movement counted
+    "q_shard_rebalance" -> {
+      def encSql(shards: Seq[String]): String = shards.zipWithIndex
+        .map { case (s, i) =>
+          s"CAST(concat('0x', substring(md5('$s:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 64 + $i" }
+        .mkString(",\n      ")
+      def pickSql(shards: Seq[String]): String =
+        s"([${shards.map("'" + _ + "'").mkString(", ")}])[CAST(greatest(\n      ${encSql(shards)}) % 64 AS INT) + 1]"
+      val old5 = Seq("s0", "s1", "s2", "s3", "s4")
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    ${pickSql(old5)} AS shard_before,
+         |    ${pickSql(old5 :+ "s5")} AS shard_after
+         |  FROM documents)
+         |SELECT count(*)::BIGINT AS n_total,
+         |  sum(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_moved,
+         |  sum(CASE WHEN shard_before <> shard_after AND shard_after <> 's5'
+         |    THEN 1 ELSE 0 END)::BIGINT AS n_moved_between_old,
+         |  sum(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         |    / count(*)::BIGINT::DOUBLE AS moved_share,
+         |  sum(CASE WHEN shard_before <> shard_after AND shard_after <> 's5'
+         |    THEN 1 ELSE 0 END)::BIGINT = 0 AS minimal_disruption
+         |FROM a""".stripMargin
+    },
+
     // normalization mirror: identical planted noise, then lower → control
     // chars to spaces → whitespace collapse → trim
     "q_text_normalize" ->

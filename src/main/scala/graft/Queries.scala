@@ -918,6 +918,12 @@ object Queries {
         .select(col("doc_id"), col("shard"))
         .orderBy(col("doc_id"))),
 
+    // the HRW minimal-disruption property as numbers: adding s5 moves
+    // ~1/6 of rows, all TO s5, zero between old shards
+    "q_shard_rebalance" -> ((s, dir) =>
+      llm.Sampling.shardRebalanceReport(t(s, dir, "documents"),
+        col("doc_id"), Seq("s0", "s1", "s2", "s3", "s4"), "s5")),
+
     // canonical text normalization over planted formatting noise (leading
     // blanks, tab runs, trailing mix): the pre-hashing pass that keeps
     // formatting variants from splitting digests

@@ -86,6 +86,30 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** HRW rebalance report: the minimal-disruption property of
+    * [[assignShards]] published as numbers — assignments before and
+    * after adding `newShard` computed in ONE scan (both are pure
+    * projections), with the moved share (expected ≈ 1/(n+1)) and the
+    * zero-moves-between-old-shards flag that distinguishes rendezvous
+    * hashing from mod-k (where ~all rows move). The go-ahead evidence
+    * before growing a 100 TB layout. */
+  def shardRebalanceReport(df: DataFrame, key: Column,
+      shards: Seq[String], newShard: String): DataFrame = {
+    val both = assignShards(
+        assignShards(df, key, shards).withColumnRenamed("shard", "shard_before"),
+        key, shards :+ newShard)
+      .withColumnRenamed("shard", "shard_after")
+    both.agg(count(lit(1)).as("n_total"),
+        sum(when(col("shard_before") =!= col("shard_after"), 1L)
+          .otherwise(0L)).as("n_moved"),
+        sum(when(col("shard_before") =!= col("shard_after") &&
+            col("shard_after") =!= newShard, 1L)
+          .otherwise(0L)).as("n_moved_between_old"))
+      .withColumn("moved_share",
+        col("n_moved").cast("double") / col("n_total").cast("double"))
+      .withColumn("minimal_disruption", col("n_moved_between_old") === 0L)
+  }
+
   /** Leakage-free train/val/test split: near-duplicate CLUSTERS assign
     * atomically (every member of a component draws the SAME split from
     * the component's min-id key), docs outside any cluster split by
