@@ -1372,6 +1372,26 @@ object Oracles {
     // quantile_cont and Spark's exact percentile agree bit-for-bit here
     // robust-stats mirror: identical cents grid, cumulative-over-distinct
     // order statistics with ⌈p·n⌉ integer indices, exact cent sums
+    // grouped order-statistics mirror: per-group running counts, same
+    // selection thresholds as the global robust stats
+    "q_grouped_quantiles" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |g AS (SELECT grp, c, count(*) AS k FROM a GROUP BY 1, 2),
+        |cum AS (SELECT grp, c, k,
+        |  CAST(sum(k) OVER (PARTITION BY grp ORDER BY c) AS BIGINT) AS cum
+        |  FROM g),
+        |tot AS (SELECT grp, CAST(sum(k) AS BIGINT) AS n FROM g GROUP BY grp)
+        |SELECT cum.grp, min(tot.n)::BIGINT AS n,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN c END)::BIGINT AS med_c,
+        |  min(CASE WHEN cum >= (n + 9) // 10 THEN c END)::BIGINT AS p10_c,
+        |  min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN c END)::BIGINT
+        |    AS p90_c
+        |FROM cum JOIN tot USING (grp)
+        |GROUP BY cum.grp ORDER BY grp""".stripMargin,
+
     "q_robust_stats" ->
       """WITH a AS (
         |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,

@@ -584,6 +584,13 @@ object Queries {
         .select(col("rep").cast("long").as("rep"), col("n_eff"), col("mean"))
         .orderBy(col("rep"))),
 
+    // per-segment discrete order statistics: median/p10/p90 by order
+    // priority on the cents grid — the grouped robustStats
+    "q_grouped_quantiles" -> ((s, dir) =>
+      Analytics.groupedQuantiles(t(s, dir, "orders"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("grp"))),
+
     // ---- analytics: exact percentiles ----
     "q_percentiles" -> ((s, dir) =>
       Analytics.quantitySpread(t(s, dir, "lineitem"))),

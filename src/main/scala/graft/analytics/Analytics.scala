@@ -1215,6 +1215,31 @@ object Analytics {
           .otherwise(lit(null).cast("double")).as("se"))
   }
 
+  /** Per-GROUP discrete order statistics on the cents grid — the
+    * "median by segment" warehouse ask, via [[robustStats]]' self-computed
+    * selection rule (min value whose per-group running count reaches the
+    * rank threshold; no percentile-function tie conventions trusted).
+    * One (grp, cents) aggregation, one per-group cumulative window over
+    * the distinct-value frame (bounded by the value grid, not rows),
+    * one final per-group fold. Published values stay on the integer
+    * grid — fully engine-portable. */
+  def groupedQuantiles(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val agg = df.select(groupCol.as("grp"),
+        floor(valueCol * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("grp"), col("c")).agg(count(lit(1)).as("k"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("c"))
+    val cum = agg.withColumn("cum", sum(col("k")).over(w))
+    val tot = agg.groupBy(col("grp")).agg(sum(col("k")).as("n"))
+    cum.join(tot, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(min(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("c"))).as("med_c"),
+        min(when(col("cum") >= expr("(n + 9) div 10"), col("c"))).as("p10_c"),
+        min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("c")))
+          .as("p90_c"))
+  }
+
   /** Sample-ratio-mismatch check — the experimentation gate that runs
     * BEFORE any metric is read: a chi-square goodness-of-fit of observed
     * arm counts against the configured allocation. A failed SRM means
