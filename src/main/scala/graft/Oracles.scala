@@ -438,6 +438,46 @@ object Oracles {
        |ORDER BY qid, mmr_rank""".stripMargin
   }
 
+  /** TF-IDF more-like-this CTE chain, ending in `mlt`(qid, rank, nid,
+    * sim) — shared by q_more_like_this and the team-draft interleave. */
+  private lazy val mltCtes: String =
+    """w0 AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |ww AS (SELECT * FROM w0 WHERE term <> ''),
+      |tfm AS (SELECT doc_id, term, count(*) AS tf FROM ww GROUP BY 1, 2),
+      |dfr AS (
+      |  SELECT term, count(*) AS df FROM tfm GROUP BY term
+      |  HAVING count(*) BETWEEN 2 AND 1000),
+      |nn AS (SELECT count(*) AS n_docs FROM documents),
+      |wgt AS (
+      |  SELECT tfm.doc_id, tfm.term,
+      |    tfm.tf::DOUBLE * (ln((nn.n_docs + 1.0) / (dfr.df + 1.0)) + 1.0)
+      |      AS w
+      |  FROM tfm JOIN dfr USING (term), nn),
+      |w2 AS (
+      |  SELECT doc_id, term, w,
+      |    CAST(floor(w * w * 1e6) AS BIGINT) AS w2m
+      |  FROM wgt),
+      |norms AS (
+      |  SELECT doc_id, sum(w2m)::BIGINT AS n2 FROM w2 GROUP BY doc_id),
+      |mp AS (
+      |  SELECT a.doc_id AS qid, b.doc_id AS nid,
+      |    sum(CAST(floor(a.w * b.w * 1e6) AS BIGINT))::BIGINT AS smicro
+      |  FROM w2 a JOIN w2 b
+      |    ON a.term = b.term AND a.doc_id <> b.doc_id
+      |  WHERE a.doc_id < 10 GROUP BY 1, 2),
+      |msc AS (
+      |  SELECT qid, nid,
+      |    smicro::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))
+      |      AS sim
+      |  FROM mp JOIN norms na ON na.doc_id = qid
+      |    JOIN norms nb ON nb.doc_id = nid),
+      |mlt AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY sim DESC, nid) AS rank FROM msc)""".stripMargin
+
   /** Shared CTEs for the contrastive-triplet rows: panel anchors,
     * same-label top-1 positives, label-mismatch top-3 hard negatives. */
   private lazy val tripletCtes: String =
@@ -2794,46 +2834,60 @@ object Oracles {
 
     "q_mmr_rerank" -> mmrSql,
 
+    // team-draft mirror: both rankers' lists rebuilt, two unrolled
+    // rounds with the same md5 coins and first-unpicked drafts
+    "q_team_draft" ->
+      s"""WITH $mltCtes,
+         |bq AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 10),
+         |bsc AS (
+         |  SELECT qid, vec_id AS neighbor_id,
+         |    $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score
+         |  FROM embeddings, bq WHERE qid <> vec_id),
+         |brk AS (
+         |  SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, neighbor_id) AS rank FROM bsc),
+         |lla AS (SELECT qid, list(neighbor_id ORDER BY rank) AS la
+         |  FROM brk WHERE rank <= 5 GROUP BY qid),
+         |llb AS (SELECT qid, list(nid ORDER BY rank) AS lb
+         |  FROM mlt WHERE rank <= 5 GROUP BY qid),
+         |dd AS (
+         |  SELECT lla.qid, lla.la, llb.lb,
+         |    CAST(concat('0x', substring(md5(CAST(lla.qid AS VARCHAR)
+         |      || ':round0'), 1, 8)) AS BIGINT) % 2 = 0 AS c0,
+         |    CAST(concat('0x', substring(md5(CAST(lla.qid AS VARCHAR)
+         |      || ':round1'), 1, 8)) AS BIGINT) % 2 = 0 AS c1
+         |  FROM lla JOIN llb USING (qid)),
+         |s1 AS (SELECT *, CASE WHEN c0 THEN la[1] ELSE lb[1] END AS pa1,
+         |  CASE WHEN c0 THEN 'A' ELSE 'B' END AS ta1 FROM dd),
+         |s2 AS (SELECT *, CASE WHEN ta1 = 'A'
+         |    THEN list_filter(lb, x -> x <> pa1)[1]
+         |    ELSE list_filter(la, x -> x <> pa1)[1] END AS pa2,
+         |  CASE WHEN ta1 = 'A' THEN 'B' ELSE 'A' END AS ta2 FROM s1),
+         |s3 AS (SELECT *, CASE WHEN c1
+         |    THEN list_filter(la, x -> NOT list_contains([pa1, pa2], x))[1]
+         |    ELSE list_filter(lb, x -> NOT list_contains([pa1, pa2], x))[1]
+         |    END AS pa3,
+         |  CASE WHEN c1 THEN 'A' ELSE 'B' END AS ta3 FROM s2),
+         |s4 AS (SELECT *, CASE WHEN ta3 = 'A'
+         |    THEN list_filter(lb, x -> NOT list_contains([pa1, pa2, pa3], x))[1]
+         |    ELSE list_filter(la, x -> NOT list_contains([pa1, pa2, pa3], x))[1]
+         |    END AS pa4,
+         |  CASE WHEN ta3 = 'A' THEN 'B' ELSE 'A' END AS ta4 FROM s3)
+         |SELECT qid, CAST(p AS BIGINT) AS pos, doc_id, team FROM (
+         |  SELECT qid, 1 AS p, pa1 AS doc_id, ta1 AS team FROM s4
+         |  UNION ALL SELECT qid, 2, pa2, ta2 FROM s4
+         |  UNION ALL SELECT qid, 3, pa3, ta3 FROM s4
+         |  UNION ALL SELECT qid, 4, pa4, ta4 FROM s4)
+         |ORDER BY qid, pos""".stripMargin,
+
     // more-like-this mirror: same idf form as q_tfidf, micro-floored
     // per-term products before exact integer sums, same rails
     "q_more_like_this" ->
-      """WITH w0 AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-        |  FROM documents),
-        |ww AS (SELECT * FROM w0 WHERE term <> ''),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM ww GROUP BY 1, 2),
-        |dfr AS (
-        |  SELECT term, count(*) AS df FROM tf GROUP BY term
-        |  HAVING count(*) BETWEEN 2 AND 1000),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |wgt AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    tf.tf::DOUBLE * (ln((n.n_docs + 1.0) / (dfr.df + 1.0)) + 1.0)
-        |      AS w
-        |  FROM tf JOIN dfr USING (term), n),
-        |w2 AS (
-        |  SELECT doc_id, term, w,
-        |    CAST(floor(w * w * 1e6) AS BIGINT) AS w2m
-        |  FROM wgt),
-        |norms AS (
-        |  SELECT doc_id, sum(w2m)::BIGINT AS n2 FROM w2 GROUP BY doc_id),
-        |p AS (
-        |  SELECT a.doc_id AS qid, b.doc_id AS nid,
-        |    sum(CAST(floor(a.w * b.w * 1e6) AS BIGINT))::BIGINT AS smicro
-        |  FROM w2 a JOIN w2 b
-        |    ON a.term = b.term AND a.doc_id <> b.doc_id
-        |  WHERE a.doc_id < 10 GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT qid, nid,
-        |    smicro::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))
-        |      AS sim
-        |  FROM p JOIN norms na ON na.doc_id = qid
-        |    JOIN norms nb ON nb.doc_id = nid)
-        |SELECT qid, rank, nid AS neighbor_id, sim FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid
-        |    ORDER BY sim DESC, nid) AS rank FROM sc)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+      s"""WITH $mltCtes
+         |SELECT qid, rank, nid AS neighbor_id, sim FROM mlt
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // identical to q_knn_brute: full-probe IVF is exact by construction
     "q_knn_ivf" -> knnIvfSql,

@@ -1391,6 +1391,18 @@ object Queries {
     "q_knn_ivf" -> ((s, dir) =>
       llm.Similarity.ivfKnn(tWide(s, dir, "embeddings"),
         col("vec_id") < 10, k = 5, nCells = 4, nprobe = 4)),
+    // team-draft interleave of the dense (brute cosine) and lexical
+    // (TF-IDF more-like-this) rankers: per-round md5 coin picks the
+    // first-drafting team — the online-comparison serving list
+    "q_team_draft" -> ((s, dir) =>
+      llm.Eval.teamDraft(
+        llm.Similarity.bruteForceKnn(tWide(s, dir, "embeddings"),
+            col("vec_id") < 10, k = 5)
+          .select(col("qid"), col("rank"), col("neighbor_id")),
+        llm.Search.moreLikeThis(tWide(s, dir, "documents"),
+            col("doc_id") < 10, k = 5)
+          .select(col("qid"), col("rank"), col("neighbor_id")),
+        rounds = 2)),
     // lexical more-like-this: doc-to-doc TF-IDF cosine top-5 over railed
     // postings — micro-floored per-term products, exact integer sums,
     // one pinned division per published similarity

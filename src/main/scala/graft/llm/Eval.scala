@@ -130,6 +130,61 @@ object Eval {
     * Scale shape: one broadcast semi-ish join (rankings are |Q|·k rows,
     * qrels per query bounded), one (qid) aggregation, and the IDCG
     * lookup is a k-entry literal array — nothing corpus-sized moves. */
+  /** Team-draft interleaving (Radlinski, Kurup & Joachims 2008): merge
+    * two rankers' lists per query into the single list an online
+    * comparison serves — per round a deterministic md5 coin picks the
+    * first-drafting team, each team drafts its highest-ranked not-yet-
+    * picked candidate. Clicks attribute to the drafting team; this
+    * operator produces the (qid, pos, doc_id, team) assignment that
+    * attribution needs. `rounds` rounds ⇒ up to 2·rounds picks.
+    *
+    * Scale shape: both rankings are bounded (|Q| × k rows); one (qid)
+    * aggregation collects each side's list, then the draft unrolls as
+    * SCAN-SIDE projection steps (the mmrRerank column-per-step pattern —
+    * no expression-tree blowup). Deterministic end-to-end: md5 coins,
+    * rank-ordered lists, ties impossible (ids unique per list). */
+  def teamDraft(rankA: DataFrame, rankB: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    def side(r: DataFrame, tag: String) =
+      r.groupBy(col("qid")).agg(
+        sort_array(collect_list(struct(col("rank"), col("neighbor_id"))))
+          .as(s"l$tag"))
+    val lists = side(rankA, "a").join(side(rankB, "b"), Seq("qid"))
+      .withColumn("la", transform(col("la"), x => x.getField("neighbor_id")))
+      .withColumn("lb", transform(col("lb"), x => x.getField("neighbor_id")))
+    // first unpicked element of `lst` given already-picked ids
+    def draft(lst: Column, picked: Column): Column =
+      element_at(filter(lst, x => !array_contains(picked, x)), 1)
+    val stepped = (0 until rounds).foldLeft(
+      lists.withColumn("picks",
+        array().cast("array<struct<id:bigint,team:string>>"))) { (df, r) =>
+      val coinA = graft.expr.Md5Prefix(
+        concat(col("qid").cast("string"), lit(s":round$r")), 8) % 2 === 0
+      val ids = transform(col("picks"), p => p.getField("id"))
+      val p1 = when(coinA, draft(col("la"), ids))
+        .otherwise(draft(col("lb"), ids))
+      val t1 = when(coinA, lit("A")).otherwise(lit("B"))
+      df.withColumn(s"p1_$r", p1).withColumn(s"t1_$r", t1)
+        .withColumn("picks", concat(col("picks"),
+          filter(array(struct(col(s"p1_$r").as("id"), col(s"t1_$r").as("team"))),
+            p => p.getField("id").isNotNull)))
+        .withColumn(s"p2_$r",
+          when(col(s"t1_$r") === "A",
+            draft(col("lb"), transform(col("picks"), p => p.getField("id"))))
+          .otherwise(
+            draft(col("la"), transform(col("picks"), p => p.getField("id")))))
+        .withColumn(s"t2_$r",
+          when(col(s"t1_$r") === "A", lit("B")).otherwise(lit("A")))
+        .withColumn("picks", concat(col("picks"),
+          filter(array(struct(col(s"p2_$r").as("id"), col(s"t2_$r").as("team"))),
+            p => p.getField("id").isNotNull)))
+    }
+    stepped.select(col("qid"), posexplode(col("picks")).as(Seq("pos0", "p")))
+      .select(col("qid"), (col("pos0") + 1).cast("long").as("pos"),
+        col("p.id").as("doc_id"), col("p.team").as("team"))
+      .orderBy(col("qid"), col("pos"))
+  }
+
   def retrievalMetrics(ranking: DataFrame, qrels: DataFrame,
       k: Int): DataFrame = {
     val term = (r: Column) => floor(lit(1e9) / log2(r.cast("double") + 1))

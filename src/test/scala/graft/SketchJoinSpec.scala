@@ -291,6 +291,37 @@ class SketchJoinSpec extends SparkTestBase {
       "within-batch duplication found")
   }
 
+  test("team draft: alternating teams per round, unique picks from own lists") {
+    val rng = new Random(83)
+    val qids = 0L until 6L
+    def ranking(base: Long) = qids.flatMap { q =>
+      val ids = rng.shuffle((100L until 130L).toList).take(5)
+      ids.zipWithIndex.map { case (id, i) => (q, i + 1, id + base) }
+    }.toDF("qid", "rank", "neighbor_id")
+    val ra = ranking(0L); val rb = ranking(1000L) // disjoint id spaces
+    val la = ra.as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val lb = rb.as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val out = graft.llm.Eval.teamDraft(ra, rb, rounds = 2)
+      .as[(Long, Long, Long, String)].collect()
+    qids.foreach { q =>
+      val picks = out.filter(_._1 == q).sortBy(_._2)
+      assert(picks.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L))
+      assert(picks.map(_._3).distinct.length === 4, "unique picks")
+      val teams = picks.map(_._4).toSeq
+      assert(teams(1) != teams(0) && teams(3) != teams(2),
+        "second pick of each round goes to the other team")
+      picks.foreach { case (_, _, id, team) =>
+        val lst = if (team == "A") la(q) else lb(q)
+        assert(lst.contains(id), s"pick $id not in team $team's list")
+      }
+      // with disjoint id spaces each team drafts its own top-2 in order
+      assert(picks.filter(_._4 == "A").map(_._3).toSeq === la(q).take(2))
+      assert(picks.filter(_._4 == "B").map(_._3).toSeq === lb(q).take(2))
+    }
+  }
+
   test("leak-free split: every cluster lands whole in one split") {
     val rng = new Random(67)
     def noise() = List.fill(2)(s"n${rng.nextInt(100000)}").mkString(" ")
