@@ -1432,6 +1432,33 @@ object Oracles {
         |FROM cum JOIN tot USING (grp)
         |GROUP BY cum.grp ORDER BY grp""".stripMargin,
 
+    // grouped-MAD mirror: the same two-pass selection with per-group
+    // partitioned running counts
+    "q_grouped_mad" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |g AS (SELECT grp, c, count(*) AS k FROM a GROUP BY 1, 2),
+        |cum AS (SELECT grp, c, k,
+        |  CAST(sum(k) OVER (PARTITION BY grp ORDER BY c) AS BIGINT) AS cum
+        |  FROM g),
+        |tot AS (SELECT grp, CAST(sum(k) AS BIGINT) AS n FROM g GROUP BY grp),
+        |med AS (
+        |  SELECT cum.grp, min(tot.n)::BIGINT AS n,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN c END)::BIGINT AS med_c
+        |  FROM cum JOIN tot USING (grp) GROUP BY cum.grp),
+        |dv AS (
+        |  SELECT g.grp, med.n, med.med_c, abs(g.c - med.med_c) AS d,
+        |    CAST(sum(g.k) AS BIGINT) AS k
+        |  FROM g JOIN med USING (grp) GROUP BY 1, 2, 3, 4),
+        |dcum AS (SELECT grp, n, med_c, d, k,
+        |  CAST(sum(k) OVER (PARTITION BY grp ORDER BY d) AS BIGINT) AS cum
+        |  FROM dv)
+        |SELECT grp, min(n)::BIGINT AS n, min(med_c)::BIGINT AS med_c,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN d END)::BIGINT AS mad_c
+        |FROM dcum GROUP BY grp ORDER BY grp""".stripMargin,
+
     "q_robust_stats" ->
       """WITH a AS (
         |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,

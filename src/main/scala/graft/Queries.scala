@@ -591,6 +591,13 @@ object Queries {
           col("o_orderpriority"), col("o_totalprice"))
         .orderBy(col("grp"))),
 
+    // robust per-segment dispersion: the same selection rule run twice
+    // (median, then median of |x − med| over the deviation grid)
+    "q_grouped_mad" -> ((s, dir) =>
+      Analytics.groupedMad(t(s, dir, "orders"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("grp"))),
+
     // ---- analytics: exact percentiles ----
     "q_percentiles" -> ((s, dir) =>
       Analytics.quantitySpread(t(s, dir, "lineitem"))),

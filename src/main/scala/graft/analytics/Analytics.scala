@@ -1240,6 +1240,36 @@ object Analytics {
           .as("p90_c"))
   }
 
+  /** Per-group median absolute deviation on the cents grid — the robust
+    * dispersion next to [[groupedQuantiles]]' location: the same
+    * self-computed selection rule, run twice (median, then the median of
+    * |value − median| over the deviation grid). Both passes work on the
+    * per-group distinct-value frames, never re-scan rows. */
+  def groupedMad(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val agg = df.select(groupCol.as("grp"),
+        floor(valueCol * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("grp"), col("c")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(eager = false) // both passes read it
+    val w = Window.partitionBy(col("grp")).orderBy(col("c"))
+    val tot = agg.groupBy(col("grp")).agg(sum(col("k")).as("n"))
+    val med = agg.withColumn("cum", sum(col("k")).over(w))
+      .join(tot, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(min(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("c"))).as("med_c"))
+    val devs = agg.join(med, Seq("grp"))
+      .select(col("grp"), col("n"), col("med_c"),
+        abs(col("c") - col("med_c")).as("d"), col("k"))
+      .groupBy(col("grp"), col("n"), col("med_c"), col("d"))
+      .agg(sum(col("k")).as("k"))
+    val wd = Window.partitionBy(col("grp")).orderBy(col("d"))
+    devs.withColumn("cum", sum(col("k")).over(wd))
+      .groupBy(col("grp"))
+      .agg(min(col("n")).as("n"), min(col("med_c")).as("med_c"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("d"))).as("mad_c"))
+  }
+
   /** Sample-ratio-mismatch check — the experimentation gate that runs
     * BEFORE any metric is read: a chi-square goodness-of-fit of observed
     * arm counts against the configured allocation. A failed SRM means
