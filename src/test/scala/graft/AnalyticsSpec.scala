@@ -147,6 +147,26 @@ class AnalyticsSpec extends SparkTestBase {
     assert(!ok._5 && ok._4 < 0.02)
   }
 
+  test("grouped quantiles and MAD: hand-computed discrete selections per segment") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+      ("b", 7.0)).toDF("g", "v")
+    val gq = Analytics.groupedQuantiles(df, col("g"), col("v"))
+      .select($"grp", $"n", $"med_c", $"p10_c", $"p90_c")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (g, n, m, p10, p90) => g -> ((n, m, p10, p90)) }.toMap
+    // discrete rule: min c whose running count reaches the rank threshold
+    assert(gq("a") === ((4L, 200L, 100L, 10000L)))
+    assert(gq("b") === ((1L, 700L, 700L, 700L)))
+    val gm = Analytics.groupedMad(df, col("g"), col("v"))
+      .select($"grp", $"med_c", $"mad_c")
+      .as[(String, Long, Long)].collect()
+      .map { case (g, m, d) => g -> ((m, d)) }.toMap
+    // devs for a vs med 200: {100, 0, 100, 9800} -> MAD = 100
+    assert(gm("a") === ((200L, 100L)))
+    assert(gm("b") === ((700L, 0L)))
+  }
+
   test("mean test: planted lift detected, identical arms give z ~ 0") {
     import spark.implicits._
     val lifted = ((1 to 400).map(i => ("a", 10.0 + (i % 7))) ++
