@@ -535,6 +535,25 @@ class PlanSpec extends SparkTestBase {
     assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).nonEmpty, plan)
   }
 
+  test("more-like-this: term-keyed join only, no cartesian, railed postings") {
+    val plan = formatted(graft.llm.Search.moreLikeThis(
+      t("documents"), col("doc_id") < 10, k = 5))
+    // candidates pair through the railed term postings — never doc×doc
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("team draft: bounded lists, draft steps scan-side (no joins after the list join)") {
+    import spark.implicits._
+    def rk(base: Long) = (0L until 4L).flatMap(q =>
+      (1 to 5).map(r => (q, r, base + q * 10 + r))).toDF("qid", "rank", "neighbor_id")
+    val plan = formatted(graft.llm.Eval.teamDraft(rk(0L), rk(100L), rounds = 2))
+    // exactly ONE join (the two collected list frames on qid); every
+    // draft step is a projection over the collected arrays
+    assert("""(?m)^\(\d+\) [A-Za-z]*Join""".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("ivf probe over persisted artifacts: file scans in, no training lineage") {
     val emb = t("embeddings")
     val dir = java.nio.file.Files.createTempDirectory("ivf_plan").toString
