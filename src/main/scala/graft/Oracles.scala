@@ -296,10 +296,10 @@ object Oracles {
     * (recursive-CTE transitive closure, label = min reachable id). Shared
     * by q_dedup_clusters and q_dedup_incr_clusters: the incremental path's
     * whole claim is that it matches this full recompute. */
-  private lazy val clusterCtes: String =
+  private def clusterCtesWhere(where: String): String =
     s"""WITH RECURSIVE e AS (
        |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
-       |  FROM documents),
+       |  FROM documents $where),
        |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
        |c AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -318,10 +318,14 @@ object Oracles {
        |  UNION
        |  SELECT reach.id, e2.d FROM reach JOIN edges e2 ON e2.s = reach.r)""".stripMargin
 
-  private lazy val clustersSql: String =
-    s"""$clusterCtes
+  private lazy val clusterCtes: String = clusterCtesWhere("")
+
+  private def clustersSqlWhere(where: String): String =
+    s"""${clusterCtesWhere(where)}
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  private lazy val clustersSql: String = clustersSqlWhere("")
 
   /** Unrolled 3-iteration integer PageRank over the exact-Jaccard ≥ 0.6
     * edge set — mirrors [[llm.Graph.pagerank]]'s floor-division micro-unit
@@ -1501,11 +1505,14 @@ object Oracles {
 
     // SQL-surface mirror: distinct 3-shingle count and token count over
     // the same tokenization (hash sets are distinct-by-string absent
-    // 64-bit collisions, so the SIZES match exactly)
+    // 64-bit collisions, so the SIZES match exactly). Empty tokens are
+    // FILTERED to match md5_token_hashes' empties-dropped semantics —
+    // the space-only trim leaves tab/newline-edged splits with '' stubs
+    // and empty text would otherwise count 1
     "q_sql_surface" ->
       s"""SELECT doc_id,
          |  len(list_distinct($shingleSql))::BIGINT AS n_shingles,
-         |  len($wordsSql)::BIGINT AS n_tokens
+         |  len(list_filter($wordsSql, x -> x <> ''))::BIGINT AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     // per-column profile mirror: one UNION ALL branch per column, all
@@ -1554,13 +1561,16 @@ object Oracles {
          |FROM d""".stripMargin
     },
 
-    // ratio-metric mirror: same exact moment sums, same pinned
-    // delta-method expression
+    // ratio-metric mirror: same cents-grid per-row quantization
+    // (floor(v*100 + 0.5) — here 0/1 indicators land on 0/100), same
+    // exact moment sums, same pinned delta-method expression
     "q_ratio_metric" ->
       """WITH per AS (
         |  SELECT user_id,
-        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS x,
-        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS y
+        |    sum(CAST(floor((CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      * 100 + 0.5) AS BIGINT)) AS x,
+        |    sum(CAST(floor((CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      * 100 + 0.5) AS BIGINT)) AS y
         |  FROM events GROUP BY user_id),
         |m AS (
         |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
@@ -1686,7 +1696,9 @@ object Oracles {
         |         ELSE 7 END AS w
         |  FROM u)
         |SELECT CAST(rep AS BIGINT) AS rep, sum(w)::BIGINT AS n_eff,
-        |  (sum(w * v)::BIGINT)::DOUBLE / (sum(w)::BIGINT)::DOUBLE AS mean
+        |  CASE WHEN sum(w) > 0
+        |    THEN (sum(w * v)::BIGINT)::DOUBLE / (sum(w)::BIGINT)::DOUBLE
+        |    ELSE NULL END AS mean
         |FROM r GROUP BY rep ORDER BY rep""".stripMargin,
 
     "q_percentiles" ->
@@ -2544,6 +2556,9 @@ object Oracles {
     // the incremental maintenance path must be INDISTINGUISHABLE from the
     // full recompute — same truth, literally the same SQL
     "q_dedup_incr_clusters" -> clustersSql,
+    // deletion-aware label maintenance: the maintained labeling must be
+    // indistinguishable from a full recompute over corpus ∖ deleted
+    "q_dedup_incr_delete" -> clustersSqlWhere("WHERE doc_id % 10 <> 3"),
 
     // same recursive-CTE component labeling as q_dedup_clusters, then a
     // window argmax (n_chars desc, doc_id) per cluster + anti-joined
@@ -2728,21 +2743,10 @@ object Oracles {
          |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // naive all-pairs edit-distance truth — the banding + thresholded-DP
-    // plan must reproduce it exactly
+    // all-pairs-within-block truth (the DEFAULT row): blocked linkage
+    // only compares records sharing the (lang, source) key, and within a
+    // block it is exact
     "q_fuzzy_match" ->
-      """WITH r AS (
-        |  SELECT doc_id, substring(text, 1, 40) AS rec FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(levenshtein(a.rec, b.rec) AS BIGINT) AS dist
-        |FROM r a JOIN r b ON a.doc_id < b.doc_id
-        |WHERE abs(len(a.rec) - len(b.rec)) <= 5
-        |  AND levenshtein(a.rec, b.rec) <= 5
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // all-pairs-within-block truth: blocked linkage only compares records
-    // sharing the (lang, source) key, and within a block it is exact
-    "q_fuzzy_blocked" ->
       """WITH r AS (
         |  SELECT doc_id, substring(text, 1, 40) AS rec, lang, source
         |  FROM documents)
@@ -2750,6 +2754,18 @@ object Oracles {
         |  CAST(levenshtein(a.rec, b.rec) AS BIGINT) AS dist
         |FROM r a JOIN r b ON a.doc_id < b.doc_id
         |  AND a.lang = b.lang AND a.source = b.source
+        |WHERE abs(len(a.rec) - len(b.rec)) <= 5
+        |  AND levenshtein(a.rec, b.rec) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // naive all-pairs edit-distance truth (small-SF correctness row) —
+    // the banding + thresholded-DP plan must reproduce it exactly
+    "q_fuzzy_allpairs" ->
+      """WITH r AS (
+        |  SELECT doc_id, substring(text, 1, 40) AS rec FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.rec, b.rec) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON a.doc_id < b.doc_id
         |WHERE abs(len(a.rec) - len(b.rec)) <= 5
         |  AND levenshtein(a.rec, b.rec) <= 5
         |ORDER BY id_a, id_b""".stripMargin,
@@ -3239,6 +3255,12 @@ object Oracles {
     // indistinguishable from a full rebuild over the union corpus, so the
     // steady-state row shares the rebuild oracle VERBATIM
     "q_index_incr" -> invertedIndexSql,
+    // deletion-aware index maintenance: subtracted state ≡ full rebuild
+    // over corpus ∖ deleted (rails re-applied at read over the new n)
+    "q_index_delete" -> invertedIndexSqlWhere("AND doc_id % 10 <> 6"),
+    // streaming (foreachBatch) index maintenance: three micro-batches
+    // folded through the pointer-disciplined state ≡ one full rebuild
+    "q_index_stream" -> invertedIndexSql,
 
     // conjunctive phrase lookup over the railed index: same index CTEs as
     // q_inverted_index, panel bigrams interpolated from Search.PhrasePanel
@@ -3361,6 +3383,15 @@ object Oracles {
         |SELECT ndocs::BIGINT AS ndocs, count(*) AS n_windows
         |FROM dfh GROUP BY ndocs ORDER BY ndocs""".stripMargin,
       extraCte = true),
+
+    // deletion-aware window-df maintenance: the subtracted artifact's
+    // histogram ≡ a rebuild over corpus ∖ deleted (window hashes are
+    // engine-local; the histogram is the portable fingerprint)
+    "q_window_df_delete" -> dedupSpansSql(
+      """dfh AS (SELECT count(DISTINCT doc_id) AS ndocs FROM p GROUP BY win)
+        |SELECT ndocs::BIGINT AS ndocs, count(*) AS n_windows
+        |FROM dfh GROUP BY ndocs ORDER BY ndocs""".stripMargin,
+      extraCte = true, pWhere = "doc_id % 10 <> 5"),
 
     // exact integer token sums per source; the published share is one
     // IEEE division on both engines
@@ -4256,6 +4287,14 @@ object Oracles {
         |  s_micro::DOUBLE / (n_members::DOUBLE * 1e6) AS c
         |FROM a ORDER BY cluster_id, dim""".stripMargin),
 
+    // deletion-aware centroid maintenance: maintained (labels, sums)
+    // state after an erasure ≡ the full recompute over corpus ∖ deleted
+    "q_centroids_delete" -> (embedCentroidCtesWhere("WHERE vec_id % 10 <> 4") +
+      """
+        |SELECT cluster_id, n_members, dim,
+        |  s_micro::DOUBLE / (n_members::DOUBLE * 1e6) AS c
+        |FROM a ORDER BY cluster_id, dim""".stripMargin),
+
     // nearest-centroid assignment: centroid lists rebuilt dim-ordered, the
     // same sequential-fold cosine, argmax pinned (score desc, cluster_id)
     "q_embed_assign" -> (embedCentroidCtes + s""",
@@ -4278,21 +4317,22 @@ object Oracles {
         |SELECT vec_id, cluster_id, score FROM sc WHERE rn = 1
         |ORDER BY vec_id""".stripMargin),
 
-    // SemDeDup mirror: the q_embed_assign assignment chain carried with
-    // embeddings, within-cell ε-pairs, a SECOND recursive closure for the
+    // SemDeDup mirror, DEFAULT = k-means codebook (unrolled Lloyd CTEs,
+    // k pinned at kmK since the data-driven k = max(8, ⌈n/1024⌉) = 8 at
+    // catalog SFs): within-cell ε-pairs, a recursive closure for the
     // duplicate groups, rep = (centroid_sim ASC, vec_id ASC) rank 1.
     // q_semantic_dedup_prebuilt shares it VERBATIM (below): the prebuilt-
     // assignment path must be indistinguishable from the inline one.
-    "q_semantic_dedup" -> semanticDedupSql,
-    "q_semantic_dedup_prebuilt" -> semanticDedupSql,
+    "q_semantic_dedup" -> kmeansSemanticSql,
+    "q_semantic_dedup_prebuilt" -> kmeansSemanticSql,
 
     // distributed Lloyd trainer: fixed-iteration unrolled mirror (the
     // q_bpe_merges technique) — init, argmin assignment, micro-unit
     // centroid updates, and empty-cell carry-forward all pinned
     "q_kmeans" -> kmeansSql,
-    // SemDeDup off the k-means codebook: k is now a free scale lever
-    // (cells ∝ corpus), dedup tail identical to q_semantic_dedup's
-    "q_semantic_dedup_kmeans" -> kmeansSemanticSql,
+    // SemDeDup off near-dup-graph centroids: the small-corpus explicit-
+    // codebook variant, dedup tail identical to q_semantic_dedup's
+    "q_semantic_dedup_graph" -> semanticDedupSql,
 
     // silhouette mirror over the same unrolled-Lloyd codebook: per-vector
     // (d, cell) rank EXACTLY the assignment expression, a/b shifted by
@@ -4348,7 +4388,7 @@ object Oracles {
     * (cluster_id, centroid): cosine assignment, within-cell ε-pairs,
     * recursive duplicate-group closure, rep = (centroid_sim, vec_id)
     * rank 1. Appended to the label-propagation codebook
-    * ([[semanticDedupSql]]) and the k-means codebook (q_semantic_dedup_kmeans)
+    * ([[semanticDedupSql]], q_semantic_dedup_graph) and the k-means codebook
     * alike — the dedup semantics must not depend on where the codebook
     * came from. */
   private lazy val semanticDedupTail: String = (s""",
@@ -4454,7 +4494,7 @@ object Oracles {
       |  USING (cell)
       |ORDER BY cell, dim""".stripMargin
 
-  /** q_semantic_dedup_kmeans: SemDeDup over the k-means codebook — the
+  /** q_semantic_dedup (+_prebuilt): SemDeDup over the k-means codebook — the
     * same dedup tail as [[semanticDedupSql]], codebook swapped. */
   private lazy val kmeansSemanticSql: String = kmeansCtes(kmK, kmIters) + s""",
       |cl AS (SELECT CAST(cell AS BIGINT) AS cluster_id, centroid FROM cl$kmIters)""".stripMargin +
@@ -4494,11 +4534,12 @@ object Oracles {
     * floor(0.06 n) — floor of the identical double product — postings as
     * the doc-ordered doc:tf string. Shared by q_inverted_index and
     * q_index_incr (incremental maintenance must equal the rebuild). */
-  private lazy val invertedIndexSql: String =
-    """WITH w AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
-      |  FROM documents WHERE len(trim(text)) > 0),
-      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+  private def invertedIndexSqlWhere(and: String): String =
+    s"""WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+      |  FROM documents WHERE len(trim(text)) > 0 $and),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |  WHERE TRUE $and),
       |g AS (
       |  SELECT doc_id, unnest(list_transform(list_slice(a, 1, len(a) - 1),
       |    (x, i) -> x || ' ' || a[i + 1])) AS gram
@@ -4513,6 +4554,8 @@ object Oracles {
       |  string_agg(t.doc_id || ':' || t.tf, ',' ORDER BY t.doc_id) AS postings
       |FROM tf t JOIN k USING (gram)
       |GROUP BY 1, 2, 3 ORDER BY gram""".stripMargin
+
+  private lazy val invertedIndexSql: String = invertedIndexSqlWhere("")
 
   /** Unrolled-CTE mirror of [[graft.llm.Pca]] power iteration: init = the
     * min-id vector normalized (sequential-fold self-dot), then per
@@ -4741,10 +4784,11 @@ object Oracles {
     * recursive component closure → per-(cluster, dim) exact micro sums.
     * q_embed_centroids publishes `a` directly; q_embed_assign rebuilds the
     * centroid lists from it and argmaxes per vector. */
-  private lazy val embedCentroidCtes: String =
-    s"""WITH RECURSIVE pr AS (
+  private def embedCentroidCtesWhere(where: String): String =
+    s"""WITH RECURSIVE src AS (SELECT * FROM embeddings $where),
+       |pr AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM embeddings a JOIN embeddings b
+       |  FROM src a JOIN src b
        |    ON a.label = b.label AND a.vec_id < b.vec_id
        |  WHERE ${dotSql("a.embedding", "b.embedding")} /
        |      (sqrt(${dotSql("a.embedding", "a.embedding")}) *
@@ -4761,11 +4805,13 @@ object Oracles {
        |  SELECT l.cluster_id, e.vec_id,
        |    CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
        |    unnest(e.embedding) AS v
-       |  FROM embeddings e JOIN lbl l ON l.id = e.vec_id),
+       |  FROM src e JOIN lbl l ON l.id = e.vec_id),
        |a AS (
        |  SELECT cluster_id, dim, CAST(count(*) AS BIGINT) AS n_members,
        |    sum(CAST(floor(v::DOUBLE * 1e6) AS BIGINT)) AS s_micro
        |  FROM x GROUP BY 1, 2)""".stripMargin
+
+  private lazy val embedCentroidCtes: String = embedCentroidCtesWhere("")
 
   /** Unrolled BPE training CTE chain: `m` merge rounds — pair counting,
     * (cnt desc, pair) argmax, and the delimiter-wrapped greedy rewrite,

@@ -1040,6 +1040,23 @@ object Queries {
       llm.Dedup.clustersIncremental(labels, newPairs)
         .orderBy(col("doc_id"))
     }),
+    // DELETION-aware label maintenance (right-to-erasure): the persisted
+    // labels + pair artifacts fold OUT an erased doc set by touched-
+    // component re-propagation over RETAINED pairs — deletions can SPLIT
+    // components (a removed bridge doc disconnects its neighbors), so
+    // subtraction alone cannot maintain labels. Oracle = the full
+    // recompute over corpus ∖ deleted: the two must be indistinguishable.
+    "q_dedup_incr_delete" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val pairs = sources.Artifacts.table(s, "del_cluster_pairs")(
+        llm.Dedup.minhashNearDups(docs, threshold = 0.6)
+          .select(col("id_a"), col("id_b")))
+      val labels = sources.Artifacts.table(s, "del_cluster_labels")(
+        llm.Dedup.clusters(pairs))
+      val deleted = docs.filter(col("doc_id") % 10 === 3).select(col("doc_id"))
+      llm.Dedup.clustersDelete(labels, pairs, deleted)
+        .orderBy(col("doc_id"))
+    }),
     // portable md5 hash family so the oracle can recompute signatures:
     // the all-pairs Hamming truth asserts the combination-block index's
     // pigeonhole completeness (every pair ≤ maxHamming is FOUND) and the
@@ -1098,6 +1115,19 @@ object Queries {
               windowTokens = 20)))
         .orderBy(col("ndocs"))
     }),
+    // DELETION-aware window-df maintenance: the purged docs' window
+    // counts subtract from the persisted artifact (zeros drop), and the
+    // result's histogram must equal a rebuild over corpus ∖ deleted —
+    // the erasure path for the span-dedup corpus state
+    "q_window_df_delete" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val corpusDf = sources.Artifacts.table(s, "window_df_del")(
+        llm.Dedup.windowDf(docs, windowTokens = 20))
+      llm.Dedup.windowDfHistogram(
+          llm.Dedup.windowDfDelete(corpusDf,
+            docs.filter(col("doc_id") % 10 === 5), windowTokens = 20))
+        .orderBy(col("ndocs"))
+    }),
     // per-source token-duplication share: the go/no-go gauge for span
     // removal, exact integer token sums + one published division
     "q_span_dup_rate" -> ((s, dir) =>
@@ -1147,18 +1177,21 @@ object Queries {
           llm.Fingerprint.winnow(tWide(s, dir, "documents"), k = 3, w = 4),
           minShared = 2, maxDf = 100)
         .orderBy(col("id_a"), col("id_b"))),
-    // fuzzy record linkage over 40-char record keys: length-band-blocked
-    // thresholded-levenshtein pairs within edit distance 5
+    // fuzzy record linkage over 40-char record keys, DEFAULT form:
+    // (lang, source) domain blocking conjoined with the length band —
+    // candidates are per-block, so the worst case is the largest block,
+    // never the corpus. This is the 100 TB-safe shape a user should copy.
     "q_fuzzy_match" -> ((s, dir) =>
       llm.Dedup.fuzzyMatchPairs(tWide(s, dir, "documents"),
-          prefixChars = 40, maxDist = 5)
-        .orderBy(col("id_a"), col("id_b"))),
-    // the scale path of the same operator: (lang, source) domain blocking
-    // conjoined with the length band — candidates are per-block, so the
-    // worst case is the largest block, never the corpus
-    "q_fuzzy_blocked" -> ((s, dir) =>
-      llm.Dedup.fuzzyMatchPairs(tWide(s, dir, "documents"),
           prefixChars = 40, maxDist = 5, blockCols = Seq("lang", "source"))
+        .orderBy(col("id_a"), col("id_b"))),
+    // the unblocked all-pairs truth: length-band only — quadratic in the
+    // corpus, kept as a small-SF correctness row proving the blocking
+    // never drops an IN-BLOCK pair (the blocked row's recall contract is
+    // "within-block exact"; this row is the global candidate set)
+    "q_fuzzy_allpairs" -> ((s, dir) =>
+      llm.Dedup.fuzzyMatchPairs(tWide(s, dir, "documents"),
+          prefixChars = 40, maxDist = 5)
         .orderBy(col("id_a"), col("id_b"))),
     // maxDf=2 exercises the high-DF pruning path through the oracle (the
     // sf corpus' max block-level DF is 3, so ≥3 would be a no-op here).
@@ -1231,6 +1264,25 @@ object Queries {
       llm.Similarity.clusterCentroidsIncremental(emb, oldLabels, oldSums, newPairs)
         .orderBy(col("cluster_id"), col("dim"))
     }),
+    // DELETION-aware centroid maintenance: erase a vector set from the
+    // persisted (labels, sums) state — touched components recompute their
+    // member sums (a split divides members between new labels, which a
+    // subtraction can't apportion), untouched sums carry through one anti
+    // join with vectors unread. Oracle = full recompute over
+    // embeddings ∖ deleted.
+    "q_centroids_delete" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val pairs = sources.Artifacts.table(s, "del_centroid_pairs")(
+        llm.Similarity.cosinePairsBlocked(emb, "label", 0.4)
+          .select(col("id_a"), col("id_b")))
+      val labels = sources.Artifacts.table(s, "del_centroid_labels")(
+        llm.Dedup.clusters(pairs))
+      val sums = sources.Artifacts.table(s, "del_centroid_sums")(
+        llm.Similarity.clusterCentroidSums(emb, labels))
+      val deleted = emb.filter(col("vec_id") % 10 === 4).select(col("vec_id"))
+      llm.Similarity.clusterCentroidsDelete(emb, labels, sums, pairs, deleted)
+        .orderBy(col("cluster_id"), col("dim"))
+    }),
 
     // global mean-centering: per-dim micro-unit exact mean (only dim
     // partial rows shuffle), broadcast back, scan-side subtraction
@@ -1280,33 +1332,28 @@ object Queries {
         .orderBy(col("vec_id"))
     }),
 
-    // SemDeDup: nearest-centroid cells block the ε-similarity join (the
-    // cell plays LSH's block role); per duplicate group keep the member
-    // LEAST similar to its centroid (the paper's diversity rule). The
-    // centroid frame (one clustering fixpoint) is checkpointed: tiny
-    // (clusters × dim) and consumed by the broadcast codebook — without
-    // the checkpoint the whole derivation chain re-runs per consumer.
-    "q_semantic_dedup" -> ((s, dir) => {
-      val emb = tWide(s, dir, "embeddings")
-      val centroids = llm.Similarity.centroidVectors(
-        llm.Similarity.clusterCentroids(emb,
-          llm.Similarity.cosinePairsBlocked(emb, "label", 0.4)))
-        .localCheckpoint(eager = false)
-      llm.Similarity.semanticDedup(emb, centroids, 0.5)
-        .orderBy(col("vec_id"))
-    }),
+    // SemDeDup, DEFAULT form: the codebook is a k-means quantizer whose
+    // k SCALES WITH THE CORPUS (k = max(8, ⌈n/targetCellSize⌉)) — the
+    // 100 TB-safe shape, since the within-cell ε-join is quadratic in
+    // cell size and cell count is its only lever. Nearest-centroid cells
+    // block the ε-similarity join (the cell plays LSH's block role); per
+    // duplicate group keep the member LEAST similar to its centroid (the
+    // paper's diversity rule). At catalog SFs n ≤ 2000 ⇒ k = 8 = the
+    // oracle's unrolled-Lloyd kmK, so the data-driven k stays pinned.
+    "q_semantic_dedup" -> ((s, dir) =>
+      llm.Similarity.semanticDedupAuto(tWide(s, dir, "embeddings"), 0.5)
+        .orderBy(col("vec_id"))),
 
-    // the steady-state form: codebook + per-vector assignment are PREBUILT
-    // artifacts (persisted in production; here built once and checkpointed,
-    // the q_dedup_incr_prebuilt pattern) — the dedup pass itself runs no
-    // clustering fixpoint and no codebook argmax. Shares q_semantic_dedup's
-    // oracle verbatim: the two forms must be indistinguishable.
+    // the steady-state form: k-means codebook + per-vector assignment are
+    // PREBUILT artifacts (persisted in production; here built once and
+    // checkpointed, the q_dedup_incr_prebuilt pattern) — the dedup pass
+    // itself runs no Lloyd iterations and no codebook argmax. Shares
+    // q_semantic_dedup's oracle verbatim: the two forms must be
+    // indistinguishable.
     "q_semantic_dedup_prebuilt" -> ((s, dir) => {
       val emb = tWide(s, dir, "embeddings")
       val centroids = sources.Artifacts.table(s, "semdedup_centroids")(
-        llm.Similarity.centroidVectors(
-          llm.Similarity.clusterCentroids(emb,
-            llm.Similarity.cosinePairsBlocked(emb, "label", 0.4))))
+        llm.Kmeans.codebook(s, llm.Kmeans.trainModel(emb, k = 8, iters = 3)))
       val assign = sources.Artifacts.table(s, "semdedup_assign")(
         llm.Similarity.assignToCentroids(emb, centroids)
           .select(col("vec_id"), col("cluster_id").as("cell"),
@@ -1330,14 +1377,20 @@ object Queries {
         .orderBy(col("cell"))
     }),
 
-    // SemDeDup over the k-means codebook (vs q_semantic_dedup's near-dup-
-    // graph centroids, whose cluster count is data-driven and small):
-    // identical dedup semantics, codebook swapped — the scale-safe form,
-    // since cells can grow with the corpus
-    "q_semantic_dedup_kmeans" -> ((s, dir) => {
+    // SemDeDup over NEAR-DUP-GRAPH centroids (vs q_semantic_dedup's
+    // k-means codebook): the small-corpus special case — cluster count is
+    // data-driven and capped, so cells grow with the corpus; kept as the
+    // explicit-codebook variant, identical dedup tail. The centroid frame
+    // (one clustering fixpoint) is checkpointed: tiny (clusters × dim)
+    // and consumed by the broadcast codebook — without the checkpoint the
+    // whole derivation chain re-runs per consumer.
+    "q_semantic_dedup_graph" -> ((s, dir) => {
       val emb = tWide(s, dir, "embeddings")
-      val cb = llm.Kmeans.codebook(s, llm.Kmeans.trainModel(emb, k = 8, iters = 3))
-      llm.Similarity.semanticDedup(emb, cb, 0.5)
+      val centroids = llm.Similarity.centroidVectors(
+        llm.Similarity.clusterCentroids(emb,
+          llm.Similarity.cosinePairsBlocked(emb, "label", 0.4)))
+        .localCheckpoint(eager = false)
+      llm.Similarity.semanticDedup(emb, centroids, 0.5)
         .orderBy(col("vec_id"))
     }),
 
@@ -1804,6 +1857,55 @@ object Queries {
       val merged = llm.Search.indexMerge(old, batch)
       llm.Search.renderIndex(
           llm.Search.applyRails(merged, 2L, math.floor(0.06 * n).toLong))
+        .orderBy(col("gram"))
+    }),
+    // DELETION-aware index maintenance: the purged docs' postings
+    // subtract from the persisted unrailed index (broadcast gram gating —
+    // untouched grams never shuffle; the posting cut is scan-side), rails
+    // re-applied at read over the SURVIVING doc count. Oracle = full
+    // rebuild over corpus ∖ deleted.
+    "q_index_delete" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val old = sources.Artifacts.table(s, "index_del_old")(
+        llm.Search.invertedIndexRaw(docs))
+      val doomed = docs.filter(col("doc_id") % 10 === 6)
+      val deletedIdx = llm.Search.invertedIndexRaw(doomed)
+        .localCheckpoint(eager = false) // two broadcast consumers
+      val n = docs.filter(col("doc_id") % 10 =!= 6).count()
+      llm.Search.renderIndex(
+          llm.Search.applyRails(llm.Search.indexDelete(old, deletedIdx),
+            2L, math.floor(0.06 * n).toLong))
+        .orderBy(col("gram"))
+    }),
+    // STREAMING index maintenance, batch-parity form: the corpus arrives
+    // as three disjoint foreachBatch micro-batches folded through
+    // StreamingIndex.applyBatch (the IDENTICAL code the writer runs),
+    // versioned state + _LATEST pointer per batch, rails applied at read
+    // over the live stats sidecar. Shares q_inverted_index's oracle
+    // VERBATIM: the streamed index ≡ a full rebuild over the whole corpus.
+    "q_index_stream" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      // bench mode: the state dir lives under the artifact root, so the
+      // prefix batches fold once (pass 1) and later passes hit the
+      // replay-skip pointer — the MIN measures the railed serving read
+      // over persisted state, the q_bm25_indexed discipline. Verify gets
+      // a fresh temp dir and folds everything inline every run.
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sidx_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sidx").toString
+      }
+      if (streaming.StreamingIndex.latestVersion(s, state).isEmpty)
+        (0L until 2L).foreach { b =>
+          streaming.StreamingIndex.applyBatch(
+            docs.filter(col("doc_id") % 3 === b), state, b)
+        }
+      // the steady-state step under measurement: fold the tail batch
+      // (pointer-skipped when already applied — that IS the discipline)
+      streaming.StreamingIndex.applyBatch(
+        docs.filter(col("doc_id") % 3 === 2), state, 2L)
+      llm.Search.renderIndex(
+          streaming.StreamingIndex.readRailedIndex(s, state))
         .orderBy(col("gram"))
     }),
     // BM25 over PREBUILT artifacts (unigram index with dl in postings +

@@ -1189,11 +1189,18 @@ object Analytics {
     * one (unit) aggregation + one global aggregation; every derived
     * double is a pinned-order IEEE expression over the sums' casts
     * (cross-moments in double space, the [[cupedReport]] overflow
-    * rationale). Degenerate inputs (n < 2 or Σy = 0) publish NULL se. */
+    * rationale). Per-row values land on the CENTS GRID
+    * (floor(v·100 + 0.5), the [[meanTest]]/[[cupedReport]] convention)
+    * before summation, so fractional metrics like revenue keep their
+    * fractional mass instead of truncating toward zero — ratio and se
+    * are scale-invariant under the common ×100, so integer metrics
+    * (clicks/views) are unchanged. Degenerate inputs (n < 2 or Σy = 0)
+    * publish NULL se. */
   def ratioMetricCi(df: DataFrame, unit: Column, numCol: Column,
       denCol: Column): DataFrame = {
+    def cents(v: Column): Column = floor(v * 100 + 0.5).cast("long")
     val per = df.groupBy(unit.as("u"))
-      .agg(sum(numCol.cast("long")).as("x"), sum(denCol.cast("long")).as("y"))
+      .agg(sum(cents(numCol)).as("x"), sum(cents(denCol)).as("y"))
     val m = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
@@ -1294,13 +1301,16 @@ object Analytics {
       expected.map { case (arm, _) =>
         sum(when(armCol === arm, 1L).otherwise(0L)).as(s"n_$arm") }: _*)
     val nD = col("n_total").cast("double")
+    // backticked re-resolution: an arm named "v1.0" must resolve as the
+    // literal column n_v1.0, not a nested-field path (the Expect.scanChecks
+    // bug class)
     val chi2 = expected.map { case (arm, frac) =>
       val e = nD * lit(frac)
-      val d = col(s"n_$arm").cast("double") - e
+      val d = col(s"`n_$arm`").cast("double") - e
       d * d / e
     }.reduce(_ + _)
     counts.select(
-      (col("n_total") +: expected.map { case (a, _) => col(s"n_$a") }): _*)
+      (col("n_total") +: expected.map { case (a, _) => col(s"`n_$a`") }): _*)
       .withColumn("chi2", chi2)
       .withColumn("srm_detected", col("chi2") > lit(critValue))
   }
@@ -1397,15 +1407,23 @@ object Analytics {
       .groupBy(col("rep"))
       .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("s"))
       .select(col("rep"), col("n_eff"),
-        (col("s").cast("double") / col("n_eff").cast("double")).as("mean"))
+        // an all-zero-weight replicate (probability e^-n per rep on tiny
+        // inputs) publishes NULL, not 0/0 = NaN — NaN would silently
+        // poison the downstream SE fold
+        when(col("n_eff") > 0,
+          col("s").cast("double") / col("n_eff").cast("double"))
+          .otherwise(lit(null).cast("double")).as("mean"))
   }
 
   /** Standard error over the replicate means: collected (B ≤ a few
     * hundred — bounded driver state) and folded in rep order, so the
     * float op sequence is pinned. */
   def bootstrapSe(replicates: DataFrame): Double = {
+    // degenerate all-zero-weight replicates publish NULL means — skip
+    // them here rather than fold NaN into the variance
     val means = replicates.orderBy(col("rep"))
-      .select(col("mean")).collect().map(_.getDouble(0))
+      .select(col("mean")).collect()
+      .collect { case r if !r.isNullAt(0) => r.getDouble(0) }
     require(means.length > 1, "need at least 2 replicates")
     val mbar = means.sum / means.length
     math.sqrt(means.map(m => (m - mbar) * (m - mbar)).sum / (means.length - 1))

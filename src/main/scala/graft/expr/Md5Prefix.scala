@@ -45,8 +45,12 @@ case class Md5Prefix(child: Expression, nHex: Int) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     Md5Prefix.eval(input.asInstanceOf[UTF8String], nHex)
 
+  // MODULE$ call, not `graft.expr.Md5Prefix.eval(...)`: the companion's
+  // static forwarder for `eval` is suppressed by the case class's inherited
+  // Expression.eval, so the bare-class form fails Janino compilation and
+  // silently drops the WHOLE projection to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.Md5Prefix.eval($c, $nHex)")
+    defineCodeGen(ctx, ev, c => s"graft.expr.Md5Prefix$$.MODULE$$.eval($c, $nHex)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

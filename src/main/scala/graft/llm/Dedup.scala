@@ -1150,6 +1150,74 @@ object Dedup {
       .unionByName(stitched)
   }
 
+  /** DELETION-aware label maintenance — the right-to-erasure companion to
+    * [[clustersIncremental]]: remove a set of doc ids from a persisted
+    * (doc_id, cluster_id) labeling, given the persisted PAIR artifact,
+    * without recomputing untouched components. Additions only ever MERGE
+    * components; deletions can SPLIT them (remove a bridge doc and its
+    * component falls apart), so the touched components re-run the
+    * fixpoint over their RETAINED pairs — subtraction alone cannot
+    * discover a split.
+    *
+    * Three-way split, all equi-joins on ids (the [[clustersIncremental]]
+    * shape, deletion-flavored):
+    *   1. components TOUCHED by the deletion = labels semi-joined through
+    *      the deleted ids (the deletion batch drives);
+    *   2. the fixpoint reruns over the touched components' pairs with
+    *      both endpoints SURVIVING — input is O(|touched|), never the
+    *      corpus (pairs connect only within a component, so one
+    *      endpoint-semi-join selects them);
+    *   3. the untouched bulk keeps its labels via one anti join.
+    *
+    * Output ≡ a full [[clusters]] recompute over pairs(corpus ∖ deleted)
+    * (oracle-pinned): untouched components contain no deleted member, so
+    * their pair sets and min labels are unchanged; touched components are
+    * recomputed exactly. A surviving member left in NO retained pair
+    * drops out of the labeling, matching [[clusters]]' members-only
+    * contract. */
+  def clustersDelete(labels: DataFrame, pairs: DataFrame,
+      deletedIds: DataFrame, maxIter: Int = 20,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val del = deletedIds
+      .select(col(deletedIds.columns.head).as("__did")).distinct()
+      .localCheckpoint(eager = false) // consumed three times below
+    val touched = labels
+      .join(del, col("doc_id") === col("__did"), "left_semi")
+      .select(col("cluster_id")).distinct()
+      .localCheckpoint(eager = false) // semi + anti consumers
+    val members = labels.join(touched, Seq("cluster_id"), "left_semi")
+      .select(col("doc_id"))
+    // pairs live within one component, so membership of ONE endpoint
+    // selects a touched component's pairs; both endpoints must survive
+    val retained = pairs
+      .join(members, pairs(aCol) === members("doc_id"), "left_semi")
+      .join(del, pairs(aCol) === col("__did"), "left_anti")
+      .join(del, pairs(bCol) === col("__did"), "left_anti")
+    val stitched = clusters(retained, maxIter, aCol, bCol)
+    labels.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(stitched)
+  }
+
+  /** DELETION-aware [[windowDf]] maintenance: subtract the purged docs'
+    * per-window distinct-doc counts from the persisted artifact — run at
+    * erasure time, while the doomed rows are still readable (the
+    * [[graft.sources.Merge.applyDeletes]] ordering). Corpus and deleted
+    * doc sets being disjoint-after-removal makes the subtraction exact:
+    * counts that reach 0 drop, so the result is bit-identical to a
+    * rebuild over corpus ∖ deleted (oracle-pinned). Scale shape: only
+    * the deleted docs are re-windowed; the artifact updates via one
+    * (h)-keyed outer merge — the [[windowDfMerge]] shuffle with negated
+    * counts. */
+  def windowDfDelete(corpusDf: DataFrame, deletedDocs: DataFrame,
+      windowTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    corpusDf.unionByName(
+        windowDf(deletedDocs, windowTokens, idCol, textCol)
+          .select(col("h"), (-col("ndocs")).as("ndocs")))
+      .groupBy(col("h")).agg(sum(col("ndocs")).as("ndocs"))
+      .filter(col("ndocs") > 0)
+
   /** Canonical survivors from a pair list: one row per component, keeping
     * the min-id member — `clusters` folded to the keep set. */
   def clusterSurvivors(pairs: DataFrame): DataFrame =

@@ -155,9 +155,14 @@ object Eval {
     // first unpicked element of `lst` given already-picked ids
     def draft(lst: Column, picked: Column): Column =
       element_at(filter(lst, x => !array_contains(picked, x)), 1)
+    // empty picks array DERIVES its id type from the ranking's own id
+    // column (slice(...,1,0) keeps the element type) — string/int ids
+    // work, not just bigint
+    val emptyPicks = slice(
+      transform(col("la"), x => struct(x.as("id"), lit("A").as("team"))),
+      1, 0)
     val stepped = (0 until rounds).foldLeft(
-      lists.withColumn("picks",
-        array().cast("array<struct<id:bigint,team:string>>"))) { (df, r) =>
+      lists.withColumn("picks", emptyPicks)) { (df, r) =>
       val coinA = graft.expr.Md5Prefix(
         concat(col("qid").cast("string"), lit(s":round$r")), 8) % 2 === 0
       val ids = transform(col("picks"), p => p.getField("id"))

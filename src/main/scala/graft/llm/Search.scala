@@ -354,6 +354,46 @@ object Search {
     a.unionByName(b).agg(sum(col("n_docs")).as("n_docs"),
       sum(col("sum_dl")).as("sum_dl"))
 
+  /** DELETION-aware index maintenance — the right-to-erasure companion to
+    * [[indexMerge]]: subtract a purged doc set's postings from a
+    * persisted UNRAILED index, without rebuilding it. `deletedIndex` is
+    * [[invertedIndexRaw]] over the doomed docs (computed at erasure time,
+    * while their rows are still readable — the
+    * [[graft.sources.Merge.applyDeletes]] ordering).
+    *
+    * Scale shape mirrors [[indexMerge]]: the deleted gram list BROADCASTS,
+    * untouched grams (the vast majority) pass through an anti join
+    * without shuffling; touched grams take ONE gram-equi join and the
+    * posting cut is scan-side — `pl` is filtered against the deleted
+    * row's own (bounded, per-gram) doc list, df/cf subtract exactly, and
+    * grams whose df reaches 0 drop. The deleted docs were part of the
+    * corpus the old index was built over, so every subtracted posting
+    * exists and the result is bit-identical to a full rebuild over
+    * corpus ∖ deleted (oracle-pinned). */
+  def indexDelete(oldIndex: DataFrame, deletedIndex: DataFrame,
+      gramCol: String = "gram", idCol: String = "doc_id"): DataFrame = {
+    val delG = deletedIndex.select(col(gramCol), col("df").as("__ddf"),
+      col("cf").as("__dcf"),
+      transform(col("pl"), x => x.getField(idCol)).as("__dids"))
+    val untouched = oldIndex
+      .join(broadcast(delG.select(col(gramCol))), Seq(gramCol), "left_anti")
+    val touched = oldIndex.join(broadcast(delG), Seq(gramCol))
+      .select(col(gramCol),
+        (col("df") - col("__ddf")).as("df"),
+        (col("cf") - col("__dcf")).as("cf"),
+        filter(col("pl"),
+          p => !array_contains(col("__dids"), p.getField(idCol))).as("pl"))
+      .filter(col("df") > 0)
+    untouched.unionByName(touched)
+  }
+
+  /** Subtract a purged doc set's stats sidecar — maintained stats ≡ a
+    * recomputed [[corpusStats]] over corpus ∖ deleted. */
+  def statsDelete(corpus: DataFrame, deleted: DataFrame): DataFrame =
+    statsMerge(corpus,
+      deleted.select((-col("n_docs")).as("n_docs"),
+        (-col("sum_dl")).as("sum_dl")))
+
   /** df rails as a read-time view over unrailed raw state — the form
     * every consumer ([[phraseQuery]], [[renderIndex]]) takes after
     * [[indexMerge]] maintenance. */

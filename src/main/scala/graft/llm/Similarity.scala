@@ -196,16 +196,19 @@ object Similarity {
     // one greedy pick: among candidates not yet selected, minimize
     // key = 0.5·maxsim − 0.5·rel (ties on nid) — the NEGATED MMR score
     def pick(sel: Seq[Column]): Column = {
-      val selIds =
-        if (sel.isEmpty) array().cast("array<bigint>")
-        else array(sel.map(_.getField("nid")): _*)
       def maxSim(c: Column): Column =
         if (sel.isEmpty) lit(0.0)
         else array_max(array(sel.map(s =>
           dot(c.getField("vec"), s.getField("vec")) /
             (c.getField("nn") * s.getField("nn"))): _*))
-      val avail = filter(col("cands"),
-        c => !array_contains(selIds, c.getField("nid")))
+      // first pick filters nothing — avoids manufacturing an empty array
+      // whose element type would have to be guessed from the id column
+      val avail =
+        if (sel.isEmpty) col("cands")
+        else {
+          val selIds = array(sel.map(_.getField("nid")): _*)
+          filter(col("cands"), c => !array_contains(selIds, c.getField("nid")))
+        }
       element_at(array_sort(transform(avail, c => struct(
         (lit(0.5) * maxSim(c) - lit(0.5) * c.getField("rel")).as("key"),
         c.getField("nid").as("nid"), c.as("c")))), 1).getField("c")
@@ -761,6 +764,40 @@ object Similarity {
           sum(col("s_micro")).as("s_micro")))
   }
 
+  /** DELETION-aware centroid maintenance — the right-to-erasure companion
+    * to [[clusterCentroidsIncremental]]: purge a set of ids from the
+    * persisted (labels, sums) centroid state, given the persisted pair
+    * artifact. Deletions can SPLIT components ([[graft.llm.Dedup.clustersDelete]]),
+    * and a split divides a cluster's members between new labels — which a
+    * sum subtraction cannot apportion — so TOUCHED components recompute
+    * their sums from member embeddings (a sliver: only components
+    * containing a deleted doc), while the untouched bulk carries its
+    * persisted sums through one anti join, vectors unread.
+    *
+    * Output ≡ a full [[clusterCentroids]] over pairs(corpus ∖ deleted)
+    * — shares that recompute's oracle verbatim. */
+  def clusterCentroidsDelete(emb: DataFrame, oldLabels: DataFrame,
+      oldSums: DataFrame, pairs: DataFrame, deletedIds: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val del = deletedIds
+      .select(col(deletedIds.columns.head).as("__did")).distinct()
+    val touched = oldLabels
+      .join(del, col("doc_id") === col("__did"), "left_semi")
+      .select(col("cluster_id")).distinct()
+      .localCheckpoint(eager = false) // anti (carried) + semi (stitched)
+    val newLabels = Dedup.clustersDelete(oldLabels, pairs, deletedIds)
+    // members of touched components that survived and still sit in a pair
+    val stitched = newLabels.join(
+      oldLabels.join(touched, Seq("cluster_id"), "left_semi")
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val carried = oldSums.join(touched, Seq("cluster_id"), "left_anti")
+    // label sets are disjoint (labels are member ids; components are
+    // disjoint), so no merge aggregation is needed — plain union
+    centroidsFromSums(
+      carried.unionByName(clusterCentroidSums(emb, stitched, idCol, vecCol)))
+  }
+
   /** Blocked cosine pairs TOUCHING A BATCH — the near-dup pair generator
     * for incremental ingest: corpus↔batch cross pairs plus batch-internal
     * pairs, never corpus↔corpus (those are the persisted old pair graph).
@@ -906,6 +943,30 @@ object Similarity {
         col("score").as("centroid_sim"))
       .localCheckpoint(eager = false)
     semanticDedupFromAssign(emb, assign, threshold, idCol, vecCol)
+  }
+
+  /** [[semanticDedup]] with the DEFAULT codebook: a [[Kmeans]] quantizer
+    * whose k SCALES WITH THE CORPUS — k = max(8, ⌈n / targetCellSize⌉).
+    * This is the form a user should copy: the within-cell ε-join is the
+    * one quadratic in the dedup stack, and its only size lever is cell
+    * count; a fixed-k codebook (e.g. near-dup-graph centroids, whose
+    * cluster count is small and data-capped) lets cells grow linearly
+    * with the corpus, so at 100 TB the per-cell candidate set explodes.
+    * Deriving k from n pins the EXPECTED cell size at `targetCellSize`
+    * regardless of corpus scale (SemDeDup's own deployment note: more
+    * clusters, smaller cells). The n-count is one column-pruned scan and
+    * the codebook is k × dim driver state — bounded, like IVF training.
+    * Graph-centroid codebooks remain available by passing one to
+    * [[semanticDedup]] explicitly (the small-corpus special case). */
+  def semanticDedupAuto(emb: DataFrame, threshold: Double,
+      targetCellSize: Long = 1024L, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize must be > 0: $targetCellSize")
+    val n = emb.select(col(idCol)).count()
+    val k = math.max(8L, (n + targetCellSize - 1L) / targetCellSize).toInt
+    val cb = Kmeans.codebook(emb.sparkSession,
+      Kmeans.trainModel(emb, k, iters, idCol, vecCol))
+    semanticDedup(emb, cb, threshold, idCol, vecCol)
   }
 
   /** SemDeDup from a PREBUILT assignment table (idCol, cell, centroid_sim)

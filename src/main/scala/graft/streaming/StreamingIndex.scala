@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.llm.Search
+
+/** Always-on inverted-index ingest: each micro-batch of NEW documents
+  * folds into a persisted (unrailed index, stats sidecar) pair via
+  * [[Search.indexMerge]]/[[Search.statsMerge]] inside `foreachBatch` —
+  * the streaming form of the batch `q_index_incr` maintenance path, so
+  * the search stack has an always-on ingest story like dedup
+  * ([[StreamingCuration]]), SCD2 ([[StreamingScd2]]) and snapshots
+  * ([[StreamingSnapshot]]) already do.
+  *
+  * State layout follows the [[StreamingSnapshot]] pointer discipline:
+  * each batch writes NEW `idx/v=<batchId>` + `stats/v=<batchId>`
+  * directories, then advances a single `_LATEST` pointer — readers never
+  * observe a half-written index, and crash-replays of an applied batch
+  * are detected by the pointer and SKIPPED (unlike a snapshot upsert,
+  * re-merging postings would double df/cf, so the pointer check is the
+  * exactly-once mechanism here, exactly as `foreachBatch`'s batchId
+  * contract intends).
+  *
+  * The state is UNRAILED on disk (df rails are a read decision —
+  * [[Search.applyRails]] — because maintenance can move a gram across
+  * either rail); [[readRailedIndex]] is the consumer form. At 100 TB the
+  * per-batch cost is the [[Search.indexMerge]] shape: the batch's gram
+  * list broadcasts, untouched grams pass one anti join unshuffled, and
+  * only touched ∪ batch grams re-aggregate. */
+object StreamingIndex {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new Path(dir, "_LATEST")
+    val f = fs(spark, dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** The current unrailed index (empty-schema error until a batch lands). */
+  def readIndex(spark: SparkSession, dir: String): DataFrame =
+    latestVersion(spark, dir) match {
+      case Some(v) => spark.read.parquet(s"$dir/idx/v=$v")
+      case None => throw new IllegalStateException(s"no index at $dir yet")
+    }
+
+  /** The current stats sidecar (n_docs, sum_dl). */
+  def readStats(spark: SparkSession, dir: String): DataFrame =
+    latestVersion(spark, dir) match {
+      case Some(v) => spark.read.parquet(s"$dir/stats/v=$v")
+      case None => throw new IllegalStateException(s"no stats at $dir yet")
+    }
+
+  /** Consumer view: rails applied over the LIVE doc count, the
+    * [[Search.applyRails]] read-time contract (minDf, maxDfFrac·n). */
+  def readRailedIndex(spark: SparkSession, dir: String, minDf: Long = 2L,
+      maxDfFrac: Double = 0.06): DataFrame = {
+    val n = readStats(spark, dir).collect().head.getAs[Long]("n_docs")
+    Search.applyRails(readIndex(spark, dir), minDf,
+      math.floor(maxDfFrac * n).toLong)
+  }
+
+  /** Fold one batch of new docs into the persisted state. Public so the
+    * batch-parity catalog row drives the IDENTICAL code `foreachBatch`
+    * runs. Batches must be new docs ([[Search.indexMerge]]'s disjointness
+    * precondition — the checkpoint guarantees it for a stream source). */
+  def applyBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    latestVersion(spark, dir) match {
+      case Some(v) if v >= batchId => () // replay of an applied batch: skip
+      case prev =>
+        val batchIdx = Search.invertedIndexRaw(batch)
+        val batchStats = Search.corpusStats(batch)
+        val (idx, stats) = prev match {
+          case Some(v) => (
+            Search.indexMerge(spark.read.parquet(s"$dir/idx/v=$v"), batchIdx),
+            Search.statsMerge(spark.read.parquet(s"$dir/stats/v=$v"), batchStats))
+          case None => (batchIdx, batchStats)
+        }
+        idx.write.mode("overwrite").parquet(s"$dir/idx/v=$batchId")
+        stats.write.mode("overwrite").parquet(s"$dir/stats/v=$batchId")
+        val out = fs(spark, dir).create(new Path(dir, "_LATEST"), true)
+        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Wire a doc stream to the maintained index. Caller starts/stops the
+    * returned writer. */
+  def writer(docs: DataFrame, dir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        applyBatch(df, dir, batchId)
+      }
+}

@@ -538,6 +538,89 @@ class LlmSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("clustersDelete: deleted bridge doc SPLITS its component; untouched components keep labels") {
+    // component {1,2,3,4,5} held together by bridge 3 (chain 1-2-3-4-5),
+    // plus an untouched component {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.clusters(pairs)
+    val deleted = Seq(3L).toDF("doc_id")
+    val got = Dedup.clustersDelete(labels, pairs, deleted)
+      .as[(Long, Long)].collect().toMap
+    // the bridge removal splits {1,2,3,4,5} into {1,2} and {4,5};
+    // 3 itself leaves the labeling; {10,11} is untouched
+    assert(got === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L, 11L -> 10L))
+    // ≡ full recompute over pairs with both endpoints surviving
+    val retained = pairs.filter($"id_a" =!= 3L && $"id_b" =!= 3L)
+    assert(got === Dedup.clusters(retained).as[(Long, Long)].collect().toMap)
+
+    // deleting a LEAF doc (5) must not split anything: {1,2,3,4} keeps
+    // label 1, and 5 drops out
+    val got2 = Dedup.clustersDelete(labels, pairs, Seq(5L).toDF("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+
+    // deleting a doc in NO component is a no-op
+    val got3 = Dedup.clustersDelete(labels, pairs, Seq(99L).toDF("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got3 === labels.as[(Long, Long)].collect().toMap)
+  }
+
+  test("windowDfDelete / indexDelete / statsDelete: maintained state equals rebuild over corpus minus deleted") {
+    import graft.llm.Search
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "alpha beta unrelated tail words here"),
+      (5L, "totally different content words again")).toDF("doc_id", "text")
+    val deleted = docs.filter($"doc_id" % 2 === 0)
+    val survivors = docs.filter($"doc_id" % 2 =!= 0)
+
+    // window-df: subtract the deleted docs' window counts, zeros drop
+    val maintained = Dedup.windowDfDelete(
+      Dedup.windowDf(docs, windowTokens = 3), deleted, windowTokens = 3)
+    val rebuilt = Dedup.windowDf(survivors, windowTokens = 3)
+    assert(maintained.orderBy($"h").collect().toSeq
+      === rebuilt.orderBy($"h").collect().toSeq)
+
+    // inverted index: postings cut scan-side, df/cf subtract, df=0 drops
+    val old = Search.invertedIndexRaw(docs)
+    val gotIdx = Search.renderIndex(
+      Search.indexDelete(old, Search.invertedIndexRaw(deleted)))
+    val wantIdx = Search.renderIndex(Search.invertedIndexRaw(survivors))
+    assert(gotIdx.orderBy($"gram").collect().toSeq
+      === wantIdx.orderBy($"gram").collect().toSeq)
+
+    // stats sidecar: negated-merge ≡ recompute
+    assert(Search.statsDelete(Search.corpusStats(docs),
+        Search.corpusStats(deleted)).collect().toSeq
+      === Search.corpusStats(survivors).collect().toSeq)
+  }
+
+  test("clusterCentroidsDelete: split apportions member sums; untouched sums carried") {
+    // embeddings in two blocks: ids 1-5 (bridge 3) + untouched 10,11
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.8f, 0.2f)), (4L, Array(0.7f, 0.3f)),
+      (5L, Array(0.6f, 0.4f)), (10L, Array(0.0f, 1.0f)),
+      (11L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.clusters(pairs)
+    val sums = Similarity.clusterCentroidSums(emb, labels)
+    val deleted = Seq(3L).toDF("vec_id")
+    val got = Similarity.clusterCentroidsDelete(
+      emb, labels, sums, pairs, deleted)
+    val retained = pairs.filter($"id_a" =!= 3L && $"id_b" =!= 3L)
+    val want = Similarity.clusterCentroids(
+      emb.filter($"vec_id" =!= 3L), retained)
+    assert(got.orderBy($"cluster_id", $"dim").collect().toSeq
+      === want.orderBy($"cluster_id", $"dim").collect().toSeq)
+  }
+
   test("clusters: 64-node path converges within doubling bound; random graph matches union-find") {
     // worst case for plain propagation (diameter 63); pointer doubling
     // must close it comfortably inside maxIter = 10
