@@ -369,11 +369,13 @@ object Oracles {
 
   /** All-pairs exact-Jaccard truth for incremental (batch ≥ 250 vs corpus
     * < 250) near-dup detection — shared by the inline and prebuilt-table
-    * catalog forms, which must be indistinguishable. */
-  private lazy val incrNearTruthSql =
+    * catalog forms, which must be indistinguishable. The `where` variant
+    * mirrors the deletion-maintained band/shingle tables: the truth over
+    * corpus ∖ deleted. */
+  private def incrNearTruthSqlWhere(where: String) =
     s"""WITH e AS (
        |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
-       |  FROM documents),
+       |  FROM documents $where),
        |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
        |c AS (
        |  SELECT a.doc_id AS id_new, b.doc_id AS id_other, count(*) AS c
@@ -389,6 +391,9 @@ object Oracles {
        |JOIN sz sb ON sb.doc_id = id_other
        |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6
        |ORDER BY id_new, id_other""".stripMargin
+
+  private lazy val incrNearTruthSql = incrNearTruthSqlWhere("")
+
   /** Sequential left-to-right double dot product (list_reduce, NOT list_sum,
     * so the fold order matches Spark's aggregate()). */
   private def dotSql(a: String, b: String) =
@@ -1723,6 +1728,11 @@ object Oracles {
     "q_dedup_incr_near" -> incrNearTruthSql,
     // the prebuilt-table form answers the SAME question — one truth
     "q_dedup_incr_prebuilt" -> incrNearTruthSql,
+    // deletion-maintained band/shingle tables: the probe over the purged
+    // tables ≡ the truth over corpus ∖ deleted (deleted = corpus ids
+    // ≡ 7 mod 10; the batch side is untouched)
+    "q_dedup_prebuilt_delete" ->
+      incrNearTruthSqlWhere("WHERE doc_id >= 250 OR doc_id % 10 <> 7"),
 
     "q_dedup_incremental" ->
       """WITH batch AS (
@@ -3261,6 +3271,9 @@ object Oracles {
     // streaming (foreachBatch) index maintenance: three micro-batches
     // folded through the pointer-disciplined state ≡ one full rebuild
     "q_index_stream" -> invertedIndexSql,
+    // streaming ingest + erasure fold: adds merge, full-row tombstones
+    // subtract — shares the deletion row's corpus∖deleted truth verbatim
+    "q_index_stream_erasure" -> invertedIndexSqlWhere("AND doc_id % 10 <> 6"),
 
     // conjunctive phrase lookup over the railed index: same index CTEs as
     // q_inverted_index, panel bigrams interpolated from Search.PhrasePanel

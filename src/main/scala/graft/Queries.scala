@@ -1023,6 +1023,27 @@ object Queries {
         threshold = 0.6)
         .orderBy(col("id_new"), col("id_other"))
     }),
+    // DELETION-aware band/shingle-table maintenance: the purged ids fold
+    // out of the persisted LSH artifacts by broadcast anti join (per-doc
+    // rows — nothing to decrement), and the batch probe over the
+    // maintained tables must equal the truth over corpus ∖ deleted
+    "q_dedup_prebuilt_delete" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      def corpus = docs.filter(col("doc_id") < 250)
+      val deleted = docs.filter(col("doc_id") < 250 &&
+        col("doc_id") % 10 === 7).select(col("doc_id"))
+      llm.Dedup.incrementalNearDupsPrebuilt(
+        docs.filter(col("doc_id") >= 250),
+        llm.Dedup.bandsDelete(
+          sources.Artifacts.table(s, "incr_bands")(llm.Dedup.bandTable(corpus)),
+          deleted),
+        llm.Dedup.shinglesDelete(
+          sources.Artifacts.table(s, "incr_shingles")(
+            llm.Dedup.shingleTable(corpus)),
+          deleted),
+        threshold = 0.6)
+        .orderBy(col("id_new"), col("id_other"))
+    }),
     // incremental label maintenance: corpus labels + the batch's pair list
     // stitched by touched-component re-propagation only — the oracle is
     // the FULL-recompute clusters SQL, so the row proves the two paths
@@ -1906,6 +1927,42 @@ object Queries {
         docs.filter(col("doc_id") % 3 === 2), state, 2L)
       llm.Search.renderIndex(
           streaming.StreamingIndex.readRailedIndex(s, state))
+        .orderBy(col("gram"))
+    }),
+    // STREAMING ingest + ERASURE fold: the change stream carries both new
+    // docs and full-row tombstones (the StreamingSnapshot convention —
+    // erasure postings re-derive from the tombstone row itself); adds
+    // merge, tombstones subtract, all inside the same pointer-disciplined
+    // applyBatch. Shares q_index_delete's corpus∖deleted oracle VERBATIM:
+    // the streamed fold ≡ a rebuild over the survivors.
+    "q_index_stream_erasure" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sidx_erasure_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sidxe").toString
+      }
+      val dc: org.apache.spark.sql.Column = col("doc_id") % 10 === 6
+      if (streaming.StreamingIndex.latestVersion(s, state).isEmpty)
+        (0L until 2L).foreach { b =>
+          streaming.StreamingIndex.applyBatch(
+            docs.filter(col("doc_id") % 3 === b)
+              .withColumn("_deleted", lit(false)),
+            state, b, deleteCol = Some("_deleted"))
+        }
+      // tail batch: the last third's clean docs arrive WITH the erasure
+      // tombstones for every already-ingested doc_id ≡ 6 (mod 10)
+      streaming.StreamingIndex.applyBatch(
+        docs.filter(col("doc_id") % 3 === 2 && !dc)
+          .withColumn("_deleted", lit(false))
+          .unionByName(docs.filter(col("doc_id") % 3 =!= 2 && dc)
+            .withColumn("_deleted", lit(true))),
+        state, 2L, deleteCol = Some("_deleted"))
+      val n = docs.filter(!dc).count()
+      llm.Search.renderIndex(
+          llm.Search.applyRails(
+            streaming.StreamingIndex.readIndex(s, state),
+            2L, math.floor(0.06 * n).toLong))
         .orderBy(col("gram"))
     }),
     // BM25 over PREBUILT artifacts (unigram index with dl in postings +

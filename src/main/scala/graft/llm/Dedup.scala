@@ -198,6 +198,32 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     shingleFrame(docs, w, idCol, textCol)
 
+  /** DELETION-aware band/shingle-table maintenance — the right-to-erasure
+    * companion to [[bandTable]]/[[shingleTable]] ingest: both artifacts
+    * are PER-DOC rows (no counts to decrement), so erasure is one
+    * broadcast anti join against the purged id set — the
+    * [[graft.sources.Merge.applyDeletes]] shape, corpus side never
+    * reshuffled.
+    *
+    * One honest corner: [[capBuckets]] drops over-cap buckets at BUILD
+    * time (and logs the drop), and a deletion that would shrink a
+    * dropped bucket back under the cap cannot resurrect it from the
+    * capped artifact — identical in kind to the df-rails discipline
+    * (a rail decision is a read decision; the raw state behind it is
+    * what maintenance edits). At catalog SFs no bucket reaches the cap,
+    * so the delete-maintained probe is oracle-pinned exact. */
+  def bandsDelete(corpusBands: DataFrame, deletedIds: DataFrame,
+      idCol: String = "id"): DataFrame =
+    corpusBands.join(
+      broadcast(deletedIds.select(col(deletedIds.columns.head).as(idCol))
+        .distinct()),
+      Seq(idCol), "left_anti")
+
+  /** [[bandsDelete]] for the shingle verify table — same anti-join shape. */
+  def shinglesDelete(corpusShingles: DataFrame, deletedIds: DataFrame,
+      idCol: String = "id"): DataFrame =
+    bandsDelete(corpusShingles, deletedIds, idCol)
+
   /** Incremental near-dup detection against PREBUILT corpus tables — the
     * steady-state form of [[incrementalNearDups]]: `corpusBands` /
     * `corpusShingles` are the persisted [[bandTable]] / [[shingleTable]]
@@ -1117,37 +1143,68 @@ object Dedup {
     * Three-way split, all equi-joins on ids:
     *   1. components TOUCHED by the batch = labels semi-joined through the
     *      new pairs' endpoints (two small joins — the batch side drives);
-    *   2. the fixpoint loop reruns over touched members' label EDGES
-    *      (id → cluster_id: each old component enters pre-collapsed to a
-    *      star, so convergence is typically the min-seed + one confirming
-    *      round) plus the new pairs — input is O(|touched| + |batch|),
-    *      never the corpus;
-    *   3. the untouched bulk keeps its labels via one anti join — no
-    *      window, no propagation, no recompute.
+    *   2. the fixpoint runs over the CONTRACTED cluster graph: each new
+    *      pair's endpoints map to their old cluster id (or themselves if
+    *      unlabeled), so the nodes are old cluster ids ∪ brand-new doc
+    *      ids — the old components' star edges never enter the loop at
+    *      all (the star pre-collapse fused into the edge projection), and
+    *      every propagate/doubling round runs on O(|batch pairs|) rows
+    *      instead of O(|touched members|);
+    *   3. touched members remap through ONE equi-join on their old
+    *      cluster id; the untouched bulk keeps its labels via one anti
+    *      join — no window, no propagation, no recompute.
     *
-    * Correctness: a label edge preserves exactly the reachability its
-    * collapsed component had, so components over (label edges ∪ new pairs)
-    * equal components over (old pairs ∪ new pairs) — incremental output is
-    * indistinguishable from a full recompute (spec + oracle-pinned).
+    * Correctness: an old cluster id is the MIN member of its component,
+    * so the contracted component's min over {old cluster ids ∪ new doc
+    * ids} equals the merged component's min over all member ids — the
+    * label a full recompute over (old pairs ∪ new pairs) assigns.
+    * Contraction preserves reachability exactly (two docs connect after
+    * the batch iff their contracted nodes connect), so incremental output
+    * is indistinguishable from the full recompute (spec + oracle-pinned).
     * Docs in no pair remain absent, matching [[clusters]]' contract. */
   def clustersIncremental(labels: DataFrame, newPairs: DataFrame,
       maxIter: Int = 20,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val ends = newPairs.select(col(aCol).as("__eid"))
-      .unionByName(newPairs.select(col(bCol).as("__eid")))
+    // the pair generator behind newPairs (a cosine/band join) is consumed
+    // by the endpoint projection AND the contracted-edge joins — without a
+    // checkpoint the whole generation subtree re-runs per consumer
+    val np = newPairs.localCheckpoint(eager = false)
+    val ends = np.select(col(aCol).as("__eid"))
+      .unionByName(np.select(col(bCol).as("__eid")))
       .distinct()
-    val touched = labels
-      .join(ends, col("doc_id") === col("__eid"), "left_semi")
-      .select(col("cluster_id"))
-      .distinct()
-    val affected = labels.join(touched, Seq("cluster_id"), "left_semi")
-    val stitched = clusters(
-      affected.select(col("doc_id").as(aCol), col("cluster_id").as(bCol))
-        .unionByName(newPairs.select(col(aCol), col(bCol))),
-      maxIter, aCol, bCol)
+    // endpoint → contracted node (old cluster id, or itself if unlabeled);
+    // consumed three times (edge projection ×2 + new-doc semi join)
+    val endMap = ends
+      .join(labels, col("doc_id") === col("__eid"), "left")
+      .select(col("__eid"), coalesce(col("cluster_id"), col("__eid")).as("__cn"),
+        col("cluster_id").isNotNull.as("__lab"))
+      .localCheckpoint(eager = false)
+    val touched = endMap.filter(col("__lab"))
+      .select(col("__cn").as("cluster_id")).distinct()
+      .localCheckpoint(eager = false) // remap join + untouched anti join
+    val contracted = np
+      .join(endMap.select(col("__eid").as("__ea"), col("__cn").as("__ca")),
+        col(aCol) === col("__ea"))
+      .join(endMap.select(col("__eid").as("__eb"), col("__cn").as("__cb")),
+        col(bCol) === col("__eb"))
+      .select(col("__ca").as(aCol), col("__cb").as(bCol))
+    val cLabels = clusters(contracted, maxIter, aCol, bCol)
+      .localCheckpoint(eager = false) // member remap + new-doc emission
+    // members of touched components adopt their old cluster id's new label
+    val remapped = labels.join(touched, Seq("cluster_id"), "left_semi")
+      .join(cLabels.select(col("doc_id").as("__cn2"), col("cluster_id").as("__nl")),
+        col("cluster_id") === col("__cn2"))
+      .select(col("doc_id"), col("__nl").as("cluster_id"))
+    // brand-new docs (unlabeled endpoints) take their contracted label
+    // directly; old-cluster-id nodes are excluded — those doc ids are
+    // members and already covered by the remap above
+    val newDocs = cLabels.join(
+      endMap.filter(!col("__lab")).select(col("__eid")),
+      cLabels("doc_id") === col("__eid"), "left_semi")
     labels.join(touched, Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"))
-      .unionByName(stitched)
+      .unionByName(remapped)
+      .unionByName(newDocs)
   }
 
   /** DELETION-aware label maintenance — the right-to-erasure companion to

@@ -958,14 +958,23 @@ object Similarity {
     * the codebook is k × dim driver state — bounded, like IVF training.
     * Graph-centroid codebooks remain available by passing one to
     * [[semanticDedup]] explicitly (the small-corpus special case). */
+  /** The codebook-size rule behind [[semanticDedupAuto]]: k =
+    * max(8, ⌈n / targetCellSize⌉), so the EXPECTED cell size is pinned at
+    * `targetCellSize` at any corpus scale — 10× the corpus ⇒ 10× the
+    * cells, same quadratic-per-cell cost. Exposed so the scaling law is
+    * spec-pinnable, not an implementation detail. */
+  def autoCellCount(n: Long, targetCellSize: Long): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be > 0: $targetCellSize")
+    math.max(8L, (n + targetCellSize - 1L) / targetCellSize).toInt
+  }
+
   def semanticDedupAuto(emb: DataFrame, threshold: Double,
       targetCellSize: Long = 1024L, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(targetCellSize > 0, s"targetCellSize must be > 0: $targetCellSize")
     val n = emb.select(col(idCol)).count()
-    val k = math.max(8L, (n + targetCellSize - 1L) / targetCellSize).toInt
     val cb = Kmeans.codebook(emb.sparkSession,
-      Kmeans.trainModel(emb, k, iters, idCol, vecCol))
+      Kmeans.trainModel(emb, autoCellCount(n, targetCellSize), iters,
+        idCol, vecCol))
     semanticDedup(emb, cb, threshold, idCol, vecCol)
   }
 

@@ -69,22 +69,44 @@ object StreamingIndex {
       math.floor(maxDfFrac * n).toLong)
   }
 
-  /** Fold one batch of new docs into the persisted state. Public so the
-    * batch-parity catalog row drives the IDENTICAL code `foreachBatch`
-    * runs. Batches must be new docs ([[Search.indexMerge]]'s disjointness
-    * precondition — the checkpoint guarantees it for a stream source). */
-  def applyBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+  /** Fold one batch into the persisted state. Public so the batch-parity
+    * catalog rows drive the IDENTICAL code `foreachBatch` runs.
+    *
+    * With `deleteCol` set, the batch is a CHANGE stream in the
+    * [[StreamingSnapshot]] full-row-tombstone convention: rows with the
+    * flag false are new docs (merged in), rows with it true are erasure
+    * tombstones CARRYING THE DOC TEXT (the [[Search.indexDelete]]
+    * ordering — erasure runs while the doomed rows are still readable,
+    * so their postings re-derive from the tombstone row itself and
+    * subtract exactly). Preconditions: adds are new docs
+    * ([[Search.indexMerge]] disjointness), tombstones reference
+    * previously-ingested docs, and a doc is not added and erased in the
+    * same batch. */
+  def applyBatch(batch: DataFrame, dir: String, batchId: Long,
+      deleteCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     latestVersion(spark, dir) match {
       case Some(v) if v >= batchId => () // replay of an applied batch: skip
       case prev =>
-        val batchIdx = Search.invertedIndexRaw(batch)
-        val batchStats = Search.corpusStats(batch)
-        val (idx, stats) = prev match {
+        val adds = deleteCol.fold(batch)(dc =>
+          batch.filter(!org.apache.spark.sql.functions.col(dc)).drop(dc))
+        val dels = deleteCol.map(dc =>
+          batch.filter(org.apache.spark.sql.functions.col(dc)).drop(dc))
+        val batchIdx = Search.invertedIndexRaw(adds)
+        val batchStats = Search.corpusStats(adds)
+        val (merged, stats0) = prev match {
           case Some(v) => (
             Search.indexMerge(spark.read.parquet(s"$dir/idx/v=$v"), batchIdx),
             Search.statsMerge(spark.read.parquet(s"$dir/stats/v=$v"), batchStats))
           case None => (batchIdx, batchStats)
+        }
+        val (idx, stats) = dels match {
+          case Some(d) =>
+            val delIdx = Search.invertedIndexRaw(d)
+              .localCheckpoint(eager = false) // two broadcast consumers
+            (Search.indexDelete(merged, delIdx),
+              Search.statsDelete(stats0, Search.corpusStats(d)))
+          case None => (merged, stats0)
         }
         idx.write.mode("overwrite").parquet(s"$dir/idx/v=$batchId")
         stats.write.mode("overwrite").parquet(s"$dir/stats/v=$batchId")
@@ -93,14 +115,15 @@ object StreamingIndex {
     }
   }
 
-  /** Wire a doc stream to the maintained index. Caller starts/stops the
-    * returned writer. */
+  /** Wire a doc (or change) stream to the maintained index. Caller
+    * starts/stops the returned writer. */
   def writer(docs: DataFrame, dir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      deleteCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        applyBatch(df, dir, batchId)
+        applyBatch(df, dir, batchId, deleteCol)
       }
 }

@@ -12,7 +12,7 @@ object JobCountProbe {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(s: SparkListenerJobStart): Unit =
@@ -33,6 +33,39 @@ object JobCountProbe {
         graft.llm.Dedup.clusters(
           graft.llm.Dedup.minhashNearDups(docs, threshold = 0.6)).write
           .format("noop").mode("overwrite").save())
+    }
+
+    // q_embed_centroids_incr probe breakdown at sf0.1, artifacts prebuilt
+    // (the bench steady state): which stage owns the jobs/time
+    sys.props("graft.artifact.dir") = "/root/repo/target/probe_artifacts"
+    graft.sources.Artifacts.wipe()
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.1",
+      "embeddings").repartition(spark.sparkContext.defaultParallelism)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 9)
+    val batch = emb.filter(col("vec_id") % 10 === 9)
+    def oldLabels = graft.sources.Artifacts.table(spark, "centroids_incr_labels")(
+      graft.llm.Dedup.clusters(
+        graft.llm.Similarity.cosinePairsBlocked(corpus, "label", 0.4)))
+    def oldSums = graft.sources.Artifacts.table(spark, "centroids_incr_sums")(
+      graft.llm.Similarity.clusterCentroidSums(corpus, oldLabels))
+    measure("build artifacts")(oldSums.write.format("noop").mode("overwrite").save())
+    for (p <- 1 to 2) {
+      measure(s"p$p pairs_incr")(
+        graft.llm.Similarity.cosinePairsIncremental(corpus, batch, "label", 0.4)
+          .write.format("noop").mode("overwrite").save())
+      measure(s"p$p clusters_incr") {
+        val newPairs = graft.llm.Similarity.cosinePairsIncremental(
+          corpus, batch, "label", 0.4)
+        graft.llm.Dedup.clustersIncremental(oldLabels, newPairs)
+          .write.format("noop").mode("overwrite").save()
+      }
+      measure(s"p$p full_probe") {
+        val newPairs = graft.llm.Similarity.cosinePairsIncremental(
+          corpus, batch, "label", 0.4)
+        graft.llm.Similarity.clusterCentroidsIncremental(
+            emb, oldLabels, oldSums, newPairs)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

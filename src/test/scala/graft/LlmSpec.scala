@@ -538,6 +538,17 @@ class LlmSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("semanticDedupAuto cell-count law: expected cell size pinned at any scale") {
+    // small corpora floor at 8 (the oracle's pinned kmK at catalog SFs)
+    assert(Similarity.autoCellCount(0L, 1024L) === 8)
+    assert(Similarity.autoCellCount(2000L, 1024L) === 8)
+    // at scale k grows linearly with n: cells ∝ corpus, cell size pinned
+    assert(Similarity.autoCellCount(1L << 20, 1024L) === 1024)
+    assert(Similarity.autoCellCount(10L << 20, 1024L) === 10240)
+    // ceil, not floor: a partial cell still gets its own centroid
+    assert(Similarity.autoCellCount((1L << 20) + 1L, 1024L) === 1025)
+  }
+
   test("clustersDelete: deleted bridge doc SPLITS its component; untouched components keep labels") {
     // component {1,2,3,4,5} held together by bridge 3 (chain 1-2-3-4-5),
     // plus an untouched component {10,11}

@@ -554,6 +554,61 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("bands/shingles delete: one broadcast anti-join each, corpus side never shuffles") {
+    val docs = t("documents")
+    val bands = graft.llm.Dedup.bandTable(docs)
+    val deleted = docs.filter($"doc_id" % 10 === 7).select($"doc_id")
+    val plan = formatted(graft.llm.Dedup.bandsDelete(bands, deleted))
+    assert(plan.contains("BroadcastHashJoin LeftAnti"), plan)
+    // the band table side passes the anti join in place: its rows enter
+    // no hash exchange (only the broadcast build side moves)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("index delete: broadcast gram gating — untouched grams pass without a shuffle") {
+    val docs = t("documents")
+    // the persisted artifact is a FILE in production — materialize it so
+    // the contract reads the probe plan, not the build lineage
+    val dir = java.nio.file.Files.createTempDirectory("idx_del_plan").toString
+    graft.llm.Search.invertedIndexRaw(docs).write.parquet(s"$dir/idx")
+    val old = spark.read.parquet(s"$dir/idx")
+    val deletedIdx = graft.llm.Search.invertedIndexRaw(
+        docs.filter($"doc_id" % 10 === 6))
+      .localCheckpoint(eager = true) // build lineage out of the probe plan
+    val plan = formatted(graft.llm.Search.indexDelete(old, deletedIdx))
+    // anti (untouched branch) + inner (touched branch), both broadcast;
+    // the posting cut is scan-side — no sort-merge, and the old index
+    // enters no hash exchange (only the deleted-gram build side moves)
+    assert(plan.contains("BroadcastHashJoin LeftAnti"), plan)
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).size === 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("window-df delete: only (h, ndocs) shuffles — no text in any exchange") {
+    val docs = t("documents")
+    val corpusDf = graft.llm.Dedup.windowDf(docs, windowTokens = 20)
+      .localCheckpoint(eager = false)
+    val plan = formatted(graft.llm.Dedup.windowDfDelete(
+      corpusDf, docs.filter($"doc_id" % 10 === 5), windowTokens = 20))
+    val exchanges = """(?s)\(\d+\) Exchange.*?Input.*?\n""".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, plan)
+    assert(!exchanges.exists(_.contains("text")), plan)
+  }
+
+  test("streamed index read: the railed serving view starts at file scans — no build lineage") {
+    val dir = java.nio.file.Files.createTempDirectory("sidx_plan").toString
+    graft.streaming.StreamingIndex.applyBatch(
+      t("documents").limit(50), dir, 0L)
+    val plan = formatted(
+      graft.streaming.StreamingIndex.readRailedIndex(spark, dir))
+    // one parquet scan (the persisted index), rails as a scan-side filter:
+    // no exchange, no aggregation, no tokenize lineage in the probe plan
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
   test("ivf probe over persisted artifacts: file scans in, no training lineage") {
     val emb = t("embeddings")
     val dir = java.nio.file.Files.createTempDirectory("ivf_plan").toString

@@ -63,4 +63,33 @@ class StreamingIndexSpec extends SparkTestBase {
       .orderBy($"gram").collect().toSeq
     assert(gotRailed === wantRailed)
   }
+
+  test("change stream with full-row tombstones: adds merge, erasures subtract — state equals rebuild over survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("sidxdel").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sidxdelckpt").toString
+    val input = MemoryStream[(Long, String, Boolean)](spark)
+    val changes = input.toDF().toDF("doc_id", "text", "_deleted")
+
+    // batch 0: ingest docsA; batch 1: ingest docsB + erase docs 1 and 3
+    // (tombstones carry the doc text — the erasure-at-source ordering)
+    input.addData(docsA.map { case (i, t) => (i, t, false) }: _*)
+    val q1 = StreamingIndex.writer(changes, dir, ckpt,
+      trigger = Trigger.AvailableNow(), deleteCol = Some("_deleted")).start()
+    q1.processAllAvailable(); q1.stop()
+    input.addData(docsB.map { case (i, t) => (i, t, false) } ++
+      docsA.filter(d => d._1 == 1L || d._1 == 3L)
+        .map { case (i, t) => (i, t, true) }: _*)
+    val q2 = StreamingIndex.writer(changes, dir, ckpt,
+      trigger = Trigger.AvailableNow(), deleteCol = Some("_deleted")).start()
+    q2.processAllAvailable(); q2.stop()
+
+    val survivors = (docsA.filterNot(d => d._1 == 1L || d._1 == 3L) ++ docsB)
+      .toDF("doc_id", "text")
+    assert(Search.renderIndex(StreamingIndex.readIndex(spark, dir))
+      .orderBy($"gram").collect().toSeq
+      === Search.renderIndex(Search.invertedIndexRaw(survivors))
+        .orderBy($"gram").collect().toSeq)
+    assert(StreamingIndex.readStats(spark, dir).collect().toSeq
+      === Search.corpusStats(survivors).collect().toSeq)
+  }
 }
