@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
@@ -31,20 +30,8 @@ import graft.llm.Search
   * only touched ∪ batch grams re-aggregate. */
 object StreamingIndex {
 
-  private def fs(spark: SparkSession, dir: String) =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
-    val p = new Path(dir, "_LATEST")
-    val f = fs(spark, dir)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
-      finally in.close()
-    }
-  }
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
+    StatePointer.read(spark, dir)
 
   /** The current unrailed index (empty-schema error until a batch lands). */
   def readIndex(spark: SparkSession, dir: String): DataFrame =
@@ -110,8 +97,7 @@ object StreamingIndex {
         }
         idx.write.mode("overwrite").parquet(s"$dir/idx/v=$batchId")
         stats.write.mode("overwrite").parquet(s"$dir/stats/v=$batchId")
-        val out = fs(spark, dir).create(new Path(dir, "_LATEST"), true)
-        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        StatePointer.advance(spark, dir, batchId)
     }
   }
 

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -31,20 +30,8 @@ import graft.sources.Merge
   * broadcast anti-join and never shuffles. */
 object StreamingSnapshot {
 
-  private def fs(spark: SparkSession, dir: String) =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
-    val p = new Path(dir, "_LATEST")
-    val f = fs(spark, dir)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
-      finally in.close()
-    }
-  }
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
+    StatePointer.read(spark, dir)
 
   /** The current snapshot (empty until the first batch commits). */
   def readSnapshot(spark: SparkSession, dir: String): DataFrame =
@@ -65,9 +52,7 @@ object StreamingSnapshot {
         }
         Merge.upsert(snapshot, df, keyCols, deleteCol)
           .write.mode("overwrite").parquet(s"$dir/v=$batchId")
-        val f = fs(spark, dir)
-        val out = f.create(new Path(dir, "_LATEST"), true)
-        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        StatePointer.advance(spark, dir, batchId)
     }
   }
 
