@@ -1360,10 +1360,20 @@ object Queries {
     // block the ε-similarity join (the cell plays LSH's block role); per
     // duplicate group keep the member LEAST similar to its centroid (the
     // paper's diversity rule). At catalog SFs n ≤ 2000 ⇒ k = 8 = the
-    // oracle's unrolled-Lloyd kmK, so the data-driven k stays pinned.
-    "q_semantic_dedup" -> ((s, dir) =>
-      llm.Similarity.semanticDedupAuto(tWide(s, dir, "embeddings"), 0.5)
-        .orderBy(col("vec_id"))),
+    // oracle's unrolled-Lloyd kmK, so the data-driven k stays pinned —
+    // guarded below so a larger SF fails loudly AT THE CAUSE instead of
+    // as a confusing hash mismatch. n comes from a persisted 1-row stats
+    // sidecar (steady state never re-counts the corpus per dedup pass).
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val n = sources.Artifacts.table(s, "semdedup_n")(
+        emb.agg(count(lit(1)).as("n"))).head().getLong(0)
+      require(llm.Similarity.autoCellCount(n, 1024L) == 8,
+        s"q_semantic_dedup: autoCellCount($n, 1024) != 8 — the DuckDB " +
+          "oracle unrolls Lloyd's at kmK=8; re-pin the oracle for this SF")
+      llm.Similarity.semanticDedupAuto(emb, 0.5, knownN = Some(n))
+        .orderBy(col("vec_id"))
+    }),
 
     // the steady-state form: k-means codebook + per-vector assignment are
     // PREBUILT artifacts (persisted in production; here built once and

@@ -1173,10 +1173,25 @@ object Dedup {
       .unionByName(np.select(col(bCol).as("__eid")))
       .distinct()
     // endpoint → contracted node (old cluster id, or itself if unlabeled);
-    // consumed three times (edge projection ×2 + new-doc semi join)
+    // consumed three times (edge projection ×2 + new-doc semi join).
+    // The contraction REQUIRES the [[clusters]] labeling invariant
+    // cluster_id == min member id (the correctness argument below rests
+    // on it); labels from an external system with a different
+    // representative would silently mislabel, so the necessary half
+    // (cluster_id <= doc_id) is checked in-plan on exactly the touched
+    // endpoints — a sliver, not the corpus.
     val endMap = ends
       .join(labels, col("doc_id") === col("__eid"), "left")
-      .select(col("__eid"), coalesce(col("cluster_id"), col("__eid")).as("__cn"),
+      .select(col("__eid"),
+        coalesce(
+          when(col("cluster_id") > col("__eid"),
+            raise_error(concat(
+              lit("clustersIncremental: label invariant violated — cluster_id "),
+              col("cluster_id").cast("string"), lit(" > doc_id "),
+              col("__eid").cast("string"),
+              lit(" (labels must use min-member representatives, the [[clusters]] contract)")))
+              .cast("long")),
+          col("cluster_id"), col("__eid")).as("__cn"),
         col("cluster_id").isNotNull.as("__lab"))
       .localCheckpoint(eager = false)
     val touched = endMap.filter(col("__lab"))

@@ -945,6 +945,16 @@ object Similarity {
     semanticDedupFromAssign(emb, assign, threshold, idCol, vecCol)
   }
 
+  /** The codebook-size rule behind [[semanticDedupAuto]]: k =
+    * max(8, ⌈n / targetCellSize⌉), so the EXPECTED cell size is pinned at
+    * `targetCellSize` at any corpus scale — 10× the corpus ⇒ 10× the
+    * cells, same quadratic-per-cell cost. Exposed so the scaling law is
+    * spec-pinnable, not an implementation detail. */
+  def autoCellCount(n: Long, targetCellSize: Long): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be > 0: $targetCellSize")
+    math.max(8L, (n + targetCellSize - 1L) / targetCellSize).toInt
+  }
+
   /** [[semanticDedup]] with the DEFAULT codebook: a [[Kmeans]] quantizer
     * whose k SCALES WITH THE CORPUS — k = max(8, ⌈n / targetCellSize⌉).
     * This is the form a user should copy: the within-cell ε-join is the
@@ -957,21 +967,17 @@ object Similarity {
     * clusters, smaller cells). The n-count is one column-pruned scan and
     * the codebook is k × dim driver state — bounded, like IVF training.
     * Graph-centroid codebooks remain available by passing one to
-    * [[semanticDedup]] explicitly (the small-corpus special case). */
-  /** The codebook-size rule behind [[semanticDedupAuto]]: k =
-    * max(8, ⌈n / targetCellSize⌉), so the EXPECTED cell size is pinned at
-    * `targetCellSize` at any corpus scale — 10× the corpus ⇒ 10× the
-    * cells, same quadratic-per-cell cost. Exposed so the scaling law is
-    * spec-pinnable, not an implementation detail. */
-  def autoCellCount(n: Long, targetCellSize: Long): Int = {
-    require(targetCellSize > 0, s"targetCellSize must be > 0: $targetCellSize")
-    math.max(8L, (n + targetCellSize - 1L) / targetCellSize).toInt
-  }
-
+    * [[semanticDedup]] explicitly (the small-corpus special case).
+    *
+    * `knownN` supplies n from a persisted stats sidecar (the steady-state
+    * form — the corpus count is an artifact of the ingest path, not worth
+    * a dedicated scan per dedup pass); left `None`, one column-pruned
+    * count scan derives it. */
   def semanticDedupAuto(emb: DataFrame, threshold: Double,
       targetCellSize: Long = 1024L, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val n = emb.select(col(idCol)).count()
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      knownN: Option[Long] = None): DataFrame = {
+    val n = knownN.getOrElse(emb.select(col(idCol)).count())
     val cb = Kmeans.codebook(emb.sparkSession,
       Kmeans.trainModel(emb, autoCellCount(n, targetCellSize), iters,
         idCol, vecCol))

@@ -28,9 +28,23 @@ private[streaming] object StatePointer {
     }
   }
 
-  /** Commit `batchId` as the latest version (overwrites the pointer). */
+  /** Commit `batchId` as the latest version. Written to a temp file and
+    * RENAMED over `_LATEST`, so a concurrent [[read]] never observes a
+    * truncated pointer (an in-place overwrite exposes a zero-length
+    * window that crashes the reader's `toLong`). Where the filesystem
+    * refuses a clobbering rename, the fallback delete+rename narrows the
+    * race to a missing-file window, which readers already handle as a
+    * clean `None` rather than a parse crash. */
   def advance(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    val out = fs(spark, dir).create(new Path(dir, "_LATEST"), true)
+    val f = fs(spark, dir)
+    val tmp = new Path(dir, s"_LATEST.tmp-$batchId")
+    val out = f.create(tmp, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(dir, "_LATEST")
+    if (!f.rename(tmp, dst)) {
+      f.delete(dst, false)
+      if (!f.rename(tmp, dst))
+        throw new java.io.IOException(s"pointer rename failed: $tmp -> $dst")
+    }
   }
 }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
@@ -26,9 +25,6 @@ import graft.analytics.Analytics
   * touched) regardless of history size. */
 object StreamingScd2 {
 
-  private def fs(spark: SparkSession, dir: String) =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     StreamingSnapshot.latestVersion(spark, dir)
 
@@ -48,9 +44,7 @@ object StreamingScd2 {
           case None => Analytics.scd2History(df, keyCol, tsCol, stateCol, tieCol)
         }
         next.write.mode("overwrite").parquet(s"$dir/v=$batchId")
-        val f = fs(spark, dir)
-        val out = f.create(new Path(dir, "_LATEST"), true)
-        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        StatePointer.advance(spark, dir, batchId)
     }
   }
 
