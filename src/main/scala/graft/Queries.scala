@@ -1910,31 +1910,33 @@ object Queries {
     }),
     // STREAMING index maintenance, batch-parity form: the corpus arrives
     // as three disjoint foreachBatch micro-batches folded through
-    // StreamingIndex.applyBatch (the IDENTICAL code the writer runs),
-    // versioned state + _LATEST pointer per batch, rails applied at read
-    // over the live stats sidecar. Shares q_inverted_index's oracle
-    // VERBATIM: the streamed index ≡ a full rebuild over the whole corpus.
+    // StreamingIndex.applyBatch (the IDENTICAL code the writer runs) into
+    // the SEGMENTED state layout — each batch writes only its own segment
+    // (bytes ∝ batch), batch 2 hits maxSegments=3 and compacts into the
+    // bucket-partitioned base, vacuum reclaims the compacted segments.
+    // Rails apply at read over the live stats sidecar. Shares
+    // q_inverted_index's oracle VERBATIM: the streamed index ≡ a full
+    // rebuild over the whole corpus.
     "q_index_stream" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
       // bench mode: the state dir lives under the artifact root, so the
-      // prefix batches fold once (pass 1) and later passes hit the
-      // replay-skip pointer — the MIN measures the railed serving read
-      // over persisted state, the q_bm25_indexed discipline. Verify gets
-      // a fresh temp dir and folds everything inline every run.
+      // batches fold once (pass 1) and later passes hit the replay-skip
+      // pointer — the MIN measures the railed serving read over the
+      // compacted base, the q_bm25_indexed discipline. Verify gets a
+      // fresh temp dir and folds everything inline every run.
       val state = sources.Artifacts.root match {
         case Some(r) => s"$r/sidx_state"
         case None =>
           java.nio.file.Files.createTempDirectory("graft_sidx").toString
       }
-      if (streaming.StreamingIndex.latestVersion(s, state).isEmpty)
-        (0L until 2L).foreach { b =>
-          streaming.StreamingIndex.applyBatch(
-            docs.filter(col("doc_id") % 3 === b), state, b)
-        }
-      // the steady-state step under measurement: fold the tail batch
-      // (pointer-skipped when already applied — that IS the discipline)
-      streaming.StreamingIndex.applyBatch(
-        docs.filter(col("doc_id") % 3 === 2), state, 2L)
+      // Fold EVERY batch every run: the pointer skips applied ones, so a
+      // run that died mid-prefix resumes exactly where it stopped instead
+      // of silently serving a partial index (no isEmpty prefix gate).
+      (0L to 2L).foreach { b =>
+        streaming.StreamingIndex.applyBatch(
+          docs.filter(col("doc_id") % 3 === b), state, b, maxSegments = 3)
+      }
+      streaming.StreamingIndex.vacuum(s, state)
       llm.Search.renderIndex(
           streaming.StreamingIndex.readRailedIndex(s, state))
         .orderBy(col("gram"))
@@ -1953,21 +1955,24 @@ object Queries {
           java.nio.file.Files.createTempDirectory("graft_sidxe").toString
       }
       val dc: org.apache.spark.sql.Column = col("doc_id") % 10 === 6
-      if (streaming.StreamingIndex.latestVersion(s, state).isEmpty)
-        (0L until 2L).foreach { b =>
-          streaming.StreamingIndex.applyBatch(
-            docs.filter(col("doc_id") % 3 === b)
-              .withColumn("_deleted", lit(false)),
-            state, b, deleteCol = Some("_deleted"))
-        }
-      // tail batch: the last third's clean docs arrive WITH the erasure
-      // tombstones for every already-ingested doc_id ≡ 6 (mod 10)
+      // all batches folded idempotently (pointer-skip = resume safety);
+      // the tail batch carries the last third's clean docs WITH erasure
+      // tombstones for every already-ingested doc_id ≡ 6 (mod 10), and
+      // triggers compaction (maxSegments=3) — the tombstones fold into
+      // the bucket-partitioned base, then vacuum reclaims the segments
+      (0L until 2L).foreach { b =>
+        streaming.StreamingIndex.applyBatch(
+          docs.filter(col("doc_id") % 3 === b)
+            .withColumn("_deleted", lit(false)),
+          state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+      }
       streaming.StreamingIndex.applyBatch(
         docs.filter(col("doc_id") % 3 === 2 && !dc)
           .withColumn("_deleted", lit(false))
           .unionByName(docs.filter(col("doc_id") % 3 =!= 2 && dc)
             .withColumn("_deleted", lit(true))),
-        state, 2L, deleteCol = Some("_deleted"))
+        state, 2L, deleteCol = Some("_deleted"), maxSegments = 3)
+      streaming.StreamingIndex.vacuum(s, state)
       val n = docs.filter(!dc).count()
       llm.Search.renderIndex(
           llm.Search.applyRails(

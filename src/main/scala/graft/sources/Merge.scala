@@ -52,6 +52,28 @@ object Merge {
     // idempotent. The rail is a keys-only aggregation (narrow shuffle:
     // keys + two counters, never payload rows) broadcast back onto the
     // surviving batch rows, where any hit fails the job loudly.
+    val applied = railUniqueKeys(batch, keyCols, deleteCol)
+      .filter(!col(deleteCol))
+      .select(outCols.map(col): _*)
+    // The anti-join build side is the RAW key projection (set semantics —
+    // duplicates are harmless there), so the broadcast stays a pure scan.
+    val kept = snapshot.join(
+      broadcast(batch.select(keys: _*)), keyCols, "left_anti")
+    kept.unionByName(applied)
+  }
+
+  /** The [[upsert]] key-uniqueness rail as a standalone wrapper: returns
+    * `batch` unchanged except that consuming any row of an AMBIGUOUS key
+    * (more than one batch row with at least one survivor — the outcomes
+    * MERGE refuses; duplicate pure tombstones pass, deleting twice is
+    * idempotent) fails the job loudly inside the plan. The rail is a
+    * keys-only aggregation (narrow shuffle: keys + two counters, never
+    * payload rows) broadcast back onto the batch — attach it to whatever
+    * job materializes the batch (the upsert itself, or a segment write in
+    * [[graft.streaming.StreamingSnapshot]]). */
+  def railUniqueKeys(batch: DataFrame, keyCols: Seq[String],
+      deleteCol: String = "_deleted"): DataFrame = {
+    val keys = keyCols.map(col)
     val ambiguous = batch
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("_kn"),
@@ -61,14 +83,9 @@ object Merge {
     val guardedKey = when(
       assert_true(col("_dup").isNull, lit("merge: duplicate batch key")).isNull,
       col(keyCols.head)).as(keyCols.head)
-    val applied = batch.filter(!col(deleteCol))
-      .join(broadcast(ambiguous), keyCols, "left")
-      .select(outCols.map(c => if (c == keyCols.head) guardedKey else col(c)): _*)
-    // The anti-join build side is the RAW key projection (set semantics —
-    // duplicates are harmless there), so the broadcast stays a pure scan.
-    val kept = snapshot.join(
-      broadcast(batch.select(keys: _*)), keyCols, "left_anti")
-    kept.unionByName(applied)
+    batch.join(broadcast(ambiguous), keyCols, "left")
+      .select(batch.columns.toSeq
+        .map(c => if (c == keyCols.head) guardedKey else col(c)): _*)
   }
 
   /** Right-to-erasure delete propagation: remove EVERY row of `table`

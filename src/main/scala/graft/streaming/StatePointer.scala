@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 
 /** The `_LATEST` version-pointer discipline shared by every maintained
   * streaming state ([[StreamingSnapshot]], [[StreamingIndex]],
-  * [[StreamingBands]]): a batch writes its output under version
+  * [[StreamingScd2]]): a batch writes its output under version
   * directories, then atomically advances one small pointer file — readers
   * never observe a half-written version, and a crash-replay of an
   * already-applied `foreachBatch` batchId is detected by the pointer and

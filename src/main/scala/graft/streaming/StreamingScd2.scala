@@ -26,10 +26,35 @@ import graft.analytics.Analytics
 object StreamingScd2 {
 
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
-    StreamingSnapshot.latestVersion(spark, dir)
+    StatePointer.read(spark, dir)
 
   def readHistory(spark: SparkSession, dir: String): DataFrame =
-    StreamingSnapshot.readSnapshot(spark, dir)
+    latestVersion(spark, dir) match {
+      case Some(v) => spark.read.parquet(s"$dir/v=$v")
+      case None => throw new IllegalStateException(s"no history at $dir yet")
+    }
+
+  /** Reclaim superseded `v=<batchId>` dirs (everything but the committed
+    * version). The SCD2 fold is sequential and non-idempotent, so its
+    * state stays copy-on-write (unlike [[StreamingSnapshot]]'s segmented
+    * MoR — a history table is append-mostly and typically compacted into
+    * date-partitioned archives downstream); the vacuum is what keeps the
+    * copy-on-write discipline from growing disk without bound. Safe
+    * against replays: an applied batchId is pointer-skipped before any
+    * state dir is touched. */
+  def vacuum(spark: SparkSession, dir: String): Unit =
+    latestVersion(spark, dir).foreach { v =>
+      val f = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      if (f.exists(root))
+        for (st <- f.listStatus(root); p = st.getPath)
+          p.getName.split("=", 2) match {
+            case Array("v", n) if scala.util.Try(n.toLong).toOption
+              .exists(_ != v) => f.delete(p, true)
+            case _ => ()
+          }
+    }
 
   private[graft] def applyBatch(df: DataFrame, dir: String, keyCol: String,
       tsCol: String, stateCol: String, tieCol: String, batchId: Long): Unit = {
@@ -53,11 +78,14 @@ object StreamingScd2 {
   def writer(events: DataFrame, dir: String, checkpointDir: String,
       keyCol: String = "user_id", tsCol: String = "ts",
       stateCol: String = "event_type", tieCol: String = "event_id",
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      vacuumEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         applyBatch(df, dir, keyCol, tsCol, stateCol, tieCol, batchId)
+        if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0)
+          vacuum(df.sparkSession, dir)
       }
 }

@@ -6,65 +6,194 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 import graft.sources.Merge
 
-/** Continuously-maintained snapshot table: a stream of change rows
-  * (inserts, full-row updates, `_deleted` tombstones) folded into a
-  * parquet snapshot via [[Merge.upsert]] inside `foreachBatch` — the
-  * streaming CDC consumer that keeps a queryable "latest state" table,
-  * pairing with [[graft.analytics.Analytics.scd2Apply]] (which keeps the
-  * history). This is copy-on-write without a table-format transaction
-  * log: each micro-batch writes a NEW `v=<batchId>` directory and then
-  * advances a `_LATEST` pointer — readers never observe a half-written
-  * snapshot (the [[graft.sources.Io.compactParquet]] new-directory rule).
+/** Continuously-maintained snapshot table with SEGMENTED persistence: a
+  * stream of change rows (inserts, full-row updates, `_deleted`
+  * tombstones) folded into a queryable "latest state" view — the
+  * streaming CDC consumer, pairing with
+  * [[graft.analytics.Analytics.scd2Apply]] (which keeps the history).
   *
-  * Exactly-once without sink transactions: replays are detected by the
-  * pointer (`_LATEST == batchId` ⇒ already applied, skip), and even a
-  * replay that re-merges is IDEMPOTENT — re-upserting a batch into the
-  * post-batch snapshot rewrites identical rows, re-deletes absent keys,
-  * and re-inserts present ones as same-value updates.
+  * The r9 form ran [[Merge.upsert]] per batch and rewrote the WHOLE
+  * snapshot into a fresh `v=<batchId>` dir — O(corpus) writes per
+  * trigger, dirs never reclaimed. This is the lakehouse copy-on-write /
+  * merge-on-read trade, and a 10-second trigger needs the MoR side:
   *
-  * At 100 TB the full rewrite per batch becomes partition-pruned: derive
-  * touched partitions from the batch's keys and rewrite only those
-  * ([[graft.sources.Io.overwritePartitions]]), or keep the snapshot
-  * bucketed so the anti-join is co-located. The merge plan itself is
-  * already the steady-state shape — the snapshot bulk passes one
-  * broadcast anti-join and never shuffles. */
+  *  - '''ingest''': each batch appends its RAW change rows as an
+  *    immutable `seg/v=<batchId>` dir (bytes ∝ batch) with the
+  *    [[Merge.railUniqueKeys]] ambiguity rail attached to the write job
+  *    (a duplicate surviving key fails the batch loudly, the MERGE
+  *    contract);
+  *  - '''read''' ([[readSnapshot]]): last-writer-wins merge-on-read. The
+  *    live segments' key set BROADCASTS: base rows touched by no segment
+  *    pass one anti join unshuffled (the [[Merge.upsert]] bulk
+  *    discipline); only contested keys (base ∩ segment keys, plus all
+  *    segment rows — a sliver at steady state) take the per-key
+  *    latest-version pick, and tombstoned winners drop. Sequential
+  *    equivalence with per-batch [[Merge.upsert]] is spec-pinned;
+  *  - '''compaction''': at `maxSegments` live segments the view is
+  *    written as a new base, hive-partitioned by a stable key-hash bucket
+  *    (`b = pmod(xxhash64(keys…), nBuckets)`) — O(corpus) but amortized
+  *    over `maxSegments` batches, and the bucket is the unit a pruned
+  *    key probe or per-bucket compactor keys on;
+  *  - '''vacuum''' ([[vacuum]]): reclaims everything the latest manifest
+  *    no longer references.
+  *
+  * Commit protocol and replay safety are [[SegmentedState]]'s: segment →
+  * manifest → `_LATEST` pointer; an applied batchId is detected by the
+  * pointer and skipped before any state dir is touched. */
 object StreamingSnapshot {
+
+  val DefaultMaxSegments = 8
+  val DefaultBuckets = 32
+
+  import SegmentedState.Manifest
 
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     StatePointer.read(spark, dir)
 
-  /** The current snapshot (empty until the first batch commits). */
+  /** The current snapshot view (error until the first batch commits).
+    * Plan shape: broadcast segment-keys anti join over the base bulk +
+    * per-key latest-version pick over the contested sliver. */
   def readSnapshot(spark: SparkSession, dir: String): DataFrame =
     latestVersion(spark, dir) match {
-      case Some(v) => spark.read.parquet(s"$dir/v=$v")
+      case Some(v) =>
+        val m = SegmentedState.readManifest(spark, dir, v)
+        mergedView(spark, dir, m)
       case None => throw new IllegalStateException(s"no snapshot at $dir yet")
     }
 
+  private def mergedView(spark: SparkSession, dir: String,
+      m: Manifest): DataFrame = {
+    val base = m.base.map(v => spark.read.parquet(s"$dir/base/v=$v").drop("b"))
+    if (m.segments.isEmpty)
+      return base.getOrElse(
+        throw new IllegalStateException(s"empty manifest at $dir"))
+    // keyCols/deleteCol are recorded in the segment sidecar file so the
+    // reader needs no out-of-band schema knowledge
+    val (keyCols, deleteCol) = readMeta(spark, dir)
+    val segs = m.segments.map(v =>
+      spark.read.parquet(s"$dir/seg/v=$v").withColumn("_v", lit(v)))
+    val segAll = segs.reduce(_ unionByName _)
+    val keys = keyCols.map(col)
+    val payload = base.map(_.columns.toSeq)
+      .getOrElse(segAll.columns.toSeq.filterNot(c => c == deleteCol || c == "_v"))
+    val contestedBase = base.map(_
+        .join(broadcast(segAll.select(keys: _*).distinct()), keyCols, "left_semi")
+        .withColumn(deleteCol, lit(false)).withColumn("_v", lit(-1L)))
+    val contested = contestedBase.fold(segAll)(_ unionByName segAll)
+    // last writer wins: max_by over the struct of the full row keyed by
+    // segment version. Ties can only be duplicate pure tombstones (the
+    // write-side rail forbids duplicate surviving keys), and a tombstone
+    // winner drops either way.
+    val winners = contested
+      .groupBy(keys: _*)
+      .agg(max_by(
+        struct((payload.filterNot(keyCols.contains).map(col) :+ col(deleteCol)): _*),
+        col("_v")).as("_w"))
+      .filter(!col(s"_w.$deleteCol"))
+      .select(keys ++ payload.filterNot(keyCols.contains)
+        .map(c => col(s"_w.$c").as(c)): _*)
+      .select(payload.map(col): _*)
+    base.fold(winners) { b =>
+      b.join(broadcast(segAll.select(keys: _*).distinct()), keyCols, "left_anti")
+        .unionByName(winners)
+    }
+  }
+
+  // ---- key/tombstone column names, persisted once next to the state ----
+
+  private def readMeta(spark: SparkSession, dir: String): (Seq[String], String) = {
+    val f = SegmentedState.fs(spark, dir)
+    val in = f.open(new org.apache.hadoop.fs.Path(s"$dir/_META"))
+    val text = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    val kv = text.linesIterator.map(_.trim).filter(_.nonEmpty)
+      .map { l => val Array(k, rest) = l.split("=", 2); (k, rest) }.toMap
+    (kv("keys").split(",").toSeq, kv("delete_col"))
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String,
+      keyCols: Seq[String], deleteCol: String): Unit = {
+    val f = SegmentedState.fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_META")
+    if (!f.exists(p)) {
+      val out = f.create(p, true)
+      try out.write(
+        s"keys=${keyCols.mkString(",")}\ndelete_col=$deleteCol\n"
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   private[graft] def applyBatch(df: DataFrame, dir: String,
-      keyCols: Seq[String], deleteCol: String, batchId: Long): Unit = {
+      keyCols: Seq[String], deleteCol: String, batchId: Long,
+      maxSegments: Int = DefaultMaxSegments,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
     val spark = df.sparkSession
     latestVersion(spark, dir) match {
       case Some(v) if v >= batchId => () // replay of an applied batch: skip
       case prev =>
-        val snapshot = prev match {
-          case Some(v) => spark.read.parquet(s"$dir/v=$v")
-          case None => df.drop(deleteCol).limit(0) // empty, schema-typed
-        }
-        Merge.upsert(snapshot, df, keyCols, deleteCol)
-          .write.mode("overwrite").parquet(s"$dir/v=$batchId")
+        writeMeta(spark, dir, keyCols, deleteCol)
+        // segment write: raw change rows, bytes ∝ batch; the ambiguity
+        // rail rides this job so a bad batch fails BEFORE it commits
+        Merge.railUniqueKeys(df, keyCols, deleteCol)
+          .write.mode("overwrite").parquet(s"$dir/seg/v=$batchId")
+        val prevM = prev.map(SegmentedState.readManifest(spark, dir, _))
+          .getOrElse(Manifest(None, Nil, Set.empty))
+        val appended = prevM.copy(segments = prevM.segments :+ batchId)
+        val committed =
+          if (appended.segments.size < maxSegments) appended
+          else {
+            val keys = keyCols.map(col)
+            mergedView(spark, dir, appended)
+              .withColumn("b", pmod(xxhash64(keys: _*), lit(nBuckets.toLong)))
+              .write.mode("overwrite").partitionBy("b")
+              .parquet(s"$dir/base/v=$batchId")
+            Manifest(Some(batchId), Nil, Set.empty)
+          }
+        SegmentedState.writeManifest(spark, dir, batchId, committed)
         StatePointer.advance(spark, dir, batchId)
     }
   }
 
+  /** Out-of-band compaction: fold the live segments into a new
+    * bucket-partitioned base at the current version (no-op without
+    * segments). Content-identical; the manifest rewrite is atomic. */
+  def compact(spark: SparkSession, dir: String,
+      nBuckets: Int = DefaultBuckets): Unit =
+    latestVersion(spark, dir).foreach { v =>
+      val m = SegmentedState.readManifest(spark, dir, v)
+      if (m.segments.nonEmpty) {
+        val (keyCols, _) = readMeta(spark, dir)
+        mergedView(spark, dir, m)
+          .withColumn("b",
+            pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong)))
+          .write.mode("overwrite").partitionBy("b")
+          .parquet(s"$dir/base/v=$v")
+        SegmentedState.writeManifest(spark, dir, v,
+          Manifest(Some(v), Nil, Set.empty))
+      }
+    }
+
+  /** Reclaim every state dir the latest manifest no longer references. */
+  def vacuum(spark: SparkSession, dir: String): Unit =
+    SegmentedState.vacuum(spark, dir, withStats = false)
+
   /** Wire a change stream to the maintained snapshot. Caller starts/stops
-    * the returned writer. */
+    * the returned writer. `vacuumEvery` > 0 reclaims superseded state
+    * after every N applied batches. */
   def writer(changes: DataFrame, dir: String, keyCols: Seq[String],
       checkpointDir: String, deleteCol: String = "_deleted",
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxSegments: Int = DefaultMaxSegments,
+      nBuckets: Int = DefaultBuckets,
+      vacuumEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        applyBatch(df, dir, keyCols, deleteCol, batchId)
+        applyBatch(df, dir, keyCols, deleteCol, batchId, maxSegments, nBuckets)
+        if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0)
+          vacuum(df.sparkSession, dir)
       }
 }

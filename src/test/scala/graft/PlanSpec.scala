@@ -602,11 +602,22 @@ class PlanSpec extends SparkTestBase {
       t("documents").limit(50), dir, 0L)
     val plan = formatted(
       graft.streaming.StreamingIndex.readRailedIndex(spark, dir))
-    // one parquet scan (the persisted index), rails as a scan-side filter:
-    // no exchange, no aggregation, no tokenize lineage in the probe plan
+    // one parquet scan (the single live segment), rails as a scan-side
+    // filter: no exchange, no aggregation, no tokenize lineage
     assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size === 1, plan)
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("HashAggregate"), plan)
+
+    // after more batches land, compaction restores the pure-scan serving
+    // shape (the steady-state read the q_index_stream bench measures)
+    graft.streaming.StreamingIndex.applyBatch(
+      t("documents").limit(80).filter($"doc_id" >= 50), dir, 1L)
+    graft.streaming.StreamingIndex.compact(spark, dir)
+    val compacted = formatted(
+      graft.streaming.StreamingIndex.readRailedIndex(spark, dir))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(compacted).size === 1, compacted)
+    assert(!compacted.contains("Exchange"), compacted)
+    assert(!compacted.contains("HashAggregate"), compacted)
   }
 
   test("ivf probe over persisted artifacts: file scans in, no training lineage") {

@@ -91,5 +91,92 @@ class StreamingIndexSpec extends SparkTestBase {
         .orderBy($"gram").collect().toSeq)
     assert(StreamingIndex.readStats(spark, dir).collect().toSeq
       === Search.corpusStats(survivors).collect().toSeq)
+
+    // out-of-band compaction folds the tombstone segments into the base;
+    // the served view is unchanged (content-identical, new layout)
+    StreamingIndex.compact(spark, dir)
+    assert(new java.io.File(s"$dir/base").exists())
+    assert(Search.renderIndex(StreamingIndex.readIndex(spark, dir))
+      .orderBy($"gram").collect().toSeq
+      === Search.renderIndex(Search.invertedIndexRaw(survivors))
+        .orderBy($"gram").collect().toSeq)
+  }
+
+  private def duBytes(path: String): Long = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  test("per-batch write cost is proportional to the batch, and compaction + vacuum bound read state and disk") {
+    val dir = java.nio.file.Files.createTempDirectory("sidxseg").toString
+    val big = (1L to 400L)
+      .map(i => (i, s"alpha beta common gram w$i x$i y$i z$i filler words"))
+    val small = Seq((1001L, "tiny new arrival doc"), (1002L, "another tiny doc body"))
+    val tail = Seq((2001L, "final batch content here"))
+
+    StreamingIndex.applyBatch(big.toDF("doc_id", "text"), dir, 0L)
+    val bytesBig = duBytes(s"$dir/seg/v=0")
+    StreamingIndex.applyBatch(small.toDF("doc_id", "text"), dir, 1L)
+    val bytesSmall = duBytes(s"$dir/seg/v=1")
+    // the r9 writer rewrote the ENTIRE merged index per batch; the
+    // segment writer's bytes track the batch — the 100 TB contract
+    assert(bytesSmall > 0 && bytesSmall * 5 < bytesBig,
+      s"batch write not ∝ batch: small=$bytesSmall big=$bytesBig")
+    assert(!new java.io.File(s"$dir/base").exists(),
+      "no compaction expected below maxSegments")
+
+    // third batch reaches maxSegments=3: compacts into the
+    // bucket-partitioned base and empties the live-segment list
+    StreamingIndex.applyBatch(tail.toDF("doc_id", "text"), dir, 2L,
+      maxSegments = 3)
+    assert(new java.io.File(s"$dir/base/v=2").exists())
+    assert(new java.io.File(s"$dir/base/v=2").listFiles()
+      .exists(_.getName.startsWith("b=")), "base must be bucket-partitioned")
+
+    val all = (big ++ small ++ tail).toDF("doc_id", "text")
+    val want = Search.renderIndex(Search.invertedIndexRaw(all))
+      .orderBy($"gram").collect().toSeq
+    def got() = Search.renderIndex(StreamingIndex.readIndex(spark, dir))
+      .orderBy($"gram").collect().toSeq
+    assert(got() === want)
+
+    // vacuum reclaims the compacted segments and stale stats/manifests;
+    // the served view is unchanged
+    StreamingIndex.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/seg/v=0").exists())
+    assert(!new java.io.File(s"$dir/seg/v=1").exists())
+    assert(!new java.io.File(s"$dir/stats/v=0").exists())
+    assert(got() === want)
+
+    // replay of an applied batch AFTER vacuum: pointer-skipped before any
+    // state dir is touched — vacuuming cannot strand a replay
+    StreamingIndex.applyBatch(big.toDF("doc_id", "text"), dir, 0L)
+    assert(got() === want)
+    assert(StreamingIndex.latestVersion(spark, dir) === Some(2L))
+  }
+
+  test("a run that died mid-prefix resumes by idempotent re-fold (no isEmpty gate)") {
+    val dir = java.nio.file.Files.createTempDirectory("sidxresume").toString
+    val batches = Seq(docsA.take(2), docsA.drop(2), docsB)
+    // simulate a prior run that applied only batch 0 before dying
+    StreamingIndex.applyBatch(batches(0).toDF("doc_id", "text"), dir, 0L)
+    // the catalog-row discipline: fold EVERY batch; the pointer skips the
+    // applied prefix and the fold continues from the death point
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingIndex.applyBatch(b.toDF("doc_id", "text"), dir, i.toLong)
+    }
+    val all = (docsA ++ docsB).toDF("doc_id", "text")
+    assert(Search.renderIndex(StreamingIndex.readIndex(spark, dir))
+      .orderBy($"gram").collect().toSeq
+      === Search.renderIndex(Search.invertedIndexRaw(all))
+        .orderBy($"gram").collect().toSeq)
+    assert(StreamingIndex.readStats(spark, dir).collect().toSeq
+      === Search.corpusStats(all).collect().toSeq)
   }
 }

@@ -107,6 +107,76 @@ class WarehouseSpec extends SparkTestBase {
     assert(StreamingSnapshot.readSnapshot(spark, dir).count() === 3L)
   }
 
+  test("segmented snapshot: MoR view ≡ sequential upserts; write ∝ batch; compaction + vacuum") {
+    import graft.streaming.StreamingSnapshot
+    def duBytes(path: String): Long = {
+      val root = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("snapseg").toString
+    val big = (1L to 5000L)
+      .map(i => (i, s"payload-$i-${"x" * 40}-${i * 7919}", false))
+    val b1 = Seq((2L, "B", false), (3L, "x", true), (1001L, "new", false))
+    val b2 = Seq((1001L, "newer", false), (5L, "y", true))
+
+    StreamingSnapshot.applyBatch(big.toDF("k", "v", "_deleted"), dir,
+      Seq("k"), "_deleted", batchId = 0L)
+    val bytesBig = duBytes(s"$dir/seg/v=0")
+    StreamingSnapshot.applyBatch(b1.toDF("k", "v", "_deleted"), dir,
+      Seq("k"), "_deleted", batchId = 1L)
+    val bytesSmall = duBytes(s"$dir/seg/v=1")
+    // the r9 writer rewrote the whole snapshot per batch
+    assert(bytesSmall > 0 && bytesSmall * 5 < bytesBig,
+      s"batch write not ∝ batch: small=$bytesSmall big=$bytesBig")
+
+    // MoR view ≡ sequential Merge.upsert folds (the r9 semantics)
+    def seqUpsert(batches: Seq[Seq[(Long, String, Boolean)]]) =
+      batches.map(_.toDF("k", "v", "_deleted"))
+        .foldLeft(Seq.empty[(Long, String, Boolean)].toDF("k", "v", "_deleted")
+          .drop("_deleted")) { (snap, b) =>
+          graft.sources.Merge.upsert(snap, b, Seq("k"))
+        }
+    val want12 = seqUpsert(Seq(big, b1)).orderBy($"k")
+      .as[(Long, String)].collect().toSeq
+    assert(StreamingSnapshot.readSnapshot(spark, dir).orderBy($"k")
+      .as[(Long, String)].collect().toSeq === want12)
+
+    // third batch hits maxSegments=3: compacts to a bucketed base
+    StreamingSnapshot.applyBatch(b2.toDF("k", "v", "_deleted"), dir,
+      Seq("k"), "_deleted", batchId = 2L, maxSegments = 3)
+    assert(new java.io.File(s"$dir/base/v=2").exists())
+    assert(new java.io.File(s"$dir/base/v=2").listFiles()
+      .exists(_.getName.startsWith("b=")), "base must be bucket-partitioned")
+    val wantAll = seqUpsert(Seq(big, b1, b2)).orderBy($"k")
+      .as[(Long, String)].collect().toSeq
+    def got() = StreamingSnapshot.readSnapshot(spark, dir).orderBy($"k")
+      .as[(Long, String)].collect().toSeq
+    assert(got() === wantAll)
+
+    // vacuum reclaims compacted segments; view unchanged; replay after
+    // vacuum is pointer-skipped before touching any state dir
+    StreamingSnapshot.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/seg/v=0").exists())
+    assert(got() === wantAll)
+    StreamingSnapshot.applyBatch(big.toDF("k", "v", "_deleted"), dir,
+      Seq("k"), "_deleted", batchId = 0L)
+    assert(got() === wantAll)
+
+    // post-compaction ingest reopens the segment log over the new base
+    val b3 = Seq((1L, "A2", false), (2001L, "late", false))
+    StreamingSnapshot.applyBatch(b3.toDF("k", "v", "_deleted"), dir,
+      Seq("k"), "_deleted", batchId = 3L)
+    val wantB3 = seqUpsert(Seq(big, b1, b2, b3)).orderBy($"k")
+      .as[(Long, String)].collect().toSeq
+    assert(got() === wantB3)
+  }
+
   test("streaming scd2: batched history equals the batch recompute") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
