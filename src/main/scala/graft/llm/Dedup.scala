@@ -302,21 +302,29 @@ object Dedup {
     * O14 machinery) and a per-session QueryExecutionListener warn-logs any
     * action that observed dropped rows — surfaced, never silent, and free
     * when nothing is dropped. */
-  private val capSeq = new java.util.concurrent.atomic.AtomicLong()
+  private[llm] val capSeq = new java.util.concurrent.atomic.AtomicLong()
   private val capListenerSessions =
     java.util.Collections.synchronizedSet(
       new java.util.HashSet[org.apache.spark.sql.SparkSession]())
 
-  private def ensureCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Warn-log any observed skew-cap drop metric (`lsh_bucket_cap_*` from
+    * [[capBuckets]], `cell_cap_*` from
+    * [[Similarity.cosinePairsBlocked]]'s cell rail) — drops are surfaced,
+    * never silent, and the listener costs nothing when nothing drops. */
+  private[llm] def ensureCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
     if (capListenerSessions.add(spark)) {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("lsh_bucket_cap_") && !row.isNullAt(0) &&
-                row.getLong(0) > 0L) {
-              log.warn(s"""{"type":"dedup.lsh.bucket_cap","metric":"$name","dropped_rows":${row.getLong(0)},"max_bucket_seen":${row.getLong(1)}}""")
+            val kind =
+              if (name.startsWith("lsh_bucket_cap_")) Some("dedup.lsh.bucket_cap")
+              else if (name.startsWith("cell_cap_")) Some("dedup.semantic.cell_cap")
+              else None
+            kind.foreach { k =>
+              if (!row.isNullAt(0) && row.getLong(0) > 0L)
+                log.warn(s"""{"type":"$k","metric":"$name","dropped_rows":${row.getLong(0)},"max_seen":${row.getLong(1)}}""")
             }
           }
         override def onFailure(funcName: String,

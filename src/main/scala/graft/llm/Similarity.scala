@@ -30,6 +30,12 @@ import graft.expr.DotProduct
   */
 object Similarity {
 
+  /** Default cell-size rail for the semantic-dedup family's within-cell
+    * ε-join ([[cosinePairsBlocked]]'s `maxCell`): 8× the default
+    * [[semanticDedupAuto]] target cell size — the cell-count law pins the
+    * EXPECTED cell size, this defends the max. */
+  val DefaultSemanticMaxCell = 8192
+
   /** Sequential-fold dot product (codegen'd custom expression). */
   private def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
@@ -291,16 +297,76 @@ object Similarity {
   /** Exact embedding near-dup pairs within a blocking key (e.g. a cluster
     * label or coarse quantizer cell): the quadratic term is bounded by the
     * largest block, not the corpus — the IVF-style scale path when a
-    * partitioner/label already exists. id_a < id_b, cosine >= threshold. */
+    * partitioner/label already exists. id_a < id_b, cosine >= threshold.
+    *
+    * ==Cell-size rail (`maxCell` > 0)==
+    * The within-block self-join trusts the blocker to keep blocks small;
+    * real dedup corpora are exactly where that fails — one mega-cell of
+    * near-identical template/boilerplate vectors turns the join quadratic
+    * (the skew [[Dedup]]'s LSH path caps with `maxBucket`). With the rail
+    * on, blocks over `maxCell` rows take a two-step defense:
+    *
+    *  1. '''identity contraction''' (exact): rows with BIT-IDENTICAL
+    *     vectors — the dominant mega-cell population, template spam —
+    *     collapse to their min-id representative. The emitted pair set
+    *     for the block becomes a star per identity group plus the
+    *     triangular join over DISTINCT vectors only. That is a
+    *     connectivity-preserving subset of the full clique with the SAME
+    *     scores on every surviving edge, so [[Dedup.clusters]] components
+    *     — and therefore [[semanticDedupFromAssign]]'s entire output —
+    *     are IDENTICAL to the unrailed form (a member pair (a,b) exists
+    *     iff the rep pair does, at the same score; stars keep every
+    *     member reachable). Only the raw pair LIST shrinks.
+    *  2. '''rep cap''' (surfaced drop): a block whose DISTINCT vectors
+    *     still exceed `maxCell` is genuinely diverse-yet-unsplittable at
+    *     this codebook; its rep join is dropped whole (stars survive, so
+    *     exact duplicates still dedup) and the drop rides the plan as a
+    *     `cell_cap_*` observe() metric with a warn-log listener — the
+    *     [[Dedup]] `maxBucket` contract: surfaced, never silent, free
+    *     when nothing drops.
+    *
+    * Cost: one count window on the join's own block key per side-split
+    * plus one (blk, vector) window over ONLY the oversized rows — no
+    * extra pass over well-blocked data. `maxCell` = 0 (default) disables
+    * the rail and preserves the exact all-pairs contract everywhere. */
   def cosinePairsBlocked(emb: DataFrame, blockCol: String, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCell: Int = 0): DataFrame = {
     val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(vecCol).as("v"), norm(col(vecCol)).as("n"))
-    b.as("a").join(b.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("score", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+    def tri(rows: DataFrame): DataFrame =
+      rows.as("a").join(rows.as("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        .withColumn("score", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+        .filter(col("score") >= threshold)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
+    if (maxCell <= 0 || maxCell == Int.MaxValue) return tri(b)
+    Dedup.ensureCapListener(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val counted = b.withColumn("n_cell",
+      count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .localCheckpoint(eager = false) // small/big splits share the window
+    val small = counted.filter(col("n_cell") <= maxCell).drop("n_cell")
+    val big = counted.filter(col("n_cell") > maxCell).drop("n_cell")
+    // identity contraction over the oversized rows only: min-id rep per
+    // bit-identical vector within the block (complex-typed window keys
+    // hash fine); stars carry the self-cosine so thresholds behave
+    // exactly like the full clique's identical-vector pairs
+    val withRep = big.withColumn("rep",
+      min(col("id")).over(Window.partitionBy(col("blk"), col("v"))))
+    val stars = withRep.filter(col("id") =!= col("rep"))
+      .withColumn("score", dot(col("v"), col("v")) / (col("n") * col("n")))
       .filter(col("score") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"), col("score"))
+    val reps = withRep.filter(col("id") === col("rep")).drop("rep")
+      .withColumn("n_reps",
+        count(lit(1)).over(Window.partitionBy(col("blk"))))
+    val railed = reps
+      .observe(s"cell_cap_${Dedup.capSeq.incrementAndGet()}",
+        sum(when(col("n_reps") > maxCell, 1L).otherwise(0L)).as("dropped_rows"),
+        max(col("n_reps")).as("max_cell_seen"))
+      .filter(col("n_reps") <= maxCell).drop("n_reps")
+    tri(small.unionByName(railed)).unionByName(stars)
   }
 
   /** Driver-local Lloyd's over a bounded sample: argmin squared-L2
@@ -931,7 +997,8 @@ object Similarity {
     * final classification joins two tiny frames (groups, reps) back onto
     * the assignment — the corpus never shuffles after the cell join. */
   def semanticDedup(emb: DataFrame, centroids: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCell: Int = DefaultSemanticMaxCell): DataFrame = {
     // The assignment is consumed THREE times below (ε-join block keys,
     // group members, non-member anti-join): checkpoint it once — lazy, so
     // the first consumer's action materializes it — instead of re-running
@@ -942,7 +1009,7 @@ object Similarity {
       .select(col(idCol), col("cluster_id").as("cell"),
         col("score").as("centroid_sim"))
       .localCheckpoint(eager = false)
-    semanticDedupFromAssign(emb, assign, threshold, idCol, vecCol)
+    semanticDedupFromAssign(emb, assign, threshold, idCol, vecCol, maxCell)
   }
 
   /** The codebook-size rule behind [[semanticDedupAuto]]: k =
@@ -981,7 +1048,10 @@ object Similarity {
     val cb = Kmeans.codebook(emb.sparkSession,
       Kmeans.trainModel(emb, autoCellCount(n, targetCellSize), iters,
         idCol, vecCol))
-    semanticDedup(emb, cb, threshold, idCol, vecCol)
+    // rail at 8x the target: the cell-count law pins the EXPECTED size,
+    // the rail defends the max (a mega-cell of boilerplate vectors)
+    semanticDedup(emb, cb, threshold, idCol, vecCol,
+      maxCell = (8L * targetCellSize).min(Int.MaxValue.toLong).toInt)
   }
 
   /** SemDeDup from a PREBUILT assignment table (idCol, cell, centroid_sim)
@@ -993,9 +1063,11 @@ object Similarity {
     * [[assignToCentroids]] of the same codebook (oracle-pinned). */
   def semanticDedupFromAssign(emb: DataFrame, assign: DataFrame,
       threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCell: Int = DefaultSemanticMaxCell): DataFrame = {
     val blocked = emb.select(col(idCol), col(vecCol)).join(assign, Seq(idCol))
-    val pairs = cosinePairsBlocked(blocked, "cell", threshold, idCol, vecCol)
+    val pairs = cosinePairsBlocked(blocked, "cell", threshold, idCol, vecCol,
+      maxCell)
     val groups = Dedup.clusters(pairs) // (doc_id, cluster_id): members only
       .select(col("doc_id").as("__gid"), col("cluster_id").as("sem_group"))
     val members = assign.join(groups, col(idCol) === col("__gid"))

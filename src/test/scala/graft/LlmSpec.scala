@@ -58,6 +58,65 @@ class LlmSpec extends SparkTestBase {
     assert(default === 19900L)
   }
 
+  test("semantic-dedup cell rail: identity contraction on a planted mega-cell preserves the dedup output") {
+    import graft.llm.Similarity
+    // ONE cell holding 205 vectors: 200 bit-identical boilerplate (A),
+    // 3 bit-identical near-dups of it (B, cos(A,B) ≈ 0.994 ≥ 0.9), and 2
+    // orthogonal satellites (C, cos 0) — the template-spam skew the
+    // cell-count law cannot prevent (k fixes the EXPECTED size, not max)
+    val vA = Array(1.0, 0.0, 0.0, 0.0)
+    val vB = Array(0.9, 0.1, 0.0, 0.0)
+    val vC = Array(0.0, 0.0, 1.0, 0.0)
+    val emb = ((0L until 200L).map((_, vA)) ++
+      (200L until 203L).map((_, vB)) ++ (203L until 205L).map((_, vC)))
+      .toDF("vec_id", "embedding")
+    val blocked = emb.withColumn("cell", lit(0L))
+
+    // uncapped clique: C(200,2) + C(3,2) + 200·3 A–B cross + the C–C
+    // twin pair = 20504 pairs
+    val full = Similarity.cosinePairsBlocked(blocked, "cell", 0.9)
+    assert(full.count() === 20504L)
+    // railed: 199 A-stars + 2 B-stars + 1 C-star + 1 repA–repB edge =
+    // 203 pairs — the quadratic is now over DISTINCT vectors (3), not
+    // rows (205)
+    val railed = Similarity.cosinePairsBlocked(blocked, "cell", 0.9,
+      maxCell = 32)
+    assert(railed.count() === 203L)
+
+    // the contracted pair set is connectivity-equivalent: the WHOLE
+    // semantic-dedup output (groups, diversity-rule reps, kept flags) is
+    // bit-identical to the unrailed form
+    val assign = emb.select($"vec_id", lit(0L).as("cell"),
+      ($"vec_id".cast("double") / 1000.0).as("centroid_sim"))
+    def out(maxCell: Int) =
+      Similarity.semanticDedupFromAssign(emb, assign, 0.9, maxCell = maxCell)
+        .orderBy($"vec_id").collect().toSeq
+    assert(out(32) === out(0))
+  }
+
+  test("semantic-dedup cell rail: a genuinely diverse over-cap cell drops its rep join, surfaced, stars survive") {
+    import graft.llm.Similarity
+    // 40 DISTINCT near-parallel vectors (every pair ≥ threshold) plus one
+    // exact-duplicate pair, in one cell, rail at 16: distinct reps = 41
+    // > 16, so the rep join drops (observe-surfaced) — but the identity
+    // star still dedups the exact duplicates
+    val diverse = (0L until 40L).map(i => (i, Array(1.0, i * 1e-6, 0.0)))
+    val twins = Seq((100L, Array(0.0, 0.0, 1.0)), (101L, Array(0.0, 0.0, 1.0)))
+    val emb = (diverse ++ twins).toDF("vec_id", "embedding")
+    val blocked = emb.withColumn("cell", lit(0L))
+    val railed = Similarity.cosinePairsBlocked(blocked, "cell", 0.9,
+      maxCell = 16).collect().toSeq
+    assert(railed.map(r => (r.getLong(0), r.getLong(1))) === Seq((100L, 101L)))
+    // the membership contract degrades gracefully: every id still
+    // classified, only the twins form a group
+    val assign = emb.select($"vec_id", lit(0L).as("cell"),
+      ($"vec_id".cast("double") / 1000.0).as("centroid_sim"))
+    val sd = Similarity.semanticDedupFromAssign(emb, assign, 0.9,
+      maxCell = 16).orderBy($"vec_id").collect().toSeq
+    assert(sd.size === 42)
+    assert(sd.count(_.getBoolean(3) == false) === 1) // one dropped twin
+  }
+
   test("simhash: exact dup at hamming 0; unrelated beyond threshold") {
     val pairs = Dedup.simhashNearDups(docs, maxHamming = 3)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
