@@ -40,9 +40,21 @@ object Bench {
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // Same local-debugging filter as Verify; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Deliberately-quadratic correctness witnesses are capped by SF
+    // (SparkEntry.benchMaxSf): above their ceiling they would dominate
+    // the total with exactly the cost their scale-safe siblings avoid.
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+    val sfGated = sf.fold(Set.empty[String]) { s =>
+      SparkEntry.benchMaxSf.filter { case (_, cap) => s > cap }.keySet
+    }
+    if (sfGated.nonEmpty)
+      System.err.println(s"[bench] skipping above-ceiling truth rows at sf=${sf.get}: " +
+        sfGated.toSeq.sorted.mkString(","))
     def onePass(tag: String): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .filter { case (name, _) =>
+          only.forall(_.contains(name)) && !sfGated.contains(name) }
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -53,4 +53,17 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Oracles.all
+
+  /** Bench-mode SF ceiling for DELIBERATELY-QUADRATIC correctness
+    * witnesses: these rows exist to pin the scale-safe default against
+    * its exact small-corpus truth (all-pairs fuzzy linkage; the fixed-k
+    * graph-centroid SemDeDup variant), so benching them above the listed
+    * SF would measure the quadratic that their headline siblings exist to
+    * avoid — dominating the total and misleading the regression gate.
+    * [[graft.Bench]] skips a row when the bench SF exceeds its ceiling;
+    * Verify ALWAYS runs the full catalog (correctness is SF-independent).
+    * Rows absent from this map bench at every SF. */
+  def benchMaxSf: Map[String, Double] = Map(
+    "q_fuzzy_allpairs" -> 0.1,
+    "q_semantic_dedup_graph" -> 0.1)
 }

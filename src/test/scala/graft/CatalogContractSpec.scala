@@ -26,6 +26,11 @@ class CatalogContractSpec extends AnyFunSuite {
     assert(orphans === Set.empty[String], s"orphan oracle entries: $orphans")
   }
 
+  test("every benchMaxSf ceiling names a real catalog row") {
+    val orphans = SparkEntry.benchMaxSf.keySet -- SparkEntry.queries.keySet
+    assert(orphans === Set.empty[String], s"orphan bench ceilings: $orphans")
+  }
+
   test("oracle SQL publishes no uncast integer aggregate in the final select") {
     // heuristic tripwire for contract rule #2 (SparkEntry doc): a final
     // SELECT publishing sum(...)/count(...) without ::BIGINT produces
