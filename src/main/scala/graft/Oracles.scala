@@ -1755,6 +1755,20 @@ object Oracles {
         |  SELECT md5(text) FROM documents WHERE doc_id < 250)
         |ORDER BY doc_id""".stripMargin,
 
+    // a STALE pre-erasure bloom must still be exact against the live
+    // (survivor) corpus — hits fall through to the anti-join, misses are
+    // still no-false-negative; the oracle is the survivors NOT-IN
+    "q_dedup_bloom_stale" ->
+      """WITH batch AS (
+        |  SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
+        |    count(*) AS n_copies
+        |  FROM documents WHERE doc_id >= 250 GROUP BY md5(text))
+        |SELECT doc_id, n_copies FROM batch
+        |WHERE text_hash NOT IN (
+        |  SELECT md5(text) FROM documents
+        |  WHERE doc_id < 250 AND doc_id % 10 <> 6)
+        |ORDER BY doc_id""".stripMargin,
+
     // digest-predicate mirror of Sampling.sampleByKey: md5 prefix < '4000'
     // (= round(0.25 * 2^16) as 4 hex digits)
     "q_sample_docs" ->
@@ -3025,6 +3039,19 @@ object Oracles {
         |SELECT CAST(depth AS INT) AS depth, bucket, count(*) AS cnt
         |FROM cells GROUP BY 1, 2 ORDER BY depth, bucket""".stripMargin,
 
+    // linear-sketch erasure: maintained sketch ≡ rebuild over survivors
+    "q_cms_delete" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id % 10 <> 6),
+        |cells AS (
+        |  SELECT j.range AS depth,
+        |    CAST(concat('0x', substring(md5(CAST(j.range AS VARCHAR) || ':' || term), 1, 8))
+        |      AS BIGINT) % 64 AS bucket
+        |  FROM toks, range(4) j)
+        |SELECT CAST(depth AS INT) AS depth, bucket, count(*) AS cnt
+        |FROM cells GROUP BY 1, 2 ORDER BY depth, bucket""".stripMargin,
+
     // inner-product mirror: both sketches rebuilt over stringified keys,
     // per-depth product sums (disjoint depths contribute 0), min, and
     // the exact per-key count join
@@ -3098,6 +3125,15 @@ object Oracles {
       s"""WITH e AS (
          |  SELECT source, unnest(list_distinct($shingleSql)) AS h
          |  FROM documents)
+         |SELECT source, count(DISTINCT h) AS exact_terms,
+         |  TRUE AS kmv_within_20pct
+         |FROM e GROUP BY source ORDER BY source""".stripMargin,
+
+    // deletion-maintained sketch estimates against the SURVIVOR truth
+    "q_kmv_delete" ->
+      s"""WITH e AS (
+         |  SELECT source, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents WHERE doc_id % 10 <> 6)
          |SELECT source, count(DISTINCT h) AS exact_terms,
          |  TRUE AS kmv_within_20pct
          |FROM e GROUP BY source ORDER BY source""".stripMargin,

@@ -998,6 +998,25 @@ object Queries {
         docs.filter(col("doc_id") >= 250), corpus, bloom)
         .orderBy(col("doc_id"))
     }),
+    // the bloom's erasure contract: a bloom CANNOT subtract (insertion-
+    // only bit array), so after deletions the prebuilt filter goes STALE
+    // — and the ingest stays EXACT anyway, because a bloom hit is never
+    // an authority, only a routing decision: stale hits (including every
+    // erased digest) fall through to the anti-join against the LIVE
+    // corpus, and misses are still guaranteed-unseen (deletions only
+    // remove corpus rows, so no-false-negatives survives staleness). A
+    // re-ingest of an ERASED text is correctly accepted as new. Cost of
+    // staleness is fpp drift, not correctness — rebuild on a schedule,
+    // not per erasure. Oracle = NOT-IN SQL against the survivors.
+    "q_dedup_bloom_stale" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus0 = docs.filter(col("doc_id") < 250)
+      val bloom = llm.Dedup.digestBloom(corpus0, expectedItems = 300)
+      val survivors = corpus0.filter(col("doc_id") % 10 =!= 6)
+      llm.Dedup.incrementalNewBloom(
+        docs.filter(col("doc_id") >= 250), survivors, bloom)
+        .orderBy(col("doc_id"))
+    }),
     // incremental NEAR-dup: batch-vs-corpus + batch-internal LSH candidates,
     // exact-verified; oracle = the partitioned all-pairs Jaccard truth
     "q_dedup_incr_near" -> ((s, dir) => {
@@ -1717,6 +1736,16 @@ object Queries {
           llm.Sketch.cmsBuild(docs.filter(col("doc_id") >= 250)))
         .orderBy(col("depth"), col("bucket"))
     }),
+    // DELETION-aware CMS maintenance: the purged docs' sketch subtracts
+    // cell-wise (CMS is linear — the one sketch where erasure is exact),
+    // zeroed cells drop. Oracle = a full rebuild over the survivors.
+    "q_cms_delete" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Sketch.cmsDelete(
+          llm.Sketch.cmsBuild(docs),
+          llm.Sketch.cmsBuild(docs.filter(col("doc_id") % 10 === 6)))
+        .orderBy(col("depth"), col("bucket"))
+    }),
     // CMS inner-product join-size estimate: the pre-shuffle cardinality
     // gauge (one scan per side, sketch-only estimate) published with its
     // one-sided contract next to the exact size
@@ -1763,6 +1792,42 @@ object Queries {
         k = 256)
       val est = llm.Sketch.kmvEstimate(merged, k = 256)
       val exact = terms(docs).groupBy(col("source").as("grp"))
+        .agg(count_distinct(col("h")).as("exact_terms"))
+      est.join(exact, Seq("grp"))
+        .select(col("grp").as("source"), col("exact_terms"),
+          (abs(col("est_distinct") / col("exact_terms").cast("double") - 1.0)
+            <= 0.20).as("kmv_within_20pct"))
+        .orderBy(col("source"))
+    }),
+    // DELETION-aware KMV maintenance: a distinct sketch is not linear, so
+    // erasure removes only values FULLY GONE from the survivors (doomed
+    // terms anti-joined against surviving docs' terms — reference-count
+    // semantics); groups whose retained bottom-k lost a hash are flagged
+    // and rebuilt from the survivors ONLY (group-pruned, not a corpus
+    // pass). The maintained sketch estimates against the survivor truth
+    // under the same 20% contract — oracle = exact over survivors.
+    "q_kmv_delete" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      def terms(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("source"), explode(llm.Dedup.shingles(col("text"), 3)).as("h"))
+      val dc = col("doc_id") % 10 === 6
+      val survivors = docs.filter(!dc).localCheckpoint(eager = false)
+      val gone = terms(docs.filter(dc))
+        .join(terms(survivors), Seq("source", "h"), "left_anti")
+      val trimmed = llm.Sketch.kmvDelete(
+        llm.Sketch.kmvBuild(terms(docs), "source", "h", k = 256),
+        gone, "source", "h", k = 256)
+        .localCheckpoint(eager = false) // flag split consumes it twice
+      val rebuilt = llm.Sketch.kmvBuild(
+        terms(survivors).join(
+          trimmed.filter(col("needs_rebuild"))
+            .select(col("grp").as("source")).distinct(),
+          Seq("source"), "left_semi"),
+        "source", "h", k = 256)
+      val maintained = trimmed.filter(!col("needs_rebuild"))
+        .drop("needs_rebuild").unionByName(rebuilt)
+      val est = llm.Sketch.kmvEstimate(maintained, k = 256)
+      val exact = terms(survivors).groupBy(col("source").as("grp"))
         .agg(count_distinct(col("h")).as("exact_terms"))
       est.join(exact, Seq("grp"))
         .select(col("grp").as("source"), col("exact_terms"),

@@ -60,6 +60,23 @@ object Sketch {
       .groupBy(col("depth"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** DELETION-aware CMS maintenance — the right-to-erasure companion to
+    * [[cmsMerge]]: CMS is a LINEAR sketch (every cell is a sum over item
+    * occurrences), so a purged shard's counts subtract EXACTLY and the
+    * result is bit-identical to rebuilding over the survivors — cells
+    * whose count reaches 0 drop, matching [[cmsBuild]]'s non-empty-cell
+    * contract (oracle-pinned). `deletedSketch` is [[cmsBuild]] over the
+    * doomed rows, computed at erasure time while they are still readable
+    * (the [[graft.sources.Merge.applyDeletes]] ordering). Linearity is
+    * what the other sketches lack: see [[kmvDelete]] (partial) and the
+    * bloom/HLL rebuild contracts pinned in LlmSpec. */
+  def cmsDelete(sketch: DataFrame, deletedSketch: DataFrame): DataFrame =
+    sketch.unionByName(
+        deletedSketch.select(col("depth"), col("bucket"), (-col("cnt")).as("cnt")))
+      .groupBy(col("depth"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 0L)
+
   /** Point-query the sketch for each panel term: est = min over depth rows
     * of the term's bucket count (0 for an untouched bucket), next to the
     * exact corpus count — publishing the one-sided-error contract
@@ -192,6 +209,50 @@ object Sketch {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("grp"), col("u"), col("rnk"))
+  }
+
+  /** DELETION over a bottom-k sketch — the honest partial answer, because
+    * a DISTINCT sketch is not linear: a value's hash can be subtracted
+    * only when the value is FULLY GONE from the group's survivors (the
+    * caller derives `deleted` as doomed values anti-joined against the
+    * surviving rows — reference-count semantics, exactly why
+    * deletion-heavy pipelines pair distinct sketches with that anti
+    * join). Removing the gone hashes and re-ranking yields a sketch
+    * BIT-IDENTICAL to [[kmvBuild]] over the survivors for every group
+    * where that is provable from the sketch alone:
+    *
+    *  - an UNSATURATED group retains ALL its distinct hashes — removal is
+    *    exact by construction;
+    *  - a SATURATED group whose retained bottom-k was untouched is also
+    *    exact: the gone values all hashed ABOVE u_k (they were never
+    *    retained), so the survivors' bottom-k is unchanged;
+    *  - a SATURATED group that lost a RETAINED hash cannot subtract —
+    *    values between u_k and the discarded tail were never kept — so it
+    *    is flagged `needs_rebuild = true` and the caller re-runs
+    *    [[kmvBuild]] over the survivors for THOSE GROUPS ONLY (a
+    *    group-pruned rebuild, not a corpus pass; the flag frame is one
+    *    row per group).
+    *
+    * Returns (grp, u, rnk, needs_rebuild) — rnk re-ranked over the
+    * retained hashes; flagged groups' rows are the trimmed remainder and
+    * must not be estimated from. Spec-pinned in LlmSpec. */
+  def kmvDelete(sketch: DataFrame, deleted: DataFrame, groupCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    val delHash = deleted
+      .select(col(groupCol).as("grp"), kmvU(col(valueCol)).as("u")).distinct()
+    val size = sketch.groupBy(col("grp")).agg(count(lit(1)).as("_n"))
+    val hits = sketch.join(delHash, Seq("grp", "u"), "left_semi")
+      .groupBy(col("grp")).agg(count(lit(1)).as("_nhit"))
+    val flags = size.join(hits, Seq("grp"), "left")
+      .select(col("grp"),
+        (col("_n") === k && coalesce(col("_nhit"), lit(0L)) > 0L)
+          .as("needs_rebuild"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("u"))
+    sketch.join(delHash, Seq("grp", "u"), "left_anti")
+      .select(col("grp"), col("u"))
+      .withColumn("rnk", row_number().over(w))
+      .join(broadcast(flags), Seq("grp"))
   }
 
   /** Distinct-count estimate per group from a [[kmvBuild]] sketch: an

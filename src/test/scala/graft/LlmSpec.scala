@@ -58,6 +58,73 @@ class LlmSpec extends SparkTestBase {
     assert(default === 19900L)
   }
 
+  test("sketch erasure taxonomy: CMS subtracts exactly (linear); KMV deletes where provable and flags the rest; a stale bloom stays exact") {
+    import graft.llm.Sketch
+    val docs = (0L until 60L)
+      .map(i => (i, s"word$i shared tok${i % 7} filler common"))
+      .toDF("doc_id", "text")
+    val doomed = docs.filter($"doc_id" % 10 === 6)
+    val survivors = docs.filter($"doc_id" % 10 =!= 6)
+
+    // CMS: linear ⇒ subtract ≡ rebuild over survivors, bit-identical
+    val maintained = Sketch.cmsDelete(
+        Sketch.cmsBuild(docs), Sketch.cmsBuild(doomed))
+      .orderBy($"depth", $"bucket").collect().toSeq
+    val rebuilt = Sketch.cmsBuild(survivors)
+      .orderBy($"depth", $"bucket").collect().toSeq
+    assert(maintained === rebuilt)
+
+    // KMV over (group, value): unsaturated and untouched-saturated groups
+    // delete exactly; a saturated group losing a RETAINED hash is flagged
+    val k = 4
+    val rows = // g_small: 3 values (unsaturated); g_big: 10 (saturated)
+      (0 until 3).map(i => ("g_small", s"s$i")) ++
+        (0 until 10).map(i => ("g_big", s"b$i"))
+    val df = rows.toDF("grp", "v")
+    val sk = Sketch.kmvBuild(df, "grp", "v", k)
+    // value→hash map, to pick retained vs unretained victims of g_big
+    val uOf = df.select($"grp", $"v", Sketch.kmvU($"v").as("u"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val bigSorted = (0 until 10).map(i => s"b$i").sortBy(v => uOf(("g_big", v)))
+    val retained = bigSorted.head     // in the bottom-k
+    val unretained = bigSorted.last   // above the threshold
+
+    // delete: one value from g_small + an UNRETAINED value from g_big —
+    // both groups stay exact (≡ kmvBuild over their survivors)
+    val del1 = Seq(("g_small", "s1"), ("g_big", unretained)).toDF("grp", "v")
+    val d1 = Sketch.kmvDelete(sk, del1, "grp", "v", k)
+    assert(d1.filter($"needs_rebuild").count() === 0L)
+    val want1 = Sketch.kmvBuild(
+      df.filter(!($"grp" === "g_small" && $"v" === "s1") &&
+        !($"grp" === "g_big" && $"v" === unretained)), "grp", "v", k)
+      .orderBy($"grp", $"rnk").collect().toSeq
+    assert(d1.drop("needs_rebuild").orderBy($"grp", $"rnk").collect().toSeq
+      === want1)
+
+    // delete a RETAINED hash from the saturated group: flagged, g_small
+    // still exact
+    val del2 = Seq(("g_big", retained)).toDF("grp", "v")
+    val d2 = Sketch.kmvDelete(sk, del2, "grp", "v", k)
+    assert(d2.filter($"needs_rebuild").select($"grp").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("g_big"))
+
+    // Bloom (and the inline HLL rows): insertion-only — no subtract. The
+    // bloom's READ contract survives staleness: a pre-erasure filter over
+    // a post-erasure corpus is still exact (hits fall through to the
+    // anti-join, misses remain no-false-negative), and a re-ingest of an
+    // ERASED text is accepted as new. Rebuild is for fpp hygiene only.
+    val bloom = graft.llm.Dedup.digestBloom(docs, expectedItems = 100)
+    val batch = Seq((100L, "word6 shared tok6 filler common"), // erased text (doc 6)
+      (101L, "word7 shared tok0 filler common"),               // still-present text
+      (102L, "genuinely new content here")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.incrementalNewBloom(batch, survivors, bloom)
+      .orderBy($"doc_id").collect().map(_.getLong(0)).toSeq
+    val want = graft.llm.Dedup.incrementalNew(batch, survivors)
+      .orderBy($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+    assert(got.contains(100L) && !got.contains(101L) && got.contains(102L))
+  }
+
   test("semantic-dedup cell rail: identity contraction on a planted mega-cell preserves the dedup output") {
     import graft.llm.Similarity
     // ONE cell holding 205 vectors: 200 bit-identical boilerplate (A),
