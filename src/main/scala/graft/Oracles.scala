@@ -2584,6 +2584,10 @@ object Oracles {
     // indistinguishable from a full recompute over corpus ∖ deleted
     "q_dedup_incr_delete" -> clustersSqlWhere("WHERE doc_id % 10 <> 3"),
 
+    // streamed fold ≡ full recompute over the whole corpus / survivors
+    "q_dedup_stream" -> clustersSql,
+    "q_dedup_stream_erasure" -> clustersSqlWhere("WHERE doc_id % 10 <> 6"),
+
     // same recursive-CTE component labeling as q_dedup_clusters, then a
     // window argmax (n_chars desc, doc_id) per cluster + anti-joined
     // singletons

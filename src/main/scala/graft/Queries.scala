@@ -1097,6 +1097,56 @@ object Queries {
       llm.Dedup.clustersDelete(labels, pairs, deleted)
         .orderBy(col("doc_id"))
     }),
+    // STREAMING near-dup maintenance, batch-parity form: three disjoint
+    // micro-batches folded through StreamingDedup.applyBatch (the
+    // IDENTICAL code the writer runs) — segmented band/shingle state
+    // (bytes ∝ batch), sliver labels/pairs stitched by contracted-graph
+    // propagation, compaction at maxSegments=3 re-capping the merged
+    // buckets, vacuum reclaiming superseded state. Every batch folds
+    // every run (pointer-skip = resume safety). The served labels share
+    // q_dedup_clusters' full-recompute oracle VERBATIM.
+    "q_dedup_stream" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sdedup_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+      }
+      (0L to 2L).foreach { b =>
+        streaming.StreamingDedup.applyBatch(
+          docs.filter(col("doc_id") % 3 === b), state, b, maxSegments = 3)
+      }
+      streaming.StreamingDedup.vacuum(s, state)
+      streaming.StreamingDedup.readLabels(s, state).orderBy(col("doc_id"))
+    }),
+    // STREAMING ingest + ERASURE: the tail batch carries the last third's
+    // clean docs WITH full-row tombstones for every already-ingested
+    // doc_id ≡ 6 (mod 10) — tombstoned components re-stitch over
+    // retained pairs (splits handled), band/shingle views fold the ids
+    // out by anti join. Labels ≡ a full recompute over the survivors.
+    "q_dedup_stream_erasure" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sdedup_erasure_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sdedupe").toString
+      }
+      val dc: org.apache.spark.sql.Column = col("doc_id") % 10 === 6
+      (0L until 2L).foreach { b =>
+        streaming.StreamingDedup.applyBatch(
+          docs.filter(col("doc_id") % 3 === b)
+            .withColumn("_deleted", lit(false)),
+          state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+      }
+      streaming.StreamingDedup.applyBatch(
+        docs.filter(col("doc_id") % 3 === 2 && !dc)
+          .withColumn("_deleted", lit(false))
+          .unionByName(docs.filter(col("doc_id") % 3 =!= 2 && dc)
+            .withColumn("_deleted", lit(true))),
+        state, 2L, deleteCol = Some("_deleted"), maxSegments = 3)
+      streaming.StreamingDedup.vacuum(s, state)
+      streaming.StreamingDedup.readLabels(s, state).orderBy(col("doc_id"))
+    }),
     // portable md5 hash family so the oracle can recompute signatures:
     // the all-pairs Hamming truth asserts the combination-block index's
     // pigeonhole completeness (every pair ≤ maxHamming is FOUND) and the

@@ -333,7 +333,7 @@ object Dedup {
       })
     }
 
-  private def capBuckets(banded: DataFrame, maxBucket: Int,
+  private[graft] def capBuckets(banded: DataFrame, maxBucket: Int,
       what: String): DataFrame = {
     if (maxBucket <= 0 || maxBucket == Int.MaxValue) return banded
     ensureCapListener(banded.sparkSession)

@@ -1,0 +1,265 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.llm.Dedup
+
+/** Always-on NEAR-DUP maintenance: a document (or change) stream folds
+  * into the persisted LSH dedup artifacts — band table, shingle table,
+  * near-dup pair list, and cluster labels — inside `foreachBatch` under
+  * the [[StatePointer]]/[[SegmentedState]] discipline. The streaming form
+  * of the batch `q_dedup_incr_prebuilt` → `q_dedup_incr_clusters` →
+  * `q_dedup_incr_delete` maintenance path, so near-dup dedup has an
+  * always-on ingest story like search ([[StreamingIndex]]) and snapshots
+  * ([[StreamingSnapshot]]).
+  *
+  * ==State layout and per-batch cost==
+  * The corpus-proportional artifacts (bands: ~`bands` rows/doc; shingles:
+  * 1 wide row/doc) are SEGMENTED — each batch writes only its own adds'
+  * rows (bytes ∝ batch), tombstone id-lists ride `seg/v=<id>/del`, and
+  * the read view is `(base ∪ segments) anti-join live-tombstones` (both
+  * artifacts are per-doc rows with nothing to decrement, so erasure IS
+  * the anti join — [[Dedup.bandsDelete]]'s shape). At `maxSegments` the
+  * view compacts into `base/v=<id>` (bands hive-partitioned by `band`,
+  * shingles by an id-hash bucket), re-applying the LSH bucket cap so a
+  * bucket saturated ACROSS batches is pruned exactly like one saturated
+  * at build time ([[Dedup.bandTable]]'s corpus-property rule; per-batch
+  * caps bound each segment in the meantime).
+  *
+  * The pair list and cluster labels are copy-on-write per batch — they
+  * are SLIVERS (rows exist only for detected near-dups, size bounded by
+  * the bucket caps), and the label fold ([[Dedup.clustersIncremental]] /
+  * [[Dedup.clustersDelete]]) is sequential and non-idempotent, exactly
+  * the [[StreamingScd2]] position. [[vacuum]] reclaims superseded
+  * versions of all four artifacts.
+  *
+  * ==Per-batch fold==
+  *  1. the adds probe the CURRENT band/shingle views
+  *     ([[Dedup.incrementalNearDupsPrebuilt]] — corpus side never
+  *     re-shingled, cost O(batch + candidates));
+  *  2. discovered pairs stitch into the labels by contracted-graph
+  *     propagation ([[Dedup.clustersIncremental]] — O(batch pairs), the
+  *     corpus labels pass one anti join);
+  *  3. tombstones re-run only their TOUCHED components over retained
+  *     pairs ([[Dedup.clustersDelete]] — deletions can SPLIT components,
+  *     so subtraction alone cannot maintain labels), and fold out of the
+  *     band/shingle views by anti join.
+  *
+  * Preconditions (the [[StreamingIndex]] change-stream contract): adds
+  * are new doc ids, tombstones reference previously-ingested docs and
+  * CARRY the doc row, a doc is not added and erased in the same batch,
+  * and an erased id is not re-ingested while its tombstone segment is
+  * live. Replays of an applied batch are pointer-skipped (the label fold
+  * is non-idempotent, so the pointer check is the exactly-once
+  * mechanism). Streamed state ≡ a full rebuild over the live corpus is
+  * pinned by the `q_dedup_stream*` rows (full-recompute oracles) and the
+  * MemoryStream spec. */
+object StreamingDedup {
+
+  val DefaultMaxSegments = 8
+  val DefaultBuckets = 32
+
+  import SegmentedState.Manifest
+
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
+    StatePointer.read(spark, dir)
+
+  private def manifest(spark: SparkSession, dir: String): Manifest =
+    latestVersion(spark, dir) match {
+      case Some(v) => SegmentedState.readManifest(spark, dir, v)
+      case None => throw new IllegalStateException(s"no dedup state at $dir yet")
+    }
+
+  /** Live tombstone ids (one `id` column), empty frame when none. */
+  private def liveDels(spark: SparkSession, dir: String,
+      m: Manifest): Option[DataFrame] = {
+    val dels = m.segments.filter(m.dels.contains)
+      .map(v => spark.read.parquet(s"$dir/seg/v=$v/del"))
+    if (dels.isEmpty) None else Some(dels.reduce(_ unionByName _))
+  }
+
+  private def artifactView(spark: SparkSession, dir: String, m: Manifest,
+      sub: String, baseDrop: Seq[String]): DataFrame = {
+    val segs = m.segments.map(v => spark.read.parquet(s"$dir/seg/v=$v/$sub"))
+    val base = m.base.map(v =>
+      baseDrop.foldLeft(spark.read.parquet(s"$dir/base/v=$v/$sub"))(_ drop _))
+    val all = (base.toSeq ++ segs) match {
+      case Nil => throw new IllegalStateException(s"empty manifest at $dir")
+      case parts => parts.reduce(_ unionByName _)
+    }
+    liveDels(spark, dir, m).fold(all)(d => Dedup.bandsDelete(all, d))
+  }
+
+  /** The maintained band table view (id, band, band_hash). */
+  def readBands(spark: SparkSession, dir: String): DataFrame =
+    artifactView(spark, dir, manifest(spark, dir), "bands", Nil)
+
+  /** The maintained shingle table view (id, sh). */
+  def readShingles(spark: SparkSession, dir: String): DataFrame =
+    artifactView(spark, dir, manifest(spark, dir), "shingles", Seq("b"))
+
+  /** The maintained near-dup pair list (id_a, id_b). */
+  def readPairs(spark: SparkSession, dir: String): DataFrame =
+    latestVersion(spark, dir) match {
+      case Some(v) => spark.read.parquet(s"$dir/pairs/v=$v")
+      case None => throw new IllegalStateException(s"no dedup state at $dir yet")
+    }
+
+  /** The maintained cluster labels (doc_id, cluster_id) — members only,
+    * [[Dedup.clusters]]' contract. */
+  def readLabels(spark: SparkSession, dir: String): DataFrame =
+    latestVersion(spark, dir) match {
+      case Some(v) => spark.read.parquet(s"$dir/labels/v=$v")
+      case None => throw new IllegalStateException(s"no dedup state at $dir yet")
+    }
+
+  /** Fold one batch into the persisted dedup state (see object doc).
+    * Public so the batch-parity catalog rows drive the IDENTICAL code the
+    * writer runs. */
+  def applyBatch(batch: DataFrame, dir: String, batchId: Long,
+      deleteCol: Option[String] = None, threshold: Double = 0.6,
+      w: Int = 3, k: Int = 64, bands: Int = 16, maxBucket: Int = 4096,
+      maxSegments: Int = DefaultMaxSegments,
+      nBuckets: Int = DefaultBuckets,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
+    val spark = batch.sparkSession
+    latestVersion(spark, dir) match {
+      case Some(v) if v >= batchId => () // replay of an applied batch: skip
+      case prev =>
+        val adds = deleteCol.fold(batch)(dc => batch.filter(!col(dc)).drop(dc))
+          .localCheckpoint(eager = false) // bands + shingles + probe
+        val delIds = deleteCol.map(dc => batch.filter(col(dc))
+          .select(col(idCol).as("id")).localCheckpoint(eager = false))
+        val prevM = prev.map(SegmentedState.readManifest(spark, dir, _))
+          .getOrElse(Manifest(None, Nil, Set.empty))
+
+        // ---- 1. pair discovery against the CURRENT views ----
+        val newPairs: Option[DataFrame] = prev match {
+          case None => // first batch: no corpus yet — batch-internal truth
+            Some(Dedup.minhashNearDups(adds, threshold, w, k, bands,
+                maxBucket, idCol, textCol)
+              .select(col("id_a"), col("id_b")))
+          case Some(_) =>
+            Some(Dedup.incrementalNearDupsPrebuilt(adds,
+                artifactView(spark, dir, prevM, "bands", Nil),
+                artifactView(spark, dir, prevM, "shingles", Seq("b")),
+                threshold, w, k, bands, maxBucket, idCol, textCol)
+              .select(col("id_new").as("id_a"), col("id_other").as("id_b")))
+        }
+
+        // ---- 2/3. label + pair-list fold (slivers, copy-on-write) ----
+        val (labels0, pairs0) = prev match {
+          case Some(pv) => (spark.read.parquet(s"$dir/labels/v=$pv"),
+            spark.read.parquet(s"$dir/pairs/v=$pv"))
+          case None => (null, null)
+        }
+        val grown = (Option(labels0), newPairs) match {
+          case (None, Some(np)) =>
+            val npc = np.localCheckpoint(eager = false)
+            (Dedup.clusters(npc), npc)
+          case (Some(l0), Some(np)) =>
+            (Dedup.clustersIncremental(l0, np), pairs0.unionByName(np))
+          case (Some(l0), None) => (l0, pairs0)
+          case (None, None) =>
+            throw new IllegalStateException("first batch carries no adds")
+        }
+        val (labels1, pairs1) = delIds match {
+          case Some(d) =>
+            val retained = grown._2
+              .join(broadcast(d), grown._2("id_a") === d("id"), "left_anti")
+              .join(broadcast(d), grown._2("id_b") === d("id"), "left_anti")
+              .localCheckpoint(eager = false) // delete fold + persist
+            (Dedup.clustersDelete(grown._1, grown._2, d), retained)
+          case None => grown
+        }
+        labels1.write.mode("overwrite").parquet(s"$dir/labels/v=$batchId")
+        pairs1.write.mode("overwrite").parquet(s"$dir/pairs/v=$batchId")
+
+        // ---- segment writes: bytes ∝ batch ----
+        Dedup.bandTable(adds, w, k, bands, maxBucket, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$dir/seg/v=$batchId/bands")
+        Dedup.shingleTable(adds, w, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$dir/seg/v=$batchId/shingles")
+        val hasDel = delIds.exists(d => !d.isEmpty)
+        if (hasDel)
+          delIds.get.write.mode("overwrite").parquet(s"$dir/seg/v=$batchId/del")
+
+        // ---- manifest + (amortized) compaction ----
+        val appended = Manifest(prevM.base, prevM.segments :+ batchId,
+          if (hasDel) prevM.dels + batchId else prevM.dels)
+        val committed =
+          if (appended.segments.size < maxSegments) appended
+          else { compactTo(spark, dir, appended, batchId, maxBucket, nBuckets)
+            Manifest(Some(batchId), Nil, Set.empty) }
+        SegmentedState.writeManifest(spark, dir, batchId, committed)
+        StatePointer.advance(spark, dir, batchId)
+    }
+  }
+
+  private def compactTo(spark: SparkSession, dir: String, m: Manifest,
+      v: Long, maxBucket: Int, nBuckets: Int): Unit = {
+    // re-apply the bucket cap across the merged corpus: a bucket
+    // saturated by accumulation is pruned here exactly as bandTable
+    // prunes one saturated at build time (drops observe()-surfaced)
+    Dedup.capBuckets(artifactView(spark, dir, m, "bands", Nil), maxBucket,
+        "StreamingDedup.compact")
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/base/v=$v/bands")
+    artifactView(spark, dir, m, "shingles", Seq("b"))
+      .withColumn("b", pmod(xxhash64(col("id")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("b")
+      .parquet(s"$dir/base/v=$v/shingles")
+  }
+
+  /** Out-of-band compaction at the current version (no-op without
+    * segments); content-identical, manifest rewrite atomic. */
+  def compact(spark: SparkSession, dir: String, maxBucket: Int = 4096,
+      nBuckets: Int = DefaultBuckets): Unit =
+    latestVersion(spark, dir).foreach { v =>
+      val m = SegmentedState.readManifest(spark, dir, v)
+      if (m.segments.nonEmpty) {
+        compactTo(spark, dir, m, v, maxBucket, nBuckets)
+        SegmentedState.writeManifest(spark, dir, v,
+          Manifest(Some(v), Nil, Set.empty))
+      }
+    }
+
+  /** Reclaim superseded segments/bases/manifests AND stale label/pair
+    * versions. Pointer-skip makes replays safe after a vacuum. */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    SegmentedState.vacuum(spark, dir, withStats = false)
+    latestVersion(spark, dir).foreach { v =>
+      val f = SegmentedState.fs(spark, dir)
+      for (sub <- Seq("labels", "pairs")) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+        if (f.exists(p))
+          for (st <- f.listStatus(p); c = st.getPath)
+            c.getName.split("=", 2) match {
+              case Array("v", n) if scala.util.Try(n.toLong).toOption
+                .exists(_ != v) => f.delete(c, true)
+              case _ => ()
+            }
+      }
+    }
+  }
+
+  /** Wire a doc (or change) stream to the maintained dedup state. Caller
+    * starts/stops the returned writer. */
+  def writer(docs: DataFrame, dir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      deleteCol: Option[String] = None, threshold: Double = 0.6,
+      maxSegments: Int = DefaultMaxSegments,
+      vacuumEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        applyBatch(df, dir, batchId, deleteCol, threshold,
+          maxSegments = maxSegments)
+        if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0)
+          vacuum(df.sparkSession, dir)
+      }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.llm.Dedup
+import graft.streaming.StreamingDedup
+
+/** Streaming near-dup maintenance: MemoryStream micro-batches folded
+  * through the segmented band/shingle state + sliver labels must be
+  * INDISTINGUISHABLE from a batch rebuild over the live corpus, replays
+  * must be pointer-skipped (the label fold is non-idempotent), and
+  * erasure must re-stitch touched components (splits included). */
+class StreamingDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // three near-dup families (shared 9-word template, one distinct tail
+  // token ⇒ pairwise Jaccard ≈ 0.7 ≥ 0.6) + singletons, spread so every
+  // batch carries members of some family
+  private val tmpl = (1 to 9).map(i => s"base$i").mkString(" ")
+  private val all = (0L until 24L).map { i =>
+    if (i % 4 == 3) (i, s"completely unrelated content $i " +
+      s"with different words ${i * 31} and more filler tokens here")
+    else (i, s"$tmpl family${i / 8}")
+  }
+
+  private def rebuildLabels(rows: Seq[(Long, String)]) =
+    Dedup.clusters(Dedup.minhashNearDups(
+        rows.toDF("doc_id", "text"), threshold = 0.6))
+      .orderBy($"doc_id").collect().toSeq
+
+  test("streamed labels equal the batch rebuild; replay pointer-skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sdedupckpt").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val (b0, b1) = all.splitAt(12)
+
+    input.addData(b0: _*)
+    val q1 = StreamingDedup.writer(docs, dir, ckpt,
+      trigger = Trigger.AvailableNow()).start()
+    q1.processAllAvailable(); q1.stop()
+    input.addData(b1: _*)
+    val q2 = StreamingDedup.writer(docs, dir, ckpt,
+      trigger = Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+
+    assert(StreamingDedup.readLabels(spark, dir).orderBy($"doc_id")
+      .collect().toSeq === rebuildLabels(all))
+    assert(StreamingDedup.latestVersion(spark, dir) === Some(1L))
+
+    // replay of an applied batch: the non-idempotent label fold is
+    // guarded by the pointer — state unchanged
+    StreamingDedup.applyBatch(b1.toDF("doc_id", "text"), dir, batchId = 1L)
+    assert(StreamingDedup.readLabels(spark, dir).orderBy($"doc_id")
+      .collect().toSeq === rebuildLabels(all))
+  }
+
+  test("erasure re-stitches touched components; compaction + vacuum keep the views intact") {
+    val dir = java.nio.file.Files.createTempDirectory("sdedupdel").toString
+    val doomed = Set(1L, 9L) // one member of each of two families
+    val changes = Seq(
+      all.take(12).map { case (i, t) => (i, t, false) },            // batch 0
+      all.drop(12).map { case (i, t) => (i, t, false) } ++          // batch 1:
+        all.take(12).filter(d => doomed(d._1))                      //  + erase
+          .map { case (i, t) => (i, t, true) })
+    changes.zipWithIndex.foreach { case (b, i) =>
+      StreamingDedup.applyBatch(b.toDF("doc_id", "text", "_deleted"), dir,
+        i.toLong, deleteCol = Some("_deleted"), maxSegments = 2)
+    }
+    val survivors = all.filterNot(d => doomed(d._1))
+    assert(StreamingDedup.readLabels(spark, dir).orderBy($"doc_id")
+      .collect().toSeq === rebuildLabels(survivors))
+    // maxSegments=2 forced compaction at batch 1: the views serve from
+    // the bucketed base, tombstones folded away
+    assert(new java.io.File(s"$dir/base/v=1/bands").exists())
+    assert(StreamingDedup.readBands(spark, dir)
+      .filter($"id".isin(doomed.toSeq: _*)).count() === 0L)
+
+    StreamingDedup.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/seg/v=0").exists())
+    assert(!new java.io.File(s"$dir/labels/v=0").exists())
+    assert(StreamingDedup.readLabels(spark, dir).orderBy($"doc_id")
+      .collect().toSeq === rebuildLabels(survivors))
+    // replay after vacuum: skipped before any state dir is touched
+    StreamingDedup.applyBatch(
+      changes(0).toDF("doc_id", "text", "_deleted"), dir, 0L,
+      deleteCol = Some("_deleted"))
+    assert(StreamingDedup.readLabels(spark, dir).orderBy($"doc_id")
+      .collect().toSeq === rebuildLabels(survivors))
+  }
+}
