@@ -4348,6 +4348,19 @@ object Oracles {
         |  s_micro::DOUBLE / (n_members::DOUBLE * 1e6) AS c
         |FROM a ORDER BY cluster_id, dim""".stripMargin),
 
+    // streamed fold ≡ full recompute over the whole corpus / survivors
+    "q_centroids_stream" -> (embedCentroidCtes +
+      """
+        |SELECT cluster_id, n_members, dim,
+        |  s_micro::DOUBLE / (n_members::DOUBLE * 1e6) AS c
+        |FROM a ORDER BY cluster_id, dim""".stripMargin),
+    "q_centroids_stream_erasure" ->
+      (embedCentroidCtesWhere("WHERE vec_id % 10 <> 4") +
+      """
+        |SELECT cluster_id, n_members, dim,
+        |  s_micro::DOUBLE / (n_members::DOUBLE * 1e6) AS c
+        |FROM a ORDER BY cluster_id, dim""".stripMargin),
+
     // nearest-centroid assignment: centroid lists rebuilt dim-ordered, the
     // same sequential-fold cosine, argmax pinned (score desc, cluster_id)
     "q_embed_assign" -> (embedCentroidCtes + s""",

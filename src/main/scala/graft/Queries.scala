@@ -1373,6 +1373,57 @@ object Queries {
       llm.Similarity.clusterCentroidsDelete(emb, labels, sums, pairs, deleted)
         .orderBy(col("cluster_id"), col("dim"))
     }),
+    // STREAMING centroid maintenance, batch-parity form: three disjoint
+    // embedding micro-batches folded through StreamingCentroids
+    // .applyBatch (segmented corpus view, sliver labels/sums/pairs under
+    // the pointer discipline); served centroids = one division over the
+    // maintained sums. Shares q_embed_centroids' full-recompute oracle
+    // VERBATIM.
+    "q_centroids_stream" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/scent_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_scent").toString
+      }
+      (0L to 2L).foreach { b =>
+        streaming.StreamingCentroids.applyBatch(
+          emb.filter(col("vec_id") % 3 === b), state, b, maxSegments = 3)
+      }
+      streaming.StreamingCentroids.vacuum(s, state)
+      streaming.StreamingCentroids.readCentroids(s, state)
+        .orderBy(col("cluster_id"), col("dim"))
+    }),
+    // STREAMING ingest + ERASURE: tail batch carries the last third's
+    // clean vectors WITH full-row tombstones for every already-ingested
+    // vec_id ≡ 4 (mod 10) — touched components re-stitch and their sums
+    // recompute from the surviving member sliver (splits cannot be
+    // apportioned by subtraction). Centroids ≡ full recompute over the
+    // survivors (q_centroids_delete's oracle).
+    "q_centroids_stream_erasure" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/scent_erasure_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_scente").toString
+      }
+      val dc: org.apache.spark.sql.Column = col("vec_id") % 10 === 4
+      (0L until 2L).foreach { b =>
+        streaming.StreamingCentroids.applyBatch(
+          emb.filter(col("vec_id") % 3 === b)
+            .withColumn("_deleted", lit(false)),
+          state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+      }
+      streaming.StreamingCentroids.applyBatch(
+        emb.filter(col("vec_id") % 3 === 2 && !dc)
+          .withColumn("_deleted", lit(false))
+          .unionByName(emb.filter(col("vec_id") % 3 =!= 2 && dc)
+            .withColumn("_deleted", lit(true))),
+        state, 2L, deleteCol = Some("_deleted"), maxSegments = 3)
+      streaming.StreamingCentroids.vacuum(s, state)
+      streaming.StreamingCentroids.readCentroids(s, state)
+        .orderBy(col("cluster_id"), col("dim"))
+    }),
 
     // global mean-centering: per-dim micro-unit exact mean (only dim
     // partial rows shuffle), broadcast back, scan-side subtraction

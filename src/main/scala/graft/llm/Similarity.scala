@@ -806,7 +806,21 @@ object Similarity {
     * (old ∪ new) pairs — spec- and oracle-pinned. */
   def clusterCentroidsIncremental(emb: DataFrame, oldLabels: DataFrame,
       oldSums: DataFrame, newPairs: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    centroidsFromSums(
+      clusterCentroidSumsIncremental(emb, oldLabels, oldSums, newPairs,
+        idCol, vecCol)._2)
+
+  /** The state-maintenance form of [[clusterCentroidsIncremental]]:
+    * returns BOTH updated persisted artifacts — (newLabels, newSums) —
+    * so a maintained pipeline (e.g.
+    * [[graft.streaming.StreamingCentroids]]) can persist the
+    * pre-division sums and labels instead of re-deriving them. Identical
+    * fold; the published form is one [[centroidsFromSums]] away. */
+  def clusterCentroidSumsIncremental(emb: DataFrame, oldLabels: DataFrame,
+      oldSums: DataFrame, newPairs: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     val newLabels = Dedup.clustersIncremental(oldLabels, newPairs)
       .localCheckpoint(eager = false) // consumed twice: remap + fresh anti-join
     val remapChanged = oldLabels
@@ -823,7 +837,7 @@ object Similarity {
     val freshLabels = newLabels
       .join(oldLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val fresh = clusterCentroidSums(emb, freshLabels, idCol, vecCol)
-    centroidsFromSums(
+    (newLabels,
       carried.unionByName(fresh)
         .groupBy(col("cluster_id"), col("dim"))
         .agg(sum(col("n_members")).as("n_members"),
@@ -844,7 +858,17 @@ object Similarity {
     * — shares that recompute's oracle verbatim. */
   def clusterCentroidsDelete(emb: DataFrame, oldLabels: DataFrame,
       oldSums: DataFrame, pairs: DataFrame, deletedIds: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    centroidsFromSums(
+      clusterCentroidSumsDelete(emb, oldLabels, oldSums, pairs, deletedIds,
+        idCol, vecCol)._2)
+
+  /** The state-maintenance form of [[clusterCentroidsDelete]]: returns
+    * BOTH updated persisted artifacts — (newLabels, newSums). */
+  def clusterCentroidSumsDelete(emb: DataFrame, oldLabels: DataFrame,
+      oldSums: DataFrame, pairs: DataFrame, deletedIds: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     val del = deletedIds
       .select(col(deletedIds.columns.head).as("__did")).distinct()
     val touched = oldLabels
@@ -852,6 +876,7 @@ object Similarity {
       .select(col("cluster_id")).distinct()
       .localCheckpoint(eager = false) // anti (carried) + semi (stitched)
     val newLabels = Dedup.clustersDelete(oldLabels, pairs, deletedIds)
+      .localCheckpoint(eager = false) // stitched semi + caller persist
     // members of touched components that survived and still sit in a pair
     val stitched = newLabels.join(
       oldLabels.join(touched, Seq("cluster_id"), "left_semi")
@@ -860,7 +885,7 @@ object Similarity {
     val carried = oldSums.join(touched, Seq("cluster_id"), "left_anti")
     // label sets are disjoint (labels are member ids; components are
     // disjoint), so no merge aggregation is needed — plain union
-    centroidsFromSums(
+    (newLabels,
       carried.unionByName(clusterCentroidSums(emb, stitched, idCol, vecCol)))
   }
 

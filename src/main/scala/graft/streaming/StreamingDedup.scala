@@ -166,7 +166,8 @@ object StreamingDedup {
           case (None, None) =>
             throw new IllegalStateException("first batch carries no adds")
         }
-        val (labels1, pairs1) = delIds match {
+        val hasDel = delIds.exists(d => !d.isEmpty)
+        val (labels1, pairs1) = delIds.filter(_ => hasDel) match {
           case Some(d) =>
             val retained = grown._2
               .join(broadcast(d), grown._2("id_a") === d("id"), "left_anti")
@@ -183,7 +184,6 @@ object StreamingDedup {
           .write.mode("overwrite").parquet(s"$dir/seg/v=$batchId/bands")
         Dedup.shingleTable(adds, w, idCol, textCol)
           .write.mode("overwrite").parquet(s"$dir/seg/v=$batchId/shingles")
-        val hasDel = delIds.exists(d => !d.isEmpty)
         if (hasDel)
           delIds.get.write.mode("overwrite").parquet(s"$dir/seg/v=$batchId/del")
 
