@@ -235,7 +235,10 @@ object Sketch {
     *
     * Returns (grp, u, rnk, needs_rebuild) — rnk re-ranked over the
     * retained hashes; flagged groups' rows are the trimmed remainder and
-    * must not be estimated from. Spec-pinned in LlmSpec. */
+    * must not be estimated from. A flagged group that lost its ENTIRE
+    * retained bottom-k still surfaces as one (grp, null, null, true)
+    * marker row, so the caller's rebuild set never silently misses it.
+    * Spec-pinned in LlmSpec. */
   def kmvDelete(sketch: DataFrame, deleted: DataFrame, groupCol: String,
       valueCol: String, k: Int): DataFrame = {
     val delHash = deleted
@@ -247,12 +250,24 @@ object Sketch {
       .select(col("grp"),
         (col("_n") === k && coalesce(col("_nhit"), lit(0L)) > 0L)
           .as("needs_rebuild"))
+      .localCheckpoint(eager = false) // kept join + emptied-group union
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("u"))
-    sketch.join(delHash, Seq("grp", "u"), "left_anti")
+    val kept = sketch.join(delHash, Seq("grp", "u"), "left_anti")
       .select(col("grp"), col("u"))
       .withColumn("rnk", row_number().over(w))
       .join(broadcast(flags), Seq("grp"))
+    // a FLAGGED group can lose its entire retained bottom-k (every
+    // retained hash fully gone) — it must still surface, with a null
+    // marker row, or the caller would never rebuild it and the group
+    // would silently vanish from the maintained sketch. An UNSATURATED
+    // group whose values are all gone vanishes legitimately (it truly
+    // has no surviving distincts), so only needs_rebuild rows are kept.
+    val emptied = flags.filter(col("needs_rebuild"))
+      .join(kept.select(col("grp")), Seq("grp"), "left_anti")
+      .select(col("grp"), lit(null).cast("double").as("u"),
+        lit(null).cast("int").as("rnk"), col("needs_rebuild"))
+    kept.unionByName(emptied)
   }
 
   /** Distinct-count estimate per group from a [[kmvBuild]] sketch: an

@@ -3,21 +3,26 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
-/** The shared SEGMENTED-state discipline behind [[StreamingIndex]] and
-  * [[StreamingSnapshot]] (and any future maintained stream state): each
-  * micro-batch appends an immutable `seg/v=<batchId>` directory (bytes ∝
-  * batch), reads are merge-on-read over the live segment list, compaction
-  * folds the segments into a `base/v=<id>` directory, and [[vacuum]]
-  * deletes everything the latest manifest no longer references. The
-  * manifest (`manifest/v=<batchId>`) records the base version and the
-  * live segments; `_LATEST` ([[StatePointer]]) is the commit point.
+/** The shared SEGMENTED-state discipline behind [[StreamingIndex]],
+  * [[StreamingSnapshot]], [[StreamingDedup]] and [[StreamingCentroids]]:
+  * each micro-batch appends an immutable `seg/v=<batchId>` directory
+  * (bytes ∝ batch), reads are merge-on-read over the live segment list,
+  * compaction folds the segments into a `base/v=<id>` directory, and
+  * [[vacuum]] deletes everything the retained manifests no longer
+  * reference. The manifest (`manifest/v=<batchId>.g=<gen>`) records the
+  * base version and the live segments; `_LATEST` ([[StatePointer]]) is
+  * the commit point.
   *
-  * Write protocol per batch: segment dirs → manifest file → pointer.
-  * Readers resolve pointer → manifest → dirs, so a half-written batch is
-  * invisible; a crash before the pointer advance replays the batch into
-  * the same dirs (overwrite) and commits once. Manifest files are written
-  * via temp + rename so an in-place rewrite (out-of-band compaction)
-  * never exposes a truncated file. */
+  * ==Write protocol==
+  * Per batch: segment dirs → manifest file → pointer. Readers resolve
+  * pointer → manifest → dirs, so a half-written batch is invisible; a
+  * crash before the pointer advance replays the batch into the same
+  * dirs (overwrite) and commits once. Manifest files are IMMUTABLE once
+  * created: a rewrite at the same version (out-of-band compaction)
+  * creates the next GENERATION `v=<id>.g=<gen+1>` — an atomic fresh-name
+  * rename, never a delete+recreate of a file the pointer references —
+  * and readers take the max generation. A crash at any point leaves the
+  * previous generation readable. */
 private[streaming] object SegmentedState {
 
   /** `base`: compacted-base version, if one exists. `segments`: live
@@ -28,9 +33,24 @@ private[streaming] object SegmentedState {
   def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private val ManifestName = """v=(\d+)\.g=(\d+)""".r
+
+  /** Generations present for version `v`, ascending. */
+  private def gens(f: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Long): Seq[Long] = {
+    val p = new Path(s"$dir/manifest")
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.flatMap(_.getPath.getName match {
+      case ManifestName(mv, g) if mv.toLong == v => Some(g.toLong)
+      case _ => None
+    }).sorted
+  }
+
   def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
     val f = fs(spark, dir)
-    val in = f.open(new Path(s"$dir/manifest/v=$v"))
+    val g = gens(f, dir, v).lastOption.getOrElse(
+      throw new java.io.FileNotFoundException(s"no manifest for v=$v at $dir"))
+    val in = f.open(new Path(s"$dir/manifest/v=$v.g=$g"))
     val text = try new String(
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
     val kv = text.linesIterator.map(_.trim).filter(_.nonEmpty)
@@ -43,51 +63,100 @@ private[streaming] object SegmentedState {
       longs(kv.getOrElse("dels", "")).toSet)
   }
 
+  /** Write the manifest for `v` as a NEW generation (see object doc). */
   def writeManifest(spark: SparkSession, dir: String, v: Long,
       m: Manifest): Unit = {
     val f = fs(spark, dir)
+    val g = gens(f, dir, v).lastOption.fold(0L)(_ + 1L)
     val text = s"base=${m.base.getOrElse("-")}\n" +
       s"segments=${m.segments.mkString(",")}\n" +
       s"dels=${m.dels.toSeq.sorted.mkString(",")}\n"
-    val tmp = new Path(s"$dir/manifest/.v=$v.tmp")
+    val tmp = new Path(s"$dir/manifest/.v=$v.g=$g.tmp")
     val out = f.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(s"$dir/manifest/v=$v")
-    if (!f.rename(tmp, dst)) {
-      f.delete(dst, false)
-      if (!f.rename(tmp, dst))
-        throw new java.io.IOException(s"manifest rename failed: $dst")
+    val dst = new Path(s"$dir/manifest/v=$v.g=$g")
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"manifest rename failed: $dst")
+  }
+
+  /** Recursive delete of superseded `v=<n>` children under `dir/<sub>`
+    * for each sub in `subs`, keeping exactly the versions in `keep` —
+    * the shared sliver-artifact vacuum ([[StreamingDedup]] labels/pairs,
+    * [[StreamingCentroids]] labels/sums/pairs, [[StreamingScd2]]
+    * history). */
+  def vacuumVersioned(spark: SparkSession, dir: String, subs: Seq[String],
+      keep: Set[Long]): Unit = {
+    val f = fs(spark, dir)
+    val Plain = """v=(\d+)""".r
+    for (sub <- subs) {
+      val p = if (sub.isEmpty) new Path(dir) else new Path(s"$dir/$sub")
+      if (f.exists(p))
+        for (st <- f.listStatus(p); c = st.getPath)
+          c.getName match {
+            case Plain(n) if !keep.contains(n.toLong) => f.delete(c, true)
+            case _ => ()
+          }
     }
   }
 
-  /** Delete every state dir the LATEST manifest no longer references:
-    * superseded bases, compacted-away segments, stale manifests, and —
-    * when `withStats` — stale `stats/v=*` sidecars. Bounded disk is this
-    * call; safety is the pointer: a replay of any batchId ≤ `_LATEST` is
-    * skipped before any state dir is touched, so vacuuming cannot strand
-    * a replay. */
-  def vacuum(spark: SparkSession, dir: String, withStats: Boolean): Unit =
-    StatePointer.read(spark, dir).foreach { v =>
-      val m = readManifest(spark, dir, v)
+  /** Delete every state dir that none of the `retain` most recent
+    * manifests references: superseded bases, compacted-away segments,
+    * stale manifests, and — when `withStats` — stale `stats/v=*`
+    * sidecars.
+    *
+    * `retain` > 1 is the concurrent-reader grace window: a reader that
+    * resolved pointer → manifest keeps its (lazy) plan valid as long as
+    * that manifest stays within the retained window — the reason
+    * production merge-on-read formats vacuum with a retention period,
+    * not to the live snapshot. `retain` = 1 (default) reclaims
+    * everything but the current view; use it when the writer is the
+    * only process touching the state, or readers materialize eagerly. */
+  /** The manifest versions a `retain`-window vacuum keeps: the newest
+    * `retain` distinct versions, always including the pointer's. */
+  def retainedVersions(spark: SparkSession, dir: String,
+      retain: Int): Set[Long] = {
+    require(retain >= 1, s"retain must be >= 1: $retain")
+    StatePointer.read(spark, dir).fold(Set.empty[Long]) { v =>
       val f = fs(spark, dir)
+      val mp = new Path(s"$dir/manifest")
+      val allVersions =
+        if (!f.exists(mp)) Seq(v)
+        else f.listStatus(mp).toSeq.flatMap(_.getPath.getName match {
+          case ManifestName(mv, _) => Some(mv.toLong)
+          case _ => None
+        }).distinct.sorted
+      allVersions.takeRight(retain).toSet + v
+    }
+  }
+
+  def vacuum(spark: SparkSession, dir: String, withStats: Boolean,
+      retain: Int = 1): Unit =
+    StatePointer.read(spark, dir).foreach { v =>
+      val f = fs(spark, dir)
+      val kept = retainedVersions(spark, dir, retain)
+      val manifests = kept.toSeq.sorted.map(readManifest(spark, dir, _))
+      val liveSegs = manifests.flatMap(_.segments).toSet
+      val liveBases = manifests.flatMap(_.base).toSet
       def children(sub: String): Seq[Path] = {
         val p = new Path(s"$dir/$sub")
         if (!f.exists(p)) Nil else f.listStatus(p).toSeq.map(_.getPath)
       }
       def ver(p: Path): Option[Long] =
-        p.getName.split("=", 2) match {
-          case Array("v", n) => scala.util.Try(n.toLong).toOption
-          case _ => None
+        p.getName match {
+          case ManifestName(mv, _) => Some(mv.toLong)
+          case other => other.split("=", 2) match {
+            case Array("v", n) => scala.util.Try(n.toLong).toOption
+            case _ => None
+          }
         }
-      val live = m.segments.toSet
-      for (p <- children("seg"); sv <- ver(p); if !live.contains(sv))
+      for (p <- children("seg"); sv <- ver(p); if !liveSegs.contains(sv))
         f.delete(p, true)
-      for (p <- children("base"); bv <- ver(p); if !m.base.contains(bv))
+      for (p <- children("base"); bv <- ver(p); if !liveBases.contains(bv))
         f.delete(p, true)
-      for (p <- children("manifest"); mv <- ver(p); if mv != v)
+      for (p <- children("manifest"); mv <- ver(p); if !kept.contains(mv))
         f.delete(p, true)
       if (withStats)
-        for (p <- children("stats"); sv <- ver(p); if sv != v)
+        for (p <- children("stats"); sv <- ver(p); if !kept.contains(sv))
           f.delete(p, true)
     }
 }

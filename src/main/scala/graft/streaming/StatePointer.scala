@@ -6,45 +6,56 @@ import org.apache.spark.sql.SparkSession
 /** The `_LATEST` version-pointer discipline shared by every maintained
   * streaming state ([[StreamingSnapshot]], [[StreamingIndex]],
   * [[StreamingScd2]]): a batch writes its output under version
-  * directories, then atomically advances one small pointer file — readers
+  * directories, then atomically advances one small pointer — readers
   * never observe a half-written version, and a crash-replay of an
   * already-applied `foreachBatch` batchId is detected by the pointer and
-  * skipped (the exactly-once mechanism for non-idempotent folds). */
+  * skipped (the exactly-once mechanism for non-idempotent folds).
+  *
+  * ==Marker files, not an overwritten file==
+  * The pointer is the set of empty marker files `_LATEST.v=<batchId>`;
+  * the committed version is the MAX. [[advance]] CREATES a new marker
+  * (an atomic operation on HDFS and local filesystems — no rename over
+  * an existing file, no delete+rename window) and then best-effort
+  * deletes older markers. A crash at ANY point leaves at least the
+  * previous marker in place, so a replay can never mistake existing
+  * state for a fresh directory — the failure mode of an overwrite-style
+  * pointer, where a crash between delete and re-create makes the next
+  * replay silently REBUILD the state from one batch. Readers racing an
+  * advance see the old max or the new max, never a truncated value
+  * (the version is in the NAME, not the content). */
 private[streaming] object StatePointer {
 
   def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private val Marker = """_LATEST\.v=(\d+)""".r
+
   /** The committed version, None before the first batch lands. */
   def read(spark: SparkSession, dir: String): Option[Long] = {
-    val p = new Path(dir, "_LATEST")
     val f = fs(spark, dir)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
-      finally in.close()
+    val root = new Path(dir)
+    if (!f.exists(root)) None
+    else f.listStatus(root).toSeq
+      .flatMap(_.getPath.getName match {
+        case Marker(n) => Some(n.toLong)
+        case _ => None
+      }) match {
+      case Nil => None
+      case vs => Some(vs.max)
     }
   }
 
-  /** Commit `batchId` as the latest version. Written to a temp file and
-    * RENAMED over `_LATEST`, so a concurrent [[read]] never observes a
-    * truncated pointer (an in-place overwrite exposes a zero-length
-    * window that crashes the reader's `toLong`). Where the filesystem
-    * refuses a clobbering rename, the fallback delete+rename narrows the
-    * race to a missing-file window, which readers already handle as a
-    * clean `None` rather than a parse crash. */
+  /** Commit `batchId` as the latest version (see object doc). */
   def advance(spark: SparkSession, dir: String, batchId: Long): Unit = {
     val f = fs(spark, dir)
-    val tmp = new Path(dir, s"_LATEST.tmp-$batchId")
-    val out = f.create(tmp, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(dir, "_LATEST")
-    if (!f.rename(tmp, dst)) {
-      f.delete(dst, false)
-      if (!f.rename(tmp, dst))
-        throw new java.io.IOException(s"pointer rename failed: $tmp -> $dst")
-    }
+    val marker = new Path(dir, s"_LATEST.v=$batchId")
+    f.create(marker, true).close()
+    // best-effort cleanup of superseded markers — correctness rests on
+    // max(), so a crash mid-cleanup is harmless
+    for (st <- f.listStatus(new Path(dir)))
+      st.getPath.getName match {
+        case Marker(n) if n.toLong < batchId => f.delete(st.getPath, false)
+        case _ => ()
+      }
   }
 }

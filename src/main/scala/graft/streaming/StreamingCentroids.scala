@@ -109,6 +109,9 @@ object StreamingCentroids {
       nBuckets: Int = DefaultBuckets,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
+    require(!batch.columns.contains("b"),
+      "embedding column name 'b' is reserved by the compaction bucket " +
+        "layout — rename the column")
     val spark = batch.sparkSession
     latestVersion(spark, dir) match {
       case Some(v) if v >= batchId => () // replay of an applied batch: skip
@@ -192,22 +195,12 @@ object StreamingCentroids {
   }
 
   /** Reclaim superseded segments/bases/manifests and stale
-    * labels/sums/pairs versions. */
-  def vacuum(spark: SparkSession, dir: String): Unit = {
-    SegmentedState.vacuum(spark, dir, withStats = false)
-    latestVersion(spark, dir).foreach { v =>
-      val f = SegmentedState.fs(spark, dir)
-      for (sub <- Seq("labels", "sums", "pairs")) {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-        if (f.exists(p))
-          for (st <- f.listStatus(p); c = st.getPath)
-            c.getName.split("=", 2) match {
-              case Array("v", n) if scala.util.Try(n.toLong).toOption
-                .exists(_ != v) => f.delete(c, true)
-              case _ => ()
-            }
-      }
-    }
+    * labels/sums/pairs versions; `retain` > 1 = concurrent-reader grace
+    * window ([[SegmentedState.vacuum]]). */
+  def vacuum(spark: SparkSession, dir: String, retain: Int = 1): Unit = {
+    SegmentedState.vacuum(spark, dir, withStats = false, retain)
+    SegmentedState.vacuumVersioned(spark, dir, Seq("labels", "sums", "pairs"),
+      SegmentedState.retainedVersions(spark, dir, retain))
   }
 
   /** Wire an embedding (or change) stream to the maintained centroid

@@ -137,34 +137,23 @@ object StreamingDedup {
           .getOrElse(Manifest(None, Nil, Set.empty))
 
         // ---- 1. pair discovery against the CURRENT views ----
-        val newPairs: Option[DataFrame] = prev match {
+        // ---- 2/3. label + pair-list fold (slivers, copy-on-write) ----
+        val grown = prev match {
           case None => // first batch: no corpus yet — batch-internal truth
-            Some(Dedup.minhashNearDups(adds, threshold, w, k, bands,
+            val np = Dedup.minhashNearDups(adds, threshold, w, k, bands,
                 maxBucket, idCol, textCol)
-              .select(col("id_a"), col("id_b")))
-          case Some(_) =>
-            Some(Dedup.incrementalNearDupsPrebuilt(adds,
+              .select(col("id_a"), col("id_b"))
+              .localCheckpoint(eager = false) // clusters + persist
+            (Dedup.clusters(np), np)
+          case Some(pv) =>
+            val np = Dedup.incrementalNearDupsPrebuilt(adds,
                 artifactView(spark, dir, prevM, "bands", Nil),
                 artifactView(spark, dir, prevM, "shingles", Seq("b")),
                 threshold, w, k, bands, maxBucket, idCol, textCol)
-              .select(col("id_new").as("id_a"), col("id_other").as("id_b")))
-        }
-
-        // ---- 2/3. label + pair-list fold (slivers, copy-on-write) ----
-        val (labels0, pairs0) = prev match {
-          case Some(pv) => (spark.read.parquet(s"$dir/labels/v=$pv"),
-            spark.read.parquet(s"$dir/pairs/v=$pv"))
-          case None => (null, null)
-        }
-        val grown = (Option(labels0), newPairs) match {
-          case (None, Some(np)) =>
-            val npc = np.localCheckpoint(eager = false)
-            (Dedup.clusters(npc), npc)
-          case (Some(l0), Some(np)) =>
-            (Dedup.clustersIncremental(l0, np), pairs0.unionByName(np))
-          case (Some(l0), None) => (l0, pairs0)
-          case (None, None) =>
-            throw new IllegalStateException("first batch carries no adds")
+              .select(col("id_new").as("id_a"), col("id_other").as("id_b"))
+            (Dedup.clustersIncremental(
+                spark.read.parquet(s"$dir/labels/v=$pv"), np),
+              spark.read.parquet(s"$dir/pairs/v=$pv").unionByName(np))
         }
         val hasDel = delIds.exists(d => !d.isEmpty)
         val (labels1, pairs1) = delIds.filter(_ => hasDel) match {
@@ -228,22 +217,12 @@ object StreamingDedup {
     }
 
   /** Reclaim superseded segments/bases/manifests AND stale label/pair
-    * versions. Pointer-skip makes replays safe after a vacuum. */
-  def vacuum(spark: SparkSession, dir: String): Unit = {
-    SegmentedState.vacuum(spark, dir, withStats = false)
-    latestVersion(spark, dir).foreach { v =>
-      val f = SegmentedState.fs(spark, dir)
-      for (sub <- Seq("labels", "pairs")) {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-        if (f.exists(p))
-          for (st <- f.listStatus(p); c = st.getPath)
-            c.getName.split("=", 2) match {
-              case Array("v", n) if scala.util.Try(n.toLong).toOption
-                .exists(_ != v) => f.delete(c, true)
-              case _ => ()
-            }
-      }
-    }
+    * versions. Pointer-skip makes replays safe after a vacuum; `retain`
+    * > 1 = concurrent-reader grace window ([[SegmentedState.vacuum]]). */
+  def vacuum(spark: SparkSession, dir: String, retain: Int = 1): Unit = {
+    SegmentedState.vacuum(spark, dir, withStats = false, retain)
+    SegmentedState.vacuumVersioned(spark, dir, Seq("labels", "pairs"),
+      SegmentedState.retainedVersions(spark, dir, retain))
   }
 
   /** Wire a doc (or change) stream to the maintained dedup state. Caller

@@ -159,8 +159,12 @@ object StreamingIndex {
     latestVersion(spark, dir) match {
       case Some(v) if v >= batchId => () // replay of an applied batch: skip
       case prev =>
+        // lazy checkpoints: each side has 2-3 consumers below (segment
+        // write, stats fold, emptiness probe) — don't rescan the batch
         val adds = deleteCol.fold(batch)(dc => batch.filter(!col(dc)).drop(dc))
-        val dels = deleteCol.map(dc => batch.filter(col(dc)).drop(dc))
+          .localCheckpoint(eager = false)
+        val dels = deleteCol.map(dc => batch.filter(col(dc)).drop(dc)
+          .localCheckpoint(eager = false))
         // ---- segment write: bytes ∝ batch, never ∝ corpus ----
         Search.invertedIndexRaw(adds)
           .write.mode("overwrite").parquet(s"$dir/seg/v=$batchId/idx")
@@ -216,12 +220,13 @@ object StreamingIndex {
       }
     }
 
-  /** Delete every state dir the LATEST manifest no longer references
-    * (superseded bases, compacted-away segments, stale stats and
-    * manifests) — [[SegmentedState.vacuum]] with the stats sidecar
-    * included. */
-  def vacuum(spark: SparkSession, dir: String): Unit =
-    SegmentedState.vacuum(spark, dir, withStats = true)
+  /** Delete every state dir the `retain` most recent manifests no
+    * longer reference (superseded bases, compacted-away segments, stale
+    * stats and manifests) — [[SegmentedState.vacuum]] with the stats
+    * sidecar included. `retain` > 1 is the concurrent-reader grace
+    * window (see that method's doc). */
+  def vacuum(spark: SparkSession, dir: String, retain: Int = 1): Unit =
+    SegmentedState.vacuum(spark, dir, withStats = true, retain)
 
   /** Wire a doc (or change) stream to the maintained index. Caller
     * starts/stops the returned writer. `vacuumEvery` > 0 runs [[vacuum]]

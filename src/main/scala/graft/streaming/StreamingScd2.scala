@@ -44,16 +44,7 @@ object StreamingScd2 {
     * state dir is touched. */
   def vacuum(spark: SparkSession, dir: String): Unit =
     latestVersion(spark, dir).foreach { v =>
-      val f = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val root = new org.apache.hadoop.fs.Path(dir)
-      if (f.exists(root))
-        for (st <- f.listStatus(root); p = st.getPath)
-          p.getName.split("=", 2) match {
-            case Array("v", n) if scala.util.Try(n.toLong).toOption
-              .exists(_ != v) => f.delete(p, true)
-            case _ => ()
-          }
+      SegmentedState.vacuumVersioned(spark, dir, Seq(""), Set(v))
     }
 
   private[graft] def applyBatch(df: DataFrame, dir: String, keyCol: String,

@@ -129,6 +129,14 @@ object StreamingSnapshot {
       maxSegments: Int = DefaultMaxSegments,
       nBuckets: Int = DefaultBuckets): Unit = {
     require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
+    // "b" is the compaction bucket column and "_v"/"_w" are the MoR
+    // version/winner markers: a same-named payload column would be
+    // silently clobbered (and dropped from the base at read) — refuse
+    // loudly instead.
+    for (reserved <- Seq("b", "_v", "_w"))
+      require(!df.columns.contains(reserved),
+        s"snapshot column name '$reserved' is reserved by the segmented " +
+          "state layout (bucket/version markers) — rename the column")
     val spark = df.sparkSession
     latestVersion(spark, dir) match {
       case Some(v) if v >= batchId => () // replay of an applied batch: skip
@@ -175,9 +183,11 @@ object StreamingSnapshot {
       }
     }
 
-  /** Reclaim every state dir the latest manifest no longer references. */
-  def vacuum(spark: SparkSession, dir: String): Unit =
-    SegmentedState.vacuum(spark, dir, withStats = false)
+  /** Reclaim every state dir the `retain` most recent manifests no
+    * longer reference (`retain` > 1 = concurrent-reader grace window —
+    * see [[SegmentedState.vacuum]]). */
+  def vacuum(spark: SparkSession, dir: String, retain: Int = 1): Unit =
+    SegmentedState.vacuum(spark, dir, withStats = false, retain)
 
   /** Wire a change stream to the maintained snapshot. Caller starts/stops
     * the returned writer. `vacuumEvery` > 0 reclaims superseded state

@@ -108,6 +108,13 @@ class LlmSpec extends SparkTestBase {
     assert(d2.filter($"needs_rebuild").select($"grp").distinct()
       .collect().map(_.getString(0)).toSeq === Seq("g_big"))
 
+    // a flagged group that lost its ENTIRE retained bottom-k still
+    // surfaces as one null marker row — the rebuild set cannot miss it
+    val del3 = bigSorted.take(k).map(("g_big", _)).toDF("grp", "v")
+    val d3 = Sketch.kmvDelete(sk, del3, "grp", "v", k)
+    val g3 = d3.filter($"grp" === "g_big").collect()
+    assert(g3.length === 1 && g3.head.isNullAt(1) && g3.head.getBoolean(3))
+
     // Bloom (and the inline HLL rows): insertion-only — no subtract. The
     // bloom's READ contract survives staleness: a pre-erasure filter over
     // a post-erasure corpus is still exact (hits fall through to the
