@@ -1907,20 +1907,30 @@ object Queries {
     // and rebuilt from the survivors ONLY (group-pruned, not a corpus
     // pass). The maintained sketch estimates against the survivor truth
     // under the same 20% contract — oracle = exact over survivors.
+    // Every consumer here (build, gone-set, group-pruned rebuild, exact
+    // truth) is a function of the DISTINCT (source, shingle) pairs plus a
+    // per-pair survivor reference count, so the corpus is shingle-exploded
+    // ONCE and reduced through ONE (source, h) aggregation carrying
+    // count(survivor occurrences); "fully gone" is then a filter (n_surv
+    // = 0), not an anti-join — the 100 TB shape, vs re-exploding the
+    // text per consumer and shuffling a pair-level anti-join.
     "q_kmv_delete" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
-      def terms(d: org.apache.spark.sql.DataFrame) =
-        d.select(col("source"), explode(llm.Dedup.shingles(col("text"), 3)).as("h"))
       val dc = col("doc_id") % 10 === 6
-      val survivors = docs.filter(!dc).localCheckpoint(eager = false)
-      val gone = terms(docs.filter(dc))
-        .join(terms(survivors), Seq("source", "h"), "left_anti")
+      val pairs = docs
+        .select(col("source"), dc.as("_doomed"),
+          explode(llm.Dedup.shingles(col("text"), 3)).as("h"))
+        .groupBy(col("source"), col("h"))
+        .agg(count(when(!col("_doomed"), lit(1))).as("_ns"))
+        .localCheckpoint(eager = false)  // reused 4× below
+      val survTerms = pairs.filter(col("_ns") > 0)
+      val gone = pairs.filter(col("_ns") === 0)  // reference count hit 0
       val trimmed = llm.Sketch.kmvDelete(
-        llm.Sketch.kmvBuild(terms(docs), "source", "h", k = 256),
+        llm.Sketch.kmvBuild(pairs, "source", "h", k = 256),
         gone, "source", "h", k = 256)
         .localCheckpoint(eager = false) // flag split consumes it twice
       val rebuilt = llm.Sketch.kmvBuild(
-        terms(survivors).join(
+        survTerms.join(
           trimmed.filter(col("needs_rebuild"))
             .select(col("grp").as("source")).distinct(),
           Seq("source"), "left_semi"),
@@ -1928,8 +1938,8 @@ object Queries {
       val maintained = trimmed.filter(!col("needs_rebuild"))
         .drop("needs_rebuild").unionByName(rebuilt)
       val est = llm.Sketch.kmvEstimate(maintained, k = 256)
-      val exact = terms(survivors).groupBy(col("source").as("grp"))
-        .agg(count_distinct(col("h")).as("exact_terms"))
+      val exact = survTerms.groupBy(col("source").as("grp"))
+        .agg(count(lit(1)).as("exact_terms"))
       est.join(exact, Seq("grp"))
         .select(col("grp").as("source"), col("exact_terms"),
           (abs(col("est_distinct") / col("exact_terms").cast("double") - 1.0)

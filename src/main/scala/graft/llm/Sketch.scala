@@ -213,11 +213,14 @@ object Sketch {
 
   /** DELETION over a bottom-k sketch — the honest partial answer, because
     * a DISTINCT sketch is not linear: a value's hash can be subtracted
-    * only when the value is FULLY GONE from the group's survivors (the
-    * caller derives `deleted` as doomed values anti-joined against the
-    * surviving rows — reference-count semantics, exactly why
-    * deletion-heavy pipelines pair distinct sketches with that anti
-    * join). Removing the gone hashes and re-ranking yields a sketch
+    * only when the value is FULLY GONE from the group's survivors —
+    * reference-count semantics, exactly why deletion-heavy pipelines
+    * pair distinct sketches with per-value reference counts. The caller
+    * derives `deleted` either as doomed values anti-joined against the
+    * surviving rows, or (cheaper — one corpus pass, no pair-level
+    * anti-join; the q_kmv_delete shape) as the values whose survivor
+    * occurrence count aggregates to 0. Removing the gone hashes and
+    * re-ranking yields a sketch
     * BIT-IDENTICAL to [[kmvBuild]] over the survivors for every group
     * where that is provable from the sketch alone:
     *
