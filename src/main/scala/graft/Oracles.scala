@@ -2587,6 +2587,9 @@ object Oracles {
     // streamed fold ≡ full recompute over the whole corpus / survivors
     "q_dedup_stream" -> clustersSql,
     "q_dedup_stream_erasure" -> clustersSqlWhere("WHERE doc_id % 10 <> 6"),
+    // erase → re-ingest churn serves the FULL corpus again: the
+    // version-ordered erasure join keeps the returned docs' rows alive
+    "q_dedup_stream_reingest" -> clustersSql,
 
     // same recursive-CTE component labeling as q_dedup_clusters, then a
     // window argmax (n_chars desc, doc_id) per cluster + anti-joined
@@ -3314,6 +3317,9 @@ object Oracles {
     // streaming ingest + erasure fold: adds merge, full-row tombstones
     // subtract — shares the deletion row's corpus∖deleted truth verbatim
     "q_index_stream_erasure" -> invertedIndexSqlWhere("AND doc_id % 10 <> 6"),
+    // erase → re-ingest churn serves the FULL corpus again: the ordered
+    // tombstone fold subtracts the old postings before the new ones merge
+    "q_index_stream_reingest" -> invertedIndexSql,
 
     // conjunctive phrase lookup over the railed index: same index CTEs as
     // q_inverted_index, panel bigrams interpolated from Search.PhrasePanel
@@ -4356,6 +4362,13 @@ object Oracles {
         |FROM a ORDER BY cluster_id, dim""".stripMargin),
     "q_centroids_stream_erasure" ->
       (embedCentroidCtesWhere("WHERE vec_id % 10 <> 4") +
+      """
+        |SELECT cluster_id, n_members, dim,
+        |  s_micro::DOUBLE / (n_members::DOUBLE * 1e6) AS c
+        |FROM a ORDER BY cluster_id, dim""".stripMargin),
+    // erase → re-ingest churn serves the FULL corpus again: the
+    // version-ordered erasure join keeps the returned vectors alive
+    "q_centroids_stream_reingest" -> (embedCentroidCtes +
       """
         |SELECT cluster_id, n_members, dim,
         |  s_micro::DOUBLE / (n_members::DOUBLE * 1e6) AS c

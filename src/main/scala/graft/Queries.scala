@@ -1147,6 +1147,37 @@ object Queries {
       streaming.StreamingDedup.vacuum(s, state)
       streaming.StreamingDedup.readLabels(s, state).orderBy(col("doc_id"))
     }),
+    // STREAMING erase → RE-INGEST (update churn): docs ≡ 6 (mod 10) from
+    // the first batch are tombstoned in batch 1 and RETURN in batch 2,
+    // then batch 3's docs must discover their near-dups of the returned
+    // docs THROUGH the view while the tombstone segment is still live
+    // (maxSegments=5 — nothing compacts). The version-ordered erasure
+    // join (a tombstone kills only strictly earlier rows of its id) is
+    // what makes this serve the FULL corpus — labels share
+    // q_dedup_clusters' oracle VERBATIM, no survivors filter.
+    "q_dedup_stream_reingest" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sdedup_reingest_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sdedupr").toString
+      }
+      val dc: org.apache.spark.sql.Column =
+        col("doc_id") % 3 === 0 && col("doc_id") % 10 === 6
+      def fold(b: Long, df: org.apache.spark.sql.DataFrame): Unit =
+        streaming.StreamingDedup.applyBatch(df, state, b,
+          deleteCol = Some("_deleted"), maxSegments = 5)
+      fold(0L, docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("_deleted", lit(false)))
+      fold(1L, docs.filter(col("doc_id") % 3 === 1)
+        .withColumn("_deleted", lit(false))
+        .unionByName(docs.filter(dc).withColumn("_deleted", lit(true))))
+      fold(2L, docs.filter(dc).withColumn("_deleted", lit(false)))
+      fold(3L, docs.filter(col("doc_id") % 3 === 2)
+        .withColumn("_deleted", lit(false)))
+      streaming.StreamingDedup.vacuum(s, state)
+      streaming.StreamingDedup.readLabels(s, state).orderBy(col("doc_id"))
+    }),
     // portable md5 hash family so the oracle can recompute signatures:
     // the all-pairs Hamming truth asserts the combination-block index's
     // pigeonhole completeness (every pair ≤ maxHamming is FOUND) and the
@@ -1420,6 +1451,37 @@ object Queries {
           .unionByName(emb.filter(col("vec_id") % 3 =!= 2 && dc)
             .withColumn("_deleted", lit(true))),
         state, 2L, deleteCol = Some("_deleted"), maxSegments = 3)
+      streaming.StreamingCentroids.vacuum(s, state)
+      streaming.StreamingCentroids.readCentroids(s, state)
+        .orderBy(col("cluster_id"), col("dim"))
+    }),
+
+    // STREAMING erase → RE-INGEST for the centroid state: vectors ≡ 4
+    // (mod 10) from batch 0 are tombstoned in batch 1 and RETURN in
+    // batch 2; batch 3 pairs against them through the view while the
+    // tombstone is still live (maxSegments=5 — nothing compacts). The
+    // version-ordered erasure join serves the FULL corpus — shares
+    // q_embed_centroids' oracle VERBATIM.
+    "q_centroids_stream_reingest" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/scent_reingest_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_scentr").toString
+      }
+      val dc: org.apache.spark.sql.Column =
+        col("vec_id") % 3 === 0 && col("vec_id") % 10 === 4
+      def fold(b: Long, df: org.apache.spark.sql.DataFrame): Unit =
+        streaming.StreamingCentroids.applyBatch(df, state, b,
+          deleteCol = Some("_deleted"), maxSegments = 5)
+      fold(0L, emb.filter(col("vec_id") % 3 === 0)
+        .withColumn("_deleted", lit(false)))
+      fold(1L, emb.filter(col("vec_id") % 3 === 1)
+        .withColumn("_deleted", lit(false))
+        .unionByName(emb.filter(dc).withColumn("_deleted", lit(true))))
+      fold(2L, emb.filter(dc).withColumn("_deleted", lit(false)))
+      fold(3L, emb.filter(col("vec_id") % 3 === 2)
+        .withColumn("_deleted", lit(false)))
       streaming.StreamingCentroids.vacuum(s, state)
       streaming.StreamingCentroids.readCentroids(s, state)
         .orderBy(col("cluster_id"), col("dim"))
@@ -2154,6 +2216,39 @@ object Queries {
           llm.Search.applyRails(
             streaming.StreamingIndex.readIndex(s, state),
             2L, math.floor(0.06 * n).toLong))
+        .orderBy(col("gram"))
+    }),
+    // STREAMING erase → RE-INGEST for the index (update churn): docs ≡ 6
+    // (mod 10) from batch 0 are tombstoned in batch 1 (postings re-derive
+    // from the tombstone text) and RETURN in batch 2; batch 3 adds the
+    // last third. Nothing compacts (maxSegments=5), so the serving read
+    // exercises the ORDERED tombstone fold — the del segment subtracts
+    // from exactly the state that preceded it, then the returned docs'
+    // postings merge on top. Serves the FULL corpus: shares
+    // q_index_stream's railed oracle VERBATIM.
+    "q_index_stream_reingest" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sidx_reingest_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sidxr").toString
+      }
+      val dc: org.apache.spark.sql.Column =
+        col("doc_id") % 3 === 0 && col("doc_id") % 10 === 6
+      def fold(b: Long, df: org.apache.spark.sql.DataFrame): Unit =
+        streaming.StreamingIndex.applyBatch(df, state, b,
+          deleteCol = Some("_deleted"), maxSegments = 5)
+      fold(0L, docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("_deleted", lit(false)))
+      fold(1L, docs.filter(col("doc_id") % 3 === 1)
+        .withColumn("_deleted", lit(false))
+        .unionByName(docs.filter(dc).withColumn("_deleted", lit(true))))
+      fold(2L, docs.filter(dc).withColumn("_deleted", lit(false)))
+      fold(3L, docs.filter(col("doc_id") % 3 === 2)
+        .withColumn("_deleted", lit(false)))
+      streaming.StreamingIndex.vacuum(s, state)
+      llm.Search.renderIndex(
+          streaming.StreamingIndex.readRailedIndex(s, state))
         .orderBy(col("gram"))
     }),
     // BM25 over PREBUILT artifacts (unigram index with dl in postings +

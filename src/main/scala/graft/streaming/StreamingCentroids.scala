@@ -19,7 +19,8 @@ import graft.llm.{Dedup, Similarity}
   * artifact (the embedding rows themselves, needed by future batches'
   * cross-pair probes and by split re-stitches) is SEGMENTED — each batch
   * writes only its adds (bytes ∝ batch), tombstone id lists ride the
-  * segment, the view is `(base ∪ segments) anti-join live-tombstones`,
+  * segment, the view is `(base ∪ segments) anti-join live-tombstones`
+  * (version-ordered — a tombstone kills only strictly earlier rows),
   * and compaction at `maxSegments` rewrites a base hive-partitioned by
   * an id-hash bucket. Labels, sums and pairs are SLIVERS (rows only for
   * detected near-dup members / cluster×dim cells) and their folds
@@ -36,9 +37,11 @@ import graft.llm.{Dedup, Similarity}
   * components over retained pairs and those components' sums recompute
   * from the surviving member sliver (splits cannot be apportioned by
   * subtraction). Preconditions are the [[StreamingIndex]] change-stream
-  * contract (new ids, full-row tombstones of previously-ingested ids, no
-  * add+erase of one id in a batch, no re-ingest while the tombstone
-  * segment is live). The served centroids ≡ a full recompute over the
+  * contract (new ids relative to the LIVE view, full-row tombstones of
+  * previously-ingested ids, no add+erase of one id in a batch); an
+  * erased id MAY re-ingest in a later batch — the view's erasure join is
+  * version-ordered, so the re-ingested vector survives and later batches
+  * pair against it. The served centroids ≡ a full recompute over the
   * live corpus (`q_centroids_stream*` share those oracles verbatim). */
 object StreamingCentroids {
 
@@ -59,19 +62,34 @@ object StreamingCentroids {
 
   private def embView(spark: SparkSession, dir: String, m: Manifest,
       idCol: String): DataFrame = {
-    val segs = m.segments.map(v => spark.read.parquet(s"$dir/seg/v=$v/emb"))
+    val segs = m.segments.map(v =>
+      spark.read.parquet(s"$dir/seg/v=$v/emb").withColumn("_v", lit(v)))
+    // base rows predate every live tombstone (compaction folded earlier
+    // ones away): sentinel version -1
     val base = m.base.map(v =>
-      spark.read.parquet(s"$dir/base/v=$v/emb").drop("b"))
+      spark.read.parquet(s"$dir/base/v=$v/emb").drop("b")
+        .withColumn("_v", lit(-1L)))
     val all = (base.toSeq ++ segs) match {
       case Nil => throw new IllegalStateException(s"empty manifest at $dir")
       case parts => parts.reduce(_ unionByName _)
     }
     val dels = m.segments.filter(m.dels.contains)
-      .map(v => spark.read.parquet(s"$dir/seg/v=$v/del"))
-    if (dels.isEmpty) all
-    else all.join(broadcast(dels.reduce(_ unionByName _)
-        .select(col("id").as(idCol)).distinct()),
-      Seq(idCol), "left_anti")
+      .map(v => spark.read.parquet(s"$dir/seg/v=$v/del")
+        .withColumn("_dv", lit(v)))
+    if (dels.isEmpty) all.drop("_v")
+    else {
+      // version-ordered erasure (the StreamingSnapshot LWW rule): a
+      // tombstone kills only STRICTLY EARLIER rows of its id, so an
+      // erased id may re-ingest in a later batch and the new vector
+      // survives; the tombstone sliver broadcasts, the bulk anti-joins
+      // unshuffled
+      val kills = dels.reduce(_ unionByName _)
+        .groupBy(col("id")).agg(max(col("_dv")).as("_dv"))
+        .withColumnRenamed("id", "_kid")
+      all.join(broadcast(kills),
+          col(idCol) === col("_kid") && col("_v") < col("_dv"), "left_anti")
+        .drop("_v")
+    }
   }
 
   /** The maintained corpus embedding view. */
@@ -193,6 +211,25 @@ object StreamingCentroids {
         StatePointer.advance(spark, dir, batchId)
     }
   }
+
+  /** Out-of-band compaction: fold the live segments (and their
+    * tombstones) into a new bucket-partitioned base at the current
+    * version — no-op without segments. Content-identical; the manifest
+    * rewrite is atomic ([[StreamingIndex.compact]]'s contract). */
+  def compact(spark: SparkSession, dir: String,
+      nBuckets: Int = DefaultBuckets,
+      idCol: String = "vec_id"): Unit =
+    latestVersion(spark, dir).foreach { v =>
+      val m = SegmentedState.readManifest(spark, dir, v)
+      if (m.segments.nonEmpty) {
+        embView(spark, dir, m, idCol)
+          .withColumn("b", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
+          .write.mode("overwrite").partitionBy("b")
+          .parquet(s"$dir/base/v=$v/emb")
+        SegmentedState.writeManifest(spark, dir, v,
+          Manifest(Some(v), Nil, Set.empty))
+      }
+    }
 
   /** Reclaim superseded segments/bases/manifests and stale
     * labels/sums/pairs versions; `retain` > 1 = concurrent-reader grace

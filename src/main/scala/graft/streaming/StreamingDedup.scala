@@ -19,9 +19,11 @@ import graft.llm.Dedup
   * The corpus-proportional artifacts (bands: ~`bands` rows/doc; shingles:
   * 1 wide row/doc) are SEGMENTED — each batch writes only its own adds'
   * rows (bytes ∝ batch), tombstone id-lists ride `seg/v=<id>/del`, and
-  * the read view is `(base ∪ segments) anti-join live-tombstones` (both
-  * artifacts are per-doc rows with nothing to decrement, so erasure IS
-  * the anti join — [[Dedup.bandsDelete]]'s shape). At `maxSegments` the
+  * the read view is `(base ∪ segments) anti-join live-tombstones`,
+  * VERSION-ORDERED so a tombstone kills only strictly earlier rows of
+  * its id (both artifacts are per-doc rows with nothing to decrement,
+  * so erasure IS the anti join — [[Dedup.bandsDelete]]'s shape plus the
+  * [[StreamingSnapshot]] last-writer-wins rule). At `maxSegments` the
   * view compacts into `base/v=<id>` (bands hive-partitioned by `band`,
   * shingles by an id-hash bucket), re-applying the LSH bucket cap so a
   * bucket saturated ACROSS batches is pruned exactly like one saturated
@@ -48,10 +50,13 @@ import graft.llm.Dedup
   *     band/shingle views by anti join.
   *
   * Preconditions (the [[StreamingIndex]] change-stream contract): adds
-  * are new doc ids, tombstones reference previously-ingested docs and
-  * CARRY the doc row, a doc is not added and erased in the same batch,
-  * and an erased id is not re-ingested while its tombstone segment is
-  * live. Replays of an applied batch are pointer-skipped (the label fold
+  * are new doc ids relative to the LIVE view, tombstones reference
+  * previously-ingested docs and CARRY the doc row, and a doc is not
+  * added and erased in the same batch. An erased id MAY re-ingest in any
+  * later batch: the view's erasure join is version-ordered (a tombstone
+  * kills only strictly earlier rows of its id), so the re-ingested
+  * bands/shingles survive and later batches pair against them.
+  * Replays of an applied batch are pointer-skipped (the label fold
   * is non-idempotent, so the pointer check is the exactly-once
   * mechanism). Streamed state ≡ a full rebuild over the live corpus is
   * pinned by the `q_dedup_stream*` rows (full-recompute oracles) and the
@@ -72,24 +77,44 @@ object StreamingDedup {
       case None => throw new IllegalStateException(s"no dedup state at $dir yet")
     }
 
-  /** Live tombstone ids (one `id` column), empty frame when none. */
+  /** Live tombstones tagged with their segment version — (id, _dv) —
+    * empty when none. */
   private def liveDels(spark: SparkSession, dir: String,
       m: Manifest): Option[DataFrame] = {
     val dels = m.segments.filter(m.dels.contains)
-      .map(v => spark.read.parquet(s"$dir/seg/v=$v/del"))
+      .map(v => spark.read.parquet(s"$dir/seg/v=$v/del")
+        .withColumn("_dv", lit(v)))
     if (dels.isEmpty) None else Some(dels.reduce(_ unionByName _))
   }
 
   private def artifactView(spark: SparkSession, dir: String, m: Manifest,
       sub: String, baseDrop: Seq[String]): DataFrame = {
-    val segs = m.segments.map(v => spark.read.parquet(s"$dir/seg/v=$v/$sub"))
+    val segs = m.segments.map(v =>
+      spark.read.parquet(s"$dir/seg/v=$v/$sub").withColumn("_v", lit(v)))
+    // base rows predate every live tombstone (compaction folded earlier
+    // ones away), so they carry the sentinel version -1
     val base = m.base.map(v =>
-      baseDrop.foldLeft(spark.read.parquet(s"$dir/base/v=$v/$sub"))(_ drop _))
+      baseDrop.foldLeft(spark.read.parquet(s"$dir/base/v=$v/$sub"))(_ drop _)
+        .withColumn("_v", lit(-1L)))
     val all = (base.toSeq ++ segs) match {
       case Nil => throw new IllegalStateException(s"empty manifest at $dir")
       case parts => parts.reduce(_ unionByName _)
     }
-    liveDels(spark, dir, m).fold(all)(d => Dedup.bandsDelete(all, d))
+    liveDels(spark, dir, m) match {
+      case None => all.drop("_v")
+      case Some(d) =>
+        // version-ordered erasure: a tombstone kills only STRICTLY
+        // EARLIER rows of its id, so an erased id may RE-INGEST in any
+        // later batch and the re-ingested rows survive (per-id latest
+        // event wins — the [[StreamingSnapshot]] LWW discipline applied
+        // to per-doc artifact rows). Broadcast stays the tombstone
+        // sliver; the bulk passes one anti join unshuffled.
+        val kills = d.groupBy(col("id")).agg(max(col("_dv")).as("_dv"))
+          .withColumnRenamed("id", "_kid")
+        all.join(broadcast(kills),
+            col("id") === col("_kid") && col("_v") < col("_dv"), "left_anti")
+          .drop("_v")
+    }
   }
 
   /** The maintained band table view (id, band, band_hash). */

@@ -58,12 +58,15 @@ import graft.llm.Search
   * [[StreamingSnapshot]] full-row-tombstone convention: tombstones CARRY
   * THE DOC TEXT, so their postings re-derive from the tombstone row
   * itself and subtract exactly ([[Search.indexDelete]] ordering).
-  * Preconditions: adds are new docs ([[Search.indexMerge]] disjointness),
-  * tombstones reference previously-ingested docs, a doc is not added and
-  * erased in the same batch, and an erased doc id is not RE-ingested
-  * while its tombstone segment is still live (the read view applies all
-  * live tombstones after all live adds; compaction folds the tombstone
-  * away, after which the id may return).
+  * Preconditions: adds are new doc ids relative to the LIVE view
+  * ([[Search.indexMerge]] disjointness), tombstones reference
+  * previously-ingested docs, and a doc is not added and erased in the
+  * same batch. An erased doc id MAY re-ingest in any later batch — the
+  * read fold applies each tombstone segment at its place in batch order
+  * (see [[mergedView]]), so the old postings are gone from the state
+  * before the new ones merge; update churn (erase in batch k, re-add in
+  * batch k+1) costs nothing beyond the bounded per-boundary fold depth,
+  * never an O(corpus) rewrite.
   *
   * The state is UNRAILED on disk (df rails are a read decision —
   * [[Search.applyRails]]); [[readRailedIndex]] is the consumer form. */
@@ -85,40 +88,57 @@ object StreamingIndex {
     SegmentedState.writeManifest(spark, dir, v, m)
 
   /** Assemble the merge-on-read plan for a manifest: base + live segments
-    * through one [[Search.indexMerge]], accumulated tombstones subtracted
-    * via [[Search.indexDelete]]. Pure plan construction — no action. */
+    * folded in BATCH ORDER, split at tombstone boundaries — a del segment
+    * subtracts from exactly the state that preceded it (base + earlier
+    * segments), never from adds that arrived after it. That ordering is
+    * what makes erase → RE-INGEST of the same doc id correct: the later
+    * add merges into a state its old postings have already left, so
+    * [[Search.indexMerge]]'s doc-disjointness holds at every layer and
+    * [[Search.indexDelete]]'s full-doc posting cut never touches the new
+    * text's rows. With no live tombstones (the steady state) the fold
+    * degenerates to TODAY's single merge — one [[Search.indexMerge]] over
+    * base + segment union — and a lone base-less del-less segment to a
+    * pure file scan; with tombstones live, plan depth is
+    * 2·|del segments| + 1 broadcast-gated layers, bounded by
+    * `maxSegments` and folded flat again at compaction. Pure plan
+    * construction — no action. */
   private def mergedView(spark: SparkSession, dir: String,
       m: Manifest): DataFrame = {
-    val segIdx = m.segments.map(v => spark.read.parquet(s"$dir/seg/v=$v/idx"))
     val base = m.base.map(v => spark.read.parquet(s"$dir/base/v=$v").drop("b"))
-    val merged = (base, segIdx) match {
-      case (Some(b), Nil) => b
+    if (m.segments.isEmpty)
+      return base.getOrElse(
+        throw new IllegalStateException(s"empty manifest at $dir"))
+    // fold a run of contiguous add segments into the state in ONE merge
+    def flush(state: Option[DataFrame],
+        run: Seq[DataFrame]): Option[DataFrame] = (state, run) match {
+      case (s, Nil) => s
       // a single base-less segment is already one row per gram
       // (invertedIndexRaw's contract): the fold is the identity, so the
-      // serving view stays a pure file scan until a second batch lands
-      case (None, Seq(only)) if m.dels.isEmpty => only
-      case (Some(b), segs) => Search.indexMerge(b, segs.reduce(_ unionByName _))
-      case (None, segs) if segs.nonEmpty =>
-        // indexMerge with an empty old side degenerates to the pure
-        // re-aggregation of the segment union — same code path, no
-        // special-case aggregation to keep in sync
-        Search.indexMerge(segs.head.limit(0), segs.reduce(_ unionByName _))
-      case (None, Nil) =>
-        throw new IllegalStateException(s"empty manifest at $dir")
+      // serving view stays a pure file scan until a second part lands
+      case (None, Seq(only)) => Some(only)
+      // indexMerge with an empty old side degenerates to the pure
+      // re-aggregation of the segment union — same code path, no
+      // special-case aggregation to keep in sync
+      case (None, segs) =>
+        Some(Search.indexMerge(segs.head.limit(0), segs.reduce(_ unionByName _)))
+      case (Some(b), segs) =>
+        Some(Search.indexMerge(b, segs.reduce(_ unionByName _)))
     }
-    val delSegs = m.segments.filter(m.dels.contains)
-      .map(v => spark.read.parquet(s"$dir/seg/v=$v/del"))
-    if (delSegs.isEmpty) merged
-    else {
-      // multiple tombstone segments can touch the same gram: re-aggregate
-      // to one row per gram before the broadcast-gated subtract
-      // (indexDelete joins per gram — duplicate del rows would fan out)
-      val delAgg = delSegs.reduce(_ unionByName _)
-        .groupBy(col("gram"))
-        .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
-          sort_array(flatten(collect_list(col("pl")))).as("pl"))
-      Search.indexDelete(merged, delAgg)
+    var state = base
+    var run = List.empty[DataFrame]
+    for (v <- m.segments) {
+      run = run :+ spark.read.parquet(s"$dir/seg/v=$v/idx")
+      if (m.dels.contains(v)) {
+        // batch v's adds merge before its tombstones subtract — safe
+        // because a doc is never added and erased in the same batch
+        val merged = flush(state, run).getOrElse(throw new IllegalStateException(
+          s"tombstone segment v=$v precedes any adds at $dir"))
+        state = Some(Search.indexDelete(merged,
+          spark.read.parquet(s"$dir/seg/v=$v/del")))
+        run = Nil
+      }
     }
+    flush(state, run).get
   }
 
   /** The current unrailed index (empty-schema error until a batch lands).

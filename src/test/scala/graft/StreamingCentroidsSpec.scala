@@ -58,6 +58,34 @@ class StreamingCentroidsSpec extends SparkTestBase {
       .orderBy($"cluster_id", $"dim").collect().toSeq === rebuild(all))
   }
 
+  test("erase then RE-INGEST of the same vec id: version-ordered erasure lets later batches pair against the returned vector") {
+    val dir = java.nio.file.Files.createTempDirectory("scentre").toString
+    // batch 0: first half; batch 1: TOMBSTONE-ONLY erase of vec 1;
+    // batch 2: vec 1 returns pointing in a NEW direction; batch 3: a
+    // fresh vector near the returned one (same block) — the pair is
+    // discoverable solely through the corpus view, so a wrong kill of
+    // the re-ingested row (the pre-r10 all-tombstones anti join) would
+    // lose it and the served centroids would diverge from the rebuild
+    val returned = (1L, 1L, Array(0.0, 1.0, 0.0, 0.0))
+    val friend = (101L, 1L, Array(0.0, 0.98, 0.02, 0.0))
+    val batches = Seq(
+      all.take(12).map { case (i, l, v) => (i, l, v, false) },
+      all.filter(_._1 == 1L).map { case (i, l, v) => (i, l, v, true) },
+      Seq((returned._1, returned._2, returned._3, false)),
+      Seq((friend._1, friend._2, friend._3, false)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingCentroids.applyBatch(
+        b.toDF("vec_id", "label", "embedding", "_deleted"), dir, i.toLong,
+        deleteCol = Some("_deleted"))
+    }
+    val fin = all.take(12).filterNot(_._1 == 1L) ++ Seq(returned, friend)
+    assert(StreamingCentroids.readCentroids(spark, dir)
+      .orderBy($"cluster_id", $"dim").collect().toSeq === rebuild(fin))
+    // the returned vector survives the still-live tombstone in the view
+    assert(StreamingCentroids.readEmbeddings(spark, dir)
+      .filter($"vec_id" === 1L).count() === 1L)
+  }
+
   test("erasure recomputes touched components from the surviving sliver; compaction + vacuum") {
     val dir = java.nio.file.Files.createTempDirectory("scentdel").toString
     val doomed = Set(1L, 4L)

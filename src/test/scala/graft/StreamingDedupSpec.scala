@@ -56,6 +56,39 @@ class StreamingDedupSpec extends SparkTestBase {
       .collect().toSeq === rebuildLabels(all))
   }
 
+  test("erase then RE-INGEST of the same doc id: version-ordered erasure lets later batches pair against the returned doc") {
+    val dir = java.nio.file.Files.createTempDirectory("sdedupre").toString
+    // batch 0: first half; batch 1: TOMBSTONE-ONLY erase of doc 1;
+    // batch 2: doc 1 returns with NEW text (a fresh family); batch 3: a
+    // brand-new doc that near-dups ONLY the returned text — its pair is
+    // discoverable solely through the view, so a wrong kill of the
+    // re-ingested bands/shingles (the pre-r10 all-tombstones anti join)
+    // would leave both docs singletons and the labels would diverge
+    val returnedText = s"$tmpl family9"
+    val batches = Seq(
+      all.take(12).map { case (i, t) => (i, t, false) },
+      all.filter(_._1 == 1L).map { case (i, t) => (i, t, true) },
+      Seq((1L, returnedText, false)),
+      Seq((100L, returnedText, false)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingDedup.applyBatch(b.toDF("doc_id", "text", "_deleted"), dir,
+        i.toLong, deleteCol = Some("_deleted"))
+    }
+    val fin = all.take(12).filterNot(_._1 == 1L) ++
+      Seq((1L, returnedText), (100L, returnedText))
+    def got() = StreamingDedup.readLabels(spark, dir).orderBy($"doc_id")
+      .collect().toSeq
+    assert(got() === rebuildLabels(fin))
+    // the returned doc's artifact rows survive the still-live tombstone
+    assert(StreamingDedup.readShingles(spark, dir)
+      .filter($"id" === 1L).count() === 1L)
+    // compaction folds the tombstone away; labels and views unchanged
+    StreamingDedup.compact(spark, dir)
+    assert(got() === rebuildLabels(fin))
+    assert(StreamingDedup.readShingles(spark, dir)
+      .filter($"id" === 1L).count() === 1L)
+  }
+
   test("erasure re-stitches touched components; compaction + vacuum keep the views intact") {
     val dir = java.nio.file.Files.createTempDirectory("sdedupdel").toString
     val doomed = Set(1L, 9L) // one member of each of two families

@@ -161,6 +161,37 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(StreamingIndex.latestVersion(spark, dir) === Some(2L))
   }
 
+  test("erase then RE-INGEST of the same doc id: the ordered tombstone fold serves the final corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("sidxre").toString
+    // batch 0: ingest docsA; batch 1: TOMBSTONE-ONLY batch erasing doc 2
+    // (carries the old text); batch 2: doc 2 RETURNS with different text
+    // while the tombstone segment is still live (maxSegments=8 — no
+    // compaction has folded it away). The fold applies the tombstone at
+    // its place in batch order, so the old postings leave the state
+    // before the new ones merge.
+    val returned = Seq((2L, "alpha beta replacement words entirely"),
+      (6L, "unrelated new arrival body"))
+    val batches = Seq(
+      docsA.map { case (i, t) => (i, t, false) },
+      docsA.filter(_._1 == 2L).map { case (i, t) => (i, t, true) },
+      returned.map { case (i, t) => (i, t, false) })
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingIndex.applyBatch(b.toDF("doc_id", "text", "_deleted"), dir,
+        i.toLong, deleteCol = Some("_deleted"))
+    }
+    val fin = (docsA.filterNot(_._1 == 2L) ++ returned).toDF("doc_id", "text")
+    def got() = Search.renderIndex(StreamingIndex.readIndex(spark, dir))
+      .orderBy($"gram").collect().toSeq
+    val want = Search.renderIndex(Search.invertedIndexRaw(fin))
+      .orderBy($"gram").collect().toSeq
+    assert(got() === want)
+    assert(StreamingIndex.readStats(spark, dir).collect().toSeq
+      === Search.corpusStats(fin).collect().toSeq)
+    // compaction folds the boundary layers flat; content identical
+    StreamingIndex.compact(spark, dir)
+    assert(got() === want)
+  }
+
   test("a run that died mid-prefix resumes by idempotent re-fold (no isEmpty gate)") {
     val dir = java.nio.file.Files.createTempDirectory("sidxresume").toString
     val batches = Seq(docsA.take(2), docsA.drop(2), docsB)
