@@ -514,17 +514,21 @@ object Oracles {
        |    FROM embeddings, q WHERE qlabel <> label)
        |  WHERE rank <= 3)""".stripMargin
 
-  /** Exact brute-force cosine top-k — shared by q_knn_ivf AND
-    * q_knn_ivf_indexed (full-probe IVF is exact by construction, inline
-    * or served off prebuilt artifacts). */
-  private lazy val knnIvfSql =
-    s"""WITH q AS (
-       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  /** Exact brute-force cosine top-k — shared by q_knn_ivf,
+    * q_knn_ivf_indexed AND q_knn_ivf_stream (full-probe IVF is exact by
+    * construction, inline, served off prebuilt artifacts, or served off
+    * the streamed merge-on-read state). `extra` filters BOTH the corpus
+    * and the query panel to the live rows (the erasure variant). */
+  private def knnIvfSqlWhere(extra: String) =
+    s"""WITH live AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE TRUE $extra),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM live
        |  WHERE vec_id < 10),
        |scored AS (
        |  SELECT qid, vec_id AS neighbor_id,
        |    $dotQv / (sqrt($dotQq) * sqrt($dotVv)) AS score
-       |  FROM embeddings, q WHERE qid <> vec_id),
+       |  FROM live, q WHERE qid <> vec_id),
        |ranked AS (
        |  SELECT qid, neighbor_id, score,
        |    row_number() OVER (PARTITION BY qid
@@ -532,6 +536,7 @@ object Oracles {
        |  FROM scored)
        |SELECT qid, rank, neighbor_id, score FROM ranked
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  private lazy val knnIvfSql = knnIvfSqlWhere("")
   private def hitSql(words: Seq[String]) =
     s"len(list_filter($wordsSql, x -> list_contains([${words.map("'" + _ + "'").mkString(", ")}], x)))"
   private val langScoresSql = Seq(
@@ -2965,6 +2970,10 @@ object Oracles {
 
     // identical to q_knn_brute: full-probe IVF is exact by construction
     "q_knn_ivf" -> knnIvfSql,
+    // streamed IVF state, full probe ⇒ exact over the live corpus; the
+    // erasure row serves survivors (queries AND corpus filtered)
+    "q_knn_ivf_stream" -> knnIvfSql,
+    "q_knn_ivf_stream_erasure" -> knnIvfSqlWhere("AND vec_id % 10 <> 4"),
     // prebuilt-artifact serving form: bit-identical to the inline IVF
     "q_knn_ivf_indexed" -> knnIvfSql,
 

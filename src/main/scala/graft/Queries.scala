@@ -1701,6 +1701,60 @@ object Queries {
       llm.Similarity.ivfKnnFromIndex(index, centers,
         col("vec_id") < 10, k = 5, nprobe = 4)
     }),
+    // STREAMING IVF maintenance: the q_knn_ivf_indexed artifacts kept
+    // always-on — codebook persisted once (a BUILD artifact), three
+    // micro-batches assign scan-side and append segments, compaction at
+    // maxSegments=3 lands the cell-partitioned serving base, vacuum
+    // reclaims. Full probe ⇒ exact: shares q_knn_ivf's oracle VERBATIM.
+    "q_knn_ivf_stream" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val centers = sources.Artifacts.table(s, "ivf_centers")(
+        llm.Similarity.ivfCenters(emb, nCells = 4))
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sivf_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sivf").toString
+      }
+      (0L to 2L).foreach { b =>
+        streaming.StreamingIvf.applyBatch(
+          emb.filter(col("vec_id") % 3 === b), state, b, centers,
+          maxSegments = 3)
+      }
+      streaming.StreamingIvf.vacuum(s, state)
+      streaming.StreamingIvf.knn(s, state, col("vec_id") < 10, k = 5,
+        nprobe = 4)
+    }),
+    // STREAMING IVF ingest + ERASURE: the tail batch carries the last
+    // third's clean vectors WITH tombstones for every already-ingested
+    // vec_id ≡ 4 (mod 10); nothing compacts (maxSegments=5), so the
+    // probe runs over the version-ordered merge-on-read view with the
+    // tombstones live. Full probe ⇒ exact over the survivors.
+    "q_knn_ivf_stream_erasure" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val centers = sources.Artifacts.table(s, "ivf_centers")(
+        llm.Similarity.ivfCenters(emb, nCells = 4))
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sivf_erasure_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sivfe").toString
+      }
+      val dc: org.apache.spark.sql.Column = col("vec_id") % 10 === 4
+      (0L until 2L).foreach { b =>
+        streaming.StreamingIvf.applyBatch(
+          emb.filter(col("vec_id") % 3 === b)
+            .withColumn("_deleted", lit(false)),
+          state, b, centers, deleteCol = Some("_deleted"), maxSegments = 5)
+      }
+      streaming.StreamingIvf.applyBatch(
+        emb.filter(col("vec_id") % 3 === 2 && !dc)
+          .withColumn("_deleted", lit(false))
+          .unionByName(emb.filter(col("vec_id") % 3 =!= 2 && dc)
+            .withColumn("_deleted", lit(true))),
+        state, 2L, centers, deleteCol = Some("_deleted"), maxSegments = 5)
+      streaming.StreamingIvf.vacuum(s, state)
+      streaming.StreamingIvf.knn(s, state, col("vec_id") < 10, k = 5,
+        nprobe = 4)
+    }),
     // PQ kNN publishes its RECALL CONTRACT (the approximate list is
     // codebook-specific); oracle predicts TRUE per query. m=32 × 256
     // codes = 8x compression at measured per-query recall ≥ 0.8 on this

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The shared SEGMENTED-state discipline behind [[StreamingIndex]],
   * [[StreamingSnapshot]], [[StreamingDedup]] and [[StreamingCentroids]]:
@@ -77,6 +78,47 @@ private[streaming] object SegmentedState {
     val dst = new Path(s"$dir/manifest/v=$v.g=$g")
     if (!f.rename(tmp, dst))
       throw new java.io.IOException(s"manifest rename failed: $dst")
+  }
+
+  /** Merge-on-read view for PER-ROW artifacts (one or more rows per id,
+    * nothing to decrement — dedup bands/shingles, centroid embeddings,
+    * IVF assignments): `(base ∪ segments)` with VERSION-ORDERED tombstone
+    * erasure. A tombstone kills only STRICTLY EARLIER rows of its id
+    * (the [[StreamingSnapshot]] last-writer-wins rule), so an erased id
+    * may RE-INGEST in a later batch and the returned rows survive. Base
+    * rows carry the sentinel version -1 — compaction folded every
+    * earlier tombstone away, so any live tombstone postdates them. The
+    * tombstone sliver broadcasts; the bulk passes one anti join
+    * unshuffled. Pure plan construction — no action.
+    *
+    * `sub` is the artifact subdir under `seg/v=&#42;` / `base/v=&#42;`;
+    * del files live in the version dir's `del` subdir and carry one `id`
+    * column; `baseDrop` strips compaction-layout columns (e.g. the hash
+    * bucket `b`). */
+  def rowView(spark: SparkSession, dir: String, m: Manifest, sub: String,
+      idCol: String, baseDrop: Seq[String]): DataFrame = {
+    require(sub.nonEmpty, "artifact subdir must be non-empty")
+    val segs = m.segments.map(v =>
+      spark.read.parquet(s"$dir/seg/v=$v/$sub").withColumn("_v", lit(v)))
+    val base = m.base.map(v =>
+      baseDrop.foldLeft(spark.read.parquet(s"$dir/base/v=$v/$sub"))(_ drop _)
+        .withColumn("_v", lit(-1L)))
+    val all = (base.toSeq ++ segs) match {
+      case Nil => throw new IllegalStateException(s"empty manifest at $dir")
+      case parts => parts.reduce(_ unionByName _)
+    }
+    val dels = m.segments.filter(m.dels.contains)
+      .map(v => spark.read.parquet(s"$dir/seg/v=$v/del")
+        .withColumn("_dv", lit(v)))
+    if (dels.isEmpty) all.drop("_v")
+    else {
+      val kills = dels.reduce(_ unionByName _)
+        .groupBy(col("id")).agg(max(col("_dv")).as("_dv"))
+        .withColumnRenamed("id", "_kid")
+      all.join(broadcast(kills),
+          col(idCol) === col("_kid") && col("_v") < col("_dv"), "left_anti")
+        .drop("_v")
+    }
   }
 
   /** Recursive delete of superseded `v=<n>` children under `dir/<sub>`

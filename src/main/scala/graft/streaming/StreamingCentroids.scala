@@ -60,37 +60,12 @@ object StreamingCentroids {
         throw new IllegalStateException(s"no centroid state at $dir yet")
     }
 
+  /** Version-ordered merge-on-read over the embedding rows
+    * ([[SegmentedState.rowView]]): an erased id may re-ingest in a later
+    * batch and the new vector survives. */
   private def embView(spark: SparkSession, dir: String, m: Manifest,
-      idCol: String): DataFrame = {
-    val segs = m.segments.map(v =>
-      spark.read.parquet(s"$dir/seg/v=$v/emb").withColumn("_v", lit(v)))
-    // base rows predate every live tombstone (compaction folded earlier
-    // ones away): sentinel version -1
-    val base = m.base.map(v =>
-      spark.read.parquet(s"$dir/base/v=$v/emb").drop("b")
-        .withColumn("_v", lit(-1L)))
-    val all = (base.toSeq ++ segs) match {
-      case Nil => throw new IllegalStateException(s"empty manifest at $dir")
-      case parts => parts.reduce(_ unionByName _)
-    }
-    val dels = m.segments.filter(m.dels.contains)
-      .map(v => spark.read.parquet(s"$dir/seg/v=$v/del")
-        .withColumn("_dv", lit(v)))
-    if (dels.isEmpty) all.drop("_v")
-    else {
-      // version-ordered erasure (the StreamingSnapshot LWW rule): a
-      // tombstone kills only STRICTLY EARLIER rows of its id, so an
-      // erased id may re-ingest in a later batch and the new vector
-      // survives; the tombstone sliver broadcasts, the bulk anti-joins
-      // unshuffled
-      val kills = dels.reduce(_ unionByName _)
-        .groupBy(col("id")).agg(max(col("_dv")).as("_dv"))
-        .withColumnRenamed("id", "_kid")
-      all.join(broadcast(kills),
-          col(idCol) === col("_kid") && col("_v") < col("_dv"), "left_anti")
-        .drop("_v")
-    }
-  }
+      idCol: String): DataFrame =
+    SegmentedState.rowView(spark, dir, m, "emb", idCol, Seq("b"))
 
   /** The maintained corpus embedding view. */
   def readEmbeddings(spark: SparkSession, dir: String,

@@ -77,45 +77,12 @@ object StreamingDedup {
       case None => throw new IllegalStateException(s"no dedup state at $dir yet")
     }
 
-  /** Live tombstones tagged with their segment version — (id, _dv) —
-    * empty when none. */
-  private def liveDels(spark: SparkSession, dir: String,
-      m: Manifest): Option[DataFrame] = {
-    val dels = m.segments.filter(m.dels.contains)
-      .map(v => spark.read.parquet(s"$dir/seg/v=$v/del")
-        .withColumn("_dv", lit(v)))
-    if (dels.isEmpty) None else Some(dels.reduce(_ unionByName _))
-  }
-
+  /** Version-ordered merge-on-read over a per-doc artifact
+    * ([[SegmentedState.rowView]]): an erased id may re-ingest in a later
+    * batch and the re-ingested rows survive. */
   private def artifactView(spark: SparkSession, dir: String, m: Manifest,
-      sub: String, baseDrop: Seq[String]): DataFrame = {
-    val segs = m.segments.map(v =>
-      spark.read.parquet(s"$dir/seg/v=$v/$sub").withColumn("_v", lit(v)))
-    // base rows predate every live tombstone (compaction folded earlier
-    // ones away), so they carry the sentinel version -1
-    val base = m.base.map(v =>
-      baseDrop.foldLeft(spark.read.parquet(s"$dir/base/v=$v/$sub"))(_ drop _)
-        .withColumn("_v", lit(-1L)))
-    val all = (base.toSeq ++ segs) match {
-      case Nil => throw new IllegalStateException(s"empty manifest at $dir")
-      case parts => parts.reduce(_ unionByName _)
-    }
-    liveDels(spark, dir, m) match {
-      case None => all.drop("_v")
-      case Some(d) =>
-        // version-ordered erasure: a tombstone kills only STRICTLY
-        // EARLIER rows of its id, so an erased id may RE-INGEST in any
-        // later batch and the re-ingested rows survive (per-id latest
-        // event wins — the [[StreamingSnapshot]] LWW discipline applied
-        // to per-doc artifact rows). Broadcast stays the tombstone
-        // sliver; the bulk passes one anti join unshuffled.
-        val kills = d.groupBy(col("id")).agg(max(col("_dv")).as("_dv"))
-          .withColumnRenamed("id", "_kid")
-        all.join(broadcast(kills),
-            col("id") === col("_kid") && col("_v") < col("_dv"), "left_anti")
-          .drop("_v")
-    }
-  }
+      sub: String, baseDrop: Seq[String]): DataFrame =
+    SegmentedState.rowView(spark, dir, m, sub, "id", baseDrop)
 
   /** The maintained band table view (id, band, band_hash). */
   def readBands(spark: SparkSession, dir: String): DataFrame =
