@@ -98,26 +98,30 @@ private[streaming] object SegmentedState {
   def rowView(spark: SparkSession, dir: String, m: Manifest, sub: String,
       idCol: String, baseDrop: Seq[String]): DataFrame = {
     require(sub.nonEmpty, "artifact subdir must be non-empty")
+    // Part versions are PLAN-TIME literals, so the version ordering
+    // resolves statically: part v anti-joins only the tombstone segments
+    // with version > v — a pure equi anti join per part, no version
+    // columns, no aggregation, and parts newer than every live tombstone
+    // (the common case: fresh segments) take NO join at all.
+    val delsByV = m.segments.filter(m.dels.contains)
+      .map(v => v -> spark.read.parquet(s"$dir/seg/v=$v/del"))
+    def killed(part: DataFrame, partV: Long): DataFrame =
+      delsByV.filter(_._1 > partV).map(_._2) match {
+        case Nil => part
+        case ds => part.join(
+          broadcast(ds.reduce(_ unionByName _).withColumnRenamed("id", "_kid")),
+          col(idCol) === col("_kid"), "left_anti")
+      }
     val segs = m.segments.map(v =>
-      spark.read.parquet(s"$dir/seg/v=$v/$sub").withColumn("_v", lit(v)))
-    val base = m.base.map(v =>
-      baseDrop.foldLeft(spark.read.parquet(s"$dir/base/v=$v/$sub"))(_ drop _)
-        .withColumn("_v", lit(-1L)))
-    val all = (base.toSeq ++ segs) match {
+      killed(spark.read.parquet(s"$dir/seg/v=$v/$sub"), v))
+    // base rows predate every live tombstone (compaction folded earlier
+    // ones away): sentinel version -1
+    val base = m.base.map(v => killed(
+      baseDrop.foldLeft(spark.read.parquet(s"$dir/base/v=$v/$sub"))(_ drop _),
+      -1L))
+    (base.toSeq ++ segs) match {
       case Nil => throw new IllegalStateException(s"empty manifest at $dir")
       case parts => parts.reduce(_ unionByName _)
-    }
-    val dels = m.segments.filter(m.dels.contains)
-      .map(v => spark.read.parquet(s"$dir/seg/v=$v/del")
-        .withColumn("_dv", lit(v)))
-    if (dels.isEmpty) all.drop("_v")
-    else {
-      val kills = dels.reduce(_ unionByName _)
-        .groupBy(col("id")).agg(max(col("_dv")).as("_dv"))
-        .withColumnRenamed("id", "_kid")
-      all.join(broadcast(kills),
-          col(idCol) === col("_kid") && col("_v") < col("_dv"), "left_anti")
-        .drop("_v")
     }
   }
 

@@ -620,6 +620,34 @@ class PlanSpec extends SparkTestBase {
     assert(!compacted.contains("HashAggregate"), compacted)
   }
 
+  test("streamed row-artifact erasure: the version-ordered kill is a broadcast hash anti-join, never a nested loop") {
+    // the kill join carries an equi key (id) PLUS an inequality (_v <
+    // _dv): if Spark failed to extract the equi key it would plan a
+    // BroadcastNestedLoopJoin — bulk × tombstones at 100 TB. Pin the
+    // hash form.
+    val dir = java.nio.file.Files.createTempDirectory("sivf_plan").toString
+    val emb = t("embeddings").limit(60)
+    val centers = graft.llm.Similarity.ivfCenters(emb, nCells = 4)
+    graft.streaming.StreamingIvf.applyBatch(
+      emb.withColumn("_deleted", lit(false)), dir, 0L, centers,
+      deleteCol = Some("_deleted"))
+    graft.streaming.StreamingIvf.applyBatch(
+      emb.filter($"vec_id" === 0).withColumn("_deleted", lit(true)),
+      dir, 1L, centers, deleteCol = Some("_deleted"))
+    val plan = formatted(graft.streaming.StreamingIvf.readIndex(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // and the bulk side reads segment files directly — no assignment
+    // lineage, no SHUFFLE anywhere in the serving view (the only
+    // exchange is the tombstone broadcast); the add segment NEWER than
+    // the tombstone takes no join at all (plan-time version resolution)
+    assert(!plan.contains("hashpartitioning") &&
+      !plan.contains("rangepartitioning"), plan)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size === 3, plan) // 2 seg + 1 del
+  }
+
   test("ivf probe over persisted artifacts: file scans in, no training lineage") {
     val emb = t("embeddings")
     val dir = java.nio.file.Files.createTempDirectory("ivf_plan").toString
