@@ -68,6 +68,35 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(got(4) === rebuildKnn(all, 4))
   }
 
+  private def duBytes(path: String): Long = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  test("per-batch write cost is proportional to the batch (the 100 TB ingest contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("sivfseg").toString
+    // id-dependent noise defeats parquet's dictionary/RLE so the big
+    // segment's bytes actually track its rows (the fixture's 28 repeated
+    // patterns would compress to the metadata floor)
+    val big = (0L until 4000L).map(i =>
+      (i, vec(i).map(_ + 1e-7 * i * i)))
+    val small = Seq((10001L, vec(1L)), (10002L, vec(2L)))
+    StreamingIvf.applyBatch(df(big), dir, 0L, centers)
+    val bytesBig = duBytes(s"$dir/seg/v=0")
+    StreamingIvf.applyBatch(df(small), dir, 1L, centers)
+    val bytesSmall = duBytes(s"$dir/seg/v=1")
+    assert(bytesSmall > 0 && bytesSmall * 5 < bytesBig,
+      s"batch write not ∝ batch: small=$bytesSmall big=$bytesBig")
+    assert(!new java.io.File(s"$dir/base").exists(),
+      "no compaction expected below maxSegments")
+  }
+
   test("version-ordered erasure with re-ingest; compaction lands the cell-partitioned base; vacuum") {
     val dir = java.nio.file.Files.createTempDirectory("sivfdel").toString
     // b0: first half; b1: TOMBSTONE-ONLY erase of vec 1; b2: vec 1
