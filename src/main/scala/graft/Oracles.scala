@@ -795,6 +795,9 @@ object Oracles {
     // the full recompute over the same (history ∪ batch) event set.
     "q_scd2" -> scd2Sql,
     "q_scd2_incr" -> scd2Sql,
+    // segmented streaming fold (closed appends + LWW open rows) ≡ the
+    // full recompute — literally the same SQL
+    "q_scd2_stream" -> scd2Sql,
 
     // erasure propagation: the scrubbed history == full recompute minus
     // the requested keys

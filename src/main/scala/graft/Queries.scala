@@ -169,6 +169,32 @@ object Queries {
           ev.filter(col("ts") >= cut))
         .orderBy(col("user_id"), col("version"))
     }),
+    // STREAMING SCD2: three time-ordered micro-batches folded through the
+    // segmented history state — closed intervals append, open rows merge
+    // LWW per key, per-batch writes ∝ touched keys (never ∝ history).
+    // Every batch folds every run (pointer-skip = resume safety); vacuum
+    // reclaims superseded state. Shares q_scd2's full-recompute oracle
+    // VERBATIM.
+    "q_scd2_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/scd2_stream_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_scd2s").toString
+      }
+      val c1 = lit("2024-01-18").cast("timestamp")
+      val c2 = lit("2024-01-25").cast("timestamp")
+      Seq(ev.filter(col("ts") < c1),
+          ev.filter(col("ts") >= c1 && col("ts") < c2),
+          ev.filter(col("ts") >= c2))
+        .zipWithIndex.foreach { case (b, i) =>
+          streaming.StreamingScd2.applyBatch(b, state, "user_id", "ts",
+            "event_type", "event_id", i.toLong)
+        }
+      streaming.StreamingScd2.vacuum(s, state)
+      streaming.StreamingScd2.readHistory(s, state)
+        .orderBy(col("user_id"), col("version"))
+    }),
     // right-to-erasure propagation: the SCD2 history scrubbed of the
     // requested keys through one broadcast anti-join (bulk never shuffles)
     "q_delete_propagation" -> ((s, dir) => {

@@ -207,6 +207,65 @@ class WarehouseSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("streaming scd2: per-batch writes ∝ touched keys; compaction + vacuum + replay-after-vacuum") {
+    import graft.streaming.StreamingScd2
+    def duBytes(path: String): Long = {
+      val root = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("scd2seg").toString
+    def ev(rows: Seq[(Long, Long, String, Long)]) =
+      rows.toDF("event_id", "user_id", "event_type", "ms")
+        .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
+    // batch 0: 400 keys × 2 state changes; batch 1: 2 keys change again
+    val big = (0L until 400L).flatMap(k => Seq(
+      (k * 2, k, s"state_a_$k", k), (k * 2 + 1, k, s"state_b_$k", 10000L + k)))
+    val small = Seq((9001L, 1L, "late_x", 50000L), (9002L, 2L, "late_y", 50001L))
+    val tail = Seq((9003L, 3L, "tail_z", 60000L))
+    def apply(rows: Seq[(Long, Long, String, Long)], b: Long,
+        maxSegments: Int = 8): Unit =
+      StreamingScd2.applyBatch(ev(rows), dir, "user_id", "ts", "event_type",
+        "event_id", b, maxSegments)
+    apply(big, 0L)
+    val bytesBig = duBytes(s"$dir/seg/v=0")
+    apply(small, 1L)
+    val bytesSmall = duBytes(s"$dir/seg/v=1")
+    // the r10 first cut rewrote the WHOLE history per batch; the delta
+    // writer's bytes track the touched keys — the 100 TB contract
+    assert(bytesSmall > 0 && bytesSmall * 5 < bytesBig,
+      s"batch write not ∝ touched: small=$bytesSmall big=$bytesBig")
+
+    def want(rows: Seq[(Long, Long, String, Long)]) =
+      Analytics.scd2History(ev(rows))
+        .orderBy($"user_id", $"version", $"valid_from")
+        .collect().toSeq.map(_.toSeq)
+    def got() = StreamingScd2.readHistory(spark, dir)
+      .orderBy($"user_id", $"version", $"valid_from")
+      .collect().toSeq.map(_.toSeq)
+    assert(got() === want(big ++ small))
+
+    // third batch reaches maxSegments=3: compacts both sides into the
+    // key-bucketed base; view unchanged
+    apply(tail, 2L, maxSegments = 3)
+    assert(new java.io.File(s"$dir/base/v=2/closed").exists())
+    assert(new java.io.File(s"$dir/base/v=2/open").listFiles()
+      .exists(_.getName.startsWith("b=")), "base must be key-bucketed")
+    assert(got() === want(big ++ small ++ tail))
+
+    StreamingScd2.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/seg/v=0").exists())
+    assert(got() === want(big ++ small ++ tail))
+    // replay after vacuum: pointer-skipped before any state dir is touched
+    apply(big, 0L)
+    assert(got() === want(big ++ small ++ tail))
+  }
+
   test("scd2: consecutive duplicates collapse; intervals chain half-open") {
     val ms = (m: Long) => new Timestamp(m)
     val events = Seq(
