@@ -51,6 +51,30 @@ object SegBytesProbe {
       s"(batch write = ${"%.1f".format(100.0 * du(s"$state/seg/v=3") / du(s"$state/base"))}% of corpus state)")
     graft.streaming.StreamingIndex.vacuum(spark, state)
     println(s"[segbytes] after vacuum: total=${du(state)}")
+
+    // ---- SCD2: delta writes (closed + touched-open) vs full history ----
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .repartition(8).localCheckpoint()
+    val scd2 = java.nio.file.Files.createTempDirectory("segbytes_scd2").toString
+    val cuts = Seq("2024-01-18", "2024-01-25").map(lit(_).cast("timestamp"))
+    Seq(ev.filter(col("ts") < cuts(0)),
+        ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        ev.filter(col("ts") >= cuts(1)))
+      .zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.StreamingScd2.applyBatch(b, scd2, "user_id", "ts",
+          "event_type", "event_id", i.toLong)
+        println(s"[segbytes] scd2 after batch $i: " +
+          s"seg/v=$i=${du(s"$scd2/seg/v=$i")}")
+      }
+    // steady state: a single-key late change against the whole history
+    val late = ev.orderBy(col("ts").desc).limit(1)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
+      .withColumn("event_type", lit("segbytes_probe_state"))
+    graft.streaming.StreamingScd2.applyBatch(late, scd2, "user_id", "ts",
+      "event_type", "event_id", 3L)
+    val hist = du(s"$scd2/seg/v=0") + du(s"$scd2/seg/v=1") + du(s"$scd2/seg/v=2")
+    println(s"[segbytes] scd2 steady 1-key batch: seg/v=3=${du(s"$scd2/seg/v=3")} " +
+      s"vs history=$hist (the r10 first cut rewrote all of it per batch)")
     spark.stop()
   }
 }

@@ -129,6 +129,14 @@ class StreamingIvfSpec extends SparkTestBase {
     StreamingIvf.vacuum(spark, dir)
     assert(!new java.io.File(s"$dir/seg/v=0").exists())
     assert(got() === rebuildKnn(fin, 4))
+    // post-compaction the view IS the cell-partitioned base, so a pruned
+    // probe gets dynamic partition pruning exactly like the prebuilt
+    // q_knn_ivf_indexed artifact (the cluster-scale nprobe-cells-only read)
+    val prunedPlan = StreamingIvf.knn(spark, dir, col("vec_id") < 4,
+        k = 3, nprobe = 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(prunedPlan.contains("dynamicpruningexpression"), prunedPlan)
     // replay after vacuum: pointer-skipped before any state dir is touched
     StreamingIvf.applyBatch(
       batches(0).toDF("vec_id", "embedding", "_deleted"), dir, 0L,
