@@ -80,6 +80,28 @@ private[streaming] object SegmentedState {
       throw new java.io.IOException(s"manifest rename failed: $dst")
   }
 
+  /** Hive-partitioned compaction write that survives an EMPTY fold: a
+    * partitioned write of an empty frame emits no data files at all, so
+    * the base directory cannot be read back (parquet schema inference
+    * fails) — the erase-everything corpus, or an empty first batch at
+    * maxSegments=1, would brick the state. Detection is one recursive
+    * listing after the write (data files exist in every non-empty case);
+    * the empty rewrite is unpartitioned — same schema, the partition key
+    * becomes a plain (empty) column, and readers' drop()/projection
+    * behave identically. */
+  def writePartitioned(df: org.apache.spark.sql.DataFrame, path: String,
+      parts: Seq[String]): Unit = {
+    df.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
+    val f = fs(df.sparkSession, path)
+    val it = f.listFiles(new Path(path), true)
+    var hasData = false
+    while (!hasData && it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) hasData = true
+    }
+    if (!hasData) df.write.mode("overwrite").parquet(path)
+  }
+
   /** Merge-on-read view for PER-ROW artifacts (one or more rows per id,
     * nothing to decrement — dedup bands/shingles, centroid embeddings,
     * IVF assignments): `(base ∪ segments)` with VERSION-ORDERED tombstone

@@ -176,10 +176,10 @@ object StreamingCentroids {
         val committed =
           if (appended.segments.size < maxSegments) appended
           else {
-            embView(spark, dir, appended, idCol)
-              .withColumn("b", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
-              .write.mode("overwrite").partitionBy("b")
-              .parquet(s"$dir/base/v=$batchId/emb")
+            SegmentedState.writePartitioned(
+              embView(spark, dir, appended, idCol)
+                .withColumn("b", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong))),
+              s"$dir/base/v=$batchId/emb", Seq("b"))
             Manifest(Some(batchId), Nil, Set.empty)
           }
         SegmentedState.writeManifest(spark, dir, batchId, committed)
@@ -197,10 +197,10 @@ object StreamingCentroids {
     latestVersion(spark, dir).foreach { v =>
       val m = SegmentedState.readManifest(spark, dir, v)
       if (m.segments.nonEmpty) {
-        embView(spark, dir, m, idCol)
-          .withColumn("b", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
-          .write.mode("overwrite").partitionBy("b")
-          .parquet(s"$dir/base/v=$v/emb")
+        SegmentedState.writePartitioned(
+          embView(spark, dir, m, idCol)
+            .withColumn("b", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong))),
+          s"$dir/base/v=$v/emb", Seq("b"))
         SegmentedState.writeManifest(spark, dir, v,
           Manifest(Some(v), Nil, Set.empty))
       }

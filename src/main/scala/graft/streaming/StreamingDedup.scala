@@ -185,14 +185,14 @@ object StreamingDedup {
     // re-apply the bucket cap across the merged corpus: a bucket
     // saturated by accumulation is pruned here exactly as bandTable
     // prunes one saturated at build time (drops observe()-surfaced)
-    Dedup.capBuckets(artifactView(spark, dir, m, "bands", Nil), maxBucket,
-        "StreamingDedup.compact")
-      .write.mode("overwrite").partitionBy("band")
-      .parquet(s"$dir/base/v=$v/bands")
-    artifactView(spark, dir, m, "shingles", Seq("b"))
-      .withColumn("b", pmod(xxhash64(col("id")), lit(nBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("b")
-      .parquet(s"$dir/base/v=$v/shingles")
+    SegmentedState.writePartitioned(
+      Dedup.capBuckets(artifactView(spark, dir, m, "bands", Nil), maxBucket,
+        "StreamingDedup.compact"),
+      s"$dir/base/v=$v/bands", Seq("band"))
+    SegmentedState.writePartitioned(
+      artifactView(spark, dir, m, "shingles", Seq("b"))
+        .withColumn("b", pmod(xxhash64(col("id")), lit(nBuckets.toLong))),
+      s"$dir/base/v=$v/shingles", Seq("b"))
   }
 
   /** Out-of-band compaction at the current version (no-op without

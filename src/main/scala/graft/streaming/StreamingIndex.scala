@@ -210,10 +210,10 @@ object StreamingIndex {
         val committed =
           if (appended.segments.size < maxSegments) appended
           else {
-            mergedView(spark, dir, appended)
-              .withColumn("b", pmod(xxhash64(col("gram")), lit(nBuckets.toLong)))
-              .write.mode("overwrite").partitionBy("b")
-              .parquet(s"$dir/base/v=$batchId")
+            SegmentedState.writePartitioned(
+              mergedView(spark, dir, appended)
+                .withColumn("b", pmod(xxhash64(col("gram")), lit(nBuckets.toLong))),
+              s"$dir/base/v=$batchId", Seq("b"))
             Manifest(Some(batchId), Nil, Set.empty)
           }
         writeManifest(spark, dir, batchId, committed)
@@ -232,10 +232,10 @@ object StreamingIndex {
     latestVersion(spark, dir).foreach { v =>
       val m = readManifest(spark, dir, v)
       if (m.segments.nonEmpty) {
-        mergedView(spark, dir, m)
-          .withColumn("b", pmod(xxhash64(col("gram")), lit(nBuckets.toLong)))
-          .write.mode("overwrite").partitionBy("b")
-          .parquet(s"$dir/base/v=$v")
+        SegmentedState.writePartitioned(
+          mergedView(spark, dir, m)
+            .withColumn("b", pmod(xxhash64(col("gram")), lit(nBuckets.toLong))),
+          s"$dir/base/v=$v", Seq("b"))
         writeManifest(spark, dir, v, Manifest(Some(v), Nil, Set.empty))
       }
     }

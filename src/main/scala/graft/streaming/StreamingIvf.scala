@@ -124,9 +124,9 @@ object StreamingIvf {
     // `cell` doubles as the hive-partition column: the probe's pruning
     // unit, and already part of the artifact schema (no extra bucket col
     // to drop at read)
-    SegmentedState.rowView(spark, dir, m, "ivf", idCol, baseDrop = Nil)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/base/v=$v/ivf")
+    SegmentedState.writePartitioned(
+      SegmentedState.rowView(spark, dir, m, "ivf", idCol, baseDrop = Nil),
+      s"$dir/base/v=$v/ivf", Seq("cell"))
 
   /** Out-of-band compaction at the current version (no-op without
     * segments); content-identical, manifest rewrite atomic. */

@@ -180,11 +180,12 @@ object StreamingScd2 {
 
   private def compactTo(spark: SparkSession, dir: String, m: Manifest,
       v: Long, keyCol: String, nBuckets: Int): Unit = {
-    def bucketed(dfv: DataFrame) = dfv
-      .withColumn("b", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("b")
-    bucketed(closedView(spark, dir, m)).parquet(s"$dir/base/v=$v/closed")
-    bucketed(openView(spark, dir, m, keyCol)).parquet(s"$dir/base/v=$v/open")
+    def bucketed(dfv: DataFrame, sub: String) =
+      SegmentedState.writePartitioned(
+        dfv.withColumn("b", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong))),
+        s"$dir/base/v=$v/$sub", Seq("b"))
+    bucketed(closedView(spark, dir, m), "closed")
+    bucketed(openView(spark, dir, m, keyCol), "open")
   }
 
   /** Out-of-band compaction at the current version (no-op without

@@ -153,10 +153,10 @@ object StreamingSnapshot {
           if (appended.segments.size < maxSegments) appended
           else {
             val keys = keyCols.map(col)
-            mergedView(spark, dir, appended)
-              .withColumn("b", pmod(xxhash64(keys: _*), lit(nBuckets.toLong)))
-              .write.mode("overwrite").partitionBy("b")
-              .parquet(s"$dir/base/v=$batchId")
+            SegmentedState.writePartitioned(
+              mergedView(spark, dir, appended)
+                .withColumn("b", pmod(xxhash64(keys: _*), lit(nBuckets.toLong))),
+              s"$dir/base/v=$batchId", Seq("b"))
             Manifest(Some(batchId), Nil, Set.empty)
           }
         SegmentedState.writeManifest(spark, dir, batchId, committed)
@@ -173,11 +173,11 @@ object StreamingSnapshot {
       val m = SegmentedState.readManifest(spark, dir, v)
       if (m.segments.nonEmpty) {
         val (keyCols, _) = readMeta(spark, dir)
-        mergedView(spark, dir, m)
-          .withColumn("b",
-            pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong)))
-          .write.mode("overwrite").partitionBy("b")
-          .parquet(s"$dir/base/v=$v")
+        SegmentedState.writePartitioned(
+          mergedView(spark, dir, m)
+            .withColumn("b",
+              pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong))),
+          s"$dir/base/v=$v", Seq("b"))
         SegmentedState.writeManifest(spark, dir, v,
           Manifest(Some(v), Nil, Set.empty))
       }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 import graft.llm.{Search, Similarity}
 import graft.streaming.{StreamingIndex, StreamingIvf}
@@ -78,6 +78,102 @@ class StreamingChurnPropertySpec extends SparkTestBase {
           .orderBy($"gram").collect().toSeq, ctx)
       assert(StreamingIndex.readStats(spark, dir).collect().toSeq
         === Search.corpusStats(fin).collect().toSeq, ctx)
+    }
+  }
+
+  test("dedup churn: labels under add/erase/re-ingest cycles equal the rebuild over the live corpus") {
+    // template + family token ⇒ same-family docs are near-dups (identical
+    // texts); the family key moves with the generation, so a re-ingested
+    // doc can change cluster membership
+    val tmpl = (1 to 9).map(i => s"base$i").mkString(" ")
+    def dtext(id: Long, gen: Int): String = s"$tmpl fam${(id + gen) % 3}"
+    for (seed <- 1 to 2; maxSegments <- Seq(2, 4)) {
+      val rng = new scala.util.Random(seed * 13 + maxSegments)
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"sdedupprop_${seed}_$maxSegments").toString
+      var live = Map.empty[Long, Int]
+      for (b <- 0 until 5) {
+        val (rows, l) = nextBatch(rng, live, gen = b)
+        live = l
+        val df = rows.map { case (id, g, del) => (id, dtext(id, g), del) }
+          .toDF("doc_id", "text", "_deleted")
+        graft.streaming.StreamingDedup.applyBatch(df, dir, b.toLong,
+          deleteCol = Some("_deleted"), maxSegments = maxSegments)
+        if (b == 3) graft.streaming.StreamingDedup.vacuum(spark, dir)
+      }
+      val fin = live.toSeq.map { case (id, g) => (id, dtext(id, g)) }
+        .toDF("doc_id", "text")
+      val ctx = s"seed=$seed maxSegments=$maxSegments live=${live.keySet.toSeq.sorted}"
+      assert(graft.streaming.StreamingDedup.readLabels(spark, dir)
+        .orderBy($"doc_id").collect().toSeq
+        === graft.llm.Dedup.clusters(
+            graft.llm.Dedup.minhashNearDups(fin, threshold = 0.6))
+          .orderBy($"doc_id").collect().toSeq, ctx)
+    }
+  }
+
+  test("centroid churn: served centroids under add/erase/re-ingest cycles equal the recompute") {
+    def cvec(id: Long, gen: Int): Array[Double] = {
+      val d = (id + gen) % 3
+      Array(if (d == 0) 1.0 else 0.0, if (d == 1) 1.0 else 0.0,
+        if (d == 2) 1.0 else 0.0, 0.1 * (id % 4))
+    }
+    for (seed <- 1 to 2; maxSegments <- Seq(2, 4)) {
+      val rng = new scala.util.Random(seed * 7 + maxSegments)
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"scentprop_${seed}_$maxSegments").toString
+      var live = Map.empty[Long, Int]
+      for (b <- 0 until 5) {
+        val (rows, l) = nextBatch(rng, live, gen = b)
+        live = l
+        val df = rows.map { case (id, g, del) =>
+          (id, id % 2, cvec(id, g), del) }
+          .toDF("vec_id", "label", "embedding", "_deleted")
+        graft.streaming.StreamingCentroids.applyBatch(df, dir, b.toLong,
+          deleteCol = Some("_deleted"), maxSegments = maxSegments)
+        if (b == 3) graft.streaming.StreamingCentroids.vacuum(spark, dir)
+      }
+      val fin = live.toSeq.map { case (id, g) => (id, id % 2, cvec(id, g)) }
+        .toDF("vec_id", "label", "embedding")
+      val ctx = s"seed=$seed maxSegments=$maxSegments live=${live.keySet.toSeq.sorted}"
+      assert(graft.streaming.StreamingCentroids.readCentroids(spark, dir)
+        .orderBy($"cluster_id", $"dim").collect().toSeq
+        === Similarity.clusterCentroids(fin,
+            Similarity.cosinePairsBlocked(fin, "label", 0.4))
+          .orderBy($"cluster_id", $"dim").collect().toSeq, ctx)
+    }
+  }
+
+  test("scd2 churn: random per-key state walks at any compaction cadence serve the rebuilt history") {
+    for (seed <- 1 to 2; maxSegments <- Seq(1, 3)) {
+      val rng = new scala.util.Random(seed * 11 + maxSegments)
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"scd2prop_${seed}_$maxSegments").toString
+      var eid = 0L
+      var all = Vector.empty[(Long, Long, String, Long)]
+      for (b <- 0 until 5) {
+        // each batch: 0..4 events, timestamps strictly increasing across
+        // batches (the watermark-ordered precondition); states repeat so
+        // consecutive-duplicate collapsing and re-opens both happen
+        val rows = (0 until rng.nextInt(5)).map { i =>
+          eid += 1
+          (eid, ids(rng.nextInt(ids.length)),
+            s"s${rng.nextInt(3)}", b * 100000L + i * 1000L + eid)
+        }
+        all ++= rows
+        val df = rows.toDF("event_id", "user_id", "event_type", "ms")
+          .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
+        graft.streaming.StreamingScd2.applyBatch(df, dir, "user_id", "ts",
+          "event_type", "event_id", b.toLong, maxSegments)
+        if (b == 3) graft.streaming.StreamingScd2.vacuum(spark, dir)
+      }
+      val fin = all.toDF("event_id", "user_id", "event_type", "ms")
+        .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
+      val ctx = s"seed=$seed maxSegments=$maxSegments n=${all.size}"
+      assert(graft.streaming.StreamingScd2.readHistory(spark, dir)
+        .orderBy($"user_id", $"version").collect().toSeq
+        === graft.analytics.Analytics.scd2History(fin)
+          .orderBy($"user_id", $"version").collect().toSeq, ctx)
     }
   }
 
