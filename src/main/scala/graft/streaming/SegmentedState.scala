@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * rename, never a delete+recreate of a file the pointer references —
   * and readers take the max generation. A crash at any point leaves the
   * previous generation readable. */
-private[streaming] object SegmentedState {
+object SegmentedState {
 
   /** `base`: compacted-base version, if one exists. `segments`: live
     * segment versions in fold order. `dels`: the subset of segments that
@@ -195,6 +195,96 @@ private[streaming] object SegmentedState {
         }).distinct.sorted
       allVersions.takeRight(retain).toSet + v
     }
+  }
+
+  /** One fsck finding: `level` is "error" (the state cannot serve — a
+    * referenced dir is missing/unreadable, the manifest does not parse)
+    * or "info" (expected debris — orphan dirs a crash or compaction left
+    * behind, reclaimable by [[vacuum]]). */
+  case class Finding(level: String, what: String, detail: String)
+
+  /** Integrity report for a segmented state directory — the operational
+    * companion to [[vacuum]]: run it before trusting a state dir after a
+    * crash, a partial copy, or a manual intervention. Checks are
+    * STRUCTURAL and cheap (FS listings + parquet footer of each
+    * referenced leaf dir; never a data scan):
+    *
+    *  - the `_LATEST` marker set is non-empty and the max version's
+    *    manifest exists and parses;
+    *  - every dir the manifest references (segments, del sides, base)
+    *    exists and its parquet reads a schema;
+    *  - unreferenced `v=*` dirs are classified as vacuum-reclaimable
+    *    debris (info), never as corruption — a crash between segment
+    *    write and pointer advance legally leaves them.
+    *
+    * Returns findings (empty = healthy); never throws on a sick state —
+    * the report IS the result. */
+  def fsck(spark: SparkSession, dir: String): Seq[Finding] = {
+    val f = fs(spark, dir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    def schemaOk(p: Path): Boolean =
+      try { spark.read.parquet(p.toString).schema; true }
+      catch { case _: Throwable => false }
+    // leaf artifact dirs = dirs that directly contain data files
+    def leaves(p: Path): Seq[Path] = {
+      if (!f.exists(p)) return Nil
+      val (dirs, files) = f.listStatus(p).toSeq.partition(_.isDirectory)
+      val dataHere = files.exists(s => !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      // hive-partitioned bases nest one more level (b=*/cell=*): treat
+      // the partitioned root as the leaf — spark reads it whole
+      if (dataHere || dirs.exists(_.getPath.getName.contains("=")))
+        Seq(p)
+      else dirs.flatMap(s => leaves(s.getPath))
+    }
+    StatePointer.read(spark, dir) match {
+      case None =>
+        if (f.exists(new Path(s"$dir/seg")) || f.exists(new Path(s"$dir/base")))
+          out += Finding("error", "pointer",
+            "state dirs exist but no _LATEST marker — nothing is committed")
+      case Some(v) =>
+        val m = try Some(readManifest(spark, dir, v)) catch {
+          case e: Throwable =>
+            out += Finding("error", "manifest",
+              s"manifest for committed v=$v unreadable: ${e.getMessage}")
+            None
+        }
+        m.foreach { man =>
+          def check(p: String, what: String): Unit = {
+            val path = new Path(p)
+            if (!f.exists(path))
+              out += Finding("error", what, s"referenced dir missing: $p")
+            else leaves(path) match {
+              case Nil => out += Finding("error", what, s"no data files under: $p")
+              case ls => for (l <- ls if !schemaOk(l))
+                out += Finding("error", what, s"parquet unreadable: $l")
+            }
+          }
+          man.segments.foreach(s => check(s"$dir/seg/v=$s", "segment"))
+          man.dels.foreach(s => check(s"$dir/seg/v=$s/del", "tombstones"))
+          man.base.foreach(b => check(s"$dir/base/v=$b", "base"))
+          // unreferenced version dirs: crash debris or pre-vacuum state
+          val retained = retainedVersions(spark, dir, 1)
+          val manifests = retained.toSeq.sorted
+            .flatMap(rv => scala.util.Try(readManifest(spark, dir, rv)).toOption)
+          val liveSegs = manifests.flatMap(_.segments).toSet
+          val liveBases = manifests.flatMap(_.base).toSet
+          val Plain = """v=(\d+)""".r
+          def orphans(sub: String, live: Set[Long]): Unit = {
+            val p = new Path(s"$dir/$sub")
+            if (f.exists(p))
+              for (st <- f.listStatus(p)) st.getPath.getName match {
+                case Plain(n) if !live.contains(n.toLong) =>
+                  out += Finding("info", "orphan",
+                    s"unreferenced $sub/v=$n — reclaimable by vacuum")
+                case _ => ()
+              }
+          }
+          orphans("seg", liveSegs)
+          orphans("base", liveBases)
+        }
+    }
+    out.toSeq
   }
 
   def vacuum(spark: SparkSession, dir: String, withStats: Boolean,
