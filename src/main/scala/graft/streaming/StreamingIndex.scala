@@ -75,6 +75,11 @@ object StreamingIndex {
   val DefaultMaxSegments = 8
   val DefaultBuckets = 32
 
+  /** Major compaction triggers when accumulated segment bytes reach this
+    * fraction of the base — the minor/major cost trade: smaller = more
+    * corpus rewrites, larger = bigger tail-run re-merges per minor. */
+  val DefaultMajorRatio = 0.2
+
   import SegmentedState.Manifest
 
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
@@ -169,11 +174,29 @@ object StreamingIndex {
 
   /** Fold one batch into the persisted state (see object doc for the
     * segment/commit/erasure contracts). Public so the batch-parity catalog
-    * rows drive the IDENTICAL code `foreachBatch` runs. */
+    * rows drive the IDENTICAL code `foreachBatch` runs.
+    *
+    * ==Minor vs major compaction==
+    * At `maxSegments` live segments the state compacts. A MAJOR
+    * compaction (the r10 first cut's only form) folds base + segments
+    * into a fresh bucketed base — O(corpus) amortized over `maxSegments`
+    * batches. The LSM answer to that recurring corpus rewrite is MINOR
+    * compaction: fold only the TAIL RUN of del-less segments (everything
+    * after the last tombstone boundary, which in the low-churn steady
+    * state is the whole window) into one segment at the current batch's
+    * version — write ∝ window, base untouched on disk. Tail-run-only is
+    * what keeps tombstone ordering exact with no del splitting: adds
+    * never move across a del boundary, so every tombstone still
+    * subtracts from exactly the state that preceded it. A major runs
+    * instead when (a) no base exists yet, (b) accumulated segment bytes
+    * reach `majorRatio` × base bytes (deltas are no longer small — fold
+    * them in), or (c) the tail run is too short to reduce the count
+    * (a del-heavy window). */
   def applyBatch(batch: DataFrame, dir: String, batchId: Long,
       deleteCol: Option[String] = None,
       maxSegments: Int = DefaultMaxSegments,
-      nBuckets: Int = DefaultBuckets): Unit = {
+      nBuckets: Int = DefaultBuckets,
+      majorRatio: Double = DefaultMajorRatio): Unit = {
     require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
     val spark = batch.sparkSession
     latestVersion(spark, dir) match {
@@ -207,14 +230,58 @@ object StreamingIndex {
           .getOrElse(Manifest(None, Nil, Set.empty))
         val appended = Manifest(prevM.base, prevM.segments :+ batchId,
           if (hasDel) prevM.dels + batchId else prevM.dels)
+        def major(): Manifest = {
+          SegmentedState.writePartitioned(
+            mergedView(spark, dir, appended)
+              .withColumn("b", pmod(xxhash64(col("gram")), lit(nBuckets.toLong))),
+            s"$dir/base/v=$batchId", Seq("b"))
+          Manifest(Some(batchId), Nil, Set.empty)
+        }
         val committed =
           if (appended.segments.size < maxSegments) appended
           else {
-            SegmentedState.writePartitioned(
-              mergedView(spark, dir, appended)
-                .withColumn("b", pmod(xxhash64(col("gram")), lit(nBuckets.toLong))),
-              s"$dir/base/v=$batchId", Seq("b"))
-            Manifest(Some(batchId), Nil, Set.empty)
+            // the tail del-less run (including this batch, unless it
+            // carries tombstones) is the only minor-mergeable window
+            val tailRun = appended.segments.reverse
+              .takeWhile(v => !appended.dels.contains(v)).reverse
+            val fs = SegmentedState.fs(spark, dir)
+            def du(p: String): Long = {
+              val path = new org.apache.hadoop.fs.Path(p)
+              if (!fs.exists(path)) 0L
+              else fs.getContentSummary(path).getLength
+            }
+            val baseBytes = appended.base.fold(0L)(b => du(s"$dir/base/v=$b"))
+            val segBytes = appended.segments.map(v => du(s"$dir/seg/v=$v")).sum
+            if (appended.base.isEmpty || segBytes >= majorRatio * baseBytes ||
+                tailRun.size < 2) major()
+            else {
+              // MINOR: fold the tail run into this batch's segment — a
+              // direct per-gram re-aggregation of the run union (doc
+              // sets are disjoint within a del-less run, counts add
+              // exactly; indexMerge's broadcast gram gating would be
+              // wrong here: the run includes the previously-minored
+              // segment, whose gram list is too large to broadcast).
+              // Stage-and-swap inside the (still uncommitted) v=batchId
+              // dir — never read and overwrite the same path in one job
+              val merged = tailRun
+                .map(v => spark.read.parquet(s"$dir/seg/v=$v/idx"))
+                .reduce(_ unionByName _)
+                .groupBy(col("gram"))
+                .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
+                  sort_array(flatten(collect_list(col("pl")))).as("pl"))
+              val staged = s"$dir/seg/v=$batchId/.idx_minor"
+              merged.write.mode("overwrite").parquet(staged)
+              val idxPath = new org.apache.hadoop.fs.Path(s"$dir/seg/v=$batchId/idx")
+              fs.delete(idxPath, true)
+              if (!fs.rename(new org.apache.hadoop.fs.Path(staged), idxPath))
+                throw new java.io.IOException(s"minor-compaction rename failed: $idxPath")
+              // folded-run members (except this batch) become debris —
+              // unreferenced by the new manifest, reclaimed by vacuum
+              Manifest(appended.base,
+                appended.segments.filterNot(v =>
+                  tailRun.contains(v) && v != batchId),
+                appended.dels)
+            }
           }
         writeManifest(spark, dir, batchId, committed)
         StatePointer.advance(spark, dir, batchId)
@@ -257,12 +324,14 @@ object StreamingIndex {
       deleteCol: Option[String] = None,
       maxSegments: Int = DefaultMaxSegments,
       nBuckets: Int = DefaultBuckets,
-      vacuumEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+      vacuumEvery: Int = 0,
+      majorRatio: Double = DefaultMajorRatio): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        applyBatch(df, dir, batchId, deleteCol, maxSegments, nBuckets)
+        applyBatch(df, dir, batchId, deleteCol, maxSegments, nBuckets,
+          majorRatio)
         if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0)
           vacuum(df.sparkSession, dir)
       }

@@ -49,8 +49,12 @@ class StreamingChurnPropertySpec extends SparkTestBase {
     s"gen$gen word${id % 5} alpha shared${(id + gen) % 3} tail$id body$gen"
 
   test("index churn: any legal change sequence at any compaction cadence serves the rebuild") {
-    for (seed <- 1 to 3; maxSegments <- Seq(1, 3, 8)) {
-      val rng = new scala.util.Random(seed * 31 + maxSegments)
+    // (maxSegments, majorRatio): ratio 1e9 forces MINOR compaction at
+    // every trigger after the first major — the tail-run fold under
+    // churn, dels landing anywhere in the window
+    for (seed <- 1 to 3; (maxSegments, ratio) <- Seq((1, 0.2), (3, 0.2),
+        (8, 0.2), (2, 1e9), (3, 1e9))) {
+      val rng = new scala.util.Random(seed * 31 + maxSegments + ratio.toInt)
       val dir = java.nio.file.Files.createTempDirectory(
         s"sidxprop_${seed}_$maxSegments").toString
       var live = Map.empty[Long, Int]
@@ -61,11 +65,13 @@ class StreamingChurnPropertySpec extends SparkTestBase {
         val df = rows.map { case (id, g, del) => (id, text(id, g), del) }
           .toDF("doc_id", "text", "_deleted")
         StreamingIndex.applyBatch(df, dir, b.toLong,
-          deleteCol = Some("_deleted"), maxSegments = maxSegments)
+          deleteCol = Some("_deleted"), maxSegments = maxSegments,
+          majorRatio = ratio)
         if (b == 3) StreamingIndex.vacuum(spark, dir)
         if (b == 4 && !replayed) { // replay an applied batch: must skip
           StreamingIndex.applyBatch(df, dir, (b - 2).toLong,
-            deleteCol = Some("_deleted"), maxSegments = maxSegments)
+            deleteCol = Some("_deleted"), maxSegments = maxSegments,
+            majorRatio = ratio)
           replayed = true
         }
       }

@@ -192,6 +192,69 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(got() === want)
   }
 
+  test("minor compaction folds the tail run and leaves the base untouched; major fires on the byte ratio") {
+    def baseState(dir: String): Seq[(String, Long)] = {
+      val b = new java.io.File(s"$dir/base")
+      if (!b.exists()) Nil
+      else {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(b).map(f => (f.getPath, f.length())).sortBy(_._1)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("sidxminor").toString
+    val big = (1L to 300L)
+      .map(i => (i, s"alpha beta gram w$i x$i y$i z$i filler body words"))
+    def apply(rows: Seq[(Long, String)], b: Long, ratio: Double): Unit =
+      StreamingIndex.applyBatch(rows.toDF("doc_id", "text"), dir, b,
+        maxSegments = 3, majorRatio = ratio)
+    // batches 0-2: first trigger has no base — MAJOR establishes it
+    apply(big.take(100), 0L, 0.2)
+    apply(big.slice(100, 200), 1L, 0.2)
+    apply(big.slice(200, 300), 2L, 0.2)
+    assert(new java.io.File(s"$dir/base/v=2").exists())
+    val baseAfterMajor = baseState(dir)
+
+    // batches 3-5: tiny deltas, huge ratio — the trigger at batch 5 must
+    // MINOR: one merged tail segment at v=5, base files byte-identical
+    val tiny = (1001L to 1006L).map(i => (i, s"tiny doc $i fresh words"))
+    apply(tiny.take(2), 3L, 1e9)
+    apply(tiny.slice(2, 4), 4L, 1e9)
+    apply(tiny.slice(4, 6), 5L, 1e9)
+    assert(baseState(dir) === baseAfterMajor, "minor must not touch the base")
+    assert(!new java.io.File(s"$dir/base/v=5").exists())
+    assert(new java.io.File(s"$dir/seg/v=5/idx").exists())
+    assert(!new java.io.File(s"$dir/seg/v=5/.idx_minor").exists())
+    val all = (big ++ tiny).toDF("doc_id", "text")
+    def got() = Search.renderIndex(StreamingIndex.readIndex(spark, dir))
+      .orderBy($"gram").collect().toSeq
+    val want = Search.renderIndex(Search.invertedIndexRaw(all))
+      .orderBy($"gram").collect().toSeq
+    assert(got() === want)
+    // vacuum reclaims the folded-run members; the view is unchanged
+    StreamingIndex.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/seg/v=3").exists())
+    assert(got() === want)
+
+    // byte-ratio major: with the default ratio the accumulated deltas
+    // (plus one more batch) exceed 0.2 × base — the next trigger MAJORs
+    val more = (2001L to 2200L)
+      .map(i => (i, s"bulk delta doc $i alpha beta many more filler words"))
+    apply(more.take(100), 6L, 0.01)
+    // the count trigger fires here (segments v=5,6,7); at ratio 0.01 the
+    // accumulated deltas exceed the byte bound — a MAJOR, not a minor
+    // (at this toy scale the bucketed base is mostly per-file footer
+    // overhead, so the production default 0.2 is not discriminating)
+    apply(more.drop(100), 7L, 0.01)
+    assert(new java.io.File(s"$dir/base/v=7").exists(),
+      "byte ratio must force a major")
+    val fin = (big ++ tiny ++ more).toDF("doc_id", "text")
+    assert(Search.renderIndex(StreamingIndex.readIndex(spark, dir))
+      .orderBy($"gram").collect().toSeq
+      === Search.renderIndex(Search.invertedIndexRaw(fin))
+        .orderBy($"gram").collect().toSeq)
+  }
+
   test("a run that died mid-prefix resumes by idempotent re-fold (no isEmpty gate)") {
     val dir = java.nio.file.Files.createTempDirectory("sidxresume").toString
     val batches = Seq(docsA.take(2), docsA.drop(2), docsB)
