@@ -45,6 +45,11 @@ object StreamingSnapshot {
   val DefaultMaxSegments = 8
   val DefaultBuckets = 32
 
+  /** Major compaction triggers when accumulated segment bytes reach this
+    * fraction of the base (the [[StreamingIndex.DefaultMajorRatio]]
+    * trade); below it the count trigger runs a MINOR fold instead. */
+  val DefaultMajorRatio = 0.2
+
   import SegmentedState.Manifest
 
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
@@ -124,10 +129,33 @@ object StreamingSnapshot {
     }
   }
 
+  /** LWW-fold a window of change segments into ONE change segment: per
+    * key the latest (max `_v`) row wins, and tombstone winners are KEPT
+    * AS ROWS — they must continue to shadow base keys at read. The
+    * output is itself a legal change segment (one row per key), placed
+    * at the window's max version so ordering against the base and any
+    * future segment is preserved. Pure plan construction. */
+  private def windowFold(spark: SparkSession, dir: String,
+      versions: Seq[Long], keyCols: Seq[String]): DataFrame = {
+    val segAll = versions.map(v =>
+        spark.read.parquet(s"$dir/seg/v=$v").withColumn("_v", lit(v)))
+      .reduce(_ unionByName _)
+    val payload = segAll.columns.toSeq.filterNot(_ == "_v")
+    val keys = keyCols.map(col)
+    segAll.groupBy(keys: _*)
+      .agg(max_by(
+        struct(payload.filterNot(keyCols.contains).map(col): _*),
+        col("_v")).as("_w"))
+      .select(keys ++ payload.filterNot(keyCols.contains)
+        .map(c => col(s"_w.$c").as(c)): _*)
+      .select(payload.map(col): _*)
+  }
+
   private[graft] def applyBatch(df: DataFrame, dir: String,
       keyCols: Seq[String], deleteCol: String, batchId: Long,
       maxSegments: Int = DefaultMaxSegments,
-      nBuckets: Int = DefaultBuckets): Unit = {
+      nBuckets: Int = DefaultBuckets,
+      majorRatio: Double = DefaultMajorRatio): Unit = {
     require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
     // "b" is the compaction bucket column and "_v"/"_w" are the MoR
     // version/winner markers: a same-named payload column would be
@@ -152,12 +180,43 @@ object StreamingSnapshot {
         val committed =
           if (appended.segments.size < maxSegments) appended
           else {
-            val keys = keyCols.map(col)
-            SegmentedState.writePartitioned(
-              mergedView(spark, dir, appended)
-                .withColumn("b", pmod(xxhash64(keys: _*), lit(nBuckets.toLong))),
-              s"$dir/base/v=$batchId", Seq("b"))
-            Manifest(Some(batchId), Nil, Set.empty)
+            val fs = SegmentedState.fs(spark, dir)
+            def du(p: String): Long = {
+              val path = new org.apache.hadoop.fs.Path(p)
+              if (!fs.exists(path)) 0L
+              else fs.getContentSummary(path).getLength
+            }
+            val baseBytes = appended.base.fold(0L)(b => du(s"$dir/base/v=$b"))
+            val segBytes = appended.segments.map(v => du(s"$dir/seg/v=$v")).sum
+            if (appended.base.isEmpty || segBytes >= majorRatio * baseBytes) {
+              // MAJOR: fold everything into a fresh bucketed base
+              val keys = keyCols.map(col)
+              SegmentedState.writePartitioned(
+                mergedView(spark, dir, appended)
+                  .withColumn("b", pmod(xxhash64(keys: _*), lit(nBuckets.toLong))),
+                s"$dir/base/v=$batchId", Seq("b"))
+              Manifest(Some(batchId), Nil, Set.empty)
+            } else {
+              // MINOR: LWW-fold the whole window into this batch's
+              // segment — write ∝ window, base untouched on disk. LWW's
+              // total order (unlike the index's del boundaries) lets the
+              // entire window fold at once; tombstone winners stay as
+              // rows so they keep shadowing base keys at read.
+              // Stage-and-swap inside the uncommitted v=batchId dir.
+              val staged = s"$dir/seg/v=$batchId/.seg_minor"
+              windowFold(spark, dir, appended.segments, keyCols)
+                .write.mode("overwrite").parquet(staged)
+              val segPath = new org.apache.hadoop.fs.Path(s"$dir/seg/v=$batchId")
+              val stagedPath = new org.apache.hadoop.fs.Path(staged)
+              val tmp = new org.apache.hadoop.fs.Path(s"$dir/seg/.minor_$batchId")
+              fs.delete(tmp, true) // stale tmp from a crashed prior attempt
+              if (!fs.rename(stagedPath, tmp))
+                throw new java.io.IOException(s"minor-compaction stage failed: $tmp")
+              fs.delete(segPath, true)
+              if (!fs.rename(tmp, segPath))
+                throw new java.io.IOException(s"minor-compaction rename failed: $segPath")
+              Manifest(appended.base, Seq(batchId), Set.empty)
+            }
           }
         SegmentedState.writeManifest(spark, dir, batchId, committed)
         StatePointer.advance(spark, dir, batchId)
@@ -197,12 +256,14 @@ object StreamingSnapshot {
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       maxSegments: Int = DefaultMaxSegments,
       nBuckets: Int = DefaultBuckets,
-      vacuumEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+      vacuumEvery: Int = 0,
+      majorRatio: Double = DefaultMajorRatio): DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        applyBatch(df, dir, keyCols, deleteCol, batchId, maxSegments, nBuckets)
+        applyBatch(df, dir, keyCols, deleteCol, batchId, maxSegments,
+          nBuckets, majorRatio)
         if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0)
           vacuum(df.sparkSession, dir)
       }

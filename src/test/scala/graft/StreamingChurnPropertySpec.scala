@@ -87,6 +87,39 @@ class StreamingChurnPropertySpec extends SparkTestBase {
     }
   }
 
+  test("snapshot churn: random upsert/delete sequences at any compaction cadence serve the sequential fold") {
+    import graft.streaming.StreamingSnapshot
+    for (seed <- 1 to 2; (maxSegments, ratio) <- Seq((1, 0.2), (3, 0.2),
+        (2, 1e9))) {
+      val rng = new scala.util.Random(seed * 23 + maxSegments + ratio.toInt)
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"snapprop_${seed}_$maxSegments").toString
+      var batches = Vector.empty[Seq[(Long, String, Boolean)]]
+      for (b <- 0 until 6) {
+        // unlike the derived-artifact states, ANY change is legal here:
+        // updates of live keys, deletes of absent keys, re-inserts —
+        // LWW absorbs all of it (one row per key per batch, the
+        // railUniqueKeys contract)
+        val ks = rng.shuffle(ids).take(rng.nextInt(4))
+        val rows = ks.map(k => (k, s"v${b}_$k", rng.nextInt(4) == 0))
+        batches :+= rows
+        StreamingSnapshot.applyBatch(rows.toDF("k", "v", "_deleted"), dir,
+          Seq("k"), "_deleted", b.toLong, maxSegments = maxSegments,
+          majorRatio = ratio)
+        if (b == 3) StreamingSnapshot.vacuum(spark, dir)
+      }
+      val want = batches.map(_.toDF("k", "v", "_deleted"))
+        .foldLeft(Seq.empty[(Long, String, Boolean)]
+          .toDF("k", "v", "_deleted").drop("_deleted")) { (snap, b) =>
+          graft.sources.Merge.upsert(snap, b, Seq("k"))
+        }
+        .orderBy(col("k")).collect().toSeq
+      val ctx = s"seed=$seed maxSegments=$maxSegments ratio=$ratio"
+      assert(StreamingSnapshot.readSnapshot(spark, dir)
+        .orderBy(col("k")).collect().toSeq === want, ctx)
+    }
+  }
+
   test("dedup churn: labels under add/erase/re-ingest cycles equal the rebuild over the live corpus") {
     // template + family token ⇒ same-family docs are near-dups (identical
     // texts); the family key moves with the generation, so a re-ingested

@@ -177,6 +177,58 @@ class WarehouseSpec extends SparkTestBase {
     assert(got() === wantB3)
   }
 
+  test("segmented snapshot: minor compaction LWW-folds the window, tombstones keep shadowing the base") {
+    import graft.streaming.StreamingSnapshot
+    def baseState(dir: String): Seq[(String, Long)] = {
+      val b = new java.io.File(s"$dir/base")
+      if (!b.exists()) Nil
+      else {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(b).map(f => (f.getPath, f.length())).sortBy(_._1)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("snapminor").toString
+    val big = (1L to 3000L).map(i => (i, s"payload-$i-${"x" * 30}", false))
+    def apply(rows: Seq[(Long, String, Boolean)], b: Long,
+        ratio: Double): Unit =
+      StreamingSnapshot.applyBatch(rows.toDF("k", "v", "_deleted"), dir,
+        Seq("k"), "_deleted", b, maxSegments = 3, majorRatio = ratio)
+    // establish the base (first trigger always majors)
+    apply(big.take(1000), 0L, 0.2)
+    apply(big.slice(1000, 2000), 1L, 0.2)
+    apply(big.slice(2000, 3000), 2L, 0.2)
+    assert(new java.io.File(s"$dir/base/v=2").exists())
+    val baseAfterMajor = baseState(dir)
+
+    // tiny window: update key 1 twice, TOMBSTONE base key 2, add a new
+    // key — the trigger at batch 5 must MINOR (huge ratio): one folded
+    // segment, base bytes untouched, tombstone still shadows key 2
+    apply(Seq((1L, "one-a", false)), 3L, 1e9)
+    apply(Seq((1L, "one-b", false), (2L, "", true)), 4L, 1e9)
+    apply(Seq((9001L, "fresh", false)), 5L, 1e9)
+    assert(baseState(dir) === baseAfterMajor, "minor must not touch the base")
+    assert(!new java.io.File(s"$dir/base/v=5").exists())
+    assert(!new java.io.File(s"$dir/seg/v=3").exists() ||
+      StreamingSnapshot.latestVersion(spark, dir).contains(5L))
+    val snap = StreamingSnapshot.readSnapshot(spark, dir)
+    assert(snap.filter($"k" === 1L).select($"v").as[String].collect()
+      .toSeq === Seq("one-b"), "window LWW must pick the latest update")
+    assert(snap.filter($"k" === 2L).count() === 0L,
+      "a tombstone folded through a minor must keep shadowing the base")
+    assert(snap.filter($"k" === 9001L).count() === 1L)
+    assert(snap.count() === 3000L - 1L + 1L)
+    // the folded segment is one row per key including the tombstone row
+    val segRows = spark.read.parquet(s"$dir/seg/v=5").orderBy($"k")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(segRows === Seq((1L, "one-b", false), (2L, "", true),
+      (9001L, "fresh", false)))
+    // vacuum reclaims the folded window members; view unchanged
+    StreamingSnapshot.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/seg/v=3").exists())
+    assert(StreamingSnapshot.readSnapshot(spark, dir).count() === 3000L)
+  }
+
   test("streaming scd2: batched history equals the batch recompute") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
