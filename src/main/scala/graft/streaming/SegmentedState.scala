@@ -197,6 +197,51 @@ object SegmentedState {
     }
   }
 
+  /** Minor-vs-major decision for a segmented state at its count trigger:
+    * `Some(tailRun)` when a MINOR fold applies — the trailing del-less
+    * run (ending at the current batch) that can fold into one segment
+    * without moving any row across a tombstone boundary. A major is due
+    * instead when no base exists yet, accumulated segment bytes reach
+    * `majorRatio` × base bytes, or the tail run is too short to reduce
+    * the segment count. */
+  def minorPlan(spark: SparkSession, dir: String, appended: Manifest,
+      majorRatio: Double): Option[Seq[Long]] = {
+    if (appended.base.isEmpty) return None
+    val tailRun = appended.segments.reverse
+      .takeWhile(v => !appended.dels.contains(v)).reverse
+    if (tailRun.size < 2) return None
+    val f = fs(spark, dir)
+    def du(p: String): Long = {
+      val path = new Path(p)
+      if (!f.exists(path)) 0L else f.getContentSummary(path).getLength
+    }
+    val baseBytes = appended.base.fold(0L)(b => du(s"$dir/base/v=$b"))
+    val segBytes = appended.segments.map(v => du(s"$dir/seg/v=$v")).sum
+    if (segBytes >= majorRatio * baseBytes) None else Some(tailRun)
+  }
+
+  /** Stage-and-swap a minor-fold result over `seg/v=<batchId>/<sub>` —
+    * never read and overwrite the same path in one job. The v=<batchId>
+    * dir is uncommitted (no manifest references it yet), so a crash at
+    * any point replays the batch and redoes the fold. */
+  def swapIn(df: org.apache.spark.sql.DataFrame, dir: String,
+      batchId: Long, sub: String): Unit = {
+    val f = fs(df.sparkSession, dir)
+    val staged = s"$dir/seg/v=$batchId/.${sub}_minor"
+    df.write.mode("overwrite").parquet(staged)
+    val dst = new Path(s"$dir/seg/v=$batchId/$sub")
+    f.delete(dst, true)
+    if (!f.rename(new Path(staged), dst))
+      throw new java.io.IOException(s"minor-compaction rename failed: $dst")
+  }
+
+  /** The post-minor manifest: the folded tail run collapses to the
+    * current batch's segment, everything else unchanged. */
+  def afterMinor(appended: Manifest, tailRun: Seq[Long],
+      batchId: Long): Manifest =
+    appended.copy(segments = appended.segments.filterNot(v =>
+      tailRun.contains(v) && v != batchId))
+
   /** One fsck finding: `level` is "error" (the state cannot serve — a
     * referenced dir is missing/unreadable, the manifest does not parse)
     * or "info" (expected debris — orphan dirs a crash or compaction left

@@ -100,7 +100,8 @@ object StreamingCentroids {
       threshold: Double = 0.4,
       maxSegments: Int = DefaultMaxSegments,
       nBuckets: Int = DefaultBuckets,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      majorRatio: Double = StreamingIndex.DefaultMajorRatio): Unit = {
     require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
     require(!batch.columns.contains("b"),
       "embedding column name 'b' is reserved by the compaction bucket " +
@@ -175,12 +176,21 @@ object StreamingCentroids {
           if (hasDel) prevM.dels + batchId else prevM.dels)
         val committed =
           if (appended.segments.size < maxSegments) appended
-          else {
-            SegmentedState.writePartitioned(
-              embView(spark, dir, appended, idCol)
-                .withColumn("b", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong))),
-              s"$dir/base/v=$batchId/emb", Seq("b"))
-            Manifest(Some(batchId), Nil, Set.empty)
+          else SegmentedState.minorPlan(spark, dir, appended, majorRatio) match {
+            case None =>
+              SegmentedState.writePartitioned(
+                embView(spark, dir, appended, idCol)
+                  .withColumn("b", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong))),
+                s"$dir/base/v=$batchId/emb", Seq("b"))
+              Manifest(Some(batchId), Nil, Set.empty)
+            case Some(tailRun) =>
+              // MINOR: pure concat of the tail run (see StreamingIvf —
+              // the version bump stays ordered against every tombstone)
+              SegmentedState.swapIn(tailRun
+                .map(v => spark.read.parquet(s"$dir/seg/v=$v/emb"))
+                .reduce(_ unionByName _),
+                dir, batchId, "emb")
+              SegmentedState.afterMinor(appended, tailRun, batchId)
           }
         SegmentedState.writeManifest(spark, dir, batchId, committed)
         StatePointer.advance(spark, dir, batchId)

@@ -115,7 +115,8 @@ object StreamingDedup {
       w: Int = 3, k: Int = 64, bands: Int = 16, maxBucket: Int = 4096,
       maxSegments: Int = DefaultMaxSegments,
       nBuckets: Int = DefaultBuckets,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      majorRatio: Double = StreamingIndex.DefaultMajorRatio): Unit = {
     require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
     val spark = batch.sparkSession
     latestVersion(spark, dir) match {
@@ -173,8 +174,26 @@ object StreamingDedup {
           if (hasDel) prevM.dels + batchId else prevM.dels)
         val committed =
           if (appended.segments.size < maxSegments) appended
-          else { compactTo(spark, dir, appended, batchId, maxBucket, nBuckets)
-            Manifest(Some(batchId), Nil, Set.empty) }
+          else SegmentedState.minorPlan(spark, dir, appended, majorRatio) match {
+            case None =>
+              compactTo(spark, dir, appended, batchId, maxBucket, nBuckets)
+              Manifest(Some(batchId), Nil, Set.empty)
+            case Some(tailRun) =>
+              // MINOR: concat the tail run; the band side is RE-CAPPED
+              // across the merged run (window-only cost) so every live
+              // segment keeps the ≤ maxBucket per-bucket invariant the
+              // probe-join bound rests on
+              SegmentedState.swapIn(Dedup.capBuckets(
+                tailRun.map(v => spark.read.parquet(s"$dir/seg/v=$v/bands"))
+                  .reduce(_ unionByName _),
+                maxBucket, "StreamingDedup.minor"),
+                dir, batchId, "bands")
+              SegmentedState.swapIn(tailRun
+                .map(v => spark.read.parquet(s"$dir/seg/v=$v/shingles"))
+                .reduce(_ unionByName _),
+                dir, batchId, "shingles")
+              SegmentedState.afterMinor(appended, tailRun, batchId)
+          }
         SegmentedState.writeManifest(spark, dir, batchId, committed)
         StatePointer.advance(spark, dir, batchId)
     }

@@ -239,49 +239,25 @@ object StreamingIndex {
         }
         val committed =
           if (appended.segments.size < maxSegments) appended
-          else {
-            // the tail del-less run (including this batch, unless it
-            // carries tombstones) is the only minor-mergeable window
-            val tailRun = appended.segments.reverse
-              .takeWhile(v => !appended.dels.contains(v)).reverse
-            val fs = SegmentedState.fs(spark, dir)
-            def du(p: String): Long = {
-              val path = new org.apache.hadoop.fs.Path(p)
-              if (!fs.exists(path)) 0L
-              else fs.getContentSummary(path).getLength
-            }
-            val baseBytes = appended.base.fold(0L)(b => du(s"$dir/base/v=$b"))
-            val segBytes = appended.segments.map(v => du(s"$dir/seg/v=$v")).sum
-            if (appended.base.isEmpty || segBytes >= majorRatio * baseBytes ||
-                tailRun.size < 2) major()
-            else {
+          else SegmentedState.minorPlan(spark, dir, appended, majorRatio) match {
+            case None => major()
+            case Some(tailRun) =>
               // MINOR: fold the tail run into this batch's segment — a
               // direct per-gram re-aggregation of the run union (doc
               // sets are disjoint within a del-less run, counts add
               // exactly; indexMerge's broadcast gram gating would be
               // wrong here: the run includes the previously-minored
               // segment, whose gram list is too large to broadcast).
-              // Stage-and-swap inside the (still uncommitted) v=batchId
-              // dir — never read and overwrite the same path in one job
-              val merged = tailRun
+              SegmentedState.swapIn(tailRun
                 .map(v => spark.read.parquet(s"$dir/seg/v=$v/idx"))
                 .reduce(_ unionByName _)
                 .groupBy(col("gram"))
                 .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
-                  sort_array(flatten(collect_list(col("pl")))).as("pl"))
-              val staged = s"$dir/seg/v=$batchId/.idx_minor"
-              merged.write.mode("overwrite").parquet(staged)
-              val idxPath = new org.apache.hadoop.fs.Path(s"$dir/seg/v=$batchId/idx")
-              fs.delete(idxPath, true)
-              if (!fs.rename(new org.apache.hadoop.fs.Path(staged), idxPath))
-                throw new java.io.IOException(s"minor-compaction rename failed: $idxPath")
+                  sort_array(flatten(collect_list(col("pl")))).as("pl")),
+                dir, batchId, "idx")
               // folded-run members (except this batch) become debris —
               // unreferenced by the new manifest, reclaimed by vacuum
-              Manifest(appended.base,
-                appended.segments.filterNot(v =>
-                  tailRun.contains(v) && v != batchId),
-                appended.dels)
-            }
+              SegmentedState.afterMinor(appended, tailRun, batchId)
           }
         writeManifest(spark, dir, batchId, committed)
         StatePointer.advance(spark, dir, batchId)

@@ -85,7 +85,8 @@ object StreamingIvf {
       centers: => DataFrame,
       deleteCol: Option[String] = None,
       maxSegments: Int = DefaultMaxSegments,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      majorRatio: Double = StreamingIndex.DefaultMajorRatio): Unit = {
     require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
     val spark = batch.sparkSession
     latestVersion(spark, dir) match {
@@ -112,8 +113,20 @@ object StreamingIvf {
           if (hasDel) prevM.dels + batchId else prevM.dels)
         val committed =
           if (appended.segments.size < maxSegments) appended
-          else { compactTo(spark, dir, appended, batchId, idCol)
-            Manifest(Some(batchId), Nil, Set.empty) }
+          else SegmentedState.minorPlan(spark, dir, appended, majorRatio) match {
+            case None => compactTo(spark, dir, appended, batchId, idCol)
+              Manifest(Some(batchId), Nil, Set.empty)
+            case Some(tailRun) =>
+              // MINOR: per-row artifact — the fold is a pure concat of
+              // the tail run (row versions bump to batchId, which stays
+              // ordered against every tombstone: earlier dels still
+              // predate the run, future dels postdate it)
+              SegmentedState.swapIn(tailRun
+                .map(v => spark.read.parquet(s"$dir/seg/v=$v/ivf"))
+                .reduce(_ unionByName _),
+                dir, batchId, "ivf")
+              SegmentedState.afterMinor(appended, tailRun, batchId)
+          }
         SegmentedState.writeManifest(spark, dir, batchId, committed)
         StatePointer.advance(spark, dir, batchId)
     }

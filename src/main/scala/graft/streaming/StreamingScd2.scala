@@ -136,7 +136,8 @@ object StreamingScd2 {
   private[graft] def applyBatch(df: DataFrame, dir: String, keyCol: String,
       tsCol: String, stateCol: String, tieCol: String, batchId: Long,
       maxSegments: Int = DefaultMaxSegments,
-      nBuckets: Int = DefaultBuckets): Unit = {
+      nBuckets: Int = DefaultBuckets,
+      majorRatio: Double = StreamingIndex.DefaultMajorRatio): Unit = {
     require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
     for (reserved <- Seq("b", "_v", "_w"))
       require(!df.columns.contains(reserved),
@@ -171,8 +172,35 @@ object StreamingScd2 {
           Set.empty)
         val committed =
           if (appended.segments.size < maxSegments) appended
-          else { compactTo(spark, dir, appended, batchId, keyCol, nBuckets)
-            Manifest(Some(batchId), Nil, Set.empty) }
+          else SegmentedState.minorPlan(spark, dir, appended, majorRatio) match {
+            case None =>
+              compactTo(spark, dir, appended, batchId, keyCol, nBuckets)
+              Manifest(Some(batchId), Nil, Set.empty)
+            case Some(tailRun) =>
+              // MINOR: closed intervals are append-only — a pure concat;
+              // open rows fold LWW per key across the window (a key's
+              // only live open row is in the latest segment that touched
+              // it, so max-by segment version is exact)
+              SegmentedState.swapIn(tailRun
+                .map(v => spark.read.parquet(s"$dir/seg/v=$v/closed"))
+                .reduce(_ unionByName _),
+                dir, batchId, "closed")
+              val openAll = tailRun.map(v =>
+                  spark.read.parquet(s"$dir/seg/v=$v/open")
+                    .withColumn("_v", lit(v)))
+                .reduce(_ unionByName _)
+              val payload = openAll.columns.toSeq.filterNot(_ == "_v")
+              SegmentedState.swapIn(openAll
+                .groupBy(col(keyCol))
+                .agg(max_by(
+                  struct(payload.filterNot(_ == keyCol).map(col): _*),
+                  col("_v")).as("_w"))
+                .select(col(keyCol) +: payload.filterNot(_ == keyCol)
+                  .map(c => col(s"_w.$c").as(c)): _*)
+                .select(payload.map(col): _*),
+                dir, batchId, "open")
+              SegmentedState.afterMinor(appended, tailRun, batchId)
+          }
         SegmentedState.writeManifest(spark, dir, batchId, committed)
         StatePointer.advance(spark, dir, batchId)
     }

@@ -126,8 +126,9 @@ class StreamingChurnPropertySpec extends SparkTestBase {
     // doc can change cluster membership
     val tmpl = (1 to 9).map(i => s"base$i").mkString(" ")
     def dtext(id: Long, gen: Int): String = s"$tmpl fam${(id + gen) % 3}"
-    for (seed <- 1 to 2; maxSegments <- Seq(2, 4)) {
-      val rng = new scala.util.Random(seed * 13 + maxSegments)
+    for (seed <- 1 to 2; (maxSegments, ratio) <- Seq((2, 0.2), (4, 0.2),
+        (2, 1e9))) {
+      val rng = new scala.util.Random(seed * 13 + maxSegments + ratio.toInt)
       val dir = java.nio.file.Files.createTempDirectory(
         s"sdedupprop_${seed}_$maxSegments").toString
       var live = Map.empty[Long, Int]
@@ -137,7 +138,8 @@ class StreamingChurnPropertySpec extends SparkTestBase {
         val df = rows.map { case (id, g, del) => (id, dtext(id, g), del) }
           .toDF("doc_id", "text", "_deleted")
         graft.streaming.StreamingDedup.applyBatch(df, dir, b.toLong,
-          deleteCol = Some("_deleted"), maxSegments = maxSegments)
+          deleteCol = Some("_deleted"), maxSegments = maxSegments,
+          majorRatio = ratio)
         if (b == 3) graft.streaming.StreamingDedup.vacuum(spark, dir)
       }
       val fin = live.toSeq.map { case (id, g) => (id, dtext(id, g)) }
@@ -157,8 +159,9 @@ class StreamingChurnPropertySpec extends SparkTestBase {
       Array(if (d == 0) 1.0 else 0.0, if (d == 1) 1.0 else 0.0,
         if (d == 2) 1.0 else 0.0, 0.1 * (id % 4))
     }
-    for (seed <- 1 to 2; maxSegments <- Seq(2, 4)) {
-      val rng = new scala.util.Random(seed * 7 + maxSegments)
+    for (seed <- 1 to 2; (maxSegments, ratio) <- Seq((2, 0.2), (4, 0.2),
+        (2, 1e9))) {
+      val rng = new scala.util.Random(seed * 7 + maxSegments + ratio.toInt)
       val dir = java.nio.file.Files.createTempDirectory(
         s"scentprop_${seed}_$maxSegments").toString
       var live = Map.empty[Long, Int]
@@ -169,7 +172,8 @@ class StreamingChurnPropertySpec extends SparkTestBase {
           (id, id % 2, cvec(id, g), del) }
           .toDF("vec_id", "label", "embedding", "_deleted")
         graft.streaming.StreamingCentroids.applyBatch(df, dir, b.toLong,
-          deleteCol = Some("_deleted"), maxSegments = maxSegments)
+          deleteCol = Some("_deleted"), maxSegments = maxSegments,
+          majorRatio = ratio)
         if (b == 3) graft.streaming.StreamingCentroids.vacuum(spark, dir)
       }
       val fin = live.toSeq.map { case (id, g) => (id, id % 2, cvec(id, g)) }
@@ -184,8 +188,9 @@ class StreamingChurnPropertySpec extends SparkTestBase {
   }
 
   test("scd2 churn: random per-key state walks at any compaction cadence serve the rebuilt history") {
-    for (seed <- 1 to 2; maxSegments <- Seq(1, 3)) {
-      val rng = new scala.util.Random(seed * 11 + maxSegments)
+    for (seed <- 1 to 2; (maxSegments, ratio) <- Seq((1, 0.2), (3, 0.2),
+        (2, 1e9))) {
+      val rng = new scala.util.Random(seed * 11 + maxSegments + ratio.toInt)
       val dir = java.nio.file.Files.createTempDirectory(
         s"scd2prop_${seed}_$maxSegments").toString
       var eid = 0L
@@ -203,7 +208,8 @@ class StreamingChurnPropertySpec extends SparkTestBase {
         val df = rows.toDF("event_id", "user_id", "event_type", "ms")
           .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
         graft.streaming.StreamingScd2.applyBatch(df, dir, "user_id", "ts",
-          "event_type", "event_id", b.toLong, maxSegments)
+          "event_type", "event_id", b.toLong, maxSegments,
+          majorRatio = ratio)
         if (b == 3) graft.streaming.StreamingScd2.vacuum(spark, dir)
       }
       val fin = all.toDF("event_id", "user_id", "event_type", "ms")
@@ -221,8 +227,9 @@ class StreamingChurnPropertySpec extends SparkTestBase {
       Array(1.0 + id, 0.1 * gen, (id % 3).toDouble, 1.0)
     val centers = Similarity.ivfCenters(
       ids.map(i => (i, vec(i, 0))).toDF("vec_id", "embedding"), nCells = 4)
-    for (seed <- 1 to 2; maxSegments <- Seq(1, 3)) {
-      val rng = new scala.util.Random(seed * 17 + maxSegments)
+    for (seed <- 1 to 2; (maxSegments, ratio) <- Seq((1, 0.2), (3, 0.2),
+        (2, 1e9))) {
+      val rng = new scala.util.Random(seed * 17 + maxSegments + ratio.toInt)
       val dir = java.nio.file.Files.createTempDirectory(
         s"sivfprop_${seed}_$maxSegments").toString
       var live = Map.empty[Long, Int]
@@ -232,7 +239,8 @@ class StreamingChurnPropertySpec extends SparkTestBase {
         val df = rows.map { case (id, g, del) => (id, vec(id, g), del) }
           .toDF("vec_id", "embedding", "_deleted")
         StreamingIvf.applyBatch(df, dir, b.toLong, centers,
-          deleteCol = Some("_deleted"), maxSegments = maxSegments)
+          deleteCol = Some("_deleted"), maxSegments = maxSegments,
+          majorRatio = ratio)
         if (b == 4) StreamingIvf.vacuum(spark, dir)
       }
       val fin = live.toSeq.map { case (id, g) => (id, vec(id, g)) }
