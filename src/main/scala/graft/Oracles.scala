@@ -3332,6 +3332,9 @@ object Oracles {
     // erase → re-ingest churn serves the FULL corpus again: the ordered
     // tombstone fold subtracts the old postings before the new ones merge
     "q_index_stream_reingest" -> invertedIndexSql,
+    // minor-compaction serving path (tail-run fold over an untouched
+    // base) ≡ the same full rebuild
+    "q_index_stream_minor" -> invertedIndexSql,
 
     // conjunctive phrase lookup over the railed index: same index CTEs as
     // q_inverted_index, panel bigrams interpolated from Search.PhrasePanel

@@ -2298,6 +2298,29 @@ object Queries {
             2L, math.floor(0.06 * n).toLong))
         .orderBy(col("gram"))
     }),
+    // STREAMING ingest under MINOR compaction: maxSegments=2 with a
+    // forced-minor ratio — the trigger at batch 1 majors (no base yet),
+    // the triggers at batches 3 and 4 MINOR (tail-run fold into one
+    // segment, base untouched on disk). The serving read is base + the
+    // folded segment; shares the full-rebuild oracle VERBATIM, so the
+    // driver gate covers the minor path, not just the specs.
+    "q_index_stream_minor" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sidx_minor_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sidxm").toString
+      }
+      (0L to 4L).foreach { b =>
+        streaming.StreamingIndex.applyBatch(
+          docs.filter(col("doc_id") % 5 === b), state, b,
+          maxSegments = 2, majorRatio = 1e9)
+      }
+      streaming.StreamingIndex.vacuum(s, state)
+      llm.Search.renderIndex(
+          streaming.StreamingIndex.readRailedIndex(s, state))
+        .orderBy(col("gram"))
+    }),
     // STREAMING erase → RE-INGEST for the index (update churn): docs ≡ 6
     // (mod 10) from batch 0 are tombstoned in batch 1 (postings re-derive
     // from the tombstone text) and RETURN in batch 2; batch 3 adds the
