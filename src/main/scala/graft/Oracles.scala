@@ -1045,6 +1045,17 @@ object Oracles {
     // MERGE mirror: same deterministic batch derivation, then the row-level
     // MERGE outcome — snapshot keys absent from the batch, plus the batch's
     // surviving rows
+    // streamed LWW snapshot of per-batch-latest change rows over
+    // time-ordered batches ≡ the global per-user argmax (a user's
+    // overall latest event lives in their last batch with activity);
+    // the tombstone batch removes users ≡ 3 (mod 7)
+    "q_snapshot_stream" ->
+      s"""SELECT user_id, event_type, ts, event_id FROM (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events WHERE user_id % 7 <> 3)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_merge_upsert" ->
       """WITH batch AS (
         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,

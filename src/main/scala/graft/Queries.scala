@@ -294,6 +294,45 @@ object Queries {
     // (updates %7, tombstones %13 minus the update keys, inserts at
     // −key−1 for %11 keys — strictly negative, guaranteed-absent) applied
     // via the broadcast-anti-join MERGE; the snapshot bulk never shuffles
+    // STREAMING SNAPSHOT (CDC latest-state): three time-ordered change
+    // batches — per batch, each user's LATEST event row (one row per key,
+    // the MERGE contract) — folded through the segmented LWW state, then
+    // a pure-tombstone batch erases users ≡ 3 (mod 7). Serves the latest
+    // event per surviving user; oracle = the same argmax in SQL. The one
+    // maintained state that previously had spec-only coverage.
+    "q_snapshot_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/snap_stream_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_snaps").toString
+      }
+      def latestPerUser(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("_rn", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("_rn") === 1).drop("_rn")
+      val c1 = lit("2024-01-18").cast("timestamp")
+      val c2 = lit("2024-01-25").cast("timestamp")
+      val batches = Seq(
+        latestPerUser(ev.filter(col("ts") < c1))
+          .withColumn("_deleted", lit(false)),
+        latestPerUser(ev.filter(col("ts") >= c1 && col("ts") < c2))
+          .withColumn("_deleted", lit(false)),
+        latestPerUser(ev.filter(col("ts") >= c2))
+          .withColumn("_deleted", lit(false)),
+        // erasure batch: full-row tombstones for every user ≡ 3 (mod 7)
+        latestPerUser(ev.filter(col("user_id") % 7 === 3))
+          .withColumn("_deleted", lit(true)))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        streaming.StreamingSnapshot.applyBatch(b, state, Seq("user_id"),
+          "_deleted", i.toLong)
+      }
+      streaming.StreamingSnapshot.vacuum(s, state)
+      streaming.StreamingSnapshot.readSnapshot(s, state)
+        .orderBy(col("user_id"))
+    }),
     "q_merge_upsert" -> ((s, dir) => {
       val snap = t(s, dir, "orders")
       val cols = snap.columns.map(col).toSeq
