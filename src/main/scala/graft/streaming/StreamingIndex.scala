@@ -22,17 +22,22 @@ import graft.llm.Search
   *  - '''ingest''': each batch appends an immutable SEGMENT
   *    (`seg/v=<batchId>/idx` = [[Search.invertedIndexRaw]] over the adds,
   *    plus `…/del` when the batch carries tombstones) — write ∝ batch;
-  *  - '''read''' ([[readIndex]]): merge-on-read — the base plus the live
-  *    segments fold through ONE [[Search.indexMerge]] (segment gram lists
-  *    broadcast; base grams untouched by any segment pass one anti join
-  *    unshuffled), then accumulated tombstones subtract via
-  *    [[Search.indexDelete]]. Segment count is bounded by `maxSegments`,
+  *  - '''read''' ([[readIndex]]): merge-on-read in BATCH ORDER — base +
+  *    contiguous add runs fold through [[Search.indexMerge]] (segment
+  *    gram lists broadcast; base grams untouched by any segment pass one
+  *    anti join unshuffled), and the fold splits at each tombstone
+  *    boundary so a del segment subtracts ([[Search.indexDelete]]) from
+  *    exactly the state that preceded it. No live tombstones = ONE
+  *    merge; |dels| live = 2·|dels|+1 layers, bounded by `maxSegments`,
   *    so read amplification is bounded;
-  *  - '''compaction''': when the live-segment count reaches `maxSegments`,
-  *    the merged view is written as a new base — O(corpus), but amortized
-  *    over `maxSegments` batches and embarrassingly parallel because the
-  *    base is hive-partitioned by a stable gram-hash bucket
-  *    (`b = pmod(xxhash64(gram), nBuckets)`, the
+  *  - '''compaction''': when the live-segment count reaches
+  *    `maxSegments`, a MINOR compaction folds the tail del-less run into
+  *    one segment (write ∝ window, base untouched — see [[applyBatch]]);
+  *    a MAJOR — the merged view written as a new base, O(corpus)
+  *    amortized — runs only when no base exists, accumulated segment
+  *    bytes reach `majorRatio` × base, or a del boundary leaves the tail
+  *    run too short. The base is hive-partitioned by a stable gram-hash
+  *    bucket (`b = pmod(xxhash64(gram), nBuckets)`, the
   *    [[graft.sources.Artifacts.table]] cell-partition discipline — also
   *    the unit a future per-bucket compactor or pruned gram probe keys
   *    on);
