@@ -3351,32 +3351,12 @@ object Oracles {
     // q_inverted_index, panel bigrams interpolated from Search.PhrasePanel
     // (phraseGrams: distinct sorted bigrams), a doc matches iff EVERY
     // phrase bigram survives the rails and appears in the doc
-    "q_index_phrase" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
-         |  FROM documents WHERE len(trim(text)) > 0),
-         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-         |g AS (
-         |  SELECT doc_id, unnest(list_transform(list_slice(a, 1, len(a) - 1),
-         |    (x, i) -> x || ' ' || a[i + 1])) AS gram
-         |  FROM w WHERE len(a) >= 2),
-         |tf AS (SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS tf
-         |  FROM g GROUP BY 1, 2),
-         |d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |k AS (SELECT gram FROM d, n
-         |  WHERE df >= 2 AND df <= CAST(floor(0.06 * n.n) AS BIGINT)),
-         |panel(phrase_id, gram) AS (VALUES $phrasePanelSql),
-         |need AS (SELECT phrase_id, CAST(count(*) AS BIGINT) AS n_grams
-         |  FROM panel GROUP BY 1),
-         |hit AS (SELECT p.phrase_id, p.gram FROM panel p JOIN k USING (gram)),
-         |m AS (
-         |  SELECT h.phrase_id, t.doc_id,
-         |    count(DISTINCT h.gram) AS np, min(t.tf) AS phrase_tf
-         |  FROM hit h JOIN tf t USING (gram) GROUP BY 1, 2)
-         |SELECT m.phrase_id, m.doc_id, need.n_grams, m.phrase_tf
-         |FROM m JOIN need USING (phrase_id) WHERE m.np = need.n_grams
-         |ORDER BY phrase_id, doc_id""".stripMargin,
-
+    "q_index_phrase" -> phraseQuerySql,
+    // the bucket-pruned probe over the STREAMED segmented index serves
+    // the identical panel over the identical corpus (pruning is the
+    // identity restricted to the panel; state == full corpus; same
+    // rails) — shares the phrase oracle VERBATIM
+    "q_index_phrase_stream" -> phraseQuerySql,
     // panel contract: the oracle predicts the panel size and that the
     // aggregate recall@5 clears the published bound (literal TRUE — same
     // error-contract discipline as HLL / approx-percentile / PQ)
@@ -4884,6 +4864,36 @@ object Oracles {
     .flatMap { case (pid, ph) =>
       graft.llm.Search.phraseGrams(ph).map(g => s"($pid, '$g')") }
     .mkString(", ")
+
+  /** Conjunctive phrase lookup over the railed bigram index — shared
+    * VERBATIM by the batch probe (q_index_phrase) and the streamed
+    * segmented-state probe (q_index_phrase_stream): the bucket pruning
+    * both probes apply is the identity restricted to the panel grams. */
+  private lazy val phraseQuerySql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(list_slice(a, 1, len(a) - 1),
+       |    (x, i) -> x || ' ' || a[i + 1])) AS gram
+       |  FROM w WHERE len(a) >= 2),
+       |tf AS (SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM g GROUP BY 1, 2),
+       |d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |k AS (SELECT gram FROM d, n
+       |  WHERE df >= 2 AND df <= CAST(floor(0.06 * n.n) AS BIGINT)),
+       |panel(phrase_id, gram) AS (VALUES $phrasePanelSql),
+       |need AS (SELECT phrase_id, CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM panel GROUP BY 1),
+       |hit AS (SELECT p.phrase_id, p.gram FROM panel p JOIN k USING (gram)),
+       |m AS (
+       |  SELECT h.phrase_id, t.doc_id,
+       |    count(DISTINCT h.gram) AS np, min(t.tf) AS phrase_tf
+       |  FROM hit h JOIN tf t USING (gram) GROUP BY 1, 2)
+       |SELECT m.phrase_id, m.doc_id, need.n_grams, m.phrase_tf
+       |FROM m JOIN need USING (phrase_id) WHERE m.np = need.n_grams
+       |ORDER BY phrase_id, doc_id""".stripMargin
 
   /** Shared embedding-centroid CTE chain: label-blocked cosine pairs →
     * recursive component closure → per-(cluster, dim) exact micro sums.

@@ -2215,17 +2215,54 @@ object Queries {
           maxDf = math.floor(0.06 * n).toLong)
         .orderBy(col("gram"))
     }),
-    // conjunctive AND/phrase lookup over the PREBUILT index (checkpointed
-    // = the persisted-index stand-in): rarest gram's postings drive, a doc
-    // matches iff every phrase bigram is indexed and present; the corpus
-    // is never re-scanned (PlanSpec)
+    // conjunctive AND/phrase lookup over the PREBUILT index, persisted
+    // hive-partitioned by gram-hash bucket: the probe reads ONLY the
+    // panel grams' buckets (static partition filter on b, literal buckets
+    // hashed driver-side with Spark's own xxhash64) plus a pushed
+    // gram-IN filter — never the whole index (PlanSpec + SearchScanSpec
+    // FS-byte probe). Rarest gram's postings drive, a doc matches iff
+    // every phrase bigram is indexed and present; the corpus is never
+    // re-scanned. Pruning is the identity restricted to the panel, so the
+    // oracle is unchanged.
     "q_index_phrase" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
       val n = docs.count()
-      val index = sources.Artifacts.table(s, "phrase_index")(
-        llm.Search.invertedIndexRaw(docs, minDf = 2L,
-          maxDf = math.floor(0.06 * n).toLong))
-      llm.Search.phraseQuery(index, llm.Search.PhrasePanel)
+      val nb = streaming.StreamingIndex.DefaultBuckets
+      val index = sources.Artifacts.table(s, "phrase_index",
+        partitionBy = Seq("b"))(
+        llm.Search.withBucket(llm.Search.invertedIndexRaw(docs, minDf = 2L,
+          maxDf = math.floor(0.06 * n).toLong), nb))
+      val grams = llm.Search.PhrasePanel
+        .flatMap(p => llm.Search.phraseGrams(p._2)).distinct
+      llm.Search.phraseQuery(
+          llm.Search.pruneToGrams(index, grams, nb), llm.Search.PhrasePanel)
+        .orderBy(col("phrase_id"), col("doc_id"))
+    }),
+    // the same phrase probe over the STREAMED segmented index: state
+    // folded through StreamingIndex.applyBatch (shares q_index_stream's
+    // state dir and fold params in bench mode — identical folds, one
+    // build), served through readRailedIndexPruned — the base scan takes
+    // the panel buckets' static partition filter (modulus from the
+    // manifest), segments take the gram-IN filter, and the per-gram fold
+    // commutes with the pruning. State == full corpus and rails match
+    // q_index_phrase's, so it shares that oracle VERBATIM.
+    "q_index_phrase_stream" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sidx_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sidxp").toString
+      }
+      (0L to 2L).foreach { b =>
+        streaming.StreamingIndex.applyBatch(
+          docs.filter(col("doc_id") % 3 === b), state, b, maxSegments = 3)
+      }
+      streaming.StreamingIndex.vacuum(s, state)
+      val grams = llm.Search.PhrasePanel
+        .flatMap(p => llm.Search.phraseGrams(p._2)).distinct
+      llm.Search.phraseQuery(
+          streaming.StreamingIndex.readRailedIndexPruned(s, state, grams),
+          llm.Search.PhrasePanel)
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
     // incremental index maintenance: the corpus split (< 250 persisted
@@ -2400,12 +2437,21 @@ object Queries {
     "q_bm25_indexed" -> ((s, dir) => {
       import s.implicits._
       val docs = tWide(s, dir, "documents")
-      val index = sources.Artifacts.table(s, "bm25_index")(
-        llm.Search.searchIndexRaw(docs))
+      // the unigram serving index persists term-bucket-partitioned too:
+      // a literal panel's probe statically prunes to its terms' buckets
+      // (the q_index_phrase discipline — pruning is the identity
+      // restricted to the panel, the probe's first op is a panel join)
+      val nb = streaming.StreamingIndex.DefaultBuckets
+      val index = sources.Artifacts.table(s, "bm25_index",
+        partitionBy = Seq("b"))(
+        llm.Search.withBucket(llm.Search.searchIndexRaw(docs),
+          nb, gramCol = "term"))
       val stats = sources.Artifacts.table(s, "bm25_stats")(
         llm.Search.corpusStats(docs))
-      llm.Search.bm25FromIndex(index, stats,
-          llm.Search.DefaultPanel.toDF("query_id", "term"))
+      val terms = llm.Search.DefaultPanel.map(_._2).distinct
+      llm.Search.bm25FromIndex(
+          llm.Search.pruneToGrams(index, terms, nb, gramCol = "term"),
+          stats, llm.Search.DefaultPanel.toDF("query_id", "term"))
         .orderBy(col("query_id"), col("rank"))
     }),
     // the maintained search stack end-to-end: unigram index halves merged

@@ -402,6 +402,54 @@ object Search {
     raw.filter(col("df") >= minDf && col("df") <= maxDf)
   }
 
+  /** Stamp the gram-hash bucket a persisted index is hive-partitioned
+    * by — `b = pmod(xxhash64(gram), nBuckets)`, the
+    * [[graft.streaming.StreamingIndex]] base layout. Partitioning the
+    * serving artifact on `b` is what turns a literal-panel probe into a
+    * static-partition-pruned read ([[pruneToGrams]]): the probe lists and
+    * reads ONLY its grams' buckets' files, never the whole index. */
+  def withBucket(index: DataFrame, nBuckets: Int,
+      gramCol: String = "gram"): DataFrame =
+    index.withColumn("b", pmod(xxhash64(col(gramCol)), lit(nBuckets.toLong)))
+
+  /** The bucket ids a literal gram panel touches — Spark's own xxhash64
+    * (seed 42, the `functions.xxhash64` default) evaluated DRIVER-SIDE on
+    * the literals via the Catalyst expression, then the same pmod as
+    * [[withBucket]]'s write path. Agreement between this and the column
+    * form is spec-pinned (SearchSpec): a divergent hash would silently
+    * prune away real postings. Distinct, sorted. */
+  def gramBuckets(grams: Seq[String], nBuckets: Int): Seq[Long] = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    grams.map { g =>
+      val h = XxHash64(Seq(Literal.create(g,
+          org.apache.spark.sql.types.StringType)), 42L)
+        .eval(null).asInstanceOf[Long]
+      ((h % nBuckets) + nBuckets) % nBuckets
+    }.distinct.sorted
+  }
+
+  /** Bucket-pruned view of a bucket-partitioned persisted index for a
+    * LITERAL gram panel — the serving-probe read [[phraseQuery]] /
+    * [[bm25FromIndex]] should consume: a static partition filter on the
+    * panel's hash buckets (`b IN (…)` — only those buckets' files are
+    * listed/read; the `q_knn_ivf_indexed` cell-pruning discipline) plus a
+    * pushed `gram IN (panel)` data filter (row-group min/max pruning
+    * inside each bucket). Semantically the IDENTITY restricted to the
+    * panel grams — both probes' first step is an inner join against the
+    * panel, so rows outside it never score — which is why the pruned rows
+    * share their unpruned siblings' oracles verbatim. At 100 TB this is
+    * the difference between a phrase probe touching KB and scanning the
+    * whole index. */
+  def pruneToGrams(index: DataFrame, grams: Seq[String], nBuckets: Int,
+      gramCol: String = "gram", bucketCol: String = "b"): DataFrame = {
+    require(grams.nonEmpty, "pruneToGrams needs a non-empty panel")
+    index
+      .filter(col(bucketCol).isin(gramBuckets(grams, nBuckets): _*))
+      .filter(col(gramCol).isin(grams.distinct: _*))
+      .drop(bucketCol)
+  }
+
   /** The catalog's fixed phrase panel: conjunctive (AND) lookups the
     * retrieval user runs right after building the bigram index. Mixes
     * 3- and 4-word phrases with hits at each SF and one phrase whose

@@ -28,8 +28,17 @@ object SegmentedState {
 
   /** `base`: compacted-base version, if one exists. `segments`: live
     * segment versions in fold order. `dels`: the subset of segments that
-    * carry a tombstone side (state-specific; empty where unused). */
-  case class Manifest(base: Option[Long], segments: Seq[Long], dels: Set[Long])
+    * carry a tombstone side (state-specific; empty where unused).
+    * `buckets`: the hash-bucket count the base was hive-partitioned with
+    * (recorded at compaction — a pruned probe MUST bucket its literals
+    * with the writer's modulus, so the reader takes it from here, never
+    * from configuration). `pure`: the subset of segments whose ADD side
+    * is empty (pure-tombstone batches) — what makes a trailing del run
+    * minor-foldable. Both optional lines in the manifest file; absent in
+    * pre-r11 manifests, which parse to None/empty (backward compatible). */
+  case class Manifest(base: Option[Long], segments: Seq[Long],
+      dels: Set[Long], buckets: Option[Int] = None,
+      pure: Set[Long] = Set.empty)
 
   def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -61,7 +70,9 @@ object SegmentedState {
     Manifest(
       kv.get("base").filter(_ != "-").map(_.toLong),
       longs(kv.getOrElse("segments", "")),
-      longs(kv.getOrElse("dels", "")).toSet)
+      longs(kv.getOrElse("dels", "")).toSet,
+      kv.get("buckets").filter(_ != "-").map(_.toInt),
+      longs(kv.getOrElse("pure", "")).toSet)
   }
 
   /** Write the manifest for `v` as a NEW generation (see object doc). */
@@ -71,7 +82,10 @@ object SegmentedState {
     val g = gens(f, dir, v).lastOption.fold(0L)(_ + 1L)
     val text = s"base=${m.base.getOrElse("-")}\n" +
       s"segments=${m.segments.mkString(",")}\n" +
-      s"dels=${m.dels.toSeq.sorted.mkString(",")}\n"
+      s"dels=${m.dels.toSeq.sorted.mkString(",")}\n" +
+      m.buckets.fold("")(n => s"buckets=$n\n") +
+      (if (m.pure.isEmpty) ""
+       else s"pure=${m.pure.toSeq.sorted.mkString(",")}\n")
     val tmp = new Path(s"$dir/manifest/.v=$v.g=$g.tmp")
     val out = f.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
@@ -150,8 +164,7 @@ object SegmentedState {
   /** Recursive delete of superseded `v=<n>` children under `dir/<sub>`
     * for each sub in `subs`, keeping exactly the versions in `keep` —
     * the shared sliver-artifact vacuum ([[StreamingDedup]] labels/pairs,
-    * [[StreamingCentroids]] labels/sums/pairs, [[StreamingScd2]]
-    * history). */
+    * [[StreamingCentroids]] labels/sums/pairs). */
   def vacuumVersioned(spark: SparkSession, dir: String, subs: Seq[String],
       keep: Set[Long]): Unit = {
     val f = fs(spark, dir)
@@ -210,6 +223,14 @@ object SegmentedState {
     val tailRun = appended.segments.reverse
       .takeWhile(v => !appended.dels.contains(v)).reverse
     if (tailRun.size < 2) return None
+    if (segBytesDue(spark, dir, appended, majorRatio)) None else Some(tailRun)
+  }
+
+  /** Whether accumulated segment bytes have reached `majorRatio` × base
+    * bytes — the deltas-are-no-longer-small trigger that forces a MAJOR
+    * over any minor fold. */
+  private def segBytesDue(spark: SparkSession, dir: String,
+      appended: Manifest, majorRatio: Double): Boolean = {
     val f = fs(spark, dir)
     def du(p: String): Long = {
       val path = new Path(p)
@@ -217,8 +238,42 @@ object SegmentedState {
     }
     val baseBytes = appended.base.fold(0L)(b => du(s"$dir/base/v=$b"))
     val segBytes = appended.segments.map(v => du(s"$dir/seg/v=$v")).sum
-    if (segBytes >= majorRatio * baseBytes) None else Some(tailRun)
+    segBytes >= majorRatio * baseBytes
   }
+
+  /** Tombstone-run minor plan — the erasure-sweep companion to
+    * [[minorPlan]]: `Some(run)` when the TRAILING segments (ending at the
+    * current, still-uncommitted batch) are all PURE tombstones (del side
+    * present, add side empty — the manifest's `pure` set), so their del
+    * sides may fold into ONE del segment at the current batch's version.
+    * Legal because no adds interleave inside the run: the tombstone union
+    * subtracts from exactly the state that preceded the run, preserving
+    * version order, and the union's doc sets are disjoint (a doc cannot
+    * be tombstoned twice without a re-ingest between, which would be an
+    * add). Ending at the current batch is what makes the fold crash-safe:
+    * it writes only into the uncommitted `seg/v=<batchId>` dir
+    * ([[swapIn]]) — a fold that rewrote a committed run member's dir
+    * could brick the previous manifest on a crash. Same byte guard as
+    * [[minorPlan]]: once accumulated tombstones reach `majorRatio` ×
+    * base, a major is genuinely due. */
+  def delRunPlan(spark: SparkSession, dir: String, appended: Manifest,
+      majorRatio: Double, batchId: Long): Option[Seq[Long]] = {
+    if (appended.base.isEmpty) return None
+    val run = appended.segments.reverse
+      .takeWhile(v => appended.pure.contains(v)).reverse
+    if (run.size < 2 || !run.lastOption.contains(batchId)) return None
+    if (segBytesDue(spark, dir, appended, majorRatio)) None else Some(run)
+  }
+
+  /** The post-tombstone-run-fold manifest: the folded run collapses to
+    * the current batch's segment, which stays marked del and pure. */
+  def afterDelRun(appended: Manifest, run: Seq[Long],
+      batchId: Long): Manifest =
+    appended.copy(
+      segments = appended.segments.filterNot(v =>
+        run.contains(v) && v != batchId),
+      dels = appended.dels -- run + batchId,
+      pure = appended.pure -- run + batchId)
 
   /** Stage-and-swap a minor-fold result over `seg/v=<batchId>/<sub>` —
     * never read and overwrite the same path in one job. The v=<batchId>

@@ -112,9 +112,27 @@ object StreamingIndex {
     * 2·|del segments| + 1 broadcast-gated layers, bounded by
     * `maxSegments` and folded flat again at compaction. Pure plan
     * construction — no action. */
-  private def mergedView(spark: SparkSession, dir: String,
-      m: Manifest): DataFrame = {
-    val base = m.base.map(v => spark.read.parquet(s"$dir/base/v=$v").drop("b"))
+  private def mergedView(spark: SparkSession, dir: String, m: Manifest,
+      grams: Option[Seq[String]] = None): DataFrame = {
+    // Literal-panel pruning (readIndexPruned): every part — base,
+    // add segments, del segments — restricts to the panel's grams before
+    // entering the fold. Legal because the whole fold is PER-GRAM
+    // (indexMerge / indexDelete key on gram and never mix grams), so
+    // pruning each part to the panel commutes with folding. The base
+    // additionally takes a STATIC partition filter on the panel's hash
+    // buckets (modulus read from the manifest — the writer's, never
+    // configuration), so only those buckets' files are listed and read.
+    val pruneSeg: DataFrame => DataFrame = grams match {
+      case Some(gs) => df => df.filter(col("gram").isin(gs.distinct: _*))
+      case None => identity
+    }
+    val pruneBase: DataFrame => DataFrame = (grams, m.buckets) match {
+      case (Some(gs), Some(n)) => df =>
+        pruneSeg(df.filter(col("b").isin(Search.gramBuckets(gs, n): _*)))
+      case _ => pruneSeg
+    }
+    val base = m.base.map(v =>
+      pruneBase(spark.read.parquet(s"$dir/base/v=$v")).drop("b"))
     if (m.segments.isEmpty)
       return base.getOrElse(
         throw new IllegalStateException(s"empty manifest at $dir"))
@@ -137,14 +155,14 @@ object StreamingIndex {
     var state = base
     var run = List.empty[DataFrame]
     for (v <- m.segments) {
-      run = run :+ spark.read.parquet(s"$dir/seg/v=$v/idx")
+      run = run :+ pruneSeg(spark.read.parquet(s"$dir/seg/v=$v/idx"))
       if (m.dels.contains(v)) {
         // batch v's adds merge before its tombstones subtract — safe
         // because a doc is never added and erased in the same batch
         val merged = flush(state, run).getOrElse(throw new IllegalStateException(
           s"tombstone segment v=$v precedes any adds at $dir"))
         state = Some(Search.indexDelete(merged,
-          spark.read.parquet(s"$dir/seg/v=$v/del")))
+          pruneSeg(spark.read.parquet(s"$dir/seg/v=$v/del"))))
         run = Nil
       }
     }
@@ -157,6 +175,25 @@ object StreamingIndex {
   def readIndex(spark: SparkSession, dir: String): DataFrame =
     latestVersion(spark, dir) match {
       case Some(v) => mergedView(spark, dir, readManifest(spark, dir, v))
+      case None => throw new IllegalStateException(s"no index at $dir yet")
+    }
+
+  /** Gram-bucket-pruned serving read for a LITERAL gram panel (phrase
+    * probes, literal BM25 panels): the merge-on-read view with every part
+    * restricted to the panel — the base scan takes a STATIC partition
+    * filter on the panel grams' hash buckets (`b IN (…)`, modulus from
+    * the manifest) so only those buckets' files are listed and read, and
+    * every part takes a pushed `gram IN (panel)` filter (row-group
+    * pruning). Semantically [[readIndex]] restricted to the panel grams
+    * ([[mergedView]] doc) — a probe that only joins against the panel
+    * sees identical rows, so pruned probes share unpruned oracles
+    * verbatim. At 100 TB this is the last O(corpus) read off the serving
+    * path: a phrase probe touches its grams' buckets, never the index. */
+  def readIndexPruned(spark: SparkSession, dir: String,
+      grams: Seq[String]): DataFrame =
+    latestVersion(spark, dir) match {
+      case Some(v) =>
+        mergedView(spark, dir, readManifest(spark, dir, v), Some(grams))
       case None => throw new IllegalStateException(s"no index at $dir yet")
     }
 
@@ -174,6 +211,18 @@ object StreamingIndex {
       maxDfFrac: Double = 0.06): DataFrame = {
     val n = readStats(spark, dir).collect().head.getAs[Long]("n_docs")
     Search.applyRails(readIndex(spark, dir), minDf,
+      math.floor(maxDfFrac * n).toLong)
+  }
+
+  /** [[readRailedIndex]] over the bucket-pruned panel view
+    * ([[readIndexPruned]]) — rails commute with the per-gram pruning (df
+    * is a column of every row, global regardless of pruning), so railed
+    * pruned rows equal the railed full view restricted to the panel. */
+  def readRailedIndexPruned(spark: SparkSession, dir: String,
+      grams: Seq[String], minDf: Long = 2L,
+      maxDfFrac: Double = 0.06): DataFrame = {
+    val n = readStats(spark, dir).collect().head.getAs[Long]("n_docs")
+    Search.applyRails(readIndexPruned(spark, dir, grams), minDf,
       math.floor(maxDfFrac * n).toLong)
   }
 
@@ -233,36 +282,62 @@ object StreamingIndex {
         // ---- manifest + (amortized) compaction ----
         val prevM = prev.map(readManifest(spark, dir, _))
           .getOrElse(Manifest(None, Nil, Set.empty))
+        // pure-tombstone batches (del side present, add side empty) are
+        // what a trailing del-run minor fold may later collapse — record
+        // them in the manifest (invariant: pure ⊆ dels). Checked only on
+        // del-carrying batches, so the common all-adds path pays nothing.
+        val pureDel = hasDel && adds.isEmpty
         val appended = Manifest(prevM.base, prevM.segments :+ batchId,
-          if (hasDel) prevM.dels + batchId else prevM.dels)
+          if (hasDel) prevM.dels + batchId else prevM.dels,
+          prevM.buckets,
+          if (pureDel) prevM.pure + batchId else prevM.pure)
         def major(): Manifest = {
           SegmentedState.writePartitioned(
             mergedView(spark, dir, appended)
               .withColumn("b", pmod(xxhash64(col("gram")), lit(nBuckets.toLong))),
             s"$dir/base/v=$batchId", Seq("b"))
-          Manifest(Some(batchId), Nil, Set.empty)
+          // buckets recorded so pruned probes hash with the WRITER's
+          // modulus (readIndexPruned), never a configured one
+          Manifest(Some(batchId), Nil, Set.empty, Some(nBuckets))
         }
+        // per-gram re-aggregation of a segment-run union — the minor-fold
+        // kernel (direct re-agg, NOT indexMerge: the run includes the
+        // previously-minored segment, whose gram list is too large to
+        // broadcast). Folds add runs and pure-del runs alike: doc sets
+        // are disjoint within either run kind, so counts add exactly.
+        def foldRun(run: Seq[Long], sub: String): Unit =
+          SegmentedState.swapIn(run
+            .map(v => spark.read.parquet(s"$dir/seg/v=$v/$sub"))
+            .reduce(_ unionByName _)
+            .groupBy(col("gram"))
+            .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
+              sort_array(flatten(collect_list(col("pl")))).as("pl")),
+            dir, batchId, sub)
         val committed =
           if (appended.segments.size < maxSegments) appended
           else SegmentedState.minorPlan(spark, dir, appended, majorRatio) match {
-            case None => major()
             case Some(tailRun) =>
-              // MINOR: fold the tail run into this batch's segment — a
-              // direct per-gram re-aggregation of the run union (doc
-              // sets are disjoint within a del-less run, counts add
-              // exactly; indexMerge's broadcast gram gating would be
-              // wrong here: the run includes the previously-minored
-              // segment, whose gram list is too large to broadcast).
-              SegmentedState.swapIn(tailRun
-                .map(v => spark.read.parquet(s"$dir/seg/v=$v/idx"))
-                .reduce(_ unionByName _)
-                .groupBy(col("gram"))
-                .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
-                  sort_array(flatten(collect_list(col("pl")))).as("pl")),
-                dir, batchId, "idx")
-              // folded-run members (except this batch) become debris —
-              // unreferenced by the new manifest, reclaimed by vacuum
+              // MINOR: fold the tail del-less run into this batch's
+              // segment — folded-run members (except this batch) become
+              // debris, unreferenced by the new manifest, vacuumable
+              foldRun(tailRun, "idx")
               SegmentedState.afterMinor(appended, tailRun, batchId)
+            case None =>
+              SegmentedState.delRunPlan(spark, dir, appended, majorRatio,
+                  batchId) match {
+                case Some(delRun) =>
+                  // TOMBSTONE-RUN MINOR (the erasure-sweep answer): a
+                  // trailing run of PURE-del segments folds into ONE del
+                  // segment at this batch's version. Legal because no
+                  // adds interleave inside the run — the union of the
+                  // tombstones subtracts from exactly the state that
+                  // preceded the run, preserving batch order — so an
+                  // erasure sweep costs ∝ accumulated tombstones per
+                  // trigger, never an O(corpus) major.
+                  foldRun(delRun, "del")
+                  SegmentedState.afterDelRun(appended, delRun, batchId)
+                case None => major()
+              }
           }
         writeManifest(spark, dir, batchId, committed)
         StatePointer.advance(spark, dir, batchId)
@@ -284,7 +359,8 @@ object StreamingIndex {
           mergedView(spark, dir, m)
             .withColumn("b", pmod(xxhash64(col("gram")), lit(nBuckets.toLong))),
           s"$dir/base/v=$v", Seq("b"))
-        writeManifest(spark, dir, v, Manifest(Some(v), Nil, Set.empty))
+        writeManifest(spark, dir, v,
+          Manifest(Some(v), Nil, Set.empty, Some(nBuckets)))
       }
     }
 

@@ -167,12 +167,15 @@ object StreamingIvf {
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       deleteCol: Option[String] = None,
       maxSegments: Int = DefaultMaxSegments,
-      vacuumEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+      vacuumEvery: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      majorRatio: Double = StreamingIndex.DefaultMajorRatio): DataStreamWriter[org.apache.spark.sql.Row] =
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        applyBatch(df, dir, batchId, centers, deleteCol, maxSegments)
+        applyBatch(df, dir, batchId, centers, deleteCol, maxSegments,
+          idCol, vecCol, majorRatio)
         if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0)
           vacuum(df.sparkSession, dir)
       }

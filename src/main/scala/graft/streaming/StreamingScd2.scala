@@ -242,13 +242,15 @@ object StreamingScd2 {
       stateCol: String = "event_type", tieCol: String = "event_id",
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       maxSegments: Int = DefaultMaxSegments,
-      vacuumEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+      vacuumEvery: Int = 0,
+      nBuckets: Int = DefaultBuckets,
+      majorRatio: Double = StreamingIndex.DefaultMajorRatio): DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         applyBatch(df, dir, keyCol, tsCol, stateCol, tieCol, batchId,
-          maxSegments)
+          maxSegments, nBuckets, majorRatio)
         if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0)
           vacuum(df.sparkSession, dir)
       }

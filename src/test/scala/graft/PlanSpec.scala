@@ -621,10 +621,13 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("streamed row-artifact erasure: the version-ordered kill is a broadcast hash anti-join, never a nested loop") {
-    // the kill join carries an equi key (id) PLUS an inequality (_v <
-    // _dv): if Spark failed to extract the equi key it would plan a
-    // BroadcastNestedLoopJoin — bulk × tombstones at 100 TB. Pin the
-    // hash form.
+    // version ordering is resolved STATICALLY per part (part versions are
+    // plan-time literals — SegmentedState.rowView anti-joins each part
+    // only against strictly-newer tombstone segments), so the kill join
+    // is a plain broadcast hash anti join on id, no version columns. A
+    // BroadcastNestedLoopJoin here would mean that static resolution
+    // regressed to a runtime inequality — bulk × tombstones at 100 TB.
+    // Pin the hash form.
     val dir = java.nio.file.Files.createTempDirectory("sivf_plan").toString
     val emb = t("embeddings").limit(60)
     val centers = graft.llm.Similarity.ivfCenters(emb, nCells = 4)
