@@ -1017,6 +1017,18 @@ object Oracles {
       """SELECT count(DISTINCT user_id) AS exact_users,
         |  TRUE AS sketch_within_5pct
         |FROM events""".stripMargin,
+    // maintained per-day HLL table (two halves folded by sketch union)
+    // must satisfy the identical contract a fresh build does
+    "q_hll_incr" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS sketch_within_5pct
+        |FROM events""".stripMargin,
+    // day-pruned rebuild-on-erasure: the maintained table's estimate
+    // holds the contract against the SURVIVORS' exact count
+    "q_hll_delete" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS sketch_within_5pct
+        |FROM events WHERE user_id % 10 <> 3""".stripMargin,
 
     "q_cube_revenue" ->
       s"""SELECT c_mktsegment, o_orderpriority,

@@ -277,6 +277,33 @@ object Queries {
     // period count (never re-scanning events); ±5% contract vs exact
     "q_uniques_sketches" -> ((s, dir) =>
       Analytics.uniquesFromDailySketches(t(s, dir, "events"))),
+    // HLL artifact MAINTENANCE: per-day sketch tables built over two
+    // disjoint corpus halves fold via lossless same-day sketch union
+    // (hllDailyMerge) — estimates off the maintained table must satisfy
+    // the same ±5% contract as a rebuild over the union corpus (shares
+    // q_uniques_sketches's oracle verbatim); only sketch rows move
+    "q_hll_incr" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val table = sources.Artifacts.table(s, "hll_daily_old")(
+        Analytics.hllDailyBuild(ev.filter(col("event_id") % 2 === 0)))
+      val batch = Analytics.hllDailyBuild(ev.filter(col("event_id") % 2 === 1))
+      Analytics.hllUniquesFromTable(
+        Analytics.hllDailyMerge(table, batch), ev)
+    }),
+    // HLL artifact ERASURE: the insertion-only-sketch taxonomy resolved
+    // by day-pruned rebuild — doomed users' days rebuild their sketches
+    // from that day's survivors (broadcast-gated scan), untouched days
+    // reuse their artifact bytes verbatim (spec-pinned in AnalyticsSpec).
+    // Oracle = the survivors' exact count + contract.
+    "q_hll_delete" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val doom = col("user_id") % 10 === 3
+      val table = sources.Artifacts.table(s, "hll_daily_full")(
+        Analytics.hllDailyBuild(ev))
+      Analytics.hllUniquesFromTable(
+        Analytics.hllDailyDelete(table, ev.filter(!doom), ev.filter(doom)),
+        ev.filter(!doom))
+    }),
     // the exact half of uniques() split out so it gets a value-level oracle
     "q_uniques_exact" -> ((s, dir) =>
       t(s, dir, "events").agg(count_distinct(col("user_id")).as("exact_users"))),

@@ -184,13 +184,57 @@ object Analytics {
     * point: MAU/WAU/rolling-28d all come off the same daily artifacts).
     * Emits the exact count alongside a ±5% contract boolean so the oracle
     * pins the sketch's accuracy, not just its existence. */
-  def uniquesFromDailySketches(events: DataFrame): DataFrame = {
-    val daily = events
-      .groupBy(to_date(col("ts")).as("day"))
+  def uniquesFromDailySketches(events: DataFrame): DataFrame =
+    hllUniquesFromTable(hllDailyBuild(events), events)
+
+  /** The persisted per-day HLL artifact itself — (day, sk: binary), a few
+    * KB per day at ANY corpus size. Build once, persist, answer every
+    * later date-range unique count by sketch union ([[
+    * hllUniquesFromTable]]); maintain with [[hllDailyMerge]] (new data)
+    * and [[hllDailyDelete]] (erasure). */
+  def hllDailyBuild(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val merged = daily
+
+  /** Fold a batch's per-day sketches into the maintained table: same-day
+    * sketches UNION losslessly (HLL union takes register maxima — the
+    * mergeability HLL exists for), new days append. Estimates off the
+    * maintained table match a rebuild over the union corpus
+    * (contract-pinned via q_hll_incr's oracle). Only sketch rows move —
+    * the corpus is never re-scanned. */
+  def hllDailyMerge(table: DataFrame, batch: DataFrame): DataFrame =
+    table.unionByName(batch)
+      .groupBy(col("day"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+
+  /** Right-to-erasure over the per-day HLL table — the honest taxonomy
+    * for a NON-LINEAR, insertion-only sketch (register maxima cannot be
+    * decremented; CMS subtracts exactly, KMV flags `needs_rebuild`, HLL
+    * can only rebuild): every day the doomed rows touch REBUILDS its
+    * sketch from that day's SURVIVORS, and the day key prunes that
+    * rebuild — the survivor scan is gated to touched days by a broadcast
+    * semi join, so at 100 TB an erasure re-reads the touched days'
+    * partitions, never the corpus. Untouched days reuse their artifact
+    * bytes verbatim (spec-pinned). A touched day whose events are all
+    * doomed legitimately vanishes from the table. */
+  def hllDailyDelete(table: DataFrame, survivors: DataFrame,
+      deleted: DataFrame): DataFrame = {
+    val touched = deleted.select(to_date(col("ts")).as("day")).distinct()
+    val untouched = table.join(broadcast(touched), Seq("day"), "left_anti")
+    val rebuilt = hllDailyBuild(
+      survivors.join(broadcast(touched),
+        to_date(col("ts")) === touched("day"), "left_semi"))
+    untouched.unionByName(rebuilt)
+  }
+
+  /** Period uniques OFF the maintained artifact: one sketch union over
+    * the table's (tiny) rows; `exactSide` supplies the exact count the
+    * ±5% contract is published against (the oracle-able form — raw HLL
+    * estimates differ across engines, error contracts do not). */
+  def hllUniquesFromTable(table: DataFrame, exactSide: DataFrame): DataFrame = {
+    val merged = table
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
-    events.agg(count_distinct(col("user_id")).as("exact_users"))
+    exactSide.agg(count_distinct(col("user_id")).as("exact_users"))
       .crossJoin(merged) // 1×1
       .select(col("exact_users"),
         (abs(col("approx_users").cast("double")

@@ -495,9 +495,15 @@ object Search {
     val needDf = panel
       .map { case (pid, ph) => (pid, phraseGrams(ph).size.toLong) }
       .toDF("phrase_id", "n_grams")
-    // panel gate: only the queried grams' postings leave the index scan
+    // panel gate: only the queried grams' postings leave the index scan.
+    // hit is panel-bounded (≤ |panel grams| rows) and feeds THREE
+    // consumers (rarest-gram pick, candidate explode, match explode) —
+    // the lazy checkpoint materializes it once, so the index files are
+    // read ONCE per probe instead of three times (FS-byte-pinned in
+    // SearchScanSpec's pruned-probe test)
     val hit = index.join(broadcast(gramsDf), Seq("gram"))
       .select(col("phrase_id"), col("gram"), col("df"), col("pl"))
+      .localCheckpoint(eager = false)
     // smallest-df-first: the rarest gram's postings are the candidates
     val rare = hit.groupBy(col("phrase_id"))
       .agg(min(struct(col("df"), col("gram"))).as("r"))

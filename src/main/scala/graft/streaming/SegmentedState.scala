@@ -180,18 +180,6 @@ object SegmentedState {
     }
   }
 
-  /** Delete every state dir that none of the `retain` most recent
-    * manifests references: superseded bases, compacted-away segments,
-    * stale manifests, and — when `withStats` — stale `stats/v=*`
-    * sidecars.
-    *
-    * `retain` > 1 is the concurrent-reader grace window: a reader that
-    * resolved pointer → manifest keeps its (lazy) plan valid as long as
-    * that manifest stays within the retained window — the reason
-    * production merge-on-read formats vacuum with a retention period,
-    * not to the live snapshot. `retain` = 1 (default) reclaims
-    * everything but the current view; use it when the writer is the
-    * only process touching the state, or readers materialize eagerly. */
   /** The manifest versions a `retain`-window vacuum keeps: the newest
     * `retain` distinct versions, always including the pointer's. */
   def retainedVersions(spark: SparkSession, dir: String,
@@ -387,6 +375,23 @@ object SegmentedState {
     out.toSeq
   }
 
+  /** Delete every state dir that none of the `retain` most recent
+    * manifests references: superseded bases, compacted-away segments,
+    * stale manifests, and — when `withStats` — stale `stats/v=*`
+    * sidecars.
+    *
+    * `retain` > 1 is the concurrent-reader grace window: a reader that
+    * resolved pointer → manifest keeps its (lazy, not-yet-executed) plan
+    * servable as long as that manifest stays within the retained window —
+    * the reason production merge-on-read formats vacuum with a retention
+    * period, not to the live snapshot. `retain` = 1 (default) reclaims
+    * everything but the current view; use it when the writer is the only
+    * process touching the state, or readers materialize eagerly. The
+    * failure mode is PINNED (StreamingIndexSpec): a reader whose manifest
+    * fell out of the window fails LOUDLY at its next fresh execution
+    * (missing files) — it never silently serves a partial view, because
+    * every part the plan references is either fully present or listed
+    * from a dir the vacuum removed wholesale. */
   def vacuum(spark: SparkSession, dir: String, withStats: Boolean,
       retain: Int = 1): Unit =
     StatePointer.read(spark, dir).foreach { v =>

@@ -223,4 +223,52 @@ class AnalyticsSpec extends SparkTestBase {
       Analytics.bootstrapReplicates(varied, col("k"), col("v"), b = 16))
     assert(se > 0.0 && se < 60.0, s"se=$se")
   }
+
+  test("hll daily table lifecycle: merge is lossless, erasure rebuilds only touched days and reuses untouched bytes verbatim") {
+    import graft.analytics.Analytics
+    def ts(day: Int): Timestamp = new Timestamp(day * 86400L * 1000)
+    // day 1: users 1,2,3 + doomed 93; day 2: users 4,5 + doomed 93;
+    // day 3: users 6,7 (untouched); day 4: ONLY the doomed user
+    val rows = Seq(
+      (1L, 1L, ts(1)), (2L, 2L, ts(1)), (3L, 3L, ts(1)), (4L, 93L, ts(1)),
+      (5L, 4L, ts(2)), (6L, 5L, ts(2)), (7L, 93L, ts(2)),
+      (8L, 6L, ts(3)), (9L, 7L, ts(3)),
+      (10L, 93L, ts(4)))
+    val ev = rows.toDF("event_id", "user_id", "ts")
+    val doom = $"user_id" === 93L
+
+    // merge: halves folded by same-day sketch union give the same per-day
+    // estimates as one build (exact at this scale)
+    val full = Analytics.hllDailyBuild(ev)
+    val merged = Analytics.hllDailyMerge(
+      Analytics.hllDailyBuild(ev.filter($"event_id" % 2 === 0)),
+      Analytics.hllDailyBuild(ev.filter($"event_id" % 2 === 1)))
+    def estimates(t: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      t.select($"day".cast("string"),
+          org.apache.spark.sql.functions.hll_sketch_estimate($"sk").as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estimates(merged) === estimates(full))
+
+    // erasure: days 1,2,4 are touched (93 appears), day 3 is not
+    val after = Analytics.hllDailyDelete(full, ev.filter(!doom),
+      ev.filter(doom))
+    def bytes(t: org.apache.spark.sql.DataFrame): Map[String, Seq[Byte]] =
+      t.select($"day".cast("string"), $"sk").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+    val beforeB = bytes(full)
+    val afterB = bytes(after)
+    // untouched day's artifact bytes are REUSED, not rebuilt
+    assert(afterB("1970-01-04") === beforeB("1970-01-04"))
+    // fully-doomed day legitimately vanishes
+    assert(!afterB.contains("1970-01-05"), afterB.keySet.toString)
+    // touched days match a fresh build over the survivors bit-exactly
+    val survB = bytes(Analytics.hllDailyBuild(ev.filter(!doom)))
+    assert(afterB("1970-01-02") === survB("1970-01-02"))
+    assert(afterB("1970-01-03") === survB("1970-01-03"))
+    // and the period estimate holds the published contract
+    val contract = Analytics.hllUniquesFromTable(after, ev.filter(!doom))
+      .collect().head
+    assert(contract.getAs[Long]("exact_users") === 7L)
+    assert(contract.getAs[Boolean]("sketch_within_5pct"))
+  }
 }

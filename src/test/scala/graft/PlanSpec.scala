@@ -678,4 +678,65 @@ class PlanSpec extends SparkTestBase {
     // probe physically reads only its nprobe cells' partition files
     assert(plan.contains("dynamicpruningexpression"), plan)
   }
+
+  test("bucket-pruned index probe: driver-side buckets match the column hash; the base scan takes a static partition filter on them") {
+    import graft.llm.Search
+    // the two bucketings MUST agree — a divergence would silently prune
+    // real postings, so this equality is the safety contract the pruned
+    // probes rest on (incl. non-ASCII and empty-string grams)
+    val grams = Seq("alpha beta", "the fast", "zz unseen gram",
+      "naïve café", "", "word λµ", "a  b")
+    val colSide = grams.toDF("gram")
+      .select(col("gram"), pmod(xxhash64(col("gram")), lit(16L)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (g <- grams)
+      assert(Search.gramBuckets(Seq(g), 16) === Seq(colSide(g)), s"gram '$g'")
+
+    // a bucket-partitioned persisted index + a literal panel probe:
+    // static partition pruning (PartitionFilters on b) — only the panel
+    // grams' buckets' files are listed and read
+    val dir = java.nio.file.Files.createTempDirectory("pruned_idx").toString
+    val docs = t("documents").limit(150)
+    Search.withBucket(Search.invertedIndexRaw(docs), 16)
+      .write.mode("overwrite").partitionBy("b").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val panelGrams = Search.PhrasePanel
+      .flatMap(p => Search.phraseGrams(p._2)).distinct
+    val pruned = Search.pruneToGrams(idx, panelGrams, 16)
+    val plan = formatted(pruned)
+    assert("""PartitionFilters: \[[^\]]*b#\d+L? IN""".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("PushedFilters") && plan.contains("In(gram"), plan)
+    // pruning is the identity restricted to the panel: same rows as a
+    // plain gram filter over the full index
+    assert(pruned.orderBy($"gram").collect().toSeq
+      === idx.drop("b").filter($"gram".isin(panelGrams: _*))
+        .orderBy($"gram").collect().toSeq)
+  }
+
+  test("streamed index pruned read: the compacted base scan carries the panel buckets' static partition filter and serves identical rows") {
+    import graft.llm.Search
+    import graft.streaming.StreamingIndex
+    val dir = java.nio.file.Files.createTempDirectory("sidx_pruned").toString
+    val docs = t("documents").limit(120)
+    // 3 batches at maxSegments=3 → major at batch 2: bucketed base +
+    // manifest-recorded modulus, plus one more live segment on top
+    (0L to 2L).foreach { b =>
+      StreamingIndex.applyBatch(docs.filter($"doc_id" % 3 === b), dir, b,
+        maxSegments = 3)
+    }
+    StreamingIndex.applyBatch(docs.limit(0), dir, 3L, maxSegments = 8)
+    val panelGrams = Search.PhrasePanel
+      .flatMap(p => Search.phraseGrams(p._2)).distinct
+    val view = StreamingIndex.readIndexPruned(spark, dir, panelGrams)
+    val plan = formatted(view)
+    assert("""PartitionFilters: \[[^\]]*b#\d+L? IN""".r
+      .findFirstIn(plan).isDefined, plan)
+    // parity with the unpruned view restricted to the panel — catches a
+    // wrong modulus (manifest vs configuration) or a hash divergence
+    assert(view.orderBy($"gram").collect().toSeq
+      === StreamingIndex.readIndex(spark, dir)
+        .filter($"gram".isin(panelGrams: _*))
+        .orderBy($"gram").collect().toSeq)
+  }
 }

@@ -85,6 +85,35 @@ class SearchScanSpec extends SparkTestBase {
     assert(b == 0, s"index-probe bm25 read $b file bytes — corpus re-scan?")
   }
 
+  test("bucket-pruned phrase probe reads only the matched buckets' bytes") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("prunedfs").toString
+    Search.withBucket(Search.invertedIndexRaw(docs), 16)
+      .write.mode("overwrite").partitionBy("b").parquet(tmp)
+    // a small panel so the matched-bucket set is a strict minority of the
+    // layout — the probe's read bound is then genuinely discriminating
+    val panel = Search.PhrasePanel.take(2)
+    val grams = panel.flatMap(p => Search.phraseGrams(p._2)).distinct
+    val buckets = Search.gramBuckets(grams, 16)
+    def du(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(du).sum)
+      else f.length()
+    val total = du(new java.io.File(tmp))
+    val matched = buckets
+      .map(b => du(new java.io.File(s"$tmp/b=$b"))).sum
+    assert(matched < total / 2,
+      s"panel not discriminating: matched=$matched total=$total")
+    val idx = spark.read.parquet(tmp)
+    val q = Search.phraseQuery(Search.pruneToGrams(idx, grams, 16), panel)
+    val b = fsBytesOf { q.collect() }
+    // static partition pruning: unmatched buckets' files are never
+    // opened, so the probe's FS reads stay within the matched buckets'
+    // bytes plus listing/footer slack — reads ∝ matched buckets, never
+    // ∝ the index
+    assert(b <= matched + total / 10,
+      s"pruned probe read $b bytes vs matched-bucket bytes $matched (index total $total)")
+  }
+
   test("more-like-this: shared rare term outweighs shared common term") {
     import spark.implicits._
     val docs = Seq(

@@ -87,6 +87,56 @@ class StreamingChurnPropertySpec extends SparkTestBase {
     }
   }
 
+  test("index churn, del-heavy cadence: pure-tombstone batches (the del-run fold path) still serve the rebuild") {
+    // erasure-sweep-shaped sequences: bulk ingest, then mostly PURE
+    // tombstone batches with occasional re-ingests — the cadence that
+    // exercises SegmentedState.delRunPlan (trailing pure-del runs folding
+    // into one del segment) interleaved with adds that break the runs
+    for (seed <- 1 to 3; maxSegments <- Seq(2, 3)) {
+      val rng = new scala.util.Random(seed * 97 + maxSegments)
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"sidxdel_${seed}_$maxSegments").toString
+      var live = Map.empty[Long, Int]
+      for (b <- 0 until 10) {
+        val rows: Seq[(Long, Int, Boolean)] =
+          if (b < 2) { // bulk ingest halves
+            val batch = ids.filter(_ % 2 == b).map(id => (id, b, false))
+            live ++= batch.map(r => r._1 -> r._2)
+            batch
+          } else if (live.nonEmpty && rng.nextDouble() < 0.7) {
+            // pure-tombstone batch: erase a random non-empty subset
+            val pool = live.keys.toSeq.sorted
+            val targets = pool.filter(_ => rng.nextDouble() < 0.4) match {
+              case Seq() => Seq(pool(rng.nextInt(pool.size)))
+              case ts => ts
+            }
+            val batch = targets.map(id => (id, live(id), true))
+            live --= targets
+            batch
+          } else { // mixed batch (re-ingests + erases) breaks the del run
+            val (batch, l) = nextBatch(rng, live, gen = b)
+            live = l
+            batch
+          }
+        StreamingIndex.applyBatch(
+          rows.map { case (id, g, del) => (id, text(id, g), del) }
+            .toDF("doc_id", "text", "_deleted"),
+          dir, b.toLong, deleteCol = Some("_deleted"),
+          maxSegments = maxSegments, majorRatio = 1e9)
+        if (b == 5) StreamingIndex.vacuum(spark, dir)
+      }
+      val fin = live.toSeq.map { case (id, g) => (id, text(id, g)) }
+        .toDF("doc_id", "text")
+      val ctx = s"seed=$seed maxSegments=$maxSegments live=${live.keySet.toSeq.sorted}"
+      assert(Search.renderIndex(StreamingIndex.readIndex(spark, dir))
+        .orderBy($"gram").collect().toSeq
+        === Search.renderIndex(Search.invertedIndexRaw(fin))
+          .orderBy($"gram").collect().toSeq, ctx)
+      assert(StreamingIndex.readStats(spark, dir).collect().toSeq
+        === Search.corpusStats(fin).collect().toSeq, ctx)
+    }
+  }
+
   test("snapshot churn: random upsert/delete sequences at any compaction cadence serve the sequential fold") {
     import graft.streaming.StreamingSnapshot
     for (seed <- 1 to 2; (maxSegments, ratio) <- Seq((1, 0.2), (3, 0.2),

@@ -273,4 +273,109 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(StreamingIndex.readStats(spark, dir).collect().toSeq
       === Search.corpusStats(all).collect().toSeq)
   }
+
+  test("erasure sweep: trailing pure-tombstone runs fold into one del segment — base untouched, no O(corpus) major") {
+    import graft.streaming.SegmentedState
+    def baseState(dir: String): Seq[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val b = new java.io.File(s"$dir/base")
+      if (!b.exists()) Nil else walk(b).map(f => (f.getPath, f.length())).sortBy(_._1)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("sidxsweep").toString
+    val big = (1L to 200L)
+      .map(i => (i, s"alpha beta common w$i x$i y$i filler body words"))
+    def apply(rows: Seq[(Long, String, Boolean)], b: Long): Unit =
+      StreamingIndex.applyBatch(rows.toDF("doc_id", "text", "_deleted"),
+        dir, b, deleteCol = Some("_deleted"), maxSegments = 2,
+        majorRatio = 1e9)
+    // batches 0-1 ingest; the trigger at batch 1 has no base yet — MAJOR
+    apply(big.take(100).map(r => (r._1, r._2, false)), 0L)
+    apply(big.drop(100).map(r => (r._1, r._2, false)), 1L)
+    assert(new java.io.File(s"$dir/base/v=1").exists())
+    val baseAfterMajor = baseState(dir)
+    // pure-tombstone sweep: batches 2-6 erase disjoint slices. With
+    // maxSegments=2 the trigger fires at every batch from 3 on; the tail
+    // del-less run is always empty, so pre-r11 EVERY trigger was an
+    // O(corpus) major — now each folds the trailing pure-del run into
+    // one del segment (write ∝ accumulated tombstones).
+    var doomed = Set.empty[Long]
+    for ((b, lo) <- Seq((2L, 1L), (3L, 31L), (4L, 61L), (5L, 91L), (6L, 121L))) {
+      val ids = (lo until lo + 30L).toSet
+      doomed ++= ids
+      apply(big.filter(r => ids.contains(r._1)).map(r => (r._1, r._2, true)), b)
+    }
+    assert(baseState(dir) === baseAfterMajor,
+      "an erasure sweep must never rewrite the base (O(corpus) major)")
+    val m = SegmentedState.readManifest(spark, dir, 6L)
+    assert(m.base === Some(1L))
+    assert(m.segments.size <= 2,
+      s"segment count must stay bounded without majors: ${m.segments}")
+    assert(m.pure === m.dels, "folded sweep segments stay marked pure")
+    // the served view equals the rebuild over the survivors
+    val survivors = big.filter(r => !doomed.contains(r._1))
+      .toDF("doc_id", "text")
+    assert(Search.renderIndex(StreamingIndex.readIndex(spark, dir))
+      .orderBy($"gram").collect().toSeq
+      === Search.renderIndex(Search.invertedIndexRaw(survivors))
+        .orderBy($"gram").collect().toSeq)
+    assert(StreamingIndex.readStats(spark, dir).collect().toSeq
+      === Search.corpusStats(survivors).collect().toSeq)
+    // folded-away run members become debris, reclaimed by vacuum, and
+    // the view is unchanged
+    StreamingIndex.vacuum(spark, dir)
+    for (v <- 2L to 5L)
+      assert(!new java.io.File(s"$dir/seg/v=$v").exists(), s"v=$v not reclaimed")
+    assert(Search.renderIndex(StreamingIndex.readIndex(spark, dir))
+      .orderBy($"gram").collect().toSeq
+      === Search.renderIndex(Search.invertedIndexRaw(survivors))
+        .orderBy($"gram").collect().toSeq)
+  }
+
+  test("vacuum retention is the concurrent-reader envelope: retain=2 keeps a prior manifest's view readable, retain=1 fails it loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("sidxretain").toString
+    StreamingIndex.applyBatch(docsA.toDF("doc_id", "text"), dir, 0L,
+      maxSegments = 3)
+    // two readers resolve pointer → manifest v0 NOW; their LAZY plans
+    // read seg/v=0 at first action — the production merge-on-read
+    // pattern of a long-lived query planned against a snapshot. Neither
+    // is materialized yet: a plan that already ran would serve later
+    // collects from its memoized shuffle outputs without touching files,
+    // which is not the contract under test (fresh execution is).
+    val readerRetained = Search.renderIndex(
+      StreamingIndex.readIndex(spark, dir)).orderBy($"gram")
+    val readerReclaimed = Search.renderIndex(
+      StreamingIndex.readIndex(spark, dir)).orderBy($"gram")
+    val want = Search.renderIndex(Search.invertedIndexRaw(
+      docsA.toDF("doc_id", "text"))).orderBy($"gram").collect().toSeq
+    // the writer moves on: two more batches, the second triggers a major
+    // — seg/v=0 leaves the LATEST manifest but stays referenced by v=0's
+    StreamingIndex.applyBatch(docsB.take(1).toDF("doc_id", "text"), dir, 1L,
+      maxSegments = 3)
+    StreamingIndex.applyBatch(docsB.drop(1).toDF("doc_id", "text"), dir, 2L,
+      maxSegments = 3)
+    // retain=2 keeps the previous manifests' dirs: the old reader's first
+    // action, executed AFTER the vacuum, still serves its snapshot
+    StreamingIndex.vacuum(spark, dir, retain = 2)
+    assert(readerRetained.collect().toSeq === want,
+      "retain=2 must keep a one-manifest-old reader alive")
+    // retain=1 reclaims everything but the live view: a fresh execution
+    // of the old plan now FAILS LOUDLY (missing files) — never silently
+    // serves partial state
+    StreamingIndex.vacuum(spark, dir, retain = 1)
+    val e = intercept[Exception] { readerReclaimed.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+        t.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(t.getMessage).contains("FileNotFound") ||
+        String.valueOf(t.getMessage).contains("does not exist")),
+      s"expected a loud missing-file failure, got: $e")
+    // and the LIVE view (current pointer) is unaffected by either vacuum
+    assert(Search.renderIndex(StreamingIndex.readIndex(spark, dir))
+      .orderBy($"gram").collect().toSeq
+      === Search.renderIndex(Search.invertedIndexRaw(
+        (docsA ++ docsB).toDF("doc_id", "text")))
+        .orderBy($"gram").collect().toSeq)
+  }
 }
