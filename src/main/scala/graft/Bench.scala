@@ -104,6 +104,7 @@ object Bench {
     // calibration anchor, and the slowest rows — and points at the side
     // file (committed) for the full map.
     val slowest = results.sortBy(-_._2).take(12)
+      .filterNot(_._1 == "q_dedup_exact") // calib carries it already
     val calib = results.filter(_._1 == "q_dedup_exact")
     def med(xs: Seq[Double]): Double =
       if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)

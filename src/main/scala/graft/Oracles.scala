@@ -3292,6 +3292,15 @@ object Oracles {
     // the maintained stack (merged index halves + added stats) must be
     // indistinguishable from inline BM25 on the union corpus
     "q_bm25_incr" -> bm25Sql,
+    // ALWAYS-ON BM25: three segmented-state micro-batches + the
+    // bucket-pruned panel probe ≡ inline BM25 over the whole corpus
+    "q_bm25_stream" -> bm25Sql,
+    // ... and with full-row tombstones folded in, ≡ inline BM25 over the
+    // survivors (stats sidecar shrinks with the erased docs)
+    "q_bm25_stream_erasure" ->
+      s"""WITH ${bm25CtesWhere("doc_id % 10 <> 6")}
+         |SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     // hybrid RRF mirror: the bm25Sql CTE chain (lexical top-10) + the
     // q_knn_brute cosine chain over qids 1-5 (dense top-10), fused by
@@ -4826,19 +4835,23 @@ object Oracles {
     * index-probe scorer is value-identical with open rails), and
     * q_hybrid_rrf (which consumes the ranked CTE `r` as its lexical
     * system). */
-  private lazy val bm25Ctes: String =
+  private lazy val bm25Ctes: String = bm25CtesWhere("TRUE")
+
+  /** [[bm25Ctes]] over a filtered corpus — the erasure-row mirror
+    * (streamed tombstone subtraction ≡ inline BM25 over the survivors). */
+  private def bm25CtesWhere(cond: String): String =
     s"""panel AS (SELECT * FROM (VALUES $bm25PanelSql) v(query_id, term)),
        |st AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
        |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
        |      AS BIGINT) AS s
-       |  FROM documents),
+       |  FROM documents WHERE $cond),
        |tok AS (
        |  SELECT doc_id,
        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl,
        |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-       |  FROM documents WHERE len(trim(text)) > 0),
+       |  FROM documents WHERE len(trim(text)) > 0 AND $cond),
        |m AS (
        |  SELECT p.query_id, p.term, t.doc_id, t.dl, CAST(count(*) AS BIGINT) AS tf
        |  FROM panel p JOIN tok t ON t.term = p.term

@@ -2481,6 +2481,57 @@ object Queries {
           stats, llm.Search.DefaultPanel.toDF("query_id", "term"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // ALWAYS-ON BM25: the unigram search index + stats maintained under
+    // the segmented-state discipline (StreamingSearchIndex = the
+    // StreamingIndex core parameterized on term/searchIndexRaw), scored
+    // via the bucket-pruned panel probe — three foreachBatch-parity
+    // batches, compaction at maxSegments=3 lands the term-bucketed base,
+    // vacuum reclaims, zero corpus reads at query time. Open rails ⇒
+    // shares q_bm25's oracle VERBATIM.
+    "q_bm25_stream" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sbm25_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sbm25").toString
+      }
+      (0L to 2L).foreach { b =>
+        streaming.StreamingSearchIndex.applyBatch(
+          docs.filter(col("doc_id") % 3 === b), state, b, maxSegments = 3)
+      }
+      streaming.StreamingSearchIndex.vacuum(s, state)
+      streaming.StreamingSearchIndex.bm25(s, state, llm.Search.DefaultPanel)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // ALWAYS-ON BM25 under ERASURE: the tail batch carries the last
+    // third's clean docs WITH full-row tombstones for every already-
+    // ingested doc_id ≡ 6 (mod 10) — postings subtract, the stats
+    // sidecar shrinks, and the pruned probe scores the SURVIVORS exactly
+    // (oracle = inline BM25 over corpus ∖ deleted).
+    "q_bm25_stream_erasure" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sbm25_erasure_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sbm25e").toString
+      }
+      val dc: org.apache.spark.sql.Column = col("doc_id") % 10 === 6
+      (0L until 2L).foreach { b =>
+        streaming.StreamingSearchIndex.applyBatch(
+          docs.filter(col("doc_id") % 3 === b)
+            .withColumn("_deleted", lit(false)),
+          state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+      }
+      streaming.StreamingSearchIndex.applyBatch(
+        docs.filter(col("doc_id") % 3 === 2 && !dc)
+          .withColumn("_deleted", lit(false))
+          .unionByName(docs.filter(col("doc_id") % 3 =!= 2 && dc)
+            .withColumn("_deleted", lit(true))),
+        state, 2L, deleteCol = Some("_deleted"), maxSegments = 3)
+      streaming.StreamingSearchIndex.vacuum(s, state)
+      streaming.StreamingSearchIndex.bm25(s, state, llm.Search.DefaultPanel)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // the maintained search stack end-to-end: unigram index halves merged
     // via broadcast gram gating (indexMerge on "term"), stats sidecars
     // added exactly (statsMerge), then the index-probe scorer — maintained

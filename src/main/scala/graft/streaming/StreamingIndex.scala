@@ -112,8 +112,9 @@ object StreamingIndex {
     * 2·|del segments| + 1 broadcast-gated layers, bounded by
     * `maxSegments` and folded flat again at compaction. Pure plan
     * construction — no action. */
-  private def mergedView(spark: SparkSession, dir: String, m: Manifest,
-      grams: Option[Seq[String]] = None): DataFrame = {
+  private[streaming] def mergedView(spark: SparkSession, dir: String,
+      m: Manifest, grams: Option[Seq[String]] = None,
+      gramCol: String = "gram"): DataFrame = {
     // Literal-panel pruning (readIndexPruned): every part — base,
     // add segments, del segments — restricts to the panel's grams before
     // entering the fold. Legal because the whole fold is PER-GRAM
@@ -123,7 +124,7 @@ object StreamingIndex {
     // buckets (modulus read from the manifest — the writer's, never
     // configuration), so only those buckets' files are listed and read.
     val pruneSeg: DataFrame => DataFrame = grams match {
-      case Some(gs) => df => df.filter(col("gram").isin(gs.distinct: _*))
+      case Some(gs) => df => df.filter(col(gramCol).isin(gs.distinct: _*))
       case None => identity
     }
     val pruneBase: DataFrame => DataFrame = (grams, m.buckets) match {
@@ -148,9 +149,10 @@ object StreamingIndex {
       // re-aggregation of the segment union — same code path, no
       // special-case aggregation to keep in sync
       case (None, segs) =>
-        Some(Search.indexMerge(segs.head.limit(0), segs.reduce(_ unionByName _)))
+        Some(Search.indexMerge(segs.head.limit(0),
+          segs.reduce(_ unionByName _), gramCol))
       case (Some(b), segs) =>
-        Some(Search.indexMerge(b, segs.reduce(_ unionByName _)))
+        Some(Search.indexMerge(b, segs.reduce(_ unionByName _), gramCol))
     }
     var state = base
     var run = List.empty[DataFrame]
@@ -162,7 +164,7 @@ object StreamingIndex {
         val merged = flush(state, run).getOrElse(throw new IllegalStateException(
           s"tombstone segment v=$v precedes any adds at $dir"))
         state = Some(Search.indexDelete(merged,
-          pruneSeg(spark.read.parquet(s"$dir/seg/v=$v/del"))))
+          pruneSeg(spark.read.parquet(s"$dir/seg/v=$v/del")), gramCol))
         run = Nil
       }
     }
@@ -172,9 +174,11 @@ object StreamingIndex {
   /** The current unrailed index (empty-schema error until a batch lands).
     * A merge-on-read view: one broadcast-gated fold over ≤ `maxSegments`
     * live segments — compaction keeps this bounded. */
-  def readIndex(spark: SparkSession, dir: String): DataFrame =
+  def readIndex(spark: SparkSession, dir: String,
+      gramCol: String = "gram"): DataFrame =
     latestVersion(spark, dir) match {
-      case Some(v) => mergedView(spark, dir, readManifest(spark, dir, v))
+      case Some(v) =>
+        mergedView(spark, dir, readManifest(spark, dir, v), None, gramCol)
       case None => throw new IllegalStateException(s"no index at $dir yet")
     }
 
@@ -190,10 +194,11 @@ object StreamingIndex {
     * verbatim. At 100 TB this is the last O(corpus) read off the serving
     * path: a phrase probe touches its grams' buckets, never the index. */
   def readIndexPruned(spark: SparkSession, dir: String,
-      grams: Seq[String]): DataFrame =
+      grams: Seq[String], gramCol: String = "gram"): DataFrame =
     latestVersion(spark, dir) match {
       case Some(v) =>
-        mergedView(spark, dir, readManifest(spark, dir, v), Some(grams))
+        mergedView(spark, dir, readManifest(spark, dir, v), Some(grams),
+          gramCol)
       case None => throw new IllegalStateException(s"no index at $dir yet")
     }
 
@@ -250,7 +255,9 @@ object StreamingIndex {
       deleteCol: Option[String] = None,
       maxSegments: Int = DefaultMaxSegments,
       nBuckets: Int = DefaultBuckets,
-      majorRatio: Double = DefaultMajorRatio): Unit = {
+      majorRatio: Double = DefaultMajorRatio,
+      gramCol: String = "gram",
+      build: DataFrame => DataFrame = Search.invertedIndexRaw(_)): Unit = {
     require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
     val spark = batch.sparkSession
     latestVersion(spark, dir) match {
@@ -263,11 +270,11 @@ object StreamingIndex {
         val dels = deleteCol.map(dc => batch.filter(col(dc)).drop(dc)
           .localCheckpoint(eager = false))
         // ---- segment write: bytes ∝ batch, never ∝ corpus ----
-        Search.invertedIndexRaw(adds)
+        build(adds)
           .write.mode("overwrite").parquet(s"$dir/seg/v=$batchId/idx")
         val hasDel = dels.exists(d => !d.isEmpty)
         if (hasDel)
-          Search.invertedIndexRaw(dels.get)
+          build(dels.get)
             .write.mode("overwrite").parquet(s"$dir/seg/v=$batchId/del")
         // ---- stats fold: 1-row sidecar, O(1) per batch ----
         val batchStats = Search.corpusStats(adds)
@@ -293,8 +300,8 @@ object StreamingIndex {
           if (pureDel) prevM.pure + batchId else prevM.pure)
         def major(): Manifest = {
           SegmentedState.writePartitioned(
-            mergedView(spark, dir, appended)
-              .withColumn("b", pmod(xxhash64(col("gram")), lit(nBuckets.toLong))),
+            mergedView(spark, dir, appended, gramCol = gramCol)
+              .withColumn("b", pmod(xxhash64(col(gramCol)), lit(nBuckets.toLong))),
             s"$dir/base/v=$batchId", Seq("b"))
           // buckets recorded so pruned probes hash with the WRITER's
           // modulus (readIndexPruned), never a configured one
@@ -309,7 +316,7 @@ object StreamingIndex {
           SegmentedState.swapIn(run
             .map(v => spark.read.parquet(s"$dir/seg/v=$v/$sub"))
             .reduce(_ unionByName _)
-            .groupBy(col("gram"))
+            .groupBy(col(gramCol))
             .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
               sort_array(flatten(collect_list(col("pl")))).as("pl")),
             dir, batchId, sub)

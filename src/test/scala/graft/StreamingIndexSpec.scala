@@ -332,6 +332,44 @@ class StreamingIndexSpec extends SparkTestBase {
         .orderBy($"gram").collect().toSeq)
   }
 
+  test("streamed unigram search index: maintained state + pruned panel probe score exactly like inline bm25, through erasure") {
+    import graft.streaming.StreamingSearchIndex
+    val dir = java.nio.file.Files.createTempDirectory("sbm25").toString
+    val panel = Seq((1, "alpha"), (2, "beta"), (2, "words"))
+    def score(docs: Seq[(Long, String)]) =
+      Search.bm25(docs.toDF("doc_id", "text"), panel.toDF("query_id", "term"))
+        .orderBy($"query_id", $"rank").collect().toSeq
+    // maxSegments=2 → the batch-1 trigger majors into the term-bucketed
+    // base; batch 2 rides as a live segment over it, so the probe folds
+    // base + segment
+    StreamingSearchIndex.applyBatch(
+      docsA.map { case (i, t) => (i, t, false) }
+        .toDF("doc_id", "text", "_deleted"), dir, 0L,
+      deleteCol = Some("_deleted"), maxSegments = 2)
+    StreamingSearchIndex.applyBatch(
+      docsB.map { case (i, t) => (i, t, false) }
+        .toDF("doc_id", "text", "_deleted"), dir, 1L,
+      deleteCol = Some("_deleted"), maxSegments = 2)
+    assert(StreamingSearchIndex.bm25(spark, dir, panel)
+      .orderBy($"query_id", $"rank").collect().toSeq
+      === score(docsA ++ docsB))
+    // erase doc 1 (full-row tombstone carrying the text): scores must
+    // equal inline bm25 over the survivors — postings AND stats shrink
+    StreamingSearchIndex.applyBatch(
+      docsA.filter(_._1 == 1L).map { case (i, t) => (i, t, true) }
+        .toDF("doc_id", "text", "_deleted"), dir, 2L,
+      deleteCol = Some("_deleted"), maxSegments = 2)
+    assert(StreamingSearchIndex.bm25(spark, dir, panel)
+      .orderBy($"query_id", $"rank").collect().toSeq
+      === score((docsA ++ docsB).filterNot(_._1 == 1L)))
+    // the pruned read is the full view restricted to the panel terms
+    val terms = panel.map(_._2).distinct
+    assert(StreamingSearchIndex.readIndexPruned(spark, dir, terms)
+      .orderBy($"term").collect().toSeq
+      === StreamingSearchIndex.readIndex(spark, dir)
+        .filter($"term".isin(terms: _*)).orderBy($"term").collect().toSeq)
+  }
+
   test("vacuum retention is the concurrent-reader envelope: retain=2 keeps a prior manifest's view readable, retain=1 fails it loudly") {
     val dir = java.nio.file.Files.createTempDirectory("sidxretain").toString
     StreamingIndex.applyBatch(docsA.toDF("doc_id", "text"), dir, 0L,
