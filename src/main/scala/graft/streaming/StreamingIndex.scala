@@ -74,7 +74,18 @@ import graft.llm.Search
   * never an O(corpus) rewrite.
   *
   * The state is UNRAILED on disk (df rails are a read decision —
-  * [[Search.applyRails]]); [[readRailedIndex]] is the consumer form. */
+  * [[Search.applyRails]]); [[readRailedIndex]] is the consumer form.
+  *
+  * The core is GRAM-AGNOSTIC: every mechanism above keys on the gram
+  * column and the per-batch builder, so [[applyBatch]]/[[readIndex]]/
+  * [[readIndexPruned]] take (`gramCol`, `build`) parameters defaulting
+  * to the bigram phrase index; [[StreamingSearchIndex]] instantiates
+  * the same core for the unigram BM25-serving index. Erasure-sweep
+  * workloads additionally get TOMBSTONE-RUN minor folds: a trailing run
+  * of pure-del segments (tracked via the manifest's `pure` set) folds
+  * into one del segment ([[SegmentedState.delRunPlan]]), so a sweep
+  * costs ∝ accumulated tombstones per trigger, never an O(corpus)
+  * major. */
 object StreamingIndex {
 
   val DefaultMaxSegments = 8
@@ -358,13 +369,13 @@ object StreamingIndex {
     * rewrite is atomic (temp + rename), so readers see the old or new
     * layout, never a mix. */
   def compact(spark: SparkSession, dir: String,
-      nBuckets: Int = DefaultBuckets): Unit =
+      nBuckets: Int = DefaultBuckets, gramCol: String = "gram"): Unit =
     latestVersion(spark, dir).foreach { v =>
       val m = readManifest(spark, dir, v)
       if (m.segments.nonEmpty) {
         SegmentedState.writePartitioned(
-          mergedView(spark, dir, m)
-            .withColumn("b", pmod(xxhash64(col("gram")), lit(nBuckets.toLong))),
+          mergedView(spark, dir, m, gramCol = gramCol)
+            .withColumn("b", pmod(xxhash64(col(gramCol)), lit(nBuckets.toLong))),
           s"$dir/base/v=$v", Seq("b"))
         writeManifest(spark, dir, v,
           Manifest(Some(v), Nil, Set.empty, Some(nBuckets)))

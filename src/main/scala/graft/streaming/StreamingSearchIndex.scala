@@ -55,6 +55,11 @@ object StreamingSearchIndex {
   def vacuum(spark: SparkSession, dir: String, retain: Int = 1): Unit =
     StreamingIndex.vacuum(spark, dir, retain)
 
+  /** Out-of-band compaction into a term-bucketed base. */
+  def compact(spark: SparkSession, dir: String,
+      nBuckets: Int = StreamingIndex.DefaultBuckets): Unit =
+    StreamingIndex.compact(spark, dir, nBuckets, gramCol = "term")
+
   /** BM25 top-k OFF the maintained state: [[Search.bm25FromIndex]] over
     * the bucket-pruned panel view + the stats sidecar — zero corpus
     * reads, index reads ∝ the panel terms' buckets. */
