@@ -2265,6 +2265,27 @@ object Queries {
           llm.Search.pruneToGrams(index, grams, nb), llm.Search.PhrasePanel)
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
+    // EXACT phrase retrieval over the POSITIONAL index artifact
+    // (bucket-partitioned, panel-pruned like q_index_phrase): a doc
+    // matches at p iff word k occurs at p+k for every k — the
+    // bigram-chain row's over-matching approximation replaced by true
+    // chain intersection; phrase_tf = exact occurrence count. Open df
+    // rails: a positional phrase probe must not stopword-prune its own
+    // words ("the fast scan" contains "the").
+    "q_index_phrase_exact" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val nb = streaming.StreamingIndex.DefaultBuckets
+      val index = sources.Artifacts.table(s, "pos_index",
+        partitionBy = Seq("b"))(
+        llm.Search.withBucket(llm.Search.positionalIndexRaw(docs),
+          nb, gramCol = "term"))
+      val words = llm.Search.PhrasePanel
+        .flatMap(p => llm.Search.phraseWords(p._2)).distinct
+      llm.Search.phraseQueryExact(
+          llm.Search.pruneToGrams(index, words, nb, gramCol = "term"),
+          llm.Search.PhrasePanel)
+        .orderBy(col("phrase_id"), col("doc_id"))
+    }),
     // the same phrase probe over the STREAMED segmented index: state
     // folded through StreamingIndex.applyBatch (shares q_index_stream's
     // state dir and fold params in bench mode — identical folds, one

@@ -524,6 +524,96 @@ object Search {
       .select(col("phrase_id"), col(idCol), col("n_grams"), col("phrase_tf"))
   }
 
+  /** Lowercased whitespace words of a phrase, in order (duplicates kept —
+    * offsets matter for the positional chain). Shared by
+    * [[phraseQueryExact]] and its oracle SQL. */
+  def phraseWords(phrase: String): Seq[String] =
+    phrase.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  /** POSITIONAL unigram index — (term, df, cf, pl: array<struct<idCol,
+    * pos: array<int>>>), `pos` the 0-based token offsets of the term in
+    * the doc, postings in doc order. The artifact EXACT phrase retrieval
+    * needs: the bigram-chain conjunction ([[phraseQuery]]) over-matches
+    * phrases whose bigrams all appear somewhere but never consecutively;
+    * positional chain intersection does not — this is the positions-in-
+    * postings layout every production engine's phrase mode keys on.
+    *
+    * Same plan shape and df rails as [[searchIndexRaw]] (one scan;
+    * hinted shuffle-merge df re-join so the per-doc subtree materializes
+    * once; cf pins the consumer); same bucket-partition + prune serving
+    * discipline ([[withBucket]] on "term", [[pruneToGrams]]). Row width:
+    * pl ≤ maxDf postings, each carrying that doc's offsets of the term —
+    * bounded by doc length, the same bound the dl-in-postings layout
+    * carries. */
+  def positionalIndexRaw(docs: DataFrame, minDf: Long = 1L,
+      maxDf: Long = Long.MaxValue, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"need 1 <= minDf <= maxDf: $minDf, $maxDf")
+    val tok = docs
+      .select(col(idCol), posexplode(split(lower(trim(col(textCol))), "\\s+")))
+      .toDF(idCol, "pos", "term")
+      .filter(col("term") =!= "")
+    val perDoc = tok.groupBy(col("term"), col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("pos"),
+        count(lit(1)).as("tf"))
+    val dfp = perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    perDoc.join(dfp.hint("shuffle_merge"), Seq("term"))
+      .groupBy(col("term"), col("df"), col("cf"))
+      .agg(sort_array(collect_list(struct(col(idCol), col("pos")))).as("pl"))
+  }
+
+  /** EXACT phrase retrieval over a [[positionalIndexRaw]] artifact: a doc
+    * matches at start position p iff word k of the phrase occurs at
+    * p + k for EVERY k — positional chain intersection. Returns
+    * (phrase_id, idCol, n_words, phrase_tf) with phrase_tf the exact
+    * occurrence count (number of chain starts), not [[phraseQuery]]'s
+    * min-tf upper bound; empty for phrases with any unindexed word (the
+    * q_index_phrase strictness contract).
+    *
+    * Scale shape: the literal panel's words broadcast into the index
+    * (bucket-prune the input with [[pruneToGrams]] on "term" — reads ∝
+    * the panel words' buckets); the only per-(phrase, doc) state is the
+    * words' offset lists (posting width railed by maxDf), and the chain
+    * check is a scan-side higher-order filter/forall over those lists —
+    * codegen-friendly, no UDF, no corpus access. */
+  def phraseQueryExact(index: DataFrame, panel: Seq[(Int, String)],
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val wordsDf = panel
+      .flatMap { case (pid, ph) =>
+        phraseWords(ph).zipWithIndex.map { case (w, k) => (pid, k, w) } }
+      .toDF("phrase_id", "offset", "term")
+    val needDf = panel
+      .map { case (pid, ph) => (pid, phraseWords(ph).size) }
+      .toDF("phrase_id", "n_words")
+    val hit = index.join(broadcast(wordsDf), Seq("term"))
+      .select(col("phrase_id"), col("offset"), explode(col("pl")).as("p"))
+      .select(col("phrase_id"), col("offset"),
+        col("p").getField(idCol).as(idCol), col("p").getField("pos").as("pos"))
+    val grouped = hit.groupBy(col("phrase_id"), col(idCol))
+      .agg(count_distinct(col("offset")).as("n_present"),
+        map_from_entries(collect_list(struct(col("offset"), col("pos"))))
+          .as("m"))
+      .join(broadcast(needDf), Seq("phrase_id"))
+      .filter(col("n_present") === col("n_words"))
+    grouped
+      // 1-word phrases need the guard: sequence(1, 0) counts DOWN in
+      // Spark, which would probe offset 1 that doesn't exist
+      .withColumn("starts",
+        when(col("n_words") === 1, element_at(col("m"), lit(0)))
+          .otherwise(filter(element_at(col("m"), lit(0)),
+            p => forall(sequence(lit(1), col("n_words") - 1),
+              k => array_contains(element_at(col("m"), k.cast("int")),
+                p + k.cast("int"))))))
+      .withColumn("phrase_tf", size(col("starts")).cast("long"))
+      .filter(col("phrase_tf") > 0)
+      .select(col("phrase_id"), col(idCol),
+        col("n_words").cast("long").as("n_words"), col("phrase_tf"))
+  }
+
   /** Pseudo-relevance-feedback query expansion (the RM-style loop every
     * retrieval stack closes with): run [[bm25]], take each query's top
     * `fbDocs` documents as its relevance model, score candidate expansion

@@ -1328,6 +1328,35 @@ class LlmSpec extends SparkTestBase {
     assert(Search.phraseGrams("a b a b") === Seq("a b", "b a"))
   }
 
+  test("phraseQueryExact: positional chain intersection rejects the bigram-chain over-match and counts occurrences exactly") {
+    import graft.llm.Search
+    val corpus = Seq(
+      (1L, "a b c d a b c"),  // "a b c" occurs at 0 AND 4 → phrase_tf 2
+      (2L, "a b x b c"),      // bigrams "a b","b c" both present, never
+                              // chained → phraseQuery matches, exact must NOT
+      (3L, "b c a b"),        // "a b" at 2, "b c" at 0 — no chain
+      (4L, "a a b c"))        // one chain start at 1
+      .toDF("doc_id", "text")
+    val index = Search.positionalIndexRaw(corpus)
+    val exact = Search.phraseQueryExact(index, Seq((1, "a b c"), (2, "c d q")))
+      .orderBy($"phrase_id", $"doc_id")
+      .as[(Int, Long, Long, Long)].collect().toList
+    // phrase 2 dies on the unindexed word "q" (strictness); doc 2 and 3
+    // are the over-match cases the bigram form admits
+    assert(exact === List((1, 1L, 3L, 2L), (1, 4L, 3L, 1L)))
+    val bigram = Search.phraseQuery(Search.invertedIndexRaw(corpus),
+        Seq((1, "a b c")))
+      .orderBy($"doc_id").as[(Int, Long, Long, Long)].collect().toList
+    // the approximation really does over-match here — the exact row's
+    // reason to exist
+    assert(bigram.map(_._2) === List(1L, 2L, 3L, 4L))
+    // repeated word in the phrase: offsets are per-position, so "a a b"
+    // chains only where both a's line up
+    val dup = Search.phraseQueryExact(index, Seq((9, "a a b")))
+      .as[(Int, Long, Long, Long)].collect().toList
+    assert(dup === List((9, 4L, 3L, 1L))) // only doc 4 has "a a b"
+  }
+
   test("clusterCentroidsIncremental: indistinguishable from the full recompute") {
     import graft.llm.{Dedup, Similarity}
     def v(deg: Double) = Array(
