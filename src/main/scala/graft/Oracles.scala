@@ -3377,18 +3377,10 @@ object Oracles {
     // (phrase, doc) — the chain-intersection ground the positional index
     // row must reproduce bit-for-bit (words as literal lists from
     // Search.phraseWords)
-    "q_index_phrase_exact" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
-         |  FROM documents WHERE len(trim(text)) > 0),
-         |panel(phrase_id, w) AS (VALUES $phraseWordsPanelSql),
-         |m AS (
-         |  SELECT p.phrase_id, t.doc_id, CAST(len(p.w) AS BIGINT) AS n_words,
-         |    CAST(len(list_filter(range(1, len(t.a) - len(p.w) + 2),
-         |      i -> t.a[i : i + len(p.w) - 1] = p.w)) AS BIGINT) AS phrase_tf
-         |  FROM panel p JOIN tok t ON len(t.a) >= len(p.w))
-         |SELECT phrase_id, doc_id, n_words, phrase_tf FROM m
-         |WHERE phrase_tf > 0 ORDER BY phrase_id, doc_id""".stripMargin,
+    "q_index_phrase_exact" -> phraseExactSql,
+    // streamed positional state (the generalized segmented core) probed
+    // exactly — shares the truth verbatim
+    "q_index_phrase_exact_stream" -> phraseExactSql,
     // the bucket-pruned probe over the STREAMED segmented index serves
     // the identical panel over the identical corpus (pruning is the
     // identity restricted to the panel; state == full corpus; same
@@ -4913,6 +4905,22 @@ object Oracles {
     .map { case (pid, ph) =>
       s"($pid, [${graft.llm.Search.phraseWords(ph).map(w => s"'$w'").mkString(", ")}])" }
     .mkString(", ")
+
+  /** EXACT phrase truth: count sliding-window token-slice equalities per
+    * (phrase, doc) — shared VERBATIM by the batch positional-index probe
+    * and its streamed segmented-state sibling. */
+  private lazy val phraseExactSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |panel(phrase_id, w) AS (VALUES $phraseWordsPanelSql),
+       |m AS (
+       |  SELECT p.phrase_id, t.doc_id, CAST(len(p.w) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(range(1, len(t.a) - len(p.w) + 2),
+       |      i -> t.a[i : i + len(p.w) - 1] = p.w)) AS BIGINT) AS phrase_tf
+       |  FROM panel p JOIN tok t ON len(t.a) >= len(p.w))
+       |SELECT phrase_id, doc_id, n_words, phrase_tf FROM m
+       |WHERE phrase_tf > 0 ORDER BY phrase_id, doc_id""".stripMargin
 
   /** Conjunctive phrase lookup over the railed bigram index — shared
     * VERBATIM by the batch probe (q_index_phrase) and the streamed

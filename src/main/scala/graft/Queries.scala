@@ -2286,6 +2286,33 @@ object Queries {
           llm.Search.PhrasePanel)
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
+    // EXACT phrase over a STREAMED positional index — the generalized
+    // segmented core instantiated directly from the catalog (builder =
+    // positionalIndexRaw, gram column = term): three batches, term-
+    // bucketed major at maxSegments=3, vacuum, then the pruned exact
+    // probe. Shares q_index_phrase_exact's truth oracle VERBATIM.
+    "q_index_phrase_exact_stream" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sposx_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sposx").toString
+      }
+      (0L to 2L).foreach { b =>
+        streaming.StreamingIndex.applyBatch(
+          docs.filter(col("doc_id") % 3 === b), state, b, maxSegments = 3,
+          gramCol = "term",
+          build = d => llm.Search.positionalIndexRaw(d))
+      }
+      streaming.StreamingIndex.vacuum(s, state)
+      val words = llm.Search.PhrasePanel
+        .flatMap(p => llm.Search.phraseWords(p._2)).distinct
+      llm.Search.phraseQueryExact(
+          streaming.StreamingIndex.readIndexPruned(s, state, words,
+            gramCol = "term"),
+          llm.Search.PhrasePanel)
+        .orderBy(col("phrase_id"), col("doc_id"))
+    }),
     // the same phrase probe over the STREAMED segmented index: state
     // folded through StreamingIndex.applyBatch (shares q_index_stream's
     // state dir and fold params in bench mode — identical folds, one
