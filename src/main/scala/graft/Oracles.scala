@@ -3378,6 +3378,23 @@ object Oracles {
     // row must reproduce bit-for-bit (words as literal lists from
     // Search.phraseWords)
     "q_index_phrase_exact" -> phraseExactSql,
+    // proximity truth: a start i is valid iff a[i] is a panel word and
+    // the 8-token window from it contains ALL the (distinct) words;
+    // best_start = the smallest valid start, 0-based like Spark's
+    "q_index_proximity" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |panel(phrase_id, w) AS (VALUES $proximityPanelSql),
+         |m AS (
+         |  SELECT p.phrase_id, t.doc_id, CAST(len(p.w) AS BIGINT) AS n_words,
+         |    list_filter(range(1, len(t.a) + 1),
+         |      i -> list_contains(p.w, t.a[i])
+         |        AND list_has_all(t.a[i : i + 7], p.w)) AS valid
+         |  FROM panel p CROSS JOIN tok t)
+         |SELECT phrase_id, doc_id, n_words,
+         |  CAST(valid[1] - 1 AS BIGINT) AS best_start
+         |FROM m WHERE len(valid) > 0 ORDER BY phrase_id, doc_id""".stripMargin,
     // streamed positional state (the generalized segmented core) probed
     // exactly — shares the truth verbatim
     "q_index_phrase_exact_stream" -> phraseExactSql,
@@ -4904,6 +4921,15 @@ object Oracles {
   private lazy val phraseWordsPanelSql: String = graft.llm.Search.PhrasePanel
     .map { case (pid, ph) =>
       s"($pid, [${graft.llm.Search.phraseWords(ph).map(w => s"'$w'").mkString(", ")}])" }
+    .mkString(", ")
+
+  /** Phrase panel as (phrase_id, [distinct words]) VALUES rows — the
+    * order-free word set [[graft.llm.Search.proximityQuery]] windows
+    * over. */
+  private lazy val proximityPanelSql: String = graft.llm.Search.PhrasePanel
+    .map { case (pid, ph) =>
+      s"($pid, [${graft.llm.Search.phraseWords(ph).distinct
+        .map(w => s"'$w'").mkString(", ")}])" }
     .mkString(", ")
 
   /** EXACT phrase truth: count sliding-window token-slice equalities per

@@ -2286,6 +2286,24 @@ object Queries {
           llm.Search.PhrasePanel)
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
+    // PROXIMITY (span-near) retrieval over the same positional artifact:
+    // doc matches iff some 8-token window contains all the phrase's
+    // (distinct) words, order-free — candidate starts are the index
+    // positions themselves, so the probe stays a pruned index read.
+    "q_index_proximity" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val nb = streaming.StreamingIndex.DefaultBuckets
+      val index = sources.Artifacts.table(s, "pos_index",
+        partitionBy = Seq("b"))(
+        llm.Search.withBucket(llm.Search.positionalIndexRaw(docs),
+          nb, gramCol = "term"))
+      val words = llm.Search.PhrasePanel
+        .flatMap(p => llm.Search.phraseWords(p._2)).distinct
+      llm.Search.proximityQuery(
+          llm.Search.pruneToGrams(index, words, nb, gramCol = "term"),
+          llm.Search.PhrasePanel, window = 8)
+        .orderBy(col("phrase_id"), col("doc_id"))
+    }),
     // EXACT phrase over a STREAMED positional index — the generalized
     // segmented core instantiated directly from the catalog (builder =
     // positionalIndexRaw, gram column = term): three batches, term-

@@ -614,6 +614,55 @@ object Search {
         col("n_words").cast("long").as("n_words"), col("phrase_tf"))
   }
 
+  /** PROXIMITY retrieval over a [[positionalIndexRaw]] artifact — the
+    * span-near operator between exact phrase and bag-of-words: a doc
+    * matches iff some `window`-token window contains ALL the panel's
+    * words (order-free). Existence is equivalent to a window STARTING at
+    * one of the words' own occurrences (any window shrinks to its first
+    * panel-word hit), so the candidate starts are exactly the index
+    * positions — no corpus access. Returns (phrase_id, idCol, n_words,
+    * best_start = the smallest matching start offset, 0-based); empty
+    * for phrases with any unindexed word.
+    *
+    * Scale shape identical to [[phraseQueryExact]]: literal panel
+    * broadcasts into the (bucket-pruned) index, per-(phrase, doc) state
+    * is the words' offset lists, and the window check is a scan-side
+    * exists/forall over them. */
+  def proximityQuery(index: DataFrame, panel: Seq[(Int, String)],
+      window: Int, idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val wordsDf = panel
+      .flatMap { case (pid, ph) =>
+        phraseWords(ph).distinct.zipWithIndex.map { case (w, k) => (pid, k, w) } }
+      .toDF("phrase_id", "offset", "term")
+    val needDf = panel
+      .map { case (pid, ph) => (pid, phraseWords(ph).distinct.size) }
+      .toDF("phrase_id", "n_words")
+    val hit = index.join(broadcast(wordsDf), Seq("term"))
+      .select(col("phrase_id"), col("offset"), explode(col("pl")).as("p"))
+      .select(col("phrase_id"), col("offset"),
+        col("p").getField(idCol).as(idCol), col("p").getField("pos").as("pos"))
+    val grouped = hit.groupBy(col("phrase_id"), col(idCol))
+      .agg(count_distinct(col("offset")).as("n_present"),
+        map_from_entries(collect_list(struct(col("offset"), col("pos"))))
+          .as("m"),
+        sort_array(array_distinct(flatten(collect_list(col("pos")))))
+          .as("starts"))
+      .join(broadcast(needDf), Seq("phrase_id"))
+      .filter(col("n_present") === col("n_words"))
+    grouped
+      .withColumn("valid", filter(col("starts"),
+        p => forall(sequence(lit(0), col("n_words") - 1),
+          k => exists(element_at(col("m"), k.cast("int")),
+            q => q >= p && q < p + lit(window)))))
+      .filter(size(col("valid")) > 0)
+      .select(col("phrase_id"), col(idCol),
+        col("n_words").cast("long").as("n_words"),
+        element_at(col("valid"), 1).cast("long").as("best_start"))
+  }
+
   /** Pseudo-relevance-feedback query expansion (the RM-style loop every
     * retrieval stack closes with): run [[bm25]], take each query's top
     * `fbDocs` documents as its relevance model, score candidate expansion

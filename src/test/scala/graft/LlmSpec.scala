@@ -1357,6 +1357,30 @@ class LlmSpec extends SparkTestBase {
     assert(dup === List((9, 4L, 3L, 1L))) // only doc 4 has "a a b"
   }
 
+  test("proximityQuery: window boundary is exact; best_start is the smallest panel-word start") {
+    import graft.llm.Search
+    val corpus = Seq(
+      (1L, "a x x x b"),           // spread 5 tokens: inside window 5
+      (2L, "a x x x x b"),         // spread 6: outside window 5
+      (3L, "b x a"),               // order-free: b..a within 3
+      (4L, "x a x b x a b"))       // several starts — smallest valid is 1
+      .toDF("doc_id", "text")
+    val index = Search.positionalIndexRaw(corpus)
+    val got = Search.proximityQuery(index, Seq((1, "a b")), window = 5)
+      .orderBy($"doc_id")
+      .as[(Int, Long, Long, Long)].collect().toList
+    // doc 2 excluded (b at offset 5 is outside [0, 5)); doc 3 matches
+    // order-free from b@0; doc 4's smallest valid start is a@1
+    assert(got === List((1, 1L, 2L, 0L), (1, 3L, 2L, 0L), (1, 4L, 2L, 1L)))
+    // a missing word kills the phrase (strictness)
+    assert(Search.proximityQuery(index, Seq((2, "a q")), window = 5)
+      .collect().isEmpty)
+    // duplicate words in the phrase collapse: "a b a" is the set {a, b}
+    assert(Search.proximityQuery(index, Seq((3, "a b a")), window = 5)
+      .orderBy($"doc_id").as[(Int, Long, Long, Long)].collect().toList
+      .map(r => (r._2, r._3)) === List((1L, 2L), (3L, 2L), (4L, 2L)))
+  }
+
   test("clusterCentroidsIncremental: indistinguishable from the full recompute") {
     import graft.llm.{Dedup, Similarity}
     def v(deg: Double) = Array(
