@@ -50,7 +50,14 @@ object Artifacts {
       case Some(r) =>
         val path = s"$r/$name"
         if (!new File(path, "_SUCCESS").exists()) {
-          val w = build.write.mode("overwrite")
+          // cluster on the partition keys first: an unclustered
+          // partitioned write emits up to tasks × |values| sliver files,
+          // defeating the pruned probe the layout exists for
+          val clustered =
+            if (partitionBy.isEmpty) build
+            else build.repartition(
+              partitionBy.map(org.apache.spark.sql.functions.col): _*)
+          val w = clustered.write.mode("overwrite")
           (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
             .parquet(path)
         }

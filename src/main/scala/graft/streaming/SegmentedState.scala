@@ -102,10 +102,20 @@ object SegmentedState {
     * listing after the write (data files exist in every non-empty case);
     * the empty rewrite is unpartitioned — same schema, the partition key
     * becomes a plain (empty) column, and readers' drop()/projection
-    * behave identically. */
+    * behave identically.
+    *
+    * The frame is CLUSTERED on the partition keys before the write (one
+    * exchange, amortized over the compaction cadence): an unclustered
+    * partitioned write emits up to tasks × |partition values| files —
+    * the small-files problem that turns a pruned probe's "read one
+    * bucket" into "open hundreds of slivers" at scale. Clustered, each
+    * bucket is one file (spec-pinned). Parallelism note: buckets are the
+    * write AND pruning granularity — size nBuckets to the cluster, not
+    * to 32. */
   def writePartitioned(df: org.apache.spark.sql.DataFrame, path: String,
       parts: Seq[String]): Unit = {
-    df.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
+    df.repartition(parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(path)
     val f = fs(df.sparkSession, path)
     val it = f.listFiles(new Path(path), true)
     var hasData = false

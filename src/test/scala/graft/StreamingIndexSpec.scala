@@ -370,6 +370,35 @@ class StreamingIndexSpec extends SparkTestBase {
         .filter($"term".isin(terms: _*)).orderBy($"term").collect().toSeq)
   }
 
+  test("compaction clusters by bucket: one data file per bucket partition, and the pruned read still serves") {
+    val dir = java.nio.file.Files.createTempDirectory("sidxcluster").toString
+    val docs = (1L to 120L)
+      .map(i => (i, s"alpha beta w$i x$i y$i z$i common body words"))
+    (0L to 2L).foreach { b =>
+      StreamingIndex.applyBatch(
+        docs.filter(_._1 % 3 == b).toDF("doc_id", "text"), dir, b,
+        maxSegments = 3, nBuckets = 8)
+    }
+    val base = new java.io.File(s"$dir/base/v=2")
+    assert(base.exists())
+    val bucketDirs = base.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("b="))
+    assert(bucketDirs.nonEmpty)
+    for (bd <- bucketDirs) {
+      val data = bd.listFiles().filter(f =>
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(data.length === 1,
+        s"${bd.getName}: expected ONE clustered data file, got " +
+          data.map(_.getName).mkString(", "))
+    }
+    // the clustered layout serves identically
+    assert(Search.renderIndex(StreamingIndex.readIndex(spark, dir))
+      .orderBy($"gram").collect().toSeq
+      === Search.renderIndex(
+        Search.invertedIndexRaw(docs.toDF("doc_id", "text")))
+        .orderBy($"gram").collect().toSeq)
+  }
+
   test("vacuum retention is the concurrent-reader envelope: retain=2 keeps a prior manifest's view readable, retain=1 fails it loudly") {
     val dir = java.nio.file.Files.createTempDirectory("sidxretain").toString
     StreamingIndex.applyBatch(docsA.toDF("doc_id", "text"), dir, 0L,
