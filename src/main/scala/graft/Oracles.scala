@@ -3292,6 +3292,13 @@ object Oracles {
     // the maintained stack (merged index halves + added stats) must be
     // indistinguishable from inline BM25 on the union corpus
     "q_bm25_incr" -> bm25Sql,
+    // Dirichlet query-likelihood mirror: matching-terms rank-equivalent
+    // form, every ln floored to the 1e-9 grid in the SAME IEEE op order
+    // as the Spark expressions (mult, mult, div, add, ln), integer
+    // micro-unit scores; candidates = docs hit by >= 1 panel term
+    "q_ql_indexed" -> qlSql,
+    // the maintained streaming state serves the identical ranker
+    "q_ql_stream" -> qlSql,
     // ALWAYS-ON BM25: three segmented-state micro-batches + the
     // bucket-pruned panel probe ≡ inline BM25 over the whole corpus
     "q_bm25_stream" -> bm25Sql,
@@ -4904,6 +4911,48 @@ object Oracles {
 
   private lazy val bm25Sql: String =
     s"""WITH $bm25Ctes
+       |SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Dirichlet-QL mirror (μ = 2000): the [[graft.llm.Search.qlFromIndex]]
+    * rank-equivalent matching-terms form with each ln floored at 1e-9. */
+  private lazy val qlSql: String =
+    s"""WITH panel AS (SELECT * FROM (VALUES $bm25PanelSql) v(query_id, term)),
+       |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM panel GROUP BY 1),
+       |st AS (
+       |  SELECT CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+       |      AS BIGINT) AS s
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2, 3),
+       |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       |m AS (
+       |  SELECT p.query_id, t.doc_id, t.dl,
+       |    CAST(sum(CAST(floor(ln(1.0 +
+       |      (CAST(t.tf AS DOUBLE) * CAST(st.s AS DOUBLE)) /
+       |        (2000.0 * CAST(c.cf AS DOUBLE))) * 1e9) AS BIGINT))
+       |      AS BIGINT) AS m_sum
+       |  FROM panel p JOIN tf t ON t.term = p.term
+       |  JOIN cf c ON c.term = p.term, st
+       |  GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT m.query_id, m.doc_id,
+       |    m.m_sum + nq.n_terms *
+       |      CAST(floor(ln(2000.0 / (CAST(m.dl AS DOUBLE) + 2000.0)) * 1e9)
+       |        AS BIGINT) AS score_micro
+       |  FROM m JOIN nq USING (query_id)),
+       |r AS (
+       |  SELECT query_id, doc_id, score_micro,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+       |  FROM sc)
        |SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 

@@ -2547,6 +2547,44 @@ object Queries {
           stats, llm.Search.DefaultPanel.toDF("query_id", "term"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // Dirichlet query-likelihood ranking over the SAME persisted
+    // artifacts as q_bm25_indexed (the cf column in the index is the
+    // smoothing mass) — the second classic ranker, zero corpus reads,
+    // every ln draw floored to the 1e-9 grid, integer micro scores.
+    "q_ql_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tWide(s, dir, "documents")
+      val nb = streaming.StreamingIndex.DefaultBuckets
+      val index = sources.Artifacts.table(s, "bm25_index",
+        partitionBy = Seq("b"))(
+        llm.Search.withBucket(llm.Search.searchIndexRaw(docs),
+          nb, gramCol = "term"))
+      val stats = sources.Artifacts.table(s, "bm25_stats")(
+        llm.Search.corpusStats(docs))
+      val terms = llm.Search.DefaultPanel.map(_._2).distinct
+      llm.Search.qlFromIndex(
+          llm.Search.pruneToGrams(index, terms, nb, gramCol = "term"),
+          stats, llm.Search.DefaultPanel.toDF("query_id", "term"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // ... and the same ranker OFF THE MAINTAINED STREAMING STATE — one
+    // artifact family serves both scorers (state == corpus, so it shares
+    // q_ql_indexed's oracle verbatim)
+    "q_ql_stream" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sbm25_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sbm25q").toString
+      }
+      (0L to 2L).foreach { b =>
+        streaming.StreamingSearchIndex.applyBatch(
+          docs.filter(col("doc_id") % 3 === b), state, b, maxSegments = 3)
+      }
+      streaming.StreamingSearchIndex.vacuum(s, state)
+      streaming.StreamingSearchIndex.ql(s, state, llm.Search.DefaultPanel)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // ALWAYS-ON BM25: the unigram search index + stats maintained under
     // the segmented-state discipline (StreamingSearchIndex = the
     // StreamingIndex core parameterized on term/searchIndexRaw), scored

@@ -273,6 +273,60 @@ object Search {
       .select(col("query_id"), col("rank"), col(idCol), col("score_micro"))
   }
 
+  /** Dirichlet-smoothed QUERY-LIKELIHOOD ranking (Zhai & Lafferty 2001)
+    * OVER THE SAME PREBUILT ARTIFACTS as [[bm25FromIndex]] — the second
+    * classic probabilistic ranker, and the reason [[searchIndexRaw]]
+    * carries cf (collection frequency) in every row: QL's smoothing mass
+    * is cf/C, so the maintained index + 1-row stats sidecar already hold
+    * everything scoring needs. Rank-equivalent matching-terms form:
+    *
+    *   score(q, d) = Σ_{t ∈ q ∩ d} ln(1 + tf·C / (μ·cf))
+    *               + |q| · ln(μ / (dl + μ))
+    *
+    * so only MATCHING postings contribute per-term work (candidates =
+    * docs hit by ≥1 panel term, the standard candidate set), and dl
+    * rides in the posting. Scale shape identical to [[bm25FromIndex]]:
+    * panel broadcasts, per-term fan-out ≤ maxDf postings, the 1-row
+    * stats attach as a broadcast scalar, one candidate-bounded shuffle.
+    *
+    * Portability: ln is engine-specific (1-2 ulp), so EVERY ln draw
+    * floors onto the 1e-9 grid before integer arithmetic — the match
+    * term per (query, term, doc), the length term once per (query, doc)
+    * (then multiplied by the integer |q|); the published score is an
+    * exact integer micro sum. Returns (query_id, rank, idCol,
+    * score_micro) — scores are negative (log-probabilities). */
+  def qlFromIndex(index: DataFrame, stats: DataFrame, queries: DataFrame,
+      mu: Double = 2000.0, topK: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(mu > 0 && topK > 0, s"need mu > 0, topK > 0: $mu, $topK")
+    val nq = queries.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_terms"))
+    val post = index
+      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .select(col("query_id"), col("term"), col("cf"), explode(col("pl")).as("p"))
+      .select(col("query_id"), col("term"), col("cf"),
+        col("p").getField(idCol).as(idCol), col("p").getField("tf").as("tf"),
+        col("p").getField("dl").as("dl"))
+      .crossJoin(broadcast(stats)) // 1×1 scalar attach
+    val contrib = post.withColumn("m_micro",
+      floor(log(lit(1.0) +
+          (col("tf").cast("double") * col("sum_dl").cast("double")) /
+            (lit(mu) * col("cf").cast("double"))) * lit(1e9)).cast("long"))
+    val scored = contrib
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("m_micro")).as("m_sum"), max(col("dl")).as("dl"))
+      .join(broadcast(nq), Seq("query_id"))
+      .withColumn("score_micro",
+        col("m_sum") + col("n_terms") *
+          floor(log(lit(mu) / (col("dl").cast("double") + lit(mu))) * lit(1e9))
+            .cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(idCol), col("score_micro"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
     * standard hybrid-retrieval combiner: each system's ranked list
     * contributes 1/(kRrf + rank) per (query, doc), summed across systems,

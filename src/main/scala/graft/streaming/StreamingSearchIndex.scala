@@ -72,6 +72,17 @@ object StreamingSearchIndex {
       k1, b, topK)
   }
 
+  /** Dirichlet query-likelihood top-k OFF the maintained state
+    * ([[Search.qlFromIndex]] over the bucket-pruned panel view) — the
+    * same artifact family serves both classic rankers. */
+  def ql(spark: SparkSession, dir: String, panel: Seq[(Int, String)],
+      mu: Double = 2000.0, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    Search.qlFromIndex(
+      readIndexPruned(spark, dir, panel.map(_._2).distinct),
+      readStats(spark, dir), panel.toDF("query_id", "term"), mu, topK)
+  }
+
   /** Wire a doc (or change) stream to the maintained search index. */
   def writer(docs: DataFrame, dir: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),

@@ -1357,6 +1357,26 @@ class LlmSpec extends SparkTestBase {
     assert(dup === List((9, 4L, 3L, 1L))) // only doc 4 has "a a b"
   }
 
+  test("qlFromIndex: tf raises, length penalizes, and scores equal the hand formula") {
+    import graft.llm.Search
+    val corpus = Seq(
+      (1L, "rare rare x"),                       // tf 2, dl 3
+      (2L, "rare y z"),                          // tf 1, dl 3
+      (3L, "rare a b c d e f g h i j k"))        // tf 1, dl 12
+      .toDF("doc_id", "text")
+    val index = Search.searchIndexRaw(corpus)
+    val stats = Search.corpusStats(corpus)
+    val got = Search.qlFromIndex(index, stats,
+        Seq((1, "rare")).toDF("query_id", "term"), mu = 2000.0)
+      .orderBy($"rank").as[(Int, Int, Long, Long)].collect().toList
+    assert(got.map(_._3) === List(1L, 2L, 3L),
+      s"expected tf-then-length ordering: $got")
+    // hand check doc 1: C = 18 tokens, cf(rare) = 4
+    val m = math.floor(math.log(1.0 + (2.0 * 18.0) / (2000.0 * 4.0)) * 1e9).toLong
+    val len = math.floor(math.log(2000.0 / (3.0 + 2000.0)) * 1e9).toLong
+    assert(got.head._4 === m + len)
+  }
+
   test("proximityQuery: window boundary is exact; best_start is the smallest panel-word start") {
     import graft.llm.Search
     val corpus = Seq(
