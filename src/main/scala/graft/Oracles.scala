@@ -1030,6 +1030,16 @@ object Oracles {
         |  TRUE AS sketch_within_5pct
         |FROM events WHERE user_id % 10 <> 3""".stripMargin,
 
+    // Morton interleave mirror: the identical bit placement, unrolled —
+    // OR of disjoint-position terms (bit i of a at 2i+1, of b at 2i)
+    "q_zorder" -> {
+      val terms = (0 until 12).flatMap(i => Seq(
+        s"((((user_id % 4096) >> $i) & 1) << ${2 * i + 1})",
+        s"((((event_id % 4096) >> $i) & 1) << ${2 * i})"))
+      s"""SELECT event_id, CAST(${terms.mkString(" | ")} AS BIGINT) AS zval
+         |FROM events ORDER BY event_id""".stripMargin
+    },
+
     "q_cube_revenue" ->
       s"""SELECT c_mktsegment, o_orderpriority,
          |  ${decSum("o_totalprice")} AS revenue, count(*) AS n_orders

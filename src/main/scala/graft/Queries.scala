@@ -308,6 +308,18 @@ object Queries {
     "q_uniques_exact" -> ((s, dir) =>
       t(s, dir, "events").agg(count_distinct(col("user_id")).as("exact_users"))),
 
+    // Z-order (Morton) mapping — the multi-dim clustering key behind
+    // OPTIMIZE ZORDER data skipping: pure bit arithmetic (codegen'd, no
+    // UDF), published per event so the oracle pins the interleave
+    // exactly; the skipping behavior itself is FS-byte-pinned in
+    // LayoutSpec (a 2nd-dimension predicate reads a fraction of the
+    // z-clustered files vs a single-column-sorted layout).
+    "q_zorder" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        sources.Layout.zValue2(pmod(col("user_id"), lit(4096L)),
+          pmod(col("event_id"), lit(4096L)), bits = 12).as("zval"))
+        .orderBy(col("event_id"))),
+
     // ---- analytics: grouping sets / joins beyond inner / set ops ----
     "q_cube_revenue" -> ((s, dir) =>
       Analytics.cubeRevenue(t(s, dir, "orders"), t(s, dir, "customer"))),
