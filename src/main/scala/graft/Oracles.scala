@@ -3302,6 +3302,36 @@ object Oracles {
     // the maintained stack (merged index halves + added stats) must be
     // indistinguishable from inline BM25 on the union corpus
     "q_bm25_incr" -> bm25Sql,
+    // snippet mirror: the bm25 CTE chain's top-10, then per (query, doc)
+    // the integer argmax hits·10^6 − start over candidate starts (the
+    // doc's panel-term positions, 0-based like Spark's posexplode),
+    // 8-token window, ties to the smallest start by the encoding
+    "q_snippets" ->
+      s"""WITH $bm25Ctes,
+         |top AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 10),
+         |ta AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |qt AS (SELECT query_id, list(DISTINCT term) AS terms
+         |  FROM panel GROUP BY 1),
+         |snip AS (
+         |  SELECT t.query_id, t.rank, t.doc_id,
+         |    list_max(list_transform(
+         |      list_filter(range(1, len(k.a) + 1),
+         |        i -> list_contains(q.terms, k.a[i])),
+         |      s -> CAST(len(list_filter(range(1, len(k.a) + 1),
+         |             j -> j >= s AND j <= s + 7
+         |               AND list_contains(q.terms, k.a[j]))) AS BIGINT)
+         |           * 1000000 - CAST(s - 1 AS BIGINT))) AS best_score
+         |  FROM top t
+         |  JOIN ta k ON k.doc_id = t.doc_id
+         |  JOIN qt q ON q.query_id = t.query_id)
+         |SELECT query_id, rank, doc_id,
+         |  CAST(floor((best_score + 999999) / 1000000.0) AS BIGINT) * 1000000
+         |    - best_score AS best_start,
+         |  CAST(floor((best_score + 999999) / 1000000.0) AS BIGINT) AS best_hits
+         |FROM snip ORDER BY query_id, rank""".stripMargin,
+
     // Dirichlet query-likelihood mirror: matching-terms rank-equivalent
     // form, every ln floored to the 1e-9 grid in the SAME IEEE op order
     // as the Spark expressions (mult, mult, div, add, ln), integer

@@ -2559,6 +2559,35 @@ object Queries {
           stats, llm.Search.DefaultPanel.toDF("query_id", "term"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // snippet windows for the BM25 top-10: the display step served
+    // entirely off the persisted artifacts — the ranked set gates the
+    // positional probe (broadcast), the best 8-token window per result
+    // is an integer argmax over the doc's panel-term offsets (ties →
+    // smallest start), zero corpus reads end to end
+    "q_snippets" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tWide(s, dir, "documents")
+      val nb = streaming.StreamingIndex.DefaultBuckets
+      val index = sources.Artifacts.table(s, "bm25_index",
+        partitionBy = Seq("b"))(
+        llm.Search.withBucket(llm.Search.searchIndexRaw(docs),
+          nb, gramCol = "term"))
+      val stats = sources.Artifacts.table(s, "bm25_stats")(
+        llm.Search.corpusStats(docs))
+      val posIndex = sources.Artifacts.table(s, "pos_index",
+        partitionBy = Seq("b"))(
+        llm.Search.withBucket(llm.Search.positionalIndexRaw(docs),
+          nb, gramCol = "term"))
+      val terms = llm.Search.DefaultPanel.map(_._2).distinct
+      val panel = llm.Search.DefaultPanel.toDF("query_id", "term")
+      val ranked = llm.Search.bm25FromIndex(
+        llm.Search.pruneToGrams(index, terms, nb, gramCol = "term"),
+        stats, panel)
+      llm.Search.snippetWindows(
+          llm.Search.pruneToGrams(posIndex, terms, nb, gramCol = "term"),
+          ranked, panel, window = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // Dirichlet query-likelihood ranking over the SAME persisted
     // artifacts as q_bm25_indexed (the cf column in the index is the
     // smoothing mass) — the second classic ranker, zero corpus reads,

@@ -717,6 +717,48 @@ object Search {
         element_at(col("valid"), 1).cast("long").as("best_start"))
   }
 
+  /** SNIPPET window selection for ranked results — the display step of a
+    * search stack: for each (query, ranked doc), the `window`-token span
+    * with the MOST query-term occurrences (ties → smallest start), read
+    * ENTIRELY off the positional index: a best window always starts at a
+    * term occurrence, so the candidate starts are the doc's panel-term
+    * positions and the corpus is never touched. Returns (query_id, rank,
+    * idCol, best_start, best_hits).
+    *
+    * Determinism discipline: the (hits, start) argmax is encoded as one
+    * integer `hits·10^6 − start` (doc positions < 10^6) so max picks max
+    * hits then min start — pure integer arithmetic, mirrored exactly in
+    * the oracle. Scale shape: the panel broadcasts into the (pruned)
+    * index, the RANKED doc set (≤ |queries|·topK rows) broadcasts as the
+    * gate, and the window scan is a scan-side HOF over the candidate
+    * offsets — per-(query, doc) state is the term position lists. */
+  def snippetWindows(posIndex: DataFrame, ranked: DataFrame,
+      queries: DataFrame, window: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val hit = posIndex
+      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .select(col("query_id"), explode(col("pl")).as("p"))
+      .select(col("query_id"), col("p").getField(idCol).as(idCol),
+        col("p").getField("pos").as("pos"))
+      .join(broadcast(ranked.select(col("query_id"), col(idCol), col("rank"))),
+        Seq("query_id", idCol))
+    hit.groupBy(col("query_id"), col(idCol), col("rank"))
+      .agg(sort_array(array_distinct(flatten(collect_list(col("pos")))))
+        .as("cand"))
+      .withColumn("best_score", array_max(transform(col("cand"),
+        s => size(filter(col("cand"),
+            q => q >= s && q < s + lit(window))).cast("long") *
+          lit(1000000L) - s.cast("long"))))
+      .withColumn("best_hits",
+        floor((col("best_score") + lit(999999L)).cast("double") / lit(1e6))
+          .cast("long"))
+      .withColumn("best_start",
+        col("best_hits") * lit(1000000L) - col("best_score"))
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("best_start"), col("best_hits"))
+  }
+
   /** Pseudo-relevance-feedback query expansion (the RM-style loop every
     * retrieval stack closes with): run [[bm25]], take each query's top
     * `fbDocs` documents as its relevance model, score candidate expansion

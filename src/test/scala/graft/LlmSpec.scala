@@ -1377,6 +1377,20 @@ class LlmSpec extends SparkTestBase {
     assert(got.head._4 === m + len)
   }
 
+  test("snippetWindows: densest window wins, ties break to the smallest start") {
+    import graft.llm.Search
+    val corpus = Seq(
+      (1L, "a b x x x x x x x a b a"), // densest 4-window starts at 9 (3 hits)
+      (2L, "a b x a b"))               // 3-hit windows at 0 AND 1 → tie → 0
+      .toDF("doc_id", "text")
+    val posIndex = Search.positionalIndexRaw(corpus)
+    val panel = Seq((1, "a"), (1, "b")).toDF("query_id", "term")
+    val ranked = Seq((1, 1L, 1), (1, 2L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Search.snippetWindows(posIndex, ranked, panel, window = 4)
+      .orderBy($"rank").as[(Int, Int, Long, Long, Long)].collect().toList
+    assert(got === List((1, 1, 1L, 9L, 3L), (1, 2, 2L, 0L, 3L)))
+  }
+
   test("proximityQuery: window boundary is exact; best_start is the smallest panel-word start") {
     import graft.llm.Search
     val corpus = Seq(
