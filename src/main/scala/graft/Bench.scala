@@ -103,8 +103,11 @@ object Bench {
     // `parsed: null`). The stdout line therefore carries the totals, the
     // calibration anchor, and the slowest rows — and points at the side
     // file (committed) for the full map.
-    val slowest = results.sortBy(-_._2).take(12)
-      .filterNot(_._1 == "q_dedup_exact") // calib carries it already
+    // calib carries the anchor already — drop it BEFORE the take so the
+    // line always carries 12 true slowest rows even when the anchor
+    // lands among them
+    val slowest = results.filterNot(_._1 == anchorName)
+      .sortBy(-_._2).take(12)
     val calib = results.filter(_._1 == "q_dedup_exact")
     def med(xs: Seq[Double]): Double =
       if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)

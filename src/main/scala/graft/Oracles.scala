@@ -1039,6 +1039,19 @@ object Oracles {
       s"""SELECT event_id, CAST(${terms.mkString(" | ")} AS BIGINT) AS zval
          |FROM events ORDER BY event_id""".stripMargin
     },
+    // k = 3 Morton mirror: round-robin placement — bit i of dimension j
+    // lands at 3i + (2 − j); day = epoch days of ts (UTC on both engines)
+    "q_zorder3" -> {
+      val dims = Seq(
+        "(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 1024)",
+        "(user_id % 1024)", "(event_id % 1024)")
+      val terms = for {
+        i <- 0 until 10
+        (d, j) <- dims.zipWithIndex
+      } yield s"((($d >> $i) & 1) << ${3 * i + (2 - j)})"
+      s"""SELECT event_id, CAST(${terms.mkString(" | ")} AS BIGINT) AS zval
+         |FROM events ORDER BY event_id""".stripMargin
+    },
 
     "q_cube_revenue" ->
       s"""SELECT c_mktsegment, o_orderpriority,
@@ -3306,31 +3319,10 @@ object Oracles {
     // the integer argmax hits·10^6 − start over candidate starts (the
     // doc's panel-term positions, 0-based like Spark's posexplode),
     // 8-token window, ties to the smallest start by the encoding
-    "q_snippets" ->
-      s"""WITH $bm25Ctes,
-         |top AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 10),
-         |ta AS (
-         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
-         |  FROM documents WHERE len(trim(text)) > 0),
-         |qt AS (SELECT query_id, list(DISTINCT term) AS terms
-         |  FROM panel GROUP BY 1),
-         |snip AS (
-         |  SELECT t.query_id, t.rank, t.doc_id,
-         |    list_max(list_transform(
-         |      list_filter(range(1, len(k.a) + 1),
-         |        i -> list_contains(q.terms, k.a[i])),
-         |      s -> CAST(len(list_filter(range(1, len(k.a) + 1),
-         |             j -> j >= s AND j <= s + 7
-         |               AND list_contains(q.terms, k.a[j]))) AS BIGINT)
-         |           * 1000000 - CAST(s - 1 AS BIGINT))) AS best_score
-         |  FROM top t
-         |  JOIN ta k ON k.doc_id = t.doc_id
-         |  JOIN qt q ON q.query_id = t.query_id)
-         |SELECT query_id, rank, doc_id,
-         |  CAST(floor((best_score + 999999) / 1000000.0) AS BIGINT) * 1000000
-         |    - best_score AS best_start,
-         |  CAST(floor((best_score + 999999) / 1000000.0) AS BIGINT) AS best_hits
-         |FROM snip ORDER BY query_id, rank""".stripMargin,
+    "q_snippets" -> snippetsSql,
+    // … and the identical display step served off the STREAMED positional
+    // state (state == corpus ⇒ the windows are the same truth recompute)
+    "q_snippets_stream" -> snippetsSql,
 
     // Dirichlet query-likelihood mirror: matching-terms rank-equivalent
     // form, every ln floored to the 1e-9 grid in the SAME IEEE op order
@@ -4296,6 +4288,66 @@ object Oracles {
         |  min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
+    // PERCEPTUAL media near-dup mirror: the q_media_features byte-bucket
+    // histogram CTE (bit-exact count/n division) over corpus ∪ planted
+    // re-encodes (text doubled: histogram invariant, digest different),
+    // features quantized to 8 bits, 4 bands of 4 coords packed
+    // radix-65536 (the fold order of the Spark aggregate), candidates =
+    // band-exact matches, verify = sequential-fold cosine ≥ 0.9995 —
+    // the band-match ∧ cosine predicate IS the contract, mirrored whole.
+    "q_media_neardup" -> {
+      val dot = dotSql("fa.fv", "fb.fv")
+      val naa = dotSql("fa.fv", "fa.fv")
+      val nbb = dotSql("fb.fv", "fb.fv")
+      s"""WITH c AS (
+         |  SELECT doc_id AS media_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || text FROM documents
+         |  WHERE doc_id < 20),
+         |b AS (
+         |  SELECT media_id, hex(encode(text)) AS hx,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |  FROM c),
+         |e AS (SELECT media_id, unnest(range(0, n_bytes)) AS i, hx FROM b),
+         |h AS (
+         |  SELECT media_id,
+         |    ((strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
+         |      + (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1)) % 16 AS bucket,
+         |    count(*) AS cnt
+         |  FROM e GROUP BY 1, 2),
+         |g AS (
+         |  SELECT media_id, n_bytes, CAST(unnest(range(0, 16)) AS INT) AS bucket
+         |  FROM b),
+         |f AS (
+         |  SELECT g.media_id,
+         |    list(COALESCE(h.cnt, 0)::DOUBLE / greatest(g.n_bytes, 1)::DOUBLE
+         |      ORDER BY g.bucket) AS fv
+         |  FROM g LEFT JOIN h ON g.media_id = h.media_id AND g.bucket = h.bucket
+         |  GROUP BY g.media_id),
+         |q AS (
+         |  SELECT media_id, fv,
+         |    list_transform(fv, x -> CAST(floor(x * 256.0) AS BIGINT)) AS qv
+         |  FROM f),
+         |bands AS (
+         |  SELECT media_id, band,
+         |    qv[band * 4 + 1] * 281474976710656 + qv[band * 4 + 2] * 4294967296
+         |      + qv[band * 4 + 3] * 65536 + qv[band * 4 + 4] AS band_hash
+         |  FROM q, (SELECT CAST(unnest(range(0, 4)) AS INT) AS band)),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash
+         |      AND a.media_id < b.media_id),
+         |scored AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |    $dot / (sqrt($naa) * sqrt($nbb)) AS score
+         |  FROM cand
+         |  JOIN q fa ON fa.media_id = cand.id_a
+         |  JOIN q fb ON fb.media_id = cand.id_b)
+         |SELECT id_a, id_b, score FROM scored
+         |WHERE score >= 0.9995 ORDER BY id_a, id_b""".stripMargin
+    },
+
     "q_embed_near_dups" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${dotSql("a.embedding", "b.embedding")} /
@@ -4953,6 +5005,38 @@ object Oracles {
     s"""WITH $bm25Ctes
        |SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Snippet-window mirror: the BM25 top-10 CTE chain + an INDEPENDENT
+    * window recompute from the raw corpus text (token positions via
+    * regexp split — not a mirror of the Spark positional-artifact plan),
+    * argmax encoded as hits·10^6 − start exactly like
+    * [[graft.llm.Search.snippetWindows]]. Shared verbatim by the batch
+    * (`q_snippets`) and streamed (`q_snippets_stream`) serving rows. */
+  private lazy val snippetsSql: String =
+    s"""WITH $bm25Ctes,
+       |top AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 10),
+       |ta AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |qt AS (SELECT query_id, list(DISTINCT term) AS terms
+       |  FROM panel GROUP BY 1),
+       |snip AS (
+       |  SELECT t.query_id, t.rank, t.doc_id,
+       |    list_max(list_transform(
+       |      list_filter(range(1, len(k.a) + 1),
+       |        i -> list_contains(q.terms, k.a[i])),
+       |      s -> CAST(len(list_filter(range(1, len(k.a) + 1),
+       |             j -> j >= s AND j <= s + 7
+       |               AND list_contains(q.terms, k.a[j]))) AS BIGINT)
+       |           * 1000000 - CAST(s - 1 AS BIGINT))) AS best_score
+       |  FROM top t
+       |  JOIN ta k ON k.doc_id = t.doc_id
+       |  JOIN qt q ON q.query_id = t.query_id)
+       |SELECT query_id, rank, doc_id,
+       |  CAST(floor((best_score + 999999) / 1000000.0) AS BIGINT) * 1000000
+       |    - best_score AS best_start,
+       |  CAST(floor((best_score + 999999) / 1000000.0) AS BIGINT) AS best_hits
+       |FROM snip ORDER BY query_id, rank""".stripMargin
 
   /** Dirichlet-QL mirror (μ = 2000): the [[graft.llm.Search.qlFromIndex]]
     * rank-equivalent matching-terms form with each ln floored at 1e-9. */

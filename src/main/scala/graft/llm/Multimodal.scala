@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
@@ -126,6 +126,80 @@ object Multimodal {
       .select(md5(col("media")).as("content_hash"), col("media_id"))
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("canonical_id"))
+
+  /** PERCEPTUAL near-duplicate media detection — the re-encode catcher
+    * [[dedupExact]] cannot be: a re-encoded duplicate (different bytes,
+    * same content — the dominant duplicate mode in a crawled multimodal
+    * corpus) has a different digest but a near-identical FEATURE vector,
+    * so near-dup runs in feature space:
+    *
+    *   1. decode → features at the codec boundary (scan-side
+    *      [[extractFeatures]]; media bytes never leave the scan stage —
+    *      everything past this line moves ~10³×-smaller vectors);
+    *   2. perceptual hash: each feature quantized to `quantLevels`
+    *      levels (floor(f·q) — pure integer arithmetic on the
+    *      deterministic codec output, so the hash is oracle-able);
+    *   3. LSH-style banding: the quantized vector splits into
+    *      dim/bandCoords bands of `bandCoords` coordinates packed into
+    *      one long each; candidate pairs agree EXACTLY on ≥1 band (the
+    *      multi-probe index lookup a production pHash store runs) —
+    *      never all-pairs, and a degenerate hot band is capped by the
+    *      [[Dedup.capBuckets]] rail with the observe()-surfaced drop
+    *      counter;
+    *   4. verify: exact feature cosine ≥ `threshold` over the candidate
+    *      pairs only ([[graft.expr.DotProduct]] — sequential fold,
+    *      bit-identical to the DuckDB oracle's list_reduce).
+    *
+    * The band-match ∧ cosine≥τ predicate IS the published contract (the
+    * q_embed_near_dups label-block discipline: the oracle mirrors the
+    * blocking, so the result is exact, not best-effort). Returns
+    * (id_a < id_b, score). */
+  def dedupNear(media: DataFrame, threshold: Double = 0.9995,
+      dim: Int = 16, bandCoords: Int = 4, quantLevels: Int = 256,
+      maxBucket: Int = 4096, codec: MediaCodec = FakeCodec): DataFrame = {
+    require(dim % bandCoords == 0,
+      s"dim must be a multiple of bandCoords: $dim, $bandCoords")
+    // the packed band key gives each coordinate 16 bits: quantized values
+    // reach quantLevels exactly (a feature of 1.0), and 4 coords × 16
+    // bits fills the long without collision
+    require(quantLevels >= 2 && quantLevels < 65536,
+      s"quantLevels must be in [2, 65535]: $quantLevels")
+    require(bandCoords >= 1 && bandCoords <= 4,
+      s"bandCoords must be in [1, 4] (packed into one long): $bandCoords")
+    val nBands = dim / bandCoords
+    // checkpointed: consumed by the band table AND both verify sides —
+    // and the truncation drops the media scan from downstream lineage,
+    // so no exchange below ever carries the binary column
+    val feats = extractFeatures(media, dim, codec)
+      .select(col("media_id"), col("features"))
+      .localCheckpoint(eager = false)
+    val quant = feats.select(col("media_id"),
+      transform(col("features"),
+        f => floor(f * lit(quantLevels.toDouble)).cast("long")).as("q"))
+    val bands = quant.select(col("media_id"), posexplode(
+        transform(sequence(lit(0), lit(nBands - 1)),
+          b => aggregate(slice(col("q"), b * bandCoords + 1, lit(bandCoords)),
+            lit(0L), (acc, v) => acc * lit(65536L) + v))))
+      .toDF("media_id", "band", "band_hash")
+    val capped = Dedup.capBuckets(bands, maxBucket, "media_neardup")
+    val cands = capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    val dot = graft.expr.DotProduct.apply(_: Column, _: Column)
+    cands
+      .join(feats.select(col("media_id").as("id_a"), col("features").as("fa")),
+        Seq("id_a"))
+      .join(feats.select(col("media_id").as("id_b"), col("features").as("fb")),
+        Seq("id_b"))
+      .withColumn("score", dot(col("fa"), col("fb")) /
+        (sqrt(dot(col("fa"), col("fa"))) * sqrt(dot(col("fb"), col("fb")))))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
 
   /** Frame sampling for "video" media: every nth fixed-size byte window as a
     * frame (a real implementation would seek keyframes; the batch shape —

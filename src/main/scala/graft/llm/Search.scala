@@ -425,8 +425,27 @@ object Search {
     * exists and the result is bit-identical to a full rebuild over
     * corpus ∖ deleted (oracle-pinned). */
   def indexDelete(oldIndex: DataFrame, deletedIndex: DataFrame,
-      gramCol: String = "gram", idCol: String = "doc_id"): DataFrame = {
-    val delG = deletedIndex.select(col(gramCol), col("df").as("__ddf"),
+      gramCol: String = "gram", idCol: String = "doc_id",
+      validateDisjoint: Boolean = false): DataFrame = {
+    // The subtraction assumes each doomed doc appears ONCE in
+    // `deletedIndex` — a duplicate tombstone for the same doc (e.g. a
+    // replayed erasure folded into a del-run union) would over-subtract
+    // df/cf and could drop a gram while surviving postings exist. The
+    // precondition is cheaply checkable in-plan on exactly the rows that
+    // could violate it: postings are doc-sorted, so duplicates are
+    // ADJACENT (the [[indexMerge]] validateDisjoint discipline). Opt-in
+    // because a pointer-disciplined exactly-once pipeline need not pay
+    // even this touched-rows scan.
+    val checkedDel =
+      if (!validateDisjoint) deletedIndex
+      else deletedIndex.withColumn("pl",
+        when(exists(zip_with(slice(col("pl"), lit(1), size(col("pl")) - 1),
+            slice(col("pl"), lit(2), size(col("pl")) - 1),
+            (a, b) => a.getField(idCol) === b.getField(idCol)), x => x),
+          raise_error(concat(lit("indexDelete: duplicate doomed doc for gram '"),
+            col(gramCol), lit("' — replayed tombstones?"))))
+          .otherwise(col("pl")))
+    val delG = checkedDel.select(col(gramCol), col("df").as("__ddf"),
       col("cf").as("__dcf"),
       transform(col("pl"), x => x.getField(idCol)).as("__dids"))
     val untouched = oldIndex
@@ -746,6 +765,17 @@ object Search {
     hit.groupBy(col("query_id"), col(idCol), col("rank"))
       .agg(sort_array(array_distinct(flatten(collect_list(col("pos")))))
         .as("cand"))
+      // the argmax encoding below assumes every token position < 10^6 —
+      // an oversized doc must fail LOUDLY, not return a silently corrupt
+      // window (the guard costs one array_max over candidate offsets the
+      // aggregate already materialized)
+      .withColumn("cand",
+        when(array_max(col("cand")) >= lit(1000000),
+          raise_error(concat(
+            lit("snippetWindows: token position >= 1e6 in doc "),
+            col(idCol).cast("string"),
+            lit(" — the hits*1e6-start argmax encoding cannot represent it"))))
+          .otherwise(col("cand")))
       .withColumn("best_score", array_max(transform(col("cand"),
         s => size(filter(col("cand"),
             q => q >= s && q < s + lit(window))).cast("long") *
@@ -814,12 +844,21 @@ object Search {
   def moreLikeThis(docs: DataFrame, anchorPred: Column, k: Int = 5,
       minDf: Long = 2, maxDf: Long = 1000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val n = docs.count()
-    val toks = docs.select(col(idCol).as("doc_id"),
+    // N rides the SAME scan that tokenizes (the [[bm25]] observe()
+    // discipline): a separate docs.count() was a second full corpus pass
+    // at 100 TB — the single most expensive redundant line in a search
+    // stack. The eager checkpoint both materializes tf (consumed by df +
+    // the three w readers below) and fires the observed metric.
+    val obs = org.apache.spark.sql.Observation()
+    val toks = docs
+      .observe(obs, count(lit(1)).as("n_docs"))
+      .select(col(idCol).as("doc_id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
+    val n = obs.get("n_docs").asInstanceOf[Long]
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf && col("df") <= maxDf)

@@ -29,17 +29,30 @@ object Layout {
     * raw columns first): bit i of `a` lands at position 2i+1, bit i of
     * `b` at 2i. Monotone locality: close (a, b) pairs get close
     * z-values, so clustering by z clusters BOTH dimensions. */
-  def zValue2(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]: $bits")
-    val terms = (0 until bits).flatMap { i =>
-      Seq(
-        shiftleft(
-          shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)),
-          2 * i + 1),
-        shiftleft(
-          shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)),
-          2 * i))
-    }
+  def zValue2(a: Column, b: Column, bits: Int = 16): Column =
+    zValueN(Seq(a, b), bits)
+
+  /** Morton z-value of k NON-NEGATIVE dimensions, `bits` bits each —
+    * production OPTIMIZE ZORDER takes an arbitrary column list, and the
+    * bit interleave generalizes round-robin: bit i of dimension j lands
+    * at position i·k + (k−1−j), so earlier columns take the more
+    * significant slot within each round (for k = 2 this is exactly
+    * [[zValue2]]'s layout: bit i of `a` at 2i+1, of `b` at 2i — the
+    * q_zorder oracle pin is unchanged by the generalization). The total
+    * bit budget bits·k must fit a positive long (≤ 63). Same expression
+    * discipline: pure shift/and/or chain, whole-stage codegen, no UDF,
+    * bit-for-bit mirrorable in the oracle's integer arithmetic. */
+  def zValueN(cols: Seq[Column], bits: Int = 16): Column = {
+    val k = cols.size
+    require(k >= 2, s"zValueN interleaves at least 2 dimensions: $k")
+    require(bits >= 1 && bits * k <= 63,
+      s"bit budget bits*k must be in [1, 63]: bits=$bits, k=$k")
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftrightunsigned(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * k + (k - 1 - j))
     terms.reduce(_ bitwiseOR _)
   }
 
@@ -49,9 +62,15 @@ object Layout {
     * helper column. One full shuffle + local sort — the one-time layout
     * job production tables amortize over every later pruned read. */
   def zOrderWrite(df: DataFrame, aCol: String, bCol: String, path: String,
+      nFiles: Int, bits: Int = 16): Unit =
+    zOrderWriteN(df, Seq(aCol, bCol), path, nFiles, bits)
+
+  /** [[zOrderWrite]] for k dimensions ([[zValueN]]) — the full OPTIMIZE
+    * ZORDER BY (c1, …, ck) layout job. */
+  def zOrderWriteN(df: DataFrame, zCols: Seq[String], path: String,
       nFiles: Int, bits: Int = 16): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1: $nFiles")
-    df.withColumn("__z", zValue2(col(aCol), col(bCol), bits))
+    df.withColumn("__z", zValueN(zCols.map(col), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -50,16 +50,29 @@ object SlopeProbe {
         val gated = graft.SparkEntry.benchMaxSf.get(name).exists(_ < sf.toDouble)
         if (gated) System.err.println(s"[slope] sf$sf $name SF-GATED, skipped")
         else {
-          val t = (1 to passes).map { _ =>
+          // failed passes are EXCLUDED from the min — a failure returns in
+          // near-zero time, and folding it in would print a bogus slope
+          // instead of a missing data point
+          val ts = (1 to passes).flatMap { _ =>
             val t0 = System.nanoTime()
-            try graft.SparkEntry.queries(name)(spark, dir)
-              .write.format("noop").mode("overwrite").save()
-            catch { case e: Throwable =>
-              System.err.println(s"[slope] $name@$sf FAILED: ${e.getMessage}") }
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          times((name, sf)) = t
-          System.err.println(f"[slope] sf$sf $name $t%.2fs")
+            val ok =
+              try {
+                graft.SparkEntry.queries(name)(spark, dir)
+                  .write.format("noop").mode("overwrite").save()
+                true
+              } catch { case e: Throwable =>
+                System.err.println(s"[slope] $name@$sf FAILED: ${e.getMessage}")
+                false
+              }
+            if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+          }
+          ts match {
+            case Seq() =>
+              System.err.println(s"[slope] sf$sf $name all passes failed — no data point")
+            case some =>
+              times((name, sf)) = some.min
+              System.err.println(f"[slope] sf$sf $name ${some.min}%.2fs")
+          }
         }
       }
     }
