@@ -42,6 +42,65 @@ class LayoutSpec extends SparkTestBase {
         s"quadrants ${(x._1, x._2)} and ${(y._1, y._2)} overlap in z")
   }
 
+  test("zValueN: k=3 round-robin bit placement; k=2 instance equals zValue2") {
+    val rows = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (5L, 9L, 3L), (255L, 1L, 128L))
+    val got = rows.toDF("a", "b", "c")
+      .select($"a", $"b", $"c",
+        Layout.zValueN(Seq($"a", $"b", $"c"), bits = 8).as("z"),
+        Layout.zValueN(Seq($"a", $"b"), bits = 8).as("z2n"),
+        Layout.zValue2($"a", $"b", bits = 8).as("z2"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // bit i of dim j lands at 3i + (2 - j): earlier columns take the more
+    // significant slot within each round
+    def ref(a: Long, b: Long, c: Long): Long =
+      (0 until 8).map(i =>
+        (((a >> i) & 1L) << (3 * i + 2)) |
+        (((b >> i) & 1L) << (3 * i + 1)) |
+        (((c >> i) & 1L) << (3 * i))).reduce(_ | _)
+    for ((a, b, c, z, z2n, z2) <- got) {
+      assert(z === ref(a, b, c), s"($a, $b, $c)")
+      // the generalization is EXACTLY the 2-dim layout at k=2 — the
+      // q_zorder oracle pin survives the refactor
+      assert(z2n === z2, s"($a, $b)")
+    }
+    intercept[IllegalArgumentException](Layout.zValueN(Seq($"a"), 8))
+    intercept[IllegalArgumentException](Layout.zValueN(Seq($"a", $"b", $"c"), 22))
+  }
+
+  test("k=3 z-clustered layout: second- and third-dimension predicates both skip bytes a one-dimension sort must read") {
+    val n = 40000
+    val df = spark.range(n.toLong).select(
+      (col("id") * 2654435761L % 1024).as("a"),
+      (col("id") * 40503L % 1024).as("b"),
+      (col("id") * 69069L % 1024).as("c"),
+      concat(lit("x" * 64), col("id").cast("string")).as("pad"))
+      .localCheckpoint(eager = true)
+    val root = java.nio.file.Files.createTempDirectory("zorder3").toString
+    df.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(s"$root/bya")
+    Layout.zOrderWriteN(df, Seq("a", "b", "c"), s"$root/byz", nFiles = 16,
+      bits = 10)
+    def readBytes(path: String, dim: String): Long = {
+      val r = spark.read.parquet(path)
+        .filter(col(dim) >= 100 && col(dim) <= 160)
+        .agg(count(lit(1)).as("n"))
+      var n0 = 0L
+      val bytes = fsBytesOf { n0 = r.collect().head.getLong(0) }
+      assert(n0 > 0, "predicate matched nothing — test data broken")
+      bytes
+    }
+    for (dim <- Seq("b", "c")) {
+      val linear = readBytes(s"$root/bya", dim)
+      val z = readBytes(s"$root/byz", dim)
+      // at k=3 each dimension's per-file value range widens vs k=2 (fewer
+      // interleaved bits per dim land in the file-boundary prefix), so the
+      // bound is a skip of at least a third, not half
+      assert(z * 3 < linear * 2,
+        s"$dim-predicate: z-ordered read $z bytes, expected < 2/3 of the a-sorted $linear")
+    }
+  }
+
   test("z-clustered layout: a second-dimension predicate reads a fraction of the bytes a one-dimension sort must") {
     val n = 40000
     // two independent-ish bounded dims + padding so data dwarfs footers

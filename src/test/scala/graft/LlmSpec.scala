@@ -283,6 +283,26 @@ class LlmSpec extends SparkTestBase {
     assert(got === Set((2L, 10L), (1L, 12L)))
   }
 
+  test("media near-dup: re-encoded duplicate caught (exact dedup misses it); unrelated media don't pair") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      // "re-encode": content repeated — different bytes and md5, but the
+      // byte-bucket histogram is invariant under repetition
+      (1L, base + base, "en", "s", 2L * base.length),
+      (2L, "zzz 000 111 222 333 444 555 zzz qqq", "en", "s", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaFromDocuments(docs)
+    // exact digest dedup is blind to the re-encode: three singleton groups
+    val exact = Multimodal.dedupExact(media).collect()
+    assert(exact.length === 3 && exact.forall(_.getAs[Long]("n_copies") == 1L))
+    // perceptual near-dup catches exactly the planted pair, score ≈ 1
+    val near = Multimodal.dedupNear(media)
+      .as[(Long, Long, Double)].collect().toList
+    assert(near.map(p => (p._1, p._2)) === List((0L, 1L)), s"got $near")
+    assert(near.head._3 >= 0.9995)
+  }
+
   test("bloom incremental dedup: exact vs plain form; empty corpus = all new") {
     val corpus = (0L until 50L).map(i => (i, s"corpus text $i")).toDF("doc_id", "text")
     // batch: 10 dups of corpus texts, 20 new, plus batch-internal dups
@@ -742,6 +762,53 @@ class LlmSpec extends SparkTestBase {
     assert(Search.statsDelete(Search.corpusStats(docs),
         Search.corpusStats(deleted)).collect().toSeq
       === Search.corpusStats(survivors).collect().toSeq)
+  }
+
+  test("indexDelete validateDisjoint: duplicate tombstones for one doc fail loudly; clean deletes pass") {
+    import graft.llm.Search
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta something else"),
+      (3L, "one two three four")).toDF("doc_id", "text")
+    val deleted = docs.filter($"doc_id" === 2L)
+    val cleanDel = Search.invertedIndexRaw(deleted)
+    val want = Search.renderIndex(
+      Search.invertedIndexRaw(docs.filter($"doc_id" =!= 2L)))
+      .orderBy($"gram").collect().toSeq
+    // validation on, precondition holds: result unchanged
+    val got = Search.renderIndex(Search.indexDelete(
+        Search.invertedIndexRaw(docs), cleanDel, validateDisjoint = true))
+      .orderBy($"gram").collect().toSeq
+    assert(got === want)
+    // a replayed tombstone (same doc twice in the del union, adjacent
+    // after the doc-sort) must raise at the cause, not over-subtract
+    val dupDel = cleanDel.withColumn("pl",
+      sort_array(concat($"pl", $"pl")))
+    val e = intercept[Exception] {
+      Search.indexDelete(Search.invertedIndexRaw(docs), dupDel,
+        validateDisjoint = true).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("duplicate doomed doc"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("snippetWindows: token position >= 1e6 fails loudly instead of corrupting the argmax") {
+    import graft.llm.Search
+    // synthesized positional rows — a genuine 10^6-token doc is not worth
+    // materializing; the guard sees only the index
+    def idx(p: Int) = Seq(("a", 1L, 1L)).toDF("term", "df", "cf")
+      .withColumn("pl", array(struct(lit(1L).as("doc_id"),
+        array(lit(p)).as("pos"))))
+    val panel = Seq((1, "a")).toDF("query_id", "term")
+    val ranked = Seq((1, 1L, 1)).toDF("query_id", "doc_id", "rank")
+    // below the bound: fine
+    assert(Search.snippetWindows(idx(999999), ranked, panel, window = 4)
+      .collect().length === 1)
+    val e = intercept[Exception] {
+      Search.snippetWindows(idx(1000000), ranked, panel, window = 4).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("token position"),
+      s"unexpected error: ${e.getMessage}")
   }
 
   test("clusterCentroidsDelete: split apportions member sums; untouched sums carried") {

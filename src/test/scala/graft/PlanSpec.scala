@@ -300,6 +300,21 @@ class PlanSpec extends SparkTestBase {
     assert(!exchanges.exists(_.contains("media")), plan)
   }
 
+  test("media near-dup: feature extraction shuffles nothing; no exchange ever carries the media bytes") {
+    val media = graft.llm.Multimodal.mediaFromDocuments(t("documents"))
+    // stage 1, the codec boundary: scan → mapPartitions, narrow end to end
+    val featPlan = formatted(graft.llm.Multimodal.extractFeatures(media))
+    assert(!featPlan.contains("Exchange"), featPlan)
+    // the full near-dup pipeline: the feats checkpoint truncates the media
+    // scan out of downstream lineage, so every exchange (banding join,
+    // pair distinct, verify joins) moves only ids/bands/features
+    val plan = formatted(graft.llm.Multimodal.dedupNear(media))
+    val exchanges = """(?s)\(\d+\) Exchange.*?Input.*?\n""".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, plan)
+    // the binary column's attribute is `media#N` — distinct from media_id
+    assert(!exchanges.exists(s => """media#\d""".r.findFirstIn(s).isDefined), plan)
+  }
+
   test("filtered knn: gate is a semi-join below the broadcast scoring join") {
     val allowed = t("documents").filter($"n_chars" >= 400).select($"doc_id")
     val plan = formatted(graft.llm.Similarity.filteredKnn(

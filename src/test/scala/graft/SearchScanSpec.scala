@@ -114,6 +114,25 @@ class SearchScanSpec extends SparkTestBase {
       s"pruned probe read $b bytes vs matched-bucket bytes $matched (index total $total)")
   }
 
+  test("moreLikeThis: one corpus scan — N observed on the tokenize pass") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val baseline = fsBytesOf {
+      docs.select(col("doc_id"), col("text")).write
+        .format("noop").mode("overwrite").save()
+    }
+    val b = fsBytesOf {
+      Search.moreLikeThis(docs, col("doc_id") < 10L, k = 5)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(baseline > 0, "FS statistics captured no baseline bytes")
+    // the pre-r12 shape paid a SEPARATE docs.count() action plus up to
+    // three re-derivations of the scan→tf chain (one per consumer of the
+    // weights frame); with N observed and tf checkpointed the whole
+    // operator reads the corpus once
+    assert(b < baseline * 3 / 2,
+      s"moreLikeThis read $b file bytes vs one-scan baseline $baseline — second corpus pass?")
+  }
+
   test("more-like-this: shared rare term outweighs shared common term") {
     import spark.implicits._
     val docs = Seq(
