@@ -327,6 +327,65 @@ object Oracles {
 
   private lazy val clustersSql: String = clustersSqlWhere("")
 
+  /** Perceptual media near-dup chain, shared by q_media_neardup and its
+    * cluster composition: byte-bucket histogram features (the
+    * q_media_features CTE — bit-exact count/n division) over corpus ∪
+    * planted re-encodes (text doubled: histogram invariant, digest
+    * different), quantized to 8 bits, 4 bands of 4 coords packed
+    * radix-65536 in [[graft.llm.Multimodal.dedupNear]]'s fold order,
+    * candidates = band-exact matches, scores = sequential-fold cosine.
+    * WITH RECURSIVE up front so the cluster tail can extend the chain. */
+  private lazy val mediaNearDupCtes: String = {
+    val dot = dotSql("fa.fv", "fb.fv")
+    val naa = dotSql("fa.fv", "fa.fv")
+    val nbb = dotSql("fb.fv", "fb.fv")
+    s"""WITH RECURSIVE c AS (
+       |  SELECT doc_id AS media_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || text FROM documents
+       |  WHERE doc_id < 20),
+       |b AS (
+       |  SELECT media_id, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM c),
+       |e AS (SELECT media_id, unnest(range(0, n_bytes)) AS i, hx FROM b),
+       |h AS (
+       |  SELECT media_id,
+       |    ((strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
+       |      + (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1)) % 16 AS bucket,
+       |    count(*) AS cnt
+       |  FROM e GROUP BY 1, 2),
+       |g AS (
+       |  SELECT media_id, n_bytes, CAST(unnest(range(0, 16)) AS INT) AS bucket
+       |  FROM b),
+       |f AS (
+       |  SELECT g.media_id,
+       |    list(COALESCE(h.cnt, 0)::DOUBLE / greatest(g.n_bytes, 1)::DOUBLE
+       |      ORDER BY g.bucket) AS fv
+       |  FROM g LEFT JOIN h ON g.media_id = h.media_id AND g.bucket = h.bucket
+       |  GROUP BY g.media_id),
+       |q AS (
+       |  SELECT media_id, fv,
+       |    list_transform(fv, x -> CAST(floor(x * 256.0) AS BIGINT)) AS qv
+       |  FROM f),
+       |bands AS (
+       |  SELECT media_id, band,
+       |    qv[band * 4 + 1] * 281474976710656 + qv[band * 4 + 2] * 4294967296
+       |      + qv[band * 4 + 3] * 65536 + qv[band * 4 + 4] AS band_hash
+       |  FROM q, (SELECT CAST(unnest(range(0, 4)) AS INT) AS band)),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |      AND a.media_id < b.media_id),
+       |scored AS (
+       |  SELECT cand.id_a, cand.id_b,
+       |    $dot / (sqrt($naa) * sqrt($nbb)) AS score
+       |  FROM cand
+       |  JOIN q fa ON fa.media_id = cand.id_a
+       |  JOIN q fb ON fb.media_id = cand.id_b)""".stripMargin
+  }
+
   /** Unrolled 3-iteration integer PageRank over the exact-Jaccard ≥ 0.6
     * edge set — mirrors [[llm.Graph.pagerank]]'s floor-division micro-unit
     * updates exactly (no floats on either engine). */
@@ -4295,58 +4354,28 @@ object Oracles {
     // radix-65536 (the fold order of the Spark aggregate), candidates =
     // band-exact matches, verify = sequential-fold cosine ≥ 0.9995 —
     // the band-match ∧ cosine predicate IS the contract, mirrored whole.
-    "q_media_neardup" -> {
-      val dot = dotSql("fa.fv", "fb.fv")
-      val naa = dotSql("fa.fv", "fa.fv")
-      val nbb = dotSql("fb.fv", "fb.fv")
-      s"""WITH c AS (
-         |  SELECT doc_id AS media_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text || text FROM documents
-         |  WHERE doc_id < 20),
-         |b AS (
-         |  SELECT media_id, hex(encode(text)) AS hx,
-         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-         |  FROM c),
-         |e AS (SELECT media_id, unnest(range(0, n_bytes)) AS i, hx FROM b),
-         |h AS (
-         |  SELECT media_id,
-         |    ((strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
-         |      + (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1)) % 16 AS bucket,
-         |    count(*) AS cnt
-         |  FROM e GROUP BY 1, 2),
-         |g AS (
-         |  SELECT media_id, n_bytes, CAST(unnest(range(0, 16)) AS INT) AS bucket
-         |  FROM b),
-         |f AS (
-         |  SELECT g.media_id,
-         |    list(COALESCE(h.cnt, 0)::DOUBLE / greatest(g.n_bytes, 1)::DOUBLE
-         |      ORDER BY g.bucket) AS fv
-         |  FROM g LEFT JOIN h ON g.media_id = h.media_id AND g.bucket = h.bucket
-         |  GROUP BY g.media_id),
-         |q AS (
-         |  SELECT media_id, fv,
-         |    list_transform(fv, x -> CAST(floor(x * 256.0) AS BIGINT)) AS qv
-         |  FROM f),
-         |bands AS (
-         |  SELECT media_id, band,
-         |    qv[band * 4 + 1] * 281474976710656 + qv[band * 4 + 2] * 4294967296
-         |      + qv[band * 4 + 3] * 65536 + qv[band * 4 + 4] AS band_hash
-         |  FROM q, (SELECT CAST(unnest(range(0, 4)) AS INT) AS band)),
-         |cand AS (
-         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_hash = b.band_hash
-         |      AND a.media_id < b.media_id),
-         |scored AS (
-         |  SELECT cand.id_a, cand.id_b,
-         |    $dot / (sqrt($naa) * sqrt($nbb)) AS score
-         |  FROM cand
-         |  JOIN q fa ON fa.media_id = cand.id_a
-         |  JOIN q fb ON fb.media_id = cand.id_b)
+    "q_media_neardup" ->
+      s"""$mediaNearDupCtes
          |SELECT id_a, id_b, score FROM scored
-         |WHERE score >= 0.9995 ORDER BY id_a, id_b""".stripMargin
-    },
+         |WHERE score >= 0.9995 ORDER BY id_a, id_b""".stripMargin,
+
+    // … the pairs composed with the existing cluster machinery: connected
+    // components over the perceptual near-dup graph, label = min reachable
+    // id via the recursive-CTE closure (the q_dedup_clusters discipline —
+    // an independent algorithm meeting Spark's label propagation at the
+    // same fixpoint).
+    "q_media_neardup_clusters" ->
+      s"""$mediaNearDupCtes,
+         |p AS (SELECT id_a, id_b FROM scored WHERE score >= 0.9995),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT reach.id, e2.d FROM reach JOIN edges e2 ON e2.s = reach.r)
+         |SELECT id AS media_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY media_id""".stripMargin,
 
     "q_embed_near_dups" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -2963,6 +2963,25 @@ object Queries {
       llm.Multimodal.dedupNear(media.unionByName(reenc))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // … the pairs composed with the existing cluster machinery: each
+    // near-dup group labeled by its min member id (pointer-doubling label
+    // propagation — the q_dedup_clusters fixpoint, met by the oracle's
+    // independent recursive-CTE closure).
+    "q_media_neardup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = llm.Multimodal.mediaFromDocuments(docs)
+      val reenc = docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 1000000L).as("media_id"),
+        concat(col("text"), col("text")).cast("binary").as("media"),
+        lit("utf8").as("format"),
+        (col("n_chars") * 2).cast("int").as("width"),
+        lit(1).as("height"))
+      llm.Dedup.clusters(
+          llm.Multimodal.dedupNear(media.unionByName(reenc))
+            .select(col("id_a"), col("id_b")))
+        .withColumnRenamed("doc_id", "media_id")
+        .orderBy(col("media_id"))
+    }),
     // frame emitted as hex text: binary column comparators differ across
     // engines/arrow readers (bytes vs bytearray); hex is unambiguous.
     "q_media_frames" -> ((s, dir) =>
