@@ -4377,6 +4377,23 @@ object Oracles {
          |SELECT id AS media_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY media_id""".stripMargin,
 
+    // … the incremental ingest form: the same chain restricted to pairs
+    // INVOLVING the batch (docs ≡ 3 mod 4 ∪ the planted re-encodes),
+    // batch id left; batch-internal pairs keep scored's (min, max)
+    // orientation — corpus-internal pairs are the build row's job.
+    "q_media_neardup_incr" ->
+      s"""$mediaNearDupCtes
+         |SELECT CASE WHEN (id_a >= 1000000 OR id_a % 4 = 3)
+         |    THEN id_a ELSE id_b END AS id_new,
+         |  CASE WHEN (id_a >= 1000000 OR id_a % 4 = 3)
+         |    THEN id_b ELSE id_a END AS id_other,
+         |  score
+         |FROM scored
+         |WHERE score >= 0.9995
+         |  AND ((id_a >= 1000000 OR id_a % 4 = 3)
+         |    OR (id_b >= 1000000 OR id_b % 4 = 3))
+         |ORDER BY id_new, id_other""".stripMargin,
+
     "q_embed_near_dups" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${dotSql("a.embedding", "b.embedding")} /

@@ -2982,6 +2982,35 @@ object Queries {
         .withColumnRenamed("doc_id", "media_id")
         .orderBy(col("media_id"))
     }),
+    // … the steady-state INGEST form: the corpus's FEATURES are a
+    // persisted artifact (the compact thing to store — an ingest never
+    // re-reads or re-decodes the corpus media), the batch's band keys
+    // broadcast as a semi-join gate over the scan-side corpus band
+    // derivation, and candidate pairs verify by broadcasting into the
+    // feature scans — the corpus is scanned, never shuffled. Batch =
+    // docs ≡ 3 (mod 4) plus the 20 planted re-encodes; output = pairs
+    // involving the batch (corpus-internal pairs are dedupNear's
+    // build-time job), oracle = the shared media CTE chain restricted
+    // to batch-involving pairs with the batch id left.
+    "q_media_neardup_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isBatch = col("doc_id") % 4 === 3
+      val reenc = docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 1000000L).as("media_id"),
+        concat(col("text"), col("text")).cast("binary").as("media"),
+        lit("utf8").as("format"),
+        (col("n_chars") * 2).cast("int").as("width"),
+        lit(1).as("height"))
+      val corpusFeats = sources.Artifacts.table(s, "media_feats")(
+        llm.Multimodal.extractFeatures(
+            llm.Multimodal.mediaFromDocuments(docs.filter(!isBatch)))
+          .select(col("media_id"), col("features")))
+      llm.Multimodal.dedupNearIncremental(
+          llm.Multimodal.mediaFromDocuments(docs.filter(isBatch))
+            .unionByName(reenc),
+          corpusFeats)
+        .orderBy(col("id_new"), col("id_other"))
+    }),
     // frame emitted as hex text: binary column comparators differ across
     // engines/arrow readers (bytes vs bytearray); hex is unambiguous.
     "q_media_frames" -> ((s, dir) =>

@@ -166,22 +166,15 @@ object Multimodal {
       s"quantLevels must be in [2, 65535]: $quantLevels")
     require(bandCoords >= 1 && bandCoords <= 4,
       s"bandCoords must be in [1, 4] (packed into one long): $bandCoords")
-    val nBands = dim / bandCoords
     // checkpointed: consumed by the band table AND both verify sides —
     // and the truncation drops the media scan from downstream lineage,
     // so no exchange below ever carries the binary column
     val feats = extractFeatures(media, dim, codec)
       .select(col("media_id"), col("features"))
       .localCheckpoint(eager = false)
-    val quant = feats.select(col("media_id"),
-      transform(col("features"),
-        f => floor(f * lit(quantLevels.toDouble)).cast("long")).as("q"))
-    val bands = quant.select(col("media_id"), posexplode(
-        transform(sequence(lit(0), lit(nBands - 1)),
-          b => aggregate(slice(col("q"), b * bandCoords + 1, lit(bandCoords)),
-            lit(0L), (acc, v) => acc * lit(65536L) + v))))
-      .toDF("media_id", "band", "band_hash")
-    val capped = Dedup.capBuckets(bands, maxBucket, "media_neardup")
+    val capped = Dedup.capBuckets(
+      bandFrame(feats, dim, bandCoords, quantLevels), maxBucket,
+      "media_neardup")
     val cands = capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") &&
@@ -189,16 +182,103 @@ object Multimodal {
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
       .distinct()
+    verifyPairs(cands, feats, threshold, "id_a", "id_b")
+  }
+
+  /** The quantized perceptual-hash band table of a feature frame —
+    * (media_id, band, band_hash): each feature floor-quantized to
+    * `quantLevels` levels, `bandCoords` consecutive coords packed
+    * radix-65536 into one long per band. Pure column math over the
+    * features, so in steady state it derives scan-side from the
+    * PERSISTED features artifact — no media access, no decode. */
+  private def bandFrame(feats: DataFrame, dim: Int, bandCoords: Int,
+      quantLevels: Int): DataFrame = {
+    val nBands = dim / bandCoords
+    feats.select(col("media_id"), posexplode(
+        transform(sequence(lit(0), lit(nBands - 1)),
+          b => aggregate(
+            slice(transform(col("features"),
+              f => floor(f * lit(quantLevels.toDouble)).cast("long")),
+              b * bandCoords + 1, lit(bandCoords)),
+            lit(0L), (acc, v) => acc * lit(65536L) + v))))
+      .toDF("media_id", "band", "band_hash")
+  }
+
+  /** Exact-cosine verification of candidate pairs against a feature
+    * frame: both sides attach by broadcasting the (bounded) candidate
+    * list INTO the feature scan, so the feature corpus is scanned, never
+    * shuffled. */
+  private def verifyPairs(cands: DataFrame, feats: DataFrame,
+      threshold: Double, leftCol: String, rightCol: String): DataFrame = {
     val dot = graft.expr.DotProduct.apply(_: Column, _: Column)
-    cands
-      .join(feats.select(col("media_id").as("id_a"), col("features").as("fa")),
-        Seq("id_a"))
-      .join(feats.select(col("media_id").as("id_b"), col("features").as("fb")),
-        Seq("id_b"))
+    val fa = feats.select(col("media_id").as(leftCol), col("features").as("fa"))
+    val fb = feats.select(col("media_id").as(rightCol), col("features").as("fb"))
+    fa.join(broadcast(cands), Seq(leftCol))
+      .transform(withA => fb.join(broadcast(withA), Seq(rightCol)))
       .withColumn("score", dot(col("fa"), col("fb")) /
         (sqrt(dot(col("fa"), col("fa"))) * sqrt(dot(col("fb"), col("fb")))))
       .filter(col("score") >= threshold)
-      .select(col("id_a"), col("id_b"), col("score"))
+      .select(col(leftCol), col(rightCol), col("score"))
+  }
+
+  /** INCREMENTAL perceptual near-dup — the steady-state ingest form of
+    * [[dedupNear]]: a new media batch checks against a PERSISTED corpus
+    * features artifact (media_id, features — the compact thing to store;
+    * ~10³× smaller than the media), so an ingest decodes ONLY the batch:
+    * the corpus media is never re-read and never re-decoded, and the
+    * corpus side is never shuffled —
+    *
+    *   - the batch's band keys BROADCAST as a semi-join gate over the
+    *     corpus band derivation (scan-side column math on the features
+    *     artifact), so only band-colliding corpus rows go anywhere;
+    *   - the hot-band cap ([[Dedup.capBuckets]]) windows over that
+    *     matched subset — bounded by the batch's reach, not the corpus;
+    *   - candidate pairs and the exact-cosine verify attach by
+    *     broadcasting the (bounded) pair list into the feature scans.
+    *
+    * Re-ingest semantics ([[Dedup.incrementalNearDups]]): a media_id in
+    * both frames is the batch's version — the stale corpus copy is
+    * excluded from bands and verify alike. Returns (id_new, id_other,
+    * score) with id_new always from the batch; batch-internal pairs keep
+    * the (smaller, larger) orientation. Corpus-internal pairs are not
+    * re-derived (they are already in the pair store — [[dedupNear]]'s
+    * job at build time). */
+  def dedupNearIncremental(newMedia: DataFrame, corpusFeats: DataFrame,
+      threshold: Double = 0.9995, dim: Int = 16, bandCoords: Int = 4,
+      quantLevels: Int = 256, maxBucket: Int = 4096,
+      codec: MediaCodec = FakeCodec): DataFrame = {
+    require(dim % bandCoords == 0,
+      s"dim must be a multiple of bandCoords: $dim, $bandCoords")
+    require(quantLevels >= 2 && quantLevels < 65536,
+      s"quantLevels must be in [2, 65535]: $quantLevels")
+    require(bandCoords >= 1 && bandCoords <= 4,
+      s"bandCoords must be in [1, 4] (packed into one long): $bandCoords")
+    val batchFeats = extractFeatures(newMedia, dim, codec)
+      .select(col("media_id"), col("features"))
+      .localCheckpoint(eager = false)
+    // stale-copy exclusion: broadcast anti-join on the (small) batch ids
+    val corpus = corpusFeats.select(col("media_id"), col("features"))
+      .join(broadcast(batchFeats.select(col("media_id"))),
+        Seq("media_id"), "left_anti")
+    val bBatch = bandFrame(batchFeats, dim, bandCoords, quantLevels)
+      .withColumn("from_batch", lit(true))
+      .localCheckpoint(eager = false)
+    val corpusMatched = bandFrame(corpus, dim, bandCoords, quantLevels)
+      .join(broadcast(bBatch.select(col("band"), col("band_hash")).distinct()),
+        Seq("band", "band_hash"), "left_semi")
+      .withColumn("from_batch", lit(false))
+    val bSide = Dedup.capBuckets(corpusMatched.unionByName(bBatch),
+      maxBucket, "media_neardup_incr")
+    val cands = bSide.as("b")
+      .join(broadcast(bBatch).as("a"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          (!col("b.from_batch") || col("a.media_id") < col("b.media_id")) &&
+          col("a.media_id") =!= col("b.media_id"))
+      .select(col("a.media_id").as("id_new"), col("b.media_id").as("id_other"))
+      .distinct()
+    verifyPairs(cands, batchFeats.unionByName(corpus), threshold,
+      "id_new", "id_other")
   }
 
   /** Frame sampling for "video" media: every nth fixed-size byte window as a

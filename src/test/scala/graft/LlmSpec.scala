@@ -303,6 +303,25 @@ class LlmSpec extends SparkTestBase {
     assert(near.head._3 >= 0.9995)
   }
 
+  test("media near-dup incremental: batch probes persisted features; stale corpus copy of a re-ingested id excluded") {
+    val c = "shared content words here zz"
+    def docsOf(rows: (Long, String)*) = rows
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // corpus: id 1 (a STALE copy — the batch re-ingests id 1) and id 2,
+    // both with content c. Without the stale-copy exclusion the verify
+    // join fans out over id 1's two feature rows and the (1, 2) pair
+    // would surface twice.
+    val corpusFeats = Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(docsOf(1L -> c, 2L -> c)))
+      .select($"media_id", $"features")
+    val got = Multimodal.dedupNearIncremental(
+        Multimodal.mediaFromDocuments(docsOf(1L -> c)), corpusFeats)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got.map(p => (p._1, p._2)) === List((1L, 2L)), s"got $got")
+    assert(got.head._3 >= 0.9995)
+  }
+
   test("bloom incremental dedup: exact vs plain form; empty corpus = all new") {
     val corpus = (0L until 50L).map(i => (i, s"corpus text $i")).toDF("doc_id", "text")
     // batch: 10 dups of corpus texts, 20 new, plus batch-internal dups

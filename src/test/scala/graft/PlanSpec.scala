@@ -315,6 +315,25 @@ class PlanSpec extends SparkTestBase {
     assert(!exchanges.exists(s => """media#\d""".r.findFirstIn(s).isDefined), plan)
   }
 
+  test("media near-dup incremental: corpus features scanned, never shuffled; media in no exchange") {
+    val docs = t("documents")
+    val corpusFeats = graft.llm.Multimodal.extractFeatures(
+        graft.llm.Multimodal.mediaFromDocuments(docs.filter($"doc_id" % 4 =!= 3)))
+      .select($"media_id", $"features")
+    val batch = graft.llm.Multimodal.mediaFromDocuments(
+      docs.filter($"doc_id" % 4 === 3))
+    val plan = formatted(
+      graft.llm.Multimodal.dedupNearIncremental(batch, corpusFeats))
+    val exchanges = """(?s)\(\d+\) Exchange.*?Input.*?\n""".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, plan)
+    // shuffles move band keys and candidate ids only: the media binary
+    // never leaves its scan, and the corpus FEATURES attach via broadcast
+    // joins (batch-bounded build sides) — a features-carrying shuffle
+    // would mean the ingest reshuffles the corpus artifact
+    for (bad <- Seq("media#", "features#"))
+      assert(!exchanges.exists(_.contains(bad)), s"$bad in a shuffle:\n$plan")
+  }
+
   test("filtered knn: gate is a semi-join below the broadcast scoring join") {
     val allowed = t("documents").filter($"n_chars" >= 400).select($"doc_id")
     val plan = formatted(graft.llm.Similarity.filteredKnn(
