@@ -4331,6 +4331,29 @@ object Oracles {
         |FROM g LEFT JOIN h ON g.media_id = h.media_id AND g.bucket = h.bucket
         |ORDER BY g.media_id, g.bucket""".stripMargin,
 
+    // frame-containment mirror: the q_media_frames sampling grid (32-byte
+    // frames, every 2nd) over corpus ∪ planted grid-aligned clips,
+    // md5 digests, distinct per media, shared-count join ≥ 2
+    "q_media_frame_overlap" ->
+      """WITH c AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, substring(text, 65) FROM documents
+        |  WHERE doc_id < 10 AND len(text) >= 224),
+        |x AS (
+        |  SELECT media_id, text,
+        |    unnest(range(0, greatest(len(text) // 32, 1))) AS i
+        |  FROM c),
+        |f AS (
+        |  SELECT DISTINCT media_id,
+        |    md5(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS fh
+        |  FROM x WHERE i % 2 = 0)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.fh = b.fh AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_media_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text,

@@ -3011,6 +3011,27 @@ object Queries {
           corpusFeats)
         .orderBy(col("id_new"), col("id_other"))
     }),
+    // FRAME-CONTAINMENT dedup for "video" media: clipped copies share
+    // sampled-frame digests even though file digest AND whole-media
+    // features both differ. Planted clips: a 64-byte-offset suffix of
+    // docs 0-9 (offset ≡ 0 mod frameBytes·everyNth = the sampling grid,
+    // so every sampled clip frame lands on the original's grid); the
+    // corpus's exact-dup texts share all frames naturally. Digest groups
+    // railed by maxFrameDf (the filler-frame stopword cap).
+    "q_media_frame_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = llm.Multimodal.mediaFromDocuments(docs)
+      val clips = docs.filter(col("doc_id") < 10 && col("n_chars") >= 224)
+        .select(
+          (col("doc_id") + 2000000L).as("media_id"),
+          col("text").substr(lit(65), col("n_chars")).cast("binary").as("media"),
+          (col("n_chars") - 64).cast("int").as("width"),
+          lit("utf8").as("format"),
+          lit(1).as("height"))
+      llm.Multimodal.frameOverlap(media.unionByName(clips),
+          frameBytes = 32, everyNth = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // frame emitted as hex text: binary column comparators differ across
     // engines/arrow readers (bytes vs bytearray); hex is unambiguous.
     "q_media_frames" -> ((s, dir) =>

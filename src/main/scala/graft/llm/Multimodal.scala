@@ -281,6 +281,41 @@ object Multimodal {
       "id_new", "id_other")
   }
 
+  /** FRAME-CONTAINMENT detection for "video" media — the exact-substring
+    * containment analog at the media layer: two videos are related iff
+    * they share ≥ `minShared` distinct sampled-frame digests. This is the
+    * clipped-copy catcher the whole-file digest ([[dedupExact]]) and the
+    * whole-media feature vector ([[dedupNear]]) both miss: a clip whose
+    * cut lands on the sampling grid (offset ≡ 0 mod frameBytes·everyNth)
+    * shares every one of its sampled frames with the original even though
+    * its bytes, digest, and global feature histogram all differ.
+    *
+    * Scale shape: frames and digests are scan-side ([[sampleFrames]] +
+    * codegen'd md5 — media bytes never leave the scan), per-media frame
+    * sets are DISTINCT (containment counts distinct shared frames), the
+    * pair join keys on the digest — never all-pairs — and `maxFrameDf`
+    * rails the digest-group width exactly like the inverted index's
+    * maxDf: a filler frame shared by millions of videos is the stopword
+    * of this index, capped via the shared observe()-surfaced rail.
+    * Returns (id_a < id_b, n_shared). */
+  def frameOverlap(media: DataFrame, frameBytes: Int = 64, everyNth: Int = 4,
+      minShared: Int = 2, maxFrameDf: Int = 4096): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val frames = sampleFrames(media, frameBytes, everyNth)
+      .select(col("media_id"), md5(col("frame")).as("band_hash"))
+      .distinct()
+      .withColumn("band", lit(0))
+    val capped = Dedup.capBuckets(frames, maxFrameDf, "media_frame_overlap")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band_hash") === col("b.band_hash") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_shared"))
+  }
+
   /** Frame sampling for "video" media: every nth fixed-size byte window as a
     * frame (a real implementation would seek keyframes; the batch shape —
     * one input row → array of frame structs → explode — is the real part). */

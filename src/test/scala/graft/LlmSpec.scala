@@ -303,6 +303,26 @@ class LlmSpec extends SparkTestBase {
     assert(near.head._3 >= 0.9995)
   }
 
+  test("media frame overlap: a grid-aligned clip shares its sampled frames; off-grid and unrelated media don't pair") {
+    // 300 distinct-ish bytes: frames at different offsets never repeat
+    val base = (0 until 300).map(i => ('a' + (i * 7 + i / 26) % 26).toChar).mkString
+    def row(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val docs = Seq(
+      row(1L, base),
+      row(2L, "completely unrelated media content " * 8),
+      row(3L, base.substring(64)),  // clip at 64 = frameBytes*everyNth: grid-aligned
+      row(4L, base.substring(32)))  // clip at 32: sampled frames off the original's grid
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.frameOverlap(Multimodal.mediaFromDocuments(docs),
+        frameBytes = 32, everyNth = 2)
+      .as[(Long, Long, Long)].collect().toList.sorted
+    // clip 3: clip frame j (j even) sits at original offset 64+32j =
+    // original frame 2+j — even, so sampled: clip length 236 → frames
+    // 0..6, sampled {0,2,4,6} → 4 shared. clip 4's sampled frames land on
+    // ODD original indices — never sampled, zero overlap.
+    assert(got === List((1L, 3L, 4L)), s"got $got")
+  }
+
   test("media near-dup incremental: batch probes persisted features; stale corpus copy of a re-ingested id excluded") {
     val c = "shared content words here zz"
     def docsOf(rows: (Long, String)*) = rows

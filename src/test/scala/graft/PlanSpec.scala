@@ -315,6 +315,18 @@ class PlanSpec extends SparkTestBase {
     assert(!exchanges.exists(s => """media#\d""".r.findFirstIn(s).isDefined), plan)
   }
 
+  test("media frame overlap: frame digests projected scan-side, bytes never shuffle") {
+    val media = graft.llm.Multimodal.mediaFromDocuments(t("documents"))
+    val plan = formatted(graft.llm.Multimodal.frameOverlap(media,
+      frameBytes = 32, everyNth = 2))
+    val exchanges = """(?s)\(\d+\) Exchange.*?Input.*?\n""".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, plan)
+    // shuffles carry (media_id, digest) and pair counts only — neither
+    // the media bytes nor the sliced frames ever leave the scan stage
+    for (bad <- Seq("media#", "frame#"))
+      assert(!exchanges.exists(_.contains(bad)), s"$bad in a shuffle:\n$plan")
+  }
+
   test("media near-dup incremental: corpus features scanned, never shuffled; media in no exchange") {
     val docs = t("documents")
     val corpusFeats = graft.llm.Multimodal.extractFeatures(
