@@ -335,12 +335,12 @@ object Oracles {
     * radix-65536 in [[graft.llm.Multimodal.dedupNear]]'s fold order,
     * candidates = band-exact matches, scores = sequential-fold cosine.
     * WITH RECURSIVE up front so the cluster tail can extend the chain. */
-  private lazy val mediaNearDupCtes: String = {
+  private def mediaNearDupCtesWhere(where: String): String = {
     val dot = dotSql("fa.fv", "fb.fv")
     val naa = dotSql("fa.fv", "fa.fv")
     val nbb = dotSql("fb.fv", "fb.fv")
     s"""WITH RECURSIVE c AS (
-       |  SELECT doc_id AS media_id, text FROM documents
+       |  SELECT doc_id AS media_id, text FROM documents WHERE $where
        |  UNION ALL
        |  SELECT doc_id + 1000000, text || text FROM documents
        |  WHERE doc_id < 20),
@@ -385,6 +385,15 @@ object Oracles {
        |  JOIN q fa ON fa.media_id = cand.id_a
        |  JOIN q fb ON fb.media_id = cand.id_b)""".stripMargin
   }
+
+  private lazy val mediaNearDupCtes: String = mediaNearDupCtesWhere("TRUE")
+
+  /** The pair-list tail shared by the batch build and the streamed form
+    * (state == corpus ⇒ identical recompute). */
+  private lazy val mediaNearDupSql: String =
+    s"""$mediaNearDupCtes
+       |SELECT id_a, id_b, score FROM scored
+       |WHERE score >= 0.9995 ORDER BY id_a, id_b""".stripMargin
 
   /** Unrolled 3-iteration integer PageRank over the exact-Jaccard ≥ 0.6
     * edge set — mirrors [[llm.Graph.pagerank]]'s floor-division micro-unit
@@ -4377,8 +4386,14 @@ object Oracles {
     // radix-65536 (the fold order of the Spark aggregate), candidates =
     // band-exact matches, verify = sequential-fold cosine ≥ 0.9995 —
     // the band-match ∧ cosine predicate IS the contract, mirrored whole.
-    "q_media_neardup" ->
-      s"""$mediaNearDupCtes
+    "q_media_neardup" -> mediaNearDupSql,
+    // … over the STREAM-MAINTAINED features state (state == corpus ⇒ the
+    // same truth recompute, shared verbatim)
+    "q_media_neardup_stream" -> mediaNearDupSql,
+    // … with tombstones folded in: pairs among the SURVIVORS (erased base
+    // docs drop; the planted re-encodes are not tombstoned)
+    "q_media_neardup_erasure" ->
+      s"""${mediaNearDupCtesWhere("doc_id % 10 <> 6")}
          |SELECT id_a, id_b, score FROM scored
          |WHERE score >= 0.9995 ORDER BY id_a, id_b""".stripMargin,
 

@@ -3011,6 +3011,66 @@ object Queries {
           corpusFeats)
         .orderBy(col("id_new"), col("id_other"))
     }),
+    // … the ALWAYS-ON form: the features artifact maintained under the
+    // segmented-state discipline — three batches decode ONLY their own
+    // media (scan-side codec, bytes ∝ batch), compaction at
+    // maxSegments=3 lands the id-hash-bucketed base, vacuum reclaims,
+    // and near-dup serves off the merge-on-read view with ZERO media
+    // access. State == corpus ⇒ shares q_media_neardup's oracle VERBATIM.
+    "q_media_neardup_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val reenc = docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 1000000L).as("media_id"),
+        concat(col("text"), col("text")).cast("binary").as("media"),
+        lit("utf8").as("format"),
+        (col("n_chars") * 2).cast("int").as("width"),
+        lit(1).as("height"))
+      val media = llm.Multimodal.mediaFromDocuments(docs).unionByName(reenc)
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/smedia_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_smedia").toString
+      }
+      (0L to 2L).foreach { b =>
+        streaming.StreamingMedia.applyBatch(
+          media.filter(col("media_id") % 3 === b), state, b, maxSegments = 3)
+      }
+      streaming.StreamingMedia.vacuum(s, state)
+      streaming.StreamingMedia.nearDups(s, state)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // … and under ERASURE: the tail batch carries full-row tombstones for
+    // every already-ingested base doc ≡ 6 (mod 10) — tombstone rows are
+    // never decoded (per-row artifact: erasure IS the version-ordered
+    // anti join) and the served pairs are exactly the survivors'.
+    "q_media_neardup_erasure" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val reenc = docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 1000000L).as("media_id"),
+        concat(col("text"), col("text")).cast("binary").as("media"),
+        lit("utf8").as("format"),
+        (col("n_chars") * 2).cast("int").as("width"),
+        lit(1).as("height"))
+      val media = llm.Multimodal.mediaFromDocuments(docs).unionByName(reenc)
+      val doomed = col("media_id") % 10 === 6 && col("media_id") < 1000000L
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/smedia_erasure_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_smediae").toString
+      }
+      (0L until 2L).foreach { b =>
+        streaming.StreamingMedia.applyBatch(
+          media.filter(col("media_id") % 2 === b)
+            .withColumn("_deleted", lit(false)),
+          state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+      }
+      streaming.StreamingMedia.applyBatch(
+        media.filter(doomed).withColumn("_deleted", lit(true)),
+        state, 2L, deleteCol = Some("_deleted"), maxSegments = 3)
+      streaming.StreamingMedia.vacuum(s, state)
+      streaming.StreamingMedia.nearDups(s, state)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // FRAME-CONTAINMENT dedup for "video" media: clipped copies share
     // sampled-frame digests even though file digest AND whole-media
     // features both differ. Planted clips: a 64-byte-offset suffix of

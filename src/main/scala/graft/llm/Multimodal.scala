@@ -166,12 +166,30 @@ object Multimodal {
       s"quantLevels must be in [2, 65535]: $quantLevels")
     require(bandCoords >= 1 && bandCoords <= 4,
       s"bandCoords must be in [1, 4] (packed into one long): $bandCoords")
+    dedupNearFromFeatures(
+      extractFeatures(media, dim, codec).select(col("media_id"), col("features")),
+      threshold, dim, bandCoords, quantLevels, maxBucket)
+  }
+
+  /** The band → cap → pair → verify tail of [[dedupNear]] over an
+    * EXISTING feature frame — the serving form for persisted or
+    * stream-maintained features artifacts
+    * ([[graft.streaming.StreamingMedia]]): near-dup over maintained
+    * features never touches (or decodes) media at all. */
+  def dedupNearFromFeatures(featFrame: DataFrame, threshold: Double = 0.9995,
+      dim: Int = 16, bandCoords: Int = 4, quantLevels: Int = 256,
+      maxBucket: Int = 4096): DataFrame = {
+    require(dim % bandCoords == 0,
+      s"dim must be a multiple of bandCoords: $dim, $bandCoords")
+    require(quantLevels >= 2 && quantLevels < 65536,
+      s"quantLevels must be in [2, 65535]: $quantLevels")
+    require(bandCoords >= 1 && bandCoords <= 4,
+      s"bandCoords must be in [1, 4] (packed into one long): $bandCoords")
     // checkpointed: consumed by the band table AND both verify sides —
-    // and the truncation drops the media scan from downstream lineage,
-    // so no exchange below ever carries the binary column
-    val feats = extractFeatures(media, dim, codec)
-      .select(col("media_id"), col("features"))
-      .localCheckpoint(eager = false)
+    // and for [[dedupNear]]'s inline build the truncation drops the
+    // media scan from downstream lineage, so no exchange below ever
+    // carries the binary column
+    val feats = featFrame.localCheckpoint(eager = false)
     val capped = Dedup.capBuckets(
       bandFrame(feats, dim, bandCoords, quantLevels), maxBucket,
       "media_neardup")
