@@ -31,7 +31,10 @@ object SlopeProbe {
     // ANN: cell-pruned IVF probe vs the brute-force truth row
     "q_knn_ivf_indexed", "q_knn_brute",
     // semantic dedup (cell-blocked ε-join with the maxCell rail)
-    "q_semantic_dedup")
+    "q_semantic_dedup",
+    // media: banded perceptual near-dup build vs the steady-state ingest
+    // probe against the persisted features artifact
+    "q_media_neardup", "q_media_neardup_incr")
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("0.001", "0.01", "0.1")
