@@ -179,6 +179,22 @@ object Oracles {
       |FROM v ORDER BY user_id, version""".stripMargin
   /** Distinct word w-shingles — DuckDB list comprehension mirroring
     * [[llm.Dedup.shingles]] (slice [i+1, i+w], i ∈ [0, n-w]). */
+  /** Shared CTEs for the q_quantile_* mirrors: events rows hashed by the
+    * md5-14-hex-prefix idiom ([[graft.expr.Md5Prefix]]) and bottom-k'd per
+    * event_type — the exact [[graft.llm.Sketch.quantileBuild]] chain. */
+  private val quantileSketchCtes: String =
+    """WITH s AS (
+      |  SELECT event_type AS grp,
+      |    CAST(concat('0x',
+      |      substring(md5(CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h,
+      |    CAST(value AS DOUBLE) AS v
+      |  FROM events),
+      |b AS (
+      |  SELECT grp, h, v,
+      |    row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rnk
+      |  FROM s),
+      |kk AS (SELECT grp, h, v FROM b WHERE rnk <= 256)""".stripMargin
+
   private def shingleWSql(w: Int): String =
     s"""CASE WHEN len($wordsSql) >= $w
        |    THEN [array_to_string(($wordsSql)[i:i+${w - 1}], ' ')
@@ -2660,6 +2676,44 @@ object Oracles {
     // restriction), final degrees over the surviving edges
     "q_graph_kcore" -> kcoreSql(2, 3),
 
+    // unrolled 3-round synchronous LPA mirror over the exact-Jaccard ≥ 0.6
+    // edge set: round t = neighbour-label vote counts joined against
+    // labels(t−1), winner = (count DESC, label ASC), isolated nodes carry
+    "q_graph_lpa" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""v$i AS (
+           |  SELECT ed.src, l.label, count(*) AS c
+           |  FROM ed JOIN l${i - 1} l ON l.id = ed.dst GROUP BY 1, 2),
+           |b$i AS (
+           |  SELECT src AS id, label FROM (
+           |    SELECT src, label,
+           |      row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+           |    FROM v$i) z WHERE rn = 1),
+           |l$i AS (
+           |  SELECT l${i - 1}.id, coalesce(b$i.label, l${i - 1}.label) AS label
+           |  FROM l${i - 1} LEFT JOIN b$i USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest(list_distinct($shingleSql)) AS h
+         |  FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+         |c AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM c
+         |  JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |l0 AS (SELECT DISTINCT doc_id AS id, doc_id AS label FROM documents),
+         |$rounds
+         |SELECT id AS doc_id, label AS community
+         |FROM l3 ORDER BY doc_id""".stripMargin
+    },
+
     // snapshot-diff status mirror: same %10 version construction, digest
     // compare via md5 on both engines (ASCII-safe — md5 hashes utf8 bytes
     // identically)
@@ -3281,6 +3335,86 @@ object Oracles {
          |  TRUE AS union_within_10pct,
          |  TRUE AS intersect_within_20pct
          |FROM g""".stripMargin,
+
+    // bottom-k quantile sketch: the md5-prefix row hash is the repo's
+    // portability idiom, so DuckDB replays the ENTIRE chain (hash →
+    // bottom-k → order statistic) value-exactly; only the rank-error
+    // boolean is a predicted contract (TRUE, the kmv_within_20pct
+    // discipline). Panel q's cast to DOUBLE so ceil(q·m) is the same
+    // IEEE arithmetic Spark runs.
+    "q_quantile_sketch" ->
+      s"""$quantileSketchCtes,
+         |m AS (SELECT grp, count(*) AS m FROM kk GROUP BY grp),
+         |r AS (SELECT grp, h, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rv
+         |  FROM kk),
+         |p(qlabel, q) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
+         |  ('p90', CAST(0.9 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE)))
+         |SELECT r.grp, p.qlabel, p.q, r.v AS est_value,
+         |  TRUE AS rank_within_12pct
+         |FROM r JOIN m USING (grp)
+         |JOIN p ON r.rv = greatest(CAST(1 AS BIGINT),
+         |  CAST(ceil(p.q * m.m) AS BIGINT))
+         |ORDER BY grp, qlabel""".stripMargin,
+
+    // merge of disjoint shard sketches ≡ full rebuild — same oracle
+    "q_quantile_merge" ->
+      s"""$quantileSketchCtes,
+         |m AS (SELECT grp, count(*) AS m FROM kk GROUP BY grp),
+         |r AS (SELECT grp, h, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rv
+         |  FROM kk),
+         |p(qlabel, q) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
+         |  ('p90', CAST(0.9 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE)))
+         |SELECT r.grp, p.qlabel, p.q, r.v AS est_value,
+         |  TRUE AS rank_within_12pct
+         |FROM r JOIN m USING (grp)
+         |JOIN p ON r.rv = greatest(CAST(1 AS BIGINT),
+         |  CAST(ceil(p.q * m.m) AS BIGINT))
+         |ORDER BY grp, qlabel""".stripMargin,
+
+    // deletion-maintained sketch: mirror the WHOLE protocol — anti-join
+    // the doomed hashes, flag groups under minKeep=200, rebuild flagged
+    // groups from survivors only, estimate over the union
+    "q_quantile_delete" ->
+      s"""$quantileSketchCtes,
+         |del AS (
+         |  SELECT DISTINCT event_type AS grp,
+         |    CAST(concat('0x',
+         |      substring(md5(CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+         |  FROM events WHERE event_id % 10 = 3),
+         |tr AS (
+         |  SELECT kk.grp, kk.h, kk.v FROM kk
+         |  WHERE NOT EXISTS (SELECT 1 FROM del
+         |    WHERE del.grp = kk.grp AND del.h = kk.h)),
+         |fl AS (SELECT grp, count(*) < 200 AS needs_rebuild FROM tr GROUP BY grp),
+         |sv AS (
+         |  SELECT event_type AS grp,
+         |    CAST(concat('0x',
+         |      substring(md5(CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE event_id % 10 <> 3),
+         |rb0 AS (
+         |  SELECT grp, h, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rnk
+         |  FROM sv
+         |  WHERE grp IN (SELECT grp FROM fl WHERE needs_rebuild)),
+         |mt AS (
+         |  SELECT tr.grp, tr.h, tr.v FROM tr JOIN fl USING (grp)
+         |  WHERE NOT needs_rebuild
+         |  UNION ALL SELECT grp, h, v FROM rb0 WHERE rnk <= 256),
+         |m AS (SELECT grp, count(*) AS m FROM mt GROUP BY grp),
+         |r AS (SELECT grp, h, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rv
+         |  FROM mt),
+         |p(qlabel, q) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
+         |  ('p90', CAST(0.9 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE)))
+         |SELECT r.grp, p.qlabel, p.q, r.v AS est_value,
+         |  TRUE AS rank_within_15pct
+         |FROM r JOIN m USING (grp)
+         |JOIN p ON r.rv = greatest(CAST(1 AS BIGINT),
+         |  CAST(ceil(p.q * m.m) AS BIGINT))
+         |ORDER BY grp, qlabel""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH w AS (

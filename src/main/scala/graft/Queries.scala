@@ -43,6 +43,24 @@ object Queries {
       EnvelopeGen.fromEvents(t(s, dir, "events"))
         .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint())
+  /** Quantile panel shared by the q_quantile_* rows (and their oracles). */
+  private val QuantilePanel = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+  /** Publish a quantile-sketch estimate with its rank-error contract: the
+    * empirical CDF of the TRUTH population at the estimate must sit within
+    * `bound` of the requested q (the sample-quantile guarantee the sketch
+    * is built on). The estimate frame is ≤ groups×panel rows — broadcast
+    * against the population scan, never a shuffle of the corpus. */
+  private def quantileContract(est: DataFrame, pop: DataFrame,
+      bound: Double, okCol: String): DataFrame =
+    broadcast(est).join(pop, Seq("grp"))
+      .groupBy(col("grp"), col("qlabel"), col("q"), col("est_value"))
+      .agg((count(when(col("v_pop") <= col("est_value"), lit(1))).cast("double")
+        / count(lit(1)).cast("double")).as("frac_le"))
+      .select(col("grp"), col("qlabel"), col("q"), col("est_value"),
+        (abs(col("frac_le") - col("q")) <= bound).as(okCol))
+      .orderBy(col("grp"), col("qlabel"))
+
   private def parsedDf(s: SparkSession, dir: String): DataFrame =
     EventEtl.parsed(envelopes(s, dir), HmacKey)
   private def flat(s: SparkSession, dir: String): DataFrame =
@@ -843,6 +861,19 @@ object Queries {
           llm.Similarity.cosinePairsBlocked(tWide(s, dir, "embeddings"),
             "label", 0.4), k = 2, iters = 3)
         .orderBy(col("node_id"))),
+
+    // label-propagation communities over the near-dup graph (3 synchronous
+    // rounds, deterministic min-label tie-break): template families
+    // WITHOUT the transitive closure q_dedup_clusters computes — a single
+    // accidental bridge edge no longer fuses two families. Same edge set
+    // as q_pagerank/q_graph_bfs, so the oracle reuses their
+    // exact-Jaccard ≥ 0.6 pair derivation.
+    "q_graph_lpa" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Graph.labelPropagation(docs,
+          llm.Dedup.minhashNearDups(docs, threshold = 0.6), iters = 3)
+        .orderBy(col("doc_id"))
+    }),
 
     // snapshot diff between corpus releases: v1 drops the %10==3 docs and
     // carries a truncated revision of the %10==7 docs; v2 drops %10==5.
@@ -2205,6 +2236,70 @@ object Queries {
             <= 0.10).as("union_within_10pct"),
           (abs(col("est_intersect") / col("exact_intersect").cast("double") - 1.0)
             <= 0.20).as("intersect_within_20pct"))
+    }),
+    // ---- bottom-k quantile sketch: the mergeable-quantiles member of the
+    // sketch family (CMS=frequencies, SpaceSaving=top, KMV=distincts,
+    // HLL=mergeable distincts, bloom=membership). The estimate is an
+    // ACTUAL value of the column picked by integer md5-hash ranks, so the
+    // DuckDB oracle mirrors the WHOLE chain value-exactly; the statistical
+    // claim (sample-quantile rank error ≤ bound at k=256; measured worst
+    // 0.049 at sf0.01, 0.046 at sf0.1 — bound 0.12 ≈ the 3σ+discretization
+    // envelope at q=0.5) is published as the boolean contract, the
+    // kmv_within_20pct discipline. ----
+    "q_quantile_sketch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val est = llm.Sketch.quantileEstimate(
+        llm.Sketch.quantileBuild(ev, "event_type", "event_id", "value", k = 256),
+        QuantilePanel)
+      quantileContract(est,
+        ev.select(col("event_type").as("grp"), col("value").as("v_pop")),
+        bound = 0.12, okCol = "rank_within_12pct")
+    }),
+    // incremental maintenance: disjoint shard sketches merged must be
+    // BIT-IDENTICAL to the full rebuild (the k smallest hashes of a union
+    // are among the k smallest of each side) — shares q_quantile_sketch's
+    // oracle VERBATIM, so the row pins the merge algebra at every SF.
+    "q_quantile_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def build(d: org.apache.spark.sql.DataFrame) =
+        llm.Sketch.quantileBuild(d, "event_type", "event_id", "value", k = 256)
+      val merged = llm.Sketch.quantileMerge(
+        build(ev.filter(col("event_id") % 2 === 0)),
+        build(ev.filter(col("event_id") % 2 =!= 0)), k = 256)
+      quantileContract(llm.Sketch.quantileEstimate(merged, QuantilePanel),
+        ev.select(col("event_type").as("grp"), col("value").as("v_pop")),
+        bound = 0.12, okCol = "rank_within_12pct")
+    }),
+    // DELETION-maintained quantile sketch: unique row keys make erasure
+    // exact-by-construction (removing doomed hashes leaves EXACTLY the
+    // bottom-k′ of the survivors — still uniform, just smaller), so the
+    // only rail is SIZE: groups whose sample shrinks below minKeep=200 are
+    // flagged and rebuilt from their survivors ONLY (group-pruned, never a
+    // corpus pass). At sf0.001 groups (~200 rows, all retained) DO trip the
+    // rail after the 10% erasure; at sf0.01+ the trimmed ~230-row samples
+    // clear it — both branches of the protocol are exercised across the
+    // verified SFs, and the oracle mirrors the WHOLE protocol including
+    // the flag split. Estimates hold the (wider) 15% rank contract against
+    // the survivor truth.
+    "q_quantile_delete" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val doomed = ev.filter(col("event_id") % 10 === 3)
+      val surv = ev.filter(col("event_id") % 10 =!= 3)
+      val trimmed = llm.Sketch.quantileDelete(
+        llm.Sketch.quantileBuild(ev, "event_type", "event_id", "value", k = 256),
+        doomed, "event_type", "event_id", k = 256, minKeep = 200)
+        .localCheckpoint(eager = false) // flag split consumes it twice
+      val rebuilt = llm.Sketch.quantileBuild(
+        surv.join(trimmed.filter(col("needs_rebuild"))
+            .select(col("grp").as("event_type")).distinct(),
+          Seq("event_type"), "left_semi"),
+        "event_type", "event_id", "value", k = 256)
+      val maintained = trimmed.filter(!col("needs_rebuild"))
+        .select(col("grp"), col("h"), col("v"))
+        .unionByName(rebuilt.select(col("grp"), col("h"), col("v")))
+      quantileContract(llm.Sketch.quantileEstimate(maintained, QuantilePanel),
+        surv.select(col("event_type").as("grp"), col("value").as("v_pop")),
+        bound = 0.15, okCol = "rank_within_15pct")
     }),
     // tokenize to vocab ids: top-20 vocab ranked (tf desc, term), OOV → 0,
     // token order preserved through the posexplode/join/sort_array chain.

@@ -153,6 +153,54 @@ object Graph {
           .as("lcc"))
   }
 
+  /** Synchronous label propagation (community detection) over an
+    * undirected canonical pair list: labels start as the node's own id;
+    * each round every node adopts the label MOST FREQUENT among its
+    * neighbours, ties broken by the SMALLEST label, isolated nodes keep
+    * their own — the deterministic LPA variant, so the result is a pure
+    * function of (graph, iters) and the DuckDB oracle mirrors the same
+    * unrolled rounds (the [[pagerank]]/[[kCore]] fixed-iteration
+    * convention; classic LPA's random tie-breaks would be un-oracle-able).
+    * Communities separate the near-dup graph's template FAMILIES without
+    * the full transitive closure [[Dedup.clusters]] computes: two families
+    * bridged by one accidental edge stay distinct here (the bridge node
+    * follows its majority side) but fuse under connected components.
+    *
+    * Scale shape: each round is one (edge ⋈ label) hash join keyed on the
+    * label side plus one (node)-keyed aggregation; the vote winner folds
+    * through a single `max(struct(count, -label))` — a partial-aggregable
+    * max, NO per-node sort window — and every exchange carries (long,
+    * long[, long]) rows. Labels re-checkpoint per round so round t+1
+    * reads a sliver, not a t-deep join chain; rounds are fixed, so driver
+    * cost is O(iters) job submissions, corpus-size-independent. */
+  def labelPropagation(nodes: DataFrame, pairs: DataFrame, iters: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(eager = false)
+    var labels = nodes.select(col(idCol).as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+      // winner = lexicographic max of (count, -label): most frequent,
+      // smallest label on ties — labels are non-negative ids, so the
+      // negation is a total order flip
+      val best = votes
+        .groupBy(col("src").as("id"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("w"))
+        .select(col("id"), (-col("w.nl")).as("win"))
+      labels = labels
+        .join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("win"), col("label")).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    labels.select(col("id").as(idCol), col("label").as("community"))
+  }
+
   /** k-core peeling over an undirected canonical pair list: `iters` rounds
     * of "drop every node with degree < k, then recount" — the density
     * filter that isolates the tightly-interlinked CORE of a template/

@@ -324,4 +324,118 @@ object Sketch {
         (col("n_union").cast("double") / col("theta")).as("est_union"),
         (col("n_inter").cast("double") / col("theta")).as("est_intersect"))
   }
+
+  // ---- Bottom-k quantile sketch (hash-ranked uniform ROW sample) ----
+  // The missing member next to CMS (point frequencies), SpaceSaving (top
+  // items), KMV/theta (distincts + set algebra), HLL (mergeable distincts)
+  // and bloom (membership): mergeable QUANTILES. Exact per-group order
+  // statistics (q_percentiles / q_grouped_quantiles) pay a full per-group
+  // sort at every refresh — at 100 TB the maintainable artifact form is a
+  // fixed-size mergeable sample, which is what this is.
+
+  /** Row-sample hash: md5 14-hex prefix of the row's UNIQUE key, kept in
+    * LONG form — ordering by the raw 56-bit prefix ≡ ordering by
+    * [[kmvU]]'s double without the division, so the DuckDB mirror stays
+    * integer end to end (the [[Sampling]] digest portability idiom). */
+  def qsketchH(key: Column): Column =
+    graft.expr.Md5Prefix(key.cast("string"), 14)
+
+  /** Build a bottom-k QUANTILE sketch per group: the k rows whose keys
+    * hash smallest, carrying their VALUES. Where [[kmvBuild]] bottom-k's
+    * the group's distinct VALUES (a distinct-count sketch), this bottom-k's
+    * the group's ROWS with multiplicity — a deterministic uniform
+    * k-sample (hash order is independent of the value column), so the
+    * sample's q-th order statistic estimates the group's q-th quantile
+    * with rank error O(sqrt(q(1-q)/k)) w.h.p. — the classic
+    * sample-quantile bound. The estimate is an ACTUAL value of the column
+    * (no interpolation arithmetic): bit-portable across engines, which is
+    * what lets the DuckDB oracle mirror the WHOLE chain value-exactly
+    * (SparkEntry contract rule 4).
+    *
+    * Mergeable by the same algebra as KMV: the k smallest hashes of a
+    * union are among the k smallest of each side, so [[quantileMerge]]
+    * over disjoint shard sketches is BIT-IDENTICAL to building over the
+    * union corpus (spec-pinned). Scale shape: the per-group bottom-k is a
+    * rank window Spark rewrites with WindowGroupLimit — each map
+    * partition forwards at most k rows per group into the exchange — and
+    * everything downstream of the build touches only sketch-sized frames.
+    * Caller contract: `keyCol` is unique per row (it is the sample
+    * identity for merge disjointness and [[quantileDelete]] erasure). */
+  def quantileBuild(df: DataFrame, groupCol: String, keyCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"), col("v"))
+    df.select(col(groupCol).as("grp"), qsketchH(col(keyCol)).as("h"),
+        col(valueCol).cast("double").as("v"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Merge two [[quantileBuild]] sketches over DISJOINT row sets (corpus
+    * shards, or an incremental batch against the persisted corpus
+    * sketch): per group, re-bottom-k of the concatenation. Bit-identical
+    * to building over the union — the incremental-maintenance property;
+    * only ≤ 2k rows per group pass through, the corpus is never
+    * re-scanned. Associative (spec-pinned), so a stream of batches folds
+    * in any grouping. */
+  def quantileMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"), col("v"))
+    a.select(col("grp"), col("h"), col("v"))
+      .union(b.select(col("grp"), col("h"), col("v")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** DELETION over a bottom-k row sample — strictly SIMPLER than
+    * [[kmvDelete]]'s reference-count taxonomy, because row keys are
+    * unique: removing the doomed keys' hashes from the retained set
+    * leaves EXACTLY the bottom-(k−d) of the survivors (any survivor
+    * hashing below the old k-th minimum was already retained), which is
+    * still a valid uniform sample — just smaller, with
+    * sqrt(k/(k−d))-wider rank error. No group can silently lose
+    * correctness; the only rail needed is SIZE: a group whose sample
+    * shrinks below `minKeep` is flagged `needs_rebuild = true` (estimate
+    * error no longer bounded as designed) and the caller re-runs
+    * [[quantileBuild]] over that group's survivors only — group-pruned,
+    * not a corpus pass. `deleted` carries (groupCol, keyCol) of the
+    * doomed rows; hashes join on the same [[qsketchH]]. */
+  def quantileDelete(sketch: DataFrame, deleted: DataFrame,
+      groupCol: String, keyCol: String, k: Int, minKeep: Int): DataFrame = {
+    val delH = deleted
+      .select(col(groupCol).as("grp"), qsketchH(col(keyCol)).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"), col("v"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    sketch.join(delH, Seq("grp", "h"), "left_anti")
+      .select(col("grp"), col("h"), col("v"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("needs_rebuild", count(lit(1)).over(wg) < minKeep)
+  }
+
+  /** Quantile estimates from a sketch (or any (grp, h, v) sample frame):
+    * for each (label, q) in `panel`, the sample value at 1-based rank
+    * ⌈q·m⌉ (clamped ≥ 1) in (value, hash) order — the lower-order-
+    * statistic definition, ties broken by hash for a deterministic ROW
+    * though the published VALUE is tie-invariant. Runs entirely over
+    * sketch-sized frames; the explode is per sketch row × |panel|. */
+  def quantileEstimate(sketch: DataFrame,
+      panel: Seq[(String, Double)]): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"), col("h"))
+    val qq = array(panel.map { case (l, q) =>
+      struct(lit(l).as("qlabel"), lit(q).as("q")) }: _*)
+    sketch
+      .withColumn("m", count(lit(1)).over(wg))
+      .withColumn("rv", row_number().over(wv))
+      .select(col("grp"), col("m"), col("rv"), col("v"),
+        explode(qq).as("qq"))
+      .filter(col("rv") ===
+        greatest(lit(1L), ceil(col("qq").getField("q") * col("m"))))
+      .select(col("grp"), col("qq").getField("qlabel").as("qlabel"),
+        col("qq").getField("q").as("q"), col("v").as("est_value"))
+  }
 }

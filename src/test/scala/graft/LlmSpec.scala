@@ -2115,6 +2115,23 @@ class LlmSpec extends SparkTestBase {
     assert(Graph.kCore(pairs, k = 1, iters = 1).count() === 5L)
   }
 
+  test("label propagation: one bridge edge keeps two triangles as distinct communities; isolated node keeps its own label") {
+    import graft.llm.Graph
+    // triangles {1,2,3} and {4,5,6} bridged by 3–4 — a connected-components
+    // dedup would fuse all six; LPA's majority vote holds the bridge
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val nodes = (1L to 7L).toSeq.toDF("doc_id") // 7 has no edges
+    val got = Graph.labelPropagation(nodes, pairs, iters = 3)
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    // hand-traced 3 synchronous rounds with (count DESC, label ASC) votes
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 3L), (5L, 3L), (6L, 3L), (7L, 7L)))
+    // the contrast: the closure fuses the bridged triangles into ONE
+    val cc = graft.llm.Dedup.clusters(pairs).select($"cluster_id").distinct()
+    assert(cc.count() === 1L)
+  }
+
   test("silhouette: tight separated clusters score near 1, k=1 rejected") {
     import graft.llm.Kmeans
     // two tight clusters far apart; init = first 2 vectors (one per cluster)
@@ -2132,6 +2149,75 @@ class LlmSpec extends SparkTestBase {
     }
     assertThrows[IllegalArgumentException] {
       Kmeans.silhouette(emb, Kmeans.Model(Array(Array(0.0, 0.0)), Array(6L)))
+    }
+  }
+
+  test("quantile sketch: merge of disjoint shards is bit-identical to the full build and associative; small groups are exact; delete is exact-by-construction with the size rail") {
+    import graft.llm.Sketch
+    // 3 groups x 400 unique-key rows with distinct value ranges
+    val rows = for (g <- 0 until 3; i <- 0 until 400) yield
+      (s"g$g", s"k${g}_$i", g * 1000.0 + i)
+    val df = rows.toDF("grp", "key", "x")
+    val k = 64
+    def build(d: org.apache.spark.sql.DataFrame) =
+      Sketch.quantileBuild(d, "grp", "key", "x", k)
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select($"grp", $"h", $"v").orderBy($"grp", $"h", $"v").collect().toSeq
+
+    // merge(shards) == build(union), bit-identical, in any fold order
+    val Seq(s0, s1, s2) = (0 until 3).map(i => df.filter(crc32($"key") % 3 === i))
+    val full = rowsOf(build(df))
+    val leftFold = Sketch.quantileMerge(
+      Sketch.quantileMerge(build(s0), build(s1), k), build(s2), k)
+    val rightFold = Sketch.quantileMerge(
+      build(s0), Sketch.quantileMerge(build(s1), build(s2), k), k)
+    assert(rowsOf(leftFold) === full)
+    assert(rowsOf(rightFold) === full)
+
+    // a group smaller than k is sampled whole: estimates are the EXACT
+    // lower order statistics ceil(q*n)
+    val small = (0 until 10).map(i => ("s", s"sk$i", i * 1.0)).toDF("grp", "key", "x")
+    val est = Sketch.quantileEstimate(build(small),
+        Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
+      .orderBy($"qlabel").collect()
+    assert(est.map(r => (r.getAs[String]("qlabel"), r.getAs[Double]("est_value"))).toSeq
+      === Seq(("p50", 4.0), ("p90", 8.0), ("p99", 9.0)))
+
+    // delete: unique keys make erasure exact — trimmed sketch == the
+    // retained rows minus the doomed hashes, and (because any survivor
+    // below the old k-th minimum was already retained) == bottom-k' of
+    // the survivors for k' = surviving retained count, per group
+    val doomed = df.filter(crc32($"key") % 5 === 0)
+    val trimmed = Sketch.quantileDelete(build(df), doomed, "grp", "key", k,
+      minKeep = 16)
+    assert(trimmed.filter($"needs_rebuild").count() === 0L)
+    val kept = trimmed.groupBy($"grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val surv = df.join(doomed.select($"key"), Seq("key"), "left_anti")
+    for (g <- Seq("g0", "g1", "g2")) {
+      val want = rowsOf(Sketch.quantileBuild(
+        surv.filter($"grp" === g), "grp", "key", "x", kept(g).toInt))
+      val got = rowsOf(trimmed.filter($"grp" === g))
+      assert(got === want, g)
+    }
+
+    // the size rail: a minKeep above the surviving sample flags the group
+    val railed = Sketch.quantileDelete(build(df), doomed, "grp", "key", k,
+      minKeep = k)
+    assert(railed.filter($"needs_rebuild").select($"grp").distinct().count() === 3L)
+
+    // rank contract on the saturated groups: sample-quantile error within
+    // the 3-sigma envelope sqrt(q(1-q)/k) over the full build
+    val fullEst = Sketch.quantileEstimate(build(df),
+      Seq(("p50", 0.5), ("p90", 0.9)))
+    val errs = fullEst.join(df.select($"grp", $"x"), Seq("grp"))
+      .groupBy($"grp", $"qlabel", $"q", $"est_value")
+      .agg((count(when($"x" <= $"est_value", lit(1))).cast("double")
+        / count(lit(1)).cast("double")).as("frac_le"))
+      .select(abs($"frac_le" - $"q").as("err"), $"q").collect()
+    errs.foreach { r =>
+      val q = r.getDouble(1)
+      assert(r.getDouble(0) <= 3.0 * math.sqrt(q * (1 - q) / k) + 1.0 / k, r)
     }
   }
 }

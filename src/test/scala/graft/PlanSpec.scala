@@ -522,6 +522,15 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan) // both stages broadcast
   }
 
+  test("quantile sketch: bottom-k rides WindowGroupLimit partial limits (only ~k rows per group per map partition cross the wire)") {
+    val plan = formatted(graft.llm.Sketch.quantileBuild(
+      t("events"), "event_type", "event_id", "value", k = 256))
+    // partial WindowGroupLimit before the exchange AND the final one after:
+    // the rank filter is pushed map-side, so the exchange input is bounded
+    // by k·partitions per group, never the corpus
+    assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("erasure propagation: one broadcast anti-join, bulk never shuffles") {
     val dim = Analytics.scd2History(t("events"))
     val keys = t("events").filter($"user_id" % 7 === 3).select($"user_id")
