@@ -195,6 +195,54 @@ object Oracles {
       |  FROM s),
       |kk AS (SELECT grp, h, v FROM b WHERE rnk <= 256)""".stripMargin
 
+  private val QLongMax = "9223372036854775807"
+
+  /** Thresholded-build mirror ([[graft.llm.Sketch.quantileBuildT]]): the
+    * k+1 smallest hashes of `s` rows matching `where`; a saturated group's
+    * (k+1)-th hash is the EXCLUSIVE threshold, else Long.MaxValue. Emits
+    * CTEs `<p>c`, `<p>tauT`, `<p>rows`, `<p>taus`. */
+  private def qtBuildSql(p: String, where: String, k: Int): String =
+    s"""${p}c AS (SELECT * FROM (
+       |    SELECT grp, h, v,
+       |      row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rnk
+       |    FROM s WHERE $where) z WHERE rnk <= ${k + 1}),
+       |${p}tauT AS (
+       |  SELECT grp,
+       |    coalesce(max(CASE WHEN rnk = ${k + 1} THEN h END), $QLongMax) AS tau
+       |  FROM ${p}c GROUP BY grp),
+       |${p}rows AS (SELECT c.grp, c.h, c.v FROM ${p}c c
+       |  JOIN ${p}tauT t USING (grp) WHERE c.h < t.tau),
+       |${p}taus AS (SELECT grp, tau FROM ${p}tauT)""".stripMargin
+
+  /** Theta-union mirror ([[graft.llm.Sketch.quantileMergeT]]): cut both
+    * samples to the pairwise-least threshold, re-trim to k, thresholds
+    * compose. Emits `<p>tau0`, `<p>cand`, `<p>c`, `<p>tauT`, `<p>rows`,
+    * `<p>taus`. */
+  private def qtMergeSql(p: String, lRows: String, lTaus: String,
+      rRows: String, rTaus: String, k: Int): String =
+    s"""${p}tau0 AS (
+       |  SELECT coalesce(l.grp, r.grp) AS grp,
+       |    least(coalesce(l.tau, $QLongMax), coalesce(r.tau, $QLongMax)) AS tau0
+       |  FROM $lTaus l FULL JOIN $rTaus r ON l.grp = r.grp),
+       |${p}cand AS (
+       |  SELECT u.grp, u.h, u.v, t.tau0 FROM
+       |    (SELECT grp, h, v FROM $lRows
+       |     UNION ALL SELECT grp, h, v FROM $rRows) u
+       |  JOIN ${p}tau0 t ON t.grp = u.grp WHERE u.h < t.tau0),
+       |${p}c AS (SELECT * FROM (
+       |    SELECT grp, h, v, tau0,
+       |      row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rnk
+       |    FROM ${p}cand) z WHERE rnk <= ${k + 1}),
+       |${p}tauT AS (
+       |  SELECT grp,
+       |    coalesce(max(CASE WHEN rnk = ${k + 1} THEN h END), max(tau0)) AS tau
+       |  FROM ${p}c GROUP BY grp),
+       |${p}rows AS (SELECT c.grp, c.h, c.v FROM ${p}c c
+       |  JOIN ${p}tauT t USING (grp) WHERE c.h < t.tau),
+       |${p}taus AS (
+       |  SELECT t0.grp, coalesce(tt.tau, t0.tau0) AS tau
+       |  FROM ${p}tau0 t0 LEFT JOIN ${p}tauT tt ON tt.grp = t0.grp)""".stripMargin
+
   private def shingleWSql(w: Int): String =
     s"""CASE WHEN len($wordsSql) >= $w
        |    THEN [array_to_string(($wordsSql)[i:i+${w - 1}], ' ')
@@ -3407,6 +3455,41 @@ object Oracles {
          |r AS (SELECT grp, h, v,
          |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rv
          |  FROM mt),
+         |p(qlabel, q) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
+         |  ('p90', CAST(0.9 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE)))
+         |SELECT r.grp, p.qlabel, p.q, r.v AS est_value,
+         |  TRUE AS rank_within_15pct
+         |FROM r JOIN m USING (grp)
+         |JOIN p ON r.rv = greatest(CAST(1 AS BIGINT),
+         |  CAST(ceil(p.q * m.m) AS BIGINT))
+         |ORDER BY grp, qlabel""".stripMargin,
+
+    // streamed theta-quantile state: replay the whole three-batch fold —
+    // build(b0) ∪θ build(b1), minus the doomed hashes, ∪θ build(b2 adds) —
+    // then estimate; only the rank boolean is a predicted contract
+    "q_quantile_stream" ->
+      s"""WITH s AS (
+         |  SELECT event_type AS grp, event_id AS eid,
+         |    CAST(concat('0x',
+         |      substring(md5(CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events),
+         |${qtBuildSql("a", "eid % 3 = 0", 256)},
+         |${qtBuildSql("bb", "eid % 3 = 1", 256)},
+         |${qtMergeSql("m1", "arows", "ataus", "bbrows", "bbtaus", 256)},
+         |del AS (
+         |  SELECT DISTINCT grp, h FROM s
+         |  WHERE eid % 10 = 3 AND eid % 3 <> 2),
+         |d1rows AS (
+         |  SELECT m.grp, m.h, m.v FROM m1rows m
+         |  WHERE NOT EXISTS (SELECT 1 FROM del
+         |    WHERE del.grp = m.grp AND del.h = m.h)),
+         |${qtBuildSql("e", "eid % 3 = 2 AND eid % 10 <> 3", 256)},
+         |${qtMergeSql("m2", "d1rows", "m1taus", "erows", "etaus", 256)},
+         |m AS (SELECT grp, count(*) AS m FROM m2rows GROUP BY grp),
+         |r AS (SELECT grp, h, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rv
+         |  FROM m2rows),
          |p(qlabel, q) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
          |  ('p90', CAST(0.9 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE)))
          |SELECT r.grp, p.qlabel, p.q, r.v AS est_value,

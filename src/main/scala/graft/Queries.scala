@@ -2301,6 +2301,40 @@ object Queries {
         surv.select(col("event_type").as("grp"), col("value").as("v_pop")),
         bound = 0.15, okCol = "rank_within_15pct")
     }),
+    // ALWAYS-ON streamed quantile sketch under the theta discipline: three
+    // micro-batches fold into the persisted thresholded state (batch 2
+    // carries full-row tombstones for the already-ingested %10==3 rows,
+    // erasure applying BEFORE its adds) — the arbitrary ingest/erasure
+    // interleaving the plain bottom-k algebra cannot express, exact by
+    // the per-group threshold invariant (rows = population with h < tau).
+    // The oracle replays the ENTIRE fold value-exactly; estimates hold
+    // the 15% rank contract against the survivor truth.
+    "q_quantile_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/squant_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_squant").toString
+      }
+      def apply(b: org.apache.spark.sql.DataFrame, id: Long,
+          del: Option[String] = None): Unit =
+        streaming.StreamingQuantile.applyBatch(b, state, id,
+          "event_type", "event_id", "value", k = 256, deleteCol = del)
+      apply(ev.filter(col("event_id") % 3 === 0), 0L)
+      apply(ev.filter(col("event_id") % 3 === 1), 1L)
+      apply(
+        ev.filter(col("event_id") % 3 === 2 && col("event_id") % 10 =!= 3)
+          .withColumn("_del", lit(false))
+          .unionByName(
+            ev.filter(col("event_id") % 10 === 3 && col("event_id") % 3 =!= 2)
+              .withColumn("_del", lit(true))),
+        2L, del = Some("_del"))
+      val st = streaming.StreamingQuantile.readState(s, state)
+      quantileContract(llm.Sketch.quantileEstimate(st.rows, QuantilePanel),
+        ev.filter(col("event_id") % 10 =!= 3)
+          .select(col("event_type").as("grp"), col("value").as("v_pop")),
+        bound = 0.15, okCol = "rank_within_15pct")
+    }),
     // tokenize to vocab ids: top-20 vocab ranked (tf desc, term), OOV → 0,
     // token order preserved through the posexplode/join/sort_array chain.
     // `ids` is published comma-joined (the q_text_quality fingerprint

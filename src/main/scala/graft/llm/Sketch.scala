@@ -438,4 +438,106 @@ object Sketch {
       .select(col("grp"), col("qq").getField("qlabel").as("qlabel"),
         col("qq").getField("q").as("q"), col("v").as("est_value"))
   }
+
+  // ---- Thresholded (θ) quantile forms: the MAINTAINED sketch algebra ----
+  // [[quantileMerge]]/[[quantileDelete]] are exact for their documented
+  // preconditions (merging BUILD outputs over disjoint rows; a one-shot
+  // delete). Arbitrary INTERLEAVINGS of ingest and erasure — the always-on
+  // streamed state — need KMV's theta discipline: after an erasure a
+  // group's sample covers its population only up to the OLD threshold, so
+  // a plain bottom-k merge with a later batch would admit batch rows ABOVE
+  // it and silently bias the sample toward new data. The maintained state
+  // therefore carries, per group, an explicit EXCLUSIVE hash threshold
+  // tau, with the invariant
+  //     rows = { live population rows with h < tau }
+  // (tau = Long.MaxValue while a group is unsaturated). Every T-operation
+  // preserves the invariant EXACTLY (spec-pinned against a brute-force
+  // population replay), so the sample is a valid uniform sample of the
+  // live population at all times — the theta-sketch union/difference
+  // algebra applied to row samples carrying values.
+
+  /** Maintained thresholded sketch: sample `rows` (grp, h, v) plus the
+    * per-group exclusive threshold `taus` (grp, tau). A group whose
+    * sample empties keeps its taus row — the threshold is what stops a
+    * later merge from resurrecting coverage the erasure destroyed. */
+  final case class QuantileState(rows: DataFrame, taus: DataFrame)
+
+  /** Build-style trim of a candidate frame (grp, h, v, tau0) already
+    * filtered to h < tau0: saturated groups (≥ k+1 candidates) tighten
+    * tau to their (k+1)-th smallest hash; the rest keep tau0. Groups
+    * with zero candidate rows do NOT appear — callers re-attach them
+    * ([[quantileMergeT]]). */
+  private def trimT(cand: DataFrame, k: Int): QuantileState = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"), col("v"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val t = cand
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k + 1)
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("tau", when(col("n") === k + 1,
+        max(when(col("rnk") === k + 1, col("h"))).over(wg))
+        .otherwise(col("tau0")))
+    QuantileState(
+      t.filter(col("h") < col("tau"))
+        .select(col("grp"), col("h"), col("v")),
+      t.groupBy(col("grp")).agg(min(col("tau")).as("tau")))
+  }
+
+  /** Thresholded build: retain the k+1 smallest hashes per group; if
+    * saturated, the (k+1)-th is the exclusive threshold and the k below
+    * it are the sample, else tau = Long.MaxValue and the group is
+    * complete. Same WindowGroupLimit scale shape as [[quantileBuild]]. */
+  def quantileBuildT(df: DataFrame, groupCol: String, keyCol: String,
+      valueCol: String, k: Int): QuantileState =
+    trimT(df.select(col(groupCol).as("grp"), qsketchH(col(keyCol)).as("h"),
+        col(valueCol).cast("double").as("v"),
+        lit(Long.MaxValue).as("tau0")), k)
+
+  /** Theta union over DISJOINT live populations: tau0 = min of the two
+    * thresholds (a side missing the group is empty with tau = MaxValue),
+    * candidates = both samples cut to h < tau0 — each side retains ALL
+    * its population's rows below the other's threshold, so the cut set
+    * is exactly the union population below tau0 — then re-trimmed to k.
+    * Only sketch-sized frames move; the populations are never re-read. */
+  def quantileMergeT(a: QuantileState, b: QuantileState,
+      k: Int): QuantileState = {
+    val taus0 = a.taus.select(col("grp"), col("tau").as("tau_a"))
+      .join(b.taus.select(col("grp"), col("tau").as("tau_b")),
+        Seq("grp"), "full")
+      .select(col("grp"),
+        least(coalesce(col("tau_a"), lit(Long.MaxValue)),
+          coalesce(col("tau_b"), lit(Long.MaxValue))).as("tau0"))
+    val cand = a.rows.unionByName(b.rows)
+      .join(taus0, Seq("grp"))
+      .filter(col("h") < col("tau0"))
+    val trimmed = trimT(cand, k)
+    QuantileState(trimmed.rows,
+      taus0.join(trimmed.taus.select(col("grp"), col("tau").as("tau_t")),
+          Seq("grp"), "left")
+        .select(col("grp"), coalesce(col("tau_t"), col("tau0")).as("tau")))
+  }
+
+  /** Theta difference: remove the doomed rows' hashes; tau is UNCHANGED
+    * (the invariant survives verbatim — every surviving population row
+    * below tau is still in the sample). The sample only shrinks; size
+    * health is the caller's read-side check ([[quantileFlagsT]]). */
+  def quantileDeleteT(st: QuantileState, deleted: DataFrame,
+      groupCol: String, keyCol: String): QuantileState = {
+    val delH = deleted
+      .select(col(groupCol).as("grp"), qsketchH(col(keyCol)).as("h"))
+      .distinct()
+    QuantileState(st.rows.join(delH, Seq("grp", "h"), "left_anti"), st.taus)
+  }
+
+  /** Read-side health: per group, the live sample size and whether it
+    * fell below `minKeep` (estimate error no longer bounded as designed —
+    * the caller re-ingests that group's survivors; fully-emptied groups
+    * still surface, from their retained taus row). */
+  def quantileFlagsT(st: QuantileState, minKeep: Int): DataFrame =
+    st.taus.join(
+        st.rows.groupBy(col("grp")).agg(count(lit(1)).as("n_sample")),
+        Seq("grp"), "left")
+      .select(col("grp"), coalesce(col("n_sample"), lit(0L)).as("n_sample"),
+        (coalesce(col("n_sample"), lit(0L)) < minKeep).as("needs_rebuild"))
 }
