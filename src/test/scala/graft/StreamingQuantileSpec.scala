@@ -97,6 +97,55 @@ class StreamingQuantileSpec extends SparkTestBase {
     assert(est.count() === 2L) // one per group
   }
 
+  test("churn property: any legal ingest/erase/re-ingest sequence keeps the theta invariant exact, with a vacuum and a replay mid-sequence") {
+    // the hand-written test pins single scenarios; this pins the CLOSURE:
+    // erase → re-ingest (same key, CHANGED value) → erase-again cycles,
+    // empty batches, in whatever order the seed deals them. k = 4 so
+    // saturation/threshold-tightening happens constantly.
+    val keys = for (g <- Seq("g", "t"); i <- 0 until 12) yield (g, s"${g}$i")
+    def value(grp: String, key: String, gen: Int): Double =
+      (grp.hashCode % 7).toDouble + key.length + gen * 10.0
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed * 131)
+      val dir = java.nio.file.Files.createTempDirectory(s"squantp$seed").toString
+      var live = Map.empty[(String, String), Int]
+      for (b <- 0 until 5) {
+        var l = live
+        var rows = Vector.empty[(String, String, Double, Boolean)]
+        val touched = scala.collection.mutable.Set.empty[(String, String)]
+        for (_ <- 0 until rng.nextInt(8)) { // 0..7 ops — empty batches happen
+          val kk = keys(rng.nextInt(keys.length))
+          if (!touched(kk)) {
+            touched += kk
+            l.get(kk) match {
+              case Some(g) if rng.nextBoolean() => // erase the current row
+                rows :+= ((kk._1, kk._2, value(kk._1, kk._2, g), true)); l -= kk
+              case Some(_) => ()
+              case None => // (re-)ingest with generation-fresh value
+                rows :+= ((kk._1, kk._2, value(kk._1, kk._2, b), false))
+                l += kk -> b
+            }
+          }
+        }
+        live = l
+        val bdf = rows.toDF("grp", "key", "x", "_del")
+        StreamingQuantile.applyBatch(bdf, dir, b.toLong,
+          "grp", "key", "x", k = 4, deleteCol = Some("_del"))
+        if (b == 2) {
+          StreamingQuantile.vacuum(spark, dir)
+          // replay of an applied batch must be pointer-skipped
+          StreamingQuantile.applyBatch(bdf, dir, b.toLong,
+            "grp", "key", "x", k = 4, deleteCol = Some("_del"))
+        }
+        val st = StreamingQuantile.readState(spark, dir)
+        val liveRows = live.toSeq.map { case ((g, kk), gen) =>
+          (g, kk, value(g, kk, gen)) }
+        assert(got(st) === expected(liveRows, st.taus),
+          s"seed=$seed batch=$b live=${live.size}")
+      }
+    }
+  }
+
   test("writer wires the identical fold through foreachBatch; vacuum drops superseded versions") {
     val dir = java.nio.file.Files.createTempDirectory("squantw").toString
     val ckpt = java.nio.file.Files.createTempDirectory("squantwc").toString
