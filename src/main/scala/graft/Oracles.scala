@@ -3464,6 +3464,21 @@ object Oracles {
          |  CAST(ceil(p.q * m.m) AS BIGINT))
          |ORDER BY grp, qlabel""".stripMargin,
 
+    // rank-of mirror: the sample is replayed exactly, the CDF fraction is
+    // integer counts + one division — bit-identical; the additive-error
+    // boolean is the predicted contract
+    "q_quantile_rank" ->
+      s"""$quantileSketchCtes,
+         |p(xlabel, x) AS (VALUES ('x10', CAST(10.0 AS DOUBLE)),
+         |  ('x150', CAST(150.0 AS DOUBLE)), ('x50', CAST(50.0 AS DOUBLE)))
+         |SELECT kk.grp, p.xlabel, p.x,
+         |  count(CASE WHEN kk.v <= p.x THEN 1 END)::DOUBLE
+         |    / count(*)::DOUBLE AS est_frac_le,
+         |  TRUE AS cdf_within_12pct
+         |FROM kk CROSS JOIN p
+         |GROUP BY kk.grp, p.xlabel, p.x
+         |ORDER BY grp, xlabel""".stripMargin,
+
     // streamed theta-quantile state: replay the whole three-batch fold —
     // build(b0) ∪θ build(b1), minus the doomed hashes, ∪θ build(b2 adds) —
     // then estimate; only the rank boolean is a predicted contract

@@ -439,6 +439,26 @@ object Sketch {
         col("qq").getField("q").as("q"), col("v").as("est_value"))
   }
 
+  /** INVERSE-quantile estimates from a sketch (or any (grp, h, v) sample
+    * frame): for each (label, x) in `panel`, the fraction of sample rows
+    * with v ≤ x — the empirical-CDF estimate of P(value ≤ x), the rank↔
+    * quantile dual of [[quantileEstimate]] ("what fraction of documents
+    * are under 512 tokens" against the same maintained sample that
+    * answers "what is p90"). Same O(√(q(1−q)/k)) additive error; exact
+    * integer comparison counts folded by ONE IEEE division, so the value
+    * is bit-portable across engines. */
+  def quantileRankOf(sketch: DataFrame,
+      panel: Seq[(String, Double)]): DataFrame = {
+    val xx = array(panel.map { case (l, x) =>
+      struct(lit(l).as("xlabel"), lit(x).as("x")) }: _*)
+    sketch.select(col("grp"), explode(xx).as("p"), col("v"))
+      .select(col("grp"), col("p").getField("xlabel").as("xlabel"),
+        col("p").getField("x").as("x"), col("v"))
+      .groupBy(col("grp"), col("xlabel"), col("x"))
+      .agg((count(when(col("v") <= col("x"), lit(1))).cast("double")
+        / count(lit(1)).cast("double")).as("est_frac_le"))
+  }
+
   // ---- Thresholded (θ) quantile forms: the MAINTAINED sketch algebra ----
   // [[quantileMerge]]/[[quantileDelete]] are exact for their documented
   // preconditions (merging BUILD outputs over disjoint rows; a one-shot

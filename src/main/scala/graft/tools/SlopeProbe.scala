@@ -34,11 +34,17 @@ object SlopeProbe {
     "q_semantic_dedup",
     // media: banded perceptual near-dup build vs the steady-state ingest
     // probe against the persisted features artifact
-    "q_media_neardup", "q_media_neardup_incr")
+    "q_media_neardup", "q_media_neardup_incr",
+    // quantile sketch: the build (∝ corpus, WindowGroupLimit-bounded
+    // shuffle) vs the streamed state's steady-state read (pass 2+ folds
+    // pointer-skip; the state is sketch-sized, so the serving read
+    // should sit at exponent ≈ 0)
+    "q_quantile_sketch", "q_quantile_stream")
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("0.001", "0.01", "0.1")
     val passes = sys.env.getOrElse("SPARK_GRAFT_SLOPE_PASSES", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_SLOPE_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -49,7 +55,8 @@ object SlopeProbe {
       sys.props("graft.artifact.dir") =
         s"/root/repo/target/slope_artifacts/sf$sf"
       graft.sources.Artifacts.wipe()
-      for (name <- Rows; if graft.SparkEntry.queries.contains(name)) {
+      for (name <- Rows; if graft.SparkEntry.queries.contains(name)
+          && only.forall(_.contains(name))) {
         val gated = graft.SparkEntry.benchMaxSf.get(name).exists(_ < sf.toDouble)
         if (gated) System.err.println(s"[slope] sf$sf $name SF-GATED, skipped")
         else {

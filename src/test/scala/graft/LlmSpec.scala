@@ -2182,6 +2182,12 @@ class LlmSpec extends SparkTestBase {
       .orderBy($"qlabel").collect()
     assert(est.map(r => (r.getAs[String]("qlabel"), r.getAs[Double]("est_value"))).toSeq
       === Seq(("p50", 4.0), ("p90", 8.0), ("p99", 9.0)))
+    // the rank-of dual on the same whole-group sample: CDF is EXACT
+    val rk = Sketch.quantileRankOf(build(small),
+        Seq(("a", 4.0), ("b", 8.5))).orderBy($"xlabel").collect()
+    assert(rk.map(r => (r.getAs[String]("xlabel"),
+        r.getAs[Double]("est_frac_le"))).toSeq
+      === Seq(("a", 0.5), ("b", 0.9)))
 
     // delete: unique keys make erasure exact — trimmed sketch == the
     // retained rows minus the doomed hashes, and (because any survivor
