@@ -3464,6 +3464,34 @@ object Oracles {
          |  CAST(ceil(p.q * m.m) AS BIGINT))
          |ORDER BY grp, qlabel""".stripMargin,
 
+    // windowed-quantile mirror: same chain over the composite
+    // (day|event_type) group at k=128
+    "q_quantile_windowed" ->
+      s"""WITH s AS (
+         |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
+         |      || '|' || event_type AS grp,
+         |    CAST(concat('0x',
+         |      substring(md5(CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events),
+         |b AS (
+         |  SELECT grp, h, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rnk
+         |  FROM s),
+         |kk AS (SELECT grp, h, v FROM b WHERE rnk <= 128),
+         |m AS (SELECT grp, count(*) AS m FROM kk GROUP BY grp),
+         |r AS (SELECT grp, h, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rv
+         |  FROM kk),
+         |p(qlabel, q) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
+         |  ('p90', CAST(0.9 AS DOUBLE)))
+         |SELECT r.grp, p.qlabel, p.q, r.v AS est_value,
+         |  TRUE AS rank_within_20pct
+         |FROM r JOIN m USING (grp)
+         |JOIN p ON r.rv = greatest(CAST(1 AS BIGINT),
+         |  CAST(ceil(p.q * m.m) AS BIGINT))
+         |ORDER BY grp, qlabel""".stripMargin,
+
     // rank-of mirror: the sample is replayed exactly, the CDF fraction is
     // integer counts + one division — bit-identical; the additive-error
     // boolean is the predicted contract

@@ -2301,6 +2301,27 @@ object Queries {
         surv.select(col("event_type").as("grp"), col("value").as("v_pop")),
         bound = 0.15, okCol = "rank_within_15pct")
     }),
+    // WINDOWED quantiles — the canonical "daily latency percentiles" —
+    // by composing the sketch with a composite (day|event_type) group:
+    // state bounded at k per window×type (the q_cms_windowed discipline
+    // for order statistics). Both regimes exercised across the verified
+    // SFs: at sf0.01 windows (~67 rows) sit under k=128 and estimates
+    // are exact order statistics; at sf0.1 (~667) the sketch genuinely
+    // samples. Bound 0.20 = the small-window discretization floor
+    // (1/m at sf0.001) over the measured worsts (0.027 sf0.01, 0.115
+    // sf0.1).
+    "q_quantile_windowed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("grp", concat(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"),
+          lit("|"), col("event_type")))
+      val est = llm.Sketch.quantileEstimate(
+        llm.Sketch.quantileBuild(ev, "grp", "event_id", "value", k = 128),
+        Seq(("p50", 0.5), ("p90", 0.9)))
+      quantileContract(est,
+        ev.select(col("grp"), col("value").as("v_pop")),
+        bound = 0.20, okCol = "rank_within_20pct")
+    }),
     // inverse-quantile (rank-of) estimates off the SAME sketch: the
     // empirical-CDF fraction P(value ≤ x) per group for a literal x panel
     // — the quantile↔rank dual ("what fraction of events are under x"
