@@ -3464,6 +3464,37 @@ object Oracles {
          |  CAST(ceil(p.q * m.m) AS BIGINT))
          |ORDER BY grp, qlabel""".stripMargin,
 
+    // bucketing mirror: quartile boundaries off the mirrored sketch,
+    // bucket = CASE chain over the monotone boundaries (≡ the count of
+    // boundaries strictly below the value)
+    "q_quantile_bucket" ->
+      s"""$quantileSketchCtes,
+         |m AS (SELECT grp, count(*) AS m FROM kk GROUP BY grp),
+         |r AS (SELECT grp, h, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rv
+         |  FROM kk),
+         |p(qlabel, q) AS (VALUES ('b0', CAST(0.25 AS DOUBLE)),
+         |  ('b1', CAST(0.5 AS DOUBLE)), ('b2', CAST(0.75 AS DOUBLE))),
+         |est AS (
+         |  SELECT r.grp, p.qlabel, r.v AS ev FROM r JOIN m USING (grp)
+         |  JOIN p ON r.rv = greatest(CAST(1 AS BIGINT),
+         |    CAST(ceil(p.q * m.m) AS BIGINT))),
+         |bd AS (
+         |  SELECT grp,
+         |    max(CASE WHEN qlabel = 'b0' THEN ev END) AS b0,
+         |    max(CASE WHEN qlabel = 'b1' THEN ev END) AS b1,
+         |    max(CASE WHEN qlabel = 'b2' THEN ev END) AS b2
+         |  FROM est GROUP BY grp),
+         |bkt AS (
+         |  SELECT s.grp, CASE WHEN s.v > bd.b2 THEN 3
+         |    WHEN s.v > bd.b1 THEN 2 WHEN s.v > bd.b0 THEN 1
+         |    ELSE 0 END AS bucket
+         |  FROM s JOIN bd USING (grp))
+         |SELECT grp AS event_type, bucket, count(*) AS n_rows,
+         |  TRUE AS bucket_within_12pct
+         |FROM bkt GROUP BY grp, bucket
+         |ORDER BY event_type, bucket""".stripMargin,
+
     // windowed-quantile mirror: same chain over the composite
     // (day|event_type) group at k=128
     "q_quantile_windowed" ->

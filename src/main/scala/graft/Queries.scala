@@ -2301,6 +2301,29 @@ object Queries {
         surv.select(col("event_type").as("grp"), col("value").as("v_pop")),
         bound = 0.15, okCol = "rank_within_15pct")
     }),
+    // percentile BUCKETING off the sketch boundaries — the serving-side
+    // application: tag every event with its per-type quartile bucket via
+    // a broadcast of the ≤ groups×3 boundary frame into the one scan,
+    // where exact ntile pays a global per-group sort/range exchange of
+    // the corpus. Boundaries are actual column values, so the whole
+    // chain mirrors value-exactly; each bucket holds 25% ± the sample
+    // error (predicted bound 0.12; measured worst 0.057 at sf0.01,
+    // 0.050 at sf0.1).
+    "q_quantile_bucket" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tagged = llm.Sketch.quantileBucket(ev,
+        llm.Sketch.quantileBuild(ev, "event_type", "event_id", "value", k = 256),
+        "event_type", "value", Seq(0.25, 0.5, 0.75))
+      val counts = tagged.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+      val totals = counts.groupBy(col("event_type"))
+        .agg(sum(col("n_rows")).as("n_tot"))
+      counts.join(totals, Seq("event_type"))
+        .select(col("event_type"), col("bucket"), col("n_rows"),
+          (abs(col("n_rows").cast("double") / col("n_tot").cast("double")
+            - 0.25) <= 0.12).as("bucket_within_12pct"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
     // WINDOWED quantiles — the canonical "daily latency percentiles" —
     // by composing the sketch with a composite (day|event_type) group:
     // state bounded at k per window×type (the q_cms_windowed discipline

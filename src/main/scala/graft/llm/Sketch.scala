@@ -459,6 +459,34 @@ object Sketch {
         / count(lit(1)).cast("double")).as("est_frac_le"))
   }
 
+  /** Tag every row with its per-group QUANTILE BUCKET using sketch
+    * boundaries — percentile bucketing WITHOUT a global sort. `qs` are
+    * ascending quantiles (e.g. 0.25/0.5/0.75 → quartile buckets 0..3);
+    * bucket = the number of boundary values strictly below the row's
+    * value. The boundary frame is ≤ |groups|·|qs| rows and BROADCASTS
+    * into the one scan of `df`, where the exact alternative (`ntile`
+    * over a global per-group sort) pays a full range exchange of the
+    * corpus — this is the serving-side shape that makes the sketch an
+    * artifact at 100 TB: boundaries are maintained incrementally
+    * ([[quantileMergeT]]) and bucketing stays a scan-side map. Bucket
+    * boundaries are actual column values ([[quantileEstimate]]), so the
+    * whole tagging is engine-portable integer/comparison arithmetic. */
+  def quantileBucket(df: DataFrame, sketch: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs == qs.sorted && qs.forall(q => q > 0 && q < 1),
+      s"qs must be ascending in (0,1): $qs")
+    val est = quantileEstimate(sketch,
+      qs.zipWithIndex.map { case (q, i) => (s"b$i", q) })
+    val bounds = est.groupBy(col("grp"))
+      .agg(array_sort(collect_list(struct(col("q"), col("est_value"))))
+        .as("_bs"))
+    df.join(broadcast(bounds), df(groupCol) === bounds("grp"))
+      .withColumn("bucket", aggregate(col("_bs"), lit(0), (acc, b) =>
+        acc + when(col(valueCol) > b.getField("est_value"), lit(1))
+          .otherwise(lit(0))))
+      .drop("_bs", "grp")
+  }
+
   // ---- Thresholded (θ) quantile forms: the MAINTAINED sketch algebra ----
   // [[quantileMerge]]/[[quantileDelete]] are exact for their documented
   // preconditions (merging BUILD outputs over disjoint rows; a one-shot

@@ -2188,6 +2188,14 @@ class LlmSpec extends SparkTestBase {
     assert(rk.map(r => (r.getAs[String]("xlabel"),
         r.getAs[Double]("est_frac_le"))).toSeq
       === Seq(("a", 0.5), ("b", 0.9)))
+    // quartile bucketing off the same sample: boundaries are the exact
+    // order statistics (2, 4, 7 for values 0..9), bucket = #boundaries
+    // strictly below — 0,1,2→b0; 3,4→b1; 5,6,7→b2; 8,9→b3
+    val bk = Sketch.quantileBucket(small, build(small), "grp", "x",
+        Seq(0.25, 0.5, 0.75))
+      .groupBy($"bucket").count().orderBy($"bucket")
+      .as[(Int, Long)].collect().toSeq
+    assert(bk === Seq((0, 3L), (1, 2L), (2, 3L), (3, 2L)))
 
     // delete: unique keys make erasure exact — trimmed sketch == the
     // retained rows minus the doomed hashes, and (because any survivor
