@@ -243,6 +243,38 @@ object Oracles {
        |  SELECT t0.grp, coalesce(tt.tau, t0.tau0) AS tau
        |  FROM ${p}tau0 t0 LEFT JOIN ${p}tauT tt ON tt.grp = t0.grp)""".stripMargin
 
+  /** Shared estimate tail for the q_quantile_* mirrors: the order
+    * statistic at rank ceil(q·m) (clamped ≥ 1) in (v, h) order over the
+    * sample CTE `rowsCte` (grp, h, v), one row per (group, panel entry) —
+    * the [[graft.llm.Sketch.quantileEstimate]] chain. The rank
+    * arithmetic and the (v, h) tie-break live HERE once; every quantile
+    * mirror appends this tail. */
+  private def qEstimateSql(rowsCte: String, panel: Seq[(String, String)],
+      okCol: String): String = {
+    val values = panel
+      .map { case (l, q) => s"('$l', CAST($q AS DOUBLE))" }.mkString(",\n  ")
+    s"""m AS (SELECT grp, count(*) AS m FROM $rowsCte GROUP BY grp),
+       |r AS (SELECT grp, h, v,
+       |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rv
+       |  FROM $rowsCte),
+       |p(qlabel, q) AS (VALUES $values)
+       |SELECT r.grp, p.qlabel, p.q, r.v AS est_value, TRUE AS $okCol
+       |FROM r JOIN m USING (grp)
+       |JOIN p ON r.rv = greatest(CAST(1 AS BIGINT),
+       |  CAST(ceil(p.q * m.m) AS BIGINT))
+       |ORDER BY grp, qlabel""".stripMargin
+  }
+
+  private val qPanel3 =
+    Seq("p50" -> "0.5", "p90" -> "0.9", "p99" -> "0.99")
+
+  /** q_quantile_sketch's full mirror — q_quantile_merge shares it
+    * VERBATIM (merge of disjoint shard sketches ≡ the full rebuild,
+    * bit-identical; the shared string IS the stated contract). */
+  private val quantileSketchOracle: String =
+    s"""$quantileSketchCtes,
+       |${qEstimateSql("kk", qPanel3, "rank_within_12pct")}""".stripMargin
+
   private def shingleWSql(w: Int): String =
     s"""CASE WHEN len($wordsSql) >= $w
        |    THEN [array_to_string(($wordsSql)[i:i+${w - 1}], ' ')
@@ -3390,36 +3422,10 @@ object Oracles {
     // boolean is a predicted contract (TRUE, the kmv_within_20pct
     // discipline). Panel q's cast to DOUBLE so ceil(q·m) is the same
     // IEEE arithmetic Spark runs.
-    "q_quantile_sketch" ->
-      s"""$quantileSketchCtes,
-         |m AS (SELECT grp, count(*) AS m FROM kk GROUP BY grp),
-         |r AS (SELECT grp, h, v,
-         |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rv
-         |  FROM kk),
-         |p(qlabel, q) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
-         |  ('p90', CAST(0.9 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE)))
-         |SELECT r.grp, p.qlabel, p.q, r.v AS est_value,
-         |  TRUE AS rank_within_12pct
-         |FROM r JOIN m USING (grp)
-         |JOIN p ON r.rv = greatest(CAST(1 AS BIGINT),
-         |  CAST(ceil(p.q * m.m) AS BIGINT))
-         |ORDER BY grp, qlabel""".stripMargin,
+    "q_quantile_sketch" -> quantileSketchOracle,
 
     // merge of disjoint shard sketches ≡ full rebuild — same oracle
-    "q_quantile_merge" ->
-      s"""$quantileSketchCtes,
-         |m AS (SELECT grp, count(*) AS m FROM kk GROUP BY grp),
-         |r AS (SELECT grp, h, v,
-         |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rv
-         |  FROM kk),
-         |p(qlabel, q) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
-         |  ('p90', CAST(0.9 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE)))
-         |SELECT r.grp, p.qlabel, p.q, r.v AS est_value,
-         |  TRUE AS rank_within_12pct
-         |FROM r JOIN m USING (grp)
-         |JOIN p ON r.rv = greatest(CAST(1 AS BIGINT),
-         |  CAST(ceil(p.q * m.m) AS BIGINT))
-         |ORDER BY grp, qlabel""".stripMargin,
+    "q_quantile_merge" -> quantileSketchOracle,
 
     // deletion-maintained sketch: mirror the WHOLE protocol — anti-join
     // the doomed hashes, flag groups under minKeep=200, rebuild flagged
@@ -3451,18 +3457,7 @@ object Oracles {
          |  SELECT tr.grp, tr.h, tr.v FROM tr JOIN fl USING (grp)
          |  WHERE NOT needs_rebuild
          |  UNION ALL SELECT grp, h, v FROM rb0 WHERE rnk <= 256),
-         |m AS (SELECT grp, count(*) AS m FROM mt GROUP BY grp),
-         |r AS (SELECT grp, h, v,
-         |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rv
-         |  FROM mt),
-         |p(qlabel, q) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
-         |  ('p90', CAST(0.9 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE)))
-         |SELECT r.grp, p.qlabel, p.q, r.v AS est_value,
-         |  TRUE AS rank_within_15pct
-         |FROM r JOIN m USING (grp)
-         |JOIN p ON r.rv = greatest(CAST(1 AS BIGINT),
-         |  CAST(ceil(p.q * m.m) AS BIGINT))
-         |ORDER BY grp, qlabel""".stripMargin,
+         |${qEstimateSql("mt", qPanel3, "rank_within_15pct")}""".stripMargin,
 
     // bucketing mirror: quartile boundaries off the mirrored sketch,
     // bucket = CASE chain over the monotone boundaries (≡ the count of
@@ -3510,18 +3505,8 @@ object Oracles {
          |    row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rnk
          |  FROM s),
          |kk AS (SELECT grp, h, v FROM b WHERE rnk <= 128),
-         |m AS (SELECT grp, count(*) AS m FROM kk GROUP BY grp),
-         |r AS (SELECT grp, h, v,
-         |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rv
-         |  FROM kk),
-         |p(qlabel, q) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
-         |  ('p90', CAST(0.9 AS DOUBLE)))
-         |SELECT r.grp, p.qlabel, p.q, r.v AS est_value,
-         |  TRUE AS rank_within_20pct
-         |FROM r JOIN m USING (grp)
-         |JOIN p ON r.rv = greatest(CAST(1 AS BIGINT),
-         |  CAST(ceil(p.q * m.m) AS BIGINT))
-         |ORDER BY grp, qlabel""".stripMargin,
+         |${qEstimateSql("kk", Seq("p50" -> "0.5", "p90" -> "0.9"),
+            "rank_within_20pct")}""".stripMargin,
 
     // rank-of mirror: the sample is replayed exactly, the CDF fraction is
     // integer counts + one division — bit-identical; the additive-error
@@ -3560,18 +3545,7 @@ object Oracles {
          |    WHERE del.grp = m.grp AND del.h = m.h)),
          |${qtBuildSql("e", "eid % 3 = 2 AND eid % 10 <> 3", 256)},
          |${qtMergeSql("m2", "d1rows", "m1taus", "erows", "etaus", 256)},
-         |m AS (SELECT grp, count(*) AS m FROM m2rows GROUP BY grp),
-         |r AS (SELECT grp, h, v,
-         |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rv
-         |  FROM m2rows),
-         |p(qlabel, q) AS (VALUES ('p50', CAST(0.5 AS DOUBLE)),
-         |  ('p90', CAST(0.9 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE)))
-         |SELECT r.grp, p.qlabel, p.q, r.v AS est_value,
-         |  TRUE AS rank_within_15pct
-         |FROM r JOIN m USING (grp)
-         |JOIN p ON r.rv = greatest(CAST(1 AS BIGINT),
-         |  CAST(ceil(p.q * m.m) AS BIGINT))
-         |ORDER BY grp, qlabel""".stripMargin,
+         |${qEstimateSql("m2rows", qPanel3, "rank_within_15pct")}""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH w AS (

@@ -362,14 +362,20 @@ object Sketch {
     * Caller contract: `keyCol` is unique per row (it is the sample
     * identity for merge disjointness and [[quantileDelete]] erasure). */
   def quantileBuild(df: DataFrame, groupCol: String, keyCol: String,
-      valueCol: String, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("grp")).orderBy(col("h"), col("v"))
-    df.select(col(groupCol).as("grp"), qsketchH(col(keyCol)).as("h"),
-        col(valueCol).cast("double").as("v"))
-      .withColumn("rnk", row_number().over(w))
+      valueCol: String, k: Int): DataFrame =
+    bottomK(df.select(col(groupCol).as("grp"), qsketchH(col(keyCol)).as("h"),
+      col(valueCol).cast("double").as("v")), k)
+
+  /** THE canonical sample ordering every DuckDB mirror replays: rank by
+    * (hash, value). One definition — build, merge, delete and the
+    * thresholded trim all share it. */
+  private val hashRankW = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("grp")).orderBy(col("h"), col("v"))
+
+  /** Bottom-k trim of a (grp, h, v) frame under [[hashRankW]]. */
+  private def bottomK(rows: DataFrame, k: Int): DataFrame =
+    rows.withColumn("rnk", row_number().over(hashRankW))
       .filter(col("rnk") <= k)
-  }
 
   /** Merge two [[quantileBuild]] sketches over DISJOINT row sets (corpus
     * shards, or an incremental batch against the persisted corpus
@@ -378,14 +384,9 @@ object Sketch {
     * only ≤ 2k rows per group pass through, the corpus is never
     * re-scanned. Associative (spec-pinned), so a stream of batches folds
     * in any grouping. */
-  def quantileMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("grp")).orderBy(col("h"), col("v"))
-    a.select(col("grp"), col("h"), col("v"))
-      .union(b.select(col("grp"), col("h"), col("v")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-  }
+  def quantileMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    bottomK(a.select(col("grp"), col("h"), col("v"))
+      .union(b.select(col("grp"), col("h"), col("v"))), k)
 
   /** DELETION over a bottom-k row sample — strictly SIMPLER than
     * [[kmvDelete]]'s reference-count taxonomy, because row keys are
@@ -398,21 +399,38 @@ object Sketch {
     * shrinks below `minKeep` is flagged `needs_rebuild = true` (estimate
     * error no longer bounded as designed) and the caller re-runs
     * [[quantileBuild]] over that group's survivors only — group-pruned,
-    * not a corpus pass. `deleted` carries (groupCol, keyCol) of the
-    * doomed rows; hashes join on the same [[qsketchH]]. */
+    * not a corpus pass. A group whose ENTIRE sample is deleted still
+    * surfaces, as one null marker row with the flag set (the
+    * [[kmvDelete]] marker discipline) — an emptied quantile sample says
+    * nothing about the population being empty, so silently vanishing
+    * would lose the group from the maintained sketch while survivors
+    * exist. `deleted` carries (groupCol, keyCol) of the doomed rows;
+    * hashes join on the same [[qsketchH]]. */
   def quantileDelete(sketch: DataFrame, deleted: DataFrame,
       groupCol: String, keyCol: String, k: Int, minKeep: Int): DataFrame = {
     val delH = deleted
       .select(col(groupCol).as("grp"), qsketchH(col(keyCol)).as("h"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("grp")).orderBy(col("h"), col("v"))
-    val wg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("grp"))
-    sketch.join(delH, Seq("grp", "h"), "left_anti")
+    val kept0 = sketch.join(delH, Seq("grp", "h"), "left_anti")
       .select(col("grp"), col("h"), col("v"))
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("needs_rebuild", count(lit(1)).over(wg) < minKeep)
+      .localCheckpoint(eager = false) // flags + ranked output both read it
+    val flags = sketch.select(col("grp")).distinct()
+      .join(kept0.groupBy(col("grp")).agg(count(lit(1)).as("_n")),
+        Seq("grp"), "left")
+      .select(col("grp"),
+        (coalesce(col("_n"), lit(0L)) < minKeep).as("needs_rebuild"))
+      .localCheckpoint(eager = false) // kept join + emptied-group union
+    val kept = kept0
+      .withColumn("rnk", row_number().over(hashRankW))
+      .join(broadcast(flags), Seq("grp"))
+    val emptied = flags.filter(col("needs_rebuild"))
+      .join(kept.select(col("grp")), Seq("grp"), "left_anti")
+      .select(col("grp"), lit(null).cast("long").as("h"),
+        lit(null).cast("double").as("v"), lit(null).cast("int").as("rnk"),
+        col("needs_rebuild"))
+    kept.select(col("grp"), col("h"), col("v"), col("rnk"),
+        col("needs_rebuild"))
+      .unionByName(emptied)
   }
 
   /** Quantile estimates from a sketch (or any (grp, h, v) sample frame):
@@ -470,21 +488,28 @@ object Sketch {
     * artifact at 100 TB: boundaries are maintained incrementally
     * ([[quantileMergeT]]) and bucketing stays a scan-side map. Bucket
     * boundaries are actual column values ([[quantileEstimate]]), so the
-    * whole tagging is engine-portable integer/comparison arithmetic. */
+    * whole tagging is engine-portable integer/comparison arithmetic.
+    * Rows of a group ABSENT from the sketch (a group born after the last
+    * boundary refresh) surface with a NULL bucket — never silently
+    * dropped; the caller routes them to a default or triggers the
+    * refresh. */
   def quantileBucket(df: DataFrame, sketch: DataFrame, groupCol: String,
       valueCol: String, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs == qs.sorted && qs.forall(q => q > 0 && q < 1),
       s"qs must be ascending in (0,1): $qs")
+    require(!df.columns.contains("_bs") && !df.columns.contains("_qb_grp"),
+      "column names _bs/_qb_grp are reserved by quantileBucket")
     val est = quantileEstimate(sketch,
       qs.zipWithIndex.map { case (q, i) => (s"b$i", q) })
     val bounds = est.groupBy(col("grp"))
       .agg(array_sort(collect_list(struct(col("q"), col("est_value"))))
         .as("_bs"))
-    df.join(broadcast(bounds), df(groupCol) === bounds("grp"))
+      .withColumnRenamed("grp", "_qb_grp") // never collides with df's own
+    df.join(broadcast(bounds), df(groupCol) === bounds("_qb_grp"), "left")
       .withColumn("bucket", aggregate(col("_bs"), lit(0), (acc, b) =>
         acc + when(col(valueCol) > b.getField("est_value"), lit(1))
           .otherwise(lit(0))))
-      .drop("_bs", "grp")
+      .drop("_bs", "_qb_grp")
   }
 
   // ---- Thresholded (θ) quantile forms: the MAINTAINED sketch algebra ----

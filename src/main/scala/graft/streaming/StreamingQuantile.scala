@@ -84,10 +84,26 @@ object StreamingQuantile {
 
   /** Drop state versions older than the committed one (`retain` > 1 = a
     * concurrent-reader grace window, the [[SegmentedState.vacuum]]
-    * contract). */
-  def vacuum(spark: SparkSession, dir: String, retain: Int = 1): Unit =
-    SegmentedState.vacuumVersioned(spark, dir, Seq("rows", "taus"),
-      SegmentedState.retainedVersions(spark, dir, retain))
+    * contract). Versions are enumerated from the state's OWN `rows/v=*`
+    * layout — [[SegmentedState.retainedVersions]] reads a `manifest/`
+    * directory this sliver state never writes, and would collapse the
+    * retained set to just the pointer, deleting a concurrent reader's
+    * version out from under it despite `retain` > 1. */
+  def vacuum(spark: SparkSession, dir: String, retain: Int = 1): Unit = {
+    require(retain >= 1, s"retain must be >= 1: $retain")
+    StatePointer.read(spark, dir).foreach { v =>
+      val f = StatePointer.fs(spark, dir)
+      val p = new org.apache.hadoop.fs.Path(s"$dir/rows")
+      val versions =
+        if (!f.exists(p)) Seq(v)
+        else f.listStatus(p).toSeq.flatMap(_.getPath.getName match {
+          case s if s.startsWith("v=") => Some(s.drop(2).toLong)
+          case _ => None
+        }).filter(_ <= v).sorted
+      SegmentedState.vacuumVersioned(spark, dir, Seq("rows", "taus"),
+        versions.takeRight(retain).toSet + v)
+    }
+  }
 
   /** Wire an event (or change) stream to the maintained sketch. Caller
     * starts/stops the returned writer. */

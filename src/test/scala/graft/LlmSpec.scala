@@ -2196,6 +2196,18 @@ class LlmSpec extends SparkTestBase {
       .groupBy($"bucket").count().orderBy($"bucket")
       .as[(Int, Long)].collect().toSeq
     assert(bk === Seq((0, 3L), (1, 2L), (2, 3L), (3, 2L)))
+    // a group ABSENT from the sketch surfaces with a NULL bucket (never
+    // silently dropped), and a caller whose group column is itself named
+    // "grp" keeps it in the output
+    val mixed = small.unionByName(
+      Seq(("fresh", "fk0", 1.0)).toDF("grp", "key", "x"))
+    val tagged = Sketch.quantileBucket(mixed, build(small), "grp", "x",
+      Seq(0.25, 0.5, 0.75))
+    assert(tagged.columns.contains("grp"))
+    val freshRows = tagged.filter($"grp" === "fresh").collect()
+    assert(freshRows.length === 1 && freshRows.head.isNullAt(
+      tagged.columns.indexOf("bucket")))
+    assert(tagged.filter($"grp" === "s" && $"bucket".isNull).count() === 0L)
 
     // delete: unique keys make erasure exact — trimmed sketch == the
     // retained rows minus the doomed hashes, and (because any survivor
@@ -2219,6 +2231,15 @@ class LlmSpec extends SparkTestBase {
     val railed = Sketch.quantileDelete(build(df), doomed, "grp", "key", k,
       minKeep = k)
     assert(railed.filter($"needs_rebuild").select($"grp").distinct().count() === 3L)
+
+    // a group whose ENTIRE sample is deleted still surfaces as one null
+    // marker row with the flag set — the caller's rebuild set cannot
+    // miss it (the kmvDelete marker discipline)
+    val wiped = Sketch.quantileDelete(build(df),
+      df.filter($"grp" === "g0"), "grp", "key", k, minKeep = 16)
+    val g0 = wiped.filter($"grp" === "g0").collect()
+    assert(g0.length === 1 && g0.head.isNullAt(1) && g0.head.getBoolean(4))
+    assert(wiped.filter($"grp" =!= "g0" && $"needs_rebuild").count() === 0L)
 
     // rank contract on the saturated groups: sample-quantile error within
     // the 3-sigma envelope sqrt(q(1-q)/k) over the full build

@@ -166,6 +166,10 @@ class StreamingQuantileSpec extends SparkTestBase {
     val st = StreamingQuantile.readState(spark, dir)
     assert(got(st) === expected(b0 ++ b1, st.taus))
 
+    // retain=2 is the concurrent-reader grace window: v=0 SURVIVES
+    StreamingQuantile.vacuum(spark, dir, retain = 2)
+    val kept2 = new java.io.File(s"$dir/rows").list().toSeq.sorted
+    assert(kept2 === Seq("v=0", "v=1"), kept2.toString)
     StreamingQuantile.vacuum(spark, dir)
     val vdirs = new java.io.File(s"$dir/rows").list().toSeq
     assert(vdirs === Seq("v=1"), vdirs.toString) // only the latest survives
