@@ -411,26 +411,21 @@ object Sketch {
     val delH = deleted
       .select(col(groupCol).as("grp"), qsketchH(col(keyCol)).as("h"))
       .distinct()
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
     val kept0 = sketch.join(delH, Seq("grp", "h"), "left_anti")
       .select(col("grp"), col("h"), col("v"))
-      .localCheckpoint(eager = false) // flags + ranked output both read it
-    val flags = sketch.select(col("grp")).distinct()
-      .join(kept0.groupBy(col("grp")).agg(count(lit(1)).as("_n")),
-        Seq("grp"), "left")
-      .select(col("grp"),
-        (coalesce(col("_n"), lit(0L)) < minKeep).as("needs_rebuild"))
-      .localCheckpoint(eager = false) // kept join + emptied-group union
+      .localCheckpoint(eager = false) // ranked output + marker anti-join
+    // rank + size flag ride ONE (grp)-keyed exchange; the marker branch
+    // is group-cardinality-sized (two distincts + an anti-join)
     val kept = kept0
       .withColumn("rnk", row_number().over(hashRankW))
-      .join(broadcast(flags), Seq("grp"))
-    val emptied = flags.filter(col("needs_rebuild"))
-      .join(kept.select(col("grp")), Seq("grp"), "left_anti")
+      .withColumn("needs_rebuild", count(lit(1)).over(wg) < minKeep)
+    val emptied = sketch.select(col("grp")).distinct()
+      .join(kept0.select(col("grp")).distinct(), Seq("grp"), "left_anti")
       .select(col("grp"), lit(null).cast("long").as("h"),
         lit(null).cast("double").as("v"), lit(null).cast("int").as("rnk"),
-        col("needs_rebuild"))
-    kept.select(col("grp"), col("h"), col("v"), col("rnk"),
-        col("needs_rebuild"))
-      .unionByName(emptied)
+        lit(true).as("needs_rebuild")) // 0 survivors < any minKeep >= 1
+    kept.unionByName(emptied)
   }
 
   /** Quantile estimates from a sketch (or any (grp, h, v) sample frame):
