@@ -531,6 +531,19 @@ class PlanSpec extends SparkTestBase {
     assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("quantile bucketing: boundaries broadcast into the corpus scan — the only shuffle is the sketch build's own") {
+    val ev = t("events")
+    val plan = formatted(graft.llm.Sketch.quantileBucket(ev,
+      graft.llm.Sketch.quantileBuild(ev, "event_type", "event_id", "value", 64),
+      "event_type", "value", Seq(0.25, 0.5, 0.75)))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exactly ONE grp-keyed shuffle (the k-bounded bottom-k build); the
+    // corpus side reaches the join straight from its scan — global ntile
+    // would add a per-group range/sort exchange of the corpus here
+    assert("""\(\d+\) Exchange""".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("erasure propagation: one broadcast anti-join, bulk never shuffles") {
     val dim = Analytics.scd2History(t("events"))
     val keys = t("events").filter($"user_id" % 7 === 3).select($"user_id")
