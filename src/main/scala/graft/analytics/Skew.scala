@@ -62,21 +62,25 @@ object Skew {
     * engine-mirrored. 0 = uniform keys, → 1 = one key owns everything.
     *
     * Scale shape: one count aggregation on the key (map-side combine),
-    * then everything runs on the per-key count frame: the rank window is
-    * over keys (not rows), the top-K picks through the same window. */
+    * then everything runs on the per-key count frame — but "over keys,
+    * not rows" bounds NOTHING for the workloads a skew report exists for
+    * (billions of distinct user ids), so the ascending rank comes from
+    * [[graft.ops.Prefix.globalOrder]]'s two-phase range-partitioned
+    * prefix, never a single-partition rank window; the key total rides
+    * back as a literal from the same bounded (pid, totals) driver scan
+    * instead of a second global count window. */
   def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("c"), col(key))
-    val ranked = counts.withColumn("i", row_number().over(w))
-      .withColumn("nk", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+    // (c, key) is a total order: keys are unique after the groupBy
+    val ord = graft.ops.Prefix.globalOrder(
+      counts, Seq(col("c"), col(key)), col("c"))
+    val ranked = ord.frame.withColumnRenamed("__rn", "i")
     ranked.agg(
         count(lit(1)).as("n_keys"),
         sum(col("c")).as("n_rows"),
         max(col("c")).as("_maxc"),
         sum(col("i") * col("c")).as("_s2"),
-        sum(when(col("i") > col("nk") - topK, col("c"))
+        sum(when(col("i") > lit(ord.nRows) - topK, col("c"))
           .otherwise(0L)).as("_topc"))
       .select(col("n_keys"), col("n_rows"),
         (col("_maxc").cast("double") / col("n_rows").cast("double"))

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * AUC is computed as the tie-corrected Mann-Whitney statistic:
   * AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N), with average ranks over tied
   * scores. Scale shape: the corpus first SHRINKS to one row per DISTINCT
-  * score (partial-aggregated groupBy); only those rows enter the global
-  * rank window — the standard distributed-AUC layout. Scores from the
-  * repo's trainers land on deterministic grids, so distinct counts stay
-  * far below row counts; quantize the score column first if a model emits
-  * fully-continuous scores and the distinct frame itself would be huge.
+  * score (partial-aggregated groupBy); the cumulative count over those
+  * rows then comes from [[graft.ops.Prefix.globalOrder]]'s two-phase
+  * range-partitioned prefix sum — NEVER a single-partition window. That
+  * matters precisely when the shrink doesn't: a model emitting fully
+  * continuous doubles (the probe's w·x scores) has |distinct| ≈ |corpus|,
+  * and the former global-window layout put the whole corpus on one
+  * reducer; the prefix discipline keeps every window bounded by
+  * rows-per-range-partition at any distinct count.
   *
   * Portability: rank arithmetic stays EXACT-INTEGER throughout — the
   * numerator is doubled (2·R_pos = Σ p·(2·cum − c + 1)) so average ranks
@@ -67,9 +70,12 @@ object Eval {
       .select(scoreCol.as("s"), labelCol.cast("int").cast("long").as("y"))
       .groupBy(col("s"))
       .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
-    // global window over DISTINCT scores only — the post-shrink frame
-    val ranked = agg.withColumn("cum",
-      sum(col("c")).over(Window.orderBy(col("s"))))
+    // cumulative count in score order via the two-phase distributed
+    // prefix sum (scores are distinct after the shrink, so the order is
+    // total); `__cum` is inclusive — exactly the former window's
+    // RANGE-to-current-row semantics on a distinct key
+    val ranked = graft.ops.Prefix.globalOrder(agg, Seq(col("s")), col("c"))
+      .frame.withColumnRenamed("__cum", "cum")
     ranked
       .agg(
         sum(col("p") * (lit(2L) * col("cum") - col("c") + lit(1L))).as("num2"),
