@@ -3441,7 +3441,11 @@ object Oracles {
          |  SELECT kk.grp, kk.h, kk.v FROM kk
          |  WHERE NOT EXISTS (SELECT 1 FROM del
          |    WHERE del.grp = kk.grp AND del.h = kk.h)),
-         |fl AS (SELECT grp, count(*) < 200 AS needs_rebuild FROM tr GROUP BY grp),
+         |fl AS (
+         |  SELECT g.grp, coalesce(t.cnt, 0) < 200 AS needs_rebuild
+         |  FROM (SELECT grp FROM kk GROUP BY grp) g
+         |  LEFT JOIN (SELECT grp, count(*) AS cnt FROM tr GROUP BY grp) t
+         |    USING (grp)),
          |sv AS (
          |  SELECT event_type AS grp,
          |    CAST(concat('0x',

@@ -490,8 +490,11 @@ object Sketch {
     * refresh. */
   def quantileBucket(df: DataFrame, sketch: DataFrame, groupCol: String,
       valueCol: String, qs: Seq[Double]): DataFrame = {
-    require(qs.nonEmpty && qs == qs.sorted && qs.forall(q => q > 0 && q < 1),
-      s"qs must be ascending in (0,1): $qs")
+    // strictly increasing: a duplicate quantile yields duplicate boundary
+    // values and a permanently-empty bucket index
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1) &&
+      qs.zip(qs.drop(1)).forall { case (a, b) => a < b },
+      s"qs must be strictly increasing in (0,1): $qs")
     require(!df.columns.contains("_bs") && !df.columns.contains("_qb_grp"),
       "column names _bs/_qb_grp are reserved by quantileBucket")
     val est = quantileEstimate(sketch,

@@ -45,6 +45,28 @@ private[streaming] object StatePointer {
     }
   }
 
+  /** Replay guard shared by every streamed-state `applyBatch`: returns
+    * true when `batchId` is already applied (a crash-replay — foreachBatch
+    * only ever re-delivers the immediately-uncommitted id) and the caller
+    * must skip idempotently. An id MORE than one behind the pointer is
+    * not a replay: it means a FRESH checkpoint (batch ids reset to 0) was
+    * pointed at EXISTING state, and silently skipping would leave stale
+    * state that looks current forever — that mismatch throws. */
+  def replayCheck(spark: SparkSession, dir: String, batchId: Long): Boolean =
+    read(spark, dir) match {
+      case Some(v) if v > batchId + 1 =>
+        throw new IllegalStateException(
+          s"applyBatch($batchId) against state at version $v in $dir: " +
+            "batch ids restarted behind the committed pointer — fresh " +
+            "checkpoint over existing state? Clear the state dir or " +
+            "resume from the original checkpoint")
+      case Some(v) if v >= batchId =>
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"skipping already-applied batch $batchId (state at $v) in $dir")
+        true
+      case _ => false
+    }
+
   /** Commit `batchId` as the latest version (see object doc). */
   def advance(spark: SparkSession, dir: String, batchId: Long): Unit = {
     val f = fs(spark, dir)

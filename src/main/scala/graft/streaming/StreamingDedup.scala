@@ -120,7 +120,8 @@ object StreamingDedup {
     require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
     val spark = batch.sparkSession
     latestVersion(spark, dir) match {
-      case Some(v) if v >= batchId => () // replay of an applied batch: skip
+      case Some(v) if v >= batchId => // applied or pointer mismatch
+        StatePointer.replayCheck(spark, dir, batchId)
       case prev =>
         val adds = deleteCol.fold(batch)(dc => batch.filter(!col(dc)).drop(dc))
           .localCheckpoint(eager = false) // bands + shingles + probe

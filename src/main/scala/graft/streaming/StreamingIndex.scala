@@ -272,7 +272,8 @@ object StreamingIndex {
     require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
     val spark = batch.sparkSession
     latestVersion(spark, dir) match {
-      case Some(v) if v >= batchId => () // replay of an applied batch: skip
+      case Some(v) if v >= batchId => // applied or pointer mismatch
+        StatePointer.replayCheck(spark, dir, batchId)
       case prev =>
         // lazy checkpoints: each side has 2-3 consumers below (segment
         // write, stats fold, emptiness probe) — don't rescan the batch

@@ -90,7 +90,8 @@ object StreamingIvf {
     require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
     val spark = batch.sparkSession
     latestVersion(spark, dir) match {
-      case Some(v) if v >= batchId => () // replay of an applied batch: skip
+      case Some(v) if v >= batchId => // applied or pointer mismatch
+        StatePointer.replayCheck(spark, dir, batchId)
       case prev =>
         val fs = SegmentedState.fs(spark, dir)
         if (!fs.exists(new Path(s"$dir/centers")))

@@ -60,7 +60,8 @@ object StreamingQuantile {
       deleteCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     StatePointer.read(spark, dir) match {
-      case Some(v) if v >= batchId => () // replay of an applied batch: skip
+      case Some(v) if v >= batchId => // applied or pointer mismatch
+        StatePointer.replayCheck(spark, dir, batchId)
       case prev =>
         val adds = deleteCol.fold(batch)(dc => batch.filter(!col(dc)))
         val batchSk = Sketch.quantileBuildT(adds, groupCol, keyCol,

@@ -145,7 +145,8 @@ object StreamingScd2 {
           "layout (bucket/version markers) — rename the column")
     val spark = df.sparkSession
     latestVersion(spark, dir) match {
-      case Some(v) if v >= batchId => () // replay of an applied batch
+      case Some(v) if v >= batchId => // applied or pointer mismatch
+        StatePointer.replayCheck(spark, dir, batchId)
       case prev =>
         writeMeta(spark, dir, keyCol)
         val prevM = prev.map(SegmentedState.readManifest(spark, dir, _))

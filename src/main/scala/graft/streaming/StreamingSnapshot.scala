@@ -167,7 +167,8 @@ object StreamingSnapshot {
           "state layout (bucket/version markers) — rename the column")
     val spark = df.sparkSession
     latestVersion(spark, dir) match {
-      case Some(v) if v >= batchId => () // replay of an applied batch: skip
+      case Some(v) if v >= batchId => // applied or pointer mismatch
+        StatePointer.replayCheck(spark, dir, batchId)
       case prev =>
         writeMeta(spark, dir, keyCols, deleteCol)
         // segment write: raw change rows, bytes ∝ batch; the ambiguity

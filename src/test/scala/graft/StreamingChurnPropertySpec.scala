@@ -68,10 +68,18 @@ class StreamingChurnPropertySpec extends SparkTestBase {
           deleteCol = Some("_deleted"), maxSegments = maxSegments,
           majorRatio = ratio)
         if (b == 3) StreamingIndex.vacuum(spark, dir)
-        if (b == 4 && !replayed) { // replay an applied batch: must skip
-          StreamingIndex.applyBatch(df, dir, (b - 2).toLong,
+        if (b == 4 && !replayed) {
+          // replay the immediately-applied id (what foreachBatch actually
+          // re-delivers after a crash): must skip idempotently
+          StreamingIndex.applyBatch(df, dir, b.toLong,
             deleteCol = Some("_deleted"), maxSegments = maxSegments,
             majorRatio = ratio)
+          // a FAR-behind id is a checkpoint/state mismatch: refused
+          intercept[IllegalStateException] {
+            StreamingIndex.applyBatch(df, dir, (b - 2).toLong,
+              deleteCol = Some("_deleted"), maxSegments = maxSegments,
+              majorRatio = ratio)
+          }
           replayed = true
         }
       }

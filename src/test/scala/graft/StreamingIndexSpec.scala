@@ -154,11 +154,19 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(!new java.io.File(s"$dir/stats/v=0").exists())
     assert(got() === want)
 
-    // replay of an applied batch AFTER vacuum: pointer-skipped before any
-    // state dir is touched — vacuuming cannot strand a replay
-    StreamingIndex.applyBatch(big.toDF("doc_id", "text"), dir, 0L)
+    // a batchId FAR behind the pointer AFTER vacuum is not a replay — it
+    // is the fresh-checkpoint-over-existing-state mismatch, refused
+    // BEFORE any state dir is touched (vacuuming cannot strand it into
+    // silently serving stale state)
+    intercept[IllegalStateException] {
+      StreamingIndex.applyBatch(big.toDF("doc_id", "text"), dir, 0L)
+    }
     assert(got() === want)
     assert(StreamingIndex.latestVersion(spark, dir) === Some(2L))
+    // the immediately-applied id (a true crash-replay) still skips clean
+    StreamingIndex.applyBatch(tail.toDF("doc_id", "text"), dir, 2L,
+      maxSegments = 3)
+    assert(got() === want)
   }
 
   test("erase then RE-INGEST of the same doc id: the ordered tombstone fold serves the final corpus") {

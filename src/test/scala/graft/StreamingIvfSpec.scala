@@ -137,10 +137,14 @@ class StreamingIvfSpec extends SparkTestBase {
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(prunedPlan.contains("dynamicpruningexpression"), prunedPlan)
-    // replay after vacuum: pointer-skipped before any state dir is touched
-    StreamingIvf.applyBatch(
-      batches(0).toDF("vec_id", "embedding", "_deleted"), dir, 0L,
-      centers, deleteCol = Some("_deleted"))
+    // a batchId far behind the pointer after vacuum is the fresh-
+    // checkpoint-over-existing-state mismatch: refused before any state
+    // dir is touched, and the serving view stays intact
+    intercept[IllegalStateException] {
+      StreamingIvf.applyBatch(
+        batches(0).toDF("vec_id", "embedding", "_deleted"), dir, 0L,
+        centers, deleteCol = Some("_deleted"))
+    }
     assert(got() === rebuildKnn(fin, 4))
   }
 }

@@ -87,9 +87,12 @@ class StreamingQuantileSpec extends SparkTestBase {
     assert(tSample.nonEmpty && tSample.size < 30,
       s"tau must gate the new t rows: ${tSample.size}")
 
-    // replays: an applied batchId (and a stale one) leave state untouched
+    // replays: the immediately-applied batchId (a true crash-replay) is
+    // an idempotent skip; a FAR-BEHIND id is NOT a replay — it means a
+    // fresh checkpoint (ids reset) was pointed at existing state, and
+    // silently skipping would serve stale state forever — so it throws
     apply(df(addsT), 3L)
-    apply(df(b1), 1L)
+    intercept[IllegalStateException] { apply(df(b1), 1L) }
     assert(got(StreamingQuantile.readState(spark, dir)) === got(st3))
 
     // estimates come off the maintained sample directly
