@@ -4944,6 +4944,20 @@ object Oracles {
       |  sum(smicro)::DOUBLE / (count(*)::DOUBLE * 1e6) AS mean_sil
       |FROM sm GROUP BY cell ORDER BY cell""".stripMargin),
 
+    // unigram-LM trainer: unrolled 2-round Viterbi-EM, final vocab with
+    // last-round counts and add-1-smoothed nano log-probs (see uniCtes)
+    "q_unigram_train" -> (uniCtes(40, 20) + """
+      |SELECT piece, cnt, lp AS lp_nano FROM v2 ORDER BY piece""".stripMargin),
+
+    // inference over the trained vocab: one more E-step CTE stack under
+    // v2's map, tokens space-joined (contract #1)
+    "q_unigram_encode" -> (uniCtes(40, 20) + """,
+      |mp3 AS (SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS mp FROM v2)""".stripMargin
+      + uniEstep("ww", "mp3", "3") + """
+      |SELECT word, freq, CAST(len(toks) AS INT) AS n_tokens,
+      |  array_to_string(toks, ' ') AS toks
+      |FROM tk3 ORDER BY word""".stripMargin),
+
     "q_bpe_merges" -> bpeMergesSql(6),
 
     // inference over the trained merges: w6's carrier, symbols re-split
@@ -5574,6 +5588,118 @@ object Oracles {
       |      || split_part(b.pair, ' ', 2) || chr(31)) AS tok
       |  FROM w${k - 1} w, b$k b)""".stripMargin
     }
+    sb.result()
+  }
+
+  /** Unigram-LM trainer mirror — the unrolled-EM complement to
+    * [[bpeCtes]]: seed substring counts, then per round one E-step CTE
+    * stack (forward DP / predecessor array / pointer chase / piece
+    * derivation) and one prune+renormalize pair. The per-word Viterbi DP
+    * runs as list_reduce folds over nano-log-prob LONGS (exact integer
+    * arithmetic — both engines pick bit-identical segmentations); the
+    * vocab rides in as a MAP column off a 1-row CTE, mirroring Spark's
+    * literal map.
+    *
+    * DuckDB 1.0 fold discipline (found the hard way): a lambda branch
+    * that returns the accumulator UNCHANGED cross-contaminates rows when
+    * list lengths differ, and STRUCT accumulators are broken outright —
+    * so both folds append every iteration (the pointer chase appends 0
+    * once the walk reaches the origin) and carry LIST(BIGINT) state only.
+    * Piece reconstruction therefore happens OUTSIDE the fold: pred[j] is
+    * total (the forward max always has a witness), the path is pointer
+    * chasing, and pieces fall out of consecutive path pairs. */
+  private def uniNeg = "CAST(-1099511627776 AS BIGINT)"
+
+  private def uniEstep(src: String, mpcte: String, out: String): String = s""",
+      |bl$out AS (
+      |  SELECT word, freq, mp, list_reduce(
+      |    list_prepend([CAST(0 AS BIGINT)],
+      |      list_transform(range(1, len(word) + 1), i -> [CAST(0 AS BIGINT)])),
+      |    (acc, x) -> list_append(acc, list_aggregate(
+      |      list_filter(list_transform([1,2,3,4], l ->
+      |        CASE WHEN len(acc) >= l THEN acc[len(acc) - l + 1] + coalesce(
+      |          map_extract(mp, substr(word, len(acc) - l + 1, l))[1],
+      |          CASE WHEN l = 1 THEN $uniNeg END) END),
+      |        v -> v IS NOT NULL), 'max'))) AS bl
+      |  FROM $src CROSS JOIN $mpcte),
+      |pr$out AS (
+      |  SELECT word, freq, list_transform(range(1, len(word) + 1), j ->
+      |    j - list_aggregate(list_filter(list_transform([1,2,3,4], l ->
+      |      CASE WHEN j >= l AND bl[CAST(j AS INT) + 1] = bl[CAST(j AS INT) - l + 1]
+      |          + coalesce(map_extract(mp, substr(word, CAST(j AS INT) - l + 1, l))[1],
+      |              CASE WHEN l = 1 THEN $uniNeg END)
+      |        THEN CAST(l AS BIGINT) END),
+      |      v -> v IS NOT NULL), 'min')) AS pr
+      |  FROM bl$out),
+      |pa$out AS (
+      |  SELECT word, freq, list_reduce(
+      |    list_prepend([CAST(len(word) AS BIGINT)],
+      |      list_transform(range(1, len(word) + 1), i -> [CAST(0 AS BIGINT)])),
+      |    (acc, x) -> list_append(acc,
+      |      CASE WHEN acc[len(acc)] <= 0 THEN CAST(0 AS BIGINT)
+      |           ELSE pr[CAST(acc[len(acc)] AS INT)] END)) AS path
+      |  FROM pr$out),
+      |tk$out AS (
+      |  SELECT word, freq, list_reverse(list_filter(
+      |    list_transform(range(1, len(path)), k ->
+      |      CASE WHEN path[CAST(k AS INT)] > 0 THEN substr(word,
+      |        CAST(path[CAST(k AS INT) + 1] AS INT) + 1,
+      |        CAST(path[CAST(k AS INT)] - path[CAST(k AS INT) + 1] AS INT)) END),
+      |    x -> x IS NOT NULL)) AS toks
+      |  FROM pa$out),
+      |c$out AS (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(toks) AS piece FROM tk$out) z GROUP BY piece)""".stripMargin
+
+  private def uniCtes(seedMulti: Int, keepMulti: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ww AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      |    FROM documents) z
+      |  WHERE word <> '' GROUP BY word),
+      |sub AS (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(flatten(list_transform(range(1, len(word) + 1), i ->
+      |      list_filter(list_transform([1,2,3,4], l ->
+      |        CASE WHEN i + l - 1 <= len(word) THEN substr(word, CAST(i AS INT), l) END),
+      |        x -> x IS NOT NULL)))) AS piece
+      |    FROM ww) z GROUP BY piece),
+      |v0c AS (
+      |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt FROM sub WHERE len(piece) >= 2
+      |    ORDER BY cnt DESC, piece LIMIT $seedMulti) z),
+      |v0 AS (
+      |  SELECT piece, cnt, CAST(floor(ln((cnt + 1)::DOUBLE /
+      |    (SELECT sum(cnt + 1) FROM v0c)::DOUBLE) * 1e9) AS BIGINT) AS lp
+      |  FROM v0c),
+      |mp1 AS (SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS mp FROM v0)""".stripMargin
+    sb ++= uniEstep("ww", "mp1", "1")
+    sb ++= s""",
+      |k1 AS (
+      |  SELECT v.piece AS piece, coalesce(c.cnt, 0) AS cnt
+      |  FROM v0 v LEFT JOIN c1 c ON c.piece = v.piece WHERE len(v.piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (
+      |    SELECT v.piece AS piece, coalesce(c.cnt, 0) AS cnt
+      |    FROM v0 v LEFT JOIN c1 c ON c.piece = v.piece WHERE len(v.piece) >= 2
+      |    ORDER BY cnt DESC, piece LIMIT $keepMulti) z),
+      |v1 AS (
+      |  SELECT piece, cnt, CAST(floor(ln((cnt + 1)::DOUBLE /
+      |    (SELECT sum(cnt + 1) FROM k1)::DOUBLE) * 1e9) AS BIGINT) AS lp
+      |  FROM k1),
+      |mp2 AS (SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS mp FROM v1)""".stripMargin
+    sb ++= uniEstep("ww", "mp2", "2")
+    sb ++= """,
+      |k2 AS (
+      |  SELECT v.piece AS piece, coalesce(c.cnt, 0) AS cnt
+      |  FROM v1 v LEFT JOIN c2 c ON c.piece = v.piece),
+      |v2 AS (
+      |  SELECT piece, cnt, CAST(floor(ln((cnt + 1)::DOUBLE /
+      |    (SELECT sum(cnt + 1) FROM k2)::DOUBLE) * 1e9) AS BIGINT) AS lp
+      |  FROM k2)""".stripMargin
     sb.result()
   }
 

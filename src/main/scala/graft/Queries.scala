@@ -2442,6 +2442,29 @@ object Queries {
           array_join(col("tokens"), " ").as("toks"))
         .orderBy(col("word"))
     }),
+    // Unigram-LM (SentencePiece-style) trainer — the EM complement to BPE:
+    // seed all 1..4-char substrings, keep chars + top-40 multis, two
+    // Viterbi-EM rounds pruning to chars + top-20 after round 1. Nano-
+    // log-prob integer DP makes both engines pick bit-identical
+    // segmentations; the oracle unrolls the EM rounds as CTE stacks (the
+    // q_bpe_merges technique) with the per-word DP as list_reduce folds.
+    "q_unigram_train" -> ((s, dir) =>
+      llm.Unigram.vocabDf(s,
+          llm.Unigram.train(llm.Bpe.wordFreq(tWide(s, dir, "documents")),
+            seedMulti = 40, keepMulti = 20, emRounds = 2))
+        .orderBy(col("piece"))),
+    // the inference half: Viterbi-segment the word table under the trained
+    // vocab — a pure scan-side projection (tokens space-joined, contract #1)
+    "q_unigram_encode" -> ((s, dir) => {
+      val words = llm.Bpe.wordFreq(tWide(s, dir, "documents"))
+      val vocab = llm.Unigram.train(words, seedMulti = 40, keepMulti = 20,
+        emRounds = 2)
+      llm.Unigram.encode(words, vocab)
+        .select(col("word"), col("freq"),
+          size(col("tokens")).as("n_tokens"),
+          array_join(col("tokens"), " ").as("toks"))
+        .orderBy(col("word"))
+    }),
     "q_tfidf" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
       val n = docs.count()

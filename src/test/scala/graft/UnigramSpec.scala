@@ -1,0 +1,128 @@
+package graft
+
+import graft.llm.Unigram
+import graft.llm.Unigram.Piece
+
+/** Unigram-LM trainer vs a sequential reference implementation (Viterbi
+  * hard-EM over an in-memory word-frequency map with the same pinned
+  * tie-breaks), plus the coverage/tie-break/OOV contracts the published
+  * algorithm leaves open. */
+class UnigramSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Neg = Unigram.Neg
+
+  /** Reference trainer: the same algorithm, no Spark — plain loops. */
+  private def refTrain(words: Map[String, Long], seedMulti: Int,
+      keepMulti: Int, emRounds: Int): Seq[Piece] = {
+    def nanoLp(c: Long, tot: Long): Long =
+      math.floor(math.log((c + 1).toDouble / tot.toDouble) * 1e9).toLong
+    // seed: all substrings of length 1..MaxLen, freq-weighted
+    val sub = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      for (i <- 0 until w.length; l <- 1 to Unigram.MaxLen
+           if i + l <= w.length)
+        sub(w.substring(i, i + l)) = sub.getOrElse(w.substring(i, i + l), 0L) + f
+    }
+    val chars = sub.filter(_._1.length == 1).toSeq
+    val multis = sub.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(seedMulti)
+    def normalized(counts: Seq[(String, Long)]): Seq[Piece] = {
+      val tot = counts.map(_._2 + 1).sum
+      counts.map { case (p, c) => Piece(p, c, nanoLp(c, tot)) }.sortBy(_.piece)
+    }
+    def viterbi(w: String, lp: Map[String, Long]): Seq[String] = {
+      val n = w.length
+      val b = new Array[Long](n + 1)
+      for (i <- 1 to n)
+        b(i) = (1 to math.min(Unigram.MaxLen, i)).map { l =>
+          b(i - l) + lp.getOrElse(w.substring(i - l, i), Neg)
+        }.max
+      var pos = n
+      val out = List.newBuilder[String]
+      val rev = scala.collection.mutable.ListBuffer.empty[String]
+      while (pos > 0) {
+        val sel = (1 to math.min(Unigram.MaxLen, pos)).find { l =>
+          b(pos) == b(pos - l) + lp.getOrElse(w.substring(pos - l, pos), Neg)
+        }.get // shortest last piece among score-equal predecessors
+        rev += w.substring(pos - sel, pos)
+        pos -= sel
+      }
+      rev.toSeq.reverse
+    }
+    var vocab = normalized(chars ++ multis)
+    for (round <- 1 to emRounds) {
+      val lp = vocab.map(p => p.piece -> p.lpNano).toMap
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { case (w, f) =>
+        viterbi(w, lp).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val kept =
+        if (round == 1) {
+          val keptMultis = vocab.filter(_.piece.length >= 2)
+            .map(p => p.piece -> counts.getOrElse(p.piece, 0L))
+            .sortBy { case (p, c) => (-c, p) }.take(keepMulti)
+          vocab.filter(_.piece.length == 1)
+            .map(p => p.piece -> counts.getOrElse(p.piece, 0L)) ++ keptMultis
+        } else vocab.map(p => p.piece -> counts.getOrElse(p.piece, 0L))
+      vocab = normalized(kept)
+    }
+    vocab
+  }
+
+  // shared substructure + repeats so the seed, prune, and EM rounds all
+  // have real work; equal-freq words create the lp ties the tie-break pins
+  private val corpus = Map(
+    "lower" -> 5L, "lowest" -> 4L, "newer" -> 6L, "newest" -> 3L,
+    "wider" -> 5L, "widest" -> 5L, "low" -> 7L, "new" -> 7L,
+    "abab" -> 4L, "ab" -> 4L)
+
+  test("unigram: train matches the sequential reference (2 EM rounds)") {
+    val got = Unigram.train(corpus.toSeq.toDF("word", "freq"),
+      seedMulti = 12, keepMulti = 6, emRounds = 2)
+    val want = refTrain(corpus, 12, 6, 2)
+    assert(got === want)
+  }
+
+  test("unigram: 3 EM rounds also match (post-prune rounds re-count everything)") {
+    val got = Unigram.train(corpus.toSeq.toDF("word", "freq"),
+      seedMulti = 10, keepMulti = 4, emRounds = 3)
+    assert(got === refTrain(corpus, 10, 4, 3))
+  }
+
+  test("unigram: single characters are never pruned (coverage rule)") {
+    val vocab = Unigram.train(corpus.toSeq.toDF("word", "freq"),
+      seedMulti = 12, keepMulti = 2, emRounds = 2)
+    val chars = corpus.keys.flatMap(_.toSeq).map(_.toString).toSet
+    assert(chars.subsetOf(vocab.map(_.piece).toSet))
+    assert(vocab.count(_.piece.length >= 2) === 2)
+  }
+
+  test("unigram: encode concatenation identity + determinism") {
+    val words = corpus.toSeq.toDF("word", "freq")
+    val vocab = Unigram.train(words, seedMulti = 12, keepMulti = 6)
+    val enc = Unigram.encode(words, vocab)
+      .select($"word", $"tokens").as[(String, Seq[String])].collect()
+    enc.foreach { case (w, toks) =>
+      assert(toks.mkString("") === w, s"tokens must tile the word: $w")
+      assert(toks.forall(_.nonEmpty))
+    }
+  }
+
+  test("unigram: score-equal segmentations take the SHORTEST last piece") {
+    // lp(ab) = lp(a)+lp(b): 'ab'-as-one-piece ties 'a'+'b'; the backward
+    // walk must pick l=1 at the final stop -> ["a","b"], never ["ab"]
+    val vocab = Seq(Piece("a", 0, -100L), Piece("ab", 0, -200L),
+      Piece("b", 0, -100L))
+    val enc = Unigram.encode(Seq(("ab", 1L)).toDF("word", "freq"), vocab)
+      .select($"tokens").as[Seq[String]].head()
+    assert(enc === Seq("a", "b"))
+  }
+
+  test("unigram: OOV character surfaces as a sentinel-scored single-char piece") {
+    val vocab = Seq(Piece("a", 0, -100L), Piece("b", 0, -100L))
+    val enc = Unigram.encode(Seq(("axb", 1L)).toDF("word", "freq"), vocab)
+      .select($"tokens").as[Seq[String]].head()
+    assert(enc === Seq("a", "x", "b"))
+  }
+}
