@@ -4632,6 +4632,42 @@ object Oracles {
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // off-grid clip containment mirror: the same content-defined chunker
+    // (base-31 mod-1048573 rolling hash over 8-byte windows, cut at ≡ 0
+    // mod 32) over corpus ∪ planted OFF-grid clips (offset 33), interior
+    // chunk md5s, distinct per media, shared-count join ≥ 2. The inner
+    // hash is a list_reduce fold — always-append, LIST state (the DuckDB
+    // 1.0 fold rules, see uniEstep).
+    "q_media_clip_offgrid" ->
+      """WITH c AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, substring(text, 34) FROM documents
+        |  WHERE doc_id < 10 AND len(text) >= 224),
+        |x AS (
+        |  SELECT media_id, text,
+        |    list_sort(list_distinct(list_concat(list_concat([CAST(0 AS BIGINT)],
+        |      CASE WHEN len(text) >= 8
+        |        THEN list_filter(range(8, len(text) + 1), i ->
+        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(range(i - 7, i + 1), j ->
+        |              CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+        |            (acc, b) -> (acc * 31 + b) % 1048573) % 32 = 0)
+        |        ELSE [] END),
+        |      [CAST(len(text) AS BIGINT)]))) AS bounds
+        |  FROM c),
+        |k AS (
+        |  SELECT media_id, unnest(list_transform(range(1, len(bounds)), k ->
+        |    substr(text, CAST(bounds[CAST(k AS INT)] AS INT) + 1,
+        |      CAST(bounds[CAST(k AS INT) + 1] - bounds[CAST(k AS INT)] AS INT)))) AS chunk
+        |  FROM x),
+        |f AS (SELECT DISTINCT media_id, md5(chunk) AS ch FROM k)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.ch = b.ch AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_media_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text,

@@ -3317,6 +3317,25 @@ object Queries {
           frameBytes = 32, everyNth = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // OFF-GRID clip containment: content-defined chunk boundaries (rolling
+    // hash of the content, not byte offsets) re-derive inside a clip cut at
+    // ANY offset — the case q_media_frame_overlap's fixed grid provably
+    // misses (its spec pins the offset-32 clip at zero shared frames).
+    // Planted clips: a 33-byte-offset suffix of docs 0-9 (33 ≢ 0 mod any
+    // frame grid); interior chunk digests match exactly, no banding.
+    "q_media_clip_offgrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = llm.Multimodal.mediaFromDocuments(docs)
+      val clips = docs.filter(col("doc_id") < 10 && col("n_chars") >= 224)
+        .select(
+          (col("doc_id") + 3000000L).as("media_id"),
+          col("text").substr(lit(34), col("n_chars")).cast("binary").as("media"),
+          (col("n_chars") - 33).cast("int").as("width"),
+          lit("utf8").as("format"),
+          lit(1).as("height"))
+      llm.Multimodal.clipContainment(media.unionByName(clips))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // frame emitted as hex text: binary column comparators differ across
     // engines/arrow readers (bytes vs bytearray); hex is unambiguous.
     "q_media_frames" -> ((s, dir) =>

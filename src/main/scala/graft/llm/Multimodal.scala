@@ -334,6 +334,82 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("n_shared"))
   }
 
+  /** OFF-GRID clip containment via content-defined chunking (the
+    * LBFS/rsync discipline — Muthitacharoen et al., SOSP 2001): cut a
+    * media stream wherever a rolling hash of its last `window` bytes ≡ 0
+    * mod `divisor`, so boundaries are functions of the CONTENT, not the
+    * byte offset. A clip extracted at ANY offset re-derives the same
+    * interior cut points as its source — its interior chunk digests match
+    * EXACTLY, with no quantization or banding to mis-fire. This closes
+    * [[frameOverlap]]'s honest boundary: a fixed sampling grid only
+    * catches cuts that land ON the grid (offset ≡ 0 mod frameBytes); the
+    * off-grid clip shares zero grid frames but all interior chunks.
+    *
+    * Scale shape — identical to [[frameOverlap]]: chunking happens at the
+    * codec boundary (this file's mapPartitions carve-out — per-byte work
+    * is native-loop territory; interpreted Catalyst HOFs pay ~100× per
+    * byte), media bytes never leave the scan (only ~len/divisor 16-byte
+    * digests per media go anywhere), per-media chunk sets are DISTINCT,
+    * the pair join keys on the digest — never all-pairs — and
+    * `maxChunkDf` rails a filler chunk shared by millions of media (the
+    * stopword of this index) via the shared observe()-surfaced cap.
+    *
+    * Determinism: the window hash is exact integer arithmetic (base-`31`,
+    * mod 1048573 — no Long overflow at 255·31·mod) over raw byte values;
+    * the DuckDB mirror runs the identical recurrence over codepoints
+    * (ASCII corpus: byte ≡ codepoint). Media shorter than `window`
+    * produce one whole-media chunk — exact-digest dedup degenerate case.
+    * Returns (id_a < id_b, n_shared). */
+  def clipContainment(media: DataFrame, window: Int = 8, divisor: Int = 32,
+      minShared: Int = 2, maxChunkDf: Int = 4096): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(divisor >= 2, s"divisor must be >= 2: $divisor")
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val P = 31L
+    val M = 1048573L
+    // the per-byte scan is codec-boundary work (this file's one licensed
+    // mapPartitions shape): interpreted Catalyst HOFs pay ~100× per byte,
+    // and a real chunker is native per-byte code. The DuckDB mirror runs
+    // the identical integer recurrence over codepoints (ASCII corpus:
+    // byte == codepoint); md5 hex matches Spark's md5().
+    val spark = media.sparkSession
+    import spark.implicits._
+    val chunkDigests = media.as[MediaRow].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val b = r.media
+        val n = b.length
+        val bounds = scala.collection.mutable.ArrayBuffer(0)
+        var i = window // cut AFTER the window ending at byte i (1-based)
+        while (i <= n) {
+          var acc = 0L
+          var j = i - window
+          while (j < i) { acc = (acc * P + (b(j) & 0xffL)) % M; j += 1 }
+          if (acc % divisor == 0 && bounds.last != i) bounds += i
+          i += 1
+        }
+        if (bounds.last != n) bounds += n
+        bounds.iterator.zip(bounds.iterator.drop(1)).map { case (p, q) =>
+          md.reset()
+          val hex = md.digest(java.util.Arrays.copyOfRange(b, p, q))
+            .map("%02x".format(_)).mkString
+          (r.media_id, hex)
+        }.toSet[(Long, String)].iterator // distinct within one media
+      }
+    }.toDF("media_id", "band_hash")
+      .distinct()
+      .withColumn("band", lit(0))
+    val capped = Dedup.capBuckets(chunkDigests, maxChunkDf, "media_clip_offgrid")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band_hash") === col("b.band_hash") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_shared"))
+  }
+
   /** Frame sampling for "video" media: every nth fixed-size byte window as a
     * frame (a real implementation would seek keyframes; the batch shape —
     * one input row → array of frame structs → explode — is the real part). */

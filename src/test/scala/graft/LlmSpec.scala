@@ -323,6 +323,31 @@ class LlmSpec extends SparkTestBase {
     assert(got === List((1L, 3L, 4L)), s"got $got")
   }
 
+  test("media clip containment: content-defined chunks catch the OFF-grid clip the frame grid misses") {
+    // multiplicative-hash base: enough entropy that ~len/32 cut points
+    // fire (the frame-overlap spec's linear base yields just one)
+    val base = (0 until 300)
+      .map(i => ('a' + ((i.toLong * 2654435761L >> 7) % 26).toInt).toChar)
+      .mkString
+    def row(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val docs = Seq(
+      row(1L, base),
+      row(2L, "completely unrelated media content " * 8),
+      row(4L, base.substring(32)))  // offset 32: OFF the 64-byte sampling grid
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaFromDocuments(docs)
+    // the fixed grid is blind to it (the frameOverlap spec's negative case)
+    val grid = Multimodal.frameOverlap(media, frameBytes = 32, everyNth = 2)
+      .as[(Long, Long, Long)].collect().toList
+    assert(grid === Nil, s"grid should miss the off-grid clip: $grid")
+    // content-defined cut points re-derive inside the clip: interior
+    // chunk digests match exactly; unrelated media shares nothing
+    val got = Multimodal.clipContainment(media)
+      .as[(Long, Long, Long)].collect().toList.sorted
+    assert(got.map(p => (p._1, p._2)) === List((1L, 4L)), s"got $got")
+    assert(got.head._3 >= 2L, s"expected >= 2 shared interior chunks: $got")
+  }
+
   test("media near-dup incremental: batch probes persisted features; stale corpus copy of a re-ingested id excluded") {
     val c = "shared content words here zz"
     def docsOf(rows: (Long, String)*) = rows
