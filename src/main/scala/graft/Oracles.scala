@@ -745,6 +745,42 @@ object Oracles {
        |  FROM c),
        |k AS (SELECT * FROM q WHERE lang_pred = 'en' AND quality >= 0.5)""".stripMargin
 
+  /** [[curatedCtes]] + the near-dup canonical-survivor chain (exact
+    * survivors, all-pairs Jaccard ≥ 0.6 graph, recursive-CTE components,
+    * component min-id keeps): `nd` is the released corpus — one row per
+    * surviving doc with (doc_id, quality, n_copies, text). Shared by
+    * q_curation_neardup and q_release_pipeline (the composed release must
+    * be byte-identical to the standalone stage). Caller must open with
+    * WITH RECURSIVE (reach). */
+  private def curationNdCtes(fromRel: String): String =
+    s"""${curatedCtes(fromRel)},
+       |surv AS (
+       |  SELECT min(doc_id) AS doc_id, min(quality) AS quality,
+       |    count(*) AS n_copies, min(text) AS text
+       |  FROM k GROUP BY md5(text)),
+       |se AS (SELECT doc_id, unnest(list_distinct($shingleSql)) AS h FROM surv),
+       |ssz AS (SELECT doc_id, count(*) AS sz FROM se GROUP BY doc_id),
+       |pc AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
+       |  FROM se a JOIN se b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |prs AS (
+       |  SELECT id_a, id_b FROM pc
+       |  JOIN ssz sa ON sa.doc_id = id_a
+       |  JOIN ssz sb ON sb.doc_id = id_b
+       |  WHERE cnt::DOUBLE / (sa.sz + sb.sz - cnt)::DOUBLE >= 0.6),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS dd FROM prs
+       |  UNION SELECT id_b, id_a FROM prs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e2.dd FROM reach JOIN edges e2 ON e2.s = reach.r),
+       |nd AS (
+       |  SELECT * FROM surv
+       |  WHERE doc_id NOT IN (
+       |    SELECT id FROM reach GROUP BY id HAVING min(r) <> id))""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_etl_decode" ->
       s"""SELECT event_id,
@@ -1518,33 +1554,79 @@ object Oracles {
     // Jaccard graph over them, recursive-CTE components, and only each
     // component's min-id member kept
     "q_curation_neardup" ->
-      s"""WITH RECURSIVE ${curatedCtes("documents")},
-         |surv AS (
-         |  SELECT min(doc_id) AS doc_id, min(quality) AS quality,
-         |    count(*) AS n_copies, min(text) AS text
-         |  FROM k GROUP BY md5(text)),
-         |se AS (SELECT doc_id, unnest(list_distinct($shingleSql)) AS h FROM surv),
-         |ssz AS (SELECT doc_id, count(*) AS sz FROM se GROUP BY doc_id),
-         |pc AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
-         |  FROM se a JOIN se b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |prs AS (
-         |  SELECT id_a, id_b FROM pc
-         |  JOIN ssz sa ON sa.doc_id = id_a
-         |  JOIN ssz sb ON sb.doc_id = id_b
-         |  WHERE cnt::DOUBLE / (sa.sz + sb.sz - cnt)::DOUBLE >= 0.6),
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS dd FROM prs
-         |  UNION SELECT id_b, id_a FROM prs),
-         |reach(id, r) AS (
-         |  SELECT s, s FROM edges
-         |  UNION
-         |  SELECT reach.id, e2.dd FROM reach JOIN edges e2 ON e2.s = reach.r)
-         |SELECT doc_id, quality, n_copies FROM surv
-         |WHERE doc_id NOT IN (
-         |  SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+      s"""WITH RECURSIVE ${curationNdCtes("documents")}
+         |SELECT doc_id, quality, n_copies FROM nd
          |ORDER BY doc_id""".stripMargin,
+
+    // END-TO-END release: the curation+near-dup chain (shared verbatim
+    // with q_curation_neardup) over the non-benchmark corpus, decontam
+    // against the benchmark's distinct 5-gram set, top-20 vocab trained
+    // on the RELEASED corpus, token counts through the same tokenize
+    // chain as q_tokenize_ids, the q_pack_sequences exclusive-cumsum
+    // shard assignment, and the manifest + card aggregation — each stage
+    // byte-identical to its standalone row's mirror, stacked.
+    "q_release_pipeline" ->
+      s"""WITH RECURSIVE d0 AS (
+         |  SELECT * FROM documents WHERE doc_id % 50 <> 0),
+         |${curationNdCtes("d0")},
+         |bench AS (
+         |  SELECT DISTINCT unnest(list_distinct(${shingleWSql(5)})) AS h
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |cg AS (
+         |  SELECT doc_id, unnest(list_distinct(${shingleWSql(5)})) AS h
+         |  FROM nd),
+         |ca AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits
+         |  FROM cg GROUP BY doc_id),
+         |clean AS (
+         |  SELECT doc_id FROM ca
+         |  WHERE NOT ((n_hits::DOUBLE / n_grams::DOUBLE) >= 0.3)),
+         |w AS (
+         |  SELECT n.doc_id,
+         |    regexp_split_to_array(lower(trim(n.text)), '\\s+') AS toks
+         |  FROM nd n JOIN clean USING (doc_id)),
+         |ww AS (SELECT doc_id, unnest(toks) AS term FROM w),
+         |vt AS (
+         |  SELECT term, count(*) AS tf_total FROM ww WHERE term <> ''
+         |  GROUP BY term ORDER BY tf_total DESC, term LIMIT 20),
+         |v AS (
+         |  SELECT term, CAST(row_number()
+         |    OVER (ORDER BY tf_total DESC, term) AS INT) AS term_id
+         |  FROM vt),
+         |e AS (
+         |  SELECT doc_id, unnest(toks) AS term,
+         |    generate_subscripts(toks, 1) AS pos
+         |  FROM w),
+         |j AS (
+         |  SELECT e.doc_id, e.pos, COALESCE(v.term_id, 0) AS tid
+         |  FROM e LEFT JOIN v USING (term)),
+         |tk AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM j GROUP BY doc_id),
+         |pk AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+         |      / 4096) AS BIGINT) AS shard
+         |  FROM tk),
+         |mt AS (
+         |  SELECT p.shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+         |  FROM pk p JOIN documents d USING (doc_id) GROUP BY p.shard)
+         |SELECT * FROM (
+         |  SELECT 'shard' AS kind, shard, n_docs, n_tokens, n_sources, n_langs
+         |  FROM mt
+         |  UNION ALL
+         |  SELECT 'card', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+         |    CAST(sum(p.n_tokens) AS BIGINT),
+         |    CAST(count(DISTINCT d.source) AS BIGINT),
+         |    CAST(count(DISTINCT d.lang) AS BIGINT)
+         |  FROM pk p JOIN documents d USING (doc_id)) z
+         |ORDER BY kind, shard""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH d AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)

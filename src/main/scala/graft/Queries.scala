@@ -1123,6 +1123,20 @@ object Queries {
     "q_curation_neardup" -> ((s, dir) =>
       llm.Curation.curateNearDup(tWide(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    // END-TO-END release: curate → near-dedup → decontam (every 50th doc
+    // plays the benchmark, the q_decontam convention) → tokenize under a
+    // release-trained vocab → 4096-token shards → manifest + card. Each
+    // stage is oracle-gated standalone; THIS row gates their composition
+    // (the stage-boundary bugs: wrong corpus feeding the vocab, pre-dedup
+    // docs in the pack order, contamination over raw rather than curated
+    // text).
+    "q_release_pipeline" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      llm.Curation.releasePipeline(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+        .orderBy(col("kind"), col("shard"))
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       llm.Dedup.minhashNearDups(tWide(s, dir, "documents"), threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),

@@ -101,4 +101,67 @@ object Curation {
     exact.unpersist()
     out
   }
+
+  /** The END-TO-END release: [[curateNearDup]] (language → quality →
+    * exact dedup → near-dup canonical) → [[Decontam.decontaminate]]
+    * against the benchmark → [[TextAnalysis.tokenizeToIds]] under a vocab
+    * trained on the RELEASED corpus itself → [[Packing.packByBudget]]
+    * token shards → the shard manifest + dataset-card summary a training
+    * run consumes. Every stage exists standalone (and is oracle-gated
+    * standalone); this composition is where stage-boundary bugs live —
+    * the wrong corpus feeding the vocab, a pre-dedup doc leaking into the
+    * pack order, contamination computed over raw rather than curated
+    * text — so it ships as one gated row.
+    *
+    * Returns one 'shard' row per token shard (n_docs, n_tokens,
+    * n_sources, n_langs off the release metadata) plus one 'card' row
+    * (shard = −1) with the whole-release totals.
+    *
+    * Plan shape: each stage's own 100 TB discipline composes — the only
+    * corpus-sized exchanges are curation's digest aggregation, the LSH
+    * band shuffle over exact survivors, the tokenize vocab aggregation,
+    * and packing's two-phase prefix (benchmark grams and the vocab both
+    * broadcast; the manifest aggregates shard-keyed rows). `clean` feeds
+    * three branches (vocab, tokenize, manifest metadata), so it persists
+    * for the build and releases after the (shards+1)-row result
+    * materializes. */
+  def releasePipeline(docs: DataFrame, benchmark: DataFrame,
+      budget: Long = 4096L, lang: String = "en", minQuality: Double = 0.5,
+      nearThreshold: Double = 0.6, gramN: Int = 5,
+      contamThreshold: Double = 0.3, vocabK: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val survivors = curateNearDup(docs, lang, minQuality, nearThreshold,
+      idCol, textCol)
+    val curated = docs.join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
+    val clean = Decontam.decontaminate(curated, benchmark, gramN,
+        contamThreshold, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = TextAnalysis.vocabWithIds(
+      TextAnalysis.vocabTopK(clean, vocabK, idCol, textCol))
+    val tokenized = TextAnalysis.tokenizeToIds(clean, vocab,
+        idCol = idCol, textCol = textCol)
+      .select(col(idCol), col("n_tokens"))
+    val shards = Packing.packByBudget(tokenized, col(idCol),
+        col("n_tokens"), budget)
+      .withColumnRenamed("pack_key", idCol)
+    val meta = clean.select(col(idCol), col("lang"), col("source"))
+      .join(shards.select(col(idCol), col("n_tokens"), col("shard")),
+        Seq(idCol))
+    // manifest + card in ONE aggregation: rollup's grand-total row IS the
+    // dataset card (separate aggs would rescan meta and recompute the
+    // whole tokenize/pack chain — the JobCountSpec budget pins this)
+    val out = meta.rollup(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(
+        when(col("shard").isNull, lit("card")).otherwise(lit("shard"))
+          .as("kind"),
+        coalesce(col("shard"), lit(-1L)).as("shard"),
+        col("n_docs"), col("n_tokens"), col("n_sources"), col("n_langs"))
+      .localCheckpoint() // eager: (shards+1) rows, computed before unpersist
+    clean.unpersist()
+    out
+  }
 }
