@@ -4327,6 +4327,15 @@ object Oracles {
          |UNION ALL SELECT 3, w3 FROM pw$probeIters
          |ORDER BY dim""".stripMargin,
 
+    // DoReMi-style reweighting mirror: trained-probe scores micro-floored
+    // once, the q_mix_budget per-source cumsum computed once, then the 3
+    // rounds unrolled (the q_bpe_merges technique) — budgets by integer
+    // floor-division split of the weight table, kept set = cumsum ≤
+    // budget, kept means by exact integer floor division (zero-kept
+    // sources coalesce to 0 through the weight-table left join), and the
+    // multiplicative 1e6 + ⌊η·excess/1e6⌋ update — every value BIGINT.
+    "q_mix_reweight" -> mixReweightSql(3),
+
     // the trained probe applied: x·w over the same feature frame with the
     // final iteration's weights — one scan, scores bit-equal
     "q_probe_score" ->
@@ -5392,6 +5401,66 @@ object Oracles {
        |     AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
        |     AND stop_hits >= 2) AS kept
        |  FROM gr)""".stripMargin
+
+  /** q_mix_reweight mirror: probe scores + per-source cumsum once, then
+    * `rounds` unrolled weight-update rounds. η = 0.5 in micro units. */
+  private def mixReweightSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $probeCtes,
+      |sc AS (
+      |  SELECT f.doc_id,
+      |    CAST(floor((f.x0 * wp.w0 + f.x1 * wp.w1 + f.x2 * wp.w2
+      |      + f.x3 * wp.w3) * 1e6) AS BIGINT) AS s_micro
+      |  FROM feat f, pw$probeIters wp),
+      |mtk AS (
+      |  SELECT doc_id, source,
+      |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+      |      AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents),
+      |cmx AS (
+      |  SELECT doc_id, source,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id)
+      |      AS BIGINT) AS cum
+      |  FROM mtk),
+      |wt0 AS (
+      |  SELECT DISTINCT source, CAST(1000000 AS BIGINT) AS w
+      |  FROM documents)""".stripMargin
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+      |dn$k AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM wt${k - 1}),
+      |bd$k AS (
+      |  SELECT source, CAST((8000 * w) // dn$k.t AS BIGINT) AS b
+      |  FROM wt${k - 1}, dn$k),
+      |kp$k AS (
+      |  SELECT cmx.doc_id, cmx.source FROM cmx JOIN bd$k b USING (source)
+      |  WHERE cmx.cum <= b.b),
+      |st$k AS (
+      |  SELECT kp$k.source, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(sc.s_micro) AS BIGINT) AS sm
+      |  FROM kp$k JOIN sc USING (doc_id) GROUP BY 1),
+      |mm$k AS (
+      |  SELECT w.source AS source, COALESCE(s.cnt, 0) AS cnt,
+      |    CASE WHEN COALESCE(s.cnt, 0) = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(s.sm // s.cnt AS BIGINT) END AS m
+      |  FROM wt${k - 1} w LEFT JOIN st$k s USING (source)),
+      |mn$k AS (SELECT CAST(min(m) AS BIGINT) AS mn FROM mm$k),
+      |wt$k AS (
+      |  SELECT w.source AS source,
+      |    CAST((w.w * (1000000 + (500000 * (m.m - mn.mn)) // 1000000))
+      |      // 1000000 AS BIGINT) AS w
+      |  FROM wt${k - 1} w JOIN mm$k m USING (source), mn$k mn)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (\n"
+    sb ++= (1 to rounds).map { k =>
+      s"""  SELECT CAST($k AS INT) AS round, b.source, b.b AS budget,
+         |    m.cnt AS n_kept, m.m AS mean_score_micro, w.w AS weight_micro
+         |  FROM bd$k b JOIN mm$k m USING (source) JOIN wt$k w USING (source)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    sb ++= "\n) z ORDER BY round, source"
+    sb.result()
+  }
 
   private lazy val probeCtes: String = {
     val pred = "f.x0 * wp.w0 + f.x1 * wp.w1 + f.x2 * wp.w2 + f.x3 * wp.w3"

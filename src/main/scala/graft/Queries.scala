@@ -1115,6 +1115,21 @@ object Queries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // DoReMi-style probe-driven mixture reweighting: 3 rounds of budgeted
+    // sampling with per-source weights updated multiplicatively from the
+    // trained probe's kept-sample mean scores (exact integer trajectory —
+    // the oracle unrolls all rounds). Publishes the full (round, source)
+    // trajectory: budget in, kept count, kept mean, weight out.
+    "q_mix_reweight" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feat = llm.QualityProbe.features(tWide(s, dir, "documents"))
+        .localCheckpoint(eager = false)
+      val w = llm.QualityProbe.trainWeights(feat, lr = 0.5, iters = 3)
+      llm.Sampling.reweightMixture(docs, llm.QualityProbe.score(feat, w),
+          totalBudget = 8000L, rounds = 3)
+        .orderBy(col("round"), col("source"))
+    }),
+
     // Oracled against ALL-PAIRS exact Jaccard: the output is the exact-
     // Jaccard-verified pair set, so the comparison asserts LSH recall = 1
     // on this corpus (its true-pair similarities sit far above the 16-band

@@ -296,4 +296,84 @@ object Sampling {
     else
       kept.select(col("mix_id"), col("mix_group"), col("cost"), col("cum_cost"))
   }
+
+  /** DoReMi-style probe-driven mixture reweighting (Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * NeurIPS 2023): iterate the budgeted mixture sampler with per-source
+    * weights updated multiplicatively from a proxy model's per-source
+    * signal — here [[QualityProbe]] scores, quality-seeking (sources
+    * whose SAMPLED docs score above the round's minimum mean gain
+    * weight; DoReMi's excess-loss direction is the same update with the
+    * sign flipped into the signal).
+    *
+    * The fifth bounded-driver-state trainer ([[Kmeans]] / [[graft.llm.Bpe]] /
+    * [[QualityProbe]] / [[graft.llm.Unigram]] discipline): driver state
+    * is the per-source mixture table; each round is one [[sampleToBudget]]
+    * pass (grouped two-phase prefix, never a per-source global window)
+    * plus one partial-aggregating join of the kept ids against the
+    * score frame, collected at sources-count rows.
+    *
+    * Portability discipline: scores floor once onto the 1e-6 grid;
+    * per-round means, the exponentiated-gradient factor
+    * `1e6 + ⌊η·excess/1e6⌋`, weight products, and budget splits are all
+    * exact integer arithmetic (floorDiv ≡ DuckDB's `//`) — the whole
+    * trajectory is engine-portable bit-for-bit, so the oracle unrolls
+    * the rounds as CTE stacks (the q_bpe_merges technique).
+    *
+    * Returns the full trajectory: one row per (round, source) with the
+    * round's budget, kept-row count, kept mean score (micro), and the
+    * post-update weight (micro). */
+  def reweightMixture(docs: DataFrame, scores: DataFrame, totalBudget: Long,
+      rounds: Int = 3, etaMicro: Long = 500000L,
+      groupCol: String = "source", idCol: String = "doc_id",
+      costCol: Column = null): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(etaMicro >= 0, s"etaMicro must be >= 0: $etaMicro")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cost = Option(costCol).getOrElse(TextAnalysis.tokenCount(col("text")))
+    // bounded driver state: one row per source
+    val groups = docs.select(col(groupCol)).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(groups.nonEmpty, "reweightMixture: empty input")
+    val base = docs
+      .select(col(groupCol), col(idCol), cost.cast("long").as("mix_cost"))
+      .localCheckpoint(eager = false)
+    val sm = scores
+      .select(col(idCol),
+        floor(col("score") * lit(1e6)).cast("long").as("s_micro"))
+      .localCheckpoint(eager = false) // re-read every round, built once
+    var weights = groups.map(_ -> 1000000L).toMap
+    val out = Seq.newBuilder[(Int, String, Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val totW = weights.values.sum
+      val budgets = weights.map { case (g, w) => g -> (totalBudget * w) / totW }
+      val kept = sampleToBudget(base, col(groupCol), col(idCol),
+        col("mix_cost"), budgets)
+      val stats = kept.select(col("mix_id").as(idCol), col("mix_group"))
+        .join(sm, Seq(idCol))
+        .groupBy(col("mix_group"))
+        .agg(count(lit(1)).as("cnt"), sum(col("s_micro")).as("sm"))
+        .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2)))
+        .toMap
+      val means = groups.map { g =>
+        val (cnt, s) = stats.getOrElse(g, (0L, 0L))
+        g -> (if (cnt == 0) 0L else Math.floorDiv(s, cnt))
+      }.toMap
+      val minM = means.values.min
+      val newW = groups.map { g =>
+        val factor =
+          1000000L + Math.floorDiv(etaMicro * (means(g) - minM), 1000000L)
+        g -> Math.floorDiv(weights(g) * factor, 1000000L)
+      }.toMap
+      groups.foreach { g =>
+        out += ((r, g, budgets(g), stats.getOrElse(g, (0L, 0L))._1,
+          means(g), newW(g)))
+      }
+      weights = newW
+    }
+    out.result().toDF("round", groupCol, "budget", "n_kept",
+      "mean_score_micro", "weight_micro")
+  }
 }

@@ -367,6 +367,38 @@ class LlmSpec extends SparkTestBase {
     assert(got.head._3 >= 0.9995)
   }
 
+  test("mix reweight: the above-min-mean source gains weight, the min source never does; budgets follow") {
+    // source A: long wordy docs (high probe score), source B: terse ones.
+    // Scores are synthetic here (the catalog row trains the real probe):
+    // the update rule is what this pins.
+    val docs = (0L until 20L).map { i =>
+      val src = if (i % 2 == 0) "A" else "B"
+      (i, s"doc $i body", "en", src, 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scores = (0L until 20L).map(i =>
+      (i, if (i % 2 == 0) 0.9 else 0.1)).toDF("doc_id", "score")
+    val got = graft.llm.Sampling.reweightMixture(docs, scores,
+        totalBudget = 40L, rounds = 3,
+        costCol = org.apache.spark.sql.functions.lit(2L))
+      .as[(Int, String, Long, Long, Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(_._1)).toMap
+    val a = got("A"); val b = got("B")
+    // A's kept mean (900000) exceeds B's (100000) every round: A's weight
+    // strictly increases, B sits at the min -> factor 1e6 -> unchanged
+    assert(a.map(_._6).toList === a.map(_._6).toList.sorted)
+    assert(a(0)._6 > 1000000L && a(2)._6 > a(0)._6)
+    assert(b.forall(_._6 === 1000000L), s"min source must not move: $b")
+    // budgets split the total (integer floor: sum <= total) and shift
+    // toward A as its weight grows
+    (a zip b).foreach { case (ra, rb) =>
+      assert(ra._3 + rb._3 <= 40L)
+    }
+    assert(a(2)._3 > a(0)._3 && b(2)._3 < b(0)._3)
+    // round-1 budgets are the uniform split; costs of 2 => n_kept = b/2
+    assert(a(0)._3 === 20L && b(0)._3 === 20L)
+    assert(a(0)._4 === 10L && b(0)._4 === 10L)
+  }
+
   test("bloom incremental dedup: exact vs plain form; empty corpus = all new") {
     val corpus = (0L until 50L).map(i => (i, s"corpus text $i")).toDF("doc_id", "text")
     // batch: 10 dups of corpus texts, 20 new, plus batch-internal dups
