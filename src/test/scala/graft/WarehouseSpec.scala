@@ -159,13 +159,21 @@ class WarehouseSpec extends SparkTestBase {
       .as[(Long, String)].collect().toSeq
     assert(got() === wantAll)
 
-    // vacuum reclaims compacted segments; view unchanged; replay after
-    // vacuum is pointer-skipped before touching any state dir
+    // vacuum reclaims compacted segments; view unchanged; replay of the
+    // LAST batch (the only id foreachBatch ever re-delivers) is
+    // pointer-skipped before touching any state dir
     StreamingSnapshot.vacuum(spark, dir)
     assert(!new java.io.File(s"$dir/seg/v=0").exists())
     assert(got() === wantAll)
-    StreamingSnapshot.applyBatch(big.toDF("k", "v", "_deleted"), dir,
-      Seq("k"), "_deleted", batchId = 0L)
+    StreamingSnapshot.applyBatch(b2.toDF("k", "v", "_deleted"), dir,
+      Seq("k"), "_deleted", batchId = 2L, maxSegments = 3)
+    assert(got() === wantAll)
+    // an id MORE than one behind is NOT a replay — it's a fresh
+    // checkpoint pointed at existing state, and must throw, not no-op
+    intercept[IllegalStateException] {
+      StreamingSnapshot.applyBatch(big.toDF("k", "v", "_deleted"), dir,
+        Seq("k"), "_deleted", batchId = 0L)
+    }
     assert(got() === wantAll)
 
     // post-compaction ingest reopens the segment log over the new base
@@ -313,8 +321,12 @@ class WarehouseSpec extends SparkTestBase {
     StreamingScd2.vacuum(spark, dir)
     assert(!new java.io.File(s"$dir/seg/v=0").exists())
     assert(got() === want(big ++ small ++ tail))
-    // replay after vacuum: pointer-skipped before any state dir is touched
-    apply(big, 0L)
+    // replay of the LAST batch after vacuum: pointer-skipped before any
+    // state dir is touched; a far-behind id is a checkpoint/state
+    // mismatch and must throw (the StatePointer.replayCheck contract)
+    apply(tail, 2L, maxSegments = 3)
+    assert(got() === want(big ++ small ++ tail))
+    intercept[IllegalStateException] { apply(big, 0L) }
     assert(got() === want(big ++ small ++ tail))
   }
 
