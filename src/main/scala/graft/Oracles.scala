@@ -5085,6 +5085,14 @@ object Oracles {
       |  array_to_string(toks, ' ') AS toks
       |FROM tk3 ORDER BY word""".stripMargin),
 
+    // the prebuilt form serves the SAME values as the inline encode
+    "q_unigram_encode_prebuilt" -> (uniCtes(40, 20) + """,
+      |mp3 AS (SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS mp FROM v2)""".stripMargin
+      + uniEstep("ww", "mp3", "3") + """
+      |SELECT word, freq, CAST(len(toks) AS INT) AS n_tokens,
+      |  array_to_string(toks, ' ') AS toks
+      |FROM tk3 ORDER BY word""".stripMargin),
+
     "q_bpe_merges" -> bpeMergesSql(6),
 
     // inference over the trained merges: w6's carrier, symbols re-split

@@ -2494,6 +2494,27 @@ object Queries {
           array_join(col("tokens"), " ").as("toks"))
         .orderBy(col("word"))
     }),
+    // the steady-state form: the trained vocab is a PERSISTED artifact
+    // (44 rows — parquet in bench mode, the q_dedup_incr_prebuilt
+    // discipline), the probe collects it (codebook-sized, the
+    // q_embed_assign pattern) and runs the zero-exchange scan-side
+    // encode. Shares q_unigram_encode's oracle VERBATIM: the prebuilt
+    // path must be indistinguishable from the inline one.
+    "q_unigram_encode_prebuilt" -> ((s, dir) => {
+      val words = llm.Bpe.wordFreq(tWide(s, dir, "documents"))
+      val vdf = sources.Artifacts.table(s, "unigram_vocab")(
+        llm.Unigram.vocabDf(s,
+          llm.Unigram.train(words, seedMulti = 40, keepMulti = 20,
+            emRounds = 2)))
+      val vocab = vdf.orderBy(col("piece")).collect()
+        .map(r => llm.Unigram.Piece(r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      llm.Unigram.encode(words, vocab)
+        .select(col("word"), col("freq"),
+          size(col("tokens")).as("n_tokens"),
+          array_join(col("tokens"), " ").as("toks"))
+        .orderBy(col("word"))
+    }),
     "q_tfidf" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
       val n = docs.count()
