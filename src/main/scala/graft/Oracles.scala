@@ -4728,36 +4728,32 @@ object Oracles {
     // mod 32) over corpus ∪ planted OFF-grid clips (offset 33), interior
     // chunk md5s, distinct per media, shared-count join ≥ 2. The inner
     // hash is a list_reduce fold — always-append, LIST state (the DuckDB
-    // 1.0 fold rules, see uniEstep).
+    // 1.0 fold rules, see uniEstep). The chunk CTE generator is shared
+    // with the incremental/prebuilt/delete forms below.
     "q_media_clip_offgrid" ->
-      """WITH c AS (
+      (s"""WITH c AS (
         |  SELECT doc_id AS media_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 3000000, substring(text, 34) FROM documents
         |  WHERE doc_id < 10 AND len(text) >= 224),
-        |x AS (
-        |  SELECT media_id, text,
-        |    list_sort(list_distinct(list_concat(list_concat([CAST(0 AS BIGINT)],
-        |      CASE WHEN len(text) >= 8
-        |        THEN list_filter(range(8, len(text) + 1), i ->
-        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |            list_transform(range(i - 7, i + 1), j ->
-        |              CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
-        |            (acc, b) -> (acc * 31 + b) % 1048573) % 32 = 0)
-        |        ELSE [] END),
-        |      [CAST(len(text) AS BIGINT)]))) AS bounds
-        |  FROM c),
-        |k AS (
-        |  SELECT media_id, unnest(list_transform(range(1, len(bounds)), k ->
-        |    substr(text, CAST(bounds[CAST(k AS INT)] AS INT) + 1,
-        |      CAST(bounds[CAST(k AS INT) + 1] - bounds[CAST(k AS INT)] AS INT)))) AS chunk
-        |  FROM x),
-        |f AS (SELECT DISTINCT media_id, md5(chunk) AS ch FROM k)
+        |${clipChunkCtes("c", "")}""".stripMargin + """
         |SELECT a.media_id AS id_a, b.media_id AS id_b,
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM f a JOIN f b ON a.ch = b.ch AND a.media_id < b.media_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // incremental probe: batch = the planted clips, corpus chunk table
+    // persisted — batch-vs-corpus AND batch-internal pairs, id_new from
+    // the batch; corpus-internal pairs not re-derived. Shared VERBATIM
+    // by the prebuilt form (the steady-state path must be
+    // indistinguishable from the inline one).
+    "q_media_clip_incr" -> clipIncrSql(""),
+    "q_media_clip_prebuilt" -> clipIncrSql(""),
+    // deletion-aware maintenance: the purged corpus ids fold out of the
+    // persisted chunk table; the probe over the maintained artifact must
+    // equal the truth over corpus ∖ deleted
+    "q_media_clip_delete" -> clipIncrSql("WHERE doc_id % 10 <> 7"),
 
     "q_media_frames" ->
       """WITH f AS (
@@ -5803,6 +5799,54 @@ object Oracles {
     * Piece reconstruction therefore happens OUTSIDE the fold: pred[j] is
     * total (the forward max always has a witness), the path is pointer
     * chasing, and pieces fall out of consecutive path pairs. */
+  /** Content-defined-chunking CTE chain over a (media_id, text)
+    * relation `rel`: per-media cut bounds (the base-31 mod-1048573
+    * window hash as an always-append list_reduce fold — see the DuckDB
+    * fold rules on [[uniEstep]]), chunk slices, distinct digests as
+    * `f$t` (media_id, ch). Shared by every q_media_clip_* mirror. */
+  private def clipChunkCtes(rel: String, t: String): String =
+    s"""x$t AS (
+      |  SELECT media_id, text,
+      |    list_sort(list_distinct(list_concat(list_concat([CAST(0 AS BIGINT)],
+      |      CASE WHEN len(text) >= 8
+      |        THEN list_filter(range(8, len(text) + 1), i ->
+      |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |            list_transform(range(i - 7, i + 1), j ->
+      |              CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+      |            (acc, b) -> (acc * 31 + b) % 1048573) % 32 = 0)
+      |        ELSE [] END),
+      |      [CAST(len(text) AS BIGINT)]))) AS bounds
+      |  FROM $rel),
+      |k$t AS (
+      |  SELECT media_id, unnest(list_transform(range(1, len(bounds)), k ->
+      |    substr(text, CAST(bounds[CAST(k AS INT)] AS INT) + 1,
+      |      CAST(bounds[CAST(k AS INT) + 1] - bounds[CAST(k AS INT)] AS INT)))) AS chunk
+      |  FROM x$t),
+      |f$t AS (SELECT DISTINCT media_id, md5(chunk) AS ch FROM k$t)""".stripMargin
+
+  /** Incremental/prebuilt/delete clip-containment mirror: corpus chunks
+    * (optionally erasure-filtered by `where`), batch chunks over the
+    * planted off-grid clips, pair counting with the batch orientation. */
+  private def clipIncrSql(where: String): String =
+    s"""WITH cc AS (
+      |  SELECT doc_id AS media_id, text FROM documents $where),
+      |${clipChunkCtes("cc", "c")},
+      |cb AS (
+      |  SELECT doc_id + 3000000 AS media_id, substring(text, 34) AS text
+      |  FROM documents WHERE doc_id < 10 AND len(text) >= 224),
+      |${clipChunkCtes("cb", "b")},
+      |uni AS (
+      |  SELECT media_id, ch, FALSE AS fb FROM fc
+      |  UNION ALL
+      |  SELECT media_id, ch, TRUE AS fb FROM fb)
+      |SELECT a.media_id AS id_new, b.media_id AS id_other,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM fb a JOIN uni b ON a.ch = b.ch
+      |  AND a.media_id <> b.media_id
+      |  AND (NOT b.fb OR a.media_id < b.media_id)
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY id_new, id_other""".stripMargin
+
   private def uniNeg = "CAST(-1099511627776 AS BIGINT)"
 
   private def uniEstep(src: String, mpcte: String, out: String): String = s""",

@@ -26,6 +26,17 @@ object Queries {
   private def tWide(s: SparkSession, dir: String, n: String): DataFrame =
     t(s, dir, n).repartition(s.sparkContext.defaultParallelism)
 
+  /** The q_media_clip_* planted batch: 33-byte-offset (OFF-grid) clips
+    * of docs 0–9, shared by the offgrid/incr/prebuilt/delete rows. */
+  private def clipBatch(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 10 && col("n_chars") >= 224)
+      .select(
+        (col("doc_id") + 3000000L).as("media_id"),
+        col("text").substr(lit(34), col("n_chars")).cast("binary").as("media"),
+        (col("n_chars") - 33).cast("int").as("width"),
+        lit("utf8").as("format"),
+        lit(1).as("height"))
+
   /** Raw synthetic envelopes, materialized once per (session, dir):
     * `localCheckpoint` + cache because every ETL query shares this source —
     * in a real deployment the envelopes are a parquet/Kafka scan, and the
@@ -3385,6 +3396,38 @@ object Queries {
           lit(1).as("height"))
       llm.Multimodal.clipContainment(media.unionByName(clips))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // the clip family's maintenance taxonomy (the dedupNearIncremental
+    // discipline): a new-media batch (the planted off-grid clips) probes
+    // the corpus CHUNK TABLE — inline here, a persisted Artifacts parquet
+    // in the prebuilt form (same oracle VERBATIM), erasure-folded in the
+    // delete form. Corpus media are never re-chunked at probe time.
+    "q_media_clip_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.Multimodal.clipContainmentIncremental(
+          clipBatch(docs),
+          llm.Multimodal.chunkTable(llm.Multimodal.mediaFromDocuments(docs)))
+        .orderBy(col("id_new"), col("id_other"))
+    }),
+    "q_media_clip_prebuilt" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.Multimodal.clipContainmentIncremental(
+          clipBatch(docs),
+          sources.Artifacts.table(s, "clip_chunks")(
+            llm.Multimodal.chunkTable(llm.Multimodal.mediaFromDocuments(docs))))
+        .orderBy(col("id_new"), col("id_other"))
+    }),
+    "q_media_clip_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val deleted = docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("media_id"))
+      llm.Multimodal.clipContainmentIncremental(
+          clipBatch(docs),
+          llm.Multimodal.chunksDelete(
+            sources.Artifacts.table(s, "clip_chunks")(
+              llm.Multimodal.chunkTable(llm.Multimodal.mediaFromDocuments(docs))),
+            deleted))
+        .orderBy(col("id_new"), col("id_other"))
     }),
     // frame emitted as hex text: binary column comparators differ across
     // engines/arrow readers (bytes vs bytearray); hex is unambiguous.

@@ -365,16 +365,37 @@ object Multimodal {
     require(window >= 2, s"window must be >= 2: $window")
     require(divisor >= 2, s"divisor must be >= 2: $divisor")
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val capped = Dedup.capBuckets(
+      chunkTable(media, window, divisor).withColumn("band", lit(0)),
+      maxChunkDf, "media_clip_offgrid")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band_hash") === col("b.band_hash") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_shared"))
+  }
+
+  /** Per-media DISTINCT content-defined chunk digests — the persisted
+    * artifact of the clip-containment family ([[clipContainment]] builds
+    * over it inline; the incremental/prebuilt forms probe it). The
+    * per-byte scan runs at the codec boundary (this file's one licensed
+    * mapPartitions shape): interpreted Catalyst HOFs pay ~100× per byte,
+    * and a real chunker is native per-byte code. The DuckDB mirror runs
+    * the identical integer recurrence over codepoints (ASCII corpus:
+    * byte ≡ codepoint); md5 hex matches Spark's md5(). Returns
+    * (media_id, band_hash). */
+  def chunkTable(media: DataFrame, window: Int = 8,
+      divisor: Int = 32): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(divisor >= 2, s"divisor must be >= 2: $divisor")
     val P = 31L
     val M = 1048573L
-    // the per-byte scan is codec-boundary work (this file's one licensed
-    // mapPartitions shape): interpreted Catalyst HOFs pay ~100× per byte,
-    // and a real chunker is native per-byte code. The DuckDB mirror runs
-    // the identical integer recurrence over codepoints (ASCII corpus:
-    // byte == codepoint); md5 hex matches Spark's md5().
     val spark = media.sparkSession
     import spark.implicits._
-    val chunkDigests = media.as[MediaRow].mapPartitions { it =>
+    media.as[MediaRow].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { r =>
         val b = r.media
@@ -398,16 +419,51 @@ object Multimodal {
       }
     }.toDF("media_id", "band_hash")
       .distinct()
+  }
+
+  /** Deletion-aware chunk-table maintenance: purged ids fold out of the
+    * persisted artifact by broadcast anti-join (per-media digest rows —
+    * nothing to decrement), the [[Dedup]] bandsDelete discipline. */
+  def chunksDelete(chunks: DataFrame, deletedIds: DataFrame): DataFrame =
+    chunks.join(broadcast(deletedIds.select(col("media_id"))),
+      Seq("media_id"), "left_anti")
+
+  /** INCREMENTAL clip containment: a new-media batch probes the PERSISTED
+    * corpus chunk table ([[chunkTable]] output — inline, an
+    * [[graft.sources.Artifacts]] parquet, or post-[[chunksDelete]]) —
+    * the corpus media are never re-chunked, never re-read. Semantics
+    * mirror [[dedupNearIncremental]]: batch-vs-corpus AND batch-internal
+    * pairs (batch-internal keep the (smaller, larger) orientation), a
+    * media_id in both frames is the batch's version (the stale corpus
+    * copy folds out by broadcast anti-join), corpus-internal pairs are
+    * not re-derived ([[clipContainment]]'s job at build time). Scale
+    * shape: only the batch's digests broadcast; the corpus table is
+    * touched by one digest-keyed join, railed by `maxChunkDf`. Returns
+    * (id_new from the batch, id_other, n_shared ≥ minShared). */
+  def clipContainmentIncremental(newMedia: DataFrame, corpusChunks: DataFrame,
+      window: Int = 8, divisor: Int = 32, minShared: Int = 2,
+      maxChunkDf: Int = 4096): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val batch = chunkTable(newMedia, window, divisor)
       .withColumn("band", lit(0))
-    val capped = Dedup.capBuckets(chunkDigests, maxChunkDf, "media_clip_offgrid")
-    capped.as("a")
-      .join(capped.as("b"),
+      .withColumn("from_batch", lit(true))
+      .localCheckpoint(eager = false)
+    val corpus = corpusChunks.select(col("media_id"), col("band_hash"))
+      .join(broadcast(batch.select(col("media_id")).distinct()),
+        Seq("media_id"), "left_anti")
+      .withColumn("band", lit(0))
+      .withColumn("from_batch", lit(false))
+    val bSide = Dedup.capBuckets(corpus.unionByName(batch),
+      maxChunkDf, "media_clip_incr")
+    bSide.as("b")
+      .join(broadcast(batch).as("a"),
         col("a.band_hash") === col("b.band_hash") &&
-          col("a.media_id") < col("b.media_id"))
-      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+          (!col("b.from_batch") || col("a.media_id") < col("b.media_id")) &&
+          col("a.media_id") =!= col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_new"), col("b.media_id").as("id_other"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .select(col("id_a"), col("id_b"), col("n_shared"))
+      .select(col("id_new"), col("id_other"), col("n_shared"))
   }
 
   /** Frame sampling for "video" media: every nth fixed-size byte window as a

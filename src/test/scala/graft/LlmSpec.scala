@@ -367,6 +367,31 @@ class LlmSpec extends SparkTestBase {
     assert(got.head._3 >= 0.9995)
   }
 
+  test("clip containment incremental: stale corpus copy of a re-ingested id excluded; batch-internal orientation") {
+    val base = (0 until 300)
+      .map(i => ('a' + ((i.toLong * 2654435761L >> 7) % 26).toInt).toChar)
+      .mkString
+    def row(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    // corpus: id 1 = the original, id 2 = a STALE copy of what the batch
+    // re-ingests as id 1 (same text). Batch: re-ingested id 1 (full
+    // text) + two off-grid clips (ids 50 < 60, same clip text).
+    val corpus = Multimodal.mediaFromDocuments(
+      Seq(row(1L, base), row(2L, base)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val batch = Multimodal.mediaFromDocuments(
+      Seq(row(1L, base), row(50L, base.substring(32)), row(60L, base.substring(32)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = Multimodal.clipContainmentIncremental(batch,
+        Multimodal.chunkTable(corpus))
+      .as[(Long, Long, Long)].collect().toList
+      .map(p => (p._1, p._2)).sorted
+    // id 1's stale corpus copy is excluded (no (1,1) self-pair, and its
+    // chunks don't double-count); batch-internal pair keeps (50, 60)
+    // orientation; clips pair with BOTH the corpus original (2) and the
+    // re-ingested batch version (1, via batch-internal a<b ordering)
+    assert(got === List((1L, 2L), (50L, 60L), (1L, 50L), (1L, 60L),
+      (50L, 2L), (60L, 2L)).sorted, s"got $got")
+  }
+
   test("mix reweight: the above-min-mean source gains weight, the min source never does; budgets follow") {
     // source A: long wordy docs (high probe score), source B: terse ones.
     // Scores are synthetic here (the catalog row trains the real probe):

@@ -751,6 +751,29 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("dynamicpruningexpression"), plan)
   }
 
+  test("clip-containment probe over the persisted chunk table: corpus media never re-chunked") {
+    import graft.llm.Multimodal
+    val docs = t("documents")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val dir = java.nio.file.Files.createTempDirectory("clip_plan").toString
+    Multimodal.chunkTable(media).write.mode("overwrite").parquet(s"$dir/chunks")
+    val chunks = spark.read.parquet(s"$dir/chunks")
+    val batch = Multimodal.mediaFromDocuments(
+      docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 900L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    val plan = formatted(
+      Multimodal.clipContainmentIncremental(batch, chunks))
+    // corpus side = ONE parquet scan of the chunk artifact; the corpus
+    // media bytes and their codec-boundary chunking lineage are gone.
+    // The only object boundary (mapPartitions -> SerializeFromObject)
+    // chunked the BATCH, whose checkpoint truncates it from this plan.
+    assert(plan.contains(s"$dir/chunks".stripPrefix("/")) ||
+      plan.contains("chunks"), plan)
+    assert(!plan.contains("documents.parquet"), plan)
+    assert(!plan.contains("SerializeFromObject"), plan)
+  }
+
   test("bucket-pruned index probe: driver-side buckets match the column hash; the base scan takes a static partition filter on them") {
     import graft.llm.Search
     // the two bucketings MUST agree — a divergence would silently prune
