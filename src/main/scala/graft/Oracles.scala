@@ -4730,18 +4730,11 @@ object Oracles {
     // hash is a list_reduce fold — always-append, LIST state (the DuckDB
     // 1.0 fold rules, see uniEstep). The chunk CTE generator is shared
     // with the incremental/prebuilt/delete forms below.
-    "q_media_clip_offgrid" ->
-      (s"""WITH c AS (
-        |  SELECT doc_id AS media_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 3000000, substring(text, 34) FROM documents
-        |  WHERE doc_id < 10 AND len(text) >= 224),
-        |${clipChunkCtes("c", "")}""".stripMargin + """
-        |SELECT a.media_id AS id_a, b.media_id AS id_b,
-        |  CAST(count(*) AS BIGINT) AS n_shared
-        |FROM f a JOIN f b ON a.ch = b.ch AND a.media_id < b.media_id
-        |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY id_a, id_b""".stripMargin),
+    "q_media_clip_offgrid" -> clipBuildSql(""),
+    // streamed chunk state ≡ the inline build (shared VERBATIM); erasure
+    // serves exactly the survivors (clips are never tombstoned)
+    "q_media_clip_stream" -> clipBuildSql(""),
+    "q_media_clip_stream_erasure" -> clipBuildSql("WHERE doc_id % 10 <> 7"),
 
     // incremental probe: batch = the planted clips, corpus chunk table
     // persisted — batch-vs-corpus AND batch-internal pairs, id_new from
@@ -5823,6 +5816,22 @@ object Oracles {
       |      CAST(bounds[CAST(k AS INT) + 1] - bounds[CAST(k AS INT)] AS INT)))) AS chunk
       |  FROM x$t),
       |f$t AS (SELECT DISTINCT media_id, md5(chunk) AS ch FROM k$t)""".stripMargin
+
+  /** Build-form clip-containment mirror over corpus (optionally
+    * erasure-filtered) ∪ planted off-grid clips — shared by the inline
+    * build, the streamed state, and its erasure form. */
+  private def clipBuildSql(where: String): String =
+    s"""WITH c AS (
+      |  SELECT doc_id AS media_id, text FROM documents $where
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, substring(text, 34) FROM documents
+      |  WHERE doc_id < 10 AND len(text) >= 224),
+      |${clipChunkCtes("c", "")}""".stripMargin + """
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM f a JOIN f b ON a.ch = b.ch AND a.media_id < b.media_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Incremental/prebuilt/delete clip-containment mirror: corpus chunks
     * (optionally erasure-filtered by `where`), batch chunks over the

@@ -3397,6 +3397,54 @@ object Queries {
       llm.Multimodal.clipContainment(media.unionByName(clips))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // ALWAYS-ON chunk-state maintenance: corpus ∪ clips fold in 3 batches
+    // into the segmented chunk table (only adds are chunked; compaction
+    // at maxSegments=3); the containment tail served off the maintained
+    // state ≡ the inline build — q_media_clip_offgrid's oracle VERBATIM.
+    "q_media_clip_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = llm.Multimodal.mediaFromDocuments(docs)
+        .unionByName(clipBatch(docs))
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/schunk_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_schunk").toString
+      }
+      (0L to 2L).foreach { b =>
+        streaming.StreamingChunks.applyBatch(
+          media.filter(col("media_id") % 3 === b), state, b, maxSegments = 3)
+      }
+      streaming.StreamingChunks.vacuum(s, state)
+      streaming.StreamingChunks.clipPairs(s, state)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // … and under ERASURE: tail-batch tombstones for base docs ≡ 7
+    // (mod 10) — tombstone rows are never chunked (per-row artifact:
+    // erasure IS the version-ordered anti join); served pairs are exactly
+    // the survivors'.
+    "q_media_clip_stream_erasure" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = llm.Multimodal.mediaFromDocuments(docs)
+        .unionByName(clipBatch(docs))
+      val doomed = col("media_id") % 10 === 7 && col("media_id") < 3000000L
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/schunk_erasure_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_schunke").toString
+      }
+      (0L until 2L).foreach { b =>
+        streaming.StreamingChunks.applyBatch(
+          media.filter(col("media_id") % 2 === b)
+            .withColumn("_deleted", lit(false)),
+          state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+      }
+      streaming.StreamingChunks.applyBatch(
+        media.filter(doomed).withColumn("_deleted", lit(true)),
+        state, 2L, deleteCol = Some("_deleted"), maxSegments = 3)
+      streaming.StreamingChunks.vacuum(s, state)
+      streaming.StreamingChunks.clipPairs(s, state)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // the clip family's maintenance taxonomy (the dedupNearIncremental
     // discipline): a new-media batch (the planted off-grid clips) probes
     // the corpus CHUNK TABLE — inline here, a persisted Artifacts parquet

@@ -361,12 +361,20 @@ object Multimodal {
     * produce one whole-media chunk — exact-digest dedup degenerate case.
     * Returns (id_a < id_b, n_shared). */
   def clipContainment(media: DataFrame, window: Int = 8, divisor: Int = 32,
-      minShared: Int = 2, maxChunkDf: Int = 4096): DataFrame = {
-    require(window >= 2, s"window must be >= 2: $window")
-    require(divisor >= 2, s"divisor must be >= 2: $divisor")
+      minShared: Int = 2, maxChunkDf: Int = 4096): DataFrame =
+    clipPairsFromChunks(chunkTable(media, window, divisor), minShared,
+      maxChunkDf)
+
+  /** The containment pair tail over a chunk table — zero media access,
+    * so it serves equally off the inline build, a persisted artifact, or
+    * the stream-maintained state
+    * ([[graft.streaming.StreamingChunks.readChunks]]). */
+  def clipPairsFromChunks(chunks: DataFrame, minShared: Int = 2,
+      maxChunkDf: Int = 4096): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     val capped = Dedup.capBuckets(
-      chunkTable(media, window, divisor).withColumn("band", lit(0)),
+      chunks.select(col("media_id"), col("band_hash"))
+        .withColumn("band", lit(0)),
       maxChunkDf, "media_clip_offgrid")
     capped.as("a")
       .join(capped.as("b"),
