@@ -59,10 +59,17 @@ object Bench {
     // comparisons should use the pass MEDIAN closest to the row's
     // measurement.
     val anchorName = "q_dedup_exact"
-    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A throwing row fails the WHOLE bench loudly: r13 swallowed
+    // Throwable here and the replayCheck regression turned ~25 streamed
+    // rows' pins into time-to-throw measurements that looked like
+    // steady-state serves. A bogus number is worse than no number.
+    def runOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case t: Throwable =>
+        throw new RuntimeException(s"bench row $name failed", t) }
+      finally ops.Prefix.releaseAll() // drop this row's pinned checkpoints
       (System.nanoTime() - t0) / 1e9
     }
     def onePass(tag: String): (Seq[(String, Double)], Seq[Double]) = {
@@ -74,13 +81,13 @@ object Bench {
         .filter(_ => qs.size > 1)
       val every = math.max(qs.size / 5, 1)
       def sampleAnchor(): Unit = anchorFn.foreach { fn =>
-        val dt = runOne(fn)
+        val dt = runOne(anchorName, fn)
         anchors += dt
         System.err.println(f"[bench] $tag anchor $dt%.2fs")
       }
       sampleAnchor()
       val results = qs.zipWithIndex.map { case ((name, fn), i) =>
-        val dt = runOne(fn)
+        val dt = runOne(name, fn)
         System.err.println(f"[bench] $tag $name $dt%.1fs")
         if ((i + 1) % every == 0 && i + 1 < qs.size) sampleAnchor()
         name -> dt

@@ -1565,68 +1565,11 @@ object Oracles {
     // chain as q_tokenize_ids, the q_pack_sequences exclusive-cumsum
     // shard assignment, and the manifest + card aggregation — each stage
     // byte-identical to its standalone row's mirror, stacked.
-    "q_release_pipeline" ->
-      s"""WITH RECURSIVE d0 AS (
-         |  SELECT * FROM documents WHERE doc_id % 50 <> 0),
-         |${curationNdCtes("d0")},
-         |bench AS (
-         |  SELECT DISTINCT unnest(list_distinct(${shingleWSql(5)})) AS h
-         |  FROM documents WHERE doc_id % 50 = 0),
-         |cg AS (
-         |  SELECT doc_id, unnest(list_distinct(${shingleWSql(5)})) AS h
-         |  FROM nd),
-         |ca AS (
-         |  SELECT doc_id, count(*) AS n_grams,
-         |    CAST(sum(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_hits
-         |  FROM cg GROUP BY doc_id),
-         |clean AS (
-         |  SELECT doc_id FROM ca
-         |  WHERE NOT ((n_hits::DOUBLE / n_grams::DOUBLE) >= 0.3)),
-         |w AS (
-         |  SELECT n.doc_id,
-         |    regexp_split_to_array(lower(trim(n.text)), '\\s+') AS toks
-         |  FROM nd n JOIN clean USING (doc_id)),
-         |ww AS (SELECT doc_id, unnest(toks) AS term FROM w),
-         |vt AS (
-         |  SELECT term, count(*) AS tf_total FROM ww WHERE term <> ''
-         |  GROUP BY term ORDER BY tf_total DESC, term LIMIT 20),
-         |v AS (
-         |  SELECT term, CAST(row_number()
-         |    OVER (ORDER BY tf_total DESC, term) AS INT) AS term_id
-         |  FROM vt),
-         |e AS (
-         |  SELECT doc_id, unnest(toks) AS term,
-         |    generate_subscripts(toks, 1) AS pos
-         |  FROM w),
-         |j AS (
-         |  SELECT e.doc_id, e.pos, COALESCE(v.term_id, 0) AS tid
-         |  FROM e LEFT JOIN v USING (term)),
-         |tk AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
-         |  FROM j GROUP BY doc_id),
-         |pk AS (
-         |  SELECT doc_id, n_tokens,
-         |    CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
-         |      / 4096) AS BIGINT) AS shard
-         |  FROM tk),
-         |mt AS (
-         |  SELECT p.shard, CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
-         |    CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
-         |    CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
-         |  FROM pk p JOIN documents d USING (doc_id) GROUP BY p.shard)
-         |SELECT * FROM (
-         |  SELECT 'shard' AS kind, shard, n_docs, n_tokens, n_sources, n_langs
-         |  FROM mt
-         |  UNION ALL
-         |  SELECT 'card', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
-         |    CAST(sum(p.n_tokens) AS BIGINT),
-         |    CAST(count(DISTINCT d.source) AS BIGINT),
-         |    CAST(count(DISTINCT d.lang) AS BIGINT)
-         |  FROM pk p JOIN documents d USING (doc_id)) z
-         |ORDER BY kind, shard""".stripMargin,
+    "q_release_pipeline" -> releasePipelineSql,
+    // the always-on composition serves the snapshot through the literal
+    // releaseTail over the maintained clean set — same oracle VERBATIM
+    "q_release_stream" -> releasePipelineSql,
+
 
     "q_dedup_exact" ->
       """WITH d AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
@@ -5964,4 +5907,73 @@ object Oracles {
     sb ++= "\n) z ORDER BY \"rank\""
     sb.result()
   }
+
+  /** The composed release's mirror — every stage byte-identical to
+    * its standalone row's mirror, stacked (see the q_release_pipeline
+    * entry comment). Shared VERBATIM by q_release_pipeline and
+    * q_release_stream (a `def`, not a `val`: see the object-init-order
+    * trap note). */
+  private def releasePipelineSql: String =
+      s"""WITH RECURSIVE d0 AS (
+         |  SELECT * FROM documents WHERE doc_id % 50 <> 0),
+         |${curationNdCtes("d0")},
+         |bench AS (
+         |  SELECT DISTINCT unnest(list_distinct(${shingleWSql(5)})) AS h
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |cg AS (
+         |  SELECT doc_id, unnest(list_distinct(${shingleWSql(5)})) AS h
+         |  FROM nd),
+         |ca AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits
+         |  FROM cg GROUP BY doc_id),
+         |clean AS (
+         |  SELECT doc_id FROM ca
+         |  WHERE NOT ((n_hits::DOUBLE / n_grams::DOUBLE) >= 0.3)),
+         |w AS (
+         |  SELECT n.doc_id,
+         |    regexp_split_to_array(lower(trim(n.text)), '\\s+') AS toks
+         |  FROM nd n JOIN clean USING (doc_id)),
+         |ww AS (SELECT doc_id, unnest(toks) AS term FROM w),
+         |vt AS (
+         |  SELECT term, count(*) AS tf_total FROM ww WHERE term <> ''
+         |  GROUP BY term ORDER BY tf_total DESC, term LIMIT 20),
+         |v AS (
+         |  SELECT term, CAST(row_number()
+         |    OVER (ORDER BY tf_total DESC, term) AS INT) AS term_id
+         |  FROM vt),
+         |e AS (
+         |  SELECT doc_id, unnest(toks) AS term,
+         |    generate_subscripts(toks, 1) AS pos
+         |  FROM w),
+         |j AS (
+         |  SELECT e.doc_id, e.pos, COALESCE(v.term_id, 0) AS tid
+         |  FROM e LEFT JOIN v USING (term)),
+         |tk AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM j GROUP BY doc_id),
+         |pk AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+         |      / 4096) AS BIGINT) AS shard
+         |  FROM tk),
+         |mt AS (
+         |  SELECT p.shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+         |  FROM pk p JOIN documents d USING (doc_id) GROUP BY p.shard)
+         |SELECT * FROM (
+         |  SELECT 'shard' AS kind, shard, n_docs, n_tokens, n_sources, n_langs
+         |  FROM mt
+         |  UNION ALL
+         |  SELECT 'card', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+         |    CAST(sum(p.n_tokens) AS BIGINT),
+         |    CAST(count(DISTINCT d.source) AS BIGINT),
+         |    CAST(count(DISTINCT d.lang) AS BIGINT)
+         |  FROM pk p JOIN documents d USING (doc_id)) z
+         |ORDER BY kind, shard""".stripMargin
+
 }

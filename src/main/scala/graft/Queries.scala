@@ -72,6 +72,49 @@ object Queries {
         (abs(col("frac_le") - col("q")) <= bound).as(okCol))
       .orderBy(col("grp"), col("qlabel"))
 
+  /** Persisted-index-artifact build with the doc count riding the SAME
+    * scan (the Search.bm25 observe() discipline): returns (index, nDocs)
+    * for ONE corpus read where artifact-build-plus-`docs.count()` paid
+    * two — and, in bench mode, ZERO corpus reads on steady-state passes,
+    * because n persists as a 1-row `<name>_n` sidecar next to the index
+    * artifact (a production index ships with its stats sidecar — the
+    * [[graft.streaming.StreamingIndex]] stats contract, batch form).
+    * Verify mode eagerly checkpoints the build (the action that fires the
+    * observed metric), so the gate still proves build ≡ oracle from
+    * scratch every run. */
+  private def countedArtifact(s: SparkSession, name: String,
+      partitionBy: Seq[String], docs: DataFrame)(
+      build: DataFrame => DataFrame): (DataFrame, Long) =
+    sources.Artifacts.root match {
+      case None =>
+        val obs = org.apache.spark.sql.Observation()
+        val idx = build(docs.observe(obs, count(lit(1)).as("n_docs")))
+          .localCheckpoint(eager = true)
+        (idx, obs.get("n_docs").asInstanceOf[Long])
+      case Some(r) =>
+        val nPath = s"$r/${name}_n"
+        if (new java.io.File(nPath, "_SUCCESS").exists()) {
+          val idx = sources.Artifacts.table(s, name, partitionBy)(
+            sys.error(s"artifact $name must exist when its sidecar does"))
+          (idx, s.read.parquet(nPath).head.getLong(0))
+        } else {
+          // index-present-without-sidecar would make table() skip the
+          // build and the observation below block forever — fail loudly
+          // (a crash between the two writes; wipe the artifact root)
+          require(!new java.io.File(s"$r/$name/_SUCCESS").exists(),
+            s"index artifact $name exists without its _n sidecar — " +
+              "stale artifact root, wipe it")
+          val obs = org.apache.spark.sql.Observation()
+          val idx = sources.Artifacts.table(s, name, partitionBy)(
+            build(docs.observe(obs, count(lit(1)).as("n_docs"))))
+          val n = obs.get("n_docs").asInstanceOf[Long]
+          import s.implicits._
+          Seq(n).toDF("n_docs").coalesce(1).write.mode("overwrite")
+            .parquet(nPath)
+          (idx, n)
+        }
+    }
+
   private def parsedDf(s: SparkSession, dir: String): DataFrame =
     EventEtl.parsed(envelopes(s, dir), HmacKey)
   private def flat(s: SparkSession, dir: String): DataFrame =
@@ -201,7 +244,8 @@ object Queries {
     // STREAMING SCD2: three time-ordered micro-batches folded through the
     // segmented history state — closed intervals append, open rows merge
     // LWW per key, per-batch writes ∝ touched keys (never ∝ history).
-    // Every batch folds every run (pointer-skip = resume safety); vacuum
+    // Redrive drives the un-applied suffix only (resume safety) and
+    // serves as-is once the pointer sits at the final id; vacuum
     // reclaims superseded state. Shares q_scd2's full-recompute oracle
     // VERBATIM.
     "q_scd2_stream" -> ((s, dir) => {
@@ -213,13 +257,13 @@ object Queries {
       }
       val c1 = lit("2024-01-18").cast("timestamp")
       val c2 = lit("2024-01-25").cast("timestamp")
-      Seq(ev.filter(col("ts") < c1),
+      val batches = Seq(ev.filter(col("ts") < c1),
           ev.filter(col("ts") >= c1 && col("ts") < c2),
           ev.filter(col("ts") >= c2))
-        .zipWithIndex.foreach { case (b, i) =>
-          streaming.StreamingScd2.applyBatch(b, state, "user_id", "ts",
-            "event_type", "event_id", i.toLong)
-        }
+      streaming.Redrive(s, state, 2L) { i =>
+        streaming.StreamingScd2.applyBatch(batches(i.toInt), state,
+          "user_id", "ts", "event_type", "event_id", i)
+      }
       streaming.StreamingScd2.vacuum(s, state)
       streaming.StreamingScd2.readHistory(s, state)
         .orderBy(col("user_id"), col("version"))
@@ -405,9 +449,9 @@ object Queries {
         // erasure batch: full-row tombstones for every user ≡ 3 (mod 7)
         latestPerUser(ev.filter(col("user_id") % 7 === 3))
           .withColumn("_deleted", lit(true)))
-      batches.zipWithIndex.foreach { case (b, i) =>
-        streaming.StreamingSnapshot.applyBatch(b, state, Seq("user_id"),
-          "_deleted", i.toLong)
+      streaming.Redrive(s, state, 3L) { i =>
+        streaming.StreamingSnapshot.applyBatch(batches(i.toInt), state,
+          Seq("user_id"), "_deleted", i)
       }
       streaming.StreamingSnapshot.vacuum(s, state)
       streaming.StreamingSnapshot.readSnapshot(s, state)
@@ -1163,6 +1207,29 @@ object Queries {
           docs.filter(col("doc_id") % 50 === 0))
         .orderBy(col("kind"), col("shard"))
     }),
+    // the ALWAYS-ON release composition: three micro-batches fold through
+    // StreamingRelease.applyBatch (gate → decontam verdict → exact-
+    // survivor displacement → StreamingDedup fold, per-batch cost ∝
+    // batch), then the snapshot runs the LITERAL releaseTail over the
+    // maintained clean set — shares q_release_pipeline's oracle
+    // VERBATIM: the maintained composition ≡ the batch recompute.
+    "q_release_stream" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      val benchmark = docs.filter(col("doc_id") % 50 === 0)
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/srelease_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_srel").toString
+      }
+      streaming.Redrive(s, state, 2L) { b =>
+        streaming.StreamingRelease.applyBatch(
+          corpus.filter(col("doc_id") % 3 === b), benchmark, state, b)
+      }
+      streaming.StreamingRelease.vacuum(s, state)
+      streaming.StreamingRelease.snapshot(s, state)
+        .orderBy(col("kind"), col("shard"))
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       llm.Dedup.minhashNearDups(tWide(s, dir, "documents"), threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),
@@ -1289,9 +1356,10 @@ object Queries {
     // IDENTICAL code the writer runs) — segmented band/shingle state
     // (bytes ∝ batch), sliver labels/pairs stitched by contracted-graph
     // propagation, compaction at maxSegments=3 re-capping the merged
-    // buckets, vacuum reclaiming superseded state. Every batch folds
-    // every run (pointer-skip = resume safety). The served labels share
-    // q_dedup_clusters' full-recompute oracle VERBATIM.
+    // buckets, vacuum reclaiming superseded state. Redrive resumes a
+    // died-mid-prefix fold and serves completed state without touching
+    // it. The served labels share q_dedup_clusters' full-recompute
+    // oracle VERBATIM.
     "q_dedup_stream" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
       val state = sources.Artifacts.root match {
@@ -1299,7 +1367,7 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_sdedup").toString
       }
-      (0L to 2L).foreach { b =>
+      streaming.Redrive(s, state, 2L) { b =>
         streaming.StreamingDedup.applyBatch(
           docs.filter(col("doc_id") % 3 === b), state, b, maxSegments = 3)
       }
@@ -1319,18 +1387,20 @@ object Queries {
           java.nio.file.Files.createTempDirectory("graft_sdedupe").toString
       }
       val dc: org.apache.spark.sql.Column = col("doc_id") % 10 === 6
-      (0L until 2L).foreach { b =>
-        streaming.StreamingDedup.applyBatch(
-          docs.filter(col("doc_id") % 3 === b)
-            .withColumn("_deleted", lit(false)),
-          state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+      streaming.Redrive(s, state, 2L) {
+        case b if b < 2 =>
+          streaming.StreamingDedup.applyBatch(
+            docs.filter(col("doc_id") % 3 === b)
+              .withColumn("_deleted", lit(false)),
+            state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+        case b =>
+          streaming.StreamingDedup.applyBatch(
+            docs.filter(col("doc_id") % 3 === 2 && !dc)
+              .withColumn("_deleted", lit(false))
+              .unionByName(docs.filter(col("doc_id") % 3 =!= 2 && dc)
+                .withColumn("_deleted", lit(true))),
+            state, b, deleteCol = Some("_deleted"), maxSegments = 3)
       }
-      streaming.StreamingDedup.applyBatch(
-        docs.filter(col("doc_id") % 3 === 2 && !dc)
-          .withColumn("_deleted", lit(false))
-          .unionByName(docs.filter(col("doc_id") % 3 =!= 2 && dc)
-            .withColumn("_deleted", lit(true))),
-        state, 2L, deleteCol = Some("_deleted"), maxSegments = 3)
       streaming.StreamingDedup.vacuum(s, state)
       streaming.StreamingDedup.readLabels(s, state).orderBy(col("doc_id"))
     }),
@@ -1351,17 +1421,20 @@ object Queries {
       }
       val dc: org.apache.spark.sql.Column =
         col("doc_id") % 3 === 0 && col("doc_id") % 10 === 6
-      def fold(b: Long, df: org.apache.spark.sql.DataFrame): Unit =
-        streaming.StreamingDedup.applyBatch(df, state, b,
+      def batchOf(b: Long): org.apache.spark.sql.DataFrame = b match {
+        case 0L => docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("_deleted", lit(false))
+        case 1L => docs.filter(col("doc_id") % 3 === 1)
+          .withColumn("_deleted", lit(false))
+          .unionByName(docs.filter(dc).withColumn("_deleted", lit(true)))
+        case 2L => docs.filter(dc).withColumn("_deleted", lit(false))
+        case _ => docs.filter(col("doc_id") % 3 === 2)
+          .withColumn("_deleted", lit(false))
+      }
+      streaming.Redrive(s, state, 3L) { b =>
+        streaming.StreamingDedup.applyBatch(batchOf(b), state, b,
           deleteCol = Some("_deleted"), maxSegments = 5)
-      fold(0L, docs.filter(col("doc_id") % 3 === 0)
-        .withColumn("_deleted", lit(false)))
-      fold(1L, docs.filter(col("doc_id") % 3 === 1)
-        .withColumn("_deleted", lit(false))
-        .unionByName(docs.filter(dc).withColumn("_deleted", lit(true))))
-      fold(2L, docs.filter(dc).withColumn("_deleted", lit(false)))
-      fold(3L, docs.filter(col("doc_id") % 3 === 2)
-        .withColumn("_deleted", lit(false)))
+      }
       streaming.StreamingDedup.vacuum(s, state)
       streaming.StreamingDedup.readLabels(s, state).orderBy(col("doc_id"))
     }),
@@ -1604,7 +1677,7 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_scent").toString
       }
-      (0L to 2L).foreach { b =>
+      streaming.Redrive(s, state, 2L) { b =>
         streaming.StreamingCentroids.applyBatch(
           emb.filter(col("vec_id") % 3 === b), state, b, maxSegments = 3)
       }
@@ -1626,18 +1699,20 @@ object Queries {
           java.nio.file.Files.createTempDirectory("graft_scente").toString
       }
       val dc: org.apache.spark.sql.Column = col("vec_id") % 10 === 4
-      (0L until 2L).foreach { b =>
-        streaming.StreamingCentroids.applyBatch(
-          emb.filter(col("vec_id") % 3 === b)
-            .withColumn("_deleted", lit(false)),
-          state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+      streaming.Redrive(s, state, 2L) {
+        case b if b < 2 =>
+          streaming.StreamingCentroids.applyBatch(
+            emb.filter(col("vec_id") % 3 === b)
+              .withColumn("_deleted", lit(false)),
+            state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+        case b =>
+          streaming.StreamingCentroids.applyBatch(
+            emb.filter(col("vec_id") % 3 === 2 && !dc)
+              .withColumn("_deleted", lit(false))
+              .unionByName(emb.filter(col("vec_id") % 3 =!= 2 && dc)
+                .withColumn("_deleted", lit(true))),
+            state, b, deleteCol = Some("_deleted"), maxSegments = 3)
       }
-      streaming.StreamingCentroids.applyBatch(
-        emb.filter(col("vec_id") % 3 === 2 && !dc)
-          .withColumn("_deleted", lit(false))
-          .unionByName(emb.filter(col("vec_id") % 3 =!= 2 && dc)
-            .withColumn("_deleted", lit(true))),
-        state, 2L, deleteCol = Some("_deleted"), maxSegments = 3)
       streaming.StreamingCentroids.vacuum(s, state)
       streaming.StreamingCentroids.readCentroids(s, state)
         .orderBy(col("cluster_id"), col("dim"))
@@ -1658,17 +1733,20 @@ object Queries {
       }
       val dc: org.apache.spark.sql.Column =
         col("vec_id") % 3 === 0 && col("vec_id") % 10 === 4
-      def fold(b: Long, df: org.apache.spark.sql.DataFrame): Unit =
-        streaming.StreamingCentroids.applyBatch(df, state, b,
+      def batchOf(b: Long): org.apache.spark.sql.DataFrame = b match {
+        case 0L => emb.filter(col("vec_id") % 3 === 0)
+          .withColumn("_deleted", lit(false))
+        case 1L => emb.filter(col("vec_id") % 3 === 1)
+          .withColumn("_deleted", lit(false))
+          .unionByName(emb.filter(dc).withColumn("_deleted", lit(true)))
+        case 2L => emb.filter(dc).withColumn("_deleted", lit(false))
+        case _ => emb.filter(col("vec_id") % 3 === 2)
+          .withColumn("_deleted", lit(false))
+      }
+      streaming.Redrive(s, state, 3L) { b =>
+        streaming.StreamingCentroids.applyBatch(batchOf(b), state, b,
           deleteCol = Some("_deleted"), maxSegments = 5)
-      fold(0L, emb.filter(col("vec_id") % 3 === 0)
-        .withColumn("_deleted", lit(false)))
-      fold(1L, emb.filter(col("vec_id") % 3 === 1)
-        .withColumn("_deleted", lit(false))
-        .unionByName(emb.filter(dc).withColumn("_deleted", lit(true))))
-      fold(2L, emb.filter(dc).withColumn("_deleted", lit(false)))
-      fold(3L, emb.filter(col("vec_id") % 3 === 2)
-        .withColumn("_deleted", lit(false)))
+      }
       streaming.StreamingCentroids.vacuum(s, state)
       streaming.StreamingCentroids.readCentroids(s, state)
         .orderBy(col("cluster_id"), col("dim"))
@@ -1908,7 +1986,7 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_sivf").toString
       }
-      (0L to 2L).foreach { b =>
+      streaming.Redrive(s, state, 2L) { b =>
         streaming.StreamingIvf.applyBatch(
           emb.filter(col("vec_id") % 3 === b), state, b, centers,
           maxSegments = 3)
@@ -1932,18 +2010,20 @@ object Queries {
           java.nio.file.Files.createTempDirectory("graft_sivfe").toString
       }
       val dc: org.apache.spark.sql.Column = col("vec_id") % 10 === 4
-      (0L until 2L).foreach { b =>
-        streaming.StreamingIvf.applyBatch(
-          emb.filter(col("vec_id") % 3 === b)
-            .withColumn("_deleted", lit(false)),
-          state, b, centers, deleteCol = Some("_deleted"), maxSegments = 5)
+      streaming.Redrive(s, state, 2L) {
+        case b if b < 2 =>
+          streaming.StreamingIvf.applyBatch(
+            emb.filter(col("vec_id") % 3 === b)
+              .withColumn("_deleted", lit(false)),
+            state, b, centers, deleteCol = Some("_deleted"), maxSegments = 5)
+        case b =>
+          streaming.StreamingIvf.applyBatch(
+            emb.filter(col("vec_id") % 3 === 2 && !dc)
+              .withColumn("_deleted", lit(false))
+              .unionByName(emb.filter(col("vec_id") % 3 =!= 2 && dc)
+                .withColumn("_deleted", lit(true))),
+            state, b, centers, deleteCol = Some("_deleted"), maxSegments = 5)
       }
-      streaming.StreamingIvf.applyBatch(
-        emb.filter(col("vec_id") % 3 === 2 && !dc)
-          .withColumn("_deleted", lit(false))
-          .unionByName(emb.filter(col("vec_id") % 3 =!= 2 && dc)
-            .withColumn("_deleted", lit(true))),
-        state, 2L, centers, deleteCol = Some("_deleted"), maxSegments = 5)
       streaming.StreamingIvf.vacuum(s, state)
       streaming.StreamingIvf.knn(s, state, col("vec_id") < 10, k = 5,
         nprobe = 4)
@@ -2106,10 +2186,11 @@ object Queries {
     // boundary distance 3e-3 grid units on this corpus).
     "q_lm_score" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
-      val v = docs.select(
-        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .distinct().count()
-      llm.TextAnalysis.bigramLmScore(docs, v)
+      // V rides the LM's own unigram count table (vocab-bounded, eagerly
+      // checkpointed; row count = V by identical token definition) — the
+      // separate distinct-count corpus pass is gone (r13 "What's wrong"
+      // #1), values bit-identical.
+      llm.TextAnalysis.bigramLmScoreSelfV(docs)
         .select(col("doc_id"), col("n_bigrams"),
           floor(col("lm_score") * 1e6).cast("long").as("lm_score_micro"))
         .orderBy(col("doc_id"))
@@ -2433,15 +2514,16 @@ object Queries {
           del: Option[String] = None): Unit =
         streaming.StreamingQuantile.applyBatch(b, state, id,
           "event_type", "event_id", "value", k = 256, deleteCol = del)
-      apply(ev.filter(col("event_id") % 3 === 0), 0L)
-      apply(ev.filter(col("event_id") % 3 === 1), 1L)
-      apply(
-        ev.filter(col("event_id") % 3 === 2 && col("event_id") % 10 =!= 3)
-          .withColumn("_del", lit(false))
-          .unionByName(
-            ev.filter(col("event_id") % 10 === 3 && col("event_id") % 3 =!= 2)
-              .withColumn("_del", lit(true))),
-        2L, del = Some("_del"))
+      streaming.Redrive(s, state, 2L) {
+        case b if b < 2 => apply(ev.filter(col("event_id") % 3 === b), b)
+        case b => apply(
+          ev.filter(col("event_id") % 3 === 2 && col("event_id") % 10 =!= 3)
+            .withColumn("_del", lit(false))
+            .unionByName(
+              ev.filter(col("event_id") % 10 === 3 && col("event_id") % 3 =!= 2)
+                .withColumn("_del", lit(true))),
+          b, del = Some("_del"))
+      }
       val st = streaming.StreamingQuantile.readState(s, state)
       quantileContract(llm.Sketch.quantileEstimate(st.rows, QuantilePanel),
         ev.filter(col("event_id") % 10 =!= 3)
@@ -2528,8 +2610,15 @@ object Queries {
     }),
     "q_tfidf" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
-      val n = docs.count()
-      llm.TextAnalysis.tfidf(docs, llm.TextAnalysis.vocabTopK(docs, k = 20), n)
+      // nDocs rides the vocab scan as an observed metric (the bm25
+      // discipline); the 20-row vocab's eager checkpoint is the action
+      // that fires it — the separate count() corpus pass is gone.
+      val obs = org.apache.spark.sql.Observation()
+      val vocab = llm.TextAnalysis.vocabTopK(
+          docs.observe(obs, count(lit(1)).as("n_docs")), k = 20)
+        .localCheckpoint(eager = true)
+      val n = obs.get("n_docs").asInstanceOf[Long]
+      llm.TextAnalysis.tfidf(docs, vocab, n)
         .orderBy(col("doc_id"), col("term"))
     }),
     // BM25 top-10 per panel query: panel-broadcast postings, idf floored
@@ -2553,9 +2642,13 @@ object Queries {
     // at BOTH SFs; postings row width bounded by maxDf by construction
     "q_inverted_index" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
-      val n = docs.count()
-      llm.Search.invertedIndex(docs, minDf = 2L,
-          maxDf = math.floor(0.06 * n).toLong)
+      // n rides the build scan (invertedIndexRawCounted: observe + eager
+      // checkpoint), rails apply at READ over the unrailed raw index —
+      // the StreamingIndex.readRailedIndex contract in batch form; the
+      // separate count() corpus pass is gone.
+      val (raw, n) = llm.Search.invertedIndexRawCounted(docs)
+      llm.Search.renderIndex(llm.Search.applyRails(raw, 2L,
+          math.floor(0.06 * n).toLong))
         .orderBy(col("gram"))
     }),
     // conjunctive AND/phrase lookup over the PREBUILT index, persisted
@@ -2569,16 +2662,21 @@ object Queries {
     // oracle is unchanged.
     "q_index_phrase" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
-      val n = docs.count()
       val nb = streaming.StreamingIndex.DefaultBuckets
-      val index = sources.Artifacts.table(s, "phrase_index",
-        partitionBy = Seq("b"))(
-        llm.Search.withBucket(llm.Search.invertedIndexRaw(docs, minDf = 2L,
-          maxDf = math.floor(0.06 * n).toLong), nb))
+      // the artifact persists UNRAILED with its 1-row _n sidecar (built
+      // in the SAME scan via countedArtifact); rails apply at read after
+      // the gram pruning (they commute — df is global on every row).
+      // Steady-state probes read only the matched buckets + the sidecar:
+      // zero corpus access, and the per-run count() corpus pass is gone.
+      val (index, n) = countedArtifact(s, "phrase_index", Seq("b"), docs)(
+        d => llm.Search.withBucket(llm.Search.invertedIndexRaw(d), nb))
       val grams = llm.Search.PhrasePanel
         .flatMap(p => llm.Search.phraseGrams(p._2)).distinct
       llm.Search.phraseQuery(
-          llm.Search.pruneToGrams(index, grams, nb), llm.Search.PhrasePanel)
+          llm.Search.applyRails(
+            llm.Search.pruneToGrams(index, grams, nb),
+            2L, math.floor(0.06 * n).toLong),
+          llm.Search.PhrasePanel)
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
     // EXACT phrase retrieval over the POSITIONAL index artifact
@@ -2632,7 +2730,7 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_sposx").toString
       }
-      (0L to 2L).foreach { b =>
+      streaming.Redrive(s, state, 2L) { b =>
         streaming.StreamingIndex.applyBatch(
           docs.filter(col("doc_id") % 3 === b), state, b, maxSegments = 3,
           gramCol = "term",
@@ -2662,7 +2760,7 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_sidxp").toString
       }
-      (0L to 2L).foreach { b =>
+      streaming.Redrive(s, state, 2L) { b =>
         streaming.StreamingIndex.applyBatch(
           docs.filter(col("doc_id") % 3 === b), state, b, maxSegments = 3)
       }
@@ -2681,13 +2779,19 @@ object Queries {
     // rebuild over the union corpus.
     "q_index_incr" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
-      val n = docs.count()
-      val old = sources.Artifacts.table(s, "index_incr_old")(
-        llm.Search.invertedIndexRaw(docs.filter(col("doc_id") < 250)))
-      // checkpointed too: consumed three times (two broadcast gram gates +
-      // the merge union) — without it the batch subtree re-derives per use
-      val batch = llm.Search.invertedIndexRaw(docs.filter(col("doc_id") >= 250))
-        .localCheckpoint(eager = false)
+      // n = persisted old count (the _n sidecar, built in the old index's
+      // own scan) + the batch count observed on the batch build scan
+      // (whose eager checkpoint also serves its three consumers: two
+      // broadcast gram gates + the merge union) — the full-corpus
+      // count() pass is gone.
+      val (old, nOld) = countedArtifact(s, "index_incr_old", Nil,
+        docs.filter(col("doc_id") < 250))(llm.Search.invertedIndexRaw(_))
+      val obs = org.apache.spark.sql.Observation()
+      val batch = llm.Search.invertedIndexRaw(
+          docs.filter(col("doc_id") >= 250)
+            .observe(obs, count(lit(1)).as("n_docs")))
+        .localCheckpoint(eager = true)
+      val n = nOld + obs.get("n_docs").asInstanceOf[Long]
       val merged = llm.Search.indexMerge(old, batch)
       llm.Search.renderIndex(
           llm.Search.applyRails(merged, 2L, math.floor(0.06 * n).toLong))
@@ -2700,12 +2804,18 @@ object Queries {
     // rebuild over corpus ∖ deleted.
     "q_index_delete" -> ((s, dir) => {
       val docs = tWide(s, dir, "documents")
-      val old = sources.Artifacts.table(s, "index_del_old")(
-        llm.Search.invertedIndexRaw(docs))
-      val doomed = docs.filter(col("doc_id") % 10 === 6)
-      val deletedIdx = llm.Search.invertedIndexRaw(doomed)
-        .localCheckpoint(eager = false) // two broadcast consumers
-      val n = docs.filter(col("doc_id") % 10 =!= 6).count()
+      // surviving n = persisted full count (the old index's _n sidecar)
+      // − the doomed count observed on the deletion index's own build
+      // scan (its eager checkpoint serves the two broadcast consumers) —
+      // the separate survivors count() pass is gone.
+      val (old, nAll) = countedArtifact(s, "index_del_old", Nil, docs)(
+        llm.Search.invertedIndexRaw(_))
+      val obs = org.apache.spark.sql.Observation()
+      val deletedIdx = llm.Search.invertedIndexRaw(
+          docs.filter(col("doc_id") % 10 === 6)
+            .observe(obs, count(lit(1)).as("n_docs")))
+        .localCheckpoint(eager = true)
+      val n = nAll - obs.get("n_docs").asInstanceOf[Long]
       llm.Search.renderIndex(
           llm.Search.applyRails(llm.Search.indexDelete(old, deletedIdx),
             2L, math.floor(0.06 * n).toLong))
@@ -2732,10 +2842,11 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_sidx").toString
       }
-      // Fold EVERY batch every run: the pointer skips applied ones, so a
-      // run that died mid-prefix resumes exactly where it stopped instead
-      // of silently serving a partial index (no isEmpty prefix gate).
-      (0L to 2L).foreach { b =>
+      // Redrive: a run that died mid-prefix resumes exactly where it
+      // stopped (never silently serving a partial index), and a completed
+      // fold serves without re-driving — a pass ≥ 2 measures the railed
+      // serving read, not a re-drive (and never a replayCheck throw).
+      streaming.Redrive(s, state, 2L) { b =>
         streaming.StreamingIndex.applyBatch(
           docs.filter(col("doc_id") % 3 === b), state, b, maxSegments = 3)
       }
@@ -2758,29 +2869,32 @@ object Queries {
           java.nio.file.Files.createTempDirectory("graft_sidxe").toString
       }
       val dc: org.apache.spark.sql.Column = col("doc_id") % 10 === 6
-      // all batches folded idempotently (pointer-skip = resume safety);
+      // Redrive folds the un-applied suffix (resume safety);
       // the tail batch carries the last third's clean docs WITH erasure
       // tombstones for every already-ingested doc_id ≡ 6 (mod 10), and
       // triggers compaction (maxSegments=3) — the tombstones fold into
       // the bucket-partitioned base, then vacuum reclaims the segments
-      (0L until 2L).foreach { b =>
-        streaming.StreamingIndex.applyBatch(
-          docs.filter(col("doc_id") % 3 === b)
-            .withColumn("_deleted", lit(false)),
-          state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+      streaming.Redrive(s, state, 2L) {
+        case b if b < 2 =>
+          streaming.StreamingIndex.applyBatch(
+            docs.filter(col("doc_id") % 3 === b)
+              .withColumn("_deleted", lit(false)),
+            state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+        case b =>
+          streaming.StreamingIndex.applyBatch(
+            docs.filter(col("doc_id") % 3 === 2 && !dc)
+              .withColumn("_deleted", lit(false))
+              .unionByName(docs.filter(col("doc_id") % 3 =!= 2 && dc)
+                .withColumn("_deleted", lit(true))),
+            state, b, deleteCol = Some("_deleted"), maxSegments = 3)
       }
-      streaming.StreamingIndex.applyBatch(
-        docs.filter(col("doc_id") % 3 === 2 && !dc)
-          .withColumn("_deleted", lit(false))
-          .unionByName(docs.filter(col("doc_id") % 3 =!= 2 && dc)
-            .withColumn("_deleted", lit(true))),
-        state, 2L, deleteCol = Some("_deleted"), maxSegments = 3)
       streaming.StreamingIndex.vacuum(s, state)
-      val n = docs.filter(!dc).count()
+      // rails over the LIVE stats sidecar (n_docs already nets out the
+      // tombstoned docs — statsDelete in the fold), exactly
+      // q_index_stream's serving read: the survivors count() corpus pass
+      // is gone and the steady-state serve touches only the state.
       llm.Search.renderIndex(
-          llm.Search.applyRails(
-            streaming.StreamingIndex.readIndex(s, state),
-            2L, math.floor(0.06 * n).toLong))
+          streaming.StreamingIndex.readRailedIndex(s, state))
         .orderBy(col("gram"))
     }),
     // STREAMING ingest under MINOR compaction: maxSegments=2 with a
@@ -2796,7 +2910,7 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_sidxm").toString
       }
-      (0L to 4L).foreach { b =>
+      streaming.Redrive(s, state, 4L) { b =>
         streaming.StreamingIndex.applyBatch(
           docs.filter(col("doc_id") % 5 === b), state, b,
           maxSegments = 2, majorRatio = 1e9)
@@ -2823,17 +2937,20 @@ object Queries {
       }
       val dc: org.apache.spark.sql.Column =
         col("doc_id") % 3 === 0 && col("doc_id") % 10 === 6
-      def fold(b: Long, df: org.apache.spark.sql.DataFrame): Unit =
-        streaming.StreamingIndex.applyBatch(df, state, b,
+      def batchOf(b: Long): org.apache.spark.sql.DataFrame = b match {
+        case 0L => docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("_deleted", lit(false))
+        case 1L => docs.filter(col("doc_id") % 3 === 1)
+          .withColumn("_deleted", lit(false))
+          .unionByName(docs.filter(dc).withColumn("_deleted", lit(true)))
+        case 2L => docs.filter(dc).withColumn("_deleted", lit(false))
+        case _ => docs.filter(col("doc_id") % 3 === 2)
+          .withColumn("_deleted", lit(false))
+      }
+      streaming.Redrive(s, state, 3L) { b =>
+        streaming.StreamingIndex.applyBatch(batchOf(b), state, b,
           deleteCol = Some("_deleted"), maxSegments = 5)
-      fold(0L, docs.filter(col("doc_id") % 3 === 0)
-        .withColumn("_deleted", lit(false)))
-      fold(1L, docs.filter(col("doc_id") % 3 === 1)
-        .withColumn("_deleted", lit(false))
-        .unionByName(docs.filter(dc).withColumn("_deleted", lit(true))))
-      fold(2L, docs.filter(dc).withColumn("_deleted", lit(false)))
-      fold(3L, docs.filter(col("doc_id") % 3 === 2)
-        .withColumn("_deleted", lit(false)))
+      }
       streaming.StreamingIndex.vacuum(s, state)
       llm.Search.renderIndex(
           streaming.StreamingIndex.readRailedIndex(s, state))
@@ -2908,7 +3025,7 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_sbm25sn").toString
       }
-      (0L to 2L).foreach { b =>
+      streaming.Redrive(s, bmState, 2L) { b =>
         streaming.StreamingSearchIndex.applyBatch(
           docs.filter(col("doc_id") % 3 === b), bmState, b, maxSegments = 3)
       }
@@ -2918,7 +3035,7 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_sposxsn").toString
       }
-      (0L to 2L).foreach { b =>
+      streaming.Redrive(s, posState, 2L) { b =>
         streaming.StreamingIndex.applyBatch(
           docs.filter(col("doc_id") % 3 === b), posState, b, maxSegments = 3,
           gramCol = "term",
@@ -2965,7 +3082,7 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_sbm25q").toString
       }
-      (0L to 2L).foreach { b =>
+      streaming.Redrive(s, state, 2L) { b =>
         streaming.StreamingSearchIndex.applyBatch(
           docs.filter(col("doc_id") % 3 === b), state, b, maxSegments = 3)
       }
@@ -2987,7 +3104,7 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_sbm25").toString
       }
-      (0L to 2L).foreach { b =>
+      streaming.Redrive(s, state, 2L) { b =>
         streaming.StreamingSearchIndex.applyBatch(
           docs.filter(col("doc_id") % 3 === b), state, b, maxSegments = 3)
       }
@@ -3008,18 +3125,20 @@ object Queries {
           java.nio.file.Files.createTempDirectory("graft_sbm25e").toString
       }
       val dc: org.apache.spark.sql.Column = col("doc_id") % 10 === 6
-      (0L until 2L).foreach { b =>
-        streaming.StreamingSearchIndex.applyBatch(
-          docs.filter(col("doc_id") % 3 === b)
-            .withColumn("_deleted", lit(false)),
-          state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+      streaming.Redrive(s, state, 2L) {
+        case b if b < 2 =>
+          streaming.StreamingSearchIndex.applyBatch(
+            docs.filter(col("doc_id") % 3 === b)
+              .withColumn("_deleted", lit(false)),
+            state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+        case b =>
+          streaming.StreamingSearchIndex.applyBatch(
+            docs.filter(col("doc_id") % 3 === 2 && !dc)
+              .withColumn("_deleted", lit(false))
+              .unionByName(docs.filter(col("doc_id") % 3 =!= 2 && dc)
+                .withColumn("_deleted", lit(true))),
+            state, b, deleteCol = Some("_deleted"), maxSegments = 3)
       }
-      streaming.StreamingSearchIndex.applyBatch(
-        docs.filter(col("doc_id") % 3 === 2 && !dc)
-          .withColumn("_deleted", lit(false))
-          .unionByName(docs.filter(col("doc_id") % 3 =!= 2 && dc)
-            .withColumn("_deleted", lit(true))),
-        state, 2L, deleteCol = Some("_deleted"), maxSegments = 3)
       streaming.StreamingSearchIndex.vacuum(s, state)
       streaming.StreamingSearchIndex.bm25(s, state, llm.Search.DefaultPanel)
         .orderBy(col("query_id"), col("rank"))
@@ -3317,7 +3436,7 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_smedia").toString
       }
-      (0L to 2L).foreach { b =>
+      streaming.Redrive(s, state, 2L) { b =>
         streaming.StreamingMedia.applyBatch(
           media.filter(col("media_id") % 3 === b), state, b, maxSegments = 3)
       }
@@ -3344,15 +3463,17 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_smediae").toString
       }
-      (0L until 2L).foreach { b =>
-        streaming.StreamingMedia.applyBatch(
-          media.filter(col("media_id") % 2 === b)
-            .withColumn("_deleted", lit(false)),
-          state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+      streaming.Redrive(s, state, 2L) {
+        case b if b < 2 =>
+          streaming.StreamingMedia.applyBatch(
+            media.filter(col("media_id") % 2 === b)
+              .withColumn("_deleted", lit(false)),
+            state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+        case b =>
+          streaming.StreamingMedia.applyBatch(
+            media.filter(doomed).withColumn("_deleted", lit(true)),
+            state, b, deleteCol = Some("_deleted"), maxSegments = 3)
       }
-      streaming.StreamingMedia.applyBatch(
-        media.filter(doomed).withColumn("_deleted", lit(true)),
-        state, 2L, deleteCol = Some("_deleted"), maxSegments = 3)
       streaming.StreamingMedia.vacuum(s, state)
       streaming.StreamingMedia.nearDups(s, state)
         .orderBy(col("id_a"), col("id_b"))
@@ -3410,7 +3531,7 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_schunk").toString
       }
-      (0L to 2L).foreach { b =>
+      streaming.Redrive(s, state, 2L) { b =>
         streaming.StreamingChunks.applyBatch(
           media.filter(col("media_id") % 3 === b), state, b, maxSegments = 3)
       }
@@ -3432,15 +3553,17 @@ object Queries {
         case None =>
           java.nio.file.Files.createTempDirectory("graft_schunke").toString
       }
-      (0L until 2L).foreach { b =>
-        streaming.StreamingChunks.applyBatch(
-          media.filter(col("media_id") % 2 === b)
-            .withColumn("_deleted", lit(false)),
-          state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+      streaming.Redrive(s, state, 2L) {
+        case b if b < 2 =>
+          streaming.StreamingChunks.applyBatch(
+            media.filter(col("media_id") % 2 === b)
+              .withColumn("_deleted", lit(false)),
+            state, b, deleteCol = Some("_deleted"), maxSegments = 3)
+        case b =>
+          streaming.StreamingChunks.applyBatch(
+            media.filter(doomed).withColumn("_deleted", lit(true)),
+            state, b, deleteCol = Some("_deleted"), maxSegments = 3)
       }
-      streaming.StreamingChunks.applyBatch(
-        media.filter(doomed).withColumn("_deleted", lit(true)),
-        state, 2L, deleteCol = Some("_deleted"), maxSegments = 3)
       streaming.StreamingChunks.vacuum(s, state)
       streaming.StreamingChunks.clipPairs(s, state)
         .orderBy(col("id_a"), col("id_b"))

@@ -134,7 +134,21 @@ object Curation {
       idCol, textCol)
     val curated = docs.join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
     val clean = Decontam.decontaminate(curated, benchmark, gramN,
-        contamThreshold, idCol, textCol)
+      contamThreshold, idCol, textCol)
+    releaseTail(clean, budget, vocabK, idCol, textCol)
+  }
+
+  /** The release's GLOBAL tail over an already-clean corpus — vocab
+    * trained on the release itself, tokenize, budgeted packing, and the
+    * manifest+card rollup. Factored out so the always-on streamed
+    * composition ([[graft.streaming.StreamingRelease]]) serves its
+    * snapshot through the LITERAL same code the batch row runs: snapshot
+    * ≡ batch output is then exactly "maintained clean set ≡ batch clean
+    * set". `clean` must carry (idCol, textCol, lang, source). */
+  def releaseTail(cleanDocs: DataFrame, budget: Long = 4096L,
+      vocabK: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val clean = cleanDocs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = TextAnalysis.vocabWithIds(
       TextAnalysis.vocabTopK(clean, vocabK, idCol, textCol))

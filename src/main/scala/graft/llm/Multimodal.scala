@@ -409,13 +409,30 @@ object Multimodal {
         val b = r.media
         val n = b.length
         val bounds = scala.collection.mutable.ArrayBuffer(0)
-        var i = window // cut AFTER the window ending at byte i (1-based)
-        while (i <= n) {
+        if (n >= window) {
+          // true rolling update, O(1) per byte: drop the outgoing byte's
+          // P^(window-1) term, shift, add the incoming byte — identical
+          // window hashes (and so identical cut points) to the
+          // recompute-per-position form, pinned by MultimodalSpec's
+          // rolling≡recompute parity on random bytes. Intermediates fit
+          // comfortably in a Long: (acc - drop + M) ≤ 2M ≈ 2^21, ×31 < 2^26.
+          val pw = { // P^(window-1) mod M
+            var p = 1L; var k = 1
+            while (k < window) { p = p * P % M; k += 1 }
+            p
+          }
           var acc = 0L
-          var j = i - window
-          while (j < i) { acc = (acc * P + (b(j) & 0xffL)) % M; j += 1 }
-          if (acc % divisor == 0 && bounds.last != i) bounds += i
-          i += 1
+          var j = 0
+          while (j < window) { acc = (acc * P + (b(j) & 0xffL)) % M; j += 1 }
+          var i = window // cut AFTER the window ending at byte i (1-based)
+          while (i <= n) {
+            if (acc % divisor == 0 && bounds.last != i) bounds += i
+            if (i < n) {
+              val drop = (b(i - window) & 0xffL) * pw % M
+              acc = ((acc - drop + M) * P + (b(i) & 0xffL)) % M
+            }
+            i += 1
+          }
         }
         if (bounds.last != n) bounds += n
         bounds.iterator.zip(bounds.iterator.drop(1)).map { case (p, q) =>

@@ -140,6 +140,25 @@ object Search {
       textCol: String = "text"): DataFrame =
     renderIndex(invertedIndexRaw(docs, minDf, maxDf, idCol, textCol), idCol)
 
+  /** [[invertedIndexRaw]] (UNRAILED) with the corpus size riding the SAME
+    * scan that tokenizes — the [[bm25]] observe() discipline — and the
+    * raw index eagerly checkpointed (the materializing action that fires
+    * the metric). Returns (raw index, n docs) for callers whose df rails
+    * need n ([[applyRails]] at read, the
+    * [[graft.streaming.StreamingIndex.readRailedIndex]] contract): one
+    * corpus read where build-then-`count()` paid two — at 100 TB the
+    * doubled read dominates an index build (SearchScanSpec pins the byte
+    * budget). */
+  def invertedIndexRawCounted(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val raw = invertedIndexRaw(
+        docs.observe(obs, count(lit(1)).as("n_docs")),
+        1L, Long.MaxValue, idCol, textCol)
+      .localCheckpoint(eager = true)
+    (raw, obs.get("n_docs").asInstanceOf[Long])
+  }
+
   /** Struct postings → the scalar-cell "doc:tf,doc:tf" rendering (the
     * catalog-output contract form; production persists the raw form). */
   def renderIndex(raw: DataFrame, idCol: String = "doc_id"): DataFrame =

@@ -248,16 +248,37 @@ object TextAnalysis {
     * under any partitioning — same fold-order pinning as the kNN dot
     * products. */
   def bigramLmScore(docs: DataFrame, nVocab: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lmScoreCore(docs, unigramCounts(docs, textCol), nVocab, idCol, textCol)
+
+  /** [[bigramLmScore]] with V derived from its OWN unigram count table
+    * instead of a caller-side distinct-count corpus pass: the c(w₁) table
+    * is vocab-bounded, so it eagerly checkpoints and its row count IS V
+    * (identical token definition — same split, no empties filter). One
+    * fewer full corpus read per scoring run, scores bit-identical to
+    * `bigramLmScore(docs, V)` — the [[Search.bm25]] single-scan
+    * discipline applied to the LM trainer. */
+  def bigramLmScoreSelfV(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val c1 = unigramCounts(docs, textCol).localCheckpoint(eager = true)
+    lmScoreCore(docs, c1, c1.count(), idCol, textCol)
+  }
+
+  /** The corpus unigram table c(w₁) — the LM denominator AND (row count)
+    * the vocabulary size. */
+  private def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+
+  private def lmScoreCore(docs: DataFrame, c1: DataFrame, nVocab: Long,
+      idCol: String, textCol: String): DataFrame = {
     val words = split(lower(trim(col(textCol))), "\\s+")
     val g2 = Repetition.ngrams(col(textCol), 2)
     val docBigrams = docs
       .filter(size(words) >= 2)
       .select(col(idCol).as("doc_id"), explode(g2).as("gram"))
     val c2 = docBigrams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
-    val c1 = docs
-      .select(explode(words).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val scoredGrams = docBigrams
       .join(c2, Seq("gram"))
       .withColumn("w1", substring_index(col("gram"), " ", 1))

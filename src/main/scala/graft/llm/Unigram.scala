@@ -116,22 +116,35 @@ object Unigram {
             element_at(path, k) - element_at(path, k + 1)))),
       x => x.isNotNull))
 
-  /** Viterbi-segment `w` under the vocab map into a `tokens` column, via
-    * four SEPARATE projections (best / pred / path / pieces). The staging
-    * is the point: pred references best 2·MaxLen times and the chase
-    * references pred per step — one inlined expression would re-evaluate
-    * the full forward DP at every use (CollapseProject keeps expensive
-    * multiply-referenced columns in their own stage, so each computes
-    * once per row). The same four stages run as CTEs in the DuckDB
-    * mirror. Words must be non-empty ([[Bpe.wordFreq]] guarantees it):
-    * `sequence(1, 0)` would DESCEND and fabricate positions. */
-  private[llm] def withViterbi(df: DataFrame, w: Column, lpMap: Column,
+  /** REFERENCE Viterbi segmentation as a staged higher-order-expression
+    * chain — four SEPARATE projections (best / pred / path / pieces; pred
+    * references best 2·MaxLen times and the chase references pred per
+    * step, so CollapseProject must keep each expensive column in its own
+    * stage or it re-evaluates per use). The same four stages run as CTEs
+    * in the DuckDB mirror, which is why this form is kept: it IS the
+    * oracle shape, and UnigramSpec pins the codegen'd kernel bit-equal to
+    * it. The hot paths ([[train]]'s E-step, [[encode]]) run
+    * [[withViterbi]] instead — HOFs never enter whole-stage codegen, a
+    * ~10× interpreted-evaluation tax on the step that touches every byte
+    * of a release corpus. Words must be non-empty ([[Bpe.wordFreq]]
+    * guarantees it): `sequence(1, 0)` would DESCEND and fabricate
+    * positions. */
+  private[llm] def withViterbiHof(df: DataFrame, w: Column, lpMap: Column,
       out: String): DataFrame =
     df.withColumn("__uni_best", bestScores(w, lpMap))
       .withColumn("__uni_pred", predArray(w, col("__uni_best"), lpMap))
       .withColumn("__uni_path", pathChase(w, col("__uni_pred")))
       .withColumn(out, piecesFromPath(w, col("__uni_path")))
       .drop("__uni_best", "__uni_pred", "__uni_path")
+
+  /** Viterbi-segment `w` under the vocab into `out` — the codegen'd
+    * one-pass kernel ([[graft.expr.UnigramEncode]]; whole-stage-codegen
+    * friendly, exact Long arithmetic, bit-equal to [[withViterbiHof]] by
+    * UnigramSpec's parity pin). */
+  private[llm] def withViterbi(df: DataFrame, w: Column,
+      vocab: Seq[Piece], out: String): DataFrame =
+    df.withColumn(out, graft.expr.UnigramEncode(w,
+      vocab.map(p => p.piece -> p.lpNano).toMap, MaxLen, Neg))
 
   private def lpMapLiteral(vocab: Seq[Piece]): Column =
     map_from_arrays(
@@ -186,8 +199,9 @@ object Unigram {
     var vocab = normalized((chars ++ multis).toSeq)
     for (round <- 1 to emRounds) {
       // E: Viterbi counts under the current log-probs — one scan, vocab
-      // as a literal map, piece-keyed partial agg, |V|-bounded collect
-      val counts = withViterbi(wf, col("word"), lpMapLiteral(vocab), "toks")
+      // riding along as a codegen reference object, piece-keyed partial
+      // agg, |V|-bounded collect
+      val counts = withViterbi(wf, col("word"), vocab, "toks")
         .select(col("freq"), explode(col("toks")).as("piece"))
         .groupBy(col("piece"))
         .agg(sum(col("freq")).as("cnt"))
@@ -215,9 +229,16 @@ object Unigram {
   }
 
   /** Inference: Viterbi-segment each word under a trained vocab — a pure
-    * scan-side projection (literal map + higher-order DP expression): no
+    * scan-side projection (one codegen'd kernel call per row): no
     * shuffle, no driver work, encode a 100 TB word table flat-out. */
   def encode(words: DataFrame, vocab: Seq[Piece],
       wordCol: String = "word"): DataFrame =
-    withViterbi(words, col(wordCol), lpMapLiteral(vocab), "tokens")
+    withViterbi(words, col(wordCol), vocab, "tokens")
+
+  /** [[encode]] through the reference HOF chain — the oracle shape, kept
+    * (and exposed to the specs) so UnigramSpec can pin kernel ≡ HOF
+    * bit-equality, the [[graft.expr.RepetitionGrams]] discipline. */
+  private[graft] def encodeHof(words: DataFrame, vocab: Seq[Piece],
+      wordCol: String = "word"): DataFrame =
+    withViterbiHof(words, col(wordCol), lpMapLiteral(vocab), "tokens")
 }

@@ -40,6 +40,26 @@ object Prefix {
     * window). */
   final case class Ordered(frame: DataFrame, nRows: Long, total: Long)
 
+  // Every eager localCheckpoint this object creates, until the session
+  // releases it: the checkpointed blocks pin executor storage for the
+  // session (a localCheckpoint truncates lineage, so Spark can never
+  // evict-and-recompute them), and a long session — bench's 3 × catalog
+  // passes — would otherwise accumulate one pinned frame per call.
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every intra frame [[globalOrder]] has checkpointed since
+    * the last release. The CALLER owns the timing: a released frame has
+    * no lineage to recompute from, so call this only once every action on
+    * every frame derived from earlier [[Ordered]]s has completed —
+    * [[graft.Bench]] and [[graft.Verify]] drain between catalog rows. */
+  def releaseAll(): Unit = {
+    var df = live.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = live.poll()
+    }
+  }
+
   /** `order` must be a TOTAL order (add a tie-break column if the leading
     * key can repeat) so `__rn` is deterministic; `value` must cast to
     * long. */
@@ -58,6 +78,7 @@ object Prefix {
       .withColumn("__iv", sum(col("__v")).over(w))
       .withColumn("__ic", count(lit(1)).over(w))
       .localCheckpoint()
+    live.add(intra)
     // one row per partition — bounded driver state, the permitted collect
     val totals = intra.groupBy(col("__pid"))
       .agg(sum(col("__v")).as("tv"), count(lit(1)).as("tc"))

@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   * replay silently REBUILD the state from one batch. Readers racing an
   * advance see the old max or the new max, never a truncated value
   * (the version is in the NAME, not the content). */
-private[streaming] object StatePointer {
+private[graft] object StatePointer {
 
   def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -46,21 +46,25 @@ private[streaming] object StatePointer {
   }
 
   /** Replay guard shared by every streamed-state `applyBatch`: returns
-    * true when `batchId` is already applied (a crash-replay — foreachBatch
-    * only ever re-delivers the immediately-uncommitted id) and the caller
-    * must skip idempotently. An id MORE than one behind the pointer is
-    * not a replay: it means a FRESH checkpoint (batch ids reset to 0) was
-    * pointed at EXISTING state, and silently skipping would leave stale
-    * state that looks current forever — that mismatch throws. */
+    * true when `batchId` IS the committed version (a crash-replay —
+    * foreachBatch only ever re-delivers the immediately-uncommitted id,
+    * which after our commit equals the pointer) and the caller must skip
+    * idempotently. Any id STRICTLY behind the pointer is not a replay:
+    * it means a FRESH checkpoint (batch ids reset) was pointed at
+    * EXISTING state, and silently skipping would leave stale state that
+    * looks current forever — that mismatch throws. Deterministic
+    * full-re-drive callers (catalog rows, batch-parity tests) must go
+    * through [[Redrive]], which drives only the un-applied suffix and so
+    * never hands this guard a behind-the-pointer id. */
   def replayCheck(spark: SparkSession, dir: String, batchId: Long): Boolean =
     read(spark, dir) match {
-      case Some(v) if v > batchId + 1 =>
+      case Some(v) if v > batchId =>
         throw new IllegalStateException(
           s"applyBatch($batchId) against state at version $v in $dir: " +
             "batch ids restarted behind the committed pointer — fresh " +
-            "checkpoint over existing state? Clear the state dir or " +
-            "resume from the original checkpoint")
-      case Some(v) if v >= batchId =>
+            "checkpoint over existing state? Clear the state dir, resume " +
+            "from the original checkpoint, or drive through Redrive")
+      case Some(v) if v == batchId =>
         org.slf4j.LoggerFactory.getLogger(getClass).info(
           s"skipping already-applied batch $batchId (state at $v) in $dir")
         true

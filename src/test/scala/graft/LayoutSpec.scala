@@ -70,16 +70,25 @@ class LayoutSpec extends SparkTestBase {
 
   test("k=3 z-clustered layout: second- and third-dimension predicates both skip bytes a one-dimension sort must read") {
     val n = 40000
+    // 64 files: the z prefix pinned by file boundaries then carries ~2
+    // bits of EACH dimension, so the ideal skip for a [100,160] predicate
+    // (top-2 bits 0) is ~75% — far from the assertion bound, where 16
+    // files left ~1 bit per dim and the sampled range cuts could land a
+    // marginal 33% skip (the measured full-suite flake: RangePartitioner
+    // seeds vary with rdd ids, so boundaries drift run-to-run). The pad
+    // is md5 hex (incompressible) so data bytes dwarf the per-file
+    // footers both layouts pay equally.
     val df = spark.range(n.toLong).select(
       (col("id") * 2654435761L % 1024).as("a"),
       (col("id") * 40503L % 1024).as("b"),
       (col("id") * 69069L % 1024).as("c"),
-      concat(lit("x" * 64), col("id").cast("string")).as("pad"))
+      concat(md5(col("id").cast("string")),
+        md5((col("id") + 1).cast("string"))).as("pad"))
       .localCheckpoint(eager = true)
     val root = java.nio.file.Files.createTempDirectory("zorder3").toString
-    df.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+    df.repartitionByRange(64, col("a")).sortWithinPartitions(col("a"))
       .write.mode("overwrite").parquet(s"$root/bya")
-    Layout.zOrderWriteN(df, Seq("a", "b", "c"), s"$root/byz", nFiles = 16,
+    Layout.zOrderWriteN(df, Seq("a", "b", "c"), s"$root/byz", nFiles = 64,
       bits = 10)
     def readBytes(path: String, dim: String): Long = {
       val r = spark.read.parquet(path)
@@ -107,15 +116,17 @@ class LayoutSpec extends SparkTestBase {
     val df = spark.range(n.toLong).select(
       (col("id") * 2654435761L % 4096).as("a"),
       (col("id") * 40503L % 4096).as("b"),
-      concat(lit("x" * 64), col("id").cast("string")).as("pad"))
+      concat(md5(col("id").cast("string")),
+        md5((col("id") + 1).cast("string"))).as("pad"))
       .localCheckpoint(eager = true)
     val root = java.nio.file.Files.createTempDirectory("zorder").toString
     // layout 1: sorted/ranged on `a` alone — perfect for a-predicates,
-    // blind for b-predicates (b spreads uniformly through every file)
-    df.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+    // blind for b-predicates (b spreads uniformly through every file).
+    // 64 files + incompressible pad: see the k=3 test's de-flake note.
+    df.repartitionByRange(64, col("a")).sortWithinPartitions(col("a"))
       .write.mode("overwrite").parquet(s"$root/bya")
     // layout 2: z-ordered on (a, b)
-    Layout.zOrderWrite(df, "a", "b", s"$root/byz", nFiles = 16, bits = 12)
+    Layout.zOrderWrite(df, "a", "b", s"$root/byz", nFiles = 64, bits = 12)
     def readBytes(path: String): Long = {
       val r = spark.read.parquet(path).filter(col("b") >= 100 && col("b") <= 150)
         .agg(count(lit(1)).as("n"))

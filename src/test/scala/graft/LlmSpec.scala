@@ -348,6 +348,45 @@ class LlmSpec extends SparkTestBase {
     assert(got.head._3 >= 2L, s"expected >= 2 shared interior chunks: $got")
   }
 
+  test("chunkTable rolling hash ≡ recompute-per-position reference on random bytes") {
+    // the O(1)-per-byte rolling update must produce BIT-IDENTICAL cut
+    // points (hence identical chunk digests) to the O(window)-per-byte
+    // recompute form it replaced — this reference IS that replaced form
+    val P = 31L; val M = 1048573L; val window = 8; val divisor = 32
+    def refChunks(b: Array[Byte]): Set[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val n = b.length
+      val bounds = scala.collection.mutable.ArrayBuffer(0)
+      var i = window
+      while (i <= n) {
+        var acc = 0L
+        var j = i - window
+        while (j < i) { acc = (acc * P + (b(j) & 0xffL)) % M; j += 1 }
+        if (acc % divisor == 0 && bounds.last != i) bounds += i
+        i += 1
+      }
+      if (bounds.last != n) bounds += n
+      bounds.iterator.zip(bounds.iterator.drop(1)).map { case (p, q) =>
+        md.reset()
+        md.digest(java.util.Arrays.copyOfRange(b, p, q))
+          .map("%02x".format(_)).mkString
+      }.toSet
+    }
+    val rnd = new scala.util.Random(20260816L)
+    // lengths straddling the window edge (sub-window media degenerate to
+    // one whole-media chunk) plus a spread of longer random blobs
+    val blobs = (Seq(1, 3, 7, 8, 9) ++ (1 to 10).map(_ => 64 + rnd.nextInt(1500)))
+      .zipWithIndex.map { case (len, id) =>
+        val a = new Array[Byte](len); rnd.nextBytes(a); (id.toLong, a) }
+    val media = blobs
+      .map { case (id, a) => (id, a, "bin", a.length, 1) }
+      .toDF("media_id", "media", "format", "width", "height")
+    val got = Multimodal.chunkTable(media).as[(Long, String)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = blobs.map { case (id, a) => id -> refChunks(a) }.toMap
+    assert(got === want)
+  }
+
   test("media near-dup incremental: batch probes persisted features; stale corpus copy of a re-ingested id excluded") {
     val c = "shared content words here zz"
     def docsOf(rows: (Long, String)*) = rows

@@ -115,11 +115,20 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(!new java.io.File(s"$dir/labels/v=0").exists())
     assert(StreamingDedup.readLabels(spark, dir).orderBy($"doc_id")
       .collect().toSeq === rebuildLabels(survivors))
-    // replay after vacuum: skipped before any state dir is touched
+    // replay of the LATEST applied id after vacuum: skipped before any
+    // state dir is touched (the one id foreachBatch actually re-delivers)
     StreamingDedup.applyBatch(
-      changes(0).toDF("doc_id", "text", "_deleted"), dir, 0L,
+      changes(1).toDF("doc_id", "text", "_deleted"), dir, 1L,
       deleteCol = Some("_deleted"))
     assert(StreamingDedup.readLabels(spark, dir).orderBy($"doc_id")
       .collect().toSeq === rebuildLabels(survivors))
+    // an id strictly BEHIND the pointer is a fresh-checkpoint-over-
+    // existing-state mismatch, not a replay: throws (tightened
+    // replayCheck; deterministic re-drives go through Redrive)
+    intercept[IllegalStateException] {
+      StreamingDedup.applyBatch(
+        changes(0).toDF("doc_id", "text", "_deleted"), dir, 0L,
+        deleteCol = Some("_deleted"))
+    }
   }
 }

@@ -119,6 +119,44 @@ class UnigramSpec extends SparkTestBase {
     assert(enc === Seq("a", "b"))
   }
 
+  test("unigram: codegen'd kernel ≡ staged-HOF reference, bit-equal (ties, OOV, multi-byte)") {
+    // the RepetitionGrams discipline: the hot path moved to a codegen'd
+    // kernel (expr.UnigramEncode), the HOF chain stays as the oracle
+    // shape — this pin is what licenses the swap. The alphabet includes a
+    // 2-byte codepoint and a surrogate PAIR so the kernel's codepoint
+    // indexing (Spark substr semantics, not Java chars) is exercised;
+    // lp values sit on a coarse grid so lp(xy) == lp(x)+lp(y) ties are
+    // common and the shortest-last-piece tie-break actually fires.
+    val rnd = new scala.util.Random(14L)
+    val cps = Array("a", "b", "c", "é", "𝄞") // 𝄞 U+1D11E
+    val wordStrs = (1 to 60).map { _ =>
+      (1 to (1 + rnd.nextInt(10)))
+        .map(_ => cps(rnd.nextInt(cps.length))).mkString
+    } :+ "x𝄞x" // OOV char surrounded by a known astral one
+    val words = wordStrs.zipWithIndex
+      .map { case (w, i) => (w, i.toLong + 1L) }.toDF("word", "freq")
+    val unit = -100000000L
+    val singles = cps.map(c => Piece(c, 1, unit)).toSeq
+    val multis = (1 to 40).map { _ =>
+      val l = 2 + rnd.nextInt(3)
+      (1 to l).map(_ => cps(rnd.nextInt(cps.length))).mkString
+    }.distinct.map { p =>
+      // grid multiples: sometimes exactly |p|·unit (a tie with the
+      // all-singles path), sometimes cheaper (the multi wins)
+      val cpLen = p.codePointCount(0, p.length)
+      Piece(p, 1, unit * (cpLen - rnd.nextInt(2)))
+    }
+    val vocab = (singles ++ multis)
+      .groupBy(_.piece).map(_._2.head).toSeq.sortBy(_.piece)
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select($"word", $"tokens").as[(String, Seq[String])]
+      .collect().sortBy(_._1).toSeq
+    val got = run(Unigram.encode(words, vocab))
+    val want = run(Unigram.encodeHof(words, vocab))
+    assert(got === want)
+    got.foreach { case (w, toks) => assert(toks.mkString("") === w) }
+  }
+
   test("unigram: OOV character surfaces as a sentinel-scored single-char piece") {
     val vocab = Seq(Piece("a", 0, -100L), Piece("b", 0, -100L))
     val enc = Unigram.encode(Seq(("axb", 1L)).toDF("word", "freq"), vocab)
