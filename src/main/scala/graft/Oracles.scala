@@ -4116,6 +4116,16 @@ object Oracles {
       """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10""".stripMargin,
 
+    // NSW graph-ANN panel contracts (measured recall 1.0 at every SF,
+    // bound 0.7): the walk's neighbor list is graph-construction-
+    // specific; the contract is the cross-engine-stable fact
+    "q_knn_graph" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10""".stripMargin,
+    "q_knn_graph_prebuilt" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10""".stripMargin,
+
     // NDCG@10 + MRR@10 mirror: the q_knn_brute cosine chain at k=10,
     // nano-floored 1/log2(rank+1) terms, integer DCG/IDCG sums, one
     // ratio division; same-label binary qrels
@@ -5025,6 +5035,15 @@ object Oracles {
       |  array_to_string(toks, ' ') AS toks
       |FROM tk3 ORDER BY word""".stripMargin),
 
+    // subword-regularization sampling over the trained vocab — the FFBS
+    // mirror (see uniSampleCtes) with alpha=1, salt 'r14'
+    "q_unigram_sample" -> (uniCtes(40, 20) + """,
+      |mp3 AS (SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS mp FROM v2)""".stripMargin
+      + uniSampleCtes("mp3", "1.0", "r14") + """
+      |SELECT word, freq, CAST(len(toks) AS INT) AS n_tokens,
+      |  array_to_string(toks, ' ') AS toks
+      |FROM tks ORDER BY word""".stripMargin),
+
     "q_bpe_merges" -> bpeMergesSql(6),
 
     // inference over the trained merges: w6's carrier, symbols re-split
@@ -5841,6 +5860,67 @@ object Oracles {
       |c$out AS (
       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
       |    SELECT freq, unnest(toks) AS piece FROM tk$out) z GROUP BY piece)""".stripMargin
+
+  /** FFBS subword-regularization mirror (q_unigram_sample): forward
+    * nano-log marginals via grid-floored logsumexp (candidates in pinned
+    * l = 1..4 order), backward sampling with md5-deterministic draws
+    * `hex13(md5(salt:word:pos))/2^52` — replays
+    * [[graft.expr.UnigramSample]]'s lattice walk op-for-op, then reuses
+    * the Viterbi mirror's path-chase/pieces CTE shapes verbatim. */
+  private def uniSampleCtes(mpcte: String, alpha: String,
+      salt: String): String = {
+    val cand = s"""list_transform([1,2,3,4], l ->
+      |      CASE WHEN len(acc) >= l THEN acc[len(acc) - l + 1] +
+      |        CAST(floor(coalesce(map_extract(mp, substr(word, len(acc) - l + 1, l))[1],
+      |          CASE WHEN l = 1 THEN $uniNeg END)::DOUBLE * $alpha) AS BIGINT) END)""".stripMargin
+    val plist = s"""list_transform(list_transform([1,2,3,4], l2 ->
+      |      CASE WHEN k >= l2 THEN coalesce(
+      |        exp(((al[CAST(k AS INT) - l2 + 1] +
+      |          CAST(floor(map_extract(mp, substr(word, CAST(k AS INT) - l2 + 1, l2))[1]::DOUBLE * $alpha) AS BIGINT))
+      |          - al[CAST(k AS INT) + 1])::DOUBLE * 1e-9),
+      |        CASE WHEN l2 = 1 THEN exp(((al[CAST(k AS INT)] + CAST(floor($uniNeg::DOUBLE * $alpha) AS BIGINT)) - al[CAST(k AS INT) + 1])::DOUBLE * 1e-9) ELSE 0.0 END)
+      |      ELSE 0.0 END), x -> [x])""".stripMargin
+    val uexpr = s"(CAST(concat('0x', substr(md5('$salt:' || word || ':' || k), 1, 13)) AS BIGINT)::DOUBLE / 4503599627370496.0)"
+    val chosen = "list_aggregate(list_filter(list_transform([1,2,3,4], l -> " +
+      "CASE WHEN list_reduce(list_prepend([0.0], " + plist + "), " +
+      "(acc2, x2) -> list_append(acc2, acc2[len(acc2)] + x2[1]))[l + 1] > " +
+      uexpr + " THEN CAST(l AS BIGINT) END), v -> v IS NOT NULL), 'min')"
+    val fallback = """list_aggregate(list_filter(list_transform([1,2,3,4], l ->
+      |      CASE WHEN k >= l AND (l = 1 OR map_extract(mp, substr(word, CAST(k AS INT) - l + 1, l))[1] IS NOT NULL)
+      |      THEN CAST(l AS BIGINT) END), v -> v IS NOT NULL), 'max')""".stripMargin
+    s""",
+      |fls AS (
+      |  SELECT word, freq, mp, list_reduce(
+      |    list_prepend([CAST(0 AS BIGINT)],
+      |      list_transform(range(1, len(word) + 1), i -> [CAST(0 AS BIGINT)])),
+      |    (acc, x) -> list_append(acc, (
+      |      list_aggregate(list_filter($cand, v -> v IS NOT NULL), 'max')
+      |      + CAST(floor(ln(list_aggregate(list_transform(
+      |          list_filter($cand, v -> v IS NOT NULL),
+      |          c -> exp((c - list_aggregate(list_filter($cand, v -> v IS NOT NULL), 'max'))::DOUBLE * 1e-9)), 'sum')) * 1e9) AS BIGINT)
+      |    ))) AS al
+      |  FROM ww CROSS JOIN $mpcte),
+      |chs AS (
+      |  SELECT word, freq, list_transform(range(1, len(word) + 1), k ->
+      |    k - coalesce($chosen, $fallback)) AS pr
+      |  FROM fls),
+      |pas AS (
+      |  SELECT word, freq, list_reduce(
+      |    list_prepend([CAST(len(word) AS BIGINT)],
+      |      list_transform(range(1, len(word) + 1), i -> [CAST(0 AS BIGINT)])),
+      |    (acc, x) -> list_append(acc,
+      |      CASE WHEN acc[len(acc)] <= 0 THEN CAST(0 AS BIGINT)
+      |           ELSE pr[CAST(acc[len(acc)] AS INT)] END)) AS path
+      |  FROM chs),
+      |tks AS (
+      |  SELECT word, freq, list_reverse(list_filter(
+      |    list_transform(range(1, len(path)), k ->
+      |      CASE WHEN path[CAST(k AS INT)] > 0 THEN substr(word,
+      |        CAST(path[CAST(k AS INT) + 1] AS INT) + 1,
+      |        CAST(path[CAST(k AS INT)] - path[CAST(k AS INT) + 1] AS INT)) END),
+      |    x -> x IS NOT NULL)) AS toks
+      |  FROM pas)""".stripMargin
+  }
 
   private def uniCtes(seedMulti: Int, keepMulti: Int): String = {
     val sb = new StringBuilder

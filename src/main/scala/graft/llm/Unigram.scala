@@ -241,4 +241,20 @@ object Unigram {
   private[graft] def encodeHof(words: DataFrame, vocab: Seq[Piece],
       wordCol: String = "word"): DataFrame =
     withViterbiHof(words, col(wordCol), lpMapLiteral(vocab), "tokens")
+
+  /** Subword REGULARIZATION: sample a segmentation per word with
+    * P(x) ∝ (∏ p(piece))^α instead of taking the argmax — Kudo's
+    * (ACL 2018) training-time augmentation, the soft-EM complement the
+    * Viterbi [[encode]] approximates as α → ∞ (UnigramSpec pins that
+    * recovery on a tie-free vocab). Draws are md5-pure functions of
+    * (salt, word, position) — [[graft.expr.UnigramSample]] — so the
+    * "random" sample is deterministic, partitioning-independent, and
+    * oracle-mirrorable; vary `salt` per epoch to get fresh segmentations
+    * (the q_sample_rows key-purity convention). Same scale shape as
+    * [[encode]]: one codegen'd kernel call per row, no shuffle, no
+    * driver state. */
+  def sample(words: DataFrame, vocab: Seq[Piece], alpha: Double = 1.0,
+      salt: String = "s0", wordCol: String = "word"): DataFrame =
+    words.withColumn("tokens", graft.expr.UnigramSample(col(wordCol),
+      vocab.map(p => p.piece -> p.lpNano).toMap, MaxLen, Neg, alpha, salt))
 }

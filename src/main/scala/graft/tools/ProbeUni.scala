@@ -18,5 +18,20 @@ object ProbeUni {
       .select(col("word"), col("freq"), size(col("tokens")).as("n"),
         array_join(col("tokens"), " ").as("toks")).orderBy(col("word"))
     enc.collect().foreach(r => println(s"E|${r.getString(0)}|${r.getLong(1)}|${r.getInt(2)}|${r.getString(3)}"))
+    // kernel-vs-HOF encode timing over an inflated word table (the
+    // PLANS_r14 speedup evidence for the codegen'd Viterbi kernel):
+    // same words replicated so the per-row DP dominates scheduling
+    val big = words.crossJoin(s.range(200).select(col("id")))
+      .select(concat(col("word"), lit("x")).as("word"), col("freq"))
+      .localCheckpoint()
+    def time(tag: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      for (pass <- 1 to 3) {
+        val t = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"ENC $tag p$pass ${(System.nanoTime()-t)/1e9}%.2fs")
+      }
+    }
+    time("kernel")(graft.llm.Unigram.encode(big, v))
+    time("hof")(graft.llm.Unigram.encodeHof(big, v))
   }
 }

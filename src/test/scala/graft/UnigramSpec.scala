@@ -157,6 +157,63 @@ class UnigramSpec extends SparkTestBase {
     got.foreach { case (w, toks) => assert(toks.mkString("") === w) }
   }
 
+  test("unigram sample: alpha -> infinity recovers the Viterbi segmentation (tie-free vocab)") {
+    // gaps of >= 0.2 nano-log units between competing paths: at alpha=60
+    // the runner-up's probability mass is e^(-60*0.2) ~ 6e-6 — no
+    // 52-bit draw lands there, so every sampled path IS the argmax
+    val words = corpus.toSeq.toDF("word", "freq")
+    val vocab = Unigram.train(words, seedMulti = 12, keepMulti = 6)
+      // perturb lps by piece-dependent offsets so no two paths tie
+      .zipWithIndex.map { case (p, i) =>
+        Piece(p.piece, p.cnt, p.lpNano - (i + 1) * 1000000L) }
+    val viterbi = Unigram.encode(words, vocab)
+      .select($"word", $"tokens").as[(String, Seq[String])]
+      .collect().sortBy(_._1).toSeq
+    val sampled = Unigram.sample(words, vocab, alpha = 60.0, salt = "sA")
+      .select($"word", $"tokens").as[(String, Seq[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(sampled === viterbi)
+  }
+
+  test("unigram sample: concatenation identity, OOV traversal, and salt-driven variation at alpha=1") {
+    val words = corpus.keys.toSeq.sorted.map((_, 1L)).toDF("word", "freq")
+    val vocab = Unigram.train(corpus.toSeq.toDF("word", "freq"),
+      seedMulti = 12, keepMulti = 6)
+    def run(salt: String) = Unigram.sample(words, vocab, 1.0, salt)
+      .select($"word", $"tokens").as[(String, Seq[String])]
+      .collect().sortBy(_._1).toSeq
+    val a = run("s1")
+    a.foreach { case (w, toks) =>
+      assert(toks.mkString("") === w, s"tokens must tile the word: $w")
+      assert(toks.forall(_.nonEmpty))
+    }
+    // determinism: the draw is a pure function of (salt, word, position)
+    assert(run("s1") === a)
+    // regularization actually regularizes: with a deliberately TIED
+    // lattice (lp(ab) = lp(a) + lp(b), each path mass 50%) different
+    // salts must produce different segmentations — the trained vocab
+    // above is too peaked to show variation in a handful of draws
+    // (runner-up mass ~e^-9 per junction), which is itself the expected
+    // behavior, not a bug
+    val tied = Seq(Piece("a", 0, -100000000L), Piece("b", 0, -100000000L),
+      Piece("ab", 0, -200000000L))
+    val tiedWords = Seq(("ababab", 1L), ("abab", 1L)).toDF("word", "freq")
+    def runTied(salt: String) = Unigram.sample(tiedWords, tied, 1.0, salt)
+      .select($"word", $"tokens").as[(String, Seq[String])]
+      .collect().sortBy(_._1).toSeq
+    val t1 = runTied("s1")
+    t1.foreach { case (w, toks) => assert(toks.mkString("") === w) }
+    val variants = (2 to 9).map(i => runTied(s"s$i"))
+    assert(variants.exists(_ !== t1),
+      "8 salts produced identical segmentations of a 50/50 lattice — " +
+        "sampling inert?")
+    // OOV char still surfaces as its own single-char piece
+    val oov = Unigram.sample(Seq(("axb", 1L)).toDF("word", "freq"),
+        Seq(Piece("a", 0, -100L), Piece("b", 0, -100L)), 1.0, "s1")
+      .select($"tokens").as[Seq[String]].head()
+    assert(oov === Seq("a", "x", "b"))
+  }
+
   test("unigram: OOV character surfaces as a sentinel-scored single-char piece") {
     val vocab = Seq(Piece("a", 0, -100L), Piece("b", 0, -100L))
     val enc = Unigram.encode(Seq(("axb", 1L)).toDF("word", "freq"), vocab)
