@@ -1569,6 +1569,11 @@ object Oracles {
     // the always-on composition serves the snapshot through the literal
     // releaseTail over the maintained clean set — same oracle VERBATIM
     "q_release_stream" -> releasePipelineSql,
+    // the erasure form ≡ the batch pipeline over the survivors: erased
+    // ids (≡ 6 mod 10, ingested in batches 0-1 i.e. ≢ 2 mod 3) excluded
+    // from the corpus CTE, everything downstream identical
+    "q_release_stream_erasure" -> releasePipelineSqlWhere(
+      "doc_id % 50 <> 0 AND NOT (doc_id % 10 = 6 AND doc_id % 3 <> 2)"),
 
 
     "q_dedup_exact" ->
@@ -4125,6 +4130,22 @@ object Oracles {
     "q_knn_graph_prebuilt" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10""".stripMargin,
+    "q_knn_graph_incr" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10""".stripMargin,
+    // delete repair: queries and truth over the SURVIVORS (≢ 3 mod 7)
+    "q_knn_graph_delete" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 AND vec_id % 7 <> 3""".stripMargin,
+    "q_knn_graph_stream" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10""".stripMargin,
+    // streamed erasure: ids ≡ 6 mod 10 ingested in batches 0-1 (≢ 2
+    // mod 3) are erased — the live view the panel runs over excludes them
+    "q_knn_graph_stream_erasure" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10
+        |  AND NOT (vec_id % 10 = 6 AND vec_id % 3 <> 2)""".stripMargin,
 
     // NDCG@10 + MRR@10 mirror: the q_knn_brute cosine chain at k=10,
     // nano-floored 1/log2(rank+1) terms, integer DCG/IDCG sums, one
@@ -5994,8 +6015,13 @@ object Oracles {
     * q_release_stream (a `def`, not a `val`: see the object-init-order
     * trap note). */
   private def releasePipelineSql: String =
+    releasePipelineSqlWhere("doc_id % 50 <> 0")
+
+  /** [[releasePipelineSql]] with a parametrized corpus predicate — the
+    * erasure form's mirror is the batch pipeline over the SURVIVORS. */
+  private def releasePipelineSqlWhere(pred: String): String =
       s"""WITH RECURSIVE d0 AS (
-         |  SELECT * FROM documents WHERE doc_id % 50 <> 0),
+         |  SELECT * FROM documents WHERE $pred),
          |${curationNdCtes("d0")},
          |bench AS (
          |  SELECT DISTINCT unnest(list_distinct(${shingleWSql(5)})) AS h

@@ -1230,6 +1230,41 @@ object Queries {
       streaming.StreamingRelease.snapshot(s, state)
         .orderBy(col("kind"), col("shard"))
     }),
+    // … and under ERASURE: the tail batch carries full-row tombstones
+    // for already-ingested docs ≡ 6 (mod 10) — an erased SURVIVOR's hash
+    // falls back to its next-smallest live copy (the full-pairs exact
+    // state; the restored survivor's bands re-derive from the tombstone
+    // row's own text), the dedup state re-stitches, and the snapshot ≡
+    // the batch releasePipeline over the SURVIVORS (the parametrized
+    // oracle mirror).
+    "q_release_stream_erasure" -> ((s, dir) => {
+      val docs = tWide(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      val benchmark = docs.filter(col("doc_id") % 50 === 0)
+      val dc: org.apache.spark.sql.Column = col("doc_id") % 10 === 6
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/srelease_erasure_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_srele").toString
+      }
+      streaming.Redrive(s, state, 2L) {
+        case b if b < 2 =>
+          streaming.StreamingRelease.applyBatch(
+            corpus.filter(col("doc_id") % 3 === b)
+              .withColumn("_deleted", lit(false)),
+            benchmark, state, b, deleteCol = Some("_deleted"))
+        case b =>
+          streaming.StreamingRelease.applyBatch(
+            corpus.filter(col("doc_id") % 3 === 2)
+              .withColumn("_deleted", lit(false))
+              .unionByName(corpus.filter(col("doc_id") % 3 =!= 2 && dc)
+                .withColumn("_deleted", lit(true))),
+            benchmark, state, b, deleteCol = Some("_deleted"))
+      }
+      streaming.StreamingRelease.vacuum(s, state)
+      streaming.StreamingRelease.snapshot(s, state)
+        .orderBy(col("kind"), col("shard"))
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       llm.Dedup.minhashNearDups(tWide(s, dir, "documents"), threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),
@@ -2095,6 +2130,107 @@ object Queries {
         partitionBy = Seq("b"))(
         llm.GraphAnn.buildGraph(emb, m = 16, lshBits = 4, probes = 2))
       llm.GraphAnn.knnRecallPanel(emb, graph,
+        col("vec_id") < 10, k = 5, ef = 96, iters = 5, entries = 24,
+        recallBound = 0.7)
+    }),
+    // INCREMENTAL graph maintenance — NSW bulk insertion (insertion IS a
+    // search): the batch (ids ≡ 4 mod 5) beam-walks the persisted corpus
+    // graph for its top-m neighbors, gains forward edges + back-edges,
+    // and only the touched sources re-cap their degree (broadcast
+    // semi/anti gating — the corpus graph never re-bucketed, never
+    // re-joined). Contract: the panel walk over the UPDATED graph vs
+    // brute force over the UNION — true neighbors that live in the batch
+    // are findable only through the maintenance, so the TRUE oracle pins
+    // it (measured recall 1.0 at all SFs, bound 0.7).
+    "q_knn_graph_incr" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val base = sources.Artifacts.table(s, "gann_incr_base",
+        partitionBy = Seq("b"))(
+        llm.GraphAnn.buildGraph(emb.filter(col("vec_id") % 5 =!= 4),
+          m = 16, lshBits = 4, probes = 2))
+      val updated = llm.GraphAnn.insert(base,
+        emb.filter(col("vec_id") % 5 === 4), m = 16)
+      llm.GraphAnn.knnRecallPanel(emb, updated, col("vec_id") < 10, k = 5,
+        ef = 96, iters = 5, entries = 24, recallBound = 0.7)
+    }),
+    // DELETE/ERASURE graph maintenance — DiskANN-style consolidation:
+    // doomed ids (≡ 3 mod 7) leave physically (every edge row whose src
+    // OR dst is doomed drops — erasure IS the operation), and each live
+    // in-neighbor re-wires through BRIDGE candidates s → out(doomed)
+    // rescored exactly off vectors already carried on the doomed nodes'
+    // own out-edge rows, then re-caps to degree ≤ m. Contract: panel walk
+    // over the repaired graph vs brute force over the SURVIVORS (the
+    // repair is what keeps the survivors reachable — measured recall 1.0
+    // at all SFs, bound 0.7). Shares q_knn_graph_prebuilt's artifact:
+    // one build, two maintenance probes.
+    "q_knn_graph_delete" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val base = sources.Artifacts.table(s, "gann_graph",
+        partitionBy = Seq("b"))(
+        llm.GraphAnn.buildGraph(emb, m = 16, lshBits = 4, probes = 2))
+      val doomed = emb.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("id"))
+      val repaired = llm.GraphAnn.remove(base, doomed,
+        llm.GraphAnn.vecTable(emb), m = 16)
+      llm.GraphAnn.knnRecallPanel(emb.filter(col("vec_id") % 7 =!= 3),
+        repaired, col("vec_id") < 10, k = 5, ef = 96, iters = 5,
+        entries = 24, recallBound = 0.7)
+    }),
+    // ALWAYS-ON graph maintenance (StreamingGraphAnn): batch 0 bootstraps
+    // the build, later batches fold through insertDelta — supersede-by-src
+    // segments (a version's edge rows + a same-version tombstone of the
+    // changed srcs = last-writer-wins under the segmented rowView), vec
+    // sidecar so serving walks and repairs never touch the corpus,
+    // compaction at maxSegments=3 re-partitions the base by bucket (the
+    // prebuilt serving layout). Contract: the panel over the MAINTAINED
+    // state vs brute force over the live vec view.
+    "q_knn_graph_stream" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sgann_state"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sgann").toString
+      }
+      streaming.Redrive(s, state, 2L) { b =>
+        streaming.StreamingGraphAnn.applyBatch(
+          emb.filter(col("vec_id") % 3 === b), state, b,
+          m = 16, lshBits = 4, probes = 2, maxSegments = 3)
+      }
+      streaming.StreamingGraphAnn.knnRecallPanel(s, state,
+        col("vec_id") < 10, k = 5, ef = 96, iters = 5, entries = 24,
+        recallBound = 0.7)
+    }),
+    // … and under ERASURE: the tail batch carries tombstones for
+    // already-ingested ids ≡ 6 (mod 10) — their vectors leave the edge
+    // rows AND the vec sidecar (compaction scrubs, vacuum reclaims), the
+    // in-neighbors bridge-repair, and the panel runs over the live view
+    // (erased ids are in neither the walk nor the truth).
+    "q_knn_graph_stream_erasure" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val dc: org.apache.spark.sql.Column = col("vec_id") % 10 === 6
+      val state = sources.Artifacts.root match {
+        case Some(r) => s"$r/sgann_state_erasure"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_sganne").toString
+      }
+      streaming.Redrive(s, state, 2L) {
+        case b if b < 2 =>
+          streaming.StreamingGraphAnn.applyBatch(
+            emb.filter(col("vec_id") % 3 === b)
+              .withColumn("_deleted", lit(false)), state, b,
+            m = 16, lshBits = 4, probes = 2,
+            deleteCol = Some("_deleted"), maxSegments = 3)
+        case b =>
+          streaming.StreamingGraphAnn.applyBatch(
+            emb.filter(col("vec_id") % 3 === 2)
+              .withColumn("_deleted", lit(false))
+              .unionByName(emb.filter(col("vec_id") % 3 =!= 2 && dc)
+                .withColumn("_deleted", lit(true))), state, b,
+            m = 16, lshBits = 4, probes = 2,
+            deleteCol = Some("_deleted"), maxSegments = 3)
+      }
+      streaming.StreamingGraphAnn.vacuum(s, state)
+      streaming.StreamingGraphAnn.knnRecallPanel(s, state,
         col("vec_id") < 10, k = 5, ef = 96, iters = 5, entries = 24,
         recallBound = 0.7)
     }),

@@ -144,22 +144,207 @@ object GraphAnn {
       ef: Int = 32, iters: Int = 3, entries: Int = 8,
       nBuckets: Int = DefaultBuckets,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k >= 1 && ef >= k, s"need ef >= k >= 1: ef=$ef k=$k")
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qnorm"))
-      .localCheckpoint(eager = false) // re-joined every round
-    // digest-ranked entry points: deterministic, uniform, a bounded
-    // TakeOrdered — never a global sort
+    walk(queries, emb, graph, k, ef, iters, entries, nBuckets, idCol, vecCol)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The beam walk over (qid, qvec, qnorm) query rows — shared by
+    * [[search]] and [[insert]] (NSW insertion IS a search). Returns the
+    * per-query top-k WITH the neighbor vectors (insertion builds edges
+    * from them without touching the corpus). Entry points: digest-ranked
+    * corpus rows — deterministic, uniform, a bounded TakeOrdered, never
+    * a global sort. */
+  private def walk(queries0: DataFrame, emb: DataFrame, graph: DataFrame,
+      k: Int, ef: Int, iters: Int, entries: Int, nBuckets: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val entry = emb
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"))
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(entries)
+    walkFrom(queries0.localCheckpoint(eager = false), entry, graph, k, ef,
+      iters, nBuckets)
+  }
+
+  /** INCREMENTAL maintenance — NSW bulk insertion (insertion IS a
+    * search, Malkov's algorithm): each batch vector beam-walks the
+    * EXISTING graph for its top-m neighbors, then the graph gains the
+    * batch's forward edges plus BACK-edges into the batch, with the
+    * touched sources' out-degree re-capped at m (exactly the
+    * navigability step single-threaded HNSW does per insert). The corpus
+    * is never re-bucketed and never re-joined: only the batch walks, the
+    * back-edge re-cap touches ONLY sources the batch connected to
+    * (≤ |batch|·m rows, gathered by broadcast semi-join), and everything
+    * else passes through by anti-join — the q_dedup_incr discipline.
+    * Returns the updated graph (same schema as [[buildGraph]]). */
+  def insert(graph: DataFrame, batch: DataFrame, m: Int = 16,
+      ef: Int = 96, iters: Int = 5, entries: Int = 24,
+      nBuckets: Int = DefaultBuckets,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (delta, superseded) = insertDelta(graph, batch, m, ef, iters,
+      entries, nBuckets, idCol, vecCol)
+    graph.join(broadcast(superseded), Seq("src"), "left_anti")
+      .unionByName(delta)
+  }
+
+  /** [[insert]]'s change set, for SEGMENTED maintenance
+    * ([[graft.streaming.StreamingGraphAnn]]): `(delta, superseded)` where
+    * `delta` holds the post-insert edge rows of every src whose edge set
+    * changed (batch srcs' forward edges + the re-capped touched sources)
+    * and `superseded` is those src ids (batch ids included — a segment
+    * write at version v plus a same-version tombstone of `superseded` is
+    * last-writer-wins supersede under [[graft.streaming.SegmentedState]]'s
+    * version-ordered rowView). `insert ≡ graph antijoin superseded ∪
+    * delta` by construction. */
+  def insertDelta(graph: DataFrame, batch: DataFrame, m: Int = 16,
+      ef: Int = 96, iters: Int = 5, entries: Int = 24,
+      nBuckets: Int = DefaultBuckets,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val bq = batch.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"))
+      .localCheckpoint(eager = false) // the walk + both edge directions
+    // entry points come from the GRAPH side (the batch is not in it):
+    // digest-ranked existing sources, vectors off the edge rows
+    val entry = graph
+      .select(col("dst").as("id"), col("dst_vec").as("vec"),
+        col("dst_norm").as("nrm"))
+      .dropDuplicates("id")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(entries)
+    val found = walkFrom(bq, entry, graph, m, ef, iters, nBuckets)
+      .localCheckpoint(eager = false) // forward + back edges
+    // forward edges carry the found neighbors' vectors straight off the
+    // walk rows; back edges carry the batch's own
+    val fwd = found
+      .select(col("qid").as("src"), col("id").as("dst"),
+        col("score").as("score_cos"), col("vec").as("dst_vec"),
+        col("nrm").as("dst_norm"))
+    val back = found
+      .join(broadcast(bq), Seq("qid"))
+      .select(col("id").as("src"), col("qid").as("dst"),
+        col("score").as("score_cos"), col("qvec").as("dst_vec"),
+        col("qnorm").as("dst_norm"))
+    val touched = back.select(col("src")).distinct()
+      .localCheckpoint(eager = false) // semi consumer + superseded union
+    val recapped = topM(
+      graph.join(broadcast(touched), Seq("src"), "left_semi")
+        .drop("b")
+        .unionByName(back), m)
+    val delta = fwd.unionByName(recapped)
+      .withColumn("b", srcBucket(col("src"), nBuckets))
+    (delta, touched.unionByName(bq.select(col("qid").as("src"))).distinct())
+  }
+
+  /** DELETE/ERASURE maintenance — remove `doomed` ids from the graph with
+    * DiskANN-style navigability repair: every edge row whose src OR dst
+    * is doomed is physically dropped (erasure IS the operation — the
+    * doomed vectors leave the artifact with their rows), and each live
+    * in-neighbor `s` of a doomed node `d` is re-wired through the BRIDGE
+    * candidates `s → out(d)` (the Vamana/FreshDiskANN delete-consolidation
+    * step: 2-hop targets through the deleted node, rescored EXACTLY off
+    * vectors already carried on `d`'s own out-edge rows), then re-capped
+    * to out-degree ≤ m against its surviving edges.
+    *
+    * `srcVecs` supplies the touched in-neighbors' own vectors for the
+    * bridge rescoring — (`id`, `vec`, `nrm`) rows, e.g. [[vecTable]] over
+    * the corpus (batch form) or the maintained vec sidecar (streamed
+    * form); only the ≤ |doomed|·in-degree touched ids are read from it
+    * (broadcast semi-gating — never a corpus shuffle, and never a doomed
+    * row: touched srcs are live by construction).
+    *
+    * Scale shape: `doomed` and `touched` are broadcast slivers; the graph
+    * passes one anti join unshuffled; repair work ∝ |doomed|·m². */
+  def remove(graph: DataFrame, doomed: DataFrame, srcVecs: DataFrame,
+      m: Int = 16, nBuckets: Int = DefaultBuckets): DataFrame = {
+    val (delta, gone) = removeDelta(graph, doomed, srcVecs, m, nBuckets)
+    graph.join(broadcast(gone), Seq("src"), "left_anti")
+      .unionByName(delta)
+  }
+
+  /** [[remove]]'s change set (the [[insertDelta]] convention):
+    * `(delta, gone)` — `delta` holds the repaired edge rows of the
+    * surviving touched in-neighbors, `gone` the src ids to supersede
+    * (doomed ∪ touched). `remove ≡ graph antijoin gone ∪ delta`. */
+  def removeDelta(graph: DataFrame, doomed: DataFrame, srcVecs: DataFrame,
+      m: Int = 16, nBuckets: Int = DefaultBuckets): (DataFrame, DataFrame) = {
+    val dmd = doomed.select(col(doomed.columns.head).as("__d")).distinct()
+      .localCheckpoint(eager = false) // four broadcast consumers
+    // live in-neighbors' edges INTO doomed nodes — the repair set
+    val inEdges = graph
+      .join(broadcast(dmd), col("dst") === col("__d"), "left_semi")
+      .join(broadcast(dmd), col("src") === col("__d"), "left_anti")
+      .select(col("src"), col("dst"))
+      .localCheckpoint(eager = false) // touched ids + the bridge join
+    val touched = inEdges.select(col("src")).distinct()
+      .localCheckpoint(eager = false) // semi/anti consumers + gone union
+    // doomed nodes' out-edges to LIVE dsts: bridge targets, vectors
+    // already carried on the edge rows — no corpus access
+    val doomedOut = graph
+      .join(broadcast(dmd), col("src") === col("__d"), "left_semi")
+      .join(broadcast(dmd), col("dst") === col("__d"), "left_anti")
+      .select(col("src").as("__via"), col("dst"), col("dst_vec"),
+        col("dst_norm"))
+    val sv = srcVecs
+      .select(col("id").as("src"), col("vec").as("src_vec"),
+        col("nrm").as("src_norm"))
+      .join(broadcast(touched), Seq("src"), "left_semi")
+    val bridges = inEdges.withColumnRenamed("dst", "__via")
+      .join(doomedOut, Seq("__via")).drop("__via")
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+      .join(broadcast(sv), Seq("src"))
+    // surviving edges of the touched srcs (doomed dsts dropped) ∪ scored
+    // bridges, re-capped; bridge rows that duplicate a surviving edge
+    // carry the identical exact cosine, so the dedup is value-stable
+    val kept = graph.join(broadcast(touched), Seq("src"), "left_semi")
+      .join(broadcast(dmd), col("dst") === col("__d"), "left_anti")
+      .select(col("src"), col("dst"), col("score_cos"), col("dst_vec"),
+        col("dst_norm"))
+    val repaired = topM(
+      kept.unionByName(scoreEdges(bridges).select(col("src"), col("dst"),
+          col("score_cos"), col("dst_vec"), col("dst_norm")))
+        .dropDuplicates("src", "dst"), m)
+    val delta = repaired.withColumn("b", srcBucket(col("src"), nBuckets))
+    (delta,
+      touched.unionByName(dmd.select(col("__d").as("src"))).distinct())
+  }
+
+  /** (`id`, `vec`, `nrm`) projection of a corpus — [[remove]]'s
+    * `srcVecs` contract in the batch form. */
+  def vecTable(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+
+  /** Frontier-id count above which a round stops pushing literal
+    * bucket/src-IN filters and expands through the broadcast join alone:
+    * the IN list is planning-cost (a 38k-literal predicate measured ~19 s
+    * of the q_knn_graph_incr insert before this cap) and driver state —
+    * both fine for serving panels (|Q|·ef in the hundreds), both wrong
+    * for bulk insertion's |batch|·ef frontiers. Above the cap the graph
+    * side is filtered only by the broadcast hash join (scan-side
+    * semi-gating — still never a corpus shuffle). */
+  val MaxLiteralFrontier = 2048
+
+  private def walkFrom(queries0: DataFrame, entry: DataFrame,
+      graph: DataFrame, k: Int, ef: Int, iters: Int,
+      nBuckets: Int): DataFrame = {
+    require(k >= 1 && ef >= k, s"need ef >= k >= 1: ef=$ef k=$k")
+    val queries = queries0
+    // the query's own node (when it IS in the graph) stays in the beam:
+    // it is the best navigation anchor — its out-edges ARE the answer
+    // neighborhood, and dropping it strands a query that happens to be
+    // an entry point with only far-cluster anchors (found the hard way:
+    // a digest-ranked entry that was also a query walked to nothing).
+    // Self is excluded from the RESULT ranks below, never from the walk.
     def score(cand: DataFrame): DataFrame = cand
       .join(broadcast(queries), Seq("qid"))
-      .filter(col("qid") =!= col("id"))
-      .select(col("qid"), col("id"),
+      .select(col("qid"), col("id"), col("vec"), col("nrm"),
         (dot(col("qvec"), col("vec")) / (col("qnorm") * col("nrm")))
           .as("score"))
     val wq = Window.partitionBy(col("qid"))
@@ -168,14 +353,22 @@ object GraphAnn {
       .withColumn("__r", row_number().over(wq))
       .filter(col("__r") <= ef).drop("__r")
     var beam = topEf(score(queries.select(col("qid")).crossJoin(entry)))
-      .localCheckpoint(eager = true) // the walk reads it twice per round
+      .localCheckpoint(eager = true)
     for (_ <- 1 to iters) {
-      // bounded driver list: |Q|·ef frontier ids -> pushed IN filters
-      val ids = beam.select(col("id")).distinct()
+      val frontier = beam.select(col("id")).distinct()
+      // small frontiers (serving panels): bounded driver list pushed as
+      // bucket + src-IN filters — static partition pruning on a
+      // persisted graph. Large frontiers (bulk insertion): broadcast
+      // join only (see MaxLiteralFrontier).
+      val ids = frontier.limit(MaxLiteralFrontier + 1)
         .collect().map(_.getLong(0)).toSeq
-      val buckets = idBuckets(ids, nBuckets)
-      val expanded = graph
-        .filter(col("b").isin(buckets: _*) && col("src").isin(ids: _*))
+      val gated =
+        if (ids.size <= MaxLiteralFrontier) {
+          val buckets = idBuckets(ids, nBuckets)
+          graph.filter(col("b").isin(buckets: _*) &&
+            col("src").isin(ids: _*))
+        } else graph
+      val expanded = gated
         .join(broadcast(beam.select(col("qid"), col("id").as("src"))),
           Seq("src"))
         .select(col("qid"), col("dst").as("id"),
@@ -185,11 +378,9 @@ object GraphAnn {
           .dropDuplicates("qid", "id"))
         .localCheckpoint(eager = true)
     }
-    beam.withColumn("rank", row_number().over(wq))
+    beam.filter(col("qid") =!= col("id"))
+      .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
-        col("score"))
-      .orderBy(col("qid"), col("rank"))
   }
 
   /** Panel recall contract (the [[Similarity.lshKnnRecallPanel]]

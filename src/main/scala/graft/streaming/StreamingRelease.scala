@@ -63,27 +63,48 @@ object StreamingRelease {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     StatePointer.read(spark, dir)
 
-  /** Fold one ingest batch (docs with `idCol`, `textCol`, lang, source)
-    * into the maintained release state. Public so the batch-parity
-    * catalog row drives the IDENTICAL code the writer runs. */
+  /** Fold one change batch (docs with `idCol`, `textCol`, lang, source;
+    * rows with `deleteCol` = true are full-row ERASURE tombstones of
+    * previously-ingested doc ids — the StreamingIndex change-stream
+    * contract, and an erased id may not re-ingest) into the maintained
+    * release state. Public so the batch-parity catalog rows drive the
+    * IDENTICAL code the writer runs.
+    *
+    * The exact state keeps ALL gated (hash, id) pairs (not per-batch
+    * minima): erasing the current survivor of a hash must RESTORE the
+    * next-smallest live copy, which per-batch minima cannot name. The
+    * dedup fold then maintains the survivor DELTA per affected hash —
+    * pre ≠ post ⇒ tombstone pre / ingest post, with the text recovered
+    * from the batch rows themselves (same hash ⇒ same text, for adds,
+    * displacements, AND restorations — the fold never reads old state
+    * rows). Erasure here is SERVING-side (del lists anti-join every
+    * view; the inner dedup state physically scrubs via its own
+    * segmented compaction); physically scrubbing the docs segments is
+    * the per-family vacuum discipline and deliberately out of scope of
+    * this composition row. */
   def applyBatch(batch: DataFrame, benchmark: DataFrame, dir: String,
       batchId: Long, lang: String = "en", minQuality: Double = 0.5,
       nearThreshold: Double = 0.6, gramN: Int = 5,
-      contamThreshold: Double = 0.3,
+      contamThreshold: Double = 0.3, deleteCol: Option[String] = None,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = batch.sparkSession
     latestVersion(spark, dir) match {
       case Some(v) if v >= batchId =>
         StatePointer.replayCheck(spark, dir, batchId)
       case prev =>
+        val addRows = deleteCol.fold(batch)(dc => batch.filter(!col(dc)).drop(dc))
+        val delRows = deleteCol.map(dc => batch.filter(col(dc)).drop(dc)
+            .select(col(idCol), md5(col(textCol)).as("h"),
+              col(textCol).as("text"))
+            .localCheckpoint(eager = false)) // ids + hashes + fold texts
         // language + quality gate, scan-side (the curate() projection)
-        val gated = batch.select(
+        val gated = addRows.select(
             col(idCol), col(textCol), col("lang"), col("source"),
             TextAnalysis.langId(col(textCol)).as("__lp"),
             TextAnalysis.qualityScore(col(textCol)).as("__q"))
           .filter(col("__lp") === lang && col("__q") >= minQuality)
           .drop("__lp", "__q")
-          .localCheckpoint(eager = false) // docs seg + hash agg + fold text
+          .localCheckpoint(eager = false) // docs seg + pairs + fold text
         // batch-local decontam verdict vs the STATIC benchmark — stored
         // with the doc, never recomputed
         val flagged = gated.join(
@@ -92,41 +113,58 @@ object StreamingRelease {
             .select(col(idCol), col("contaminated")),
           Seq(idCol))
         flagged.write.mode("overwrite").parquet(s"$dir/docs/v=$batchId")
-        // the batch's min-id-per-hash slice (text carried for the fold)
-        val batchAgg = gated
-          .groupBy(md5(col(textCol)).as("h"))
-          .agg(min(struct(col(idCol).as("id"), col(textCol).as("text")))
-            .as("m"))
-          .select(col("h"), col("m.id").as("bid"), col("m.text").as("text"))
-          .localCheckpoint(eager = false) // survivor lookup + seg write
-        // pre-batch survivors of the BATCH's hashes only: broadcast the
-        // batch-hash set into the segment scan, fold min over matches
-        val cur = prev match {
-          case None => spark.emptyDataFrame
-            .select(lit("").as("h"), lit(0L).as("cur"))
-            .limit(0)
+        val batchPairs = gated
+          .select(md5(col(textCol)).as("h"), col(idCol).as("id"))
+          .localCheckpoint(eager = false) // probe + seg write
+        // hashes whose survivor can change: the batch's and the erasures'
+        val affected = batchPairs.select(col("h"))
+          .unionByName(delRows.fold(batchPairs.select(col("h")).limit(0))(
+            _.select(col("h"))))
+          .distinct()
+          .localCheckpoint(eager = false) // pre + post probes
+        val delNow = delRows.map(_.select(col(idCol).as("id")))
+        // prior state restricted to the affected hashes (broadcast
+        // semi-join — state files scan, only matches shuffle), erased
+        // ids folded out (del lists are erasure requests: tiny, broadcast)
+        val prevLive = prev match {
+          case None => batchPairs.limit(0)
           case Some(p) =>
-            spark.read.parquet((0L to p).map(i => s"$dir/exact/v=$i"): _*)
-              .join(broadcast(batchAgg.select(col("h"))), Seq("h"), "left_semi")
-              .groupBy(col("h")).agg(min(col("min_id")).as("cur"))
+            val pairs = spark.read
+              .parquet((0L to p).map(i => s"$dir/exact/v=$i"): _*)
+              .join(broadcast(affected), Seq("h"), "left_semi")
+            val priorDel = spark.read
+              .parquet((0L to p).map(i => s"$dir/del/v=$i"): _*)
+            pairs.join(broadcast(priorDel), Seq("id"), "left_anti")
         }
-        val probed = batchAgg.join(cur, Seq("h"), "left")
+        val pre = prevLive.groupBy(col("h")).agg(min(col("id")).as("pre"))
+        val postPairs = prevLive.unionByName(batchPairs)
+        val post = delNow.fold(postPairs)(d =>
+            postPairs.join(broadcast(d), Seq("id"), "left_anti"))
+          .groupBy(col("h")).agg(min(col("id")).as("post"))
+        // any row of a hash carries ITS text — batch rows for adds and
+        // displacements, the tombstone row itself for restorations
+        val textOf = gated.select(md5(col(textCol)).as("h"),
+            col(textCol).as("text"))
+          .unionByName(delRows.fold(
+            gated.select(md5(col(textCol)).as("h"), col(textCol).as("text"))
+              .limit(0))(_.select(col("h"), col("text"))))
+          .groupBy(col("h")).agg(min(col("text")).as("text"))
+        val delta = pre.join(post, Seq("h"), "full_outer")
+          .filter(!(col("pre") <=> col("post")))
+          .join(textOf, Seq("h"))
           .localCheckpoint(eager = false) // feeds adds AND tombstones
-        // adds: first survivor of a new hash, or a displacing smaller id;
-        // tombstones: the displaced previous survivor (same text!)
-        val adds = probed
-          .filter(col("cur").isNull || col("bid") < col("cur"))
-          .select(col("bid").as(idCol), col("text").as(textCol))
+        val adds = delta.filter(col("post").isNotNull)
+          .select(col("post").as(idCol), col("text").as(textCol))
           .withColumn("_deleted", lit(false))
-        val tombs = probed
-          .filter(col("cur").isNotNull && col("bid") < col("cur"))
-          .select(col("cur").as(idCol), col("text").as(textCol))
+        val tombs = delta.filter(col("pre").isNotNull)
+          .select(col("pre").as(idCol), col("text").as(textCol))
           .withColumn("_deleted", lit(true))
         StreamingDedup.applyBatch(adds.unionByName(tombs), s"$dir/dedup",
           batchId, deleteCol = Some("_deleted"), threshold = nearThreshold,
           idCol = idCol, textCol = textCol)
-        batchAgg.select(col("h"), col("bid").as("min_id"))
-          .write.mode("overwrite").parquet(s"$dir/exact/v=$batchId")
+        batchPairs.write.mode("overwrite").parquet(s"$dir/exact/v=$batchId")
+        delNow.getOrElse(batchPairs.select(col("id")).limit(0))
+          .write.mode("overwrite").parquet(s"$dir/del/v=$batchId")
         StatePointer.advance(spark, dir, batchId)
     }
   }
@@ -138,9 +176,12 @@ object StreamingRelease {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no release state at $dir yet"))
+    val erased = spark.read
+      .parquet((0L to v).map(i => s"$dir/del/v=$i"): _*)
     val survivors = spark.read
       .parquet((0L to v).map(i => s"$dir/exact/v=$i"): _*)
-      .groupBy(col("h")).agg(min(col("min_id")).as(idCol))
+      .join(broadcast(erased), Seq("id"), "left_anti")
+      .groupBy(col("h")).agg(min(col("id")).as(idCol))
       .select(col(idCol))
     val nonCanonical = StreamingDedup.readLabels(spark, s"$dir/dedup")
       .filter(col("doc_id") =!= col("cluster_id"))
@@ -172,13 +213,13 @@ object StreamingRelease {
   def writer(docs: DataFrame, benchmark: DataFrame, dir: String,
       checkpointDir: String, lang: String = "en", minQuality: Double = 0.5,
       nearThreshold: Double = 0.6, gramN: Int = 5,
-      contamThreshold: Double = 0.3,
+      contamThreshold: Double = 0.3, deleteCol: Option[String] = None,
       trigger: Trigger = Trigger.ProcessingTime("1 minute")): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
         applyBatch(b, benchmark, dir, id, lang, minQuality, nearThreshold,
-          gramN, contamThreshold)
+          gramN, contamThreshold, deleteCol)
       }
 }

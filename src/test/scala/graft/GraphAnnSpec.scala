@@ -62,6 +62,80 @@ class GraphAnnSpec extends SparkTestBase {
         s"bucket mismatch for id $id")
   }
 
+  test("insert: batch vectors become findable through forward AND back edges; degree cap holds; untouched sources byte-identical") {
+    val emb = clustered().localCheckpoint()
+    // corpus = clusters 0-2 plus a THIN slice of cluster 3 (so cluster 3
+    // exists in the base graph and the walk can route into it); batch =
+    // the rest of cluster 3 — its members' true top-k are EACH OTHER,
+    // findable only through the inserted edges
+    val corpus = emb.filter($"vec_id" < 38L)
+    val batch = emb.filter($"vec_id" >= 38L)
+    val base = GraphAnn.buildGraph(corpus, m = 8, lshBits = 4, probes = 2)
+      .localCheckpoint()
+    val updated = GraphAnn.insert(base, batch, m = 8, ef = 24, iters = 3,
+      entries = 8).localCheckpoint()
+    val maxDeg = updated.groupBy($"src").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(maxDeg <= 8L, s"out-degree $maxDeg exceeds m=8 after insert")
+    // queries across corpus (cluster 0) and batch (cluster 3 tail)
+    val pred = $"vec_id" < 3L || $"vec_id" >= 44L
+    val exact = Similarity.bruteForceKnn(emb, pred, k = 5)
+      .select($"qid", $"rank", $"neighbor_id").collect().toSeq
+    val got = GraphAnn.search(emb, updated, pred, k = 5,
+        ef = 24, iters = 3, entries = 8)
+      .select($"qid", $"rank", $"neighbor_id").collect().toSeq
+    assert(got === exact,
+      "post-insert walk must re-find exact top-5 for corpus AND batch queries")
+    // untouched sources' edge rows pass through the insert byte-identical
+    val touched = updated.as("u").join(base.as("o"),
+        $"u.src" === $"o.src" && $"u.dst" === $"o.dst" &&
+          $"u.score_cos" =!= $"o.score_cos").count()
+    assert(touched === 0L, "insert must not rescore existing edges")
+  }
+
+  test("remove: doomed ids leave physically; bridge repair keeps the survivors' exact top-k; untouched sources byte-identical; degree cap holds") {
+    val emb = clustered().localCheckpoint()
+    val base = GraphAnn.buildGraph(emb, m = 8, lshBits = 4, probes = 2)
+      .localCheckpoint()
+    // erase three members of cluster 1: their in-neighbors (the rest of
+    // cluster 1) must re-wire through the bridge candidates to keep each
+    // other reachable
+    val doomedIds = Set(13L, 14L, 15L)
+    val doomed = doomedIds.toSeq.toDF("id")
+    val survivors = emb.filter(!$"vec_id".isin(doomedIds.toSeq: _*))
+      .localCheckpoint()
+    val repaired = GraphAnn.remove(base, doomed, GraphAnn.vecTable(emb),
+      m = 8).localCheckpoint()
+    // physical erasure: the doomed ids appear NOWHERE in the repaired
+    // graph — not as src, not as dst (their vectors ride dst rows)
+    assert(repaired.filter($"src".isin(doomedIds.toSeq: _*) ||
+      $"dst".isin(doomedIds.toSeq: _*)).count() === 0L)
+    val maxDeg = repaired.groupBy($"src").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(maxDeg <= 8L, s"out-degree $maxDeg exceeds m=8 after remove")
+    // the walk over the repaired graph re-finds the exact top-k among
+    // SURVIVORS — cluster-1 queries included (their old neighbors died)
+    val pred = $"vec_id" < 3L || ($"vec_id" >= 12L && $"vec_id" < 18L &&
+      !$"vec_id".isin(doomedIds.toSeq: _*))
+    val exact = Similarity.bruteForceKnn(survivors, pred, k = 5)
+      .select($"qid", $"rank", $"neighbor_id").collect().toSeq
+    val got = GraphAnn.search(survivors, repaired, pred, k = 5,
+        ef = 24, iters = 3, entries = 8)
+      .select($"qid", $"rank", $"neighbor_id").collect().toSeq
+    assert(got === exact,
+      "post-remove walk must re-find exact top-5 among survivors")
+    // untouched sources (no edge into a doomed node) pass through
+    // byte-identical
+    val touched = base.filter($"dst".isin(doomedIds.toSeq: _*))
+      .select($"src").distinct().collect().map(_.getLong(0)).toSet
+    val unaffected = (touched ++ doomedIds).toSeq
+    def rows(g: org.apache.spark.sql.DataFrame) =
+      g.filter(!$"src".isin(unaffected: _*))
+        .select($"src", $"dst", $"score_cos").collect().toSet
+    assert(rows(repaired) === rows(base),
+      "remove must not rewrite sources that had no edge into a doomed node")
+  }
+
   test("prebuilt serving: each beam round reads only the frontier's buckets' bytes") {
     def fsBytes: Long = {
       val s = FileSystem.getGlobalStorageStatistics.get("file")

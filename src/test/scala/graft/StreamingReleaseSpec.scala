@@ -79,6 +79,64 @@ class StreamingReleaseSpec extends SparkTestBase {
     assert(snap(dir) === want)
   }
 
+  test("erasure: erased survivor's hash RESTORES its next-smallest live copy; snapshot equals the batch pipeline over survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("sreleasee").toString
+    // batch 0: T under ids 5 (survivor) and 100 (dup); the near-dup 50;
+    // clean docs. batch 1: more docs. batch 2: adds + ERASE id 5 —
+    // the survivor of hash(T) must fall back to 100 (whose bands
+    // re-derive from the tombstone row's own text), and 100 then pairs
+    // with 50 in the dedup state — canonical 50, so the final clean set
+    // keeps 50 and drops 100.
+    val b0 = Seq(row(5L, T), row(100L, T), row(50L, Tnear),
+      row(2L, "a kitchen full of warm bread and the smell of coffee kept everyone at the table all morning"))
+    val b1 = Seq(
+      row(3L, "his garden grew tall beans and sweet corn while the crows watched from the wooden fence"),
+      row(7L, benchText))
+    val b2adds = Seq(
+      row(9L, "the library kept rare maps and heavy books that nobody had opened for many long years"))
+    def withDel(rows: Seq[(Long, String, String, String, Long)],
+        dels: Seq[(Long, String, String, String, Long)]) =
+      df(rows).withColumn("_deleted", org.apache.spark.sql.functions.lit(false))
+        .unionByName(df(dels)
+          .withColumn("_deleted", org.apache.spark.sql.functions.lit(true)))
+    StreamingRelease.applyBatch(withDel(b0, Nil), df(benchmark), dir, 0L,
+      deleteCol = Some("_deleted"))
+    StreamingRelease.applyBatch(withDel(b1, Nil), df(benchmark), dir, 1L,
+      deleteCol = Some("_deleted"))
+    StreamingRelease.applyBatch(withDel(b2adds, Seq(row(5L, T))),
+      df(benchmark), dir, 2L, deleteCol = Some("_deleted"))
+    val want = Curation.releasePipeline(
+        df((b0 ++ b1 ++ b2adds).filterNot(_._1 == 5L)), df(benchmark),
+        budget = 64L)
+      .orderBy($"kind", $"shard").collect().toSeq
+    assert(snap(dir) === want)
+    val cleanIds = StreamingRelease.readClean(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!cleanIds.contains(5L), "erased id must leave the clean set")
+    assert(cleanIds.contains(50L) && !cleanIds.contains(100L),
+      s"restored survivor 100 must near-dup-lose to canonical 50: $cleanIds")
+    StreamingRelease.vacuum(spark, dir)
+    assert(snap(dir) === want)
+  }
+
+  test("erasure of the LAST copy of a hash removes it outright; erasing a gated-out id is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("sreleasel").toString
+    val junk = row(40L, "zzz") // fails the quality gate — never ingested
+    def withDel(rows: Seq[(Long, String, String, String, Long)],
+        dels: Seq[(Long, String, String, String, Long)]) =
+      df(rows).withColumn("_deleted", org.apache.spark.sql.functions.lit(false))
+        .unionByName(df(dels)
+          .withColumn("_deleted", org.apache.spark.sql.functions.lit(true)))
+    StreamingRelease.applyBatch(withDel(batch0 :+ junk, Nil),
+      df(benchmark), dir, 0L, deleteCol = Some("_deleted"))
+    StreamingRelease.applyBatch(withDel(batch1, Seq(batch0.head, junk)),
+      df(benchmark), dir, 1L, deleteCol = Some("_deleted"))
+    val want = Curation.releasePipeline(
+        df(batch0.tail ++ batch1), df(benchmark), budget = 64L)
+      .orderBy($"kind", $"shard").collect().toSeq
+    assert(snap(dir) === want)
+  }
+
   test("an all-duplicates batch (nothing new survives) folds cleanly") {
     val dir = java.nio.file.Files.createTempDirectory("sreleasedup").toString
     StreamingRelease.applyBatch(df(batch0), df(benchmark), dir, 0L)
