@@ -4146,6 +4146,12 @@ object Oracles {
       """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10
         |  AND NOT (vec_id % 10 = 6 AND vec_id % 3 <> 2)""".stripMargin,
+    "q_knn_graph_layered" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10""".stripMargin,
+    "q_knn_graph_filtered" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10""".stripMargin,
 
     // NDCG@10 + MRR@10 mirror: the q_knn_brute cosine chain at k=10,
     // nano-floored 1/log2(rank+1) terms, integer DCG/IDCG sums, one

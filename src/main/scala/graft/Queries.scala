@@ -2234,6 +2234,40 @@ object Queries {
         col("vec_id") < 10, k = 5, ef = 96, iters = 5, entries = 24,
         recallBound = 0.7)
     }),
+    // HNSW LAYERED hierarchy — the asymptotic entry-navigation fix: node
+    // levels digest-drawn with P(level ≥ ℓ) = 8^-ℓ, each upper layer a
+    // full (geometrically tiny) graph; search enters at the top layer and
+    // descends, handing each layer's surviving beam down as the next
+    // layer's entries, so the layer-0 walk starts IN the query's
+    // neighborhood and iters stays small as the corpus grows (3 here vs
+    // the flat row's 5). Artifact hive-partitioned by (layer, b): a
+    // descent round prunes to its layer and its frontier's buckets.
+    "q_knn_graph_layered" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val layers = sources.Artifacts.table(s, "gann_layers",
+        partitionBy = Seq("layer", "b"))(
+        llm.GraphAnn.buildLayers(emb, levels = 2, branching = 8, m = 16,
+          lshBits = 4, probes = 2))
+      llm.GraphAnn.layeredRecallPanel(emb, layers, col("vec_id") < 10,
+        k = 5, levels = 2, ef = 96, iters = 3, efUpper = 16,
+        itersUpper = 2, entries = 8, recallBound = 0.7)
+    }),
+    // FILTERED graph search — the production retrieval shape (metadata
+    // predicate + ANN): the walk navigates the FULL graph (restricting
+    // navigation to matching nodes fragments it), then the predicate
+    // gates the ranked side SCAN-side (pushed filter + broadcast of the
+    // ≤|Q|·ef beam — the corpus never shuffles). ef out-provisions
+    // k/selectivity (96 ≫ 5/0.4); truth = Similarity.filteredKnn (exact
+    // filter-then-score). Shares the prebuilt row's graph artifact.
+    "q_knn_graph_filtered" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val graph = sources.Artifacts.table(s, "gann_graph",
+        partitionBy = Seq("b"))(
+        llm.GraphAnn.buildGraph(emb, m = 16, lshBits = 4, probes = 2))
+      llm.GraphAnn.filteredKnnRecallPanel(emb, graph, col("vec_id") < 10,
+        col("label") < 4, k = 5, ef = 96, iters = 5, entries = 24,
+        recallBound = 0.7)
+    }),
     // Matryoshka prefix truncation (first 16 of 64 dims) as the stage-1
     // shortlist: measured panel recall 0.8 / 0.48 (sf0.01 / sf0.1) on
     // this untrained isotropic corpus — bound 0.35

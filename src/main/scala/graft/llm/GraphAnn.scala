@@ -153,6 +153,118 @@ object GraphAnn {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** HNSW-style LAYERED hierarchy — the asymptotic fix for flat-graph
+    * entry navigation: digest-ranked random entries put a fixed-iters
+    * beam an unbounded number of hops from the query's neighborhood as
+    * the corpus grows, where HNSW's geometric layer ladder reaches it in
+    * O(log n) hops total. Node levels are digest-deterministic with
+    * P(level ≥ ℓ) = branching^-ℓ (Malkov & Yashunin's exponentially
+    * decaying layer assignment, drawn from a hash so build is
+    * reproducible and insertion-order-free); layer ℓ is a full
+    * [[buildGraph]] over the nodes of level ≥ ℓ, all layers in one frame
+    * tagged `layer` (persist hive-partitioned by (layer, b): a descent
+    * round prunes to its layer AND its frontier's buckets). Upper layers
+    * shrink geometrically — layer 1 is branching× smaller than the
+    * corpus, so the whole ladder costs ≈ 1/(branching−1) of the base
+    * build. The level hash is drawn independently of [[srcBucket]]
+    * (different hash input), so upper-layer nodes spread over all
+    * buckets instead of aliasing into every branching-th one. */
+  def buildLayers(emb: DataFrame, levels: Int = 2, branching: Int = 8,
+      m: Int = 8, lshBits: Int = 6, dim: Int = 64, probes: Int = 2,
+      maxBucket: Int = 4096, nBuckets: Int = DefaultBuckets,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(levels >= 1 && branching >= 2,
+      s"need levels >= 1, branching >= 2: levels=$levels branching=$branching")
+    (0 to levels).map { l =>
+      val sub =
+        if (l == 0) emb
+        else emb.filter(
+          pmod(xxhash64(lit("gann_level"), col(idCol)),
+            lit(math.pow(branching.toDouble, l.toDouble).toLong)) === 0)
+      buildGraph(sub, m, lshBits, dim, probes, maxBucket, nBuckets,
+          idCol, vecCol)
+        .withColumn("layer", lit(l))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Beam search down a [[buildLayers]] hierarchy: enter at the TOP
+    * layer's digest-ranked nodes, walk each upper layer with a small
+    * beam (`efUpper`, `itersUpper` — layers are geometrically tiny, a
+    * couple of rounds cross them), hand the surviving beam down as the
+    * next layer's entry set, and run the full (`ef`, `iters`) walk only
+    * at layer 0 — by then the beam already sits in the query's
+    * neighborhood, which is what lets `iters` stay small as the corpus
+    * grows. Layer 0 also unions the global digest entries into its
+    * starting beam (costless, and de-fragilizes a degenerate tiny top
+    * layer). Output = [[search]]'s contract. */
+  def searchLayered(emb: DataFrame, layers: DataFrame, queryPred: Column,
+      k: Int, levels: Int = 2, ef: Int = 32, iters: Int = 2,
+      efUpper: Int = 8, itersUpper: Int = 2, entries: Int = 8,
+      nBuckets: Int = DefaultBuckets,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && ef >= k, s"need ef >= k >= 1: ef=$ef k=$k")
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"))
+      .localCheckpoint(eager = false) // re-joined every round, every layer
+    // layer nodes come from the layer's OWN edge rows (dst side carries
+    // vectors — state-only, no corpus access), digest-ranked
+    def nodesOf(l: Int): DataFrame = layers.filter(col("layer") === l)
+      .select(col("dst").as("id"), col("dst_vec").as("vec"),
+        col("dst_norm").as("nrm"))
+      .dropDuplicates("id")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(entries)
+    var beam = initBeam(queries, nodesOf(levels))
+    for (l <- levels to 1 by -1)
+      beam = walkBeam(queries, beam, layers.filter(col("layer") === l),
+        efUpper, itersUpper, nBuckets)
+    val beam0 = beam.unionByName(initBeam(queries, nodesOf(0)))
+      .dropDuplicates("qid", "id")
+    rankBeam(
+      walkBeam(queries, beam0, layers.filter(col("layer") === 0), ef,
+        iters, nBuckets), k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** FILTERED graph search — the production retrieval shape
+    * ([[Similarity.filteredKnn]]'s contract over the graph): the walk
+    * navigates the FULL graph (restricting navigation to matching nodes
+    * fragments it — the filtered-ANN failure mode), then the metadata
+    * predicate gates the RANKED side: the corpus scan evaluates
+    * `matchPred` scan-side (pushed to the files) and inner-joins the
+    * BROADCAST beam (≤ |Q|·ef rows — the corpus never shuffles), so
+    * only beam survivors rank. `ef` must out-provision k / selectivity;
+    * the recall contract ([[filteredKnnRecallPanel]]) is what licenses
+    * the approximation, exactly the q_knn_lsh publishing discipline. */
+  def searchFiltered(emb: DataFrame, graph: DataFrame, queryPred: Column,
+      matchPred: Column, k: Int, ef: Int = 96, iters: Int = 3,
+      entries: Int = 8, nBuckets: Int = DefaultBuckets,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && ef >= k, s"need ef >= k >= 1: ef=$ef k=$k")
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"))
+      .localCheckpoint(eager = false)
+    val entry = emb
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(entries)
+    val beam = walkBeam(queries, initBeam(queries, entry), graph, ef,
+      iters, nBuckets)
+    val matched = emb.filter(matchPred).select(col(idCol).as("id"))
+      .join(broadcast(beam.filter(col("qid") =!= col("id"))
+        .select(col("qid"), col("id"), col("score"))), Seq("id"))
+    matched.withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** The beam walk over (qid, qvec, qnorm) query rows — shared by
     * [[search]] and [[insert]] (NSW insertion IS a search). Returns the
     * per-query top-k WITH the neighbor vectors (insertion builds edges
@@ -335,25 +447,50 @@ object GraphAnn {
       graph: DataFrame, k: Int, ef: Int, iters: Int,
       nBuckets: Int): DataFrame = {
     require(k >= 1 && ef >= k, s"need ef >= k >= 1: ef=$ef k=$k")
-    val queries = queries0
-    // the query's own node (when it IS in the graph) stays in the beam:
-    // it is the best navigation anchor — its out-edges ARE the answer
-    // neighborhood, and dropping it strands a query that happens to be
-    // an entry point with only far-cluster anchors (found the hard way:
-    // a digest-ranked entry that was also a query walked to nothing).
-    // Self is excluded from the RESULT ranks below, never from the walk.
-    def score(cand: DataFrame): DataFrame = cand
-      .join(broadcast(queries), Seq("qid"))
+    rankBeam(
+      walkBeam(queries0, initBeam(queries0, entry), graph, ef, iters,
+        nBuckets), k)
+  }
+
+  // the query's own node (when it IS in the graph) stays in the beam:
+  // it is the best navigation anchor — its out-edges ARE the answer
+  // neighborhood, and dropping it strands a query that happens to be
+  // an entry point with only far-cluster anchors (found the hard way:
+  // a digest-ranked entry that was also a query walked to nothing).
+  // Self is excluded from the RESULT ranks ([[rankBeam]]), never from
+  // the walk.
+  private def scoreCand(queries: DataFrame, cand: DataFrame): DataFrame =
+    cand.join(broadcast(queries), Seq("qid"))
       .select(col("qid"), col("id"), col("vec"), col("nrm"),
         (dot(col("qvec"), col("vec")) / (col("qnorm") * col("nrm")))
           .as("score"))
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("id"))
+
+  private def wq = Window.partitionBy(col("qid"))
+    .orderBy(col("score").desc, col("id"))
+
+  /** Score an entry frame (id, vec, nrm) against every query — the
+    * initial beam of a [[walkBeam]]. */
+  private def initBeam(queries: DataFrame, entry: DataFrame): DataFrame =
+    scoreCand(queries, queries.select(col("qid")).crossJoin(entry))
+
+  /** Per-query top-k of a beam, self excluded: (qid, rank, id, vec, nrm,
+    * score). */
+  private def rankBeam(beam: DataFrame, k: Int): DataFrame =
+    beam.filter(col("qid") =!= col("id"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+
+  /** The expand-score-prune beam loop over ONE graph (or one layer of a
+    * [[buildLayers]] hierarchy): `beam0` is a scored candidate frame
+    * (qid, id, vec, nrm, score) — a cross-joined entry set, or the
+    * previous layer's surviving beam in a layered descent. Returns the
+    * final ≤ ef-per-query beam, same shape (so descents compose). */
+  private def walkBeam(queries: DataFrame, beam0: DataFrame,
+      graph: DataFrame, ef: Int, iters: Int, nBuckets: Int): DataFrame = {
     def topEf(beam: DataFrame): DataFrame = beam
       .withColumn("__r", row_number().over(wq))
       .filter(col("__r") <= ef).drop("__r")
-    var beam = topEf(score(queries.select(col("qid")).crossJoin(entry)))
-      .localCheckpoint(eager = true)
+    var beam = topEf(beam0).localCheckpoint(eager = true)
     for (_ <- 1 to iters) {
       val frontier = beam.select(col("id")).distinct()
       // small frontiers (serving panels): bounded driver list pushed as
@@ -374,13 +511,11 @@ object GraphAnn {
         .select(col("qid"), col("dst").as("id"),
           col("dst_vec").as("vec"), col("dst_norm").as("nrm"))
         .dropDuplicates("qid", "id")
-      beam = topEf(beam.unionByName(score(expanded))
+      beam = topEf(beam.unionByName(scoreCand(queries, expanded))
           .dropDuplicates("qid", "id"))
         .localCheckpoint(eager = true)
     }
-    beam.filter(col("qid") =!= col("id"))
-      .withColumn("rank", row_number().over(wq))
-      .filter(col("rank") <= k)
+    beam
   }
 
   /** Panel recall contract (the [[Similarity.lshKnnRecallPanel]]
@@ -391,13 +526,48 @@ object GraphAnn {
   def knnRecallPanel(emb: DataFrame, graph: DataFrame, queryPred: Column,
       k: Int, ef: Int = 32, iters: Int = 3, entries: Int = 8,
       recallBound: Double = 0.5, nBuckets: Int = DefaultBuckets,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val approx = search(emb, graph, queryPred, k, ef, iters, entries,
-        nBuckets, idCol, vecCol)
-      .select(col("qid"), col("neighbor_id"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    recallPanel(
+      search(emb, graph, queryPred, k, ef, iters, entries, nBuckets,
+        idCol, vecCol),
+      Similarity.bruteForceKnn(emb, queryPred, k, idCol, vecCol),
+      recallBound)
+
+  /** [[knnRecallPanel]] for the [[buildLayers]]/[[searchLayered]]
+    * hierarchy — same truth, same published statistic. */
+  def layeredRecallPanel(emb: DataFrame, layers: DataFrame,
+      queryPred: Column, k: Int, levels: Int = 2, ef: Int = 32,
+      iters: Int = 2, efUpper: Int = 8, itersUpper: Int = 2,
+      entries: Int = 8, recallBound: Double = 0.5,
+      nBuckets: Int = DefaultBuckets,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    recallPanel(
+      searchLayered(emb, layers, queryPred, k, levels, ef, iters, efUpper,
+        itersUpper, entries, nBuckets, idCol, vecCol),
+      Similarity.bruteForceKnn(emb, queryPred, k, idCol, vecCol),
+      recallBound)
+
+  /** [[knnRecallPanel]] for [[searchFiltered]] — the truth is
+    * [[Similarity.filteredKnn]] over the matching corpus (exact
+    * filter-then-score), queries as given. */
+  def filteredKnnRecallPanel(emb: DataFrame, graph: DataFrame,
+      queryPred: Column, matchPred: Column, k: Int, ef: Int = 96,
+      iters: Int = 3, entries: Int = 8, recallBound: Double = 0.5,
+      nBuckets: Int = DefaultBuckets,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    recallPanel(
+      searchFiltered(emb, graph, queryPred, matchPred, k, ef, iters,
+        entries, nBuckets, idCol, vecCol),
+      Similarity.filteredKnn(emb,
+        emb.filter(matchPred).select(col(idCol)), queryPred, k, idCol,
+        vecCol),
+      recallBound)
+
+  private def recallPanel(approx0: DataFrame, exact0: DataFrame,
+      recallBound: Double): DataFrame = {
+    val approx = approx0.select(col("qid"), col("neighbor_id"))
       .localCheckpoint(eager = false) // hits join + the panel count
-    val exact = Similarity.bruteForceKnn(emb, queryPred, k, idCol, vecCol)
-      .select(col("qid"), col("neighbor_id"))
+    val exact = exact0.select(col("qid"), col("neighbor_id"))
       .localCheckpoint(eager = false)
     val hits = approx.join(exact, Seq("qid", "neighbor_id"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"), countDistinct(col("qid")).as("nq"))

@@ -136,6 +136,56 @@ class GraphAnnSpec extends SparkTestBase {
       "remove must not rewrite sources that had no edge into a doomed node")
   }
 
+  test("layered hierarchy: digest levels nest geometrically and deterministically; top-entry descent re-finds the exact top-k") {
+    val emb = clustered().localCheckpoint()
+    val layers = GraphAnn.buildLayers(emb, levels = 2, branching = 4,
+      m = 8, lshBits = 4, probes = 2).localCheckpoint()
+    def nodes(l: Int): Set[Long] = layers.filter($"layer" === l)
+      .select($"src").distinct().collect().map(_.getLong(0)).toSet
+    val (n0, n1, n2) = (nodes(0), nodes(1), nodes(2))
+    assert(n2.subsetOf(n1) && n1.subsetOf(n0),
+      "layer membership must nest (level >= l implies level >= l-1)")
+    assert(n1.size < n0.size && n1.nonEmpty,
+      s"layer 1 must be a proper, non-empty subset: ${n1.size} of ${n0.size}")
+    // deterministic: same levels on rebuild
+    val again = GraphAnn.buildLayers(emb, levels = 2, branching = 4,
+      m = 8, lshBits = 4, probes = 2)
+    assert(again.filter($"layer" === 1).select($"src").distinct()
+      .collect().map(_.getLong(0)).toSet === n1)
+    // per-layer degree cap
+    val maxDeg = layers.groupBy($"layer", $"src").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(maxDeg <= 8L, s"out-degree $maxDeg exceeds m=8 in some layer")
+    // the descent starts ONLY from the top layer's nodes and still
+    // re-finds the exact top-5
+    val exact = Similarity.bruteForceKnn(emb, $"vec_id" < 6, k = 5)
+      .select($"qid", $"rank", $"neighbor_id").collect().toSeq
+    val got = GraphAnn.searchLayered(emb, layers, $"vec_id" < 6, k = 5,
+        levels = 2, ef = 24, iters = 2, efUpper = 8, itersUpper = 2,
+        entries = 4)
+      .select($"qid", $"rank", $"neighbor_id").collect().toSeq
+    assert(got === exact,
+      "layered descent must re-find the exact top-5 on the clustered corpus")
+  }
+
+  test("filtered search: the predicate gates ranks (never navigation) and matches the exact filter-then-score truth") {
+    val emb = clustered().localCheckpoint()
+    val g = GraphAnn.buildGraph(emb, m = 8, lshBits = 4, probes = 2)
+      .localCheckpoint()
+    val matchPred = $"vec_id" % 2 === 0
+    val got = GraphAnn.searchFiltered(emb, g, $"vec_id" < 6, matchPred,
+        k = 4, ef = 24, iters = 3, entries = 8)
+      .select($"qid", $"rank", $"neighbor_id").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(_.getLong(2) % 2 == 0),
+      "every ranked neighbor must satisfy the predicate")
+    val exact = Similarity.filteredKnn(emb,
+        emb.filter(matchPred).select($"vec_id"), $"vec_id" < 6, k = 4)
+      .select($"qid", $"rank", $"neighbor_id").collect().toSeq
+    assert(got === exact,
+      "filtered walk must match the exact filter-then-score truth here")
+  }
+
   test("prebuilt serving: each beam round reads only the frontier's buckets' bytes") {
     def fsBytes: Long = {
       val s = FileSystem.getGlobalStorageStatistics.get("file")
