@@ -2252,6 +2252,30 @@ object Queries {
         k = 5, levels = 2, ef = 96, iters = 3, efUpper = 16,
         itersUpper = 2, entries = 8, recallBound = 0.7)
     }),
+    // … and the ladder's INCREMENTAL form: batch levels come from the
+    // SAME digest the build used (layer membership is a property of the
+    // id, never of arrival order), each selected layer gains its batch
+    // slice via insertDelta over that layer alone — upper layers see
+    // |batch|/8^ℓ rows, so maintenance keeps the build's geometric cost
+    // shape. Contract: the layered descent over the UPDATED ladder vs
+    // brute force over the union.
+    "q_knn_graph_layered_incr" -> ((s, dir) => {
+      val emb = tWide(s, dir, "embeddings")
+      val base = sources.Artifacts.table(s, "gann_layers_incr_base",
+        partitionBy = Seq("layer", "b"))(
+        llm.GraphAnn.buildLayers(emb.filter(col("vec_id") % 5 =!= 4),
+          levels = 2, branching = 8, m = 16, lshBits = 4, probes = 2))
+      // base iters = 3 (vs the flat row's 5): insertion descends the
+      // ladder for its entry beam — one greedy round per upper layer
+      // (the HNSW ef=1 descent analog) — so the base walk starts near
+      // home and total beam rounds stay at 5
+      val updated = llm.GraphAnn.insertLayers(base,
+        emb.filter(col("vec_id") % 5 === 4), levels = 2, branching = 8,
+        m = 16, iters = 3, itersUpper = 1)
+      llm.GraphAnn.layeredRecallPanel(emb, updated, col("vec_id") < 10,
+        k = 5, levels = 2, ef = 96, iters = 3, efUpper = 16,
+        itersUpper = 2, entries = 8, recallBound = 0.7)
+    }),
     // FILTERED graph search — the production retrieval shape (metadata
     // predicate + ANN): the walk navigates the FULL graph (restricting
     // navigation to matching nodes fragments it), then the predicate

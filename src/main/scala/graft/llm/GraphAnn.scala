@@ -187,6 +187,67 @@ object GraphAnn {
     }.reduce(_ unionByName _)
   }
 
+  /** INCREMENTAL maintenance for a [[buildLayers]] hierarchy — per-layer
+    * NSW bulk insertion: each batch vector's level comes from the SAME
+    * digest the build used (stable across batches — a node's layer
+    * membership is a property of its id, never of arrival order), and
+    * every layer ℓ the vector belongs to gains it via [[insertDelta]]
+    * over that layer's graph alone. Upper layers see geometrically few
+    * batch rows (|batch|/branching^ℓ), so the ladder's maintenance cost
+    * is ≈ 1/(branching−1) of the base insert — the build's cost shape,
+    * preserved. Untouched layers (no batch node at that level) pass
+    * through unchanged; a batch slice landing on an EMPTY layer seeds it
+    * with its own [[buildGraph]] (the bulk analog of HNSW's
+    * first-node-at-a-new-level entry). Layers are edge rows, so a layer
+    * whose total population is 1 has no rows to show — navigation-
+    * neutral, because [[searchLayered]] unions the global digest entries
+    * into the base walk. */
+  def insertLayers(layers: DataFrame, batch: DataFrame, levels: Int = 2,
+      branching: Int = 8, m: Int = 8, lshBits: Int = 6, probes: Int = 2,
+      ef: Int = 96, iters: Int = 5, entries: Int = 24,
+      efUpper: Int = 24, itersUpper: Int = 2, entriesUpper: Int = 8,
+      nBuckets: Int = DefaultBuckets,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(levels >= 1 && branching >= 2,
+      s"need levels >= 1, branching >= 2: levels=$levels branching=$branching")
+    val b = batch.localCheckpoint(eager = false) // one filter per layer
+    (0 to levels).map { l =>
+      val sub =
+        if (l == 0) b
+        else b.filter(
+          pmod(xxhash64(lit("gann_level"), col(idCol)),
+            lit(math.pow(branching.toDouble, l.toDouble).toLong)) === 0)
+      val lg = layers.filter(col("layer") === l).drop("layer")
+      // upper-layer graphs are branching^l× smaller: their insert walks
+      // converge in a couple of small-beam rounds (the searchLayered
+      // efUpper discipline) — full-size walks there triple the row's
+      // stage count for nothing
+      val updated =
+        if (sub.isEmpty) lg // this layer gains no node — pass through
+        else if (lg.isEmpty)
+          buildGraph(sub, m, lshBits, probes = probes, nBuckets = nBuckets,
+            idCol = idCol, vecCol = vecCol)
+        else if (l > 0)
+          insert(lg, sub, m, efUpper, itersUpper, entriesUpper, nBuckets,
+            idCol, vecCol)
+        else {
+          // HNSW proper: base insertion DESCENDS the (pre-insert) ladder
+          // for its entry beam — the walk starts near each batch vector,
+          // so base iters stays small as the corpus grows
+          val bq = batchQueries(sub, idCol, vecCol)
+          val beam0 = descendBeam(bq, layers, levels, efUpper, itersUpper,
+              entriesUpper, nBuckets)
+            .unionByName(initBeam(bq, graphNodes(lg, entries)))
+            .dropDuplicates("qid", "id")
+          val (delta, superseded) =
+            insertDeltaBeam(lg, bq, beam0, m, ef, iters, nBuckets)
+          lg.join(broadcast(superseded), Seq("src"), "left_anti")
+            .unionByName(delta)
+        }
+      updated.withColumn("layer", lit(l))
+    }.reduce(_ unionByName _)
+  }
+
   /** Beam search down a [[buildLayers]] hierarchy: enter at the TOP
     * layer's digest-ranked nodes, walk each upper layer with a small
     * beam (`efUpper`, `itersUpper` — layers are geometrically tiny, a
@@ -207,19 +268,10 @@ object GraphAnn {
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qnorm"))
       .localCheckpoint(eager = false) // re-joined every round, every layer
-    // layer nodes come from the layer's OWN edge rows (dst side carries
-    // vectors — state-only, no corpus access), digest-ranked
-    def nodesOf(l: Int): DataFrame = layers.filter(col("layer") === l)
-      .select(col("dst").as("id"), col("dst_vec").as("vec"),
-        col("dst_norm").as("nrm"))
-      .dropDuplicates("id")
-      .orderBy(md5(col("id").cast("string")), col("id"))
-      .limit(entries)
-    var beam = initBeam(queries, nodesOf(levels))
-    for (l <- levels to 1 by -1)
-      beam = walkBeam(queries, beam, layers.filter(col("layer") === l),
-        efUpper, itersUpper, nBuckets)
-    val beam0 = beam.unionByName(initBeam(queries, nodesOf(0)))
+    val beam0 = descendBeam(queries, layers, levels, efUpper, itersUpper,
+        entries, nBuckets)
+      .unionByName(initBeam(queries,
+        graphNodes(layers.filter(col("layer") === 0), entries)))
       .dropDuplicates("qid", "id")
     rankBeam(
       walkBeam(queries, beam0, layers.filter(col("layer") === 0), ef,
@@ -227,6 +279,23 @@ object GraphAnn {
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
         col("score"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The upper-layer descent shared by [[searchLayered]] and
+    * [[insertLayers]]' base insertion: enter at the top layer's
+    * digest-ranked nodes (edge-row vectors — state-only), walk each
+    * upper layer with the small beam, hand the survivors down. Returns
+    * the layer-1 surviving beam — entry candidates already near each
+    * query. */
+  private def descendBeam(queries: DataFrame, layers: DataFrame,
+      levels: Int, efUpper: Int, itersUpper: Int, entries: Int,
+      nBuckets: Int): DataFrame = {
+    var beam = initBeam(queries,
+      graphNodes(layers.filter(col("layer") === levels), entries))
+    for (l <- levels to 1 by -1)
+      beam = walkBeam(queries, beam, layers.filter(col("layer") === l),
+        efUpper, itersUpper, nBuckets)
+    beam
   }
 
   /** FILTERED graph search — the production retrieval shape
@@ -317,18 +386,36 @@ object GraphAnn {
       ef: Int = 96, iters: Int = 5, entries: Int = 24,
       nBuckets: Int = DefaultBuckets,
       idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    val bq = batch.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-        norm(col(vecCol)).as("qnorm"))
-      .localCheckpoint(eager = false) // the walk + both edge directions
+    val bq = batchQueries(batch, idCol, vecCol)
     // entry points come from the GRAPH side (the batch is not in it):
     // digest-ranked existing sources, vectors off the edge rows
-    val entry = graph
-      .select(col("dst").as("id"), col("dst_vec").as("vec"),
+    insertDeltaBeam(graph, bq, initBeam(bq, graphNodes(graph, entries)),
+      m, ef, iters, nBuckets)
+  }
+
+  private def batchQueries(batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    batch.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnorm"))
+      .localCheckpoint(eager = false) // the walk + both edge directions
+
+  /** Digest-ranked nodes OF a graph, vectors off its edge rows —
+    * state-only entry points. */
+  private def graphNodes(graph: DataFrame, entries: Int): DataFrame =
+    graph.select(col("dst").as("id"), col("dst_vec").as("vec"),
         col("dst_norm").as("nrm"))
       .dropDuplicates("id")
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(entries)
-    val found = walkFrom(bq, entry, graph, m, ef, iters, nBuckets)
+
+  /** [[insertDelta]] with an explicit starting beam — how a LAYERED
+    * insertion walks the base: the ladder descent supplies entry
+    * candidates already near each batch vector, so the base walk
+    * converges in fewer rounds ([[insertLayers]]). */
+  private def insertDeltaBeam(graph: DataFrame, bq: DataFrame,
+      beam0: DataFrame, m: Int, ef: Int, iters: Int,
+      nBuckets: Int): (DataFrame, DataFrame) = {
+    val found = rankBeam(walkBeam(bq, beam0, graph, ef, iters, nBuckets), m)
       .localCheckpoint(eager = false) // forward + back edges
     // forward edges carry the found neighbors' vectors straight off the
     // walk rows; back edges carry the batch's own

@@ -168,6 +168,52 @@ class GraphAnnSpec extends SparkTestBase {
       "layered descent must re-find the exact top-5 on the clustered corpus")
   }
 
+  test("insertLayers: batch nodes join exactly the layers their digest selects; layered search over the updated ladder stays exact") {
+    val emb = clustered().localCheckpoint()
+    val corpus = emb.filter($"vec_id" < 38L)
+    val batch = emb.filter($"vec_id" >= 38L)
+    val base = GraphAnn.buildLayers(corpus, levels = 2, branching = 4,
+      m = 8, lshBits = 4, probes = 2).localCheckpoint()
+    val updated = GraphAnn.insertLayers(base, batch, levels = 2,
+      branching = 4, m = 8, ef = 24, iters = 3, entries = 8)
+      .localCheckpoint()
+    // membership: a batch id appears as a src of layer l iff the build
+    // digest puts its level at >= l (arrival order must not matter) —
+    // except a layer whose TOTAL population is < 2, which has no edge
+    // rows to show (layers are edge rows; navigation-neutral by the
+    // layer-0 global-entry union)
+    def levelIds(df: org.apache.spark.sql.DataFrame, l: Int): Set[Long] =
+      (if (l == 0) df
+       else df.filter(
+         pmod(xxhash64(lit("gann_level"), $"vec_id"),
+           lit(math.pow(4.0, l.toDouble).toLong)) === 0))
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select($"vec_id").collect().map(_.getLong(0)).toSet
+    for (l <- 0 to 2) {
+      val want = levelIds(batch, l)
+      val got = updated.filter($"layer" === l).select($"src").distinct()
+        .collect().map(_.getLong(0)).toSet.intersect(batchIds)
+      // representable iff the base layer HAS edge rows (>= 2 corpus
+      // nodes at the level) or the batch slice alone can seed a graph
+      if (levelIds(corpus, l).size >= 2 || want.size >= 2)
+        assert(got === want, s"layer $l batch membership mismatch")
+      else assert(got.subsetOf(want), s"layer $l spurious batch members")
+    }
+    val maxDeg = updated.groupBy($"layer", $"src").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(maxDeg <= 8L, s"degree $maxDeg exceeds m=8 after insertLayers")
+    // queries spanning corpus and batch re-find the exact top-5
+    val pred = $"vec_id" < 3L || $"vec_id" >= 44L
+    val exact = Similarity.bruteForceKnn(emb, pred, k = 5)
+      .select($"qid", $"rank", $"neighbor_id").collect().toSeq
+    val got = GraphAnn.searchLayered(emb, updated, pred, k = 5,
+        levels = 2, ef = 24, iters = 2, efUpper = 8, itersUpper = 2,
+        entries = 4)
+      .select($"qid", $"rank", $"neighbor_id").collect().toSeq
+    assert(got === exact,
+      "layered search over the updated ladder must re-find the exact top-5")
+  }
+
   test("filtered search: the predicate gates ranks (never navigation) and matches the exact filter-then-score truth") {
     val emb = clustered().localCheckpoint()
     val g = GraphAnn.buildGraph(emb, m = 8, lshBits = 4, probes = 2)
