@@ -130,6 +130,12 @@ object StreamingGraphAnn {
               if (adds.isEmpty)
                 (afterRm.limit(0),
                   afterRm.select(col("src")).limit(0))
+              else if (afterRm.isEmpty)
+                // the graph emptied out (total erasure) — re-bootstrap
+                // from the batch, else the new nodes would join edgeless
+                (GraphAnn.buildGraph(adds, m, lshBits, probes = probes,
+                   nBuckets = nBuckets, idCol = idCol, vecCol = vecCol),
+                 adds.select(col(idCol).as("src")).distinct())
               else GraphAnn.insertDelta(afterRm, adds, m, ef, iters,
                 entries, nBuckets, idCol, vecCol)
             val changed = gone.unionByName(superseded).distinct()
