@@ -257,10 +257,11 @@ object GraphAnn {
           // for its entry beam — the walk starts near each batch vector,
           // so base iters stays small as the corpus grows
           val bq = batchQueries(sub, idCol, vecCol)
+          // no dedup: walkBeam's top-ef aggregation dedups identical
+          // (qid, id) rows (equal pairs carry bit-equal scores)
           val beam0 = descendBeam(bq, layers, levels, efUpper, itersUpper,
               entriesUpper, nBuckets)
             .unionByName(initBeam(bq, graphNodes(lg, entries)))
-            .dropDuplicates("qid", "id")
           // node view over the WHOLE ladder: the descended beam can
           // surface upper-layer dsts, so the vec re-attach must cover
           // every layer, not just the base
@@ -294,11 +295,12 @@ object GraphAnn {
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qnorm"))
       .localCheckpoint(eager = false) // re-joined every round, every layer
+    // no dedup: walkBeam's top-ef aggregation dedups identical
+    // (qid, id) rows (equal pairs carry bit-equal scores)
     val beam0 = descendBeam(queries, layers, levels, efUpper, itersUpper,
         entries, nBuckets)
       .unionByName(initBeam(queries,
         graphNodes(layers.filter(col("layer") === 0), entries)))
-      .dropDuplicates("qid", "id")
     rankBeam(
       walkBeam(queries, beam0, layers.filter(col("layer") === 0), ef,
         iters, nBuckets), k)
@@ -620,25 +622,42 @@ object GraphAnn {
 
   /** The expand-score-prune beam loop over ONE graph (or one layer of a
     * [[buildLayers]] hierarchy): `beam0` is a scored candidate frame
-    * (qid, id, vec, nrm, score) — a cross-joined entry set, or the
-    * previous layer's surviving beam in a layered descent. Returns the
-    * final ≤ ef-per-query beam, same shape (so descents compose). */
+    * (qid, id, score) — a cross-joined entry set, or the previous
+    * layer's surviving beam in a layered descent. Returns the final
+    * ≤ ef-per-query beam, same shape (so descents compose).
+    *
+    * Per-round cost shape (round-14): ONE exchange and ONE job. The
+    * dedup + rank-window pair (two exchanges) is fused into a single
+    * per-qid aggregation — `collect_set` of (−score, id) structs dedups
+    * exact duplicates map-side and `sort_array`+`slice` keeps the top
+    * ef, with state bounded by ef·(m+1) structs per query by
+    * construction. The per-round checkpoint is LAZY and the frontier
+    * collect doubles as its materializing action (the old eager
+    * checkpoint paid a separate job per round). Negating the score for
+    * the ascending struct sort preserves the exact (score desc, id asc)
+    * order — IEEE negation is a sign flip (the only nuance is a ±0.0
+    * tie, which cannot change which ids survive). */
   private def walkBeam(queries: DataFrame, beam0: DataFrame,
       graph: DataFrame, ef: Int, iters: Int, nBuckets: Int): DataFrame = {
     def topEf(beam: DataFrame): DataFrame = beam
-      .withColumn("__r", row_number().over(wq))
-      .filter(col("__r") <= ef).drop("__r")
-    var beam = topEf(beam0).localCheckpoint(eager = true)
+      .groupBy(col("qid"))
+      .agg(slice(sort_array(collect_set(
+        struct((-col("score")).as("n"), col("id").as("i")))), 1, ef)
+        .as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__t"))
+      .select(col("qid"), col("__t.i").as("id"),
+        (-col("__t.n")).as("score"))
+    var beam = topEf(beam0).localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
       // small frontiers (serving panels): bounded driver list pushed as
       // bucket + src-IN filters — static partition pruning on a
       // persisted graph. Large frontiers (bulk insertion): broadcast
-      // join only (see MaxLiteralFrontier). The beam is already a
-      // checkpointed ≤ |Q|·ef frame, so the frontier ids come off it
-      // with a bounded take and dedupe driver-side — no distinct
-      // exchange per round (guide §2.4; the old shape paid a shuffle
-      // per iteration just to shorten a ≤ |Q|·ef collect). Sorted ids
-      // keep the pushed IN plan deterministic across runs.
+      // join only (see MaxLiteralFrontier). The beam is a lazily
+      // checkpointed ≤ |Q|·ef frame: this bounded take both supplies
+      // the frontier ids (deduped driver-side — no distinct exchange
+      // per round, guide §2.4) and materializes the checkpoint for the
+      // round's two other reads. Sorted ids keep the pushed IN plan
+      // deterministic across runs.
       val taken = beam.select(col("id"))
         .limit(16 * MaxLiteralFrontier + 1).collect().map(_.getLong(0))
       val ids =
@@ -651,16 +670,15 @@ object GraphAnn {
             col("src").isin(ids.toSeq: _*))
         } else graph
       // no pre-dedup of the expansion: scoring a duplicate (qid, id) is
-      // one cheap dot product, and the union's dedup below covers it —
-      // dropping the extra (qid, id) exchange per round (guide §2.4)
+      // one cheap dot product, and topEf's collect_set dedups — zero
+      // extra exchanges per round (guide §2.4)
       val expanded = gated
         .join(broadcast(beam.select(col("qid"), col("id").as("src"))),
           Seq("src"))
         .select(col("qid"), col("dst").as("id"),
           col("dst_vec").as("vec"), col("dst_norm").as("nrm"))
-      beam = topEf(beam.unionByName(scoreCand(queries, expanded))
-          .dropDuplicates("qid", "id"))
-        .localCheckpoint(eager = true)
+      beam = topEf(beam.unionByName(scoreCand(queries, expanded)))
+        .localCheckpoint(eager = false)
     }
     beam
   }
