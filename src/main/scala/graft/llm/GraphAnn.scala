@@ -620,23 +620,89 @@ object GraphAnn {
         col("dst_norm").as("nrm"))
       .dropDuplicates("id")
 
+  /** Beam-row count under which a walk runs in LOCAL mode: the beam is
+    * held on the driver ([(qid, id, score)] triples, ≤ this many rows —
+    * the same bounded-driver-state license as the frontier collect the
+    * distributed rounds already do) and each round is ONE job. Mutable
+    * ONLY so the parity spec can force the distributed path on a small
+    * corpus; production code never writes it. */
+  private[graft] var LocalWalkCap: Int = 4 * MaxLiteralFrontier
+
+  /** SQLOrderingUtil.compareDoubles semantics (what `sort_array` uses on
+    * a struct's double field): `==` first so -0.0 ties 0.0, then
+    * Double.compare (NaN equal to NaN, above everything). */
+  private def cmpDouble(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** Driver-side replica of the distributed top-ef aggregation:
+    * value-dedup of (id, score) per qid (duplicates are bit-identical by
+    * construction — a (qid, id) score is a deterministic function of the
+    * pair), sort by (−score, id) under [[cmpDouble]] (the exact
+    * `sort_array(struct(n, i))` order), keep ef. Output sorted
+    * (qid, −score, id) for run-to-run determinism. */
+  private def topEfLocal(rows: Array[(Long, Long, Double)],
+      ef: Int): Array[(Long, Long, Double)] = {
+    val ord = new Ordering[(Long, Double)] {
+      def compare(x: (Long, Double), y: (Long, Double)): Int = {
+        val c = cmpDouble(-x._2, -y._2)
+        if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+      }
+    }
+    rows.groupBy(_._1).toArray.sortBy(_._1).iterator.flatMap {
+      case (qid, g) =>
+        g.map(t => (t._2, t._3)).distinct.sorted(ord).take(ef)
+          .map { case (id, s) => (qid, id, s) }
+    }.toArray
+  }
+
+  private val beamSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("qid",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("score",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  private def localBeamDF(spark: org.apache.spark.sql.SparkSession,
+      beam: Array[(Long, Long, Double)]): DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(beam.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3)): _*)
+    spark.createDataFrame(rows, beamSchema)
+  }
+
   /** The expand-score-prune beam loop over ONE graph (or one layer of a
     * [[buildLayers]] hierarchy): `beam0` is a scored candidate frame
     * (qid, id, score) — a cross-joined entry set, or the previous
     * layer's surviving beam in a layered descent. Returns the final
     * ≤ ef-per-query beam, same shape (so descents compose).
     *
-    * Per-round cost shape (round-14): ONE exchange and ONE job. The
-    * dedup + rank-window pair (two exchanges) is fused into a single
-    * per-qid aggregation — `collect_set` of (−score, id) structs dedups
-    * exact duplicates map-side and `sort_array`+`slice` keeps the top
-    * ef, with state bounded by ef·(m+1) structs per query by
-    * construction. The per-round checkpoint is LAZY and the frontier
-    * collect doubles as its materializing action (the old eager
-    * checkpoint paid a separate job per round). Negating the score for
-    * the ascending struct sort preserves the exact (score desc, id asc)
-    * order — IEEE negation is a sign flip (the only nuance is a ±0.0
-    * tie, which cannot change which ids survive). */
+    * Two modes, identical results (parity spec-pinned):
+    *
+    * LOCAL (serving panels, layered descents — beam ≤ [[LocalWalkCap]]
+    * rows): the beam lives on the driver, each round is exactly ONE job
+    * — the same literal bucket/src-IN pruned scan (the byte-bound
+    * contract is untouched) broadcast-joined against the beam's
+    * (qid, src) pairs as a LocalRelation, scored in-plan by the same
+    * [[scoreCand]] expression, and the bounded (≤ |beam|·m narrow rows)
+    * result collected; dedup + top-ef run driver-side via [[topEfLocal]]
+    * (bit-equal to the distributed aggregation). This removes the
+    * per-round frontier-collect + broadcast-build + shuffle jobs the
+    * distributed rounds pay (guide §2.4 — the job floor was the cost).
+    * A beam that outgrows the cap mid-walk hands off to the distributed
+    * rounds unchanged.
+    *
+    * DISTRIBUTED (bulk insertion — |batch|·ef beams): per round ONE
+    * exchange and ONE job. The dedup + rank-window pair (two exchanges)
+    * is fused into a single per-qid aggregation — `collect_set` of
+    * (−score, id) structs dedups exact duplicates map-side and
+    * `sort_array`+`slice` keeps the top ef, with state bounded by
+    * ef·(m+1) structs per query by construction. The per-round
+    * checkpoint is LAZY and the frontier collect doubles as its
+    * materializing action. Negating the score for the ascending struct
+    * sort preserves the exact (score desc, id asc) order — IEEE negation
+    * is a sign flip (the only nuance is a ±0.0 tie, which cannot change
+    * which ids survive). */
   private def walkBeam(queries: DataFrame, beam0: DataFrame,
       graph: DataFrame, ef: Int, iters: Int, nBuckets: Int): DataFrame = {
     def topEf(beam: DataFrame): DataFrame = beam
@@ -647,40 +713,85 @@ object GraphAnn {
       .select(col("qid"), explode(col("__top")).as("__t"))
       .select(col("qid"), col("__t.i").as("id"),
         (-col("__t.n")).as("score"))
-    var beam = topEf(beam0).localCheckpoint(eager = false)
-    for (_ <- 1 to iters) {
-      // small frontiers (serving panels): bounded driver list pushed as
-      // bucket + src-IN filters — static partition pruning on a
-      // persisted graph. Large frontiers (bulk insertion): broadcast
-      // join only (see MaxLiteralFrontier). The beam is a lazily
-      // checkpointed ≤ |Q|·ef frame: this bounded take both supplies
-      // the frontier ids (deduped driver-side — no distinct exchange
-      // per round, guide §2.4) and materializes the checkpoint for the
-      // round's two other reads. Sorted ids keep the pushed IN plan
-      // deterministic across runs.
-      val taken = beam.select(col("id"))
-        .limit(16 * MaxLiteralFrontier + 1).collect().map(_.getLong(0))
-      val ids =
-        if (taken.length > 16 * MaxLiteralFrontier) Array.empty[Long]
-        else taken.distinct.sorted
-      val gated =
-        if (ids.nonEmpty && ids.length <= MaxLiteralFrontier) {
-          val buckets = idBuckets(ids.toSeq, nBuckets)
-          graph.filter(col("b").isin(buckets: _*) &&
-            col("src").isin(ids.toSeq: _*))
-        } else graph
-      // no pre-dedup of the expansion: scoring a duplicate (qid, id) is
-      // one cheap dot product, and topEf's collect_set dedups — zero
-      // extra exchanges per round (guide §2.4)
-      val expanded = gated
-        .join(broadcast(beam.select(col("qid"), col("id").as("src"))),
-          Seq("src"))
-        .select(col("qid"), col("dst").as("id"),
-          col("dst_vec").as("vec"), col("dst_norm").as("nrm"))
-      beam = topEf(beam.unionByName(scoreCand(queries, expanded)))
-        .localCheckpoint(eager = false)
+    // ids-gated graph view shared by both modes: small frontiers push
+    // literal bucket + src-IN filters (static partition pruning on a
+    // persisted graph — the GraphAnnSpec byte bound); large frontiers
+    // rely on the broadcast hash join alone (see MaxLiteralFrontier).
+    def gate(ids: Array[Long]): DataFrame =
+      if (ids.nonEmpty && ids.length <= MaxLiteralFrontier) {
+        val buckets = idBuckets(ids.toSeq, nBuckets)
+        graph.filter(col("b").isin(buckets: _*) &&
+          col("src").isin(ids.toSeq: _*))
+      } else graph
+    def distWalk(start: DataFrame, rounds: Int): DataFrame = {
+      var beam = start
+      for (_ <- 1 to rounds) {
+        // the beam is a lazily checkpointed ≤ |Q|·ef frame: this bounded
+        // take both supplies the frontier ids (deduped driver-side — no
+        // distinct exchange per round, guide §2.4) and materializes the
+        // checkpoint for the round's two other reads. Sorted ids keep
+        // the pushed IN plan deterministic across runs.
+        val taken = beam.select(col("id"))
+          .limit(16 * MaxLiteralFrontier + 1).collect().map(_.getLong(0))
+        val ids =
+          if (taken.length > 16 * MaxLiteralFrontier) Array.empty[Long]
+          else taken.distinct.sorted
+        // no pre-dedup of the expansion: scoring a duplicate (qid, id) is
+        // one cheap dot product, and topEf's collect_set dedups — zero
+        // extra exchanges per round (guide §2.4)
+        val expanded = gate(ids)
+          .join(broadcast(beam.select(col("qid"), col("id").as("src"))),
+            Seq("src"))
+          .select(col("qid"), col("dst").as("id"),
+            col("dst_vec").as("vec"), col("dst_norm").as("nrm"))
+        beam = topEf(beam.unionByName(scoreCand(queries, expanded)))
+          .localCheckpoint(eager = false)
+      }
+      beam
     }
-    beam
+    val spark = graph.sparkSession
+    val entryRows = beam0.select(col("qid"), col("id"), col("score"))
+      .limit(LocalWalkCap + 1).collect()
+    if (entryRows.length > LocalWalkCap)
+      distWalk(topEf(beam0).localCheckpoint(eager = false), iters)
+    else {
+      var beam = topEfLocal(entryRows.map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))), ef)
+      if (beam.isEmpty) localBeamDF(spark, beam)
+      else {
+        // the query rows collected ONCE (≤ one per beam row — bounded by
+        // the same cap) and re-broadcast each round as a LocalRelation:
+        // no per-round broadcast-build job
+        val qLocal = spark.createDataFrame(
+          java.util.Arrays.asList(queries.collect(): _*), queries.schema)
+        val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        var r = 0
+        var handedOff: DataFrame = null
+        while (r < iters && handedOff == null) {
+          if (beam.length > LocalWalkCap)
+            handedOff = distWalk(localBeamDF(spark, beam), iters - r)
+          else {
+            val ids = beam.map(_._2).distinct.sorted
+            val pairs = spark.createDataFrame(
+              java.util.Arrays.asList(beam.map(t =>
+                org.apache.spark.sql.Row(t._1, t._2)): _*), pairSchema)
+            val expanded = gate(ids)
+              .join(broadcast(pairs), Seq("src"))
+              .select(col("qid"), col("dst").as("id"),
+                col("dst_vec").as("vec"), col("dst_norm").as("nrm"))
+            val fresh = scoreCand(qLocal, expanded).collect().map(row =>
+              (row.getLong(0), row.getLong(1), row.getDouble(2)))
+            beam = topEfLocal(beam ++ fresh, ef)
+            r += 1
+          }
+        }
+        if (handedOff != null) handedOff else localBeamDF(spark, beam)
+      }
+    }
   }
 
   /** Panel recall contract (the [[Similarity.lshKnnRecallPanel]]

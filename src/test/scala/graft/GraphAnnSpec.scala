@@ -232,6 +232,35 @@ class GraphAnnSpec extends SparkTestBase {
       "filtered walk must match the exact filter-then-score truth here")
   }
 
+  test("local driver-side beam walk ≡ the distributed walk, bit-for-bit (search, layered, insert)") {
+    val emb = clustered().localCheckpoint()
+    val g = GraphAnn.buildGraph(emb, m = 8, lshBits = 4, probes = 2)
+      .localCheckpoint()
+    val layers = GraphAnn.buildLayers(emb, levels = 2, branching = 4,
+      m = 8, lshBits = 4, probes = 2).localCheckpoint()
+    val corpus = emb.filter($"vec_id" < 38L).localCheckpoint()
+    val batch = emb.filter($"vec_id" >= 38L)
+    val base = GraphAnn.buildGraph(corpus, m = 8, lshBits = 4, probes = 2)
+      .localCheckpoint()
+    def all(): (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row],
+        Set[org.apache.spark.sql.Row]) = (
+      GraphAnn.search(emb, g, $"vec_id" < 6, k = 5, ef = 24, iters = 3,
+        entries = 8).collect().toSeq,
+      GraphAnn.searchLayered(emb, layers, $"vec_id" < 6, k = 5,
+        levels = 2, ef = 24, iters = 2, efUpper = 8, itersUpper = 2,
+        entries = 4).collect().toSeq,
+      GraphAnn.insert(base, batch, m = 8, ef = 24, iters = 3, entries = 8)
+        .collect().toSet)
+    val saved = GraphAnn.LocalWalkCap
+    val local = all() // default cap: these beams run the LOCAL mode
+    val dist =
+      try { GraphAnn.LocalWalkCap = 0; all() } // force the distributed mode
+      finally GraphAnn.LocalWalkCap = saved
+    assert(local._1 === dist._1, "search: local beam must equal distributed")
+    assert(local._2 === dist._2, "layered: local beam must equal distributed")
+    assert(local._3 === dist._3, "insert: local beam must equal distributed")
+  }
+
   test("prebuilt serving: each beam round reads only the frontier's buckets' bytes") {
     def fsBytes: Long = {
       val s = FileSystem.getGlobalStorageStatistics.get("file")
