@@ -679,19 +679,6 @@ object GraphAnn {
     *
     * Two modes, identical results (parity spec-pinned):
     *
-    * LOCAL (serving panels, layered descents — beam ≤ [[LocalWalkCap]]
-    * rows): the beam lives on the driver, each round is exactly ONE job
-    * — the same literal bucket/src-IN pruned scan (the byte-bound
-    * contract is untouched) broadcast-joined against the beam's
-    * (qid, src) pairs as a LocalRelation, scored in-plan by the same
-    * [[scoreCand]] expression, and the bounded (≤ |beam|·m narrow rows)
-    * result collected; dedup + top-ef run driver-side via [[topEfLocal]]
-    * (bit-equal to the distributed aggregation). This removes the
-    * per-round frontier-collect + broadcast-build + shuffle jobs the
-    * distributed rounds pay (guide §2.4 — the job floor was the cost).
-    * A beam that outgrows the cap mid-walk hands off to the distributed
-    * rounds unchanged.
-    *
     * DISTRIBUTED (bulk insertion — |batch|·ef beams): per round ONE
     * exchange and ONE job. The dedup + rank-window pair (two exchanges)
     * is fused into a single per-qid aggregation — `collect_set` of
@@ -702,7 +689,26 @@ object GraphAnn {
     * materializing action. Negating the score for the ascending struct
     * sort preserves the exact (score desc, id asc) order — IEEE negation
     * is a sign flip (the only nuance is a ±0.0 tie, which cannot change
-    * which ids survive). */
+    * which ids survive).
+    *
+    * LOCAL (serving panels, layered descents — beam ≤ [[LocalWalkCap]]
+    * rows): the distributed round's bounded frontier take doubles as
+    * the mode probe — when the taken beam fits the cap, the walk flips
+    * to driver-held beams (the same bounded-driver-state license as the
+    * take itself) and each remaining round is exactly ONE job: the same
+    * literal bucket/src-IN pruned scan (the byte-bound contract is
+    * untouched) broadcast-joined against the beam's (qid, src) pairs as
+    * a LocalRelation, scored in-plan by the same [[scoreCand]]
+    * expression, the bounded (≤ |beam|·m narrow rows) result collected,
+    * dedup + top-ef driver-side via [[topEfLocal]] (bit-equal to the
+    * distributed aggregation). This removes the per-round
+    * frontier-collect + broadcast-build + shuffle jobs for serving
+    * walks (guide §2.4 — the job floor was the cost) while bulk walks
+    * keep the distributed rounds at ZERO added jobs (the probe IS the
+    * take they already paid; fusing it there replaced an earlier
+    * standalone beam0 probe that cost bulk rows +1 job and a re-run of
+    * the un-checkpointed descent chain per walk). A local beam that
+    * outgrows the cap hands the remaining rounds back, distributed. */
   private def walkBeam(queries: DataFrame, beam0: DataFrame,
       graph: DataFrame, ef: Int, iters: Int, nBuckets: Int): DataFrame = {
     def topEf(beam: DataFrame): DataFrame = beam
@@ -723,75 +729,79 @@ object GraphAnn {
         graph.filter(col("b").isin(buckets: _*) &&
           col("src").isin(ids.toSeq: _*))
       } else graph
-    def distWalk(start: DataFrame, rounds: Int): DataFrame = {
-      var beam = start
-      for (_ <- 1 to rounds) {
-        // the beam is a lazily checkpointed ≤ |Q|·ef frame: this bounded
-        // take both supplies the frontier ids (deduped driver-side — no
-        // distinct exchange per round, guide §2.4) and materializes the
-        // checkpoint for the round's two other reads. Sorted ids keep
-        // the pushed IN plan deterministic across runs.
-        val taken = beam.select(col("id"))
-          .limit(16 * MaxLiteralFrontier + 1).collect().map(_.getLong(0))
-        val ids =
-          if (taken.length > 16 * MaxLiteralFrontier) Array.empty[Long]
-          else taken.distinct.sorted
-        // no pre-dedup of the expansion: scoring a duplicate (qid, id) is
-        // one cheap dot product, and topEf's collect_set dedups — zero
-        // extra exchanges per round (guide §2.4)
-        val expanded = gate(ids)
-          .join(broadcast(beam.select(col("qid"), col("id").as("src"))),
-            Seq("src"))
-          .select(col("qid"), col("dst").as("id"),
-            col("dst_vec").as("vec"), col("dst_norm").as("nrm"))
-        beam = topEf(beam.unionByName(scoreCand(queries, expanded)))
-          .localCheckpoint(eager = false)
-      }
-      beam
-    }
     val spark = graph.sparkSession
-    val entryRows = beam0.select(col("qid"), col("id"), col("score"))
-      .limit(LocalWalkCap + 1).collect()
-    if (entryRows.length > LocalWalkCap)
-      distWalk(topEf(beam0).localCheckpoint(eager = false), iters)
-    else {
-      var beam = topEfLocal(entryRows.map(r =>
-        (r.getLong(0), r.getLong(1), r.getDouble(2))), ef)
-      if (beam.isEmpty) localBeamDF(spark, beam)
-      else {
-        // the query rows collected ONCE (≤ one per beam row — bounded by
-        // the same cap) and re-broadcast each round as a LocalRelation:
-        // no per-round broadcast-build job
-        val qLocal = spark.createDataFrame(
-          java.util.Arrays.asList(queries.collect(): _*), queries.schema)
-        val pairSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("qid",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("src",
-            org.apache.spark.sql.types.LongType, nullable = false)))
-        var r = 0
-        var handedOff: DataFrame = null
-        while (r < iters && handedOff == null) {
-          if (beam.length > LocalWalkCap)
-            handedOff = distWalk(localBeamDF(spark, beam), iters - r)
-          else {
-            val ids = beam.map(_._2).distinct.sorted
-            val pairs = spark.createDataFrame(
-              java.util.Arrays.asList(beam.map(t =>
-                org.apache.spark.sql.Row(t._1, t._2)): _*), pairSchema)
-            val expanded = gate(ids)
-              .join(broadcast(pairs), Seq("src"))
-              .select(col("qid"), col("dst").as("id"),
-                col("dst_vec").as("vec"), col("dst_norm").as("nrm"))
-            val fresh = scoreCand(qLocal, expanded).collect().map(row =>
-              (row.getLong(0), row.getLong(1), row.getDouble(2)))
-            beam = topEfLocal(beam ++ fresh, ef)
-            r += 1
-          }
+    // the query rows collected ONCE on the first local round (|Q| is
+    // bounded by the beam the take just proved ≤ LocalWalkCap) and
+    // re-broadcast each round as a LocalRelation: no per-round
+    // broadcast-build job
+    lazy val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(queries.collect(): _*), queries.schema)
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    var beamDF = topEf(beam0).localCheckpoint(eager = false)
+    var beamLocal: Array[(Long, Long, Double)] = null
+    var r = 1
+    while (r <= iters) {
+      // a local beam that outgrew the cap hands back to the distributed
+      // rounds (LocalRelation re-evaluation is free — no checkpoint)
+      if (beamLocal != null && beamLocal.length > LocalWalkCap) {
+        beamDF = localBeamDF(spark, beamLocal)
+        beamLocal = null
+      }
+      if (beamLocal == null) {
+        // the beam is a lazily checkpointed ≤ |Q|·ef frame: this bounded
+        // take supplies the frontier ids (deduped driver-side — no
+        // distinct exchange per round, guide §2.4), materializes the
+        // checkpoint for the round's two other reads, AND is the
+        // local-mode probe. Sorted ids keep the pushed IN plan
+        // deterministic across runs.
+        val taken = beamDF.select(col("qid"), col("id"), col("score"))
+          .limit(16 * MaxLiteralFrontier + 1).collect()
+        if (taken.length <= LocalWalkCap) {
+          // the take IS the whole topEf'd beam — flip to driver-local
+          // rounds, starting with THIS round's expansion below
+          beamLocal = taken.map(row =>
+            (row.getLong(0), row.getLong(1), row.getDouble(2)))
+        } else {
+          val idsAll = taken.map(_.getLong(1))
+          val ids =
+            if (taken.length > 16 * MaxLiteralFrontier) Array.empty[Long]
+            else idsAll.distinct.sorted
+          // no pre-dedup of the expansion: scoring a duplicate (qid, id)
+          // is one cheap dot product, and topEf's collect_set dedups —
+          // zero extra exchanges per round (guide §2.4)
+          val expanded = gate(ids)
+            .join(broadcast(beamDF.select(col("qid"), col("id").as("src"))),
+              Seq("src"))
+            .select(col("qid"), col("dst").as("id"),
+              col("dst_vec").as("vec"), col("dst_norm").as("nrm"))
+          beamDF = topEf(beamDF.unionByName(scoreCand(queries, expanded)))
+            .localCheckpoint(eager = false)
+          r += 1
         }
-        if (handedOff != null) handedOff else localBeamDF(spark, beam)
+      }
+      if (beamLocal != null) {
+        if (beamLocal.isEmpty) r = iters + 1 // every round is a no-op
+        else {
+          val ids = beamLocal.map(_._2).distinct.sorted
+          val pairs = spark.createDataFrame(
+            java.util.Arrays.asList(beamLocal.map(t =>
+              org.apache.spark.sql.Row(t._1, t._2)): _*), pairSchema)
+          val expanded = gate(ids)
+            .join(broadcast(pairs), Seq("src"))
+            .select(col("qid"), col("dst").as("id"),
+              col("dst_vec").as("vec"), col("dst_norm").as("nrm"))
+          val fresh = scoreCand(qLocal, expanded).collect().map(row =>
+            (row.getLong(0), row.getLong(1), row.getDouble(2)))
+          beamLocal = topEfLocal(beamLocal ++ fresh, ef)
+          r += 1
+        }
       }
     }
+    if (beamLocal != null) localBeamDF(spark, beamLocal) else beamDF
   }
 
   /** Panel recall contract (the [[Similarity.lshKnnRecallPanel]]
