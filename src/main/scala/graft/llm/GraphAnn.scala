@@ -760,7 +760,14 @@ object GraphAnn {
         // deterministic across runs.
         val taken = beamDF.select(col("qid"), col("id"), col("score"))
           .limit(16 * MaxLiteralFrontier + 1).collect()
-        if (taken.length <= LocalWalkCap) {
+        // flip only when the beam can NEVER outgrow the cap: a walk's
+        // qid set never grows, so |qids|·ef bounds every later round's
+        // beam — without this guard a mid-size descent beam flipped
+        // local, outgrew the cap after one expansion, and flip-flopped
+        // back (measured +1.3 s on q_knn_graph_layered_incr)
+        if (taken.length <= LocalWalkCap &&
+            taken.iterator.map(_.getLong(0)).toSet.size.toLong * ef
+              <= LocalWalkCap) {
           // the take IS the whole topEf'd beam — flip to driver-local
           // rounds, starting with THIS round's expansion below
           beamLocal = taken.map(row =>
