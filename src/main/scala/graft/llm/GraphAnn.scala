@@ -165,14 +165,25 @@ object GraphAnn {
   def search(emb: DataFrame, graph: DataFrame, queryPred: Column, k: Int,
       ef: Int = 32, iters: Int = 3, entries: Int = 8,
       nBuckets: Int = DefaultBuckets,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    searchUnordered(emb, graph, queryPred, k, ef, iters, entries, nBuckets,
+      idCol, vecCol)
+      .orderBy(col("qid"), col("rank"))
+
+  /** [[search]] minus the presentation sort — the panels join/aggregate
+    * the rows, so the global orderBy (a range exchange + its sampling
+    * job) is wasted there (round 15, guide §2.4: an orderBy used only to
+    * make output deterministic is an accidental exchange; `rank` already
+    * carries the per-query order). */
+  private def searchUnordered(emb: DataFrame, graph: DataFrame,
+      queryPred: Column, k: Int, ef: Int, iters: Int, entries: Int,
+      nBuckets: Int, idCol: String, vecCol: String): DataFrame = {
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qnorm"))
     walk(queries, emb, graph, k, ef, iters, entries, nBuckets, idCol, vecCol)
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
         col("score"))
-      .orderBy(col("qid"), col("rank"))
   }
 
   /** HNSW-style LAYERED hierarchy — the asymptotic fix for flat-graph
@@ -233,6 +244,72 @@ object GraphAnn {
     require(levels >= 1 && branching >= 2,
       s"need levels >= 1, branching >= 2: levels=$levels branching=$branching")
     val b = batch.localCheckpoint(eager = false) // one filter per layer
+    // ONE gating pass for the whole ladder (round 15; guide §2.4 — the
+    // per-layer sub.isEmpty/lg.isEmpty pairs cost 2 actions × (levels+1),
+    // ~5 scheduled jobs per layer under AQE). Level membership is a
+    // digest predicate, so every level's batch population comes from one
+    // aggregation; the ladder's per-layer populations from one grouped
+    // count — which also materializes a lazily-checkpointed ladder once,
+    // before the per-layer filters re-read it.
+    label(b, "insertLayers gate")
+    val lvlAggs = (0 to levels).map { l =>
+      if (l == 0) count(lit(1)).cast("long").as(s"c$l")
+      else sum(when(
+        pmod(xxhash64(lit("gann_level"), col(idCol)),
+          lit(math.pow(branching.toDouble, l.toDouble).toLong)) === 0,
+        1L).otherwise(0L)).as(s"c$l")
+    }
+    // batch-level counts and ladder populations in ONE action: the two
+    // sides union into a single (key, n) frame — batch levels keyed
+    // negative to stay disjoint from layer numbers
+    val gateRows = layers.groupBy(col("layer").cast("int").as("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .unionByName(
+        b.agg(lvlAggs.head, lvlAggs.tail: _*)
+          .select(posexplode(array((0 to levels).map(l =>
+            coalesce(col(s"c$l"), lit(0L))): _*)).as(Seq("__p", "__n")))
+          .select((-col("__p") - 1).cast("int").as("__k"), col("__n")))
+      .collect()
+    val subCnt = {
+      val m = gateRows.filter(_.getInt(0) < 0)
+        .map(r => (-r.getInt(0) - 1) -> r.getLong(1)).toMap
+      (0 to levels).map(l => m.getOrElse(l, 0L))
+    }
+    val layCnt = gateRows.filter(_.getInt(0) >= 0)
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // ONE ladder descent for the WHOLE batch feeds every layer's
+    // insertion (round 15; guide §2.4, and the HNSW-canonical insertion:
+    // a node enters at the top and DESCENDS, walking each layer it
+    // belongs to — it never re-enters a layer from fresh digest
+    // entries). Per-qid top-ef state is independent across qids, so
+    // layer ℓ's level-members slice of the shared walked beam ≡ those
+    // members' own walk over layer ℓ with the same ef/iters/entries (for
+    // the top populated layer, bit-equal to the per-layer walks this
+    // replaces; below it the entry beams are now the DESCENDED ones —
+    // Malkov & Yashunin's shape, re-gated by the recall oracle at every
+    // SF). The descent starts at the highest POPULATED layer: walking
+    // empty top layers was one no-op round each.
+    val descentTop = (1 to levels).findLast(l => layCnt.getOrElse(l, 0L) > 0L)
+      .getOrElse(0)
+    val needWalk = (0 to levels).exists(l =>
+      subCnt(l) > 0L && layCnt.getOrElse(l, 0L) > 0L)
+    val bqAll = if (needWalk) batchQueries(b, idCol, vecCol) else null
+    val qvAll = if (needWalk) new QueryVecs(bqAll) else null
+    val beams = scala.collection.mutable.HashMap.empty[Int, DataFrame]
+    if (needWalk && descentTop >= 1) {
+      var beam = initBeam(bqAll, graphNodes(
+        layers.filter(col("layer") === descentTop), entriesUpper))
+      for (l <- descentTop to 1 by -1) {
+        beam = walkBeam(bqAll, beam,
+          layers.filter(col("layer") === l).drop("layer"),
+          efUpper, itersUpper, nBuckets, qvAll)
+        beams(l) = beam
+      }
+    }
+    // node view over the WHOLE ladder: a descended beam can surface
+    // upper-layer dsts, so every re-attach must cover every layer (vec,
+    // nrm are functional per id across layers — value-identical rows)
+    val ladderNodes = dstNodes(layers.drop("layer"))
     (0 to levels).map { l =>
       val sub =
         if (l == 0) b
@@ -240,34 +317,33 @@ object GraphAnn {
           pmod(xxhash64(lit("gann_level"), col(idCol)),
             lit(math.pow(branching.toDouble, l.toDouble).toLong)) === 0)
       val lg = layers.filter(col("layer") === l).drop("layer")
-      // upper-layer graphs are branching^l× smaller: their insert walks
-      // converge in a couple of small-beam rounds (the searchLayered
-      // efUpper discipline) — full-size walks there triple the row's
-      // stage count for nothing
       val updated =
-        if (sub.isEmpty) lg // this layer gains no node — pass through
-        else if (lg.isEmpty)
+        if (subCnt(l) == 0L) lg // this layer gains no node — pass through
+        else if (layCnt.getOrElse(l, 0L) == 0L)
           buildGraph(sub, m, lshBits, probes = probes, nBuckets = nBuckets,
             idCol = idCol, vecCol = vecCol)
-        else if (l > 0)
-          insert(lg, sub, m, efUpper, itersUpper, entriesUpper, nBuckets,
-            idCol, vecCol)
-        else {
-          // HNSW proper: base insertion DESCENDS the (pre-insert) ladder
-          // for its entry beam — the walk starts near each batch vector,
-          // so base iters stays small as the corpus grows
-          val bq = batchQueries(sub, idCol, vecCol)
-          // no dedup: walkBeam's top-ef aggregation dedups identical
-          // (qid, id) rows (equal pairs carry bit-equal scores)
-          val beam0 = descendBeam(bq, layers, levels, efUpper, itersUpper,
-              entriesUpper, nBuckets)
-            .unionByName(initBeam(bq, graphNodes(lg, entries)))
-          // node view over the WHOLE ladder: the descended beam can
-          // surface upper-layer dsts, so the vec re-attach must cover
-          // every layer, not just the base
-          val (delta, superseded) =
-            insertDeltaBeam(lg, bq, beam0, m, ef, iters, nBuckets,
-              dstNodes(layers.drop("layer")))
+        else if (l > 0) {
+          // the layer's walked beam is a scan-side slice of the shared
+          // descent (level membership is a digest of the qid — no join)
+          val walked = beams(l).filter(
+            pmod(xxhash64(lit("gann_level"), col("qid")),
+              lit(math.pow(branching.toDouble, l.toDouble).toLong)) === 0)
+          val (delta, superseded) = insertTail(lg,
+            batchQueries(sub, idCol, vecCol), walked, m, nBuckets,
+            ladderNodes)
+          lg.join(broadcast(superseded), Seq("src"), "left_anti")
+            .unionByName(delta)
+        } else {
+          // base insertion: the descended beam (already near each batch
+          // vector) plus the global digest entries, walked at full ef
+          val beam0 = beams.get(1) match {
+            case Some(bm) =>
+              bm.unionByName(initBeam(bqAll, graphNodes(lg, entries)))
+            case None => initBeam(bqAll, graphNodes(lg, entries))
+          }
+          val (delta, superseded) = insertTail(lg, bqAll,
+            walkBeam(bqAll, beam0, lg, ef, iters, nBuckets, qvAll),
+            m, nBuckets, ladderNodes)
           lg.join(broadcast(superseded), Seq("src"), "left_anti")
             .unionByName(delta)
         }
@@ -289,7 +365,17 @@ object GraphAnn {
       k: Int, levels: Int = 2, ef: Int = 32, iters: Int = 2,
       efUpper: Int = 8, itersUpper: Int = 2, entries: Int = 8,
       nBuckets: Int = DefaultBuckets,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    searchLayeredUnordered(emb, layers, queryPred, k, levels, ef, iters,
+      efUpper, itersUpper, entries, nBuckets, idCol, vecCol)
+      .orderBy(col("qid"), col("rank"))
+
+  /** [[searchLayered]] minus the presentation sort ([[searchUnordered]]'s
+    * rationale) — the layered panel's input. */
+  private def searchLayeredUnordered(emb: DataFrame, layers: DataFrame,
+      queryPred: Column, k: Int, levels: Int, ef: Int, iters: Int,
+      efUpper: Int, itersUpper: Int, entries: Int, nBuckets: Int,
+      idCol: String, vecCol: String): DataFrame = {
     require(k >= 1 && ef >= k, s"need ef >= k >= 1: ef=$ef k=$k")
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
@@ -297,16 +383,16 @@ object GraphAnn {
       .localCheckpoint(eager = false) // re-joined every round, every layer
     // no dedup: walkBeam's top-ef aggregation dedups identical
     // (qid, id) rows (equal pairs carry bit-equal scores)
+    val qv = new QueryVecs(queries) // one qid→vec collect for all layers
     val beam0 = descendBeam(queries, layers, levels, efUpper, itersUpper,
-        entries, nBuckets)
+        entries, nBuckets, qv)
       .unionByName(initBeam(queries,
         graphNodes(layers.filter(col("layer") === 0), entries)))
     rankBeam(
       walkBeam(queries, beam0, layers.filter(col("layer") === 0), ef,
-        iters, nBuckets), k)
+        iters, nBuckets, qv), k)
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
         col("score"))
-      .orderBy(col("qid"), col("rank"))
   }
 
   /** The upper-layer descent shared by [[searchLayered]] and
@@ -317,12 +403,13 @@ object GraphAnn {
     * query. */
   private def descendBeam(queries: DataFrame, layers: DataFrame,
       levels: Int, efUpper: Int, itersUpper: Int, entries: Int,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int, qVecs: QueryVecs = null): DataFrame = {
+    val qv = if (qVecs != null) qVecs else new QueryVecs(queries)
     var beam = initBeam(queries,
       graphNodes(layers.filter(col("layer") === levels), entries))
     for (l <- levels to 1 by -1)
       beam = walkBeam(queries, beam, layers.filter(col("layer") === l),
-        efUpper, itersUpper, nBuckets)
+        efUpper, itersUpper, nBuckets, qv)
     beam
   }
 
@@ -339,7 +426,17 @@ object GraphAnn {
   def searchFiltered(emb: DataFrame, graph: DataFrame, queryPred: Column,
       matchPred: Column, k: Int, ef: Int = 96, iters: Int = 3,
       entries: Int = 8, nBuckets: Int = DefaultBuckets,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    searchFilteredUnordered(emb, graph, queryPred, matchPred, k, ef, iters,
+      entries, nBuckets, idCol, vecCol)
+      .orderBy(col("qid"), col("rank"))
+
+  /** [[searchFiltered]] minus the presentation sort ([[searchUnordered]]'s
+    * rationale) — the filtered panel's input. */
+  private def searchFilteredUnordered(emb: DataFrame, graph: DataFrame,
+      queryPred: Column, matchPred: Column, k: Int, ef: Int, iters: Int,
+      entries: Int, nBuckets: Int,
+      idCol: String, vecCol: String): DataFrame = {
     require(k >= 1 && ef >= k, s"need ef >= k >= 1: ef=$ef k=$k")
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
@@ -359,7 +456,6 @@ object GraphAnn {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
         col("score"))
-      .orderBy(col("qid"), col("rank"))
   }
 
   /** The beam walk over (qid, qvec, qnorm) query rows — shared by
@@ -442,13 +538,37 @@ object GraphAnn {
     * converges in fewer rounds ([[insertLayers]]). */
   private def insertDeltaBeam(graph: DataFrame, bq: DataFrame,
       beam0: DataFrame, m: Int, ef: Int, iters: Int, nBuckets: Int,
+      nodes: DataFrame, qVecs: QueryVecs = null): (DataFrame, DataFrame) =
+    insertTail(graph, bq,
+      walkBeam(bq, beam0, graph, ef, iters, nBuckets, qVecs), m, nBuckets,
+      nodes)
+
+  /** The post-walk half of [[insertDeltaBeam]] — forward/back edges off
+    * an ALREADY-walked beam, touched-source re-cap, change set. Factored
+    * out (round 15) so [[insertLayers]] can feed every layer's insertion
+    * from ONE shared ladder descent instead of walking each layer's
+    * batch slice separately. */
+  private def insertTail(graph: DataFrame, bq: DataFrame,
+      walked: DataFrame, m: Int, nBuckets: Int,
       nodes: DataFrame): (DataFrame, DataFrame) = {
-    // the walk runs on narrow (qid, id, score) beams; the found top-m's
-    // vectors re-attach ONCE from `nodes` (the graph's dst view — total
-    // coverage by construction, see [[dstNodes]]), instead of riding
-    // every walk exchange (guide §8: move the payload a single time)
-    val found = rankBeam(walkBeam(bq, beam0, graph, ef, iters, nBuckets), m)
-      .join(nodes, Seq("id"))
+    // the walk ran on narrow (qid, id, score) beams; the found top-m's
+    // vectors re-attach ONCE from `nodes` (the graph's UN-deduped dst
+    // view — total coverage by construction, see [[dstNodes]]), instead
+    // of riding every walk exchange (guide §8: move the payload once).
+    // Round 15 (guide §2.3 — shuffle fewer bytes): the found ids
+    // broadcast-semi-gate the node view BEFORE its per-id dedup, so the
+    // dedup exchange moves ≤ |found| vector rows instead of the whole
+    // graph's dst view (N·m rows of ~1 KB — the insert tail's dominant
+    // exchange at scale). Dedup-after-gate ≡ gate-after-dedup: (id →
+    // vec, nrm) is functional on edge rows, every duplicate carries the
+    // identical payload.
+    val ranked = rankBeam(walked, m)
+      .localCheckpoint(eager = false) // id gate + the vec re-attach
+    val needed = nodes
+      .join(broadcast(ranked.select(col("id")).distinct()), Seq("id"),
+        "left_semi")
+      .dropDuplicates("id")
+    val found = ranked.join(needed, Seq("id"))
       .localCheckpoint(eager = false) // forward + back edges
     // forward edges carry the found neighbors' vectors straight off the
     // node view; back edges carry the batch's own
@@ -612,13 +732,15 @@ object GraphAnn {
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= k)
 
-  /** The distinct (id, vec, nrm) node view OF a graph's dst rows — every
-    * id a walk can ever surface (entries and expansions are both dst
-    * rows), so an inner-join vector re-attach against it is total. */
+  /** The (id, vec, nrm) node view OF a graph's dst rows — every id a
+    * walk can ever surface (entries and expansions are both dst rows),
+    * so an inner-join vector re-attach against it is total. UN-deduped:
+    * the consumer ([[insertDeltaBeam]]) semi-gates to the found ids
+    * FIRST and dedups the sliver, so the per-id dedup exchange never
+    * moves the whole graph (guide §2.3). */
   private def dstNodes(graph: DataFrame): DataFrame =
     graph.select(col("dst").as("id"), col("dst_vec").as("vec"),
-        col("dst_norm").as("nrm"))
-      .dropDuplicates("id")
+      col("dst_norm").as("nrm"))
 
   /** Beam-row count under which a walk runs in LOCAL mode: the beam is
     * held on the driver ([(qid, id, score)] triples, ≤ this many rows —
@@ -709,8 +831,58 @@ object GraphAnn {
     * standalone beam0 probe that cost bulk rows +1 job and a re-run of
     * the un-checkpointed descent chain per walk). A local beam that
     * outgrows the cap hands the remaining rounds back, distributed. */
+  /** Guide §1.5 job labels: AQE (Spark 4) submits every query stage —
+    * including the result — from captured-thread-local futures, so the
+    * UI/listeners see no user call site; the description is the only
+    * attribution that survives. Cost: a thread-local write per phase. */
+  private def label(df: DataFrame, s: String): Unit =
+    df.sparkSession.sparkContext.setJobDescription(s"gann:$s")
+
+  /** Driver-held (qid → (qvec, qnorm)) view of a walk's query frame —
+    * collected lazily ONCE (on the first LOCAL round) and shared by every
+    * [[walkBeam]] over the same queries (a layered descent walks 3+
+    * beams off one query frame; round 14 re-collected per walkBeam).
+    * Bounded by the LocalWalkCap license: a walk only goes local when
+    * |qids|·ef fits the cap. Floats widen exactly — [[DotProduct]]'s own
+    * first step — so driver scores stay bit-equal. */
+  private final class QueryVecs(queries: DataFrame) {
+    lazy val map: java.util.HashMap[Long, (Array[Double], Double)] = {
+      label(queries, "walk qLocal collect")
+      val m = new java.util.HashMap[Long, (Array[Double], Double)]()
+      queries.select(col("qid"), col("qvec"), col("qnorm")).collect()
+        .foreach { r =>
+          val v = QueryVecs.toDoubles(r.get(1))
+          if (v != null) m.put(r.getLong(0), (v, r.getDouble(2)))
+        }
+      m
+    }
+  }
+  private object QueryVecs {
+    /** Exact widening of a collected array column; null (→ no row, the
+      * [[DotProduct]] null contract) on a null array or null element. */
+    def toDoubles(v: Any): Array[Double] = v match {
+      case null => null
+      case s: scala.collection.Seq[_] =>
+        val a = new Array[Double](s.length)
+        var i = 0
+        val it = s.iterator
+        while (it.hasNext) {
+          it.next() match {
+            case d: java.lang.Double => a(i) = d.doubleValue()
+            case f: java.lang.Float => a(i) = f.doubleValue()
+            case _ => return null
+          }
+          i += 1
+        }
+        a
+      case _ => null
+    }
+  }
+
   private def walkBeam(queries: DataFrame, beam0: DataFrame,
-      graph: DataFrame, ef: Int, iters: Int, nBuckets: Int): DataFrame = {
+      graph: DataFrame, ef: Int, iters: Int, nBuckets: Int,
+      qVecs0: QueryVecs = null): DataFrame = {
+    val qVecs = if (qVecs0 != null) qVecs0 else new QueryVecs(queries)
     def topEf(beam: DataFrame): DataFrame = beam
       .groupBy(col("qid"))
       .agg(slice(sort_array(collect_set(
@@ -730,19 +902,20 @@ object GraphAnn {
           col("src").isin(ids.toSeq: _*))
       } else graph
     val spark = graph.sparkSession
-    // the query rows collected ONCE on the first local round (|Q| is
-    // bounded by the beam the take just proved ≤ LocalWalkCap) and
-    // re-broadcast each round as a LocalRelation: no per-round
-    // broadcast-build job
-    lazy val qLocal = spark.createDataFrame(
-      java.util.Arrays.asList(queries.collect(): _*), queries.schema)
-    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("qid",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("src",
-        org.apache.spark.sql.types.LongType, nullable = false)))
     var beamDF = topEf(beam0).localCheckpoint(eager = false)
     var beamLocal: Array[(Long, Long, Double)] = null
+    // BULK rounds go probe-free once probing can't pay (round 15, guide
+    // §2.4): the per-round take existed to (a) probe local mode, (b) feed
+    // the literal src-IN gate, (c) materialize the round checkpoint. A
+    // truncated take (> 16·MaxLiteralFrontier rows) yields no gate ids,
+    // and once the seen qid count alone bounds |qids|·ef over the cap the
+    // flip is impossible FOREVER (a walk's qid set never grows) — so (a)
+    // and (b) are dead, and (c) is already covered: under Spark 4 AQE a
+    // lazy localCheckpoint finalizes every non-result stage at
+    // CONSTRUCTION (toRdd → getFinalPhysicalPlan runs the exchanges), so
+    // consumers re-read shuffle files, never the lineage — measured: the
+    // bulk insert walk re-ran zero upstream stages without its takes.
+    var canProbe = true
     var r = 1
     while (r <= iters) {
       // a local beam that outgrew the cap hands back to the distributed
@@ -754,18 +927,32 @@ object GraphAnn {
       if (beamLocal == null) {
         // the beam is a lazily checkpointed ≤ |Q|·ef frame: this bounded
         // take supplies the frontier ids (deduped driver-side — no
-        // distinct exchange per round, guide §2.4), materializes the
-        // checkpoint for the round's two other reads, AND is the
-        // local-mode probe. Sorted ids keep the pushed IN plan
-        // deterministic across runs.
-        val taken = beamDF.select(col("qid"), col("id"), col("score"))
-          .limit(16 * MaxLiteralFrontier + 1).collect()
+        // distinct exchange per round, guide §2.4) AND is the local-mode
+        // probe. Sorted ids keep the pushed IN plan deterministic.
+        val taken = if (canProbe) {
+          label(beamDF, s"walk r$r/$iters take")
+          beamDF.select(col("qid"), col("id"), col("score"))
+            .limit(16 * MaxLiteralFrontier + 1).collect()
+        } else Array.empty[org.apache.spark.sql.Row]
+        // a (possibly truncated) take whose qid subset already rules the
+        // flip out rules it out for EVERY later round (qids never grow);
+        // if the frontier is also too wide for the literal gate
+        // (> MaxLiteralFrontier distinct ids — bulk walks sit far above
+        // it and only converge further INTO their own beams), the probe
+        // buys nothing any more: stop paying its job per round
+        if (canProbe &&
+            taken.iterator.map(_.getLong(0)).toSet.size.toLong * ef
+              > LocalWalkCap &&
+            (taken.length > 16 * MaxLiteralFrontier ||
+              taken.iterator.map(_.getLong(1)).toSet.size
+                > MaxLiteralFrontier))
+          canProbe = false
         // flip only when the beam can NEVER outgrow the cap: a walk's
         // qid set never grows, so |qids|·ef bounds every later round's
         // beam — without this guard a mid-size descent beam flipped
         // local, outgrew the cap after one expansion, and flip-flopped
         // back (measured +1.3 s on q_knn_graph_layered_incr)
-        if (taken.length <= LocalWalkCap &&
+        if (canProbe && taken.length <= LocalWalkCap &&
             taken.iterator.map(_.getLong(0)).toSet.size.toLong * ef
               <= LocalWalkCap) {
           // the take IS the whole topEf'd beam — flip to driver-local
@@ -780,6 +967,7 @@ object GraphAnn {
           // no pre-dedup of the expansion: scoring a duplicate (qid, id)
           // is one cheap dot product, and topEf's collect_set dedups —
           // zero extra exchanges per round (guide §2.4)
+          label(beamDF, s"walk r$r/$iters dist")
           val expanded = gate(ids)
             .join(broadcast(beamDF.select(col("qid"), col("id").as("src"))),
               Seq("src"))
@@ -793,16 +981,46 @@ object GraphAnn {
       if (beamLocal != null) {
         if (beamLocal.isEmpty) r = iters + 1 // every round is a no-op
         else {
+          // ONE job per local round (round-15 shape; the round-14 form —
+          // LocalRelation broadcast joins + an in-plan scoreCand collect —
+          // still scheduled THREE jobs under Spark 4 AQE: two
+          // broadcast-build futures plus the result stage). The frontier's
+          // pruned out-edge rows (≤ |ids|·m — the same bounded-driver-state
+          // license as the take) are collected once; the (qid ← src) fanout
+          // and the cosine replicate [[scoreCand]] DRIVER-side bit-exactly:
+          // the identical left-to-right IEEE dot ([[DotProduct]]'s loop,
+          // float widened exactly at collection) and the identical ÷.
+          // Missing qids can't occur (every beam qid is a walk query — the
+          // old inner join dropped none); dim mismatch/null elements yield
+          // no row, DotProduct's null contract.
+          val qm = qVecs.map // forced BEFORE the round label (1 collect/walk)
           val ids = beamLocal.map(_._2).distinct.sorted
-          val pairs = spark.createDataFrame(
-            java.util.Arrays.asList(beamLocal.map(t =>
-              org.apache.spark.sql.Row(t._1, t._2)): _*), pairSchema)
-          val expanded = gate(ids)
-            .join(broadcast(pairs), Seq("src"))
-            .select(col("qid"), col("dst").as("id"),
-              col("dst_vec").as("vec"), col("dst_norm").as("nrm"))
-          val fresh = scoreCand(qLocal, expanded).collect().map(row =>
-            (row.getLong(0), row.getLong(1), row.getDouble(2)))
+          label(graph, s"walk r$r/$iters local")
+          val edges = gate(ids)
+            .select(col("src"), col("dst"), col("dst_vec"), col("dst_norm"))
+            .collect()
+          val bySrc = new java.util.HashMap[Long,
+            scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]]()
+          edges.foreach { e =>
+            val buf = bySrc.computeIfAbsent(e.getLong(0),
+              _ => scala.collection.mutable.ArrayBuffer.empty)
+            buf += ((e.getLong(1), QueryVecs.toDoubles(e.get(2)), e.getDouble(3)))
+          }
+          val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          beamLocal.foreach { case (qid, src, _) =>
+            val out = bySrc.get(src)
+            val q = qm.get(qid)
+            if (out != null && q != null) {
+              val qv = q._1; val qn = q._2
+              out.foreach { case (dst, dv, dn) =>
+                if (dv != null && dv.length == qv.length) {
+                  var s = 0.0; var i = 0
+                  while (i < qv.length) { s += qv(i) * dv(i); i += 1 }
+                  fresh += ((qid, dst, s / (qn * dn)))
+                }
+              }
+            }
+          }
           beamLocal = topEfLocal(beamLocal ++ fresh, ef)
           r += 1
         }
@@ -821,8 +1039,8 @@ object GraphAnn {
       recallBound: Double = 0.5, nBuckets: Int = DefaultBuckets,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     recallPanel(
-      search(emb, graph, queryPred, k, ef, iters, entries, nBuckets,
-        idCol, vecCol),
+      searchUnordered(emb, graph, queryPred, k, ef, iters, entries,
+        nBuckets, idCol, vecCol),
       Similarity.bruteForceKnn(emb, queryPred, k, idCol, vecCol),
       recallBound)
 
@@ -835,8 +1053,8 @@ object GraphAnn {
       nBuckets: Int = DefaultBuckets,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     recallPanel(
-      searchLayered(emb, layers, queryPred, k, levels, ef, iters, efUpper,
-        itersUpper, entries, nBuckets, idCol, vecCol),
+      searchLayeredUnordered(emb, layers, queryPred, k, levels, ef, iters,
+        efUpper, itersUpper, entries, nBuckets, idCol, vecCol),
       Similarity.bruteForceKnn(emb, queryPred, k, idCol, vecCol),
       recallBound)
 
@@ -849,8 +1067,8 @@ object GraphAnn {
       nBuckets: Int = DefaultBuckets,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     recallPanel(
-      searchFiltered(emb, graph, queryPred, matchPred, k, ef, iters,
-        entries, nBuckets, idCol, vecCol),
+      searchFilteredUnordered(emb, graph, queryPred, matchPred, k, ef,
+        iters, entries, nBuckets, idCol, vecCol),
       Similarity.filteredKnn(emb,
         emb.filter(matchPred).select(col(idCol)), queryPred, k, idCol,
         vecCol),
@@ -858,6 +1076,7 @@ object GraphAnn {
 
   private def recallPanel(approx0: DataFrame, exact0: DataFrame,
       recallBound: Double): DataFrame = {
+    label(approx0, "recall panel")
     val approx = approx0.select(col("qid"), col("neighbor_id"))
       .localCheckpoint(eager = false) // hits join + the panel count
     val exact = exact0.select(col("qid"), col("neighbor_id"))

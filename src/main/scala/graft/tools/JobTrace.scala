@@ -25,6 +25,15 @@ object JobTrace {
     val n = new AtomicInteger()
     @volatile var trace = false
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+              if trace =>
+            println(s"[jobtrace] EXEC ${s.executionId} desc=${s.description.takeWhile(_ != '\n')}")
+          case _ =>
+        }
+    })
+    spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(s: SparkListenerJobStart): Unit = if (trace) {
         val i = n.incrementAndGet()
         val site = Option(s.properties)
@@ -32,7 +41,20 @@ object JobTrace {
         val desc = Option(s.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
-        println(f"[jobtrace] job$i%-4d stages=${s.stageInfos.size}%-3d $site $desc")
+        // the result stage's details carry the full call-site stack: pull
+        // the first graft frames so the job attributes to an operator
+        val all = s.stageInfos.flatMap(_.details.split('\n')).map(_.trim)
+        val graftF = all.filter(l => l.contains("graft.") &&
+          !l.contains("graft.tools")).take(2).mkString(" <- ")
+        val frames = if (graftF.nonEmpty) graftF
+          else all.take(2).mkString(" <- ")
+        // jobs of one action share the SQL execution id — group by it to
+        // count actions vs AQE/broadcast sub-jobs
+        val exec = Option(s.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .getOrElse("-")
+        val snames = s.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | ")
+        println(f"[jobtrace] job$i%-4d exec=$exec%-5s stages=${s.stageInfos.size}%-3d $site $desc $frames STG[$snames]")
       }
     })
     val fn = graft.SparkEntry.queries(row)
