@@ -1019,6 +1019,8 @@ object Dedup {
         blockCols.map(col): _*)
       .withColumn("len", length(col("rec")))
       .withColumn("band", floor(col("len").cast("double") / bandW).cast("long"))
+    if (blockCols.isEmpty)
+      return passJoinPairs(recs, maxDist)
     val probe = recs
       .withColumn("jband",
         explode(array(col("band") - 1, col("band"), col("band") + 1)))
@@ -1032,6 +1034,104 @@ object Dedup {
       .filter(col("dist") >= 0)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("dist").cast("long").as("dist"))
+  }
+
+  /** PassJoin-style segment prefilter for the UNBLOCKED edit-distance
+    * join (round 15; guide §3.2 — prune the candidate side before any
+    * quadratic work; Li, Deng & Feng's Pass-Join partition scheme). The
+    * length-band-only candidate set is O(n²) on a near-uniform-length
+    * corpus (q_fuzzy_allpairs' documented worst case: every 40-char
+    * prefix lands in one band). The pigeonhole rail replaces it:
+    *
+    * Split every indexed record `s` (|s| = L ≥ maxDist+1) into
+    * k = maxDist+1 contiguous segments (the first k−(L mod k) of width
+    * ⌊L/k⌋, the rest one wider — any FIXED scheme works as long as probe
+    * generation derives the same bounds from L alone). If lev(r, s) ≤ d,
+    * an optimal edit path has ≤ d errors, which touch ≤ d segments, so
+    * AT LEAST ONE segment of `s` survives verbatim in `r`; its start
+    * shifts by the net insertions before it, δ, and the net insertions
+    * after it is Δ−δ (Δ = |r|−|s|), each bounded by that side's error
+    * count, so |δ| + |Δ−δ| ≤ d. The probe therefore emits, per record r,
+    * every substring of r that could be a preserved segment of some s
+    * with ||s|−|r|| ≤ d — a CANDIDATE-COMPLETE set (no recall loss; the
+    * exact thresholded-levenshtein verification is unchanged). Candidate
+    * pairs are emitted in both (probe, index) orientations and
+    * normalized, so only the INDEXED side needs L ≥ k; records shorter
+    * than k (can't host k nonempty segments) pair through the original
+    * banded join against everything in length range.
+    *
+    * Plan shape at 100 TB: the segment index (k rows/record, ~one
+    * segment string each) broadcast-hash-joins the probe explosion
+    * (O(d²) substrings/record) — the corpus crosses NO exchange; only
+    * the matched candidate sliver shuffles for its pair dedup. */
+  private def passJoinPairs(recs0: DataFrame, maxDist: Int): DataFrame = {
+    val k = maxDist + 1
+    val recs = recs0.select(col("id"), col("rec"), col("len"))
+      .localCheckpoint(eager = false) // index + probe + short fallback
+    // segment i (0-based) of a length-L record, 1-based substring bounds:
+    // the first k − (L mod k) segments have width ⌊L/k⌋, the rest one more
+    def segStart(len: Column, i: Int): Column =
+      lit(i) * (len / k).cast("int") +
+        greatest(lit(0), lit(i) - (lit(k) - (len % k).cast("int"))) + 1
+    def segWidth(len: Column, i: Int): Column =
+      (len / k).cast("int") +
+        when(lit(i) >= lit(k) - (len % k).cast("int"), 1).otherwise(0)
+    // the index: k exact segments per record of length ≥ k
+    val index = recs.filter(col("len") >= k)
+      .select(col("id").as("iid"), col("rec").as("irec"),
+        col("len").as("ilen"),
+        posexplode(array((0 until k).map(i =>
+          substring(col("rec"), segStart(col("len"), i),
+            segWidth(col("len"), i))): _*)).as(Seq("si", "seg")))
+    // the probe: per record, every substring that could be a preserved
+    // segment of an indexed record — (Δ, i, δ) ranges over literals, so
+    // the |δ| + |Δ−δ| ≤ d pruning happens at PLAN time; out-of-range
+    // windows yield truncated/empty strings which can never equal a
+    // full-width index segment (harmless extra keys, zero recall effect)
+    val keys = for {
+      dl <- -maxDist to maxDist // Δ = plen − ilen
+      i <- 0 until k
+      dlt <- -maxDist to maxDist // δ: the segment's shift inside the probe
+      if math.abs(dlt) + math.abs(dl - dlt) <= maxDist
+    } yield (dl, i, dlt)
+    val probe = recs.select(col("id").as("pid"), col("rec").as("prec"),
+        explode(array(keys.map { case (dl, i, dlt) =>
+          struct((col("len") - dl).as("plen_i"), lit(i).as("pi"),
+            when(segStart(col("len") - dl, i) + dlt >= 1,
+              substring(col("rec"),
+                segStart(col("len") - dl, i) + dlt,
+                segWidth(col("len") - dl, i))).as("pseg"))
+        }: _*)).as("__s"))
+      .select(col("pid"), col("prec"), col("__s.plen_i").as("plen_i"),
+        col("__s.pi").as("pi"), col("__s.pseg").as("pseg"))
+      .filter(col("pseg").isNotNull && col("plen_i") >= k)
+    val segCand = probe.join(index,
+        col("plen_i") === col("ilen") && col("pi") === col("si") &&
+          col("pseg") === col("seg"))
+      .select(col("pid"), col("prec"), col("iid"), col("irec"))
+    // records shorter than k can't host k nonempty segments: every pair
+    // touching one goes through the banded join against the full length
+    // window instead (a sliver — and on a corpus made OF such records
+    // the candidate set is the quadratic the operator documents anyway)
+    val shortCand = recs.filter(col("len") < k)
+      .select(col("id").as("pid"), col("rec").as("prec"),
+        col("len").as("plen"))
+      .join(recs.select(col("id").as("iid"), col("rec").as("irec"),
+        col("len").as("ilen")),
+        abs(col("plen") - col("ilen")) <= maxDist)
+      .select(col("pid"), col("prec"), col("iid"), col("irec"))
+    segCand.unionByName(shortCand)
+      .filter(col("pid") =!= col("iid"))
+      .select(least(col("pid"), col("iid")).as("id_a"),
+        greatest(col("pid"), col("iid")).as("id_b"),
+        when(col("pid") < col("iid"), col("prec")).otherwise(col("irec"))
+          .as("rec_a"),
+        when(col("pid") < col("iid"), col("irec")).otherwise(col("prec"))
+          .as("rec_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein(col("rec_a"), col("rec_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
   /** Connected components over a near-duplicate pair list: the step that

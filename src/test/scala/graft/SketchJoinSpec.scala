@@ -207,6 +207,48 @@ class SketchJoinSpec extends SparkTestBase {
     assert(got === Set((0L, 1L, 1L)))
   }
 
+  test("fuzzy match: segment prefilter ≡ all-pairs truth (varied lengths, shorts, rotations)") {
+    // adversarial corpus for the PassJoin rail: planted pairs at every
+    // distance 0..6, records SHORTER than maxDist+1 (the banded
+    // fallback), length differences up to ±6, shift-heavy edits
+    // (leading insertions move every segment), and duplicate texts
+    val texts = Seq(
+      "abcdefghijklmnopqrstuvwxyz0123456789ABCD", // base, 40 chars
+      "abcdefghijklmnopqrstuvwxyz0123456789ABCD", // exact dup (d=0)
+      "Xbcdefghijklmnopqrstuvwxyz0123456789ABCD", // 1 sub
+      "XYabcdefghijklmnopqrstuvwxyz0123456789AB", // leading 2-insert + trunc
+      "abcdefghijklmnopqrst",                     // 20 chars
+      "abcdefghijklmnop",                         // 16 chars: len diff 4
+      "abcdefghijklmno",                          // 15: len diff 5 from 20
+      "ab", "abc", "a", "",                       // shorts (< k) incl empty
+      "zyxwvutsrqponmlkjihgfedcba9876543210DCBA", // far from base
+      "abcdeQghijklmnopqrstuvwxyz0123456789ABCD", // 1 sub mid
+      "abcdefghijklmnopqrstuvwxyz0123456789",     // 36: 4 deletions
+      "fghijklmnopqrstuvwxyz0123456789ABCD"       // 35: 5 leading dels
+    )
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyMatchPairs(docs, prefixChars = 40, maxDist = 5)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Long)]
+      .collect().toSet
+    // truth: quadratic thresholded levenshtein over the same prefixes
+    val recs = texts.map(_.take(40)).zipWithIndex
+    val truth = (for {
+      (ta, ia) <- recs; (tb, ib) <- recs
+      if ia < ib && math.abs(ta.length - tb.length) <= 5
+      d = {
+        val dp = Array.tabulate(ta.length + 1, tb.length + 1) { (x, y) =>
+          if (x == 0) y else if (y == 0) x else 0 }
+        for (x <- 1 to ta.length; y <- 1 to tb.length)
+          dp(x)(y) = math.min(math.min(dp(x - 1)(y) + 1, dp(x)(y - 1) + 1),
+            dp(x - 1)(y - 1) + (if (ta(x - 1) == tb(y - 1)) 0 else 1))
+        dp(ta.length)(tb.length)
+      }
+      if d <= 5
+    } yield (ia.toLong, ib.toLong, d.toLong)).toSet
+    assert(got === truth)
+  }
+
   test("fuzzy match: domain blocking keeps in-block pairs, drops straddlers") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over dogs", "en"),
